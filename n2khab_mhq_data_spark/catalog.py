@@ -1,0 +1,202 @@
+"""Schema catalog.
+
+The reference serializes every published table as TSV + a YAML sidecar
+declaring per-column classes (git2rdata ``write_vc``; see e.g.
+``/root/reference/processed/fieldmap_mhq/trees_a3a4.yml``). This module is
+the Spark equivalent: a registry of ``TableSpec``s mapping the reference's
+yml classes to Spark types, carrying factor-level domains (the reference's
+``factor`` class has no Spark native; we validate against the level list)
+and deterministic sort keys (needed to reproduce ``write_vc`` output).
+
+Reference type system observed (SURVEY.md §1.2):
+  integer -> IntegerType, numeric -> DoubleType (+digits on write),
+  character -> StringType, logical -> BooleanType,
+  Date -> DateType (stored as int days since 1970-01-01 in the TSV),
+  factor -> StringType + level domain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# reference yml class -> Spark type (SURVEY.md §1.2 table)
+YML_CLASS_TO_SPARK: dict[str, T.DataType] = {
+    "integer": T.IntegerType(),
+    "numeric": T.DoubleType(),
+    "character": T.StringType(),
+    "logical": T.BooleanType(),
+    "Date": T.DateType(),
+    "factor": T.StringType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+@dataclass
+class ColumnSpec:
+    name: str
+    yml_class: str
+    nullable: bool = True
+    digits: int | None = None              # numeric rounding on write
+    levels: tuple[str, ...] | None = None  # factor domain
+    ordered: bool = False
+
+    @property
+    def spark_type(self) -> T.DataType:
+        return YML_CLASS_TO_SPARK[self.yml_class]
+
+
+@dataclass
+class TableSpec:
+    name: str
+    columns: list[ColumnSpec]
+    sorting: tuple[str, ...] = ()          # write_vc sort keys
+    grain: tuple[str, ...] = ()            # key columns asserted unique
+
+    def struct_type(self) -> T.StructType:
+        return T.StructType(
+            [T.StructField(c.name, c.spark_type, c.nullable) for c in self.columns]
+        )
+
+    def conform(self, df: DataFrame) -> DataFrame:
+        """Cast/reorder ``df`` to this spec (schema-drift unions: the
+        reference unions 4 DB generations with differing column sets/types,
+        query_fieldmap.Rmd:1363-1366,607-611 — missing columns become null,
+        mistyped columns are cast)."""
+        cols = []
+        have = {c.lower(): c for c in df.columns}
+        for c in self.columns:
+            if c.name.lower() in have:
+                cols.append(F.col(have[c.name.lower()]).cast(c.spark_type).alias(c.name))
+            else:
+                cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
+        return df.select(*cols)
+
+    def validate_factors(self, df: DataFrame) -> dict[str, int]:
+        """CHECK-style domain validation for factor columns: returns the
+        number of out-of-domain, non-null values per factor column."""
+        out: dict[str, int] = {}
+        for c in self.columns:
+            if c.yml_class == "factor" and c.levels:
+                bad = df.filter(
+                    F.col(c.name).isNotNull() & ~F.col(c.name).isin(*c.levels)
+                ).count()
+                out[c.name] = bad
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+_REGISTRY: dict[str, TableSpec] = {}
+
+
+def register(spec: TableSpec) -> TableSpec:
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def get_spec(name: str) -> TableSpec:
+    return _REGISTRY[name]
+
+
+def specs() -> dict[str, TableSpec]:
+    return dict(_REGISTRY)
+
+
+# Conformed-model specs for the reference's core published tables
+# (grain/sort keys from query_fieldmap.Rmd:1959-1974 write_vc calls).
+register(
+    TableSpec(
+        "sample_status",
+        [
+            ColumnSpec("plot_id", "integer", False),
+            ColumnSpec("mon_cycle", "integer", False),
+            ColumnSpec("status_fieldwork", "factor"),
+            ColumnSpec("date_status", "Date"),
+            ColumnSpec("db", "character"),
+        ],
+        sorting=("plot_id", "mon_cycle"),
+        grain=("plot_id", "mon_cycle"),
+    )
+)
+register(
+    TableSpec(
+        "cover_species",
+        [
+            ColumnSpec("plot_id", "integer", False),
+            ColumnSpec("mon_cycle", "integer", False),
+            ColumnSpec("layer", "character"),
+            ColumnSpec("name_sc", "character"),
+            ColumnSpec("cover_class", "character"),
+            ColumnSpec("cover_mean", "numeric", digits=6),
+            ColumnSpec("coverscale_name", "character"),
+        ],
+        sorting=("plot_id", "mon_cycle", "layer", "name_sc"),
+        grain=("plot_id", "mon_cycle", "layer", "name_sc"),
+    )
+)
+register(
+    TableSpec(
+        "site_characteristics",
+        [
+            ColumnSpec("recording_givid", "character", False),
+            ColumnSpec("var_code", "character", False),
+            ColumnSpec("var", "character"),
+            ColumnSpec("value", "character"),
+            ColumnSpec("value_numeric", "numeric", digits=6),
+            ColumnSpec("is_below_LOQ", "logical"),
+            ColumnSpec("is_above_LOQ", "logical"),
+            ColumnSpec("is_numeric", "logical"),
+            ColumnSpec("unit", "character"),
+        ],
+        sorting=("recording_givid", "var_code", "value"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Test-bed tables (driver synthetic parquet, TESTDATA.md)
+# ---------------------------------------------------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one synthetic table. Parquet scan => Catalyst gets column
+    pruning + predicate pushdown for free; never cache here.
+
+    ``events.parquet`` is written with TIMESTAMP(NANOS), which vanilla Spark
+    rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long (legacy conf) and
+    rebuild a microsecond timestamp with integer division — ``ts div 1000``,
+    not ``/1000.0``, because nano-epoch values (~1.7e18) overflow double's
+    53-bit mantissa and would corrupt the microseconds.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TESTDATA_TABLES}

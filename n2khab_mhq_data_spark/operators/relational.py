@@ -1,0 +1,98 @@
+"""Grain / dedup / audit operators — the reference's in-pipeline data-quality
+idioms (SURVEY.md §1.3, §5) as first-class library functions.
+
+All of these are pure DataFrame compositions: they shuffle once on the key
+columns and stay entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+class GrainViolation(AssertionError):
+    pass
+
+
+def duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
+    """The reference's duplicate detector: group_by(keys) |> mutate(n=n()) |>
+    filter(n > 1) (query_fieldmap.Rmd:1370-1385, ~20 sites). Returns the
+    offending rows with an ``n`` column."""
+    w = W.partitionBy(*keys)
+    return df.withColumn("n", F.count("*").over(w)).filter(F.col("n") > 1)
+
+
+def assert_grain(df: DataFrame, keys: list[str], max_show: int = 20) -> DataFrame:
+    """Fail fast if ``keys`` is not a unique key of ``df`` (the reference's
+    'geen fout in data' check queries, promoted to a hard assertion).
+    Single aggregation job — no window, no second pass."""
+    dupe = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .limit(max_show)
+        .collect()
+    )
+    if dupe:
+        raise GrainViolation(
+            f"grain {keys} violated; first offenders: {[r.asDict() for r in dupe]}"
+        )
+    return df
+
+
+def dedup_keep_latest(
+    df: DataFrame, keys: list[str], order_by: list[Column]
+) -> DataFrame:
+    """Keyed dedup with ordering — most-recent-wins
+    (filter(date_status == max(date_status)) + unique(),
+    query_fieldmap.Rmd:1376-1379) collapsed to exactly one row per key.
+    ``order_by`` must be a total order (add a unique id as final tiebreak)."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def membership_flag(
+    df: DataFrame,
+    other: DataFrame,
+    left_key: str,
+    right_key: str,
+    flag_name: str,
+) -> DataFrame:
+    """mutate(flag = id %in% other$id) (query_fieldmap.Rmd:1655-1662):
+    broadcast the DISTINCT key set of ``other`` and left-join — a map-side
+    lookup, not a shuffle, as long as the key set fits the broadcast cap."""
+    keys = (
+        other.select(F.col(right_key).alias("__mk")).distinct().withColumn(
+            "__hit", F.lit(True)
+        )
+    )
+    return (
+        df.join(F.broadcast(keys), df[left_key] == keys["__mk"], "left")
+        .withColumn(flag_name, F.coalesce(F.col("__hit"), F.lit(False)))
+        .drop("__mk", "__hit")
+    )
+
+
+def audit_missing(
+    header: DataFrame, facts: dict[str, DataFrame], key: str
+) -> DataFrame:
+    """Completeness audit (kernel K3, query_fieldmap.Rmd:1621-1674): for each
+    header row, one boolean ``has_<name>`` per fact table."""
+    out = header
+    for name, fact in facts.items():
+        out = membership_flag(out, fact, key, key, f"has_{name}")
+    return out
+
+
+def patch_rows(df: DataFrame, predicates: list[Column]) -> DataFrame:
+    """Surgical row removal by composite predicates (P5,
+    query_fieldmap.Rmd:1589-1595)."""
+    for p in predicates:
+        df = df.filter(~p)
+    return df

@@ -1,0 +1,745 @@
+"""Relational operator queries (SURVEY.md §2.2 P*, §2.3 J*, §2.4 A*, §2.6 O*,
+§2.7 U*) demonstrated on the driver's synthetic TPC-H-ish tables, each with a
+DuckDB oracle.
+
+Numeric-stability conventions for the differential oracle:
+- every aggregate/computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded (2 digits for money-scale sums, 6 for ratios)
+  on BOTH sides so parallel-summation ulp drift can't flip the value hash;
+- DuckDB ``sum(INTEGER)`` yields HUGEINT — oracles cast to BIGINT to match
+  Spark's LongType.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.functions.scalars import eps_round
+from n2khab_mhq_data_spark.plans import query
+
+# ---------------------------------------------------------------------------
+# P — projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "p1_select_rename",
+    oracle="""
+    SELECT s_suppkey AS suppkey, s_name AS supplier_name,
+           s_nationkey AS nationkey, round(s_acctbal, 2) AS acctbal
+    FROM supplier
+    """,
+)
+def p1_select_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 column select+rename (reference: dplyr select(a = B), ~100 sites,
+    query_fieldmap.Rmd:83-90)."""
+    return load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+
+
+@query(
+    "p2_lowercase_conform",
+    oracle="SELECT p_partkey AS partkey, p_brand AS brand FROM part",
+)
+def p2_lowercase_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 lowercase-normalize headers after a scan (reference lowercases every
+    SQL fetch, query_fieldmap.Rmd:156). Simulated by shouting the schema first."""
+    df = load(spark, sf_dir, "part")
+    shouty = df.toDF(*[c.upper() for c in df.columns])
+    lowered = shouty.toDF(*[c.lower() for c in shouty.columns])
+    return lowered.select(
+        F.col("p_partkey").alias("partkey"), F.col("p_brand").alias("brand")
+    )
+
+
+@query(
+    "p3_null_domain_filter",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_orderstatus AS status,
+           round(o_totalprice, 2) AS totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL
+      AND o_totalprice > 1000
+    """,
+)
+def p3_null_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 null/domain filters (filter(!is.na(x)), %in% sets — ~80 sites,
+    query_fieldmap.Rmd:161,652). NULL predicate rows drop, matching R filter."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").isNotNull()
+            & (F.col("o_totalprice") > 1000)
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+@query(
+    "p4_regex_predicate",
+    oracle="""
+    SELECT p_partkey AS partkey, p_name AS name, p_type AS ptype
+    FROM part
+    WHERE regexp_matches(p_name, '^(small|large) ')
+      AND substr(p_brand, 1, 7) = 'Brand#1' AND p_type LIKE '%OMO%'
+    """,
+)
+def p4_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 regex/string predicates (str_detect/str_starts/str_sub equality,
+    query_fieldmap.Rmd:1400, data_questions.Rmd:44)."""
+    p = load(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").rlike("^(small|large) ")
+        & (F.substring("p_brand", 1, 7) == "Brand#1")
+        & F.col("p_type").contains("OMO")
+    ).select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_name").alias("name"),
+        F.col("p_type").alias("ptype"),
+    )
+
+
+@query(
+    "p5_row_patch",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           round(l_quantity, 2) AS quantity
+    FROM lineitem
+    WHERE NOT (l_orderkey = 42 AND l_linenumber = 1)
+      AND NOT (l_orderkey = 7 AND l_linenumber = 2)
+    """,
+)
+def p5_row_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 surgical row patches — remove specific bad rows by composite key
+    (query_fieldmap.Rmd:1589-1595)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(~((F.col("l_orderkey") == 42) & (F.col("l_linenumber") == 1)))
+        .filter(~((F.col("l_orderkey") == 7) & (F.col("l_linenumber") == 2)))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.round("l_quantity", 2).alias("quantity"),
+        )
+    )
+
+
+@query(
+    "p6_recode_ladder",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'rush'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'normal'
+                WHEN o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW') THEN 'lax'
+                ELSE 'unknown' END AS urgency,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def p6_recode_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 conditional recode ladders + NA-sentinel (case_when chains up to 5
+    deep, query_fieldmap.Rmd:1327-1336; ifelse(x=='', NA, x) idiom)."""
+    o = load(spark, sf_dir, "orders")
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "rush")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "normal")
+        .when(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), "lax")
+        .otherwise("unknown")
+    )
+    return (
+        o.select(
+            urgency.alias("urgency"),
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status"),
+        )
+        .groupBy("urgency", "status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J — joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_broadcast_decode",
+    oracle="""
+    SELECT p.p_type AS ptype,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount))
+                 + sign(sum(l.l_extendedprice * (1 - l.l_discount))) * 1e-9, 2)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def j1_broadcast_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 FK->label decode via broadcast join (SQL-side LEFT JOIN lookups,
+    query_fieldmap.Rmd:118-121). `part` is the small dim: broadcast it so the
+    fact table never shuffles — at 100 TB this is the difference between a
+    map-side join and a full lineitem shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .groupBy(F.col("p_type").alias("ptype"))
+        .agg(
+            F.count("*").alias("n_items"),
+            eps_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "j3_chained_left_join",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS acctbal_total
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def j3_chained_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 chained equi left joins to dimensions (~60 sites; coverscale decode
+    joins query_fieldmap.Rmd:354,419). Both dims broadcast."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("c_custkey").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_total"),
+        )
+    )
+
+
+@query(
+    "j4_full_outer",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS partkey, round(sum(l_quantity), 2) AS qty
+      FROM lineitem GROUP BY 1
+    ), pp AS (
+      SELECT p_partkey AS partkey, round(p_retailprice, 2) AS retailprice
+      FROM part WHERE p_size > 40
+    )
+    SELECT COALESCE(li.partkey, pp.partkey) AS partkey, li.qty AS qty,
+           pp.retailprice AS retailprice
+    FROM li FULL OUTER JOIN pp ON li.partkey = pp.partkey
+    """,
+)
+def j4_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 full outer join (circle-plot vs square-plot type_observed merge,
+    query_fieldmap.Rmd:210,816,1078)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+    pp = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") > 40)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.round("p_retailprice", 2).alias("retailprice"),
+        )
+    )
+    joined = li.join(pp, "partkey", "outer")
+    return joined.select(
+        F.col("partkey").alias("partkey"), "qty", "retailprice"
+    )
+
+
+@query(
+    "j5_inner_attach_date",
+    oracle="""
+    SELECT l.l_returnflag AS returnflag,
+           CAST(min(o.o_orderdate) AS DATE) AS first_orderdate,
+           CAST(max(o.o_orderdate) AS DATE) AS last_orderdate,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def j5_inner_attach_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 inner join attaching date_assessment per key, which doubles as a
+    pair filter (query_fieldmap.Rmd:1868-1915)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("first_orderdate"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_orderdate"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "j6_semi_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_name AS name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 20000)
+    """,
+)
+def j6_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 semi join — keep rows with a match, add no columns (~15 sites,
+    HT31xx_LSVI.Rmd:118,181)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 20000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name")
+    )
+
+
+@query(
+    "j7_anti_join",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 anti join — missingness detection (headers without vegetation,
+    HT31xx_data_preparation.Rmd:76-89)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    )
+
+
+@query(
+    "j8_membership_flag",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           c.c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+             AS has_open_order,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer c GROUP BY 1, 2
+    """,
+)
+def j8_membership_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 membership flag (mutate(flag = id %in% other$id) — semi-join as a
+    boolean column, query_fieldmap.Rmd:1350-1351,1655-1662). Implemented as a
+    left join against the DISTINCT key set, never a collect to the driver."""
+    c = load(spark, sf_dir, "customer")
+    open_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("_k"))
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return (
+        c.join(F.broadcast(open_keys), c.c_custkey == open_keys._k, "left")
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.coalesce(F.col("_hit"), F.lit(False)).alias("has_open_order"),
+        )
+        .groupBy("mktsegment", "has_open_order")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "j9_pivot_pairing",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             round(min(CASE WHEN event_type = 'click' THEN value END), 2) AS click_min,
+             round(min(CASE WHEN event_type = 'view' THEN value END), 2) AS view_min
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, click_min, view_min,
+           round(click_min - view_min, 2) AS delta
+    FROM p WHERE click_min IS NOT NULL AND view_min IS NOT NULL
+    """,
+)
+def j9_pivot_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 self-pairing via pivot then expression (cycle-2 vs cycle-3
+    coordinate pairing + distance, process_external_data.Rmd:103-106)."""
+    e = load(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view"])
+        .agg(F.round(F.min("value"), 2))
+        .withColumnRenamed("click", "click_min")
+        .withColumnRenamed("view", "view_min")
+    )
+    return (
+        p.filter(F.col("click_min").isNotNull() & F.col("view_min").isNotNull())
+        .withColumn("delta", F.round(F.col("click_min") - F.col("view_min"), 2))
+        .select("user_id", "click_min", "view_min", "delta")
+    )
+
+
+@query(
+    "j12_latest_per_key",
+    oracle="""
+    SELECT c.c_custkey AS custkey,
+           CAST(t.o_orderdate AS DATE) AS latest_orderdate,
+           round(t.o_totalprice, 2) AS latest_totalprice
+    FROM customer c
+    JOIN (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) t ON t.o_custkey = c.c_custkey AND t.rn = 1
+    """,
+)
+def j12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 as-of-style most-recent-per-key then attach (slice_max(periode)
+    + join, check_observed_habitat_type.Rmd:87-91). Window + row_number; the
+    o_orderkey tiebreak keeps it deterministic."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return c.join(latest, c.c_custkey == latest.o_custkey, "inner").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("latest_orderdate"),
+        F.round("o_totalprice", 2).alias("latest_totalprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A — aggregations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_count_distinct",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def a1_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group count / distinct count (summarise(n(), n_distinct(x)),
+    data_questions.Rmd:62-70)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "a2_min_max_sum",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(min(l_shipdate) AS DATE) AS min_shipdate,
+           CAST(max(l_shipdate) AS DATE) AS max_shipdate,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(avg(l_extendedprice) + sign(avg(l_extendedprice)) * 1e-9, 2)
+             AS avg_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def a2_min_max_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 min/max/sum per group (earliest assessment date, summed areas,
+    query_fieldmap.Rmd:820-826,1412-1419)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("min_shipdate"),
+        F.max(F.col("l_shipdate").cast("date")).alias("max_shipdate"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        eps_round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "a3_complement_product",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           round((1 - exp(sum(ln(1 - l_discount)))) + 1e-9, 6) AS cover_mean
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a3_complement_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 complement-product cover roll-up: layer cover from species covers,
+    1 - prod(1 - cover) (export_from_vbidwh.Rmd:88-92). Expressed as
+    exp(sum(log)) on both engines — same algorithm, same float path — rather
+    than F.product, so the oracle hash is stable."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        F.round(
+            (1 - F.exp(F.sum(F.log(1 - F.col("l_discount"))))) + F.lit(1e-9), 6
+        ).alias("cover_mean")
+    )
+
+
+@query(
+    "a4_bool_any_all",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           bool_or(l_discount > 0.05) AS any_discounted,
+           bool_and(l_quantity < 49) AS all_small,
+           CAST(sum(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS n_taxed
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a4_bool_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 boolean any/all aggregates (sum(!is.na(x)) > 0, all(is.na(cover)),
+    query_fieldmap.Rmd:1623-1627)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.bool_or(F.col("l_discount") > 0.05).alias("any_discounted"),
+        F.bool_and(F.col("l_quantity") < 49).alias("all_small"),
+        F.sum(F.when(F.col("l_tax") > 0.04, 1).otherwise(0))
+        .cast("long")
+        .alias("n_taxed"),
+    )
+
+
+@query(
+    "a6_dedup_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus
+    FROM lineitem
+    """,
+)
+def a6_dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 dedup via distinct (unique()/distinct(), ~25 sites)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).distinct()
+
+
+@query(
+    "a7_string_agg",
+    oracle="""
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, '; ' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def a7_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 ordered string aggregation (str_c(..., collapse='; '),
+    check_observed_habitat_type.Rmd:401-404). collect_list is unordered in a
+    distributed engine — array_sort before joining makes it deterministic."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), "; ").alias(
+                "nations"
+            )
+        )
+    )
+
+
+@query(
+    "a8_single_value_per_group",
+    oracle="""
+    SELECT n.n_nationkey AS nationkey,
+           min(r.r_name) AS region,
+           CAST(count(DISTINCT r.r_name) AS BIGINT) AS n_values
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def a8_single_value_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 summarise(value = unique(value)) — single-value-per-group with a
+    grain assertion column (query_inboveg.Rmd:120-123)."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "inner")
+        .groupBy(F.col("n_nationkey").alias("nationkey"))
+        .agg(
+            F.min("r_name").alias("region"),
+            F.countDistinct("r_name").alias("n_values"),
+        )
+    )
+
+
+@query(
+    "a9_topn_counts",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC LIMIT 10
+    """,
+)
+def a9_topn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 top-n of counts (count |> arrange(desc(n)) |> top_n(10),
+    HT31xx_data_exploration.Rmd:186-189). user_id tiebreak => deterministic."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@query(
+    "a10_max_value_dedupe",
+    oracle="""
+    SELECT user_id, event_type, round(max(value), 2) AS max_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def a10_max_value_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 max-cover per species dedupe (growth-form collapse,
+    HT3260_LSVI.Rmd:93-109)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.round(F.max("value"), 2).alias("max_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U — set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_by_name",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+           c_acctbal AS acctbal, 'gen1' AS db
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT c_custkey AS custkey, c_mktsegment AS mktsegment,
+           NULL AS acctbal, 'gen2' AS db
+    FROM customer WHERE c_custkey % 2 = 1
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union-all with schema alignment — the reference unions 4 DB
+    generations with differing column sets, missing cols -> NA
+    (bind_rows, query_fieldmap.Rmd:1363-1366; ~30 sites)."""
+    c = load(spark, sf_dir, "customer")
+    gen1 = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("gen1").alias("db"),
+    )
+    gen2 = c.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.lit("gen2").alias("db"),
+    )
+    return gen1.unionByName(gen2, allowMissingColumns=True)
+
+
+@query(
+    "u2_union_positional",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
+    WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT o_orderkey AS orderkey, o_totalprice AS totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def u2_union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 positional union (rbind, query_fieldmap.Rmd:1769)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+    return a.union(b)
+
+
+# ---------------------------------------------------------------------------
+# O — sorts / limits
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "o1_multikey_sort",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_partkey AS partkey
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50
+    """,
+)
+def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 multi-key global sort (arrange(...) before every write_vc,
+    query_fieldmap.Rmd:1959-1974). (orderkey, linenumber) is a unique key,
+    so the LIMIT slice is deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "o2_top_desc",
+    oracle="""
+    SELECT o_orderkey AS orderkey, round(o_totalprice, 2) AS totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def o2_top_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 sort desc + head (arrange(desc(n)) |> top_n(10))."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .limit(10)
+    )

@@ -1,0 +1,186 @@
+"""Window-function queries (SURVEY.md §2.5 W1-W6). All reference windows are
+whole-partition (grouped mutate), no frames, no lead/lag — row_number is the
+only ranking used."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.plans import query
+
+
+@query(
+    "w1_dup_detector",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS orderdate,
+             o_orderkey AS orderkey,
+             CAST(count(*) OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS n
+      FROM orders
+    ) t WHERE n > 1
+    """,
+)
+def w1_dup_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 duplicate detector: group_by(keys) |> mutate(n = n()) |> filter(n>1)
+    (~20 sites, query_fieldmap.Rmd:1370-1385). Flags customers placing more
+    than one order on the same day."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "orderdate", F.col("o_orderdate").cast("date")
+    )
+    w = W.partitionBy("o_custkey", "orderdate")
+    return (
+        o.withColumn("n", F.count("*").over(w))
+        .filter(F.col("n") > 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("orderdate"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("n"),
+        )
+    )
+
+
+@query(
+    "w2_keep_latest",
+    oracle="""
+    SELECT user_id, event_type, CAST(ts AS DATE) AS day, event_id
+    FROM (
+      SELECT user_id, event_type, ts, event_id,
+             max(ts) OVER (PARTITION BY user_id, event_type) AS max_ts
+      FROM events
+    ) t WHERE ts = max_ts
+    """,
+)
+def w2_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 most-recent-wins dedup: filter(date_status == max(date_status))
+    (query_fieldmap.Rmd:1376-1379). Note: ALL rows tied at the max survive —
+    that is the reference semantic, distinct from W3's single-row slice."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type")
+    return (
+        e.withColumn("max_ts", F.max("ts").over(w))
+        .filter(F.col("ts") == F.col("max_ts"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            "event_id",
+        )
+    )
+
+
+@query(
+    "w3_top1_per_group",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           round(l_extendedprice, 2) AS price
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC, l_linenumber)
+               AS rn
+      FROM lineitem
+    ) t WHERE rn = 1
+    """,
+)
+def w3_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 top-1 per group by ordering (slice_min/slice_max,
+    query_fieldmap.Rmd:1573): priciest line of each order, tiebroken on
+    linenumber for determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+    )
+
+
+@query(
+    "w4_window_string_concat",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           string_agg(n_name, '; ' ORDER BY n_name) AS members,
+           count(*) > 1 AS mixed
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def w4_window_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 group-windowed string concat + mixed flag (mutate(desc =
+    str_c(collapse='; '), mixed_plot = n() > 1), query_fieldmap.Rmd:1570-1572).
+    collect_list over a window is unordered — array_sort restores determinism."""
+    n = load(spark, sf_dir, "nation")
+    w = W.partitionBy("n_regionkey")
+    return (
+        n.withColumn(
+            "members",
+            F.array_join(F.array_sort(F.collect_list("n_name").over(w)), "; "),
+        )
+        .withColumn("mixed", F.count("*").over(w) > 1)
+        .select(F.col("n_regionkey").alias("regionkey"), "members", "mixed")
+        .distinct()
+    )
+
+
+@query(
+    "w5_window_sums_flags",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           round(sum(l_quantity) OVER (PARTITION BY l_orderkey), 2)
+             AS order_qty,
+           bool_or(l_returnflag = 'R') OVER (PARTITION BY l_orderkey)
+             AS any_returned,
+           round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey)
+                 + 1e-9, 6)
+             AS qty_share
+    FROM lineitem
+    """,
+)
+def w5_window_sums_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 group-windowed sums/flags (mutate(phab = sum(...), any_match =
+    any(...)), check_observed_habitat_type.Rmd:204-211)."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
+    return li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.round(F.sum("l_quantity").over(w), 2).alias("order_qty"),
+        F.bool_or(F.col("l_returnflag") == "R").over(w).alias("any_returned"),
+        F.round(
+            F.col("l_quantity") / F.sum("l_quantity").over(w) + F.lit(1e-9), 6
+        ).alias("qty_share"),
+    )
+
+
+@query(
+    "w6_distinct_count_filter",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             count(DISTINCT event_type) OVER (PARTITION BY user_id) AS n_types
+      FROM events
+    ) t WHERE n_types >= 4
+    """,
+)
+def w6_distinct_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 distinct-count-per-group as filter (filter(n_distinct(type) > 1),
+    query_fieldmap.Rmd:1585-1587). countDistinct is unsupported over Spark
+    windows — size(collect_set(...)) is the idiomatic equivalent."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    return (
+        e.withColumn("n_types", F.size(F.collect_set("event_type").over(w)))
+        .filter(F.col("n_types") >= 4)
+        .select("user_id", "event_id", "event_type")
+    )
