@@ -1,0 +1,68 @@
+"""K1 cover-scale decode + A3 complement-product roll-up.
+
+Reference: the 60-row cover_scales.csv dimension maps (scale, class code) ->
+mean/min/max cover percent (query_fieldmap.Rmd:78-93); layer cover is rolled
+up from species covers as 1 - prod(1 - cover) (export_from_vbidwh.Rmd:88-92).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# A compact cover-scale dimension in the shape of metadata/cover_scales.csv
+# (scale name, class code, mean/min/max cover %). Values follow the published
+# Londo / Braun-Blanquet class midpoints.
+COVER_SCALE_ROWS = [
+    ("londo", "1", 5.0, 0.0, 10.0),
+    ("londo", "2", 15.0, 10.0, 20.0),
+    ("londo", "3", 25.0, 20.0, 30.0),
+    ("londo", "4", 35.0, 30.0, 40.0),
+    ("londo", "5", 45.0, 40.0, 50.0),
+    ("braun_blanquet", "r", 0.5, 0.0, 1.0),
+    ("braun_blanquet", "+", 1.0, 0.0, 2.0),
+    ("braun_blanquet", "1", 3.0, 1.0, 5.0),
+    ("braun_blanquet", "2", 15.0, 5.0, 25.0),
+    ("braun_blanquet", "3", 37.5, 25.0, 50.0),
+    ("braun_blanquet", "4", 62.5, 50.0, 75.0),
+    ("braun_blanquet", "5", 87.5, 75.0, 100.0),
+]
+
+COVER_SCALE_SCHEMA = (
+    "coverscale_name string, class_id string, cover_mean double,"
+    " cover_min double, cover_max double"
+)
+
+
+def cover_scale_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(COVER_SCALE_ROWS, COVER_SCALE_SCHEMA)
+
+
+def decode_cover(
+    df: DataFrame,
+    dim: DataFrame,
+    scale_col: str = "coverscale_name",
+    class_col: str = "class_id",
+) -> DataFrame:
+    """K1: broadcast multi-key left join to the cover-scale dimension
+    (query_fieldmap.Rmd:354,419 — dplyr left_join on
+    (coverscale_name, class_id)). The dim is tiny -> always broadcast."""
+    return df.join(
+        F.broadcast(dim),
+        on=[scale_col, class_col],
+        how="left",
+    )
+
+
+def layer_cover_rollup(
+    df: DataFrame, keys: list[str], cover_col: str = "cover_mean"
+) -> DataFrame:
+    """A3: layer cover from species covers, 1 - prod(1 - cover/100)
+    (export_from_vbidwh.Rmd:88-92), computed as exp-sum-log so it stays a
+    single partial-aggregable expression (map-side combine at scale)."""
+    frac = 1 - F.col(cover_col) / 100.0
+    return df.groupBy(*keys).agg(
+        F.round((1 - F.exp(F.sum(F.log(frac)))) * 100 + F.lit(1e-9), 6).alias(
+            "cover_layer"
+        )
+    )

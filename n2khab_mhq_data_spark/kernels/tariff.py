@@ -1,0 +1,52 @@
+"""K8 — tree volume tariffs: per-species-group parameter rows select a
+polynomial by ``formule_type`` (export_from_vbidwh.Rmd:227-269; published as
+processed/dwh_vbi/vol_parameters_*).
+
+Spark mapping: broadcast the parameter dimension, compute every polynomial
+as vectorized column arithmetic, select with a when-ladder. One projection,
+zero shuffles beyond the broadcast."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TARIFF_SCHEMA = (
+    "species_group string, formule_type int, a double, b double, c double,"
+    " d double"
+)
+
+
+def tariff_dim(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    return spark.createDataFrame(rows, TARIFF_SCHEMA)
+
+
+def compute_volume(
+    trees: DataFrame,
+    params: DataFrame,
+    group_col: str = "species_group",
+    dbh_col: str = "dbh",
+    height_col: str | None = None,
+) -> DataFrame:
+    """volume = tariff polynomial of dbh (1-input) or dbh+height (2-input).
+
+    formule_type 1: a + b*d + c*d^2            (1-input tariff)
+    formule_type 2: a + b*d + c*d^2 + d4*d^3   (cubic 1-input)
+    formule_type 3: a + b*d^2 + c*d^2*h        (2-input, needs height)
+    """
+    j = trees.join(F.broadcast(params), on=group_col, how="left")
+    dd = F.col(dbh_col).cast("double")
+    h = F.col(height_col).cast("double") if height_col else F.lit(None)
+    ft = F.col("formule_type")
+    vol = (
+        F.when(ft == 1, F.col("a") + F.col("b") * dd + F.col("c") * dd * dd)
+        .when(
+            ft == 2,
+            F.col("a")
+            + F.col("b") * dd
+            + F.col("c") * dd * dd
+            + F.col("d") * dd * dd * dd,
+        )
+        .when(ft == 3, F.col("a") + F.col("b") * dd * dd + F.col("c") * dd * dd * h)
+    )
+    return j.withColumn("vol_m3", F.round(vol + F.signum(vol) * 1e-9, 6))

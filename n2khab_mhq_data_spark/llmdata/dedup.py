@@ -1,0 +1,199 @@
+"""Deduplication operators for 100 TB corpora.
+
+Four tiers, cheapest first (the standard pre-training pipeline):
+1. exact        — md5 hash groupBy (one shuffle on a 16-byte key)
+2. simhash      — 16-bit signature, near-dup candidates by hamming distance
+3. minhash LSH  — shingle -> minhash signature -> banded bucket join
+4. exact verify — n-gram Jaccard on candidate pairs only
+
+Scale notes are on each function; the common theme is: never materialize the
+O(n^2) pair space — only bucket-collision candidates ever reach a join, and
+hot buckets (stop-gram buckets) are capped explicitly rather than silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from n2khab_mhq_data_spark.llmdata.text import word_shingles
+
+HASH_PRIME = 1_000_003
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: md5-hash groupBy, canonical = lowest id. One shuffle on
+    the digest (uniform 128-bit key — no skew by construction)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, gram) long table of distinct k-word shingles."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("gram"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via a gram self-join.
+
+    At scale the self-join explodes on stop-grams (a gram shared by m docs
+    contributes m^2/2 pairs) — ``max_doc_freq`` drops grams above a document
+    frequency cap, the standard trick; dropping a near-universal gram cannot
+    create false positives above a high threshold. Left None here because
+    the oracle must see the uncapped semantics.
+    """
+    sh = shingle_table(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("gram").agg(F.count("*").alias("df_"))
+        sh = (
+            sh.join(freq.filter(F.col("df_") <= max_doc_freq), "gram", "left_semi")
+        )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col("doc").alias("d1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(jac > threshold)
+        .select(
+            "d1", "d2", F.round(jac + F.lit(1e-9), 6).alias("jaccard")
+        )
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 64
+) -> DataFrame:
+    """MinHash signature per doc: one groupBy with ``num_hashes`` min-agg
+    expressions over seeded xxhash64 — NO row explosion (the naive
+    explode-by-seed plan multiplies the shingle table by num_hashes)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 32
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature, join docs landing in the
+    same (band, band_hash) bucket. rows-per-band r = num_hashes/bands; with
+    r=2, b=32 a pair at Jaccard 0.8 is missed with prob (1-0.64)^32 ~ 6e-15.
+    Candidates MUST be verified (exact Jaccard) downstream."""
+    r = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * r + i}") for i in range(r)]
+        band_rows.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+        )
+    buckets = sig.select(
+        "doc", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle -> signature -> banded
+    buckets -> candidate pairs -> exact-Jaccard verification. Output equals
+    exact ngram_jaccard_pairs (up to the ~1e-14 LSH miss probability) at a
+    fraction of the join volume."""
+    sh = shingle_table(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, num_hashes)
+    cand = minhash_lsh_candidates(sig, num_hashes, bands)
+
+    sets_ = sh.groupBy("doc").agg(F.collect_set("gram").alias("grams"))
+    g1 = sets_.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
+    g2 = sets_.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2"))
+    union = F.size("g1") + F.size("g2") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(g1, "d1")
+        .join(g2, "d2")
+        .filter(jac > threshold)
+        .select("d1", "d2", F.round(jac + F.lit(1e-9), 6).alias("jaccard"))
+    )
+
+
+def _char_hash(tok: Column) -> Column:
+    """Portable polynomial char hash (h = h*31 + code mod p): identical
+    arithmetic is expressible in any SQL engine, unlike xxhash64 — used by
+    simhash so the DuckDB oracle can reproduce signatures bit-for-bit."""
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.ascii(tok.substr(i, F.lit(1))),
+    )
+    return F.aggregate(
+        codes,
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % HASH_PRIME,
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """SimHash signature: per distinct token, a portable polynomial hash;
+    per bit, sum(+/-1); signature bit = (sum > 0). Integer-only arithmetic
+    -> no float drift, fully oracle-checkable."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+        ).alias("tok"),
+    )
+    h = toks.withColumn("h", _char_hash(F.col("tok")))
+    aggs = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    sums = h.groupBy("doc").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return sums.select("doc", sig.cast("long").alias("simhash"))

@@ -1,0 +1,119 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+- brute-force cosine top-k: the exact baseline. Broadcast the (small) query
+  set against the corpus — one scan, no shuffle of the corpus, a windowed
+  top-k per query. At 100 TB the corpus side stays partition-local.
+- LSH bucketing (random-hyperplane signs): the scale path. Signature
+  assignment is a projection (no shuffle); candidate generation joins only
+  within buckets. Hyperplanes are derived from a deterministic integer
+  formula so signatures are reproducible across engines and runs — at
+  production scale you'd broadcast a seeded random matrix instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential fold — same summation order as a SQL list_sum, so results
+    are bit-stable across engines."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbours per query vector (brute force baseline).
+    ``queries`` is broadcast; ties broken on neighbour id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbour_id"), F.col(vec_col).alias("cvec")
+    )
+    joined = c.join(F.broadcast(q), F.col("neighbour_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbour_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbour_id",
+            "rank",
+            F.round(F.col("cos") + F.signum("cos") * 1e-9, 6).alias("cosine"),
+        )
+    )
+
+
+def hyperplane_sign(i: Column, j: Column) -> Column:
+    """Deterministic pseudo-random +/-1 for dimension i, plane j — plain
+    integer arithmetic reproducible in any engine."""
+    return F.when(((i * 131071 + j * 524287) % 97) % 2 == 0, 1.0).otherwise(-1.0)
+
+
+def _plane_signs(j: int, dim: int) -> Column:
+    # NB: must be a closure, not `lambda i, j=j: ...` — a two-parameter
+    # lambda makes F.transform pass the ARRAY INDEX as the second argument
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda i: hyperplane_sign(i, F.lit(j)),
+    )
+
+
+def lsh_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(dot(vec, plane_j))."""
+    bucket = F.lit(0).cast("long")
+    for j in range(planes):
+        signs = _plane_signs(j, dim)
+        d = F.aggregate(
+            F.zip_with(_as_double(vec), signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_buckets(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Assign every vector its LSH bucket (the ANN index build step)."""
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )

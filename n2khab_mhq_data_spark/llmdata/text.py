@@ -1,0 +1,78 @@
+"""Text-analysis building blocks: tokenization, shingling, language ID,
+quality scoring, fingerprinting. Pure Column expressions (JVM-side,
+whole-stage codegen) — no Python in the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lexicon for the n-gram/stopword language-ID
+# heuristic; deliberately small and versioned (a dimension, not a model)
+LANG_LEXICON: list[tuple[str, str]] = [
+    ("en", "the"), ("en", "and"), ("en", "of"), ("en", "is"), ("en", "a"),
+    ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "les"), ("fr", "de"),
+    ("es", "el"), ("es", "y"), ("es", "los"), ("es", "que"), ("es", "de"),
+    ("de", "der"), ("de", "und"), ("de", "die"), ("de", "das"), ("de", "ist"),
+]
+
+
+def lexicon_dim(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(LANG_LEXICON, "lang string, token string")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (the reference's str_split analog)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles as an array column. Stays inside one
+    projection — no explode until the consumer decides to."""
+    w = tokens(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.array(F.concat_ws(" ", w))
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, r"[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, r" +", " ")
+    return F.trim(t)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint = md5 of the normalized text (deterministic,
+    engine-portable; the rolling-hash winnowing variant lives in dedup)."""
+    return F.md5(normalize_text(text))
+
+
+def quality_metrics(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals
+    (classic pre-training heuristic filters)."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_punct = F.length(text) - F.length(F.regexp_replace(text, r"[.!?,;:]", ""))
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "is"))
+    )
+    mean_token_len = (n_chars - n_tokens + 1).cast("double") / n_tokens
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "punct_ratio": n_punct.cast("double") / n_chars,
+        "stopword_ratio": n_stop.cast("double") / n_tokens,
+        "mean_token_len": mean_token_len,
+    }

@@ -1,1 +1,664 @@
-"""Placeholder — populated in later milestones."""
+"""Domain-kernel queries K1-K10 (SURVEY.md §2.10) mapped onto the synthetic
+tables, each with a DuckDB oracle. The kernels themselves live in
+``n2khab_mhq_data_spark.kernels`` / ``operators``; these plans adapt the
+synthetic star schema into each kernel's input shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.functions.parsing import parse_measurement
+from n2khab_mhq_data_spark.functions.scalars import eps_round
+from n2khab_mhq_data_spark.kernels.cover import cover_scale_dim, decode_cover
+from n2khab_mhq_data_spark.kernels.lsvi import (
+    aggregate_levels,
+    evaluate_conditions,
+    rules_dim,
+)
+from n2khab_mhq_data_spark.kernels.tariff import compute_volume, tariff_dim
+from n2khab_mhq_data_spark.operators.merge import incremental_merge
+from n2khab_mhq_data_spark.operators.relational import membership_flag
+from n2khab_mhq_data_spark.plans import query
+
+# SQL literal of kernels.cover.COVER_SCALE_ROWS, kept in sync by tests
+_COVER_DIM_SQL = """
+  (VALUES ('londo','1',5.0),('londo','2',15.0),('londo','3',25.0),
+          ('londo','4',35.0),('londo','5',45.0),
+          ('braun_blanquet','r',0.5),('braun_blanquet','+',1.0),
+          ('braun_blanquet','1',3.0),('braun_blanquet','2',15.0),
+          ('braun_blanquet','3',37.5),('braun_blanquet','4',62.5),
+          ('braun_blanquet','5',87.5))
+    AS dim(coverscale_name, class_id, cover_mean)
+"""
+
+_BB_CLASSES = ["r", "+", "1", "2", "3", "4", "5"]
+
+
+@query(
+    "k1_cover_decode",
+    oracle=f"""
+    WITH coded AS (
+      SELECT event_id,
+             CASE WHEN user_id % 2 = 0 THEN 'londo'
+                  ELSE 'braun_blanquet' END AS coverscale_name,
+             CASE WHEN user_id % 2 = 0
+                  THEN CAST(least(CAST(floor(value / 40) AS BIGINT) + 1, 5)
+                            AS VARCHAR)
+                  ELSE (['r','+','1','2','3','4','5'])
+                       [least(CAST(floor(value / 30) AS BIGINT) + 1, 7)]
+             END AS class_id
+      FROM events WHERE value IS NOT NULL AND value >= 0
+    )
+    SELECT c.coverscale_name, c.class_id, dim.cover_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM coded c LEFT JOIN {_COVER_DIM_SQL}
+      ON c.coverscale_name = dim.coverscale_name
+     AND c.class_id = dim.class_id
+    GROUP BY 1, 2, 3
+    """,
+)
+def k1_cover_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 cover-scale decode: (scale, class code) -> mean cover % via the
+    broadcast 60-row dimension (query_fieldmap.Rmd:78-93,351-356)."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") >= 0)
+    )
+    bb = F.array(*[F.lit(x) for x in _BB_CLASSES])
+    coded = e.select(
+        "event_id",
+        F.when(F.col("user_id") % 2 == 0, "londo")
+        .otherwise("braun_blanquet")
+        .alias("coverscale_name"),
+        F.when(
+            F.col("user_id") % 2 == 0,
+            F.least(F.floor(F.col("value") / 40) + 1, F.lit(5)).cast("string"),
+        )
+        .otherwise(
+            F.element_at(
+                bb, F.least(F.floor(F.col("value") / 30) + 1, F.lit(7)).cast("int")
+            )
+        )
+        .alias("class_id"),
+    )
+    decoded = decode_cover(coded, cover_scale_dim(spark))
+    return decoded.groupBy("coverscale_name", "class_id", "cover_mean").agg(
+        F.count("*").alias("n")
+    )
+
+
+@query(
+    "k2_type_resolution",
+    oracle="""
+    WITH seg AS (
+      SELECT l_orderkey AS plot_id, l_linenumber AS segment_id,
+             l_returnflag AS type_observed, l_quantity AS area,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_returnflag,
+                                         l_quantity) AS rn
+      FROM lineitem
+    ), plot AS (
+      SELECT s.plot_id,
+             min(CASE WHEN rn = 1 THEN type_observed END) AS plot_type,
+             count(DISTINCT type_observed) > 1 AS mixed_plot,
+             sum(area) AS total_area
+      FROM seg s GROUP BY 1
+    )
+    SELECT p.plot_id, p.plot_type AS type_observed, p.mixed_plot,
+           round(100 * sum(CASE WHEN s.type_observed = p.plot_type
+                                THEN s.area ELSE 0 END) / p.total_area
+                 + 1e-9, 6) AS cover_pct
+    FROM plot p JOIN seg s ON s.plot_id = p.plot_id
+    GROUP BY 1, 2, 3, p.total_area
+    """,
+)
+def k2_type_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 plot-level observed-type resolution (query_fieldmap.Rmd:1550-1596):
+    the lowest segment's type wins, mixed-plot flag from distinct types,
+    cover % of the winning type from segment area shares."""
+    seg = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("plot_id"),
+        F.col("l_linenumber").alias("segment_id"),
+        F.col("l_returnflag").alias("type_observed"),
+        F.col("l_quantity").alias("area"),
+    )
+    # (plot_id, segment_id) is NOT unique in the synthetic data — extend the
+    # ordering to a total order so the "lowest segment" pick is deterministic
+    w = W.partitionBy("plot_id").orderBy("segment_id", "type_observed", "area")
+    seg = seg.withColumn("rn", F.row_number().over(w))
+    plot = seg.groupBy("plot_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("type_observed"))).alias("plot_type"),
+        (F.countDistinct("type_observed") > 1).alias("mixed_plot"),
+        F.sum("area").alias("total_area"),
+    )
+    return (
+        seg.join(plot, "plot_id")
+        .groupBy("plot_id", "plot_type", "mixed_plot", "total_area")
+        .agg(
+            F.round(
+                100
+                * F.sum(
+                    F.when(
+                        F.col("type_observed") == F.col("plot_type"), F.col("area")
+                    ).otherwise(0.0)
+                )
+                / F.col("total_area")
+                + F.lit(1e-9),
+                6,
+            ).alias("cover_pct")
+        )
+        .select(
+            "plot_id",
+            F.col("plot_type").alias("type_observed"),
+            "mixed_plot",
+            "cover_pct",
+        )
+    )
+
+
+@query(
+    "k3_completeness_audit",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_mktsegment AS mktsegment,
+           c.c_custkey IN (SELECT o_custkey FROM orders) AS has_order,
+           c.c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_orderstatus = 'O') AS has_open,
+           c.c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_totalprice > 20000) AS has_highvalue,
+           CASE WHEN c.c_custkey IN (SELECT o_custkey FROM orders
+                                     WHERE o_totalprice > 20000) THEN 'full'
+                WHEN c.c_custkey IN (SELECT o_custkey FROM orders
+                                     WHERE o_orderstatus = 'O') THEN 'partial'
+                WHEN c.c_custkey IN (SELECT o_custkey FROM orders)
+                     THEN 'minimal'
+                ELSE 'none' END AS assessment_source,
+           c.c_custkey IN (SELECT o_custkey FROM orders)
+             AND NOT c.c_custkey IN (SELECT o_custkey FROM orders
+                                     WHERE o_orderstatus = 'O') AS completed
+    FROM customer c
+    """,
+)
+def k3_completeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 completeness audit (query_fieldmap.Rmd:1621-1674): membership
+    flags across fact tables -> assessment_source / completed ladder.
+    Uses the operators.relational.membership_flag broadcast-lookup op."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    out = membership_flag(c, o, "c_custkey", "o_custkey", "has_order")
+    out = membership_flag(
+        out,
+        o.filter(F.col("o_orderstatus") == "O"),
+        "c_custkey",
+        "o_custkey",
+        "has_open",
+    )
+    out = membership_flag(
+        out,
+        o.filter(F.col("o_totalprice") > 20000),
+        "c_custkey",
+        "o_custkey",
+        "has_highvalue",
+    )
+    return out.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        "has_order",
+        "has_open",
+        "has_highvalue",
+        F.when(F.col("has_highvalue"), "full")
+        .when(F.col("has_open"), "partial")
+        .when(F.col("has_order"), "minimal")
+        .otherwise("none")
+        .alias("assessment_source"),
+        (F.col("has_order") & ~F.col("has_open")).alias("completed"),
+    )
+
+
+@query(
+    "k4_status_harmonize",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             'gen' || CAST(user_id % 2 + 1 AS VARCHAR) AS db,
+             CASE WHEN user_id % 2 = 0 THEN event_type
+                  ELSE upper(substr(event_type, 1, 4)) END AS raw_status
+      FROM events
+    ), mapping AS (
+      SELECT * FROM (VALUES
+        ('gen1','click','interaction'), ('gen1','view','interaction'),
+        ('gen1','purchase','conversion'), ('gen1','signup','conversion'),
+        ('gen1','error','failure'),
+        ('gen2','CLIC','interaction'), ('gen2','VIEW','interaction'),
+        ('gen2','PURC','conversion'), ('gen2','SIGN','conversion'),
+        ('gen2','ERRO','failure')) AS m(db, raw_status, status_unified)
+    )
+    SELECT r.db, m.status_unified, CAST(count(*) AS BIGINT) AS n
+    FROM raw r LEFT JOIN mapping m
+      ON r.db = m.db AND r.raw_status = m.raw_status
+    GROUP BY 1, 2
+    """,
+)
+def k4_status_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 status-vocabulary harmonization (query_fieldmap.Rmd:1326-1336):
+    two DB generations with different vocabularies mapped onto one via a
+    data-driven broadcast mapping table (not a hard-coded ladder)."""
+    e = load(spark, sf_dir, "events")
+    raw = e.select(
+        "event_id",
+        F.concat(F.lit("gen"), (F.col("user_id") % 2 + 1).cast("string")).alias(
+            "db"
+        ),
+        F.when(F.col("user_id") % 2 == 0, F.col("event_type"))
+        .otherwise(F.upper(F.substring("event_type", 1, 4)))
+        .alias("raw_status"),
+    )
+    mapping = spark.createDataFrame(
+        [
+            ("gen1", "click", "interaction"),
+            ("gen1", "view", "interaction"),
+            ("gen1", "purchase", "conversion"),
+            ("gen1", "signup", "conversion"),
+            ("gen1", "error", "failure"),
+            ("gen2", "CLIC", "interaction"),
+            ("gen2", "VIEW", "interaction"),
+            ("gen2", "PURC", "conversion"),
+            ("gen2", "SIGN", "conversion"),
+            ("gen2", "ERRO", "failure"),
+        ],
+        "db string, raw_status string, status_unified string",
+    )
+    return (
+        raw.join(F.broadcast(mapping), on=["db", "raw_status"], how="left")
+        .groupBy("db", "status_unified")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "k6_eav_restructure",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type AS var_code,
+             CAST(round(value * 100) AS BIGINT) AS v100, value
+      FROM events WHERE value IS NOT NULL
+    ), rawv AS (
+      SELECT event_id, var_code,
+             CASE WHEN var_code = 'error' THEN 'ZS'
+                  WHEN value < 20 THEN '<0,2'
+                  WHEN value > 180 THEN '>180'
+                  ELSE CAST(v100 // 100 AS VARCHAR) || ',' ||
+                       lpad(CAST(v100 % 100 AS VARCHAR), 2, '0')
+             END AS value
+      FROM src
+    )
+    SELECT event_id, var_code, value,
+           round(CASE WHEN value = 'ZS' THEN 0.5
+                      WHEN value LIKE '<%'
+                        THEN CAST(replace(substr(value, 2), ',', '.') AS DOUBLE)
+                      WHEN value LIKE '>%'
+                        THEN CAST(replace(substr(value, 2), ',', '.') AS DOUBLE)
+                      ELSE CAST(replace(value, ',', '.') AS DOUBLE)
+                 END + 1e-9, 6) AS value_numeric,
+           value LIKE '<%' AS is_below_LOQ,
+           value LIKE '>%' AS is_above_LOQ,
+           TRUE AS is_numeric
+    FROM rawv
+    """,
+)
+def k6_eav_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K6 EAV restructuring with LOQ parsing
+    (HT31xx_data_preparation.Rmd:188-321): raw measurement strings (comma
+    decimals, </> LOQ markers, sentinel codes) -> unified EAV rows via the
+    functions.parsing.parse_measurement expression library. The raw strings
+    are constructed deterministically from events.value so the oracle can
+    rebuild them bit-for-bit."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v100 = F.round(F.col("value") * 100).cast("long")
+    raw = (
+        F.when(F.col("event_type") == "error", "ZS")
+        .when(F.col("value") < 20, "<0,2")
+        .when(F.col("value") > 180, ">180")
+        .otherwise(
+            F.concat(
+                (v100 / 100).cast("long").cast("string"),
+                F.lit(","),
+                F.lpad((v100 % 100).cast("string"), 2, "0"),
+            )
+        )
+    )
+    src = e.select(
+        "event_id", F.col("event_type").alias("var_code"), raw.alias("value")
+    )
+    parsed = parse_measurement(F.col("value"))
+    return src.select(
+        "event_id",
+        "var_code",
+        "value",
+        eps_round(parsed["value_numeric"], 6).alias("value_numeric"),
+        parsed["is_below_LOQ"].alias("is_below_LOQ"),
+        parsed["is_above_LOQ"].alias("is_above_LOQ"),
+        parsed["is_numeric"].alias("is_numeric"),
+    )
+
+
+# --- K7 LSVI rule engine -----------------------------------------------
+
+_LSVI_RULES = [
+    # habitat_type, criterium, indicator, voorwaarde, operator, threshold
+    ("ht_rush", "structuur", "omvang", "sum_qty", ">=", 50.5),
+    ("ht_rush", "structuur", "omvang", "n_items", ">=", 2.0),
+    ("ht_rush", "kwaliteit", "verstoring", "avg_disc", "<", 0.0605),
+    ("ht_normal", "structuur", "omvang", "sum_qty", ">=", 80.5),
+    ("ht_normal", "structuur", "omvang", "n_items", ">=", 3.0),
+    ("ht_normal", "kwaliteit", "verstoring", "avg_disc", "<", 0.0505),
+    ("ht_lax", "structuur", "omvang", "sum_qty", ">=", 100.5),
+    ("ht_lax", "structuur", "omvang", "n_items", ">=", 4.0),
+    ("ht_lax", "kwaliteit", "verstoring", "avg_disc", "<", 0.0405),
+]
+
+_LSVI_RULES_SQL = """
+  (VALUES
+    ('ht_rush','structuur','omvang','sum_qty','>=',50.5),
+    ('ht_rush','structuur','omvang','n_items','>=',2.0),
+    ('ht_rush','kwaliteit','verstoring','avg_disc','<',0.0605),
+    ('ht_normal','structuur','omvang','sum_qty','>=',80.5),
+    ('ht_normal','structuur','omvang','n_items','>=',3.0),
+    ('ht_normal','kwaliteit','verstoring','avg_disc','<',0.0505),
+    ('ht_lax','structuur','omvang','sum_qty','>=',100.5),
+    ('ht_lax','structuur','omvang','n_items','>=',4.0),
+    ('ht_lax','kwaliteit','verstoring','avg_disc','<',0.0405))
+  AS r(habitat_type, criterium, indicator, voorwaarde, op, threshold)
+"""
+
+_LSVI_MEASUREMENTS_SQL = """
+    WITH habitat AS (
+      SELECT o_orderkey AS plot_id,
+             CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'ht_rush'
+                  WHEN o_orderpriority = '3-MEDIUM' THEN 'ht_normal'
+                  ELSE 'ht_lax' END AS habitat_type
+      FROM orders
+    ), agg AS (
+      SELECT l_orderkey AS plot_id, sum(l_quantity) AS sum_qty,
+             avg(l_discount) AS avg_disc,
+             CAST(count(*) AS DOUBLE) AS n_items
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT h.plot_id, h.habitat_type, k.voorwaarde, k.value
+      FROM habitat h JOIN agg a USING (plot_id),
+      LATERAL (VALUES ('sum_qty', a.sum_qty), ('avg_disc', a.avg_disc),
+                      ('n_items', a.n_items)) AS k(voorwaarde, value)
+    ), detail AS (
+      SELECT m.plot_id, m.habitat_type, r.criterium, r.indicator,
+             m.voorwaarde,
+             round(m.value + sign(m.value) * 1e-9, 6) AS value,
+             r.op AS operator, CAST(r.threshold AS DOUBLE) AS threshold,
+             CASE r.op WHEN '>=' THEN m.value >= r.threshold
+                       WHEN '>'  THEN m.value >  r.threshold
+                       WHEN '<=' THEN m.value <= r.threshold
+                       WHEN '<'  THEN m.value <  r.threshold
+                       WHEN '='  THEN m.value =  r.threshold
+             END AS status_voorwaarde
+      FROM m JOIN {rules}
+        ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
+    )
+"""
+
+
+def _lsvi_levels(spark: SparkSession, sf_dir: str):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    habitat = o.select(
+        F.col("o_orderkey").alias("plot_id"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "ht_rush")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "ht_normal")
+        .otherwise("ht_lax")
+        .alias("habitat_type"),
+    )
+    agg = li.groupBy(F.col("l_orderkey").alias("plot_id")).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    measurements = (
+        habitat.join(agg, "plot_id")
+        .unpivot(
+            ["plot_id", "habitat_type"],
+            ["sum_qty", "avg_disc", "n_items"],
+            "voorwaarde",
+            "value",
+        )
+    )
+    detail = evaluate_conditions(measurements, rules_dim(spark, _LSVI_RULES))
+    return aggregate_levels(detail)
+
+
+@query(
+    "k7_lsvi_detail",
+    oracle=_LSVI_MEASUREMENTS_SQL.format(rules=_LSVI_RULES_SQL)
+    + """
+    SELECT plot_id, habitat_type, criterium, indicator, voorwaarde, value,
+           operator, threshold, status_voorwaarde
+    FROM detail
+    """,
+)
+def k7_lsvi_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 LSVI rule engine, detail level (lsvi_detail result table;
+    HT31xx_LSVI.Rmd:198-253): threshold evaluation per plot x voorwaarde
+    against the broadcast rule dimension."""
+    return _lsvi_levels(spark, sf_dir)["lsvi_detail"]
+
+
+@query(
+    "k7_lsvi_globaal",
+    oracle=_LSVI_MEASUREMENTS_SQL.format(rules=_LSVI_RULES_SQL)
+    + """
+    , ind AS (
+      SELECT plot_id, habitat_type, criterium, indicator,
+             bool_and(status_voorwaarde) AS status_indicator
+      FROM detail GROUP BY 1, 2, 3, 4
+    ), crit AS (
+      SELECT plot_id, habitat_type, criterium,
+             bool_and(status_indicator) AS status_criterium
+      FROM ind GROUP BY 1, 2, 3
+    )
+    SELECT plot_id, habitat_type,
+           bool_and(status_criterium) AS status_global,
+           round(avg(CASE WHEN status_criterium THEN 1 ELSE 0 END) + 1e-9, 6)
+             AS share_favourable
+    FROM crit GROUP BY 1, 2
+    """,
+)
+def k7_lsvi_globaal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 LSVI rule engine, global level (lsvi_globaal): voorwaarde ->
+    indicator -> criterium -> global via layered bool_and + favourable
+    share. The whole engine is one Catalyst plan — no UDF, no rule loop."""
+    return _lsvi_levels(spark, sf_dir)["lsvi_globaal"]
+
+
+@query(
+    "k8_tariff_volume",
+    oracle="""
+    WITH trees AS (
+      SELECT p_partkey AS partkey,
+             CASE WHEN p_size % 3 = 0 THEN 'g1'
+                  WHEN p_size % 3 = 1 THEN 'g2' ELSE 'g3' END
+               AS species_group,
+             CAST(p_size AS DOUBLE) AS dbh,
+             round(p_retailprice, 2) / 100 AS height
+      FROM part
+    ), params AS (
+      SELECT * FROM (VALUES
+        ('g1', 1, 0.05, 0.002, 0.0001, 0.0),
+        ('g2', 2, 0.02, 0.003, 0.0002, 0.00001),
+        ('g3', 3, 0.01, 0.0005, 0.00002, 0.0))
+      AS p(species_group, formule_type, a, b, c, d)
+    )
+    SELECT t.partkey, t.species_group, p.formule_type,
+           round(CASE p.formule_type
+                   WHEN 1 THEN a + b * dbh + c * dbh * dbh
+                   WHEN 2 THEN a + b * dbh + c * dbh * dbh
+                               + d * dbh * dbh * dbh
+                   WHEN 3 THEN a + b * dbh * dbh + c * dbh * dbh * height
+                 END + sign(CASE p.formule_type
+                   WHEN 1 THEN a + b * dbh + c * dbh * dbh
+                   WHEN 2 THEN a + b * dbh + c * dbh * dbh
+                               + d * dbh * dbh * dbh
+                   WHEN 3 THEN a + b * dbh * dbh + c * dbh * dbh * height
+                 END) * 1e-9, 6) AS vol_m3
+    FROM trees t LEFT JOIN params p USING (species_group)
+    """,
+)
+def k8_tariff_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K8 tree-volume tariffs (export_from_vbidwh.Rmd:227-269): per-group
+    parameters select a polynomial by formule_type; broadcast join +
+    vectorized arithmetic (kernels.tariff.compute_volume)."""
+    p = load(spark, sf_dir, "part")
+    trees = p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.when(F.col("p_size") % 3 == 0, "g1")
+        .when(F.col("p_size") % 3 == 1, "g2")
+        .otherwise("g3")
+        .alias("species_group"),
+        F.col("p_size").cast("double").alias("dbh"),
+        (F.round("p_retailprice", 2) / 100).alias("height"),
+    )
+    params = tariff_dim(
+        spark,
+        [
+            ("g1", 1, 0.05, 0.002, 0.0001, 0.0),
+            ("g2", 2, 0.02, 0.003, 0.0002, 0.00001),
+            ("g3", 3, 0.01, 0.0005, 0.00002, 0.0),
+        ],
+    )
+    out = compute_volume(trees, params, dbh_col="dbh", height_col="height")
+    return out.select("partkey", "species_group", "formule_type", "vol_m3")
+
+
+@query(
+    "k9_reconciliation_cascade",
+    oracle="""
+    WITH seg AS (
+      SELECT l_orderkey AS plot_id, l_returnflag AS type_seg,
+             l_quantity AS area
+      FROM lineitem
+    ), dominant AS (
+      SELECT plot_id, type_seg AS type_observed FROM (
+        SELECT plot_id, type_seg, sum(area) AS a,
+               row_number() OVER (PARTITION BY plot_id
+                                  ORDER BY sum(area) DESC, type_seg ASC) AS rn
+        FROM seg GROUP BY 1, 2
+      ) WHERE rn = 1
+    ), mapped AS (
+      SELECT o_orderkey AS plot_id,
+             CASE o_orderstatus WHEN 'F' THEN 'R' WHEN 'O' THEN 'N'
+                  ELSE 'A' END AS type_mapped
+      FROM orders
+    ), flags AS (
+      SELECT d.plot_id, d.type_observed, m.type_mapped,
+             bool_or(s.type_seg = m.type_mapped) AS any_seg_match,
+             count(DISTINCT s.type_seg) > 1 AS mixed
+      FROM dominant d
+      JOIN mapped m ON d.plot_id = m.plot_id
+      JOIN seg s ON s.plot_id = d.plot_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT plot_id, type_observed, type_mapped,
+           CASE WHEN type_observed = type_mapped THEN 'match'
+                WHEN any_seg_match THEN 'partial'
+                WHEN mixed THEN 'manual_check'
+                ELSE 'mismatch' END AS match_stage
+    FROM flags
+    """,
+)
+def k9_reconciliation_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K9 observed-vs-mapped reconciliation cascade
+    (check_observed_habitat_type.Rmd:130-310): dominant observed type vs
+    the mapped type, then the staged decision ladder
+    match -> partial -> manual_check -> mismatch."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    seg = li.select(
+        F.col("l_orderkey").alias("plot_id"),
+        F.col("l_returnflag").alias("type_seg"),
+        F.col("l_quantity").alias("area"),
+    )
+    per_type = seg.groupBy("plot_id", "type_seg").agg(F.sum("area").alias("a"))
+    w = W.partitionBy("plot_id").orderBy(F.col("a").desc(), F.col("type_seg").asc())
+    dominant = (
+        per_type.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("plot_id", F.col("type_seg").alias("type_observed"))
+    )
+    mapped = o.select(
+        F.col("o_orderkey").alias("plot_id"),
+        F.when(F.col("o_orderstatus") == "F", "R")
+        .when(F.col("o_orderstatus") == "O", "N")
+        .otherwise("A")
+        .alias("type_mapped"),
+    )
+    flags = (
+        dominant.join(mapped, "plot_id")
+        .join(seg, "plot_id")
+        .groupBy("plot_id", "type_observed", "type_mapped")
+        .agg(
+            F.bool_or(F.col("type_seg") == F.col("type_mapped")).alias(
+                "any_seg_match"
+            ),
+            (F.countDistinct("type_seg") > 1).alias("mixed"),
+        )
+    )
+    return flags.select(
+        "plot_id",
+        "type_observed",
+        "type_mapped",
+        F.when(F.col("type_observed") == F.col("type_mapped"), "match")
+        .when(F.col("any_seg_match"), "partial")
+        .when(F.col("mixed"), "manual_check")
+        .otherwise("mismatch")
+        .alias("match_stage"),
+    )
+
+
+@query(
+    "k10_incremental_merge",
+    oracle="""
+    WITH unioned AS (
+      SELECT * FROM events WHERE ts < TIMESTAMP '2024-04-01'
+      UNION ALL
+      SELECT * FROM events WHERE ts >= TIMESTAMP '2024-04-01'
+    ), ranked AS (
+      SELECT user_id, event_type, event_id, CAST(ts AS DATE) AS day,
+             round(value + sign(value) * 1e-9, 2) AS value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM unioned
+    )
+    SELECT user_id, event_type, event_id, day, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def k10_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K10 incremental append/update
+    (query_fieldmap_update_fieldwork2022.Rmd:943-1076): published table +
+    new-season delta -> unionByName -> latest-wins keyed dedup
+    (operators.merge.incremental_merge). The streaming wrapper reuses this
+    exact function per micro-batch."""
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit("2024-04-01").cast("timestamp")
+    published = e.filter(F.col("ts") < cutoff)
+    delta = e.filter(F.col("ts") >= cutoff)
+    merged = incremental_merge(
+        published,
+        delta,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return merged.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.col("ts").cast("date").alias("day"),
+        eps_round(F.col("value"), 2).alias("value"),
+    )

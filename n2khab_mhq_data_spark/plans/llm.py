@@ -1,1 +1,358 @@
-"""Placeholder — populated in later milestones."""
+"""Training-data pipeline queries (dedup / similarity / text analysis /
+multimodal plumbing) on the synthetic ``documents`` and ``embeddings``
+tables, each with a DuckDB oracle where SQL-expressible.
+
+The oracle-portability trick used throughout: wherever a hash is needed,
+use either md5 (identical hex in both engines) or explicit integer
+arithmetic (polynomial char hash, deterministic hyperplane signs) instead
+of engine-private hash functions. Only MinHash keeps xxhash64 (it IS the
+operator) — its oracle instead checks the *verified* output, which equals
+exact n-gram Jaccard up to a ~1e-14 LSH miss probability."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.llmdata.dedup import (
+    exact_dedup,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from n2khab_mhq_data_spark.llmdata.multimodal import (
+    extract_frame_meta,
+    with_binary_payload,
+)
+from n2khab_mhq_data_spark.llmdata.similarity import ann_buckets, cosine_topk
+from n2khab_mhq_data_spark.llmdata.text import (
+    fingerprint,
+    lexicon_dim,
+    quality_metrics,
+    tokens,
+)
+from n2khab_mhq_data_spark.plans import query
+
+# shared oracle CTE: distinct word 3-gram shingles per doc (mirror of
+# llmdata.text.word_shingles)
+_SHINGLES_SQL = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id AS doc, g
+      FROM words, unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_distinct(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+             ELSE [array_to_string(w, ' ')] END) AS t(g)
+    )
+"""
+
+_JACCARD_SQL = (
+    _SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (s1.n + s2.n - inter) + 1e-9, 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
+    """
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content hash groupBy, canonical = lowest doc_id.
+    One shuffle on a uniform 128-bit key — no skew at any scale."""
+    return exact_dedup(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via the
+    gram self-join. The exact/expensive baseline the LSH path approximates."""
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.8
+    )
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + banded LSH (32 bands x 2 rows) + exact-Jaccard
+    verification. The oracle is exact n-gram Jaccard: at threshold 0.8 the
+    banding misses a qualifying pair with prob (1-0.8^2)^32 ~ 6e-15, so the
+    verified LSH output must equal the exact result — this differentially
+    tests recall, not just plumbing."""
+    return minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.8,
+        num_hashes=64,
+        bands=32,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id AS doc, t.tok
+      FROM words, unnest(list_distinct(w)) AS t(tok)
+    ), h AS (
+      SELECT doc, list_reduce(
+        list_prepend(CAST(7 AS BIGINT),
+          list_transform(range(1, length(tok) + 1),
+                         i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1))
+                                   AS BIGINT))),
+        (acc, c) -> (acc * 31 + c) % 1000003) AS h
+      FROM tok
+    ), sums AS (
+      SELECT doc, {sums}
+      FROM h GROUP BY doc
+    )
+    SELECT doc, CAST({sig} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures over distinct tokens, with a portable
+    polynomial char hash so the oracle reproduces signatures bit-for-bit
+    (integer-only arithmetic — zero float drift)."""
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+
+
+_COSINE_SQL = """
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ), c AS (
+      SELECT vec_id AS nid, embedding AS cv FROM embeddings
+    ), scored AS (
+      SELECT qid AS query_id, nid AS neighbour_id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+      FROM q, c WHERE nid != qid
+    )
+    SELECT query_id, neighbour_id, rank,
+           round(cos + sign(cos) * 1e-9, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbour_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+@query("sim_cosine_topk", oracle=_COSINE_SQL)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 per query vector (vec_id < 3): the exact
+    ANN baseline. Queries broadcast; corpus never shuffles; windowed top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10
+    )
+
+
+def _ann_oracle(planes: int = 8, dim: int = 64) -> str:
+    ds = ",\n             ".join(
+        f"""list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(embedding[i] AS DOUBLE) *
+                    (CASE WHEN ((i * 131071 + {j} * 524287) % 97) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END))) AS d{j}"""
+        for j in range(planes)
+    )
+    sig = " + ".join(
+        f"CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(planes)
+    )
+    return f"""
+    SELECT vec_id, CAST({sig} AS BIGINT) AS bucket
+    FROM (SELECT vec_id, {ds} FROM embeddings)
+    """
+
+
+@query("ann_lsh_buckets", oracle=_ann_oracle())
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 planes -> 256 buckets):
+    the ANN index build step — a pure projection, no shuffle; candidate
+    search then joins within buckets only."""
+    return ann_buckets(load(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents), unnest(w) AS t(tok)
+    ), lexicon AS (
+      SELECT * FROM (VALUES
+        ('en','the'),('en','and'),('en','of'),('en','is'),('en','a'),
+        ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','de'),
+        ('es','el'),('es','y'),('es','los'),('es','que'),('es','de'),
+        ('de','der'),('de','und'),('de','die'),('de','das'),('de','ist'))
+        AS l(lang, token)
+    ), hits AS (
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+      FROM tok JOIN lexicon ON tok = token GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, lang) AS rn
+      FROM hits
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred,
+           coalesce(b.n, 0) AS n_hits
+    FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via stopword-lexicon voting (n-gram heuristic family):
+    tokenize -> broadcast lexicon join -> argmax lang per doc."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    hits = (
+        tok.join(F.broadcast(lexicon_dim(spark)), tok.tok == F.col("token"))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        # documents itself has a `lang` column — rename to avoid ambiguity
+        .select("doc_id", F.col("lang").alias("pred"), F.col("n"))
+    )
+    return docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("pred"), F.lit("und")).alias("lang_pred"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_hits"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           round((length(text) - length(regexp_replace(text, '[.!?,;:]', '',
+                 'g'))) * 1.0 / length(text) + 1e-9, 6) AS punct_ratio,
+           round(len(list_filter(w, x -> x IN ('the','a','and','of','is')))
+                 * 1.0 / len(w) + 1e-9, 6) AS stopword_ratio,
+           round((length(text) - len(w) + 1) * 1.0 / len(w) + 1e-9, 6)
+             AS mean_token_len
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword ratios — the
+    classic pre-training heuristic filters, as one projection."""
+    docs = load(spark, sf_dir, "documents")
+    m = quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["punct_ratio"] + F.lit(1e-9), 6).alias("punct_ratio"),
+        F.round(m["stopword_ratio"] + F.lit(1e-9), 6).alias("stopword_ratio"),
+        F.round(m["mean_token_len"] + F.lit(1e-9), 6).alias("mean_token_len"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex token count
+    (letter runs / digit runs)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+"), 0))
+        .cast("long")
+        .alias("bpe_ish_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over normalized text (lowercase, strip
+    non-alnum, collapse whitespace)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@query(
+    "multimodal_frame_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           'fake/raw' AS format,
+           CAST(octet_length(encode(text)) % 7 + 1 AS INTEGER) AS n_frames,
+           CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads through an Arrow-batched
+    mapInPandas feature extractor (decode step stubbed with a deterministic
+    fake — llmdata.multimodal). The oracle reproduces the fake decoder in
+    SQL, so the whole UDF path (schema, batching, byte handling) is
+    hash-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return extract_frame_meta(with_binary_payload(docs), fake=True)

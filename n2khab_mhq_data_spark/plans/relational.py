@@ -706,16 +706,17 @@ def u2_union_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
            l_partkey AS partkey
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 50
+    FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 50
     """,
 )
 def o1_multikey_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1 multi-key global sort (arrange(...) before every write_vc,
-    query_fieldmap.Rmd:1959-1974). (orderkey, linenumber) is a unique key,
-    so the LIMIT slice is deterministic."""
+    query_fieldmap.Rmd:1959-1974). (orderkey, linenumber) is NOT unique in
+    the synthetic data — l_partkey extends the sort to a total order over
+    the projected columns so the LIMIT slice is deterministic."""
     li = load(spark, sf_dir, "lineitem")
     return (
-        li.orderBy("l_orderkey", "l_linenumber")
+        li.orderBy("l_orderkey", "l_linenumber", "l_partkey")
         .select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("l_linenumber").alias("linenumber"),
