@@ -188,6 +188,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     53-bit mantissa and would corrupt the microseconds.
     """
     path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        # Proactive, not try/except: the lazy schema merge would otherwise
+        # fail a whole Spark job before we could retry with the conf set.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
     except Exception:

@@ -10,6 +10,7 @@ from pyspark.sql.window import Window as W
 
 from n2khab_mhq_data_spark.catalog import load
 from n2khab_mhq_data_spark.plans import query
+from n2khab_mhq_data_spark.streaming.incremental import windowed_event_counts
 
 
 @query(
@@ -183,4 +184,31 @@ def w6_distinct_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("n_types", F.size(F.collect_set("event_type").over(w)))
         .filter(F.col("n_types") >= 4)
         .select("user_id", "event_id", "event_type")
+    )
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS DATE) AS window_day,
+           CAST(extract(hour FROM ts) AS INTEGER) AS window_hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) + 1e-9, 2) AS value_sum
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation — the streaming.incremental
+    windowed-agg shape run in batch mode (identical plan semantics; the
+    watermark is a no-op on bounded input). Window start split into
+    day+hour for engine-portable comparison."""
+    e = load(spark, sf_dir, "events")
+    out = windowed_event_counts(e, window="1 hour", watermark="2 hours")
+    return out.select(
+        F.col("window_start").cast("date").alias("window_day"),
+        F.hour("window_start").alias("window_hour"),
+        "event_type",
+        "n",
+        "value_sum",
     )

@@ -1,0 +1,102 @@
+"""Readers S1-S7.
+
+The reference reads four database families over ODBC plus locale CSVs and
+versioned TSVs. Spark-first mapping:
+
+- S1/S2/S3/S4 (Firebird / Access / SQL Server / whole-table): one JDBC
+  reader with URL-dispatch. Predicates and column lists push down via
+  Catalyst (the reference hand-writes them into SQL strings,
+  query_fieldmap.Rmd:107-137 — here `.filter`/`.select` reach the source
+  automatically). In the testbed, parquet stands in for the databases.
+- S5: semicolon CSV with comma decimals (read_csv2).
+- S6: versioned-TSV reader (git2rdata read_vc) — TSV + yml schema sidecar,
+  restores types including Date-from-int-epoch and factor levels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from n2khab_mhq_data_spark.catalog import TableSpec, ColumnSpec
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str | None = None,
+    query: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """S1-S4 JDBC scan with driver dispatch by URL scheme (the reference
+    dispatches on DB file extension, query_fieldmap.Rmd:139-154). Always
+    lowercases column names (P2, applied after every fetch in the
+    reference)."""
+    drivers = {
+        "jdbc:firebirdsql": "org.firebirdsql.jdbc.FBDriver",
+        "jdbc:ucanaccess": "net.ucanaccess.jdbc.UcanaccessDriver",
+        "jdbc:sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        "jdbc:postgresql": "org.postgresql.Driver",
+    }
+    reader = spark.read.format("jdbc").option("url", url)
+    for scheme, drv in drivers.items():
+        if url.startswith(scheme):
+            reader = reader.option("driver", drv)
+            break
+    if table:
+        reader = reader.option("dbtable", table)
+    if query:
+        reader = reader.option("query", query)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    df = reader.load()
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def read_csv2(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    """S5 — read_csv2 locale: ';' separator, ',' decimal mark
+    (query_fieldmap.Rmd:80; query_inboveg.Rmd:78). Numeric columns are
+    declared in ``schema``; they are read as strings and locale-parsed,
+    everything else is cast directly."""
+    raw = spark.read.csv(path, sep=";", header=True, inferSchema=False)
+    if schema is None:
+        return raw
+    cols = []
+    for f in schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            c = F.regexp_replace(c, ",", ".").cast(f.dataType)
+        else:
+            c = c.cast(f.dataType)
+        cols.append(c.alias(f.name))
+    return raw.select(*cols)
+
+
+def read_vc(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
+    """S6 — versioned-TSV reader (git2rdata read_vc,
+    HT31xx_data_preparation.Rmd:33-38): TSV + schema restore from the
+    catalog spec, including Date-from-int-epoch (git2rdata stores Dates as
+    integer day numbers) and factor-level passthrough."""
+    raw = spark.read.csv(
+        path, sep="\t", header=True, inferSchema=False, nullValue="NA"
+    )
+    cols = []
+    for c in spec.columns:
+        col = F.col(c.name)
+        if c.yml_class == "Date":
+            col = F.date_add(
+                F.lit("1970-01-01").cast("date"), col.cast("int")
+            )
+        elif c.yml_class == "logical":
+            col = F.when(F.lower(col) == "true", True).when(
+                F.lower(col) == "false", False
+            )
+        else:
+            col = col.cast(c.spark_type)
+        cols.append(col.alias(c.name))
+    return raw.select(*cols)

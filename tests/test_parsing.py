@@ -1,0 +1,39 @@
+"""parse_measurement expression-library tests (K6 locale/LOQ/sentinel
+semantics, HT31xx_data_preparation.Rmd:241-317)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from n2khab_mhq_data_spark.functions.parsing import parse_measurement
+
+
+def test_parse_measurement_cases(spark):
+    rows = [
+        ("1,5",), ("<0,5",), (">10",), ("ZS",), ("0-x-1",), ("9X",),
+        ("10m²",), ("abc",), ("  2,25 ",), ("1.234,5",), ("-3,5",), (None,),
+    ]
+    df = spark.createDataFrame(rows, "raw string")
+    p = parse_measurement(F.col("raw"))
+    out = {
+        r.raw: (r.v, r.below, r.above, r.isnum)
+        for r in df.select(
+            "raw",
+            p["value_numeric"].alias("v"),
+            p["is_below_LOQ"].alias("below"),
+            p["is_above_LOQ"].alias("above"),
+            p["is_numeric"].alias("isnum"),
+        ).collect()
+    }
+    assert out["1,5"] == (1.5, False, False, True)
+    assert out["<0,5"] == (0.5, True, False, True)
+    assert out[">10"] == (10.0, False, True, True)
+    assert out["ZS"] == (0.5, False, False, True)       # sentinel
+    assert out["0-x-1"] == (0.5, False, False, True)    # sentinel
+    assert out["9X"] == (100.0, False, False, True)     # sentinel
+    assert out["10m²"] == (10.0, False, False, True)    # unit suffix
+    assert out["abc"] == (None, False, False, False)
+    assert out["  2,25 "] == (2.25, False, False, True)
+    assert out["1.234,5"] == (1234.5, False, False, True)  # group dots
+    assert out["-3,5"] == (-3.5, False, False, True)
+    assert out[None] == (None, False, False, False)

@@ -1,0 +1,76 @@
+"""Sink/reader tests: deterministic write_vc (golden hash stability across
+partition counts), csv2 locale reader, versioned-TSV round trip."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from n2khab_mhq_data_spark.catalog import ColumnSpec, TableSpec
+from n2khab_mhq_data_spark.sources.readers import read_csv2, read_vc
+from n2khab_mhq_data_spark.sources.sink import write_vc
+
+
+def _sample(spark):
+    return spark.createDataFrame(
+        [
+            (2, 1, "b", 2.5, True, "2020-01-03"),
+            (1, 1, "a", 1.25, False, "2020-01-01"),
+            (1, 2, "c", None, None, None),
+        ],
+        "plot_id int, mon_cycle int, status string, v double, ok boolean,"
+        " d string",
+    ).withColumn("d", F.col("d").cast("date"))
+
+
+def test_write_vc_deterministic_across_partitioning(spark, tmp_path):
+    df = _sample(spark)
+    m1 = write_vc(df.repartition(1), "t", str(tmp_path / "a"),
+                  ["plot_id", "mon_cycle"], partitions=1)
+    m2 = write_vc(df.repartition(7), "t", str(tmp_path / "b"),
+                  ["plot_id", "mon_cycle"], partitions=3)
+    assert m1["data_hash"] == m2["data_hash"]
+    a = open(tmp_path / "a" / "t.tsv").read()
+    b = open(tmp_path / "b" / "t.tsv").read()
+    assert a == b
+    # sorted by keys, dates as epoch days, NA for nulls, TRUE/FALSE logicals
+    lines = a.strip().split("\n")
+    assert lines[0].split("\t")[0] == "plot_id"
+    assert lines[1].startswith("1\t1\ta\t1.25\tFALSE\t18262")
+    assert lines[2].split("\t")[3] == "NA"
+
+
+def test_write_vc_read_vc_round_trip(spark, tmp_path):
+    df = _sample(spark)
+    write_vc(df, "t", str(tmp_path), ["plot_id", "mon_cycle"], partitions=2)
+    spec = TableSpec(
+        "t",
+        [
+            ColumnSpec("plot_id", "integer"),
+            ColumnSpec("mon_cycle", "integer"),
+            ColumnSpec("status", "character"),
+            ColumnSpec("v", "numeric"),
+            ColumnSpec("ok", "logical"),
+            ColumnSpec("d", "Date"),
+        ],
+    )
+    back = read_vc(spark, str(tmp_path / "t.tsv"), spec)
+    rows = {tuple(r) for r in back.collect()}
+    orig = {tuple(r) for r in df.collect()}
+    assert rows == orig
+
+
+def test_read_csv2_locale(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("id;val;name\n1;1,5;x\n2;2,25;y\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    out = read_csv2(spark, str(p), schema).collect()
+    assert {(r.id, r.val, r.name) for r in out} == {(1, 1.5, "x"), (2, 2.25, "y")}
