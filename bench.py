@@ -30,8 +30,13 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("bench")
 
-    # warm up the JVM + parquet footers once, outside any query's bill
+    # warm up the JVM, parquet footers, the events (nanos) reader, and the
+    # Python worker pool once, outside any query's bill
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from n2khab_mhq_data_spark.catalog import load as _load
+
+    _load(spark, sf_dir, "events").count()
+    spark.createDataFrame([(1,)], "x int").count()  # spin Python workers
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -204,3 +204,35 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def local_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Small dimension table as a JVM ``VALUES`` LocalRelation.
+
+    Unlike ``spark.createDataFrame(list)`` this puts no Python-RDD scan in
+    the plan, so broadcasting the dim never round-trips through Python
+    workers (observed as multi-second flaky stalls when such a dim was the
+    build side of a broadcast join). Supports the primitive types our
+    dimensions use (string/int/double/boolean + NULL).
+    """
+    fields = [f.strip().rsplit(None, 1) for f in schema.split(",")]
+
+    def lit(v: object, typ: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {typ})"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    rows_sql = ",\n".join(
+        "("
+        + ", ".join(
+            f"CAST({lit(v, t)} AS {t})" for v, (_, t) in zip(r, fields)
+        )
+        + ")"
+        for r in rows
+    )
+    cols = ", ".join(n for n, _ in fields)
+    return spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS t({cols})")

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from n2khab_mhq_data_spark.catalog import local_dim
+
 # A compact cover-scale dimension in the shape of metadata/cover_scales.csv
 # (scale name, class code, mean/min/max cover %). Values follow the published
 # Londo / Braun-Blanquet class midpoints.
@@ -35,7 +37,7 @@ COVER_SCALE_SCHEMA = (
 
 
 def cover_scale_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(COVER_SCALE_ROWS, COVER_SCALE_SCHEMA)
+    return local_dim(spark, COVER_SCALE_ROWS, COVER_SCALE_SCHEMA)
 
 
 def decode_cover(

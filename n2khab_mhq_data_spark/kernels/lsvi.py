@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from n2khab_mhq_data_spark.catalog import local_dim
+
 RULES_SCHEMA = (
     "habitat_type string, criterium string, indicator string,"
     " voorwaarde string, operator string, threshold double"
@@ -33,7 +35,7 @@ RULES_SCHEMA = (
 def rules_dim(spark: SparkSession, rows: list[tuple]) -> DataFrame:
     """Rule table (the reference fetches these via geefInvoervereisten,
     HT31xx_LSVI.Rmd:49-60; here they are versioned seed data)."""
-    return spark.createDataFrame(rows, RULES_SCHEMA)
+    return local_dim(spark, rows, RULES_SCHEMA)
 
 
 def evaluate_conditions(

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from n2khab_mhq_data_spark.catalog import local_dim
+
 TARIFF_SCHEMA = (
     "species_group string, formule_type int, a double, b double, c double,"
     " d double"
@@ -18,7 +20,7 @@ TARIFF_SCHEMA = (
 
 
 def tariff_dim(spark: SparkSession, rows: list[tuple]) -> DataFrame:
-    return spark.createDataFrame(rows, TARIFF_SCHEMA)
+    return local_dim(spark, rows, TARIFF_SCHEMA)
 
 
 def compute_volume(

@@ -7,6 +7,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from n2khab_mhq_data_spark.catalog import local_dim
+
 # tiny per-language stopword lexicon for the n-gram/stopword language-ID
 # heuristic; deliberately small and versioned (a dimension, not a model)
 LANG_LEXICON: list[tuple[str, str]] = [
@@ -18,7 +20,7 @@ LANG_LEXICON: list[tuple[str, str]] = [
 
 
 def lexicon_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(LANG_LEXICON, "lang string, token string")
+    return local_dim(spark, LANG_LEXICON, "lang string, token string")
 
 
 def tokens(text: Column) -> Column:
@@ -28,16 +30,21 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles as an array column. Stays inside one
-    projection — no explode until the consumer decides to."""
+    projection — no explode until the consumer decides to.
+
+    Built from k aligned ``slice``s zipped together rather than a
+    ``transform`` over an index sequence: an index-lambda re-inlines the
+    tokenizing ``split`` into every ``element_at`` call, re-running the
+    regex split O(k·n_tokens) times per row (measured ~7 s for 5k docs at
+    sf0.1). The slice/zip_with form evaluates the split only k+1 times per
+    row regardless of document length."""
     w = tokens(text)
     n = F.size(w)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(k)]
-        ),
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))  # shingle count when n >= k
+    parts = [F.slice(w, j + 1, m) for j in range(k)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
     return F.when(n >= k, F.array_distinct(sh)).otherwise(
         F.array(F.concat_ws(" ", w))
     )

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.catalog import load, local_dim
 from n2khab_mhq_data_spark.functions.parsing import parse_measurement
 from n2khab_mhq_data_spark.functions.scalars import eps_round
 from n2khab_mhq_data_spark.kernels.cover import cover_scale_dim, decode_cover
@@ -254,7 +254,8 @@ def k4_status_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.upper(F.substring("event_type", 1, 4)))
         .alias("raw_status"),
     )
-    mapping = spark.createDataFrame(
+    mapping = local_dim(
+        spark,
         [
             ("gen1", "click", "interaction"),
             ("gen1", "view", "interaction"),
