@@ -61,6 +61,34 @@ def extract_frame_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
     return binary_df.mapInPandas(op, FRAME_META_SCHEMA)
 
 
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_byte int"
+
+
+def sample_frames(
+    binary_df: DataFrame, stride: int = 2, fake: bool = True
+) -> DataFrame:
+    """Frame sampling over opaque video-ish payloads: every ``stride``-th
+    frame of each payload becomes one output row (doc_id, frame_idx,
+    frame_byte). A generator-shaped mapInPandas pass — input rows fan out to
+    0..n_frames rows, still one scan, no shuffle; the frame decode is the
+    same stubbed fake decoder as extract_frame_meta."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_byte": []}
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                meta = decode_image(raw, fake=fake)
+                for idx in range(0, meta["n_frames"], stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_byte"].append(
+                        raw[(idx * 13) % len(raw)] if raw else -1
+                    )
+            yield pd.DataFrame(rows)
+
+    return binary_df.mapInPandas(op, FRAME_SAMPLE_SCHEMA)
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adapter for the testbed: treat the document text's UTF-8 bytes as an
     opaque binary payload (the real pipeline reads binary parquet/files)."""

@@ -117,3 +117,89 @@ def ann_buckets(
         F.col(id_col).alias("vec_id"),
         lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
     )
+
+
+def cosine_pairs_bucketed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    planes: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket prefiltered.
+
+    Candidates are pairs landing in the same hyperplane bucket; only those
+    get the exact cosine (and the threshold filter). The bucket join replaces
+    the O(n^2) pair space with sum-over-buckets m_b^2/2 — with p planes the
+    expected candidate volume drops by ~2^p. Approximate by design (a
+    qualifying pair split by a hyperplane is missed); callers needing exact
+    recall use brute force or multi-table banding as in MinHash LSH."""
+    b = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    x, y = b.alias("x"), b.alias("y")
+    cand = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket"))
+        & (F.col("x.vid") < F.col("y.vid")),
+    )
+    scored = cand.select(
+        F.col("x.vid").alias("d1"),
+        F.col("y.vid").alias("d2"),
+        cosine(F.col("x.vec"), F.col("y.vec")).alias("cos"),
+    )
+    return scored.filter(F.col("cos") > threshold).select(
+        "d1",
+        "d2",
+        F.round(F.col("cos") + F.signum("cos") * 1e-9, 6).alias("cosine"),
+    )
+
+
+def ann_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN top-k: probe only the query's bucket, exact cosine
+    rerank inside it. The corpus is scanned once, partition-local, and only
+    the (tiny) query set broadcasts — the scale path next to the brute-force
+    cosine_topk baseline. Fewer planes => bigger buckets => better recall at
+    higher rerank cost; planes is the recall/cost dial."""
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbour_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+    )
+    j = cb.join(F.broadcast(qb), on="bucket").filter(
+        F.col("neighbour_id") != F.col("query_id")
+    )
+    scored = j.select(
+        "query_id",
+        "neighbour_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbour_id",
+            "rank",
+            F.round(F.col("cos") + F.signum("cos") * 1e-9, 6).alias("cosine"),
+        )
+    )

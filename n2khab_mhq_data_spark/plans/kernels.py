@@ -663,3 +663,92 @@ def k10_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("date").alias("day"),
         eps_round(F.col("value"), 2).alias("value"),
     )
+
+
+@query(
+    "k5_area_weights",
+    oracle="""
+    WITH seg AS (
+      SELECT l_orderkey AS plot_id, l_quantity AS area,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_returnflag,
+                                         l_quantity, l_partkey) AS seg_no
+      FROM lineitem
+    )
+    SELECT plot_id, seg_no,
+           round(area / sum(area) OVER (PARTITION BY plot_id) + 1e-9, 6)
+             AS weight_segment,
+           round(least(sum(area) OVER (PARTITION BY plot_id)
+                       / (pi() * 18 * 18), 1.0) + 1e-9, 6) AS weight_plot
+    FROM seg
+    """,
+)
+def k5_area_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 plot/segment area weights (calc_plot_segment_area.Rmd:48-113,
+    consumed export_from_vbidwh.Rmd:131-149): segment weight = area share
+    within the plot, plot weight = plot area share of the A4 circle
+    (pi * 18^2), capped at 1. Window sums over the plot partition — one
+    shuffle on plot_id, reused by both weights."""
+    import math
+
+    seg = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("plot_id"),
+        F.col("l_quantity").alias("area"),
+        F.col("l_linenumber"),
+        F.col("l_returnflag"),
+        F.col("l_partkey"),
+    )
+    order = W.partitionBy("plot_id").orderBy(
+        "l_linenumber", "l_returnflag", "area", "l_partkey"
+    )
+    whole = W.partitionBy("plot_id")
+    circle = math.pi * 18 * 18
+    return seg.select(
+        "plot_id",
+        F.row_number().over(order).alias("seg_no"),
+        F.round(
+            F.col("area") / F.sum("area").over(whole) + F.lit(1e-9), 6
+        ).alias("weight_segment"),
+        F.round(
+            F.least(F.sum("area").over(whole) / circle, F.lit(1.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("weight_plot"),
+    )
+
+
+@query(
+    "k7_lsvi_indicator",
+    oracle=_LSVI_MEASUREMENTS_SQL.format(rules=_LSVI_RULES_SQL)
+    + """
+    SELECT plot_id, habitat_type, criterium, indicator,
+           bool_and(status_voorwaarde) AS status_indicator
+    FROM detail GROUP BY 1, 2, 3, 4
+    """,
+)
+def k7_lsvi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 LSVI rule engine, indicator level (lsvi_indicator result table):
+    bool_and of the voorwaarde statuses per indicator."""
+    return _lsvi_levels(spark, sf_dir)["lsvi_indicator"]
+
+
+@query(
+    "k7_lsvi_criterium",
+    oracle=_LSVI_MEASUREMENTS_SQL.format(rules=_LSVI_RULES_SQL)
+    + """
+    , ind AS (
+      SELECT plot_id, habitat_type, criterium, indicator,
+             bool_and(status_voorwaarde) AS status_indicator
+      FROM detail GROUP BY 1, 2, 3, 4
+    )
+    SELECT plot_id, habitat_type, criterium,
+           bool_and(status_indicator) AS status_criterium,
+           round(avg(CASE WHEN status_indicator THEN 1 ELSE 0 END) + 1e-9, 6)
+             AS share_favourable_ind
+    FROM ind GROUP BY 1, 2, 3
+    """,
+)
+def k7_lsvi_criterium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7 LSVI rule engine, criterium level (lsvi_criterium result table):
+    bool_and over indicators plus the favourable-indicator share."""
+    return _lsvi_levels(spark, sf_dir)["lsvi_criterium"]

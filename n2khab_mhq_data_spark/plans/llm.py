@@ -26,7 +26,13 @@ from n2khab_mhq_data_spark.llmdata.multimodal import (
     extract_frame_meta,
     with_binary_payload,
 )
-from n2khab_mhq_data_spark.llmdata.similarity import ann_buckets, cosine_topk
+from n2khab_mhq_data_spark.llmdata.multimodal import sample_frames
+from n2khab_mhq_data_spark.llmdata.similarity import (
+    ann_buckets,
+    ann_topk_bucketed,
+    cosine_pairs_bucketed,
+    cosine_topk,
+)
 from n2khab_mhq_data_spark.llmdata.text import (
     fingerprint,
     lexicon_dim,
@@ -335,6 +341,108 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-alnum, collapse whitespace)."""
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _bucket_cte(planes: int, dim: int = 64) -> str:
+    """DuckDB subquery mirroring similarity.lsh_bucket (deterministic
+    hyperplane signs -> bucket id), keeping the embedding column."""
+    ds = ",\n             ".join(
+        f"""list_sum(list_transform(range(1, {dim + 1}),
+               i -> CAST(embedding[i] AS DOUBLE) *
+                    (CASE WHEN ((i * 131071 + {j} * 524287) % 97) % 2 = 0
+                          THEN 1.0 ELSE -1.0 END))) AS d{j}"""
+        for j in range(planes)
+    )
+    sig = " + ".join(
+        f"CASE WHEN d{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(planes)
+    )
+    return f"""(SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS bucket
+       FROM (SELECT vec_id, embedding, {ds} FROM embeddings))"""
+
+
+_COS_AB = """list_sum(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+         i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH bkt AS (SELECT * FROM {_bucket_cte(6)})
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round({_COS_AB} + sign({_COS_AB}) * 1e-9, 6) AS cosine
+    FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS_AB} > 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: 6-plane LSH bucket prefilter, exact
+    cosine verify inside buckets only (never the O(n^2) pair space). The
+    oracle applies the same deterministic bucketing, so the approximation
+    itself is differentially checked."""
+    return cosine_pairs_bucketed(
+        load(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.3,
+        planes=6,
+    )
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH bkt AS (SELECT * FROM {_bucket_cte(4)}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbour_id,
+             {_COS_AB} AS cos
+      FROM bkt a JOIN bkt b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 3
+    )
+    SELECT query_id, neighbour_id, rank,
+           round(cos + sign(cos) * 1e-9, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbour_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN search (the scale path next to sim_cosine_topk's
+    brute force): probe only the query's 4-plane bucket, exact-cosine rerank
+    within it, windowed top-10."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk_bucketed(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10, planes=4
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(f.i AS INTEGER) AS frame_idx,
+           CAST(ascii(substr(text, CAST((f.i * 13) % nb AS INTEGER) + 1, 1))
+                AS INTEGER) AS frame_byte
+    FROM d, unnest(range(0, nb % 7 + 1, 2)) AS f(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling: every 2nd fake-decoded frame per payload
+    through a generator-shaped mapInPandas (rows fan out, one scan, no
+    shuffle). The oracle reproduces the fake decoder's frame count and byte
+    addressing in SQL, hash-checking the whole UDF fan-out path."""
+    docs = load(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs), stride=2, fake=True)
 
 
 @query(

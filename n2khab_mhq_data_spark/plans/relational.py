@@ -744,3 +744,93 @@ def o2_top_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+@query(
+    "j2_inner_join_decode",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum(s.s_acctbal), 2) AS acctbal_total
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def j2_inner_join_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 SQL-side INNER JOIN decode — drops unmatched rows, unlike the J1
+    left decode (query_fieldmap.Rmd:963-967; export_from_vbidwh.Rmd:246).
+    Dimension broadcast: the fact side never shuffles."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey, "inner")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("acctbal_total"),
+        )
+    )
+
+
+@query(
+    "a5_first_per_group",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+           CAST(o_orderdate AS DATE) AS first_orderdate
+    FROM r WHERE rn = 1
+    """,
+)
+def a5_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 first element per group under an explicit sort (segment_id[1]
+    after arrange, query_fieldmap.Rmd:1412): row_number over a TOTAL order
+    (date, then unique key) so 'first' is deterministic — R's x[1] after
+    arrange has the same contract only because arrange is stable."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").cast("date").alias("first_orderdate"),
+        )
+    )
+
+
+@query(
+    "u3_except_intersect",
+    oracle="""
+    SELECT 'except' AS op, custkey FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'intersect' AS op, custkey FROM (
+      SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders
+    )
+    """,
+)
+def u3_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 set operations — the reference expresses except/intersect via
+    anti/semi joins (SURVEY.md §2.7); the engine exposes the set-op spelling
+    too. Keys are unique on both sides here, so EXCEPT/INTERSECT equal their
+    ALL variants."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    ex = c.exceptAll(o.distinct()).withColumn("op", F.lit("except"))
+    ix = c.intersectAll(o.distinct()).withColumn("op", F.lit("intersect"))
+    return ex.unionByName(ix).select("op", "custkey")

@@ -1,0 +1,106 @@
+"""Library-level tests for the training-data pipeline operators
+(similarity search, bucketed near-dup, multimodal frame fan-out).
+End-to-end differential checks live in tools/check.py; these pin the
+operator semantics on tiny hand-checkable inputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from n2khab_mhq_data_spark.llmdata.multimodal import (
+    decode_image,
+    sample_frames,
+    with_binary_payload,
+)
+from n2khab_mhq_data_spark.llmdata.similarity import (
+    ann_topk_bucketed,
+    cosine_pairs_bucketed,
+    cosine_topk,
+)
+
+
+def _vectors(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    # unit vectors at known angles: cos(v0,v1)=1, cos(v0,v2)=0
+    corpus = _vectors(
+        spark,
+        [(0, [1.0, 0.0]), (1, [2.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+    )
+    out = cosine_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=3)
+    rows = {r["neighbour_id"]: r for r in out.collect()}
+    assert rows[1]["rank"] == 1 and abs(rows[1]["cosine"] - 1.0) < 1e-6
+    assert abs(rows[3]["cosine"] - math.sqrt(0.5)) < 1e-6
+    assert rows[2]["rank"] == 3  # orthogonal sorts last
+
+
+# A varying base vector: constant vectors can land exactly on the d=0
+# bucket boundary (the deterministic hyperplane signs sum to zero there),
+# where FP noise decides the bit — boundary behavior is engine-defined,
+# same caveat as GEOS, so tests keep projections solidly nonzero.
+_BASE = [float(1 + (i * 7) % 13) for i in range(64)]
+_BASE[0] += 7.0  # keeps |projection| >= 3 on planes 0..7 (checked offline)
+
+
+def test_cosine_pairs_bucketed_finds_parallel_vectors(spark):
+    # same-direction vectors share every hyperplane bucket; the opposite
+    # vector flips every bit
+    corpus = _vectors(
+        spark,
+        [
+            (0, _BASE),
+            (1, [2.0 * x for x in _BASE]),
+            (2, [-x for x in _BASE]),
+        ],
+    )
+    out = cosine_pairs_bucketed(corpus, threshold=0.9, planes=6).collect()
+    assert [(r["d1"], r["d2"]) for r in out] == [(0, 1)]
+    assert abs(out[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_ann_topk_bucketed_reranks_within_bucket(spark):
+    corpus = _vectors(
+        spark,
+        [
+            (0, _BASE),
+            (1, [2.0 * x for x in _BASE]),
+            (2, [0.9 * x for x in _BASE]),
+            (3, [-x for x in _BASE]),
+        ],
+    )
+    out = ann_topk_bucketed(
+        corpus, corpus.filter(F.col("vec_id") == 0), k=2, planes=4
+    ).collect()
+    # vec 3 is in the opposite bucket -> never a candidate
+    assert {r["neighbour_id"] for r in out} == {1, 2}
+    assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in out)
+
+
+def test_sample_frames_fan_out(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "xy")], "doc_id long, text string"
+    )
+    out = sample_frames(with_binary_payload(df), stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 8 bytes -> n_frames = 8 % 7 + 1 = 2 -> sampled frame 0 only
+    assert [r["frame_idx"] for r in by_doc[1]] == [0]
+    assert by_doc[1][0]["frame_byte"] == ord("a")
+    # doc 2: 2 bytes -> n_frames = 3 -> frames 0 and 2
+    assert [sorted(r["frame_idx"] for r in by_doc[2])] == [[0, 2]]
+    # frame 2 of doc 2 addresses byte (2*13) % 2 = 0 -> 'x'
+    assert all(r["frame_byte"] == ord("x") for r in by_doc[2])
+
+
+def test_decode_image_stub_raises_without_fake():
+    try:
+        decode_image(b"abc", fake=False)
+    except NotImplementedError:
+        pass
+    else:
+        raise AssertionError("stub must raise without fake=True")
