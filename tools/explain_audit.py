@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Physical-plan audit: .explain("formatted") every registered query and
+flag plan shapes that won't survive a 100x scale-up.
+
+Flags:
+  CARTESIAN      CartesianProduct / BroadcastNestedLoopJoin in the plan
+                 (quadratic unless one side is deliberately tiny)
+  PY_ROW_UDF     BatchEvalPython — row-at-a-time Python in the hot path
+                 (ArrowEvalPython / mapInPandas are fine and not flagged)
+  WIDE_SCAN      a parquet scan reading >12 columns (column pruning failed)
+  NO_CODEGEN     zero WholeStageCodegen spans (whole plan interpreted)
+  SMJ            SortMergeJoin present — not wrong, listed so each one is a
+                 conscious choice (broadcast beats it when a side is small)
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from n2khab_mhq_data_spark.session import get_spark  # noqa: E402
+
+
+def plan_text(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(plan: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        flags.append("CARTESIAN")
+    if "BatchEvalPython" in plan:
+        flags.append("PY_ROW_UDF")
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        n_cols = len(m.group(1).split(",")) if m.group(1) else 0
+        if n_cols > 12:
+            flags.append(f"WIDE_SCAN({n_cols})")
+    # formatted mode annotates codegen membership as "[codegen id : N]"
+    if "codegen id" not in plan and "WholeStageCodegen" not in plan:
+        flags.append("NO_CODEGEN")
+    n_smj = plan.count("SortMergeJoin")
+    if n_smj:
+        flags.append(f"SMJ(x{n_smj})")
+    return flags
+
+
+# Deliberate plan shapes — reviewed, with the reasoning recorded here.
+# The audit prints them as "ok (expected: ...)"; anything NOT listed fails.
+EXPECTED: dict[str, set[str]] = {
+    # full outer join of two large sides: broadcast cannot produce full
+    # outer semantics, SortMergeJoin is the correct strategy at any scale
+    "j4_full_outer": {"SMJ"},
+    # brute-force ANN baseline: BroadcastNestedLoopJoin of a tiny broadcast
+    # query set against one partition-local corpus scan — the quadratic
+    # side is bounded by len(queries), which is the operator's contract
+    "sim_cosine_topk": {"CARTESIAN"},
+}
+
+
+def _expected(name: str, flags: list[str]) -> bool:
+    allowed = EXPECTED.get(name, set())
+    return all(any(f.startswith(a) for a in allowed) for f in flags)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    spark = get_spark("explain_audit")
+
+    flagged = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = plan_text(df)
+            if "isFinalPlan=false" in plan:
+                # AQE re-plans (and annotates codegen) only at runtime —
+                # execute THIS DataFrame (count() would plan a new one) so
+                # we audit the final plan that actually ran
+                df.collect()
+                plan = plan_text(df)
+        except Exception as exc:  # pragma: no cover
+            print(f"ERROR {name}: {exc}")
+            flagged += 1
+            continue
+        flags = audit(plan)
+        if flags and _expected(name, flags):
+            print(f"ok    {name} (expected: {', '.join(flags)})")
+        elif flags:
+            flagged += 1
+            print(f"FLAG  {name}: {', '.join(flags)}")
+        else:
+            print(f"ok    {name}")
+    print(f"\n{flagged} queries flagged")
+
+
+if __name__ == "__main__":
+    main()
