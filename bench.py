@@ -38,16 +38,22 @@ def main() -> None:
     _load(spark, sf_dir, "events").count()
     spark.createDataFrame([(1,)], "x int").count()  # spin Python workers
 
+    # BASELINE.md protocol: one warm-up run, then median of N timed runs
+    # (N=3 by default; SPARK_GRAFT_BENCH_RUNS=1 for a quick pass)
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
+        n = fn(spark, sf_dir).count()  # warm-up (plan + codegen + IO cache)
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {name}: {n} rows, median {dt:.2f}s of {samples}", file=sys.stderr)
 
     print(
         json.dumps(

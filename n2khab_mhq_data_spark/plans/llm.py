@@ -371,7 +371,7 @@ _COS_AB = """list_sum(list_transform(range(1, 65),
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
-    WITH bkt AS (SELECT * FROM {_bucket_cte(6)})
+    WITH bkt AS (SELECT * FROM {_bucket_cte(8)})
     SELECT a.vec_id AS d1, b.vec_id AS d2,
            round({_COS_AB} + sign({_COS_AB}) * 1e-9, 6) AS cosine
     FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -379,16 +379,17 @@ _COS_AB = """list_sum(list_transform(range(1, 65),
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: 6-plane LSH bucket prefilter, exact
+    """Embedding-cosine near-dup pairs: 8-plane LSH bucket prefilter, exact
     cosine verify inside buckets only (never the O(n^2) pair space). The
     oracle applies the same deterministic bucketing, so the approximation
-    itself is differentially checked."""
+    itself is differentially checked. 8 planes = 256 buckets keeps the
+    within-bucket candidate volume ~4x below the 6-plane variant."""
     return cosine_pairs_bucketed(
         load(spark, sf_dir, "embeddings"),
         "vec_id",
         "embedding",
         threshold=0.3,
-        planes=6,
+        planes=8,
     )
 
 
