@@ -1,0 +1,54 @@
+"""Skew mitigation: salted two-stage aggregation and salted broadcast join.
+
+At 100 TB a handful of hot keys (a viral document, a default plot id) can
+pin one reducer for hours. Two standard remedies, both semantics-preserving:
+
+- salted aggregation: append a random-ish salt to the group key, partially
+  aggregate (key, salt), then re-aggregate by key. The hot key's rows spread
+  over ``buckets`` reducers in stage 1; stage 2 only merges ``buckets``
+  partial rows per key. Only works for algebraic aggregates (sum/count/
+  min/max — anything with a merge function).
+- AQE's skew-join splitting already covers the join case when statistics
+  see it (session.py enables it); the salt helper here is for aggregations,
+  which AQE does not rebalance.
+
+The salt is derived deterministically from a uniform column (or the whole
+row hash) — no RNG, so plans stay reproducible and re-runnable (speculative
+task retries must produce identical salts for exactly-once semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
+    """Deterministic salt in [0, buckets): xxhash64 of the full row. Using
+    the row hash (not rand()) keeps retried tasks bit-identical."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[Column, Column]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation: groupBy(keys + salt) -> groupBy(keys).
+
+    ``aggs`` maps output column name -> (stage1 aggregate over input rows,
+    stage2 merge aggregate over the stage-1 partials named ``name``).
+    Example: {"n": (F.count("*"), F.sum("n")),
+              "total": (F.sum("x"), F.sum("total")),
+              "mx": (F.max("x"), F.max("mx"))}.
+    """
+    salted = with_salt(df, buckets)
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[a1.alias(name) for name, (a1, _) in aggs.items()]
+    )
+    return stage1.groupBy(*keys).agg(
+        *[a2.alias(name) for name, (_, a2) in aggs.items()]
+    )

@@ -752,3 +752,93 @@ def k7_lsvi_criterium(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7 LSVI rule engine, criterium level (lsvi_criterium result table):
     bool_and over indicators plus the favourable-indicator share."""
     return _lsvi_levels(spark, sf_dir)["lsvi_criterium"]
+
+
+@query(
+    "k2_square_override",
+    oracle="""
+    WITH seg AS (
+      SELECT l_orderkey AS plot_id,
+             '91' || l_returnflag || '0_c' AS type_circle,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_linenumber, l_returnflag,
+                                         l_quantity, l_partkey) AS rn
+      FROM lineitem
+    ), circle AS (
+      SELECT plot_id, min(CASE WHEN rn = 1 THEN type_circle END) AS type_circle
+      FROM seg GROUP BY 1
+    ), square AS (
+      SELECT o_orderkey AS plot_id,
+             '91' || (CASE WHEN o_orderpriority = '1-URGENT' THEN 'A'
+                           WHEN o_orderpriority = '2-HIGH' THEN 'N'
+                           ELSE 'R' END) || '0_s' AS type_square
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT COALESCE(c.plot_id, s.plot_id) AS plot_id,
+           c.type_circle AS type_circle, s.type_square AS type_square,
+           CASE WHEN s.type_square IS NULL THEN c.type_circle
+                WHEN c.type_circle IS NULL THEN s.type_square
+                WHEN substr(s.type_square, 1, 4) = substr(c.type_circle, 1, 4)
+                  THEN substr(c.type_circle, 1, 4) || substr(s.type_square, 5)
+                ELSE s.type_square END AS type_final,
+           CASE WHEN s.type_square IS NULL OR c.type_circle IS NULL THEN 'single_source'
+                WHEN substr(s.type_square, 1, 4) = substr(c.type_circle, 1, 4)
+                  THEN 'subtype_refined'
+                ELSE 'square_override' END AS resolution
+    FROM circle c FULL OUTER JOIN square s ON c.plot_id = s.plot_id
+    """,
+)
+def k2_square_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2's override rules in full (query_fieldmap.Rmd:1550-1596, doc at
+    1552-1556): the square plot's observed type overrides the circle plot's;
+    when both share the main type (first 4 chars of the code) only the
+    SUBTYPE is refined from the square observation; plots observed by one
+    source keep that source. Circle side resolves mixed plots to the lowest
+    segment first; the merge is the J4 full-outer shape."""
+    seg = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("plot_id"),
+        F.concat(F.lit("91"), F.col("l_returnflag"), F.lit("0_c")).alias(
+            "type_circle"
+        ),
+        F.row_number()
+        .over(
+            W.partitionBy("l_orderkey").orderBy(
+                "l_linenumber", "l_returnflag", "l_quantity", "l_partkey"
+            )
+        )
+        .alias("rn"),
+    )
+    circle = seg.groupBy("plot_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("type_circle"))).alias("type_circle")
+    )
+    square = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            F.col("o_orderkey").alias("plot_id"),
+            F.concat(
+                F.lit("91"),
+                F.when(F.col("o_orderpriority") == "1-URGENT", "A")
+                .when(F.col("o_orderpriority") == "2-HIGH", "N")
+                .otherwise("R"),
+                F.lit("0_s"),
+            ).alias("type_square"),
+        )
+    )
+    j = circle.join(square, "plot_id", "outer")
+    sq, ci = F.col("type_square"), F.col("type_circle")
+    same_main = F.substring(sq, 1, 4) == F.substring(ci, 1, 4)
+    return j.select(
+        "plot_id",
+        ci.alias("type_circle"),
+        sq.alias("type_square"),
+        F.when(sq.isNull(), ci)
+        .when(ci.isNull(), sq)
+        .when(same_main, F.concat(F.substring(ci, 1, 4), F.substring(sq, 5, 100)))
+        .otherwise(sq)
+        .alias("type_final"),
+        F.when(sq.isNull() | ci.isNull(), "single_source")
+        .when(same_main, "subtype_refined")
+        .otherwise("square_override")
+        .alias("resolution"),
+    )

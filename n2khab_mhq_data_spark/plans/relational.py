@@ -834,3 +834,42 @@ def u3_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = c.exceptAll(o.distinct()).withColumn("op", F.lit("except"))
     ix = c.intersectAll(o.distinct()).withColumn("op", F.lit("intersect"))
     return ex.unionByName(ix).select("op", "custkey")
+
+
+@query(
+    "skew_salted_agg",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(max(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation on a LOW-cardinality (hence maximally
+    skewed) key: l_returnflag x l_linestatus has ~4 groups, so a plain
+    groupBy lands all 600k rows on 4 reducers. The salt spreads stage 1
+    over 16x more tasks; stage 2 merges 16 partials per group. Result is
+    identical to the plain GROUP BY — which is exactly what the oracle
+    checks."""
+    from n2khab_mhq_data_spark.operators.skew import salted_agg
+
+    li = load(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li.select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "sum_qty": (F.sum("l_quantity"), F.sum("sum_qty")),
+            "max_price": (F.max("l_extendedprice"), F.max("max_price")),
+        },
+        buckets=16,
+    )
+    return out.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    )

@@ -46,3 +46,43 @@ def test_merge_stream_two_batches(spark, tmp_path):
         (2, "view", 11, 2.0),
         (3, "click", 7, 3.0),
     }
+
+
+def test_running_totals_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches."""
+    from n2khab_mhq_data_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "sin"
+    ckpt = tmp_path / "sckpt"
+    out = tmp_path / "sout"
+    src.mkdir()
+    schema = "user_id long, ts long, value double"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            running_totals(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, 10, 1.0), (1, 11, 2.0), (2, 10, 5.0)])
+    run_batch([(1, 20, 4.0)])
+
+    rows = spark.read.parquet(str(out)).collect()
+    # latest emission per user reflects accumulated state
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.last_ts > latest[r.user_id].last_ts:
+            latest[r.user_id] = r
+    assert latest[1].n_events == 3 and latest[1].value_sum == 7.0
+    assert latest[1].last_ts == 20
+    assert latest[2].n_events == 1 and latest[2].value_sum == 5.0
