@@ -120,6 +120,27 @@ def write_vc(
     return meta
 
 
+def write_published(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Partitioned parquet store for published tables — the 100 TB layout.
+
+    The reference's published tables are keyed by lineage dimensions
+    (``db``, ``mon_cycle``, survey; SURVEY.md §4 'partition pruning'):
+    writing them hive-partitioned means any downstream filter on those
+    columns prunes whole directories at plan time (PartitionFilters in the
+    scan) instead of reading 100 TB to discard 99%. Within each partition,
+    rows are sorted by ``sort_keys`` so parquet min/max row-group stats
+    also prune within files."""
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if sort_keys:
+        out = out.sortWithinPartitions(*partition_by, *sort_keys)
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+
+
 def write_csv2(df: DataFrame, path: str, sorting: list[str] | None = None):
     """S9 — write_csv2 (';' separator) CSV extract sink
     (HT31xx_LSVI.Rmd:320-332)."""

@@ -37,3 +37,47 @@ def test_parse_measurement_cases(spark):
     assert out["1.234,5"] == (1234.5, False, False, True)  # group dots
     assert out["-3,5"] == (-3.5, False, False, True)
     assert out[None] == (None, False, False, False)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def rendered_measurement(draw):
+    """A locale-rendered numeric string + its expected parse."""
+    value = draw(
+        st.decimals(
+            min_value=-99999, max_value=99999, places=draw(st.integers(0, 4)),
+            allow_nan=False, allow_infinity=False,
+        )
+    )
+    text = str(value).replace(".", ",")
+    marker = draw(st.sampled_from(["", "<", ">"]))
+    suffix = draw(st.sampled_from(["", "m²", "g", "cm"]))
+    # unit suffixes only attach to positive plain numbers in the source data
+    if value < 0:
+        suffix = ""
+    return (
+        f"{marker}{text}{suffix}",
+        float(value),
+        marker == "<",
+        marker == ">",
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(rendered_measurement(), min_size=1, max_size=40))
+def test_parse_measurement_roundtrip(spark, cases):
+    df = spark.createDataFrame([(c[0],) for c in cases], "raw string")
+    p = parse_measurement(F.col("raw"))
+    got = df.select(
+        "raw",
+        p["value_numeric"].alias("v"),
+        p["is_below_LOQ"].alias("below"),
+        p["is_above_LOQ"].alias("above"),
+    ).collect()
+    expected = {c[0]: c[1:] for c in cases}
+    for r in got:
+        v, below, above = expected[r.raw]
+        assert r.v is not None and abs(r.v - v) < 1e-9, (r.raw, r.v, v)
+        assert (r.below, r.above) == (below, above), r.raw

@@ -74,3 +74,34 @@ def test_read_csv2_locale(spark, tmp_path):
     )
     out = read_csv2(spark, str(p), schema).collect()
     assert {(r.id, r.val, r.name) for r in out} == {(1, 1.5, "x"), (2, 2.25, "y")}
+
+
+def test_write_published_partition_pruning(spark, tmp_path):
+    """The partitioned store must let Catalyst prune partitions at plan
+    time — asserted on the scan's PartitionFilters, not just the result."""
+    from n2khab_mhq_data_spark.sources.sink import write_published
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c"), (4, 2, "d")],
+        "plot_id int, mon_cycle int, v string",
+    )
+    path = str(tmp_path / "pub")
+    write_published(df, path, ["mon_cycle"], ["plot_id"])
+
+    back = spark.read.parquet(path).filter(F.col("mon_cycle") == 2)
+    assert {r.plot_id for r in back.collect()} == {3, 4}
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # the pruning predicate must reach the scan node
+    assert any(
+        "mon_cycle" in line
+        for line in plan.splitlines()
+        if "PartitionFilters" in line
+    )
