@@ -119,6 +119,109 @@ def ann_buckets(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF coarse quantizer: the first ``n_centroids`` corpus vectors — the
+    deterministic stand-in for a k-means pass (the assignment/probe
+    machinery is identical either way, and determinism keeps the operator
+    oracle-checkable)."""
+    return corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF index build: assign every vector to its nearest centroid
+    (argmax cosine; ties to the lowest centroid id). Centroids broadcast;
+    the corpus is scanned once and never shuffled — the n x K score matrix
+    is map-side."""
+    cent = centroids
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnrm"),
+    )
+    scored = c.join(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        (
+            dot(F.col("vec"), F.col("cvec"))
+            / (F.col("vnrm") * F.col("cnrm"))
+        ).alias("cos"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF search (nprobe=1): route each query to its nearest centroid's
+    inverted list, exact-cosine rerank within that list only. Both sides
+    are assigned against the SAME corpus-derived centroids. Corpus-side
+    work is one assignment pass + one partition-local rerank of ~n/K
+    candidates per query — the coarse-quantizer alternative to the
+    hyperplane-LSH path (ann_topk_bucketed)."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    c_assign = ivf_assign(corpus, cent, id_col, vec_col).withColumnRenamed(
+        "vec_id", "aid"
+    )
+    corpus_lists = corpus.join(
+        c_assign, corpus[id_col] == F.col("aid")
+    ).select(
+        F.col("aid").alias("neighbour_id"),
+        F.col(vec_col).alias("cvec"),
+        "cent_id",
+    )
+    q_assign = ivf_assign(queries, cent, id_col, vec_col).withColumnRenamed(
+        "vec_id", "qid"
+    )
+    q = queries.join(q_assign, queries[id_col] == F.col("qid")).select(
+        F.col("qid").alias("query_id"), F.col(vec_col).alias("qvec"), "cent_id"
+    )
+    j = corpus_lists.join(F.broadcast(q), on="cent_id").filter(
+        F.col("neighbour_id") != F.col("query_id")
+    )
+    scored = j.select(
+        "query_id",
+        "neighbour_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbour_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbour_id",
+            "rank",
+            F.round(F.col("cos") + F.signum("cos") * 1e-9, 6).alias("cosine"),
+        )
+    )
+
+
 def cosine_pairs_bucketed(
     corpus: DataFrame,
     id_col: str = "vec_id",

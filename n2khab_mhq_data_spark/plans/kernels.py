@@ -842,3 +842,39 @@ def k2_square_override(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("square_override")
         .alias("resolution"),
     )
+
+
+@query(
+    "k7_lsvi_crosstab",
+    oracle=_LSVI_MEASUREMENTS_SQL.format(rules=_LSVI_RULES_SQL)
+    + """
+    SELECT plot_id, habitat_type,
+           bool_and(CASE WHEN voorwaarde = 'sum_qty'
+                         THEN status_voorwaarde END) AS sum_qty_ok,
+           bool_and(CASE WHEN voorwaarde = 'n_items'
+                         THEN status_voorwaarde END) AS n_items_ok,
+           bool_and(CASE WHEN voorwaarde = 'avg_disc'
+                         THEN status_voorwaarde END) AS avg_disc_ok
+    FROM detail GROUP BY 1, 2
+    """,
+)
+def k7_lsvi_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7's published cross-tab (HT31xx_LSVI.Rmd:249-253: spread of
+    voorwaarde x status) — the R2 pivot applied to the rule-engine detail.
+    The pivot uses an EXPLICIT voorwaarde list: data-dependent pivot
+    schemas need a driver-side distinct scan, which is a full pass at
+    100 TB; rule vocabularies are versioned dimensions, so the column set
+    is known at plan time."""
+    detail = _lsvi_levels(spark, sf_dir)["lsvi_detail"]
+    piv = (
+        detail.groupBy("plot_id", "habitat_type")
+        .pivot("voorwaarde", ["sum_qty", "n_items", "avg_disc"])
+        .agg(F.bool_and("status_voorwaarde"))
+    )
+    return piv.select(
+        "plot_id",
+        "habitat_type",
+        F.col("sum_qty").alias("sum_qty_ok"),
+        F.col("n_items").alias("n_items_ok"),
+        F.col("avg_disc").alias("avg_disc_ok"),
+    )

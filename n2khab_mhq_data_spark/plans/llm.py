@@ -32,6 +32,7 @@ from n2khab_mhq_data_spark.llmdata.similarity import (
     ann_topk_bucketed,
     cosine_pairs_bucketed,
     cosine_topk,
+    ivf_topk,
 )
 from n2khab_mhq_data_spark.llmdata.text import (
     fingerprint,
@@ -465,3 +466,61 @@ def multimodal_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked."""
     docs = load(spark, sf_dir, "documents")
     return extract_frame_meta(with_binary_payload(docs), fake=True)
+
+
+_IVF_ASSIGN_SQL = f"""
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings
+      WHERE vec_id < 8
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY (list_sum(list_transform(range(1, 65),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(c.cvec[i] AS DOUBLE)))
+                   / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(e.embedding[i] AS DOUBLE)
+                             * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(c.cvec[i] AS DOUBLE)
+                             * CAST(c.cvec[i] AS DOUBLE)))))) DESC,
+                   c.cent_id) AS rn
+        FROM embeddings e, cent c
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_SQL},
+    scored AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbour_id, {_COS_AB} AS cos
+      FROM assign qa
+      JOIN assign ca ON qa.cent_id = ca.cent_id AND ca.vec_id != qa.vec_id
+      JOIN embeddings a ON a.vec_id = qa.vec_id
+      JOIN embeddings b ON b.vec_id = ca.vec_id
+      WHERE qa.vec_id < 3
+    )
+    SELECT query_id, neighbour_id, rank,
+           round(cos + sign(cos) * 1e-9, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbour_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search (nprobe=1, 8 deterministic centroids): queries route
+    to their nearest centroid's inverted list, exact-cosine rerank inside
+    the list only — the coarse-quantizer scale path next to hyperplane LSH
+    (ann_lsh_topk) and brute force (sim_cosine_topk)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=10, n_centroids=8,
+    )

@@ -64,6 +64,13 @@ EXPECTED: dict[str, set[str]] = {
     # query set against one partition-local corpus scan — the quadratic
     # side is bounded by len(queries), which is the operator's contract
     "sim_cosine_topk": {"CARTESIAN"},
+    # circle (x) square observation merge is a full outer join of two
+    # large fact sides — SortMergeJoin is the correct strategy (see
+    # j4_full_outer)
+    "k2_square_override": {"SMJ"},
+    # IVF assignment scores every vector against K=8 broadcast centroids:
+    # a deliberate n x K map-side cross join, bounded by n_centroids
+    "ann_ivf_topk": {"CARTESIAN"},
 }
 
 
