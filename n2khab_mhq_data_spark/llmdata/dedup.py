@@ -159,6 +159,54 @@ def minhash_dedup_pairs(
     )
 
 
+def simhash_pairs(
+    sig: DataFrame,
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash signatures.
+
+    Band the ``bits``-bit signature into ``bands`` equal slices; docs whose
+    signatures agree on ANY band become candidates (pigeonhole: a pair at
+    hamming < bands always collides on some band — with 2 bands, hamming-1
+    pairs are guaranteed, hamming 2..max may be missed, the standard
+    recall/cost dial); candidates are then verified with the exact hamming
+    distance. The pair space is bounded by band-bucket collisions, never
+    all-pairs."""
+    r = bits // bands
+    mask = (1 << r) - 1
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * r).bitwiseAND(mask).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    buckets = sig.select(
+        "doc", "simhash", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    ).cast("int")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(
+            F.col("x.doc").alias("d1"),
+            F.col("y.doc").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def _char_hash(tok: Column) -> Column:
     """Portable polynomial char hash (h = h*31 + code mod p): identical
     arithmetic is expressible in any SQL engine, unlike xxhash64 — used by

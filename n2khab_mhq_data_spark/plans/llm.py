@@ -524,3 +524,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
         k=10, n_centroids=8,
     )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH sigs AS (SELECT * FROM ("""
+    + _simhash_oracle()
+    + """
+    ) _s), b AS (
+      SELECT doc, simhash, t.band,
+             (simhash >> (t.band * 8)) & 255 AS bh
+      FROM sigs, unnest([0, 1]) AS t(band)
+    )
+    SELECT DISTINCT x.doc AS d1, y.doc AS d2,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM b x JOIN b y
+      ON x.band = y.band AND x.bh = y.bh AND x.doc < y.doc
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: band the 16-bit signatures (2 bands of 8),
+    join within band buckets only, verify exact hamming <= 3. Completes the
+    simhash tier from signature to candidate pairs."""
+    from n2khab_mhq_data_spark.llmdata.dedup import simhash_pairs
+
+    sig = simhash(load(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
+    return simhash_pairs(sig, bits=16, bands=2, max_hamming=3)
