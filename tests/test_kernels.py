@@ -1,0 +1,99 @@
+"""Hand-computed fixture tests for the domain kernels (SURVEY.md §5 test
+plan item 4): LSVI rule engine, volume tariffs, cover rollup — tiny inputs
+with expectations computed by hand, independent of the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from n2khab_mhq_data_spark.kernels.cover import (
+    cover_scale_dim,
+    decode_cover,
+    layer_cover_rollup,
+)
+from n2khab_mhq_data_spark.kernels.lsvi import (
+    aggregate_levels,
+    evaluate_conditions,
+    rules_dim,
+)
+from n2khab_mhq_data_spark.kernels.tariff import compute_volume, tariff_dim
+
+
+def test_lsvi_levels_hand_computed(spark):
+    rules = rules_dim(
+        spark,
+        [
+            ("ht1", "structuur", "omvang", "area", ">=", 10.0),
+            ("ht1", "structuur", "omvang", "n", ">=", 2.0),
+            ("ht1", "kwaliteit", "verstoring", "disturb", "<", 0.3),
+        ],
+    )
+    meas = spark.createDataFrame(
+        [
+            # plot 1: area ok, n ok, disturb ok -> all favourable
+            (1, "ht1", "area", 12.0),
+            (1, "ht1", "n", 3.0),
+            (1, "ht1", "disturb", 0.1),
+            # plot 2: n fails -> structuur unfavourable, kwaliteit ok
+            (2, "ht1", "area", 15.0),
+            (2, "ht1", "n", 1.0),
+            (2, "ht1", "disturb", 0.2),
+        ],
+        "plot_id int, habitat_type string, voorwaarde string, value double",
+    )
+    levels = aggregate_levels(evaluate_conditions(meas, rules))
+
+    ind = {
+        (r.plot_id, r.indicator): r.status_indicator
+        for r in levels["lsvi_indicator"].collect()
+    }
+    assert ind[(1, "omvang")] is True and ind[(2, "omvang")] is False
+    assert ind[(1, "verstoring")] is True and ind[(2, "verstoring")] is True
+
+    glob = {
+        r.plot_id: (r.status_global, r.share_favourable)
+        for r in levels["lsvi_globaal"].collect()
+    }
+    assert glob[1] == (True, 1.0)
+    # plot 2: structuur fails, kwaliteit passes -> global False, share 0.5
+    assert glob[2][0] is False and abs(glob[2][1] - 0.5) < 1e-6
+
+
+def test_tariff_polynomials(spark):
+    params = tariff_dim(
+        spark,
+        [("g1", 1, 1.0, 2.0, 3.0, 0.0), ("g2", 3, 0.5, 0.1, 0.01, 0.0)],
+    )
+    trees = spark.createDataFrame(
+        [("g1", 2.0, None), ("g2", 3.0, 4.0)],
+        "species_group string, dbh double, height double",
+    )
+    out = {
+        r.species_group: r.vol_m3
+        for r in compute_volume(trees, params, height_col="height").collect()
+    }
+    # g1 (type 1): 1 + 2*2 + 3*4 = 17
+    assert abs(out["g1"] - 17.0) < 1e-6
+    # g2 (type 3): 0.5 + 0.1*9 + 0.01*9*4 = 1.76
+    assert abs(out["g2"] - 1.76) < 1e-6
+
+
+def test_cover_decode_and_rollup(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "braun_blanquet", "2"),   # mean 15%
+            (1, "braun_blanquet", "3"),   # mean 37.5%
+            (2, "braun_blanquet", "5"),   # mean 87.5%
+        ],
+        "plot_id int, coverscale_name string, class_id string",
+    )
+    decoded = decode_cover(df, cover_scale_dim(spark))
+    rolled = {
+        r.plot_id: r.cover_layer
+        for r in layer_cover_rollup(decoded, ["plot_id"]).collect()
+    }
+    # plot 1: 1 - (1-0.15)(1-0.375) = 0.46875 -> 46.875%
+    assert abs(rolled[1] - 46.875) < 1e-3
+    assert abs(rolled[2] - 87.5) < 1e-3
