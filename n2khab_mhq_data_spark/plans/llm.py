@@ -591,3 +591,87 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+
+
+@query(
+    "text_unigram_lm",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents), unnest(w) AS t(tok)
+    ), freq AS (
+      SELECT tok, count(*) AS n FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT sum(n) AS s FROM freq
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(f.n * 1.0 / tot.s))
+                 + sign(avg(ln(f.n * 1.0 / tot.s))) * 1e-9, 6)
+             AS mean_logprob
+    FROM tok JOIN freq f USING (tok), tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train the token distribution
+    on the corpus itself (one aggregation), then score every document by
+    its mean token log-probability — the classic in-domain fluency filter
+    for pre-training data. The vocabulary table is tiny relative to the
+    corpus at any scale, so it broadcasts; the corpus shuffles once
+    (doc_id aggregation). The whole-vocab total uses an empty-partition
+    window over the VOCAB dim only — never over corpus rows."""
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("n"))
+    freq = freq.withColumn("s", F.sum("n").over(W.partitionBy()))
+    scored = tok.join(F.broadcast(freq), "tok").select(
+        "doc_id", F.log(F.col("n") / F.col("s")).alias("logp")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.avg("logp") + F.signum(F.avg("logp")) * 1e-9, 6
+        ).alias("mean_logprob"),
+    )
+
+
+@query(
+    "dedup_ngram_capped",
+    oracle=_SHINGLES_SQL
+    + """
+    , sized AS (
+      SELECT doc, g, count(*) OVER (PARTITION BY doc) AS n FROM sh
+    ), freq AS (
+      SELECT g, count(*) AS df FROM sh GROUP BY 1
+    ), capped AS (
+      SELECT s.* FROM sized s JOIN freq USING (g) WHERE freq.df <= 20
+    ), pairs AS (
+      SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter,
+             any_value(a.n) AS n1, any_value(b.n) AS n2
+      FROM capped a JOIN capped b ON a.g = b.g AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           round(inter * 1.0 / (n1 + n2 - inter) + 1e-9, 6) AS jaccard
+    FROM pairs
+    WHERE inter * 1.0 / (n1 + n2 - inter) > 0.8
+    """,
+)
+def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB variant of exact n-gram Jaccard: grams above document
+    frequency 20 are excluded from CANDIDATE GENERATION (a gram shared by
+    m docs contributes m^2/2 join rows — the stop-gram explosion), while
+    Jaccard denominators keep the full shingle counts. The oracle applies
+    the identical cap, so the approximation itself is hash-checked."""
+    return ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.8,
+        max_doc_freq=20,
+    )

@@ -212,3 +212,50 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "value_sum",
     )
+
+
+@query(
+    "w7_session_window",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, CAST(epoch_ms(min(ts)) AS BIGINT) AS session_start_ms,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value) + 1e-9, 2) AS value_sum
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the built-in session_window (30-minute gap): the
+    streaming-capable session aggregation (works identically under
+    readStream + watermark). The oracle derives the same sessions with the
+    classic gap-and-islands window pattern — a new session starts when the
+    gap to the previous event reaches the 30-minute window, matching
+    session_window's half-open [start, last+gap) semantics."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_millis(F.col("session_window.start")).alias(
+                "session_start_ms"
+            ),
+            "n_events",
+            "value_sum",
+        )
+    )
