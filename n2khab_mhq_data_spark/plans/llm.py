@@ -675,3 +675,53 @@ def dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.8,
         max_doc_freq=20,
     )
+
+
+@query(
+    "pandas_grouped_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS grp, l_orderkey, l_linenumber, l_quantity,
+             avg(l_quantity) OVER (PARTITION BY l_returnflag) AS mu,
+             stddev_samp(l_quantity) OVER (PARTITION BY l_returnflag) AS sd
+      FROM lineitem
+    )
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           round(min((l_quantity - mu) / sd) - 1e-9, 4) AS z_min,
+           round(max((l_quantity - mu) / sd) + 1e-9, 4) AS z_max,
+           round(sum(abs((l_quantity - mu) / sd)) + 1e-9, 2) AS z_abs_sum
+    FROM s GROUP BY grp
+    """,
+)
+def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF surface (applyInPandas): per-group z-score
+    normalization — each group arrives as ONE Arrow batch, is normalized
+    with vectorized numpy/pandas, and returns a full DataFrame. The oracle
+    derives the identical z-scores with window functions; the aggregated
+    fingerprint (min/max/abs-sum per group) hash-checks the whole
+    grouped-Arrow path. Scale note: a group must fit in one executor's
+    memory — use it for per-entity groups, never for low-cardinality keys
+    (this demo's 3-letter key is deliberately the stress shape)."""
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l_quantity"].mean()
+        sd = pdf["l_quantity"].std(ddof=1)
+        out = pd.DataFrame(
+            {
+                "grp": pdf["l_returnflag"],
+                "z": (pdf["l_quantity"] - mu) / sd,
+            }
+        )
+        return out
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    z = li.groupBy("l_returnflag").applyInPandas(zscore, "grp string, z double")
+    return z.groupBy("grp").agg(
+        F.count("*").alias("n"),
+        (F.round(F.min("z") - F.lit(1e-9), 4)).alias("z_min"),
+        (F.round(F.max("z") + F.lit(1e-9), 4)).alias("z_max"),
+        (F.round(F.sum(F.abs(F.col("z"))) + F.lit(1e-9), 2)).alias("z_abs_sum"),
+    )
