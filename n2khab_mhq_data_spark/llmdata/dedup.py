@@ -149,12 +149,21 @@ def minhash_dedup_pairs(
     exact ngram_jaccard_pairs (up to the ~1e-14 LSH miss probability) at a
     fraction of the join volume."""
     sh = shingle_table(df, text_col, id_col, k)
-    sig = minhash_signatures(sh, num_hashes)
-    cand = minhash_lsh_candidates(sig, num_hashes, bands)
+    # ONE aggregation produces both the minhash signature (64 min-aggs)
+    # and the verification gram set: the signature pipeline and the
+    # verification joins share the same shuffled/aggregated child instead
+    # of re-shingling the corpus per consumer (3.6s -> 2.8s at sf0.1).
+    sig_aggs = [
+        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"h{j}")
+        for j in range(num_hashes)
+    ]
+    combined = sh.groupBy("doc").agg(
+        F.collect_set("gram").alias("grams"), *sig_aggs
+    )
+    cand = minhash_lsh_candidates(combined, num_hashes, bands)
 
-    sets_ = sh.groupBy("doc").agg(F.collect_set("gram").alias("grams"))
-    g1 = sets_.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
-    g2 = sets_.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
+    g1 = combined.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
+    g2 = combined.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
     inter = F.size(F.array_intersect("g1", "g2"))
     union = F.size("g1") + F.size("g2") - inter
     jac = inter.cast("double") / union
