@@ -24,9 +24,9 @@ from n2khab_mhq_data_spark.llmdata.dedup import (
 )
 from n2khab_mhq_data_spark.llmdata.multimodal import (
     extract_frame_meta,
+    sample_frames,
     with_binary_payload,
 )
-from n2khab_mhq_data_spark.llmdata.multimodal import sample_frames
 from n2khab_mhq_data_spark.llmdata.similarity import (
     ann_buckets,
     ann_topk_bucketed,
