@@ -873,3 +873,110 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_qty", 2).alias("sum_qty"),
         F.round("max_price", 2).alias("max_price"),
     )
+
+
+@query(
+    "a11_percentile_corr",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_quantity, 0.5) + 1e-9, 6) AS p50_qty,
+           round(quantile_cont(l_quantity, 0.9) + 1e-9, 6) AS p90_qty,
+           round(corr(l_quantity, l_extendedprice)
+                 + sign(corr(l_quantity, l_extendedprice)) * 1e-9, 6)
+             AS qty_price_corr,
+           round(stddev_samp(l_discount) + 1e-9, 6) AS disc_sd
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a11_percentile_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates beyond the reference's surface: EXACT linear-
+    interpolated percentiles (matching quantile_cont semantics — not the
+    sketch-based approx_percentile, which could never hash-match an
+    oracle), Pearson correlation, sample stddev. Exact percentile sorts
+    within groups; at 100 TB switch to approx_percentile and drop the
+    oracle to a tolerance check — the trade-off is the operator's dial."""
+    li = load(spark, sf_dir, "lineitem")
+    corr = F.corr("l_quantity", "l_extendedprice")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            F.round(
+                F.expr("percentile(l_quantity, 0.5)") + F.lit(1e-9), 6
+            ).alias("p50_qty"),
+            F.round(
+                F.expr("percentile(l_quantity, 0.9)") + F.lit(1e-9), 6
+            ).alias("p90_qty"),
+            F.round(corr + F.signum(corr) * 1e-9, 6).alias("qty_price_corr"),
+            F.round(F.stddev_samp("l_discount") + F.lit(1e-9), 6).alias(
+                "disc_sd"
+            ),
+        )
+    )
+
+
+@query(
+    "a12_rollup",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP grouping sets (beyond the reference's
+    surface — free in both engines): detail rows + per-flag subtotals + the
+    grand total in ONE aggregation pass (partial aggregation replicates
+    per grouping set; no self-union of three scans)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "w8_rank_family",
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk,
+           CAST(quartile AS INTEGER) AS quartile
+    FROM r WHERE rnk <= 5
+    """,
+)
+def w8_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking windows beyond the reference's row_number-only usage: rank /
+    dense_rank / ntile over a TOTAL order (price desc, unique key tiebreak
+    — ntile assignment is only deterministic under a total order)."""
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )

@@ -259,3 +259,35 @@ def w7_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@query(
+    "w9_lead_lag_gaps",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+             lag(CAST(o_orderdate AS DATE)) OVER w AS prev_d,
+             lead(CAST(o_orderdate AS DATE)) OVER w AS next_d
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           CAST(d - prev_d AS INTEGER) AS days_since_prev,
+           CAST(next_d - d AS INTEGER) AS days_until_next
+    FROM o
+    """,
+)
+def w9_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag offset windows (beyond the reference's whole-partition
+    windows): per-customer day gaps between consecutive orders under a
+    total order — the repeat-visit cadence shape every monitoring series
+    needs."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
+        F.datediff(F.lead(d).over(w), d).alias("days_until_next"),
+    )
