@@ -980,3 +980,85 @@ def w8_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= 5)
     )
+
+
+@query(
+    "f5_array_functions",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(CAST(embedding[1] AS DOUBLE)
+                 + sign(CAST(embedding[1] AS DOUBLE)) * 1e-9, 6) AS first_val,
+           round(list_max(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE))) + 1e-9, 6)
+             AS max_val,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER)
+             AS n_positive,
+           round(list_sum(list_transform(embedding[1:8],
+                                         x -> CAST(x AS DOUBLE)))
+                 + sign(list_sum(list_transform(embedding[1:8],
+                       x -> CAST(x AS DOUBLE)))) * 1e-9, 6) AS head_sum
+    FROM embeddings
+    """,
+)
+def f5_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions (absent from the reference, free in Spark —
+    SURVEY §2.8): size, element access, array_max, filter, slice +
+    aggregate. All JVM higher-order functions on an attribute — one
+    projection, no explode, no shuffle."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    as_d = F.transform(e, lambda x: x.cast("double"))
+    head_sum = F.aggregate(
+        F.slice(as_d, 1, 8), F.lit(0.0), lambda acc, x: acc + x
+    )
+    first = F.element_at(e, 1).cast("double")
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        F.round(first + F.signum(first) * 1e-9, 6).alias("first_val"),
+        F.round(F.array_max(as_d) + F.lit(1e-9), 6).alias("max_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.round(head_sum + F.signum(head_sum) * 1e-9, 6).alias("head_sum"),
+    )
+
+
+@query(
+    "f6_json_functions",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey,
+             '{"status":"' || o_orderstatus || '","price":'
+               || CAST(round(o_totalprice, 2) AS VARCHAR)
+               || ',"priority":"' || o_orderpriority || '"}' AS payload
+      FROM orders
+    )
+    SELECT o_orderkey AS orderkey,
+           json_extract_string(payload, '$.status') AS status,
+           CAST(json_extract(payload, '$.price') AS DOUBLE) AS price,
+           json_extract_string(payload, '$.priority') AS priority
+    FROM j
+    """,
+)
+def f6_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (absent from the reference, free in Spark):
+    build a deterministic JSON payload, extract typed fields back with
+    get_json_object — the semi-structured column pattern. Comparison is on
+    the EXTRACTED values (raw JSON text is engine-formatting-dependent)."""
+    o = load(spark, sf_dir, "orders")
+    payload = F.concat(
+        F.lit('{"status":"'),
+        F.col("o_orderstatus"),
+        F.lit('","price":'),
+        F.round(F.col("o_totalprice"), 2).cast("string"),
+        F.lit(',"priority":"'),
+        F.col("o_orderpriority"),
+        F.lit('"}'),
+    )
+    j = o.select(F.col("o_orderkey").alias("orderkey"), payload.alias("payload"))
+    return j.select(
+        "orderkey",
+        F.get_json_object("payload", "$.status").alias("status"),
+        F.get_json_object("payload", "$.price").cast("double").alias("price"),
+        F.get_json_object("payload", "$.priority").alias("priority"),
+    )

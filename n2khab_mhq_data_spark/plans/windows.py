@@ -291,3 +291,47 @@ def w9_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(d, F.lag(d).over(w)).alias("days_since_prev"),
         F.datediff(F.lead(d).over(w), d).alias("days_until_next"),
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT user_id, CAST(g.d AS DATE) AS day
+      FROM spans, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS g(d)
+    )
+    SELECT g.user_id, g.day, coalesce(daily.n, 0) AS n
+    FROM grid g LEFT JOIN daily
+      ON g.user_id = daily.user_id AND g.day = daily.day
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: per-user daily event counts with missing
+    days zero-filled over each user's observed span — the resample/fill
+    shape every monitoring series needs (a per-entity date scaffold, NOT a
+    global calendar join). sequence() + explode generates each user's grid
+    from its own min/max — grid size is bounded by the span, and the
+    left join back to counts shuffles on the same (user, day) key."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select("user_id", F.col("ts").cast("date").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
