@@ -86,3 +86,49 @@ def test_running_totals_state_across_batches(spark, tmp_path):
     assert latest[1].n_events == 3 and latest[1].value_sum == 7.0
     assert latest[1].last_ts == 20
     assert latest[2].n_events == 1 and latest[2].value_sum == 5.0
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    """windowed_event_counts must produce the same result through a real
+    readStream (file source, availableNow) as in batch mode."""
+    from n2khab_mhq_data_spark.streaming.incremental import (
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "win"
+    ckpt = tmp_path / "wckpt"
+    src.mkdir()
+    schema = "ts timestamp, event_type string, value double"
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:20:00", "click", 2.0),
+        ("2024-01-01 10:40:00", "view", 3.0),
+        ("2024-01-01 11:10:00", "click", 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, value double")
+    df.selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    batch = {
+        (str(r.window_start), r.event_type): (r.n, r.value_sum)
+        for r in windowed_event_counts(spark.read.parquet(str(src))).collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (str(r.window_start), r.event_type): (r.n, r.value_sum)
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    assert streamed == batch
+    assert batch[("2024-01-01 10:00:00", "click")] == (2, 3.0)
