@@ -1,0 +1,85 @@
+"""Null-semantics policy tests (SURVEY.md §7.4.3 hard part: R NA vs Spark
+null). These pin the engine's contract so every kernel can rely on it:
+
+- WHERE/filter drops null-predicate rows (matches R dplyr::filter AND SQL).
+- Aggregates skip nulls (matches R na.rm=TRUE).
+- min/max of an all-null group is null — NOT R's Inf-with-warning
+  (HT31xx_LSVI.Rmd:232-239); kernels needing the R behavior must coalesce
+  explicitly.
+- bool_and skips nulls; a group of only nulls yields null (strict kernels
+  must guard, see kernels/lsvi.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _t(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 1.0, True),
+            (1, None, 2.0, None),
+            (2, "b", None, False),
+            (3, None, None, None),
+        ],
+        "grp int, s string, v double, b boolean",
+    )
+
+
+def test_filter_drops_null_predicate_rows(spark):
+    # R: filter(s != "a") drops NA rows; SQL WHERE likewise
+    out = _t(spark).filter(F.col("s") != "a").collect()
+    assert [r.grp for r in out] == [2]
+
+
+def test_aggregates_skip_nulls_like_na_rm(spark):
+    r = (
+        _t(spark)
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n_nonnull"),
+            F.count("*").alias("n_rows"),
+            F.avg("v").alias("m"),
+        )
+        .collect()[0]
+    )
+    assert r.s == 3.0 and r.n_nonnull == 2 and r.n_rows == 4
+    assert abs(r.m - 1.5) < 1e-9  # mean over non-null only
+
+
+def test_min_of_all_null_group_is_null_not_inf(spark):
+    out = {
+        r.grp: r.mn
+        for r in _t(spark).groupBy("grp").agg(F.min("v").alias("mn")).collect()
+    }
+    assert out[1] == 1.0
+    assert out[2] is None  # v null for grp 2's only row
+    assert out[3] is None  # R would give Inf + warning; our policy: null
+
+
+def test_bool_and_null_policy(spark):
+    out = {
+        r.grp: r.ba
+        for r in _t(spark)
+        .groupBy("grp")
+        .agg(F.bool_and("b").alias("ba"))
+        .collect()
+    }
+    assert out[1] is True    # null skipped, remaining True
+    assert out[2] is False
+    assert out[3] is None    # only nulls -> null (strict kernels must guard)
+
+
+def test_na_fill_idioms(spark):
+    # ifelse(is.na(x), y, x) == coalesce; ifelse(x=="", NA, x) == nullif
+    out = (
+        _t(spark)
+        .select(
+            F.coalesce(F.col("s"), F.lit("missing")).alias("filled"),
+            F.nullif(F.lit(""), F.lit("")).alias("blanked"),
+        )
+        .collect()
+    )
+    assert [r.filled for r in out] == ["a", "missing", "b", "missing"]
+    assert all(r.blanked is None for r in out)
