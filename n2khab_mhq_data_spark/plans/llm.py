@@ -725,3 +725,112 @@ def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.max("z") + F.lit(1e-9), 4)).alias("z_max"),
         (F.round(F.sum(F.abs(F.col("z"))) + F.lit(1e-9), 2)).alias("z_abs_sum"),
     )
+
+
+@query(
+    "dedup_canonicalize",
+    oracle=_JACCARD_SQL.replace(
+        "SELECT d1, d2,",
+        "SELECT d1, d2, NULL AS _ignore,",
+    )
+    .replace(
+        """    SELECT d1, d2, NULL AS _ignore,
+           round(inter * 1.0 / (s1.n + s2.n - inter) + 1e-9, 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
+    """,
+        """, near AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+      WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
+    ), edges AS (
+      SELECT d1 AS doc, d2 AS nb FROM near
+      UNION ALL SELECT d2, d1 FROM near
+      UNION ALL SELECT DISTINCT d1, d1 FROM near
+      UNION ALL SELECT DISTINCT d2, d2 FROM near
+    )
+    SELECT doc, min(nb) AS canonical_id FROM edges GROUP BY doc
+    """,
+    ),
+)
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document assignment over the near-dup pair graph:
+    canonical = min doc id among {self} + neighbours (one star-contraction
+    round — exact for the clique-shaped components near-dup groups form;
+    general components need the round iterated to fixpoint, each round one
+    join + groupBy). Only docs appearing in some near-dup pair are listed;
+    all other docs are trivially their own canonical."""
+    docs = load(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    edges = (
+        near.select(F.col("d1").alias("doc"), F.col("d2").alias("nb"))
+        .unionAll(near.select(F.col("d2").alias("doc"), F.col("d1").alias("nb")))
+        .unionAll(
+            near.select(F.col("d1").alias("doc"), F.col("d1").alias("nb")).distinct()
+        )
+        .unionAll(
+            near.select(F.col("d2").alias("doc"), F.col("d2").alias("nb")).distinct()
+        )
+    )
+    return edges.groupBy("doc").agg(F.min("nb").alias("canonical_id"))
+
+
+_LSH_TOPK_SQL = f"""
+    WITH bkt AS (SELECT * FROM {_bucket_cte(4)}),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbour_id,
+             {_COS_AB} AS cos
+      FROM bkt a JOIN bkt b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+      WHERE a.vec_id < 3
+    )
+    SELECT query_id, neighbour_id
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbour_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+"""
+
+
+@query(
+    "ann_recall_at_10",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, neighbour_id FROM ({_COSINE_SQL}) e
+    ), lsh AS (
+      SELECT * FROM ({_LSH_TOPK_SQL}) l
+    )
+    SELECT e.query_id,
+           CAST(count(l.neighbour_id) AS BIGINT) AS hits,
+           round(count(l.neighbour_id) / 10.0 + 1e-9, 3) AS recall_at_10
+    FROM exact e
+    LEFT JOIN lsh l
+      ON e.query_id = l.query_id AND e.neighbour_id = l.neighbour_id
+    GROUP BY 1
+    """,
+)
+def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the bucketed ANN path against the exact brute-force
+    top-10, per query — the approximate index's quality measured as a
+    first-class query (run it after any re-bucketing to quantify the
+    recall/cost dial). Both sides are the engine's own operators; the
+    oracle recomputes both in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbour_id"
+    )
+    lsh = ann_topk_bucketed(
+        emb, queries_df, "vec_id", "embedding", k=10, planes=4
+    ).select(F.col("query_id").alias("lq"), F.col("neighbour_id").alias("ln"))
+    j = exact.join(
+        lsh,
+        (F.col("query_id") == F.col("lq"))
+        & (F.col("neighbour_id") == F.col("ln")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("ln").alias("hits"),
+        F.round(F.count("ln") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
+    )

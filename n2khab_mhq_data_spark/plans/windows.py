@@ -335,3 +335,49 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(daily, ["user_id", "day"], "left").select(
         "user_id", "day", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH stage AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purch
+      FROM events GROUP BY 1
+    )
+    SELECT user_id,
+           t_view IS NOT NULL AS saw_view,
+           coalesce(t_view IS NOT NULL AND t_click > t_view, FALSE)
+             AS clicked_after_view,
+           coalesce(t_view IS NOT NULL AND t_click > t_view
+                    AND t_purch > t_click, FALSE) AS purchased_after_click
+    FROM stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): first
+    occurrence per stage via conditional min, ordering checks between
+    stages. One aggregation pass over the event stream — no self-joins,
+    no per-user sorting; null comparisons make missing stages fail the
+    ordering predicate exactly as in SQL."""
+    e = load(spark, sf_dir, "events")
+    stage = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purch"
+        ),
+    )
+    saw_view = F.col("t_view").isNotNull()
+    clicked = saw_view & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purch") > F.col("t_click"))
+    return stage.select(
+        "user_id",
+        saw_view.alias("saw_view"),
+        F.coalesce(clicked, F.lit(False)).alias("clicked_after_view"),
+        F.coalesce(purchased, F.lit(False)).alias("purchased_after_click"),
+    )
