@@ -141,11 +141,13 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF index build: assign every vector to its nearest centroid
-    (argmax cosine; ties to the lowest centroid id). Centroids broadcast;
-    the corpus is scanned once and never shuffled — the n x K score matrix
-    is map-side."""
+    """IVF assignment: each vector's ``nprobe`` nearest centroids
+    (cosine-ranked; ties to the lowest centroid id). nprobe=1 is the index
+    build (every vector in exactly one inverted list); nprobe>1 is the
+    multi-probe query-side routing. Centroids broadcast; the corpus is
+    scanned once and never shuffled — the n x K score matrix is map-side."""
     cent = centroids
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
@@ -163,7 +165,7 @@ def ivf_assign(
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("vec_id", "cent_id")
     )
 
@@ -175,13 +177,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 10,
     n_centroids: int = 8,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search (nprobe=1): route each query to its nearest centroid's
-    inverted list, exact-cosine rerank within that list only. Both sides
-    are assigned against the SAME corpus-derived centroids. Corpus-side
-    work is one assignment pass + one partition-local rerank of ~n/K
-    candidates per query — the coarse-quantizer alternative to the
-    hyperplane-LSH path (ann_topk_bucketed)."""
+    """IVF search: route each query to its ``nprobe`` nearest centroids'
+    inverted lists, exact-cosine rerank within those lists only. Both sides
+    are assigned against the SAME corpus-derived centroids; the index side
+    is always nprobe=1, so each corpus vector lives in exactly one list and
+    multi-probe candidates need no dedup. Corpus-side work is one
+    assignment pass + one partition-local rerank of ~nprobe*n/K candidates
+    per query — nprobe is the recall/cost dial of the coarse-quantizer path
+    (vs planes for hyperplane LSH, ann_topk_bucketed)."""
     cent = ivf_centroids(corpus, id_col, vec_col, n_centroids)
     c_assign = ivf_assign(corpus, cent, id_col, vec_col).withColumnRenamed(
         "vec_id", "aid"
@@ -193,9 +198,9 @@ def ivf_topk(
         F.col(vec_col).alias("cvec"),
         "cent_id",
     )
-    q_assign = ivf_assign(queries, cent, id_col, vec_col).withColumnRenamed(
-        "vec_id", "qid"
-    )
+    q_assign = ivf_assign(
+        queries, cent, id_col, vec_col, nprobe=nprobe
+    ).withColumnRenamed("vec_id", "qid")
     q = queries.join(q_assign, queries[id_col] == F.col("qid")).select(
         F.col("qid").alias("query_id"), F.col(vec_col).alias("qvec"), "cent_id"
     )

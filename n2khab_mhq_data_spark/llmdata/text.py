@@ -1,6 +1,8 @@
 """Text-analysis building blocks: tokenization, shingling, language ID,
 quality scoring, fingerprinting. Pure Column expressions (JVM-side,
-whole-stage codegen) — no Python in the hot path."""
+whole-stage codegen) except ``winnow_fingerprints``, whose rolling-hash
+kernel is a vectorized-numpy ``mapInPandas`` (see its docstring for the
+measured Column-shape comparisons)."""
 
 from __future__ import annotations
 
@@ -74,43 +76,71 @@ def winnow_fingerprints(
     window's minimum — the guaranteed-coverage subset of rolling hashes
     used for plagiarism/near-dup detection.
 
-    Spark shape: char codes explode to (doc, pos, code) rows ONCE; the
-    k-gram hash is assembled from window ``lead``s over the SAME doc
-    partition the winnow minimum then reuses — one shuffle total, all
-    whole-stage codegen, no nested higher-order-function recompute (a
-    naive transform-of-transforms measured 9.5s at sf0.1; this runs ~3s).
-    The mod is applied once at the end: mod is a ring homomorphism for
-    + and *, and 7*31^k + sum(code*31^j) < 2^63, so the residue equals the
-    oracle's per-step fold. Returns distinct (doc, fingerprint) rows."""
-    from pyspark.sql.window import Window as _W
+    Spark shape: a vectorized numpy kernel over ``mapInPandas`` — NO
+    SHUFFLE: a document never leaves its input partition, so the operator
+    is embarrassingly parallel at 100 TB. This is the deliberate
+    pandas-UDF exception to the pure-Column rule in this module: a per-doc
+    rolling hash + sliding-window min is k+w dependent array passes, and
+    every pure-Column shape measured worse at sf0.1 — naive
+    transform-of-transforms 9.5s (O(k·n) lambda re-inlining), explode +
+    lead/window ~3s (chars-as-rows plus two window shuffles), aligned
+    slice/zip_with arrays ~38s cold (CollapseProject re-inlines the
+    per-char ascii() producer into every slice and the generated code is
+    too large to JIT). The numpy form is <0.5s and O(n) per doc.
+    Semantics match the oracle's per-step fold exactly: mod is a ring
+    homomorphism for + and *, and 7*31^k + sum(code*31^j) < 2^63, so
+    applying the residue once per gram is equal. Docs shorter than k chars
+    hash one gram padded with code-0 chars (the oracle's
+    ascii(substr-past-end) = 0). Returns distinct (doc, fingerprint)
+    rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    text = F.col(text_col)
-    codes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text), F.lit(1))),
-        lambda i: F.ascii(text.substr(i, F.lit(1))),
+    out_schema = StructType(
+        [
+            StructField("doc", df.schema[id_col].dataType, True),
+            StructField("fingerprint", LongType(), True),
+        ]
     )
-    g = df.select(
-        F.col(id_col).alias("doc"),
-        F.posexplode(codes).alias("pos", "c"),
-    )
-    order = _W.partitionBy("doc").orderBy("pos")
-    h = F.lit(7).cast("long")
-    for j in range(k):
-        nxt = F.col("c") if j == 0 else F.lead("c", j).over(order)
-        h = h * 31 + nxt
-    g = g.withColumn("h", h % 1_000_003)  # null when fewer than k chars remain
-    frame = order.rowsBetween(0, w - 1)
-    whole = _W.partitionBy("doc")
-    return (
-        g.filter(F.col("h").isNotNull())
-        .withColumn("fp", F.min("h").over(frame))
-        .withColumn("m", F.max("pos").over(whole))
-        # a window must be full (w grams) except when the doc has fewer
-        # than w grams, where the single whole-doc window stands
-        .filter((F.col("pos") <= F.col("m") - (w - 1)) | (F.col("pos") == 0))
-        .select("doc", F.col("fp").alias("fingerprint"))
-        .distinct()
-    )
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    mod = 1_000_003
+
+    def _winnow(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, fps = [], []
+            for doc, text in zip(pdf["doc"].values, pdf["t"].values):
+                if text is None:
+                    continue
+                # utf-32-le frombuffer = vectorized per-char code points
+                cp = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                if cp.size < k:
+                    cp = np.pad(cp, (0, k - cp.size))
+                m = cp.size - (k - 1)
+                h = np.full(m, 7, dtype=np.int64)
+                for j in range(k):
+                    h = h * 31 + cp[j : j + m]
+                hm = h % mod
+                if hm.size >= w:
+                    mins = sliding_window_view(hm, w).min(axis=1)
+                else:
+                    mins = hm.min(keepdims=True)
+                u = np.unique(mins)
+                ids.append(np.full(u.size, doc))
+                fps.append(u)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc": np.concatenate(ids),
+                        "fingerprint": np.concatenate(fps),
+                    }
+                )
+
+    return src.mapInPandas(_winnow, schema=out_schema)
 
 
 def quality_metrics(text: Column) -> dict[str, Column]:

@@ -71,6 +71,12 @@ EXPECTED: dict[str, set[str]] = {
     # IVF assignment scores every vector against K=8 broadcast centroids:
     # a deliberate n x K map-side cross join, bounded by n_centroids
     "ann_ivf_topk": {"CARTESIAN"},
+    # multi-probe variant of ann_ivf_topk: same deliberate n x K
+    # broadcast-centroid scoring (nprobe only widens the routing filter)
+    "ann_ivf_multiprobe": {"CARTESIAN"},
+    # recall@10 recomputes the brute-force baseline, inheriting
+    # sim_cosine_topk's deliberate broadcast cross join
+    "ann_recall_at_10": {"CARTESIAN"},
 }
 
 
