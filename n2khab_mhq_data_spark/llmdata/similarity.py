@@ -22,22 +22,60 @@ def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Sequential fold — same summation order as a SQL list_sum, so results
-    are bit-stable across engines."""
-    return F.aggregate(
-        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled sequential dot as ONE Spark-SQL string. "0D + t1 + t2 ..."
+    parses left-associative — exactly the fold's summation order — and
+    terms past a shorter array coalesce to +0.0 (an IEEE identity), so the
+    unrolled form is bit-identical to the fold. try_element_at (not
+    element_at) keeps out-of-range access null under ANSI mode."""
+    terms = " + ".join(
+        f"coalesce(CAST(try_element_at({a}, {i}) AS DOUBLE)"
+        f" * CAST(try_element_at({b}, {i}) AS DOUBLE), 0D)"
+        for i in range(1, dim + 1)
     )
+    return f"(0D + {terms})"
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Sequential left-associative sum — same summation order as a SQL
+    list_sum, so results are bit-stable across engines.
+
+    With ``dim`` known statically (``a``/``b`` are then column NAMES) the
+    sum is UNROLLED into a plain expression tree: higher-order functions
+    (aggregate/zip_with/transform) are CodegenFallback — interpreted per
+    row — while the unrolled form runs inside whole-stage codegen (~10x on
+    the quadratic pair joins). The tree is built by parsing ONE generated
+    SQL string: composing it from thousands of Python Column calls costs
+    seconds of py4j round-trips per plan build (measured 7-8s per query at
+    plan time). dim=None keeps the generic fold for Column inputs of
+    unknown width."""
+    if dim is None:
+        if isinstance(a, str):
+            a = F.col(a)
+        if isinstance(b, str):
+            b = F.col(b)
+        return F.aggregate(
+            F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return F.expr(_dot_sql(a, b, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def norm(a: Column | str, dim: int | None = None) -> Column:
+    if dim is None:
+        a = F.col(a) if isinstance(a, str) else a
+        return F.sqrt(dot(a, a))
+    return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
+
+
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    if dim is None:
+        return dot(a, b) / (norm(a) * norm(b))
+    return F.expr(
+        f"({_dot_sql(a, b, dim)}"
+        f" / (sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)})))"
+    )
 
 
 def cosine_topk(
@@ -46,9 +84,12 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbours per query vector (brute force baseline).
-    ``queries`` is broadcast; ties broken on neighbour id."""
+    ``queries`` is broadcast; ties broken on neighbour id. Pass ``dim``
+    when the embedding width is known so the cosine unrolls into codegen
+    (see ``dot``)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -59,7 +100,7 @@ def cosine_topk(
     scored = joined.select(
         "query_id",
         "neighbour_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        cosine("qvec", "cvec", dim).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbour_id").asc()
@@ -76,33 +117,31 @@ def cosine_topk(
     )
 
 
-def hyperplane_sign(i: Column, j: Column) -> Column:
+def hyperplane_sign(i: int, j: int) -> float:
     """Deterministic pseudo-random +/-1 for dimension i, plane j — plain
-    integer arithmetic reproducible in any engine."""
-    return F.when(((i * 131071 + j * 524287) % 97) % 2 == 0, 1.0).otherwise(-1.0)
+    integer arithmetic reproducible in any engine (the oracle SQL repeats
+    the same formula). Evaluated at PLAN TIME: the signs become literal
+    coefficients in the bucket expression, not per-row arithmetic."""
+    return 1.0 if ((i * 131071 + j * 524287) % 97) % 2 == 0 else -1.0
 
 
-def _plane_signs(j: int, dim: int) -> Column:
-    # NB: must be a closure, not `lambda i, j=j: ...` — a two-parameter
-    # lambda makes F.transform pass the ARRAY INDEX as the second argument
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(dim)),
-        lambda i: hyperplane_sign(i, F.lit(j)),
-    )
-
-
-def lsh_bucket(vec: Column, planes: int = 8, dim: int = 64) -> Column:
-    """Random-hyperplane LSH bucket id: bit j = sign(dot(vec, plane_j))."""
-    bucket = F.lit(0).cast("long")
+def lsh_bucket(vec: str, planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(dot(vec, plane_j)),
+    from a column NAME. Each plane dot is unrolled with literal +/-1
+    coefficients into one generated SQL string (see ``dot`` for why
+    unrolled beats the interpreted HOF fold and why one F.expr beats
+    thousands of Column calls); multiplying by literal +/-1.0 and
+    left-associative order keep it bit-identical to the fold the oracle
+    mirrors."""
+    cases = []
     for j in range(planes):
-        signs = _plane_signs(j, dim)
-        d = F.aggregate(
-            F.zip_with(_as_double(vec), signs, lambda x, s: x * s),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        d = " + ".join(
+            f"coalesce(CAST(try_element_at({vec}, {i}) AS DOUBLE)"
+            f" * ({hyperplane_sign(i, j)}D), 0D)"
+            for i in range(1, dim + 1)
         )
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+        cases.append(f"(CASE WHEN (0D + {d}) > 0D THEN {1 << j} ELSE 0 END)")
+    return F.expr(f"CAST({' + '.join(cases)} AS BIGINT)")
 
 
 def ann_buckets(
@@ -115,7 +154,7 @@ def ann_buckets(
     """Assign every vector its LSH bucket (the ANN index build step)."""
     return corpus.select(
         F.col(id_col).alias("vec_id"),
-        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
 
 
@@ -124,6 +163,7 @@ def ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF coarse quantizer: the first ``n_centroids`` corpus vectors — the
     deterministic stand-in for a k-means pass (the assignment/probe
@@ -132,7 +172,7 @@ def ivf_centroids(
     return corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cnrm"),
+        norm(vec_col, dim).alias("cnrm"),
     )
 
 
@@ -142,6 +182,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF assignment: each vector's ``nprobe`` nearest centroids
     (cosine-ranked; ties to the lowest centroid id). nprobe=1 is the index
@@ -152,13 +193,13 @@ def ivf_assign(
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("vnrm"),
+        norm(vec_col, dim).alias("vnrm"),
     )
     scored = c.join(F.broadcast(cent)).select(
         "vec_id",
         "cent_id",
         (
-            dot(F.col("vec"), F.col("cvec"))
+            dot("vec", "cvec", dim)
             / (F.col("vnrm") * F.col("cnrm"))
         ).alias("cos"),
     )
@@ -178,6 +219,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 1,
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF search: route each query to its ``nprobe`` nearest centroids'
     inverted lists, exact-cosine rerank within those lists only. Both sides
@@ -187,8 +229,8 @@ def ivf_topk(
     assignment pass + one partition-local rerank of ~nprobe*n/K candidates
     per query — nprobe is the recall/cost dial of the coarse-quantizer path
     (vs planes for hyperplane LSH, ann_topk_bucketed)."""
-    cent = ivf_centroids(corpus, id_col, vec_col, n_centroids)
-    c_assign = ivf_assign(corpus, cent, id_col, vec_col).withColumnRenamed(
+    cent = ivf_centroids(corpus, id_col, vec_col, n_centroids, dim)
+    c_assign = ivf_assign(corpus, cent, id_col, vec_col, dim=dim).withColumnRenamed(
         "vec_id", "aid"
     )
     corpus_lists = corpus.join(
@@ -199,7 +241,7 @@ def ivf_topk(
         "cent_id",
     )
     q_assign = ivf_assign(
-        queries, cent, id_col, vec_col, nprobe=nprobe
+        queries, cent, id_col, vec_col, nprobe=nprobe, dim=dim
     ).withColumnRenamed("vec_id", "qid")
     q = queries.join(q_assign, queries[id_col] == F.col("qid")).select(
         F.col("qid").alias("query_id"), F.col(vec_col).alias("qvec"), "cent_id"
@@ -210,7 +252,7 @@ def ivf_topk(
     scored = j.select(
         "query_id",
         "neighbour_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        cosine("qvec", "cvec", dim).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbour_id").asc()
@@ -242,37 +284,71 @@ def cosine_pairs_bucketed(
     the O(n^2) pair space with sum-over-buckets m_b^2/2 — with p planes the
     expected candidate volume drops by ~2^p. Approximate by design (a
     qualifying pair split by a hyperplane is missed); callers needing exact
-    recall use brute force or multi-table banding as in MinHash LSH."""
-    # Precompute the scalar norm once per VECTOR (n rows), not per pair
-    # (candidate volume is quadratic within buckets — recomputing both
-    # norms there tripled the per-pair fold work, measured 16s -> ~4s at
-    # sf0.1). The per-pair formula stays dot/(n1*n2), bit-identical to the
-    # oracle's summation order.
+    recall use brute force or multi-table banding as in MinHash LSH.
+
+    The within-bucket kernel is ``applyInPandas`` + one blocked BLAS
+    matmul (V @ V.T) per bucket — the quadratic inner loop is exactly what
+    BLAS is for. Measured at sf0.1 (311k candidate pairs): expression-tree
+    shapes ran 4-8s (interpreted HOF fold per pair, or an unrolled 64-term
+    sum too big to JIT); this runs well under 1s. Only the n bucket
+    assignments shuffle (one hash partitioning by bucket), never pairs.
+    Row blocks cap the scorematrix at BLOCK x m_b so a skewed mega-bucket
+    is memory-bounded (its m_b^2 compute is the operator's contract; salt
+    with extra planes or band like MinHash LSH if that bites).
+    BLAS summation order differs from the oracle's sequential fold by
+    ~1e-15; the shared round(x + sign(x)*1e-9, 6) guard absorbs it."""
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    idt = corpus.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("d1", idt, True),
+            StructField("d2", idt, True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
     b = corpus.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
-        norm(F.col(vec_col)).alias("nrm"),
-        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
-    x, y = b.alias("x"), b.alias("y")
-    cand = x.join(
-        y,
-        (F.col("x.bucket") == F.col("y.bucket"))
-        & (F.col("x.vid") < F.col("y.vid")),
-    )
-    scored = cand.select(
-        F.col("x.vid").alias("d1"),
-        F.col("y.vid").alias("d2"),
-        (
-            dot(F.col("x.vec"), F.col("y.vec"))
-            / (F.col("x.nrm") * F.col("y.nrm"))
-        ).alias("cos"),
-    )
-    return scored.filter(F.col("cos") > threshold).select(
-        "d1",
-        "d2",
-        F.round(F.col("cos") + F.signum("cos") * 1e-9, 6).alias("cosine"),
-    )
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vid")
+        ids = pdf["vid"].to_numpy()
+        V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((V * V).sum(axis=1))
+        m = ids.size
+        d1s, d2s, cs = [], [], []
+        block = 4096
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            G = V[lo:hi] @ V.T  # (hi-lo) x m scores, one BLAS call
+            C = G / (nrm[lo:hi, None] * nrm[None, :])
+            # upper triangle only: global col index > global row index
+            r, c = np.nonzero(
+                (C > threshold) & (np.arange(m)[None, :] > np.arange(lo, hi)[:, None])
+            )
+            cos = C[r, c]
+            d1s.append(ids[r + lo])
+            d2s.append(ids[c])
+            cs.append(np.round(cos + np.sign(cos) * 1e-9, 6))
+        return pd.DataFrame(
+            {
+                "d1": np.concatenate(d1s) if d1s else np.array([], dtype=ids.dtype),
+                "d2": np.concatenate(d2s) if d2s else np.array([], dtype=ids.dtype),
+                "cosine": np.concatenate(cs) if cs else np.array([], dtype=float),
+            }
+        )
+
+    return b.groupBy("bucket").applyInPandas(_pairs, schema=out_schema)
 
 
 def ann_topk_bucketed(
@@ -292,12 +368,12 @@ def ann_topk_bucketed(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
     cb = corpus.select(
         F.col(id_col).alias("neighbour_id"),
         F.col(vec_col).alias("cvec"),
-        lsh_bucket(F.col(vec_col), planes, dim).alias("bucket"),
+        lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
     j = cb.join(F.broadcast(qb), on="bucket").filter(
         F.col("neighbour_id") != F.col("query_id")
@@ -305,7 +381,7 @@ def ann_topk_bucketed(
     scored = j.select(
         "query_id",
         "neighbour_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        cosine("qvec", "cvec", dim).alias("cos"),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbour_id").asc()
