@@ -3,6 +3,7 @@ merge -> parquet state, two deltas applied in sequence."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from n2khab_mhq_data_spark.streaming.incremental import merge_stream
@@ -132,3 +133,104 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     }
     assert streamed == batch
     assert batch[("2024-01-01 10:00:00", "click")] == (2, 3.0)
+
+
+def test_transform_with_state_sessionize(spark, tmp_path):
+    """transformWithStateInPandas: open sessions must persist in RocksDB
+    state across micro-batches; only gap-closed sessions are emitted.
+
+    Requires the protobuf package (the transformWithState state protocol
+    is protobuf-based); skipped where it is absent — the processor's
+    sessionization semantics are still covered by the fake-state unit
+    test below."""
+    pytest.importorskip("google.protobuf")
+    from n2khab_mhq_data_spark.streaming.sessions import (
+        ROCKSDB_CONF,
+        sessionize,
+    )
+
+    key, value = ROCKSDB_CONF
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        src = tmp_path / "tin"
+        ckpt = tmp_path / "tckpt"
+        out = tmp_path / "tout"
+        src.mkdir()
+        schema = "user_id long, ts long"
+
+        def run_batch(rows):
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(
+                str(src)
+            )
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = (
+                sessionize(stream, gap=30)
+                .writeStream.format("parquet")
+                .option("path", str(out))
+                .option("checkpointLocation", str(ckpt))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # batch 1: user 1 has two events 5 apart (one open session);
+        # user 2 one event
+        run_batch([(1, 100), (1, 105), (2, 100)])
+        # batch 2: user 1 jumps 95 -> closes (100,105); user 2 stays open
+        run_batch([(1, 200), (2, 120)])
+        # batch 3: both users jump far -> closes (200,200) and (100,120)
+        run_batch([(1, 500), (2, 500)])
+
+        rows = {
+            (r.user_id, r.session_start, r.session_end, r.n_events)
+            for r in spark.read.parquet(str(out)).collect()
+        }
+        assert rows == {
+            (1, 100, 105, 2),
+            (1, 200, 200, 1),
+            (2, 100, 120, 2),
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_session_processor_semantics():
+    """Drive SessionProcessor directly with a fake ValueState: gap logic,
+    cross-batch carry, and emission set must match the operator contract."""
+    import pandas as pd
+
+    from n2khab_mhq_data_spark.streaming.sessions import SessionProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+    p = SessionProcessor(gap=30)
+    p._open = FakeState()
+
+    def feed(ts_list):
+        out = list(
+            p.handleInputRows((1,), iter([pd.DataFrame({"ts": ts_list})]), None)
+        )
+        return [tuple(r) for df in out for r in df.itertuples(index=False)]
+
+    assert feed([100, 105]) == []              # one open session
+    assert p._open.get() == (100, 105, 2)
+    assert feed([200]) == [(1, 100, 105, 2)]   # gap 95 closes it
+    assert p._open.get() == (200, 200, 1)
+    assert feed([210, 500, 505]) == [(1, 200, 210, 2)]
+    assert p._open.get() == (500, 505, 2)
