@@ -1,0 +1,134 @@
+"""Training-data pipeline plumbing: deterministic dataset splits,
+sequence packing, TF-IDF term weighting.
+
+These are the corpus-management ops a pre-training pipeline runs after
+dedup/quality filtering (SURVEY.md §2 training-data extensions). All are
+pure Column expressions; the only floats (TF-IDF's ln) go through the
+repo's eps-round guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from n2khab_mhq_data_spark.llmdata.text import tokens
+
+HASH_PRIME = 1_000_003
+
+
+def split_hash(id_col: Column) -> Column:
+    """Deterministic 0..99 percentile bucket from an integer id — plain
+    integer arithmetic reproducible in any engine (same recipe as the
+    repo's portable hashes). Splitting by hash, not by position, keeps
+    assignments stable under corpus growth and needs no shuffle."""
+    return ((id_col * 131071 + 524287) % HASH_PRIME) % 100
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign every row a deterministic train/val/test split label.
+    A projection — no shuffle, no state, no RNG; rerunning on a grown
+    corpus never reassigns an existing id."""
+    pct = split_hash(F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        pct.cast("long").alias("pct"),
+        F.when(pct < train_pct, "train")
+        .when(pct < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    part_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """Budget-quantized sequential packing: within each ``part_col`` shard,
+    docs (ordered by id) are assigned to the context-window bin their
+    preceding token cumsum lands in — bin = floor(cum_before / budget).
+    Deterministic and one window pass; unlike first-fit greedy packing it
+    lets a doc overshoot its bin boundary rather than opening a new bin,
+    which is the standard streaming-friendly approximation (exact greedy
+    needs a sequential scan per shard).
+
+    Scale: the window partitions by the shard column, so packing
+    parallelizes across shards and no global ordering exists — exactly
+    how a multi-file tokenizer run behaves. Integer-only arithmetic.
+    Returns per-bin stats (the pack manifest)."""
+    tok = F.size(tokens(F.col(text_col))).cast("long")
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    binned = df.select(
+        F.col(part_col).alias("shard"),
+        F.col(id_col).alias("doc"),
+        tok.alias("n_tok"),
+    ).withColumn("bin", F.floor(cum_before / budget))
+    return binned.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("token_sum"),
+        F.min("doc").alias("first_doc"),
+        F.max("doc").alias("last_doc"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc occurrences, idf =
+    ln((N+1)/(df+1)) + 1 (smoothed), ties broken on the token string.
+
+    One shuffle builds the (doc, token) tf table; document frequency is a
+    window over the SAME partitioning; the 1-row corpus-size dim
+    broadcasts. Scores are eps-rounded for engine portability; ranking
+    compares raw doubles — both engines compute ln via their libm, which
+    agrees to the ulp on these inputs (differentially checked)."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("doc", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    docfreq = tf.withColumn("df", F.count("*").over(W.partitionBy("tok")))
+    ndocs = df.select(
+        F.countDistinct(id_col).cast("double").alias("n_docs")
+    )
+    scored = docfreq.join(F.broadcast(ndocs)).select(
+        "doc",
+        "tok",
+        (
+            F.col("tf")
+            * (
+                F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                + F.lit(1.0)
+            )
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc",
+            "tok",
+            "rank",
+            F.round(F.col("score") + F.signum("score") * 1e-9, 6).alias(
+                "tfidf"
+            ),
+        )
+    )

@@ -38,6 +38,7 @@ def _load_modules() -> None:
         reshape,
         kernels,
         llm,
+        pipeline,
         spatial,
     )
 

@@ -1,0 +1,98 @@
+"""Training-data pipeline queries: deterministic splits, sequence
+packing, TF-IDF (SURVEY.md §2 training-data extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.llmdata.pipeline import (
+    hash_split,
+    pack_sequences,
+    tfidf_topk,
+)
+from n2khab_mhq_data_spark.plans import query
+
+
+@query(
+    "pipeline_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(((doc_id * 131071 + 524287) % 1000003) % 100 AS BIGINT)
+             AS pct,
+           CASE WHEN ((doc_id * 131071 + 524287) % 1000003) % 100 < 80
+                THEN 'train'
+                WHEN ((doc_id * 131071 + 524287) % 1000003) % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by integer hash — stable
+    under corpus growth, no RNG, no shuffle (a pure projection)."""
+    return hash_split(load(spark, sf_dir, "documents"), "doc_id")
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT source AS shard, doc_id AS doc,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ), binned AS (
+      SELECT shard, doc, n_tok,
+             CAST(floor(coalesce(sum(n_tok) OVER (
+                    PARTITION BY shard ORDER BY doc
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), 0) / 2048.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT shard, bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_tok) AS token_sum,
+           min(doc) AS first_doc,
+           max(doc) AS last_doc
+    FROM binned GROUP BY 1, 2
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-quantized context-window packing manifest, parallel per
+    source shard (one window pass; integer-only)."""
+    return pack_sequences(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source", 2048
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id AS doc, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents), unnest(w) AS t(tok)
+    ), tf AS (
+      SELECT doc, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dfq AS (
+      SELECT *, count(*) OVER (PARTITION BY tok) AS df FROM tf
+    ), n AS (
+      SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT doc, tok,
+             tf * (ln((n.n_docs + 1) / (df + 1)) + 1.0) AS score
+      FROM dfq, n
+    )
+    SELECT doc, tok, rank,
+           round(score + sign(score) * 1e-9, 6) AS tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc
+                                       ORDER BY score DESC, tok) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, token tie-break) —
+    the classic term-weighting op over the corpus's own statistics."""
+    return tfidf_topk(load(spark, sf_dir, "documents"), "text", "doc_id", 3)
