@@ -259,40 +259,81 @@ def simhash_pairs(
     )
 
 
-def _char_hash(tok: Column) -> Column:
-    """Portable polynomial char hash (h = h*31 + code mod p): identical
-    arithmetic is expressible in any SQL engine, unlike xxhash64 — used by
-    simhash so the DuckDB oracle can reproduce signatures bit-for-bit."""
-    codes = F.transform(
-        F.sequence(F.lit(1), F.length(tok)),
-        lambda i: F.ascii(tok.substr(i, F.lit(1))),
-    )
-    return F.aggregate(
-        codes,
-        F.lit(7).cast("long"),
-        lambda acc, c: (acc * 31 + c) % HASH_PRIME,
-    )
+def _char_hash(tok: str) -> int:
+    """Portable polynomial char hash (h = (h*31 + code) mod p, seed 7):
+    identical arithmetic is expressible in any SQL engine, unlike
+    xxhash64 — used by simhash so the DuckDB oracle can reproduce
+    signatures bit-for-bit. Plain Python: evaluated once per DISTINCT
+    token inside the kernel below, never per row."""
+    h = 7
+    for ch in tok:
+        h = (h * 31 + ord(ch)) % HASH_PRIME
+    return h
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
     """SimHash signature: per distinct token, a portable polynomial hash;
     per bit, sum(+/-1); signature bit = (sum > 0). Integer-only arithmetic
-    -> no float drift, fully oracle-checkable."""
-    toks = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-        ).alias("tok"),
+    -> no float drift, fully oracle-checkable.
+
+    Shape: a vectorized ``mapInPandas`` kernel — no shuffle (the previous
+    explode + 16-bit-sum groupBy shuffled one row per token and evaluated
+    an interpreted HOF char hash per token occurrence). Token hashes are
+    memoized per Arrow batch and expanded to +/-1 bit rows once per
+    DISTINCT token; each doc's bit sums are one small matmul over its
+    distinct-token index vector. Natural-language vocabularies follow
+    Zipf's law, so the memo table stays tiny relative to the corpus."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("doc", df.schema[id_col].dataType, True),
+            StructField("simhash", LongType(), True),
+        ]
     )
-    h = toks.withColumn("h", _char_hash(F.col("tok")))
-    aggs = [
-        F.expr(
-            f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
-        )
-        for j in range(bits)
-    ]
-    sums = h.groupBy("doc").agg(*aggs)
-    sig = " + ".join(
-        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
-    )
-    return sums.select("doc", F.expr(f"CAST({sig} AS BIGINT) AS simhash"))
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+
+    def _sig(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            vocab: dict[str, int] = {}
+            bit_rows: list[np.ndarray] = []
+            doc_tok_idx: list[list[int]] = []
+            ids = []
+            for doc, text in zip(pdf["doc"].values, pdf["t"].values):
+                if text is None:
+                    continue
+                idxs = []
+                # Spark's split(trim(text), '\\s+') yields [""] for an
+                # all-whitespace doc; re.split on the stripped string
+                # reproduces that
+                for tok in set(ws.split(text.strip())):
+                    i = vocab.get(tok)
+                    if i is None:
+                        i = len(vocab)
+                        vocab[tok] = i
+                        h = _char_hash(tok)
+                        bit_rows.append(
+                            np.where(
+                                (h >> np.arange(bits)) & 1 == 1, 1, -1
+                            ).astype(np.int64)
+                        )
+                    idxs.append(i)
+                ids.append(doc)
+                doc_tok_idx.append(idxs)
+            if not ids:
+                continue
+            B = np.stack(bit_rows)  # vocab x bits of +/-1
+            sigs = []
+            weights = np.int64(1) << np.arange(bits)
+            for idxs in doc_tok_idx:
+                s = B[idxs].sum(axis=0)
+                sigs.append(int(((s > 0) * weights).sum()))
+            yield pd.DataFrame({"doc": ids, "simhash": sigs})
+
+    return src.mapInPandas(_sig, schema=out_schema)
