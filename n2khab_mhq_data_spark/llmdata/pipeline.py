@@ -132,3 +132,26 @@ def tfidf_topk(
             ),
         )
     )
+
+
+def quality_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Composite keep/drop verdict over the heuristic quality signals —
+    the final gate of a filtering pipeline, with machine-readable reason
+    codes (ordered, comma-joined) so downstream audits can attribute
+    every drop. One projection; thresholds compare doubles both engines
+    derive from identical integer counts, so verdicts are bit-stable."""
+    from n2khab_mhq_data_spark.llmdata.text import quality_metrics
+
+    m = quality_metrics(F.col(text_col))
+    reasons = F.concat_ws(
+        ",",
+        F.when(m["n_tokens"] < 20, "too_short"),
+        F.when(m["n_tokens"] > 1000, "too_long"),
+        F.when(m["punct_ratio"] > 0.10, "puncty"),
+        F.when(m["stopword_ratio"] < 0.02, "low_stopword"),
+    )
+    return df.select(
+        F.col(id_col),
+        reasons.alias("reasons"),
+        (reasons == "").alias("keep"),
+    )

@@ -96,3 +96,42 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, token tie-break) —
     the classic term-weighting op over the corpus's own statistics."""
     return tfidf_topk(load(spark, sf_dir, "documents"), "text", "doc_id", 3)
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.!?,;:]', '',
+               'g'))) * 1.0 / length(text) AS punct_ratio,
+             len(list_filter(w, x -> x IN ('the','a','and','of','is')))
+               * 1.0 / len(w) AS stopword_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           concat_ws(',',
+             CASE WHEN n_tokens < 20 THEN 'too_short' END,
+             CASE WHEN n_tokens > 1000 THEN 'too_long' END,
+             CASE WHEN punct_ratio > 0.10 THEN 'puncty' END,
+             CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END
+           ) AS reasons,
+           concat_ws(',',
+             CASE WHEN n_tokens < 20 THEN 'too_short' END,
+             CASE WHEN n_tokens > 1000 THEN 'too_long' END,
+             CASE WHEN punct_ratio > 0.10 THEN 'puncty' END,
+             CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END
+           ) = '' AS keep
+    FROM m
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality keep/drop verdict with ordered reason codes —
+    the auditable final gate of the filtering pipeline."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import quality_filter
+
+    return quality_filter(load(spark, sf_dir, "documents"), "text", "doc_id")
