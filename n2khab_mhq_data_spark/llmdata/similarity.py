@@ -90,17 +90,26 @@ def cosine_topk(
     ``queries`` is broadcast; ties broken on neighbour id. Pass ``dim``
     when the embedding width is known so the cosine unrolls into codegen
     (see ``dot``)."""
+    # norms are per-VECTOR quantities: compute them in the pre-join
+    # projections (n + q rows), never per candidate pair, which also keeps
+    # the per-pair expression tree small enough to analyze cheaply
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(vec_col, dim).alias("qnrm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbour_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbour_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(vec_col, dim).alias("cnrm"),
     )
     joined = c.join(F.broadcast(q), F.col("neighbour_id") != F.col("query_id"))
     scored = joined.select(
         "query_id",
         "neighbour_id",
-        cosine("qvec", "cvec", dim).alias("cos"),
+        (dot("qvec", "cvec", dim) / (F.col("qnrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbour_id").asc()
@@ -203,6 +212,16 @@ def ivf_assign(
             / (F.col("vnrm") * F.col("cnrm"))
         ).alias("cos"),
     )
+    if nprobe == 1:
+        # argmax as max(struct(cos, -cent_id)): lexicographic struct max =
+        # highest cos, ties to lowest centroid — with map-side partial
+        # aggregation, so only (vec_id, best) ever shuffles. The window
+        # form below shuffles the full n x K score matrix instead.
+        return scored.groupBy("vec_id").agg(
+            (-F.max(F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc")))[
+                "nc"
+            ]).alias("cent_id")
+        )
     w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -238,13 +257,17 @@ def ivf_topk(
     ).select(
         F.col("aid").alias("neighbour_id"),
         F.col(vec_col).alias("cvec"),
+        norm(vec_col, dim).alias("cnrm"),
         "cent_id",
     )
     q_assign = ivf_assign(
         queries, cent, id_col, vec_col, nprobe=nprobe, dim=dim
     ).withColumnRenamed("vec_id", "qid")
     q = queries.join(q_assign, queries[id_col] == F.col("qid")).select(
-        F.col("qid").alias("query_id"), F.col(vec_col).alias("qvec"), "cent_id"
+        F.col("qid").alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(vec_col, dim).alias("qnrm"),
+        "cent_id",
     )
     j = corpus_lists.join(F.broadcast(q), on="cent_id").filter(
         F.col("neighbour_id") != F.col("query_id")
@@ -252,7 +275,9 @@ def ivf_topk(
     scored = j.select(
         "query_id",
         "neighbour_id",
-        cosine("qvec", "cvec", dim).alias("cos"),
+        (dot("qvec", "cvec", dim) / (F.col("qnrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbour_id").asc()
@@ -368,11 +393,13 @@ def ann_topk_bucketed(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm(vec_col, dim).alias("qnrm"),
         lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
     cb = corpus.select(
         F.col(id_col).alias("neighbour_id"),
         F.col(vec_col).alias("cvec"),
+        norm(vec_col, dim).alias("cnrm"),
         lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
     j = cb.join(F.broadcast(qb), on="bucket").filter(
@@ -381,7 +408,9 @@ def ann_topk_bucketed(
     scored = j.select(
         "query_id",
         "neighbour_id",
-        cosine("qvec", "cvec", dim).alias("cos"),
+        (dot("qvec", "cvec", dim) / (F.col("qnrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
     )
     w = W.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbour_id").asc()
