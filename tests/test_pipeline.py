@@ -1,0 +1,68 @@
+"""Unit tests for the training-data pipeline ops (deterministic splits,
+packing, quality gate) — edge cases the sf-data differential can't pin."""
+
+from __future__ import annotations
+
+from n2khab_mhq_data_spark.llmdata.pipeline import (
+    hash_split,
+    pack_sequences,
+    quality_filter,
+)
+
+
+def test_hash_split_deterministic_and_total(spark):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = hash_split(df, "doc_id").collect()
+    assert len(out) == 1000
+    by_split = {}
+    for r in out:
+        by_split.setdefault(r.split, set()).add(r.doc_id)
+    # every row assigned exactly one split; rerun is identical
+    assert sum(len(v) for v in by_split.values()) == 1000
+    again = {(r.doc_id, r.split) for r in hash_split(df, "doc_id").collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
+    # rough proportions (hash is uniform-ish, not exact)
+    assert len(by_split["train"]) > 700
+    assert len(by_split["val"]) > 40
+    assert len(by_split["test"]) > 40
+
+
+def test_pack_sequences_bins_are_contiguous(spark):
+    # 6 docs of 10 tokens each, budget 25 -> bins hold ceil(25/10)=3,3
+    # docs under quantized binning (cum_before 0,10,20 -> bin 0; 30,40,50
+    # -> bin 1); shards pack independently
+    rows = [(i, "t " * 10, "a") for i in range(3)] + [
+        (i, "t " * 10, "b") for i in range(3, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        (r.shard, r.bin): (r.n_docs, r.token_sum, r.first_doc, r.last_doc)
+        for r in pack_sequences(df, "doc_id", "text", "src", budget=25).collect()
+    }
+    assert out[("a", 0)] == (3, 30, 0, 2)
+    assert out[("b", 0)] == (3, 30, 3, 5)
+
+    # one oversized doc still lands in exactly one bin and shifts the rest
+    rows = [(0, "t " * 60, "a"), (1, "t " * 10, "a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    out = {
+        (r.shard, r.bin): (r.n_docs, r.token_sum)
+        for r in pack_sequences(df, "doc_id", "text", "src", budget=25).collect()
+    }
+    assert out[("a", 0)] == (1, 60)
+    assert out[("a", 2)] == (1, 10)  # cum_before 60 -> bin 2
+
+
+def test_quality_filter_reason_codes(spark):
+    rows = [
+        (1, "the " * 50),                    # healthy: keep
+        (2, "word"),                         # too_short + low_stopword
+        (3, "the quick!!! ....;;;, " * 10),  # puncty (stopwords present)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.keep, r.reasons) for r in
+           quality_filter(df, "text", "doc_id").collect()}
+    assert out[1] == (True, "")
+    assert out[2][0] is False
+    assert "too_short" in out[2][1] and "low_stopword" in out[2][1]
+    assert out[3] == (False, "puncty")
