@@ -44,6 +44,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
+        # collect garbage OUTSIDE the timed region: ~100 queries accumulate
+        # broadcasts/shuffle state in the driver JVM, and letting a full GC
+        # land inside a timed run shows up as a multi-second spike on
+        # whichever query is unlucky (observed 0.8s queries spiking to 7-10s
+        # late in the sequence)
+        spark._jvm.System.gc()
         n = fn(spark, sf_dir).count()  # warm-up (plan + codegen + IO cache)
         samples = []
         for _ in range(runs):
