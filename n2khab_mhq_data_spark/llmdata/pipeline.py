@@ -155,3 +155,30 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         reasons.alias("reasons"),
         (reasons == "").alias("keep"),
     )
+
+
+def hash_sample(df: DataFrame, id_col: str, k: int = 100) -> DataFrame:
+    """Deterministic uniform-ish sample: the k rows with the smallest
+    portable hash of their id (ties impossible — the hash is injective
+    mod p for id < p). The RNG-free analog of reservoir sampling: stable
+    across runs and engines, and growing the corpus only swaps rows at
+    the hash boundary. orderBy + limit compiles to TakeOrderedAndProject:
+    each partition contributes its local top k and the driver merges —
+    the full table is never shuffled (a global row_number window would
+    move every row to one partition)."""
+    h = (F.col(id_col) * 131071 + 524287) % HASH_PRIME
+    return (
+        df.select(F.col(id_col), h.alias("h"))
+        .orderBy(F.col("h").asc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def redact_text(text: Column) -> Column:
+    """PII-style scrub: emails then digit runs (phone-ish), each replaced
+    by a typed tag. Order matters (emails can contain digits); patterns
+    are RE2-safe so any engine's regex applies them identically."""
+    t = F.regexp_replace(
+        text, r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"
+    )
+    return F.regexp_replace(t, r"[0-9][0-9 ()+-]{6,}[0-9]", "<PHONE>")

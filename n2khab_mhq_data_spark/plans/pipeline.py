@@ -4,6 +4,7 @@ packing, TF-IDF (SURVEY.md §2 training-data extensions)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from n2khab_mhq_data_spark.catalog import load
 from n2khab_mhq_data_spark.llmdata.pipeline import (
@@ -135,3 +136,41 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n2khab_mhq_data_spark.llmdata.pipeline import quality_filter
 
     return quality_filter(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "pipeline_hash_sample",
+    oracle="""
+    SELECT doc_id, (doc_id * 131071 + 524287) % 1000003 AS h
+    FROM documents
+    ORDER BY h, doc_id
+    LIMIT 100
+    """,
+)
+def pipeline_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 100-doc sample by smallest portable id hash — the
+    RNG-free reservoir-sampling analog (stable across runs/engines)."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import hash_sample
+
+    return hash_sample(load(spark, sf_dir, "documents"), "doc_id", 100)
+
+
+@query(
+    "pipeline_redact",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+               '<EMAIL>', 'g'),
+             '[0-9][0-9 ()+-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def pipeline_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrub (emails, digit runs) as a pure projection; the
+    RE2-safe patterns make Java and DuckDB regex agree byte-for-byte."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import redact_text
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", redact_text(F.col("text")).alias("redacted"))
