@@ -182,3 +182,53 @@ def redact_text(text: Column) -> Column:
         text, r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"
     )
     return F.regexp_replace(t, r"[0-9][0-9 ()+-]{6,}[0-9]", "<PHONE>")
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    part_col: str,
+    budget: int = 2048,
+) -> DataFrame:
+    """EXACT first-fit greedy packing (the quantized variant's precise
+    sibling): walk each shard's docs in id order, close the current bin
+    whenever adding the next doc would exceed the budget; an oversized
+    doc gets a bin of its own. Inherently sequential per shard — an
+    ``applyInPandas`` kernel (one cumsum-style Python pass per shard
+    group), parallel ACROSS shards, which is how tokenizer runs shard
+    anyway. Returns the per-doc bin assignment."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("shard", df.schema[part_col].dataType, True),
+            StructField("doc", df.schema[id_col].dataType, True),
+            StructField("n_tok", LongType(), True),
+            StructField("bin", LongType(), True),
+        ]
+    )
+    src = df.select(
+        F.col(part_col).alias("shard"),
+        F.col(id_col).alias("doc"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tok"),
+    )
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc").reset_index(drop=True)
+        bins = []
+        b, fill = 0, None
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if fill is None:
+                fill = n
+            elif fill + n > budget:
+                b += 1
+                fill = n
+            else:
+                fill += n
+            bins.append(b)
+        pdf["bin"] = bins
+        return pdf[["shard", "doc", "n_tok", "bin"]]
+
+    return src.groupBy("shard").applyInPandas(_pack, schema=out_schema)

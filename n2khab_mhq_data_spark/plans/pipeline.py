@@ -174,3 +174,36 @@ def pipeline_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", redact_text(F.col("text")).alias("redacted"))
+
+
+@query(
+    "pipeline_pack_greedy",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT source AS shard, doc_id AS doc,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), rec AS (
+      SELECT shard, doc, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.doc, t.n_tok, t.rn,
+             CASE WHEN r.fill + t.n_tok > 2048 THEN r.bin + 1
+                  ELSE r.bin END,
+             CASE WHEN r.fill + t.n_tok > 2048 THEN t.n_tok
+                  ELSE r.fill + t.n_tok END
+      FROM rec r JOIN toks t ON t.shard = r.shard AND t.rn = r.rn + 1
+    )
+    SELECT shard, doc, n_tok, bin FROM rec
+    """,
+)
+def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact first-fit greedy packing per shard — sequential semantics the
+    window algebra cannot express, pinned by a recursive-CTE oracle."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import pack_greedy
+
+    return pack_greedy(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source", 2048
+    )
