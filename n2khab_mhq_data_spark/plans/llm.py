@@ -526,9 +526,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_multiprobe",
-    oracle=f"""
+_IVF_MULTIPROBE_SQL = f"""
     WITH cent AS (
       SELECT vec_id AS cent_id, cvec FROM (
         SELECT vec_id, embedding AS cvec FROM embeddings WHERE vec_id < 8
@@ -566,8 +564,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY cos DESC, neighbour_id) AS rank
           FROM scored)
     WHERE rank <= 10
-    """,
-)
+    """
+
+
+@query("ann_ivf_multiprobe", oracle=_IVF_MULTIPROBE_SQL)
 def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF search (nprobe=2): each query probes its TWO nearest
     centroids' inverted lists before the exact-cosine rerank — recall climbs
@@ -894,4 +894,46 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("query_id").agg(
         F.count("ln").alias("hits"),
         F.round(F.count("ln") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
+    )
+
+
+@query(
+    "ann_ivf_recall_at_10",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, neighbour_id FROM ({_COSINE_SQL}) e
+    ), ivf AS (
+      SELECT query_id, neighbour_id FROM ({_IVF_MULTIPROBE_SQL}) l
+    )
+    SELECT e.query_id,
+           CAST(count(i.neighbour_id) AS BIGINT) AS hits,
+           round(count(i.neighbour_id) / 10.0 + 1e-9, 3) AS recall_at_10
+    FROM exact e
+    LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbour_id = i.neighbour_id
+    GROUP BY 1
+    """,
+)
+def ann_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the multi-probe IVF path (nprobe=2) against the exact
+    brute-force top-10, per query — quantifies the nprobe recall/cost dial
+    next to ann_recall_at_10's hyperplane-LSH measurement. Both sides are
+    the engine's own operators; the oracle recomputes both in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbour_id"
+    )
+    ivf = ivf_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, n_centroids=8, nprobe=2
+    ).select(F.col("query_id").alias("iq"), F.col("neighbour_id").alias("inb"))
+    j = exact.join(
+        F.broadcast(ivf),
+        (F.col("query_id") == F.col("iq"))
+        & (F.col("neighbour_id") == F.col("inb")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("inb").alias("hits"),
+        F.round(F.count("inb") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
     )

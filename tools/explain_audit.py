@@ -77,6 +77,8 @@ EXPECTED: dict[str, set[str]] = {
     # recall@10 recomputes the brute-force baseline, inheriting
     # sim_cosine_topk's deliberate broadcast cross join
     "ann_recall_at_10": {"CARTESIAN"},
+    # same baseline recomputation, plus the IVF centroid cross join
+    "ann_ivf_recall_at_10": {"CARTESIAN"},
     # the corpus-size scalar (one row) broadcasts onto every (doc, token)
     # row — a deliberate 1-row BroadcastNestedLoopJoin, the standard way
     # to attach a global statistic without a single-partition window
