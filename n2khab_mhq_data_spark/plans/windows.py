@@ -381,3 +381,46 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(clicked, F.lit(False)).alias("clicked_after_view"),
         F.coalesce(purchased, F.lit(False)).alias("purchased_after_click"),
     )
+
+
+@query(
+    "events_hopping_counts",
+    oracle="""
+    SELECT CAST(win AS DATE) AS window_day,
+           CAST(extract(hour FROM win) AS INTEGER) AS window_hour,
+           CAST(extract(minute FROM win) AS INTEGER) AS window_min,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value) + 1e-9, 2) AS value_sum
+    FROM (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 1800) * 1800
+                               - j.j * 1800 AS BIGINT)) AS win,
+             event_type, value
+      FROM events, unnest([0, 1]) AS j(j)
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (1h windows sliding every 30min — each
+    event lands in exactly two overlapping windows): the sliding-window
+    counterpart of the tumbling streaming_windowed_counts, via Spark's
+    native window(ts, size, slide) generator. The oracle enumerates each
+    event's two window starts arithmetically. Window start split into
+    day/hour/minute for engine-portable comparison."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") + F.lit(1e-9), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("window.start").cast("date").alias("window_day"),
+            F.hour("window.start").alias("window_hour"),
+            F.minute("window.start").alias("window_min"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
