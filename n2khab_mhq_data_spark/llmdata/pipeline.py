@@ -232,3 +232,24 @@ def pack_greedy(
         return pdf[["shard", "doc", "n_tok", "bin"]]
 
     return src.groupBy("shard").applyInPandas(_pack, schema=out_schema)
+
+
+def stratified_hash_sample(
+    df: DataFrame, id_col: str, stratum_col: str, per_stratum: int = 25
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum, the
+    ``per_stratum`` rows with the smallest portable id hash — equal-size
+    strata regardless of group skew, stable across runs/engines/growth
+    (same contract as ``hash_sample``, per group). The window partitions
+    by stratum, so it parallelizes across strata and never globally
+    sorts."""
+    h = (F.col(id_col) * 131071 + 524287) % HASH_PRIME
+    w = W.partitionBy("stratum").orderBy(F.col("h").asc(), F.col(id_col))
+    return (
+        df.select(
+            F.col(stratum_col).alias("stratum"), F.col(id_col), h.alias("h")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_stratum)
+        .select("stratum", id_col, "h")
+    )

@@ -207,3 +207,28 @@ def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy(
         load(spark, sf_dir, "documents"), "doc_id", "text", "source", 2048
     )
+
+
+@query(
+    "pipeline_stratified_sample",
+    oracle="""
+    SELECT stratum, doc_id, h
+    FROM (
+      SELECT lang AS stratum, doc_id,
+             (doc_id * 131071 + 524287) % 1000003 AS h,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY (doc_id * 131071 + 524287) % 1000003,
+                                         doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 25
+    """,
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-per-language stratified sample by smallest
+    portable id hash — equal-size strata under any group skew."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import stratified_hash_sample
+
+    return stratified_hash_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "lang", 25
+    )
