@@ -1,0 +1,85 @@
+"""Property-based checks for the vectorized numpy kernels (winnowing,
+simhash) against naive per-doc Python references — the differential
+oracle covers the synthetic corpus; these cover adversarial shapes
+(short docs, whitespace-only, repeated chars, unicode)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+
+from n2khab_mhq_data_spark.llmdata.dedup import HASH_PRIME, _char_hash
+
+K, W = 5, 4
+MOD = 1_000_003
+
+
+def _winnow_reference(text: str) -> set[int]:
+    """Literal Schleimer-et-al reference: per-step fold, explicit windows,
+    oracle padding semantics (chars past the end hash as code 0)."""
+    cp = [ord(c) for c in text]
+    if len(cp) < K:
+        cp = cp + [0] * (K - len(cp))
+    m = len(cp) - (K - 1)
+    hs = []
+    for i in range(m):
+        h = 7
+        for j in range(K):
+            h = (h * 31 + cp[i + j]) % MOD
+        hs.append(h)
+    if len(hs) >= W:
+        mins = [min(hs[p : p + W]) for p in range(len(hs) - W + 1)]
+    else:
+        mins = [min(hs)]
+    return set(mins)
+
+
+def _simhash_reference(text: str, bits: int = 16) -> int:
+    toks = set(re.split(r"\s+", text.strip()))
+    sums = [0] * bits
+    for tok in toks:
+        h = _char_hash(tok)
+        for j in range(bits):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(bits) if sums[j] > 0)
+
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=12))
+def test_winnow_kernel_matches_reference(spark, docs):
+    from n2khab_mhq_data_spark.llmdata.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprints(df, "text", "doc_id", k=K, w=W).collect():
+        got.setdefault(r.doc, set()).add(r.fingerprint)
+    for i, t in enumerate(docs):
+        assert got.get(i, set()) == _winnow_reference(t), (i, t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=12))
+def test_simhash_kernel_matches_reference(spark, docs):
+    from n2khab_mhq_data_spark.llmdata.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {r.doc: r.simhash for r in simhash(df, "text", "doc_id", 16).collect()}
+    for i, t in enumerate(docs):
+        assert got[i] == _simhash_reference(t), (i, t)
+
+
+def test_char_hash_stays_in_prime_field():
+    for tok in ("", "a", "zz" * 50, "Ā˿"):
+        assert 0 <= _char_hash(tok) < HASH_PRIME
