@@ -253,3 +253,33 @@ def stratified_hash_sample(
         .filter(F.col("rn") <= per_stratum)
         .select("stratum", id_col, "h")
     )
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    k: int = 50,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-Res): key = u^(1/w) with u derived from the
+    portable id hash instead of an RNG; the k largest keys are the
+    sample, so inclusion probability scales with weight yet reruns are
+    bit-stable. orderBy + limit compiles to TakeOrderedAndProject (local
+    top-k per partition, no full shuffle). Ranking compares doubles both
+    engines derive from identical integers via pow — the repo's float
+    recipe (eps-rounded output, integer tie-break) applies."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = (((F.col(id_col) * 131071 + 524287) % HASH_PRIME) + 1.0) / (
+        HASH_PRIME + 1.0
+    )
+    key = F.pow(u, 1.0 / w)
+    return (
+        df.select(F.col(id_col), key.alias("key"))
+        .orderBy(F.col("key").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            F.round(F.col("key") + F.lit(1e-9), 6).alias("sample_key"),
+        )
+    )

@@ -232,3 +232,26 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_hash_sample(
         load(spark, sf_dir, "documents"), "doc_id", "lang", 25
     )
+
+
+@query(
+    "pipeline_weighted_sample",
+    oracle="""
+    SELECT doc_id,
+           round(pow((((doc_id * 131071 + 524287) % 1000003) + 1.0)
+                     / 1000004.0, 1.0 / n_chars) + 1e-9, 6) AS sample_key
+    FROM documents
+    ORDER BY pow((((doc_id * 131071 + 524287) % 1000003) + 1.0)
+                 / 1000004.0, 1.0 / n_chars) DESC, doc_id
+    LIMIT 50
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis-Spirakis A-Res keyed on
+    the portable id hash): longer documents are proportionally more
+    likely to be drawn, and reruns are bit-stable."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import weighted_hash_sample
+
+    return weighted_hash_sample(
+        load(spark, sf_dir, "documents"), "doc_id", "n_chars", 50
+    )
