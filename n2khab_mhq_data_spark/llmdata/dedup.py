@@ -13,7 +13,7 @@ hot buckets (stop-gram buckets) are capped explicitly rather than silently.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 

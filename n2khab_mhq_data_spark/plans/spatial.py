@@ -9,7 +9,6 @@ arithmetic form. The Spark side still runs the REAL general kernels
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from n2khab_mhq_data_spark.catalog import TableSpec, ColumnSpec
+from n2khab_mhq_data_spark.catalog import TableSpec
 
 
 def read_jdbc(

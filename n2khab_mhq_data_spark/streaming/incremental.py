@@ -12,7 +12,6 @@ standard late-data pattern, though the reference itself never needs it."""
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

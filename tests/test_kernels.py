@@ -4,7 +4,6 @@ with expectations computed by hand, independent of the DuckDB oracle."""
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import functions as F
 
