@@ -255,3 +255,68 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_hash_sample(
         load(spark, sf_dir, "documents"), "doc_id", "n_chars", 50
     )
+
+
+@query(
+    "pipeline_end_to_end",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id, text, len(w) AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[.!?,;:]', '',
+               'g'))) * 1.0 / length(text) AS punct_ratio,
+             len(list_filter(w, x -> x IN ('the','a','and','of','is')))
+               * 1.0 / len(w) AS stopword_ratio
+      FROM t
+    ), kept AS (
+      SELECT doc_id, text, n_tokens FROM m
+      WHERE NOT (n_tokens < 20 OR n_tokens > 1000
+                 OR punct_ratio > 0.10 OR stopword_ratio < 0.02)
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    ), final AS (
+      SELECT k.doc_id, k.n_tokens,
+             CASE WHEN ((k.doc_id * 131071 + 524287) % 1000003) % 100 < 80
+                  THEN 'train'
+                  WHEN ((k.doc_id * 131071 + 524287) % 1000003) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           sum(n_tokens) AS token_sum
+    FROM final GROUP BY 1
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-preparation flow as ONE Catalyst plan: quality
+    gate -> exact dedup (canonical = lowest id per content hash) ->
+    deterministic split assignment -> per-split manifest. Composing the
+    operators keeps every stage optimizable together — the quality
+    filter pushes below the dedup shuffle, and the split label is a
+    projection on the surviving rows."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import hash_split, quality_filter
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    verdicts = quality_filter(docs, "text", "doc_id")
+    kept = docs.join(
+        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    ).select(
+        "doc_id",
+        "text",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    canon = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    final = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
+    split = hash_split(final, "doc_id").select("doc_id", "split")
+    return (
+        final.join(split, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("token_sum"),
+        )
+    )
