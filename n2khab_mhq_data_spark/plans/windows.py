@@ -424,3 +424,40 @@ def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_sum",
         )
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), cohort AS (
+      SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY 1
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM activity a JOIN cohort c USING (user_id)
+    WHERE a.day - c.cohort_day <= 7
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, distinct
+    active users per day-offset for the first week. Two aggregations on
+    the same user_id partitioning (the cohort attach is a co-partitioned
+    join — one shuffle total on user_id, then the small cohort-day
+    regroup); integer-only output."""
+    e = load(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    j = activity.join(cohort, "user_id").withColumn(
+        "day_offset", F.datediff("day", "cohort_day").cast("long")
+    )
+    return (
+        j.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
