@@ -234,3 +234,38 @@ def test_session_processor_semantics():
     assert p._open.get() == (200, 200, 1)
     assert feed([210, 500, 505]) == [(1, 200, 210, 2)]
     assert p._open.get() == (500, 505, 2)
+
+
+def test_stream_drop_duplicates_equals_batch_distinct(spark, tmp_path):
+    """Streaming dropDuplicates (state-backed) must converge to the batch
+    distinct over the same files — including duplicates arriving in a
+    LATER micro-batch than the original."""
+    src = tmp_path / "din"
+    ckpt = tmp_path / "dckpt"
+    out = tmp_path / "dout"
+    src.mkdir()
+    schema = "user_id long, event_id long, value double"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(src)
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream.dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch([(1, 100, 1.0), (1, 101, 2.0), (2, 100, 1.0)])  # 100 dup in-batch
+    run_batch([(3, 100, 1.0), (3, 102, 3.0)])  # 100 dup across batches
+
+    got = {r.event_id for r in spark.read.parquet(str(out)).collect()}
+    assert got == {100, 101, 102}
+    # exactly one row per event_id survived
+    assert spark.read.parquet(str(out)).count() == 3
