@@ -937,3 +937,49 @@ def ann_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("inb").alias("hits"),
         F.round(F.count("inb") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
     )
+
+
+@query(
+    "multimodal_chunk",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+    )
+    SELECT doc_id, CAST(j.i AS BIGINT) AS chunk_idx,
+           CAST(length(substring(text, CAST(j.i * 64 + 1 AS INTEGER), 64))
+                AS BIGINT) AS n_bytes,
+           md5(substring(text, CAST(j.i * 64 + 1 AS INTEGER), 64))
+             AS chunk_md5
+    FROM p, unnest(range(0, CAST(ceil(len / 64.0) AS BIGINT))) AS j(i)
+    """,
+)
+def multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size byte chunking of opaque binary payloads (64-byte chunks
+    with per-chunk digest) — the transport/embedding-prep step of a
+    multimodal pipeline. Entirely JVM-side: binary substring, md5, and a
+    generated chunk index; no Python touches the bytes. A generator
+    (explode) so chunk rows stream out of the scan partition-locally.
+
+    Oracle note: DuckDB cannot slice BLOBs, so the oracle chunks the
+    TEXT — the corpus is ASCII (verified octet_length == length), so
+    char chunks equal byte chunks and md5(varchar) hashes the same UTF-8
+    bytes as Spark's binary md5; any non-ASCII drift fails the hash
+    check loudly."""
+    docs = load(spark, sf_dir, "documents")
+    p = with_binary_payload(docs).select(
+        "doc_id", "payload", F.length("payload").alias("len")
+    )
+    n_chunks = F.ceil(F.col("len") / 64.0).cast("long")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1)).otherwise(
+        F.array().cast("array<long>")
+    )
+    chunk = F.expr("substring(payload, CAST(chunk_idx * 64 + 1 AS INT), 64)")
+    return (
+        p.select("doc_id", "payload", F.explode(idx).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.length(chunk).cast("long").alias("n_bytes"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
