@@ -337,3 +337,55 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
             yield pd.DataFrame({"doc": ids, "simhash": sigs})
 
     return src.mapInPandas(_sig, schema=out_schema)
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """EXACT connected components over an undirected edge list by
+    iterated min-label propagation (hash-to-min) — the fixpoint that
+    ``dedup_canonicalize``'s single star-contraction round approximates
+    (exact there only for clique-shaped components; exact here for any
+    graph: chains, stars, bridges).
+
+    The driver loop controls CONVERGENCE only — each round is fully
+    distributed (two hash joins + one groupBy, all on the node key, so
+    one partitioning is reused) and the rounds needed track the
+    component diameter (near-dup components are near-cliques: 2-3).
+    ``localCheckpoint`` truncates lineage so the per-round plan stays
+    constant-size instead of growing with iterations."""
+    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("comp")).localCheckpoint()
+    for _ in range(max_iter):
+        m1 = e.join(labels, e["a"] == labels["node"]).select(
+            F.col("b").alias("node"), "comp"
+        )
+        m2 = e.join(labels, e["b"] == labels["node"]).select(
+            F.col("a").alias("node"), "comp"
+        )
+        new = (
+            labels.unionByName(m1)
+            .unionByName(m2)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc"), F.col("comp").alias("component_id")
+    )

@@ -983,3 +983,32 @@ def multimodal_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(chunk).alias("chunk_md5"),
         )
     )
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE near AS (
+      SELECT d1, d2 FROM ({_JACCARD_SQL}) _j
+    ), e AS (
+      SELECT d1 AS a, d2 AS b FROM near
+      UNION SELECT d2, d1 FROM near
+    ), reach AS (
+      SELECT a AS node, a AS r FROM e
+      UNION
+      SELECT rc.node, e.b FROM reach rc JOIN e ON rc.r = e.a
+    )
+    SELECT node AS doc, min(r) AS component_id FROM reach GROUP BY 1
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected components over the near-dup pair graph (iterated
+    hash-to-min to fixpoint) — correct for ANY component shape, where the
+    one-round dedup_canonicalize is exact only for cliques. The oracle is
+    a recursive-CTE reachability closure, so the distributed iterative
+    algorithm is differentially pinned."""
+    from n2khab_mhq_data_spark.llmdata.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    return connected_components(near, "d1", "d2")
