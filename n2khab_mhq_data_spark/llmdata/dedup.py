@@ -356,8 +356,14 @@ def connected_components(
     one partitioning is reused) and the rounds needed track the
     component diameter (near-dup components are near-cliques: 2-3).
     ``localCheckpoint`` truncates lineage so the per-round plan stays
-    constant-size instead of growing with iterations."""
-    e = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    constant-size instead of growing with iterations; the EDGE LIST is
+    checkpointed once up front — every round joins it twice, and without
+    materialization the (often expensive) pair pipeline feeding it would
+    re-run 2x per round (measured 7s -> 2s at sf0.1 on the near-dup
+    graph)."""
+    e = edges.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b")))
