@@ -104,3 +104,31 @@ def test_decode_image_stub_raises_without_fake():
         pass
     else:
         raise AssertionError("stub must raise without fake=True")
+
+
+def test_connected_components_non_clique_shapes(spark):
+    """Chain, star-with-bridge, and singleton-pair shapes — where one
+    star-contraction round (dedup_canonicalize) is NOT exact — must all
+    collapse to their true component minimum."""
+    from n2khab_mhq_data_spark.llmdata.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            # chain 1-2-3-4-5 (diameter 4: needs >1 round)
+            (1, 2), (2, 3), (3, 4), (4, 5),
+            # two stars joined by a bridge: 10-{11,12}, 20-{21,22}, 12-21
+            (10, 11), (10, 12), (20, 21), (20, 22), (12, 21),
+            # isolated pair
+            (30, 31),
+        ],
+        "d1 long, d2 long",
+    )
+    got = {
+        r.doc: r.component_id
+        for r in connected_components(edges, "d1", "d2").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 20: 10, 21: 10, 22: 10,
+        30: 30, 31: 30,
+    }
