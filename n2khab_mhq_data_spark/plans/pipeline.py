@@ -320,3 +320,58 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("token_sum"),
         )
     )
+
+
+@query(
+    "pipeline_pack_offsets",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT source AS shard, doc_id AS doc,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), rec AS (
+      SELECT shard, doc, n_tok, rn, CAST(0 AS BIGINT) AS bin, n_tok AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.doc, t.n_tok, t.rn,
+             CASE WHEN r.fill + t.n_tok > 2048 THEN r.bin + 1
+                  ELSE r.bin END,
+             CASE WHEN r.fill + t.n_tok > 2048 THEN t.n_tok
+                  ELSE r.fill + t.n_tok END
+      FROM rec r JOIN toks t ON t.shard = r.shard AND t.rn = r.rn + 1
+    )
+    SELECT shard, bin, doc, n_tok,
+           coalesce(sum(n_tok) OVER (
+             PARTITION BY shard, bin ORDER BY doc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+    FROM rec
+    """,
+)
+def pipeline_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer write plan: each doc's token offset inside its
+    greedy-packed bin — pack_greedy's assignment composed with one more
+    window on the same (shard, bin) partitioning, so no extra shuffle
+    beyond the bin keys."""
+    from pyspark.sql.window import Window as W
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import pack_greedy
+
+    packed = pack_greedy(
+        load(spark, sf_dir, "documents"), "doc_id", "text", "source", 2048
+    )
+    w = (
+        W.partitionBy("shard", "bin")
+        .orderBy("doc")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return packed.select(
+        "shard",
+        "bin",
+        "doc",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long")).alias(
+            "offset"
+        ),
+    )
