@@ -1062,3 +1062,68 @@ def f6_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("payload", "$.price").cast("double").alias("price"),
         F.get_json_object("payload", "$.priority").alias("priority"),
     )
+
+
+@query(
+    "w10_percentile_position",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_orderpriority AS priority,
+           round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+           round(cume_dist() OVER w + 1e-9, 6) AS cume
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def w10_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window family: percent_rank and cume_dist per
+    priority group (completes the ranking family next to
+    rank/dense_rank/ntile). Both are rational numbers of integer row
+    positions, so the eps-round guard makes them engine-portable."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.percent_rank().over(w) + F.lit(1e-9), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w) + F.lit(1e-9), 6).alias("cume"),
+    )
+
+
+@query(
+    "a13_grouping_sets",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-flag, per-status, grand total — no
+    detail rows, unlike ROLLUP) with the grouping id distinguishing which
+    set each row came from: one aggregation pass, partial aggregation
+    replicated per set."""
+    li = load(spark, sf_dir, "lineitem")
+    # alias AFTER the aggregation: aliased grouping columns inside
+    # groupingSets() do not resolve against the set definitions
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            F.col("l_returnflag"),
+            F.col("l_linestatus"),
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .withColumnRenamed("l_returnflag", "returnflag")
+        .withColumnRenamed("l_linestatus", "linestatus")
+    )
