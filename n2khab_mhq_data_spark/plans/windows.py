@@ -461,3 +461,52 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "events_asof_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    )
+    SELECT c.click_id, c.user_id, v.view_id,
+           CASE WHEN v.view_id IS NULL THEN NULL
+                ELSE epoch_us(c.ts) - epoch_us(v.view_ts) END AS lag_us
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.view_ts
+    """,
+)
+def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN: attach to every click the same user's most recent view
+    at-or-before it, plus the view->click latency in exact microseconds —
+    the classic attribution alignment. Spark has no built-in as-of; the
+    operator is the union + last-ignoring-nulls shape (one shuffle, no
+    range-join explosion; see operators/asof.py). The oracle uses
+    DuckDB's NATIVE ASOF JOIN, so two entirely different as-of
+    implementations must agree row-for-row."""
+    from n2khab_mhq_data_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", F.col("ts").alias("view_ts"), "view_id")
+    )
+    out = asof_join(clicks, views, "user_id", "ts", ["view_ts", "view_id"])
+    return out.select(
+        "click_id",
+        "user_id",
+        "view_id",
+        F.when(
+            F.col("view_id").isNotNull(),
+            F.unix_micros("ts") - F.unix_micros("view_ts"),
+        ).alias("lag_us"),
+    )
