@@ -510,3 +510,61 @@ def events_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") - F.unix_micros("view_ts"),
         ).alias("lag_us"),
     )
+
+
+@query(
+    "events_session_assign",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, event_id,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, brk DESC
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), sessions AS (
+      SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS s_start_us,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS s_end_us
+      FROM s GROUP BY user_id, sid
+    ), pts AS (
+      SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS t_us
+      FROM events
+    )
+    SELECT p.event_id, p.user_id, v.s_start_us, v.s_end_us
+    FROM pts p JOIN sessions v
+      ON p.user_id = v.user_id
+     AND p.t_us BETWEEN v.s_start_us AND v.s_end_us
+    """,
+)
+def events_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE JOIN: assign every event to its session's [first, last]
+    interval — sessions from Spark's native session_window (30-min gap),
+    the join via the bucketed-interval equi-join (operators/rangejoin.py:
+    intervals explode to covered 30-min buckets, points hash to one
+    bucket, exact range filter inside buckets — never a nested-loop range
+    condition). The oracle computes sessions with lag/cumsum SQL and a
+    plain BETWEEN join, so both the sessionization and the range-join
+    mechanics are differentially pinned."""
+    from n2khab_mhq_data_spark.operators.rangejoin import range_join_bucketed
+
+    e = load(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.min("ts").alias("s_min"), F.max("ts").alias("s_max"))
+        .select(
+            "user_id",
+            F.unix_micros("s_min").alias("s_start_us"),
+            F.unix_micros("s_max").alias("s_end_us"),
+        )
+    )
+    pts = e.select("user_id", "event_id", F.unix_micros("ts").alias("t_us"))
+    out = range_join_bucketed(
+        pts, sessions, "user_id", "t_us", "s_start_us", "s_end_us",
+        bucket_width=1_800_000_000,
+    )
+    return out.select("event_id", "user_id", "s_start_us", "s_end_us")
