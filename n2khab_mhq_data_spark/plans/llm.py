@@ -1012,3 +1012,75 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
     return connected_components(near, "d1", "d2")
+
+
+@query(
+    "sketch_count_min",
+    oracle="""
+    WITH th AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS true_n,
+             list_reduce(
+               list_prepend(CAST(7 AS BIGINT),
+                 list_transform(range(1, length(event_type) + 1),
+                   i -> CAST(ascii(substr(event_type, CAST(i AS INTEGER), 1))
+                             AS BIGINT))),
+               (acc, c) -> (acc * 31 + c) % 1000003) AS h
+      FROM events GROUP BY 1
+    ), cells AS (
+      SELECT event_type, true_n, j.j AS seed,
+             (h * (2 * j.j + 3) + j.j) % 64 AS cell
+      FROM th, unnest([0, 1, 2]) AS j(j)
+    ), sketch AS (
+      SELECT seed, cell, sum(true_n) AS cnt FROM cells GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.true_n,
+           CAST(min(s.cnt) AS BIGINT) AS cm_estimate
+    FROM cells c JOIN sketch s ON c.seed = s.seed AND c.cell = s.cell
+    GROUP BY 1, 2
+    """,
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 3 x width 64) over event-type frequencies,
+    with per-key point estimates next to the true counts (estimate >=
+    truth; equal when the key's cells are collision-free). Hashing is the
+    repo's portable integer poly hash, so the SKETCH CONTENTS — not just
+    the estimates — are reproducible in any engine; the oracle rebuilds
+    the same sketch in SQL. Build is one aggregation + a seed explode on
+    the (tiny) distinct-key table; at 100 TB the sketch stays depth x
+    width cells regardless of corpus size."""
+    e = load(spark, sf_dir, "events")
+    types = e.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("true_n")
+    )
+    h = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), F.length("event_type")),
+            lambda i: F.ascii(F.col("event_type").substr(i, F.lit(1))).cast(
+                "long"
+            ),
+        ),
+        F.lit(7).cast("long"),
+        lambda acc, c: (acc * 31 + c) % 1_000_003,
+    )
+    th = types.withColumn("h", h)
+    cells = th.select(
+        "event_type",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("seed"),
+                        ((F.col("h") * (2 * j + 3) + j) % 64).alias("cell"),
+                    )
+                    for j in range(3)
+                ]
+            )
+        ).alias("sc"),
+    ).select("event_type", "true_n", "sc.seed", "sc.cell")
+    sketch = cells.groupBy("seed", "cell").agg(F.sum("true_n").alias("cnt"))
+    return (
+        cells.join(F.broadcast(sketch), ["seed", "cell"])
+        .groupBy("event_type", "true_n")
+        .agg(F.min("cnt").cast("long").alias("cm_estimate"))
+    )

@@ -568,3 +568,50 @@ def events_session_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=1_800_000_000,
     )
     return out.select("event_id", "user_id", "s_start_us", "s_end_us")
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             count(*) AS n, sum(value) AS v
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT event_type, date_trunc('day', bucket) AS bucket,
+             sum(n) AS n, sum(v) AS v
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT 'hour' AS level, event_type,
+           CAST(epoch_us(bucket) AS BIGINT) AS bucket_us,
+           CAST(n AS BIGINT) AS n, round(v + 1e-9, 2) AS value_sum
+    FROM hourly
+    UNION ALL
+    SELECT 'day', event_type, CAST(epoch_us(bucket) AS BIGINT),
+           CAST(n AS BIGINT), round(v + 1e-9, 2)
+    FROM daily
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY rollup is
+    re-aggregated FROM THE HOURLY PARTIALS (sum of sums / sum of counts —
+    algebraic), never from raw events — the TimescaleDB continuous-
+    aggregate pattern that makes coarser granularities nearly free at
+    100 TB. Both levels are emitted with a level tag; the oracle computes
+    the same two-stage reduction."""
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    daily = hourly.groupBy(
+        "event_type", F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    def fmt(df, level):
+        return df.select(
+            F.lit(level).alias("level"),
+            "event_type",
+            F.unix_micros("bucket").alias("bucket_us"),
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("v") + F.lit(1e-9), 2).alias("value_sum"),
+        )
+    return fmt(hourly, "hour").unionByName(fmt(daily, "day"))
