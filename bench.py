@@ -61,13 +61,24 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows, median {dt:.2f}s of {samples}", file=sys.stderr)
 
+    # Full per-query timings go to a sidecar file; the stdout JSON line
+    # stays small (the driver's round-1 capture truncated a ~4 KB line to
+    # "parsed: null") — it carries the totals plus only the 10 slowest.
+    queries_file = str(Path(__file__).resolve().parent / "BENCH_QUERIES.json")
+    with open(queries_file, "w") as fh:
+        json.dump(timings, fh, indent=1, sort_keys=True)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
+                "n_queries": len(timings),
+                "queries": slowest,
+                "queries_file": queries_file,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -61,10 +61,25 @@ def layer_cover_rollup(
 ) -> DataFrame:
     """A3: layer cover from species covers, 1 - prod(1 - cover/100)
     (export_from_vbidwh.Rmd:88-92), computed as exp-sum-log so it stays a
-    single partial-aggregable expression (map-side combine at scale)."""
-    frac = 1 - F.col(cover_col) / 100.0
+    single partial-aggregable expression (map-side combine at scale).
+
+    Boundary semantics match R's prod():
+    - any NULL cover -> NULL layer cover (NA * x = NA; checked FIRST because
+      prod(c(NA, 1)) is NA in R even when another factor is 0 -> NA*0 = NA);
+    - else any cover >= 100 -> exactly 100 (the product hits 0; Spark's
+      log(<=0) is NULL and sum() would silently skip it, under-reporting);
+    - else the exp-sum-log closed form. All three branches are plain
+      partial-aggregable aggregates (count/max/sum), so map-side combine
+      still applies.
+    """
+    cover = F.col(cover_col)
+    frac = 1 - cover / 100.0
+    has_null = F.count(F.lit(1)) != F.count(cover)
     return df.groupBy(*keys).agg(
-        F.round((1 - F.exp(F.sum(F.log(frac)))) * 100 + F.lit(1e-9), 6).alias(
-            "cover_layer"
+        F.when(has_null, F.lit(None).cast("double"))
+        .when(F.max(cover) >= 100.0, F.lit(100.0))
+        .otherwise(
+            F.round((1 - F.exp(F.sum(F.log(frac)))) * 100 + F.lit(1e-9), 6)
         )
+        .alias("cover_layer")
     )

@@ -22,8 +22,13 @@ def split_hash(id_col: Column) -> Column:
     """Deterministic 0..99 percentile bucket from an integer id — plain
     integer arithmetic reproducible in any engine (same recipe as the
     repo's portable hashes). Splitting by hash, not by position, keeps
-    assignments stable under corpus growth and needs no shuffle."""
-    return ((id_col * 131071 + 524287) % HASH_PRIME) % 100
+    assignments stable under corpus growth and needs no shuffle.
+
+    ``pmod`` (not ``%``, which keeps the dividend's sign) so NEGATIVE ids
+    still land in 0..99 — with ``%`` every negative id hashed to a
+    negative pct and fell into 'train', silently skewing the 80/10/10
+    contract. Same convention as operators/skew.with_salt."""
+    return F.pmod(F.pmod(id_col * 131071 + 524287, HASH_PRIME), 100)
 
 
 def hash_split(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 from pyspark.sql.window import Window as W
 
 
@@ -32,12 +33,30 @@ def asof_join(
 
     ``right`` must be unique per (key, time): pre-reduce it (e.g. keep
     max id per timestamp) or ties are resolved arbitrarily. Left columns
-    pass through; ``right_cols`` arrive null when no right row precedes."""
-    lt = left.withColumn("_side", F.lit(1))
-    for c in right_cols:
-        lt = lt.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    pass through; ``right_cols`` arrive null when no right row precedes.
+
+    The right payload is packed into ONE struct and attached with a single
+    ``last(struct, ignorenulls=True)`` — whole-row semantics like DuckDB's
+    ASOF JOIN. (Attaching each column independently would stitch values
+    from DIFFERENT right rows whenever a newer right row legitimately
+    carries NULL in one payload column.) A struct whose fields are all
+    NULL is still a non-null struct, so such a row correctly shadows older
+    ones rather than being skipped."""
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"right_cols collide with left columns: {sorted(overlap)}; "
+            "rename before joining"
+        )
+    lt = left.select(
+        "*",
+        F.lit(1).alias("_side"),
+        F.lit(None)
+        .cast(StructType([right.schema[c] for c in right_cols]))
+        .alias("_r"),
+    )
     rt = right.select(
-        key, time_col, F.lit(0).alias("_side"), *right_cols
+        key, time_col, F.lit(0).alias("_side"), F.struct(*right_cols).alias("_r")
     )
     u = lt.unionByName(rt, allowMissingColumns=True)
     # right rows sort BEFORE left rows at the same timestamp => inclusive
@@ -46,9 +65,7 @@ def asof_join(
         .orderBy(time_col, "_side")
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    attached = u
-    for c in right_cols:
-        attached = attached.withColumn(
-            c, F.last(c, ignorenulls=True).over(w)
-        )
-    return attached.filter(F.col("_side") == 1).drop("_side")
+    attached = u.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    return attached.filter(F.col("_side") == 1).select(
+        *left.columns, *[F.col("_r")[c].alias(c) for c in right_cols]
+    )

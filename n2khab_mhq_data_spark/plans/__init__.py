@@ -43,6 +43,33 @@ def _load_modules() -> None:
     )
 
 
+def _interleave_families() -> None:
+    """Rebuild the registries in round-robin family order.
+
+    The driver's CORRECTNESS file may truncate to a prefix of the
+    registration order (round 1 kept only the first 50, leaving whole
+    families — kernels/LLM/pipeline/spatial — with no driver-side signal).
+    Interleaving one-query-per-module means ANY prefix samples every
+    family. Within a family, registration order is kept (modules register
+    basic shapes first)."""
+    fams: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        fams.setdefault(fn.__module__, []).append(name)
+    queues = list(fams.values())
+    order: list[str] = []
+    while queues:
+        for q in queues:
+            order.append(q.pop(0))
+        queues = [q for q in queues if q]
+    snap_q, snap_o = dict(QUERIES), dict(ORACLES)
+    QUERIES.clear()
+    ORACLES.clear()
+    for n in order:
+        QUERIES[n] = snap_q[n]
+        if n in snap_o:
+            ORACLES[n] = snap_o[n]
+
+
 _LOADED = False
 
 
@@ -50,4 +77,5 @@ def ensure_loaded() -> None:
     global _LOADED
     if not _LOADED:
         _load_modules()
+        _interleave_families()
         _LOADED = True

@@ -12,7 +12,11 @@ from pyspark.sql.window import Window as W
 from n2khab_mhq_data_spark.catalog import load, local_dim
 from n2khab_mhq_data_spark.functions.parsing import parse_measurement
 from n2khab_mhq_data_spark.functions.scalars import eps_round
-from n2khab_mhq_data_spark.kernels.cover import cover_scale_dim, decode_cover
+from n2khab_mhq_data_spark.kernels.cover import (
+    cover_scale_dim,
+    decode_cover,
+    layer_cover_rollup,
+)
 from n2khab_mhq_data_spark.kernels.lsvi import (
     aggregate_levels,
     evaluate_conditions,
@@ -878,3 +882,37 @@ def k7_lsvi_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_items").alias("n_items_ok"),
         F.col("avg_disc").alias("avg_disc_ok"),
     )
+
+
+@query(
+    "k1_cover_rollup_boundary",
+    oracle="""
+    WITH c AS (
+      SELECT l_orderkey AS orderkey,
+             CASE WHEN l_linenumber = 7 THEN NULL
+                  ELSE l_quantity * 2 END AS cover_mean
+      FROM lineitem
+    )
+    SELECT orderkey,
+           CASE WHEN count(*) <> count(cover_mean) THEN NULL
+                WHEN max(cover_mean) >= 100 THEN 100.0
+                ELSE round((1 - exp(sum(CASE WHEN cover_mean < 100
+                       THEN ln(1 - cover_mean / 100.0) END))) * 100 + 1e-9, 6)
+           END AS cover_layer
+    FROM c GROUP BY 1
+    """,
+)
+def k1_cover_rollup_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/K1 roll-up at the boundary (export_from_vbidwh.Rmd:88-92): covers
+    derived as quantity*2 reach exactly 100 (prod hits 0 -> layer = 100) and
+    linenumber-7 rows inject NULLs (R prod() NA-propagation). Exercises both
+    special branches of ``layer_cover_rollup`` that the plain exp-sum-log
+    form gets wrong (Spark log(<=0) -> NULL, sum skips NULLs)."""
+    li = load(spark, sf_dir, "lineitem")
+    covers = li.select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.when(F.col("l_linenumber") != 7, F.col("l_quantity") * 2).alias(
+            "cover_mean"
+        ),
+    )
+    return layer_cover_rollup(covers, ["orderkey"])

@@ -19,11 +19,11 @@ from n2khab_mhq_data_spark.plans import query
     "pipeline_hash_split",
     oracle="""
     SELECT doc_id,
-           CAST(((doc_id * 131071 + 524287) % 1000003) % 100 AS BIGINT)
+           CAST(((((doc_id * 131071 + 524287) % 1000003) + 1000003) % 1000003) % 100 AS BIGINT)
              AS pct,
-           CASE WHEN ((doc_id * 131071 + 524287) % 1000003) % 100 < 80
+           CASE WHEN ((((doc_id * 131071 + 524287) % 1000003) + 1000003) % 1000003) % 100 < 80
                 THEN 'train'
-                WHEN ((doc_id * 131071 + 524287) % 1000003) % 100 < 90
+                WHEN ((((doc_id * 131071 + 524287) % 1000003) + 1000003) % 1000003) % 100 < 90
                 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents

@@ -101,9 +101,100 @@ _LCC_CONSTS = (
     """,
 )
 def k11_crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K11 CRS transform WGS84 -> Lambert-72 (sf::st_transform analog,
-    process_external_data.Rmd:148-152): Snyder LCC-2SP in a vectorized
-    pandas UDF; the oracle evaluates the same published formulas in SQL."""
+    """K11 CRS transform, projection leg (BD72 lon/lat -> Lambert-72 metres):
+    Snyder LCC-2SP in a vectorized pandas UDF; the oracle evaluates the same
+    published formulas in SQL. The full sf::st_transform pipeline (datum
+    shift + projection) is k11_crs_full_datum."""
+    c = load(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("point_id"),
+        (50.0 + (F.col("c_custkey") % 100) / 100.0).alias("lat"),
+        (3.0 + (F.col("c_custkey") % 73) / 73.0 * 2).alias("lon"),
+    )
+    out = pts.withColumn(
+        "xy", crs.bd72_to_lambert72_udf(F.col("lon"), F.col("lat"))
+    )
+    return out.select(
+        "point_id",
+        F.round(F.col("xy.x") + F.lit(1e-9), 3).alias("x"),
+        F.round(F.col("xy.y") + F.lit(1e-9), 3).alias("y"),
+    )
+
+
+_HELMERT_CONSTS = (
+    f"SELECT {crs._WGS_A!r}::DOUBLE AS wa, {crs._WGS_E2!r}::DOUBLE AS we2,"
+    f" {crs._A!r}::DOUBLE AS a2, {crs._E2!r}::DOUBLE AS e2,"
+    f" {crs._TX!r}::DOUBLE AS tx, {crs._TY!r}::DOUBLE AS ty,"
+    f" {crs._TZ!r}::DOUBLE AS tz, {float(crs._RX)!r}::DOUBLE AS rx,"
+    f" {float(crs._RY)!r}::DOUBLE AS ry, {float(crs._RZ)!r}::DOUBLE AS rz,"
+    f" {crs._DS!r}::DOUBLE AS ds"
+)
+
+# 6 unrolled iterations of the geocentric->geodetic latitude recovery
+# (mirrors crs._xyz_to_geodetic's fixed-point loop exactly)
+_PHI_ITER = "".join(
+    f""", g{i + 1} AS (
+      SELECT point_id, lmb, p, zb, e2, a2,
+             atan2(zb + e2 * (a2 / sqrt(1 - e2 * sin(phi) * sin(phi)))
+                   * sin(phi), p) AS phi
+      FROM g{i}
+    )"""
+    for i in range(6)
+)
+
+
+@query(
+    "k11_crs_full_datum",
+    oracle=f"""
+    WITH hk AS ({_HELMERT_CONSTS}), k AS ({_LCC_CONSTS}),
+    pts AS (
+      SELECT c_custkey AS point_id,
+             radians(50.0 + (c_custkey % 100) / 100.0) AS phw,
+             radians(3.0 + (c_custkey % 73) / 73.0 * 2) AS lmw
+      FROM customer
+    ), xyz0 AS (
+      SELECT point_id, phw, lmw,
+             wa / sqrt(1 - we2 * sin(phw) * sin(phw)) AS nu,
+             tx, ty, tz, rx, ry, rz, ds, we2
+      FROM pts, hk
+    ), xyz AS (
+      SELECT point_id,
+             tx + (1 + ds) * (x - rz * y + ry * z) AS xb,
+             ty + (1 + ds) * (rz * x + y - rx * z) AS yb,
+             tz + (1 + ds) * (-ry * x + rx * y + z) AS zb
+      FROM (
+        SELECT point_id, tx, ty, tz, rx, ry, rz, ds,
+               nu * cos(phw) * cos(lmw) AS x,
+               nu * cos(phw) * sin(lmw) AS y,
+               nu * (1 - we2) * sin(phw) AS z
+        FROM xyz0
+      ) q
+    ), g0 AS (
+      SELECT point_id, atan2(yb, xb) AS lmb,
+             sqrt(xb * xb + yb * yb) AS p, zb, e2, a2,
+             atan2(zb, sqrt(xb * xb + yb * yb) * (1 - e2)) AS phi
+      FROM xyz, hk
+    ){_PHI_ITER}, proj AS (
+      SELECT point_id,
+             a * bigf * power(
+               tan(pi() / 4 - phi / 2)
+               / power((1 - e * sin(phi)) / (1 + e * sin(phi)), e / 2), n)
+               AS rho,
+             n * (lmb - lon0) AS theta, x0, y0, rho0
+      FROM g6, k
+    )
+    SELECT point_id,
+           round(x0 + rho * sin(theta) + 1e-9, 3) AS x,
+           round(y0 + rho0 - rho * cos(theta) + 1e-9, 3) AS y
+    FROM proj
+    """,
+)
+def k11_crs_full_datum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K11 full EPSG:31370 pipeline from true WGS84 (what sf::st_transform
+    does, process_external_data.Rmd:148-152): Helmert 7-parameter shift to
+    BD72 (inverse EPSG:15929) then LCC-2SP. ~100 m from the projection-only
+    leg over Belgium. Oracle re-derives every step in SQL, including the
+    fixed-point latitude recovery unrolled to the same 6 iterations."""
     c = load(spark, sf_dir, "customer")
     pts = c.select(
         F.col("c_custkey").alias("point_id"),

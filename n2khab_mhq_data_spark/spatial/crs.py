@@ -124,10 +124,29 @@ def wgs84_to_bd72(lon, lat):
     return _xyz_to_geodetic(xb, yb, zb, _A, _E2)
 
 
+def bd72_to_wgs84(lon, lat):
+    """Helmert shift Belgian Datum 1972 -> WGS84 (forward EPSG:15929,
+    position-vector convention — the module constants are the inverse
+    parameters, so negate them here)."""
+    x, y, z = _geodetic_to_xyz(lon, lat, _A, _E2)
+    s = 1 - _DS
+    rx, ry, rz = -_RX, -_RY, -_RZ
+    xw = -_TX + s * (x - rz * y + ry * z)
+    yw = -_TY + s * (rz * x + y - rx * z)
+    zw = -_TZ + s * (-ry * x + rx * y + z)
+    return _xyz_to_geodetic(xw, yw, zw, _WGS_A, _WGS_E2)
+
+
 def wgs84_to_lambert72_full(lon, lat):
     """True EPSG:31370: datum shift then LCC projection."""
     lon_b, lat_b = wgs84_to_bd72(np.asarray(lon, float), np.asarray(lat, float))
     return wgs84_to_lambert72(lon_b, lat_b)
+
+
+def lambert72_to_wgs84_full(x, y):
+    """True inverse EPSG:31370: LCC inverse then datum shift to WGS84."""
+    lon_b, lat_b = lambert72_to_wgs84(x, y)
+    return bd72_to_wgs84(lon_b, lat_b)
 
 
 _XY_SCHEMA = StructType(
@@ -136,8 +155,19 @@ _XY_SCHEMA = StructType(
 
 
 @F.pandas_udf(_XY_SCHEMA)
-def to_lambert72_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+def bd72_to_lambert72_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """Projection leg ONLY (input lon/lat already on the BD72 datum) —
+    named bd72_* so the missing WGS84 datum shift is explicit at the call
+    site; use ``to_lambert72_udf`` for true-WGS84 input (~100 m apart)."""
     x, y = wgs84_to_lambert72(lon.to_numpy(), lat.to_numpy())
+    return pd.DataFrame({"x": x, "y": y})
+
+
+@F.pandas_udf(_XY_SCHEMA)
+def to_lambert72_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """Full EPSG:31370 from true WGS84: Helmert datum shift + LCC, the
+    transform sf::st_transform performs in the reference."""
+    x, y = wgs84_to_lambert72_full(lon.to_numpy(), lat.to_numpy())
     return pd.DataFrame({"x": x, "y": y})
 
 
@@ -147,6 +177,14 @@ _LL_SCHEMA = StructType(
 
 
 @F.pandas_udf(_LL_SCHEMA)
-def to_wgs84_udf(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+def lambert72_to_bd72_udf(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    """Inverse projection leg ONLY — output lon/lat stay on BD72."""
     lon, lat = lambert72_to_wgs84(x.to_numpy(), y.to_numpy())
+    return pd.DataFrame({"lon": lon, "lat": lat})
+
+
+@F.pandas_udf(_LL_SCHEMA)
+def to_wgs84_udf(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+    """Full inverse EPSG:31370: LCC inverse + Helmert shift to true WGS84."""
+    lon, lat = lambert72_to_wgs84_full(x.to_numpy(), y.to_numpy())
     return pd.DataFrame({"lon": lon, "lat": lat})

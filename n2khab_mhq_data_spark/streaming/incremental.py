@@ -32,14 +32,33 @@ def merge_stream(
 
     Each micro-batch merges into the published parquet state with
     latest-wins semantics on ``keys`` ordered by ``order_cols`` desc.
-    Exactly-once via the checkpoint + overwrite of the state directory.
+
+    Effectively-once: the checkpoint dedups batch delivery, the merge itself
+    is idempotent (latest-wins replay converges), and the state swap is a
+    write-to-temp + rename protocol (rename is atomic on HDFS/local FS) with
+    crash recovery — never a mode("overwrite") of the directory being read,
+    which would delete existing state before the new write is known-good.
+    "First batch" is decided by an explicit FileSystem.exists() check, not by
+    catching read errors, so a transient IO/permission failure surfaces
+    instead of silently truncating state.
     """
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        try:
+        jvm = s._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        state = hpath(state_path)
+        fs = state.getFileSystem(s._jsc.hadoopConfiguration())
+        bak = hpath(state_path + ".bak")
+        tmp = hpath(state_path + ".tmp")
+        # Crash recovery: a previous batch died between moving state aside
+        # and promoting its temp output — restore the pre-batch state and
+        # let the replayed batch merge against it.
+        if not fs.exists(state) and fs.exists(bak):
+            fs.rename(bak, state)
+        if fs.exists(state):
             published = s.read.parquet(state_path)
-        except Exception:
+        else:
             published = batch.limit(0)
         merged = incremental_merge(
             published,
@@ -47,9 +66,18 @@ def merge_stream(
             keys,
             [F.col(c).desc() for c in order_cols],
         )
-        # localCheckpoint cuts the lineage; the overwrite below reads the
-        # state path it is about to replace
-        merged.localCheckpoint().write.mode("overwrite").parquet(state_path)
+        # Write the merged state NEXT TO the live state (so the scan above
+        # still has its input), then swap via atomic renames.
+        if fs.exists(tmp):
+            fs.delete(tmp, True)
+        merged.write.mode("overwrite").parquet(tmp.toString())
+        if fs.exists(bak):
+            fs.delete(bak, True)
+        if fs.exists(state):
+            fs.rename(state, bak)
+        fs.rename(tmp, state)
+        if fs.exists(bak):
+            fs.delete(bak, True)
 
     return (
         source.writeStream.foreachBatch(merge_batch)

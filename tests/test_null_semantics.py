@@ -83,3 +83,69 @@ def test_na_fill_idioms(spark):
     )
     assert [r.filled for r in out] == ["a", "missing", "b", "missing"]
     assert all(r.blanked is None for r in out)
+
+
+def test_layer_cover_rollup_boundary(spark):
+    from n2khab_mhq_data_spark.kernels.cover import layer_cover_rollup
+
+    df = spark.createDataFrame(
+        [
+            (1, 50.0), (1, 100.0),          # product hits 0 -> exactly 100
+            (2, 50.0), (2, None),           # NULL propagates (R prod NA)
+            (3, None), (3, 100.0),          # NULL beats the 100 branch
+            (4, 50.0), (4, 50.0),           # plain exp-sum-log branch
+        ],
+        "plot_id int, cover_mean double",
+    )
+    out = {
+        r.plot_id: r.cover_layer
+        for r in layer_cover_rollup(df, ["plot_id"]).collect()
+    }
+    assert out[1] == 100.0
+    assert out[2] is None
+    assert out[3] is None
+    assert abs(out[4] - 75.0) < 1e-6
+
+
+def test_asof_join_whole_row_null_payload(spark):
+    from n2khab_mhq_data_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 30)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "old", 1.0), (1, 20, None, 2.0)],
+        "k int, t int, label string, score double",
+    )
+    out = {
+        r.t: (r.label, r.score)
+        for r in asof_join(
+            left, right, "k", "t", ["label", "score"]
+        ).collect()
+    }
+    # t=30's as-of row is t=20 whose label is legitimately NULL: DuckDB
+    # ASOF attaches the WHOLE row, so label must be None, not "old"
+    assert out[30] == (None, 2.0)
+    assert out[10] == ("old", 1.0)
+
+
+def test_asof_join_rejects_column_collision(spark):
+    import pytest
+
+    from n2khab_mhq_data_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, "x")], "k int, t int, label string")
+    right = spark.createDataFrame([(1, 5, "y")], "k int, t int, label string")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "k", "t", ["label"])
+
+
+def test_split_hash_negative_ids(spark):
+    from n2khab_mhq_data_spark.llmdata.pipeline import hash_split
+
+    df = spark.createDataFrame(
+        [(-5,), (-1000003,), (-1,), (7,)], "doc_id long"
+    )
+    rows = hash_split(df, "doc_id").collect()
+    assert all(0 <= r.pct <= 99 for r in rows)
+    assert all(r.split in ("train", "val", "test") for r in rows)

@@ -9,6 +9,7 @@ import pytest
 
 from n2khab_mhq_data_spark.spatial.crs import (
     lambert72_to_wgs84,
+    lambert72_to_wgs84_full,
     wgs84_to_bd72,
     wgs84_to_lambert72,
     wgs84_to_lambert72_full,
@@ -65,3 +66,12 @@ def test_datum_shift_magnitude():
     xp, yp = wgs84_to_lambert72(lon, lat)
     d = math.hypot(float(xf[0] - xp[0]), float(yf[0] - yp[0]))
     assert 30 < d < 300
+
+
+def test_full_datum_round_trip():
+    lon = np.array([3.5, 4.35, 5.5])
+    lat = np.array([50.2, 50.85, 51.3])
+    x, y = wgs84_to_lambert72_full(lon, lat)
+    lon2, lat2 = lambert72_to_wgs84_full(x, y)
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
