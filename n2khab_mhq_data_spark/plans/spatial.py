@@ -269,3 +269,163 @@ def j11_segment_area_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("seg_area") + F.lit(1e-9), 3).alias("seg_area"),
         F.round(F.col("weight") + F.lit(1e-9), 6).alias("weight"),
     )
+
+
+@query(
+    "s7_wkt_layer_load",
+    oracle="""
+    WITH g AS (
+      SELECT c_custkey AS feature_id, 1.0 + (c_custkey % 4) AS s
+      FROM customer
+    )
+    SELECT feature_id,
+           CASE WHEN feature_id % 5 = 0 THEN 2 ELSE 1 END AS n_polys,
+           CASE WHEN feature_id % 5 = 0 THEN 2
+                WHEN feature_id % 3 = 0 THEN 2 ELSE 1 END AS n_rings,
+           CASE WHEN feature_id % 5 = 0 THEN 10
+                WHEN feature_id % 3 = 0 THEN 10 ELSE 5 END AS n_points,
+           round(CASE
+             WHEN feature_id % 5 = 0 THEN 4*s*s + s*s
+             WHEN feature_id % 3 = 0 THEN 4*s*s - s*s
+             ELSE 4*s*s END + 1e-9, 3) AS area
+    FROM g
+    """,
+)
+def s7_wkt_layer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 spatial-layer ingestion: WKT text column -> validated layer with
+    shape stats + exact shoelace area (sf::st_read + st_area analog). The
+    layer mixes simple POLYGONs, POLYGONs with a hole, and MULTIPOLYGONs,
+    all built as REAL WKT strings Spark-side so the parser runs end-to-end;
+    the oracle re-derives the areas arithmetically (square side 2s, hole
+    side s: 4s^2 - s^2; two squares: 4s^2 + s^2)."""
+    from n2khab_mhq_data_spark.spatial.join import parse_wkt_layer
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    s = (1.0 + (k % 4)).cast("double")
+    cx = (k % 23).cast("double")
+    cy = (k % 17).cast("double")
+    # square ring (closed, CCW) at (x, y) with half-side h
+    def sq(x, y, h):
+        return F.format_string(
+            "(%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f)",
+            x - h, y - h, x + h, y - h, x + h, y + h, x - h, y + h,
+            x - h, y - h,
+        )
+
+    wkt = (
+        F.when(
+            k % 5 == 0,
+            F.format_string(
+                "MULTIPOLYGON ((%s), (%s))",
+                sq(cx, cy, s),
+                sq(cx + 10 * s, cy, s / 2),
+            ),
+        )
+        .when(
+            k % 3 == 0,
+            F.format_string("POLYGON (%s, %s)", sq(cx, cy, s), sq(cx, cy, s / 2)),
+        )
+        .otherwise(F.format_string("POLYGON (%s)", sq(cx, cy, s)))
+    )
+    layer = c.select(k.alias("feature_id"), wkt.alias("wkt"))
+    out = parse_wkt_layer(layer, "wkt", "feature_id")
+    return out.select(
+        "feature_id",
+        "n_polys",
+        "n_rings",
+        "n_points",
+        F.round(F.col("area") + F.lit(1e-9), 3).alias("area"),
+    )
+
+
+@query(
+    "j11_wkt_polygon_area",
+    oracle="""
+    WITH geo AS (
+      SELECT c_custkey AS plot_id,
+             ((c_custkey % 7) - 3.0) AS cx,
+             ((c_custkey % 11) / 2.0 - 2.5) AS cy,
+             ((c_custkey % 7) - 3.0) + ((c_custkey % 5) - 2.0) AS mx,
+             ((c_custkey % 11) / 2.0 - 2.5)
+               + ((c_custkey % 13) / 4.0 - 1.5) AS my,
+             (3.0 + (c_custkey % 9)) AS p,
+             (2.0 + (c_custkey % 6)) AS q
+      FROM customer
+    ), edges AS (
+      SELECT plot_id,
+        CASE e.i WHEN 0 THEN mx + p WHEN 1 THEN mx
+                 WHEN 2 THEN mx - p ELSE mx END - cx AS x1,
+        CASE e.i WHEN 0 THEN my WHEN 1 THEN my + q
+                 WHEN 2 THEN my ELSE my - q END - cy AS y1,
+        CASE e.i WHEN 0 THEN mx WHEN 1 THEN mx - p
+                 WHEN 2 THEN mx ELSE mx + p END - cx AS x2,
+        CASE e.i WHEN 0 THEN my + q WHEN 1 THEN my
+                 WHEN 2 THEN my - q ELSE my END - cy AS y2
+      FROM geo, (VALUES (0), (1), (2), (3)) AS e(i)
+    ), quad AS (
+      SELECT plot_id, x1, y1, x2, y2, (x2 - x1) AS dx, (y2 - y1) AS dy,
+             ((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1)) AS a,
+             2*(x1*(x2-x1) + y1*(y2-y1)) AS b,
+             (x1*x1 + y1*y1 - 81.0) AS cc
+      FROM edges
+    ), ts AS (
+      SELECT plot_id, x1, y1, x2, y2, dx, dy,
+        least(greatest((-b - sqrt(greatest(b*b - 4*a*cc, 0.0))) / (2*a),
+                       0.0), 1.0) AS ta,
+        least(greatest((-b + sqrt(greatest(b*b - 4*a*cc, 0.0))) / (2*a),
+                       0.0), 1.0) AS tb
+      FROM quad
+    ), pieces AS (
+      SELECT plot_id,
+        0.5 * ((x1+ta*dx)*(y1+tb*dy) - (x1+tb*dx)*(y1+ta*dy)) AS tri,
+        0.5 * 81.0 * atan2(x1*(y1+ta*dy) - (x1+ta*dx)*y1,
+                           x1*(x1+ta*dx) + y1*(y1+ta*dy)) AS s1,
+        0.5 * 81.0 * atan2((x1+tb*dx)*y2 - x2*(y1+tb*dy),
+                           (x1+tb*dx)*x2 + (y1+tb*dy)*y2) AS s2
+      FROM ts
+    )
+    SELECT plot_id, 1 AS segment_id,
+           round(abs(sum(tri + s1 + s2)) + 1e-9, 3) AS seg_area,
+           round(abs(sum(tri + s1 + s2)) / (pi() * 81.0) + 1e-9, 6) AS weight
+    FROM pieces GROUP BY 1, 2
+    """,
+)
+def j11_wkt_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11/K5 general polygon form (calc_plot_segment_area.Rmd:59-75):
+    per-plot segment polygons — rotated diamonds, NOT axis-aligned bands —
+    enter as WKT text, and the exact polygon ∩ circle intersection area
+    comes from the Green's-theorem kernel (triangle + circular-sector terms
+    per edge). The oracle evaluates the IDENTICAL closed form in SQL over
+    an exploded edge table, so the differential check verifies the general
+    geometry math itself, not a special case."""
+    from n2khab_mhq_data_spark.spatial.join import (
+        wkt_circle_intersection_areas,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cx = ((k % 7) - 3.0).cast("double")
+    cy = ((k % 11) / 2.0 - 2.5).cast("double")
+    mx = cx + ((k % 5) - 2.0)
+    my = cy + ((k % 13) / 4.0 - 1.5)
+    p = (3.0 + (k % 9)).cast("double")
+    q = (2.0 + (k % 6)).cast("double")
+    wkt = F.format_string(
+        "POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f))",
+        mx + p, my, mx, my + q, mx - p, my, mx, my - q, mx + p, my,
+    )
+    segs = c.select(
+        k.alias("plot_id"),
+        F.lit(1).cast("long").alias("segment_id"),
+        wkt.alias("wkt"),
+        cx.alias("cx"),
+        cy.alias("cy"),
+    )
+    out = wkt_circle_intersection_areas(segs, radius=9.0)
+    return out.select(
+        "plot_id",
+        "segment_id",
+        F.round(F.col("seg_area") + F.lit(1e-9), 3).alias("seg_area"),
+        F.round(F.col("weight") + F.lit(1e-9), 6).alias("weight"),
+    )

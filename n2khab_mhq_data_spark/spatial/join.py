@@ -94,3 +94,112 @@ def strip_segment_areas(
         "seg_area", area_udf(F.col(x0_col), F.col(x1_col))
     )
     return out.withColumn("weight", F.col("seg_area") / F.lit(total))
+
+
+def wkt_circle_intersection_areas(
+    segments: DataFrame,
+    radius: float = 9.0,
+    wkt_col: str = "wkt",
+    cx_col: str = "cx",
+    cy_col: str = "cy",
+    id_cols: tuple[str, str] = ("plot_id", "segment_id"),
+) -> DataFrame:
+    """J11/K5 general form — segment POLYGON (WKT text) ∩ plot circle:
+    exact intersection area + weight (area share of the circle), matching
+    sf::st_intersection + st_area (calc_plot_segment_area.Rmd:59-75) for
+    ARBITRARY simple polygons, not just axis-aligned bands.
+
+    mapInPandas: per Arrow batch, parse the WKT shells into padded vertex
+    matrices (row-wise string work, unavoidable), then ONE vectorized
+    circle_polygon_area call over the whole batch (python loop over edge
+    index only). No shuffle; the segment side streams."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from n2khab_mhq_data_spark.spatial.geometry import circle_polygon_area
+    from n2khab_mhq_data_spark.spatial.wkt import shell_vertex_arrays
+
+    total = math.pi * radius * radius
+    ida, idb = id_cols
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        ida: pd.Series([], dtype="int64"),
+                        idb: pd.Series([], dtype="int64"),
+                        "seg_area": pd.Series([], dtype="float64"),
+                        "weight": pd.Series([], dtype="float64"),
+                    }
+                )
+                continue
+            X, Y, _ = shell_vertex_arrays(pdf[wkt_col].tolist())
+            area = circle_polygon_area(
+                X,
+                Y,
+                pdf[cx_col].to_numpy(dtype=float),
+                pdf[cy_col].to_numpy(dtype=float),
+                radius,
+            )
+            yield pd.DataFrame(
+                {
+                    ida: pdf[ida].to_numpy(),
+                    idb: pdf[idb].to_numpy(),
+                    "seg_area": area,
+                    "weight": area / total,
+                }
+            )
+
+    return segments.mapInPandas(
+        op, f"{ida} long, {idb} long, seg_area double, weight double"
+    )
+
+
+def parse_wkt_layer(
+    df: DataFrame, wkt_col: str = "wkt", id_col: str = "feature_id"
+) -> DataFrame:
+    """S7 — spatial-layer ingestion from a WKT text column (the engine's
+    interchange path for sf::st_read'd shapefiles/GPKG,
+    process_external_data.Rmd:34): validates every geometry (malformed WKT
+    fails the job, matching st_read) and materializes per-feature shape
+    stats + exact planar area (shoelace, holes subtracted — st_area)."""
+    from n2khab_mhq_data_spark.spatial.wkt import (
+        parse_wkt_polygon,
+        ring_signed_area,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_polys, n_rings, n_points, areas = [], [], [], [], []
+            for fid, w in zip(pdf[id_col], pdf[wkt_col]):
+                polys = parse_wkt_polygon(w)
+                area = 0.0
+                rings = pts = 0
+                for rs in polys:
+                    area += abs(ring_signed_area(rs[0]))
+                    for hole in rs[1:]:
+                        area -= abs(ring_signed_area(hole))
+                    rings += len(rs)
+                    pts += sum(len(r) for r in rs)
+                ids.append(fid)
+                n_polys.append(len(polys))
+                n_rings.append(rings)
+                n_points.append(pts)
+                areas.append(area)
+            yield pd.DataFrame(
+                {
+                    "feature_id": pd.Series(ids, dtype="int64"),
+                    "n_polys": pd.Series(n_polys, dtype="int64"),
+                    "n_rings": pd.Series(n_rings, dtype="int64"),
+                    "n_points": pd.Series(n_points, dtype="int64"),
+                    "area": pd.Series(areas, dtype="float64"),
+                }
+            )
+
+    return df.mapInPandas(
+        op,
+        "feature_id long, n_polys long, n_rings long, n_points long,"
+        " area double",
+    )

@@ -75,3 +75,78 @@ def test_full_datum_round_trip():
     lon2, lat2 = lambert72_to_wgs84_full(x, y)
     np.testing.assert_allclose(lon2, lon, atol=1e-9)
     np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+
+def test_wkt_parser_shapes():
+    from n2khab_mhq_data_spark.spatial.wkt import (
+        parse_wkt_point,
+        parse_wkt_polygon,
+        wkt_area,
+    )
+
+    simple = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert wkt_area(simple) == pytest.approx(16.0)
+    holed = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    assert wkt_area(holed) == pytest.approx(15.0)
+    multi = (
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+        " ((10 10, 12 10, 12 12, 10 12, 10 10)))"
+    )
+    polys = parse_wkt_polygon(multi)
+    assert len(polys) == 2
+    assert wkt_area(multi) == pytest.approx(5.0)
+    # scientific notation + negatives
+    assert wkt_area(
+        "POLYGON ((-1e1 0, 1E1 0, 10 2.5, -10 2.5, -1e1 0))"
+    ) == pytest.approx(50.0)
+    assert parse_wkt_point("POINT (3.5 -7)") == (3.5, -7.0)
+    with pytest.raises(ValueError):
+        parse_wkt_polygon("LINESTRING (0 0, 1 1)")
+    with pytest.raises(ValueError):
+        parse_wkt_polygon("POLYGON ((0 0, 1 0, 1 1, 0 1))")  # unclosed
+
+
+def test_circle_polygon_area_matches_strip():
+    from n2khab_mhq_data_spark.spatial.geometry import circle_polygon_area
+
+    r = 9.0
+    # band polygon == closed-form strip; off-centre circle
+    for x0, x1, cx, cy in [(-9, -3, 0, 0), (-3, 3, 0, 0), (1, 6, 2, -1)]:
+        poly = np.array(
+            [[x0 + cx, cy - 30], [x1 + cx, cy - 30], [x1 + cx, cy + 30],
+             [x0 + cx, cy + 30], [x0 + cx, cy - 30]], float
+        )
+        a = circle_polygon_area(
+            poly[:, 0][None, :], poly[:, 1][None, :],
+            np.array([float(cx)]), np.array([float(cy)]), r,
+        )[0]
+        b = circle_strip_area(
+            np.array([float(x0)]), np.array([float(x1)]), r
+        )[0]
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_circle_polygon_area_containment_cases():
+    from n2khab_mhq_data_spark.spatial.geometry import circle_polygon_area
+
+    r = 9.0
+    big = np.array(
+        [[-50, -50], [50, -50], [50, 50], [-50, 50], [-50, -50]], float
+    )
+    a = circle_polygon_area(
+        big[:, 0][None, :], big[:, 1][None, :],
+        np.array([0.0]), np.array([0.0]), r,
+    )[0]
+    assert a == pytest.approx(math.pi * r * r, abs=1e-9)
+    tiny = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], float)
+    a = circle_polygon_area(
+        tiny[:, 0][None, :], tiny[:, 1][None, :],
+        np.array([0.0]), np.array([0.0]), r,
+    )[0]
+    assert a == pytest.approx(1.0, abs=1e-9)
+    far = tiny + 100
+    a = circle_polygon_area(
+        far[:, 0][None, :], far[:, 1][None, :],
+        np.array([0.0]), np.array([0.0]), r,
+    )[0]
+    assert a == pytest.approx(0.0, abs=1e-9)
