@@ -40,6 +40,9 @@ def read_jdbc(
         "jdbc:ucanaccess": "net.ucanaccess.jdbc.UcanaccessDriver",
         "jdbc:sqlserver": "com.microsoft.sqlserver.jdbc.SQLServerDriver",
         "jdbc:postgresql": "org.postgresql.Driver",
+        # embedded Derby ships with Spark — the integration-test database
+        # (tests/test_sources.py) that exercises this whole dispatch path
+        "jdbc:derby": "org.apache.derby.jdbc.EmbeddedDriver",
     }
     reader = spark.read.format("jdbc").option("url", url)
     for scheme, drv in drivers.items():
