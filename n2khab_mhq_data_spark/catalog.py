@@ -197,8 +197,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # driver may write plain TIMESTAMP(MICROS) without UTC
+            # adjustment, which Spark 4 infers as TIMESTAMP_NTZ; session
+            # timezone is pinned to UTC so this cast is value-preserving
+            # and keeps downstream session_window/unix_millis plans typed
+            # as they expect
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

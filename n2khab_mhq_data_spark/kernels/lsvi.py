@@ -13,10 +13,27 @@ levels are layered aggregations with bool_and + favourable-share. No UDF, no
 driver loop — the whole engine is one Catalyst plan, so it scales to any
 number of plots.
 
-Empty-group semantics: R's min() over an empty set yields Inf with a warning
-(HT31xx_LSVI.Rmd:232-239); here a voorwaarde with a null measured value
-evaluates to null status, and bool_and skips nulls only when the rule table
-marks the voorwaarde optional — otherwise null propagates (strict).
+The engine takes the reference's three inputs:
+
+- ``data_habitat`` + ``data_voorwaarden`` — direct condition measurements,
+  fed to :func:`evaluate_conditions`.
+- ``data_soortenkenmerken`` — species covers matched against *versioned*
+  species lists (``geefSoortenlijst``, HT31xx_LSVI.Rmd:85-155), reduced to
+  per-plot measurement values by :func:`species_measurements` and then fed
+  through the same condition evaluation.
+
+Rule tables are versioned (the reference runs LSVI "Versie 2.0" and
+"Versie 3" side by side via ``geefInvoervereisten``): every rule row carries
+``versie`` and callers pick one (or aggregate per version).
+
+Null semantics (strict): a voorwaarde with a null measured value evaluates
+to null status. During roll-up a null status on a *mandatory* rule
+(``optional = false``) makes the indicator status null (unknown), and null
+propagates up through criterium and global — mirroring how the reference's
+engine refuses to certify a habitat with unmeasured mandatory conditions.
+Rules marked ``optional = true`` are skipped when unmeasured (R's na.rm
+behavior). R's min-over-empty-set -> Inf warning (HT31xx_LSVI.Rmd:232-239)
+maps to the all-optional-unmeasured case: the indicator status is null.
 """
 
 from __future__ import annotations
@@ -27,27 +44,104 @@ from pyspark.sql import functions as F
 from n2khab_mhq_data_spark.catalog import local_dim
 
 RULES_SCHEMA = (
-    "habitat_type string, criterium string, indicator string,"
-    " voorwaarde string, operator string, threshold double"
+    "versie string, habitat_type string, criterium string, indicator string,"
+    " voorwaarde string, operator string, threshold double, optional boolean"
 )
+
+# geefSoortenlijst: per version x habitat x voorwaarde, the species on the
+# list and which statistic the voorwaarde measures over them
+SPECIES_LIST_SCHEMA = (
+    "versie string, habitat_type string, criterium string, indicator string,"
+    " voorwaarde string, stat string, name_sc string"
+)
+
+_KNOWN_OPERATORS = (">=", ">", "<=", "<", "=")
 
 
 def rules_dim(spark: SparkSession, rows: list[tuple]) -> DataFrame:
-    """Rule table (the reference fetches these via geefInvoervereisten,
-    HT31xx_LSVI.Rmd:49-60; here they are versioned seed data)."""
+    """Versioned rule table (the reference fetches these via
+    geefInvoervereisten, HT31xx_LSVI.Rmd:49-60; here they are versioned
+    seed data)."""
     return local_dim(spark, rows, RULES_SCHEMA)
 
 
+def species_list_dim(spark: SparkSession, rows: list[tuple]) -> DataFrame:
+    """Versioned species lists (geefSoortenlijst, HT31xx_LSVI.Rmd:85-110)."""
+    return local_dim(spark, rows, SPECIES_LIST_SCHEMA)
+
+
+def species_measurements(
+    cover_species: DataFrame, species_list: DataFrame, versie: str
+) -> DataFrame:
+    """data_soortenkenmerken branch (HT31xx_LSVI.Rmd:85-155).
+
+    ``cover_species``: plot_id, habitat_type, name_sc, cover (% per species;
+    growth forms may repeat a species — deduped max-cover first, the A10
+    idiom from HT3260_LSVI.Rmd:93-109).
+    ``species_list``: SPECIES_LIST_SCHEMA rows; ``stat`` selects what the
+    voorwaarde measures over the listed species:
+
+    - ``n_species`` — how many listed species are present (cover > 0),
+    - ``sum_cover`` — their summed cover.
+
+    Output has the measurement shape (plot_id, habitat_type, voorwaarde,
+    value), union-able with direct voorwaarde measurements. A plot with no
+    listed species present gets value 0 (the reference counts an absent key
+    species as 0, not unknown): the join is inner, so the 0-rows are added
+    back per (plot x voorwaarde) via a cross of distinct plots x the
+    version's voorwaarden with coalesce.
+    """
+    lst = F.broadcast(species_list.filter(F.col("versie") == versie))
+    dedup = cover_species.groupBy("plot_id", "habitat_type", "name_sc").agg(
+        F.max("cover").alias("cover")
+    )
+    j = dedup.join(lst, ["habitat_type", "name_sc"], "inner")
+    per = j.groupBy("plot_id", "habitat_type", "voorwaarde", "stat").agg(
+        F.count_distinct(
+            F.when(F.col("cover") > 0, F.col("name_sc"))
+        ).alias("n_sp"),
+        F.sum("cover").alias("sum_cov"),
+    )
+    matched = per.select(
+        "plot_id",
+        "habitat_type",
+        "voorwaarde",
+        F.when(F.col("stat") == "n_species", F.col("n_sp").cast("double"))
+        .otherwise(F.col("sum_cov").cast("double"))
+        .alias("value"),
+    )
+    # absent-species plots: every plot x every voorwaarde of this version
+    # must yield a row (value 0) or the rule engine would silently skip it
+    plots = cover_species.select("plot_id", "habitat_type").distinct()
+    voorw = species_list.filter(F.col("versie") == versie).select(
+        "habitat_type", "voorwaarde"
+    ).distinct()
+    full = plots.join(F.broadcast(voorw), "habitat_type", "inner")
+    return full.join(
+        matched, ["plot_id", "habitat_type", "voorwaarde"], "left"
+    ).select(
+        "plot_id",
+        "habitat_type",
+        "voorwaarde",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+
+
 def evaluate_conditions(
-    measurements: DataFrame, rules: DataFrame
+    measurements: DataFrame, rules: DataFrame, versie: str | None = None
 ) -> DataFrame:
     """lsvi_detail: one row per plot x voorwaarde with boolean status.
 
     ``measurements``: plot_id, habitat_type, voorwaarde, value.
-    Join to the broadcast rule table, then evaluate the comparison operator
-    as a when-ladder (the operator vocabulary observed in the LSVI rule
-    tables: >=, >, <=, <, =).
+    Join to the broadcast rule table (optionally pinned to one ``versie``),
+    then evaluate the comparison operator as a when-ladder (vocabulary
+    observed in the LSVI rule tables: >=, >, <=, <, =). An operator outside
+    that vocabulary fails fast at execution time instead of silently
+    evaluating to null. Output carries ``versie`` and ``optional`` through
+    for the roll-up's strict-null semantics.
     """
+    if versie is not None:
+        rules = rules.filter(F.col("versie") == versie)
     j = measurements.join(
         F.broadcast(rules), on=["habitat_type", "voorwaarde"], how="inner"
     )
@@ -58,8 +152,16 @@ def evaluate_conditions(
         .when(F.col("operator") == "<=", v <= t)
         .when(F.col("operator") == "<", v < t)
         .when(F.col("operator") == "=", v == t)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown LSVI operator: "), F.col("operator")
+                )
+            ).cast("boolean")
+        )
     )
     return j.select(
+        "versie",
         "plot_id",
         "habitat_type",
         "criterium",
@@ -68,28 +170,56 @@ def evaluate_conditions(
         F.round(v + F.signum(v) * 1e-9, 6).alias("value"),
         "operator",
         "threshold",
+        "optional",
         status.alias("status_voorwaarde"),
     )
 
 
-def aggregate_levels(detail: DataFrame) -> dict[str, DataFrame]:
-    """Roll the detail up through the reference's 4 result levels."""
-    indicator = detail.groupBy(
-        "plot_id", "habitat_type", "criterium", "indicator"
-    ).agg(F.bool_and("status_voorwaarde").alias("status_indicator"))
+def aggregate_levels(
+    detail: DataFrame, by_version: bool = False
+) -> dict[str, DataFrame]:
+    """Roll the detail up through the reference's 4 result levels.
 
-    criterium = indicator.groupBy("plot_id", "habitat_type", "criterium").agg(
-        F.bool_and("status_indicator").alias("status_criterium"),
-        F.round(
-            F.avg(F.col("status_indicator").cast("int")) + F.lit(1e-9), 6
-        ).alias("share_favourable_ind"),
+    Strict-null roll-up: an unmeasured (null-status) *mandatory* voorwaarde
+    nulls its indicator; a null indicator nulls its criterium; a null
+    criterium nulls the global status. Optional voorwaarden are skipped when
+    null (bool_and's native skip). The favourable shares average only the
+    resolved children (na.rm), but are nulled alongside the status so an
+    unknown never masquerades as a measured share.
+    """
+    keys = ["versie"] if by_version else []
+    s = F.col("status_voorwaarde")
+    unknown = F.bool_or(s.isNull() & ~F.col("optional"))
+    indicator = detail.groupBy(
+        *keys, "plot_id", "habitat_type", "criterium", "indicator"
+    ).agg(
+        F.when(unknown, F.lit(None).cast("boolean"))
+        .otherwise(F.bool_and(s))
+        .alias("status_indicator")
     )
 
-    globaal = criterium.groupBy("plot_id", "habitat_type").agg(
-        F.bool_and("status_criterium").alias("status_global"),
-        F.round(
-            F.avg(F.col("status_criterium").cast("int")) + F.lit(1e-9), 6
-        ).alias("share_favourable"),
+    si = F.col("status_indicator")
+    ind_unknown = F.bool_or(si.isNull())
+    criterium = indicator.groupBy(
+        *keys, "plot_id", "habitat_type", "criterium"
+    ).agg(
+        F.when(ind_unknown, F.lit(None).cast("boolean"))
+        .otherwise(F.bool_and(si))
+        .alias("status_criterium"),
+        F.when(ind_unknown, F.lit(None).cast("double"))
+        .otherwise(F.round(F.avg(si.cast("int")) + F.lit(1e-9), 6))
+        .alias("share_favourable_ind"),
+    )
+
+    sc = F.col("status_criterium")
+    crit_unknown = F.bool_or(sc.isNull())
+    globaal = criterium.groupBy(*keys, "plot_id", "habitat_type").agg(
+        F.when(crit_unknown, F.lit(None).cast("boolean"))
+        .otherwise(F.bool_and(sc))
+        .alias("status_global"),
+        F.when(crit_unknown, F.lit(None).cast("double"))
+        .otherwise(F.round(F.avg(sc.cast("int")) + F.lit(1e-9), 6))
+        .alias("share_favourable"),
     )
     return {
         "lsvi_detail": detail,

@@ -21,6 +21,8 @@ from n2khab_mhq_data_spark.kernels.lsvi import (
     aggregate_levels,
     evaluate_conditions,
     rules_dim,
+    species_list_dim,
+    species_measurements,
 )
 from n2khab_mhq_data_spark.kernels.tariff import compute_volume, tariff_dim
 from n2khab_mhq_data_spark.operators.merge import incremental_merge
@@ -351,33 +353,70 @@ def k6_eav_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- K7 LSVI rule engine -----------------------------------------------
 
 _LSVI_RULES = [
-    # habitat_type, criterium, indicator, voorwaarde, operator, threshold
-    ("ht_rush", "structuur", "omvang", "sum_qty", ">=", 50.5),
-    ("ht_rush", "structuur", "omvang", "n_items", ">=", 2.0),
-    ("ht_rush", "kwaliteit", "verstoring", "avg_disc", "<", 0.0605),
-    ("ht_normal", "structuur", "omvang", "sum_qty", ">=", 80.5),
-    ("ht_normal", "structuur", "omvang", "n_items", ">=", 3.0),
-    ("ht_normal", "kwaliteit", "verstoring", "avg_disc", "<", 0.0505),
-    ("ht_lax", "structuur", "omvang", "sum_qty", ">=", 100.5),
-    ("ht_lax", "structuur", "omvang", "n_items", ">=", 4.0),
-    ("ht_lax", "kwaliteit", "verstoring", "avg_disc", "<", 0.0405),
+    # versie, habitat_type, criterium, indicator, voorwaarde, operator,
+    # threshold, optional — two rule-table versions side by side
+    # (geefInvoervereisten serves "Versie 2.0" and "Versie 3"); the current
+    # pipelines pin '3.0', k7_lsvi_versions compares both
+    ("3.0", "ht_rush", "structuur", "omvang", "sum_qty", ">=", 50.5, False),
+    ("3.0", "ht_rush", "structuur", "omvang", "n_items", ">=", 2.0, False),
+    ("3.0", "ht_rush", "kwaliteit", "verstoring", "avg_disc", "<", 0.0605, False),
+    ("3.0", "ht_normal", "structuur", "omvang", "sum_qty", ">=", 80.5, False),
+    ("3.0", "ht_normal", "structuur", "omvang", "n_items", ">=", 3.0, False),
+    ("3.0", "ht_normal", "kwaliteit", "verstoring", "avg_disc", "<", 0.0505, False),
+    ("3.0", "ht_lax", "structuur", "omvang", "sum_qty", ">=", 100.5, False),
+    ("3.0", "ht_lax", "structuur", "omvang", "n_items", ">=", 4.0, False),
+    ("3.0", "ht_lax", "kwaliteit", "verstoring", "avg_disc", "<", 0.0405, False),
+    # species-characteristics voorwaarden ('3.0' only; values produced by
+    # species_measurements, so they never match the direct measurements)
+    ("3.0", "ht_rush", "vegetatie", "sleutelsoorten", "n_key_species", ">=", 3.0, False),
+    ("3.0", "ht_rush", "vegetatie", "sleutelsoorten", "cover_key_species", ">=", 120.0, True),
+    ("3.0", "ht_normal", "vegetatie", "sleutelsoorten", "n_key_species", ">=", 4.0, False),
+    ("3.0", "ht_normal", "vegetatie", "sleutelsoorten", "cover_key_species", ">=", 150.0, True),
+    ("3.0", "ht_lax", "vegetatie", "sleutelsoorten", "n_key_species", ">=", 5.0, False),
+    ("3.0", "ht_lax", "vegetatie", "sleutelsoorten", "cover_key_species", ">=", 180.0, True),
+    # the older version: same vocabulary, stricter disturbance + looser size
+    ("2.0", "ht_rush", "structuur", "omvang", "sum_qty", ">=", 40.5, False),
+    ("2.0", "ht_rush", "structuur", "omvang", "n_items", ">=", 2.0, False),
+    ("2.0", "ht_rush", "kwaliteit", "verstoring", "avg_disc", "<", 0.0505, False),
+    ("2.0", "ht_normal", "structuur", "omvang", "sum_qty", ">=", 70.5, False),
+    ("2.0", "ht_normal", "structuur", "omvang", "n_items", ">=", 3.0, False),
+    ("2.0", "ht_normal", "kwaliteit", "verstoring", "avg_disc", "<", 0.0405, False),
+    ("2.0", "ht_lax", "structuur", "omvang", "sum_qty", ">=", 90.5, False),
+    ("2.0", "ht_lax", "structuur", "omvang", "n_items", ">=", 4.0, False),
+    ("2.0", "ht_lax", "kwaliteit", "verstoring", "avg_disc", "<", 0.0305, False),
 ]
 
 _LSVI_RULES_SQL = """
   (VALUES
-    ('ht_rush','structuur','omvang','sum_qty','>=',50.5),
-    ('ht_rush','structuur','omvang','n_items','>=',2.0),
-    ('ht_rush','kwaliteit','verstoring','avg_disc','<',0.0605),
-    ('ht_normal','structuur','omvang','sum_qty','>=',80.5),
-    ('ht_normal','structuur','omvang','n_items','>=',3.0),
-    ('ht_normal','kwaliteit','verstoring','avg_disc','<',0.0505),
-    ('ht_lax','structuur','omvang','sum_qty','>=',100.5),
-    ('ht_lax','structuur','omvang','n_items','>=',4.0),
-    ('ht_lax','kwaliteit','verstoring','avg_disc','<',0.0405))
-  AS r(habitat_type, criterium, indicator, voorwaarde, op, threshold)
+    ('3.0','ht_rush','structuur','omvang','sum_qty','>=',50.5,FALSE),
+    ('3.0','ht_rush','structuur','omvang','n_items','>=',2.0,FALSE),
+    ('3.0','ht_rush','kwaliteit','verstoring','avg_disc','<',0.0605,FALSE),
+    ('3.0','ht_normal','structuur','omvang','sum_qty','>=',80.5,FALSE),
+    ('3.0','ht_normal','structuur','omvang','n_items','>=',3.0,FALSE),
+    ('3.0','ht_normal','kwaliteit','verstoring','avg_disc','<',0.0505,FALSE),
+    ('3.0','ht_lax','structuur','omvang','sum_qty','>=',100.5,FALSE),
+    ('3.0','ht_lax','structuur','omvang','n_items','>=',4.0,FALSE),
+    ('3.0','ht_lax','kwaliteit','verstoring','avg_disc','<',0.0405,FALSE),
+    ('3.0','ht_rush','vegetatie','sleutelsoorten','n_key_species','>=',3.0,FALSE),
+    ('3.0','ht_rush','vegetatie','sleutelsoorten','cover_key_species','>=',120.0,TRUE),
+    ('3.0','ht_normal','vegetatie','sleutelsoorten','n_key_species','>=',4.0,FALSE),
+    ('3.0','ht_normal','vegetatie','sleutelsoorten','cover_key_species','>=',150.0,TRUE),
+    ('3.0','ht_lax','vegetatie','sleutelsoorten','n_key_species','>=',5.0,FALSE),
+    ('3.0','ht_lax','vegetatie','sleutelsoorten','cover_key_species','>=',180.0,TRUE),
+    ('2.0','ht_rush','structuur','omvang','sum_qty','>=',40.5,FALSE),
+    ('2.0','ht_rush','structuur','omvang','n_items','>=',2.0,FALSE),
+    ('2.0','ht_rush','kwaliteit','verstoring','avg_disc','<',0.0505,FALSE),
+    ('2.0','ht_normal','structuur','omvang','sum_qty','>=',70.5,FALSE),
+    ('2.0','ht_normal','structuur','omvang','n_items','>=',3.0,FALSE),
+    ('2.0','ht_normal','kwaliteit','verstoring','avg_disc','<',0.0405,FALSE),
+    ('2.0','ht_lax','structuur','omvang','sum_qty','>=',90.5,FALSE),
+    ('2.0','ht_lax','structuur','omvang','n_items','>=',4.0,FALSE),
+    ('2.0','ht_lax','kwaliteit','verstoring','avg_disc','<',0.0305,FALSE))
+  AS r(versie, habitat_type, criterium, indicator, voorwaarde, op,
+       threshold, optional)
 """
 
-_LSVI_MEASUREMENTS_SQL = """
+_LSVI_PREFIX_SQL = """
     WITH habitat AS (
       SELECT o_orderkey AS plot_id,
              CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'ht_rush'
@@ -394,7 +433,9 @@ _LSVI_MEASUREMENTS_SQL = """
       FROM habitat h JOIN agg a USING (plot_id),
       LATERAL (VALUES ('sum_qty', a.sum_qty), ('avg_disc', a.avg_disc),
                       ('n_items', a.n_items)) AS k(voorwaarde, value)
-    ), detail AS (
+    )"""
+
+_LSVI_MEASUREMENTS_SQL = _LSVI_PREFIX_SQL + """, detail AS (
       SELECT m.plot_id, m.habitat_type, r.criterium, r.indicator,
              m.voorwaarde,
              round(m.value + sign(m.value) * 1e-9, 6) AS value,
@@ -407,6 +448,7 @@ _LSVI_MEASUREMENTS_SQL = """
              END AS status_voorwaarde
       FROM m JOIN {rules}
         ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
+       AND r.versie = '3.0'
     )
 """
 
@@ -435,7 +477,9 @@ def _lsvi_levels(spark: SparkSession, sf_dir: str):
             "value",
         )
     )
-    detail = evaluate_conditions(measurements, rules_dim(spark, _LSVI_RULES))
+    detail = evaluate_conditions(
+        measurements, rules_dim(spark, _LSVI_RULES), versie="3.0"
+    )
     return aggregate_levels(detail)
 
 
@@ -451,8 +495,11 @@ def _lsvi_levels(spark: SparkSession, sf_dir: str):
 def k7_lsvi_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7 LSVI rule engine, detail level (lsvi_detail result table;
     HT31xx_LSVI.Rmd:198-253): threshold evaluation per plot x voorwaarde
-    against the broadcast rule dimension."""
-    return _lsvi_levels(spark, sf_dir)["lsvi_detail"]
+    against the broadcast, versioned rule dimension (pinned to '3.0'
+    here; the versie/optional carrier columns are roll-up internals)."""
+    return _lsvi_levels(spark, sf_dir)["lsvi_detail"].drop(
+        "versie", "optional"
+    )
 
 
 @query(
@@ -916,3 +963,176 @@ def k1_cover_rollup_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return layer_cover_rollup(covers, ["orderkey"])
+
+
+# --- K7 species-characteristics branch + rule-table versioning ----------
+
+# geefSoortenlijst seed (HT31xx_LSVI.Rmd:85-110): per habitat type the key
+# species sp_0..sp_5 feed two voorwaarden — how many are present and their
+# summed cover
+_LSVI_SPECIES_LIST = [
+    ("3.0", ht, "vegetatie", "sleutelsoorten", vw, stat, f"sp_{i}")
+    for ht in ("ht_rush", "ht_normal", "ht_lax")
+    for vw, stat in (
+        ("n_key_species", "n_species"),
+        ("cover_key_species", "sum_cover"),
+    )
+    for i in range(6)
+]
+
+
+@query(
+    "k7_lsvi_species",
+    oracle=_LSVI_PREFIX_SQL.replace("WITH habitat", "WITH habitat0", 1)
+    .replace("FROM habitat h", "FROM habitat0 h", 1)
+    .replace("habitat AS (", "habitat AS (", 1)
+    + """
+    , cover AS (
+      SELECT l.l_orderkey AS plot_id, h.habitat_type,
+             'sp_' || CAST(l.l_partkey % 40 AS VARCHAR) AS name_sc,
+             least(l.l_quantity * 2.0, 100.0) AS cover
+      FROM lineitem l JOIN habitat0 h ON l.l_orderkey = h.plot_id
+    ), dedup AS (
+      SELECT plot_id, habitat_type, name_sc, max(cover) AS cover
+      FROM cover GROUP BY 1, 2, 3
+    ), lst AS (
+      SELECT ht.habitat_type, v.voorwaarde, v.stat,
+             'sp_' || CAST(r.range AS VARCHAR) AS name_sc
+      FROM (VALUES ('ht_rush'),('ht_normal'),('ht_lax')) ht(habitat_type)
+      CROSS JOIN (VALUES ('n_key_species','n_species'),
+                         ('cover_key_species','sum_cover'))
+                 v(voorwaarde, stat)
+      CROSS JOIN range(6) r
+    ), matched AS (
+      SELECT d.plot_id, d.habitat_type, l.voorwaarde, l.stat,
+             count(DISTINCT CASE WHEN d.cover > 0 THEN d.name_sc END) AS n_sp,
+             sum(d.cover) AS sum_cov
+      FROM dedup d JOIN lst l
+        ON d.habitat_type = l.habitat_type AND d.name_sc = l.name_sc
+      GROUP BY 1, 2, 3, 4
+    ), meas0 AS (
+      SELECT plot_id, habitat_type, voorwaarde,
+             CASE WHEN stat = 'n_species' THEN CAST(n_sp AS DOUBLE)
+                  ELSE CAST(sum_cov AS DOUBLE) END AS value
+      FROM matched
+    ), plots AS (
+      SELECT DISTINCT plot_id, habitat_type FROM cover
+    ), vw AS (
+      SELECT DISTINCT habitat_type, voorwaarde FROM lst
+    ), meas AS (
+      SELECT p.plot_id, p.habitat_type, v.voorwaarde,
+             coalesce(m0.value, 0.0) AS value
+      FROM plots p JOIN vw v ON p.habitat_type = v.habitat_type
+      LEFT JOIN meas0 m0 ON m0.plot_id = p.plot_id
+       AND m0.habitat_type = p.habitat_type AND m0.voorwaarde = v.voorwaarde
+    ), sdetail AS (
+      SELECT r.versie, m.plot_id, m.habitat_type, r.criterium, r.indicator,
+             CASE r.op WHEN '>=' THEN m.value >= r.threshold
+                       WHEN '>'  THEN m.value >  r.threshold
+                       WHEN '<=' THEN m.value <= r.threshold
+                       WHEN '<'  THEN m.value <  r.threshold
+                       WHEN '='  THEN m.value =  r.threshold
+             END AS sv
+      FROM meas m JOIN {rules}
+        ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
+       AND r.versie = '3.0'
+    )
+    SELECT versie, plot_id, habitat_type, criterium, indicator,
+           bool_and(sv) AS status_indicator
+    FROM sdetail GROUP BY 1, 2, 3, 4, 5
+    """.format(rules=_LSVI_RULES_SQL),
+)
+def k7_lsvi_species(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7's data_soortenkenmerken input branch (HT31xx_LSVI.Rmd:85-155):
+    species covers deduped across growth forms (max-cover, the A10 idiom of
+    HT3260_LSVI.Rmd:93-109), matched against the versioned species list
+    (geefSoortenlijst), reduced to per-plot voorwaarde values (count present
+    + summed cover, absent list species = 0), then pushed through the same
+    broadcast-rule evaluation and indicator roll-up as the direct
+    measurements. One Catalyst plan end to end — the species list and rule
+    table are both broadcast dims, the only shuffles are the two keyed
+    aggregations."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    habitat = o.select(
+        F.col("o_orderkey").alias("plot_id"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "ht_rush")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "ht_normal")
+        .otherwise("ht_lax")
+        .alias("habitat_type"),
+    )
+    cover = li.join(habitat, F.col("l_orderkey") == F.col("plot_id")).select(
+        "plot_id",
+        "habitat_type",
+        F.concat(
+            F.lit("sp_"), (F.col("l_partkey") % 40).cast("string")
+        ).alias("name_sc"),
+        F.least(F.col("l_quantity") * 2.0, F.lit(100.0)).alias("cover"),
+    )
+    meas = species_measurements(
+        cover, species_list_dim(spark, _LSVI_SPECIES_LIST), versie="3.0"
+    )
+    detail = evaluate_conditions(
+        meas, rules_dim(spark, _LSVI_RULES), versie="3.0"
+    )
+    return aggregate_levels(detail, by_version=True)["lsvi_indicator"]
+
+
+@query(
+    "k7_lsvi_versions",
+    oracle=_LSVI_PREFIX_SQL
+    + """
+    , detail AS (
+      SELECT r.versie, m.plot_id, m.habitat_type, r.criterium, r.indicator,
+             CASE r.op WHEN '>=' THEN m.value >= r.threshold
+                       WHEN '>'  THEN m.value >  r.threshold
+                       WHEN '<=' THEN m.value <= r.threshold
+                       WHEN '<'  THEN m.value <  r.threshold
+                       WHEN '='  THEN m.value =  r.threshold
+             END AS sv
+      FROM m JOIN {rules}
+        ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
+    ), ind AS (
+      SELECT versie, plot_id, habitat_type, criterium, indicator,
+             bool_and(sv) AS si
+      FROM detail GROUP BY 1, 2, 3, 4, 5
+    ), crit AS (
+      SELECT versie, plot_id, habitat_type, criterium, bool_and(si) AS sc
+      FROM ind GROUP BY 1, 2, 3, 4
+    )
+    SELECT versie, plot_id, habitat_type, bool_and(sc) AS status_global,
+           round(avg(CASE WHEN sc THEN 1 ELSE 0 END) + 1e-9, 6)
+             AS share_favourable
+    FROM crit GROUP BY 1, 2, 3
+    """.format(rules=_LSVI_RULES_SQL),
+)
+def k7_lsvi_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-table versioning: evaluate ALL rule-table versions side by side
+    (the reference runs LSVI Versie 2.0 and Versie 3 against the same field
+    data via geefInvoervereisten) and roll each up to its global status.
+    The version column rides the same broadcast join — assessing N versions
+    is one plan, not N pipeline reruns."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    habitat = o.select(
+        F.col("o_orderkey").alias("plot_id"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "ht_rush")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "ht_normal")
+        .otherwise("ht_lax")
+        .alias("habitat_type"),
+    )
+    agg = li.groupBy(F.col("l_orderkey").alias("plot_id")).agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count("*").cast("double").alias("n_items"),
+    )
+    measurements = habitat.join(agg, "plot_id").unpivot(
+        ["plot_id", "habitat_type"],
+        ["sum_qty", "avg_disc", "n_items"],
+        "voorwaarde",
+        "value",
+    )
+    detail = evaluate_conditions(
+        measurements, rules_dim(spark, _LSVI_RULES)
+    )
+    return aggregate_levels(detail, by_version=True)["lsvi_globaal"]

@@ -149,3 +149,125 @@ def test_split_hash_negative_ids(spark):
     rows = hash_split(df, "doc_id").collect()
     assert all(0 <= r.pct <= 99 for r in rows)
     assert all(r.split in ("train", "val", "test") for r in rows)
+
+
+# --- K7 strict-null roll-up + operator fail-fast ------------------------
+
+def _lsvi_fixture(spark, value_rows):
+    from n2khab_mhq_data_spark.kernels.lsvi import (
+        aggregate_levels,
+        evaluate_conditions,
+        rules_dim,
+    )
+
+    rules = rules_dim(
+        spark,
+        [
+            ("3.0", "ht", "crit_a", "ind_a", "vw_mand", ">=", 10.0, False),
+            ("3.0", "ht", "crit_a", "ind_a", "vw_opt", ">=", 10.0, True),
+            ("3.0", "ht", "crit_b", "ind_b", "vw_other", ">=", 10.0, False),
+        ],
+    )
+    meas = spark.createDataFrame(
+        value_rows, "plot_id int, habitat_type string, voorwaarde string, value double"
+    )
+    return aggregate_levels(
+        evaluate_conditions(meas, rules, versie="3.0")
+    )
+
+
+def test_lsvi_null_mandatory_propagates_to_global(spark):
+    # plot 1: mandatory voorwaarde unmeasured -> indicator/criterium/global
+    # all null (unknown), even though the optional one passes
+    levels = _lsvi_fixture(
+        spark,
+        [
+            (1, "ht", "vw_mand", None),
+            (1, "ht", "vw_opt", 20.0),
+            (1, "ht", "vw_other", 20.0),
+        ],
+    )
+    ind = {
+        r.indicator: r.status_indicator
+        for r in levels["lsvi_indicator"].collect()
+    }
+    assert ind == {"ind_a": None, "ind_b": True}
+    glob = levels["lsvi_globaal"].collect()[0]
+    assert glob.status_global is None and glob.share_favourable is None
+
+
+def test_lsvi_null_optional_is_skipped(spark):
+    # optional voorwaarde unmeasured -> bool_and over the rest
+    levels = _lsvi_fixture(
+        spark,
+        [
+            (1, "ht", "vw_mand", 20.0),
+            (1, "ht", "vw_opt", None),
+            (1, "ht", "vw_other", 5.0),
+        ],
+    )
+    ind = {
+        r.indicator: r.status_indicator
+        for r in levels["lsvi_indicator"].collect()
+    }
+    assert ind == {"ind_a": True, "ind_b": False}
+    glob = levels["lsvi_globaal"].collect()[0]
+    assert glob.status_global is False and glob.share_favourable == 0.5
+
+
+def test_lsvi_unknown_operator_fails_fast(spark):
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from n2khab_mhq_data_spark.kernels.lsvi import (
+        evaluate_conditions,
+        rules_dim,
+    )
+
+    rules = rules_dim(
+        spark, [("3.0", "ht", "c", "i", "vw", "!=", 1.0, False)]
+    )
+    meas = spark.createDataFrame(
+        [(1, "ht", "vw", 5.0)],
+        "plot_id int, habitat_type string, voorwaarde string, value double",
+    )
+    with pytest.raises(Exception, match="unknown LSVI operator"):
+        evaluate_conditions(meas, rules, versie="3.0").collect()
+
+
+def test_lsvi_species_absent_species_scores_zero(spark):
+    from n2khab_mhq_data_spark.kernels.lsvi import (
+        species_list_dim,
+        species_measurements,
+    )
+
+    lst = species_list_dim(
+        spark,
+        [
+            ("3.0", "ht", "c", "i", "n_key", "n_species", "sp_a"),
+            ("3.0", "ht", "c", "i", "n_key", "n_species", "sp_b"),
+            ("3.0", "ht", "c", "i", "cov_key", "sum_cover", "sp_a"),
+            ("3.0", "ht", "c", "i", "cov_key", "sum_cover", "sp_b"),
+        ],
+    )
+    # plot 1 has one listed species (twice: growth forms -> max dedup) and
+    # one unlisted; plot 2 has none listed
+    cover = spark.createDataFrame(
+        [
+            (1, "ht", "sp_a", 30.0),
+            (1, "ht", "sp_a", 10.0),
+            (1, "ht", "sp_x", 50.0),
+            (2, "ht", "sp_y", 40.0),
+        ],
+        "plot_id int, habitat_type string, name_sc string, cover double",
+    )
+    out = {
+        (r.plot_id, r.voorwaarde): r.value
+        for r in species_measurements(cover, lst, "3.0").collect()
+    }
+    assert out == {
+        (1, "n_key"): 1.0,
+        (1, "cov_key"): 30.0,
+        (2, "n_key"): 0.0,
+        (2, "cov_key"): 0.0,
+    }
