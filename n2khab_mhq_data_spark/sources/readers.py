@@ -80,11 +80,20 @@ def read_csv2(
     return raw.select(*cols)
 
 
-def read_vc(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
+def read_vc(
+    spark: SparkSession, path: str, spec: TableSpec | None = None
+) -> DataFrame:
     """S6 — versioned-TSV reader (git2rdata read_vc,
-    HT31xx_data_preparation.Rmd:33-38): TSV + schema restore from the
-    catalog spec, including Date-from-int-epoch (git2rdata stores Dates as
-    integer day numbers) and factor-level passthrough."""
+    HT31xx_data_preparation.Rmd:33-38): TSV + schema restore, including
+    Date-from-int-epoch (git2rdata stores Dates as integer day numbers) and
+    factor restore — stored 1-based level indices decode back to labels in
+    the sidecar's level order, so factor level order round-trips
+    write_vc -> read_vc. With ``spec=None`` the schema (including factor
+    labels/ordered) is read from the ``.yml`` sidecar next to the TSV."""
+    if spec is None:
+        from n2khab_mhq_data_spark.sources.sink import read_vc_meta
+
+        spec = read_vc_meta(path[: -len(".tsv")] + ".yml")
     raw = spark.read.csv(
         path, sep="\t", header=True, inferSchema=False, nullValue="NA"
     )
@@ -98,6 +107,14 @@ def read_vc(spark: SparkSession, path: str, spec: TableSpec) -> DataFrame:
         elif c.yml_class == "logical":
             col = F.when(F.lower(col) == "true", True).when(
                 F.lower(col) == "false", False
+            )
+        elif c.yml_class == "factor" and c.levels:
+            # explicit null guard: this Spark build resolves
+            # element_at(arr, NULL) to the LAST element, not NULL
+            idx = col.cast("int")
+            col = F.when(
+                idx.isNotNull(),
+                F.element_at(F.array(*[F.lit(x) for x in c.levels]), idx),
             )
         else:
             col = col.cast(c.spark_type)

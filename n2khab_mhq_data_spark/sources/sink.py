@@ -6,13 +6,19 @@ sidecars like processed/fieldmap_mhq/cover_species.yml). Reruns are
 byte-identical, so git diffs show only real data changes — the de-facto
 golden-file system (SURVEY.md §5).
 
+Factor columns (git2rdata's R-factor class): stored in the TSV as 1-based
+LEVEL INDICES (git2rdata's optimized storage), with the level labels and
+ordered flag in the yml sidecar — ``read_vc`` restores the labels from the
+sidecar, so level order survives a write/read cycle.
+
 Scale design (SURVEY.md §7.4.5): a global ``orderBy`` + single file is
 inherently serial at the last step. We keep writes parallel by
 range-partitioning on the sort keys (``repartitionByRange`` + per-partition
 sort), writing N part files that are *globally* ordered by construction,
 then concatenating sequentially on the driver — an O(bytes) streamed merge,
 no re-sort. The content hash (md5 over the ordered TSV bytes) is identical
-regardless of N."""
+regardless of N. ``write_csv2`` (S9) shares the same machinery — no
+``coalesce(1)`` anywhere."""
 
 from __future__ import annotations
 
@@ -23,6 +29,8 @@ from datetime import date
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from n2khab_mhq_data_spark.catalog import TableSpec
 
 _SPARK_TO_YML = {
     T.IntegerType(): "integer",
@@ -36,18 +44,85 @@ _SPARK_TO_YML = {
 }
 
 
-def _fmt(col: str, dtype: T.DataType, digits: int) -> F.Column:
+def _factor_index(col: str, levels: tuple[str, ...]) -> F.Column:
+    """1-based level index (R factor codes / git2rdata optimized storage).
+    An out-of-domain value fails fast — git2rdata would refuse it too."""
+    arr = F.array(*[F.lit(x) for x in levels])
+    pos = F.array_position(arr, F.col(col))
+    return (
+        F.when(F.col(col).isNull(), F.lit(None).cast("int"))
+        .when(
+            pos == 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"factor level not in spec for '{col}': "),
+                    F.col(col),
+                )
+            ).cast("int"),
+        )
+        .otherwise(pos.cast("int"))
+    )
+
+
+def _fmt(
+    col: str,
+    dtype: T.DataType,
+    digits: int,
+    decimal: str = ".",
+    levels: tuple[str, ...] | None = None,
+) -> F.Column:
     c = F.col(col)
-    if isinstance(dtype, T.DateType):
+    if levels is not None:
+        c = _factor_index(col, levels).cast("string")
+    elif isinstance(dtype, T.DateType):
         # git2rdata stores Dates as integer days since 1970-01-01
         c = F.datediff(c, F.lit("1970-01-01").cast("date")).cast("string")
     elif isinstance(dtype, (T.DoubleType, T.FloatType)):
         c = F.round(c + F.signum(c) * 1e-9, digits).cast("string")
+        if decimal != ".":
+            c = F.translate(c, ".", decimal)
     elif isinstance(dtype, T.BooleanType):
         c = F.when(c, "TRUE").when(~c, "FALSE")
     else:
         c = c.cast("string")
     return F.coalesce(c, F.lit("NA")).alias(col)
+
+
+def _merge_parts(
+    ordered: DataFrame, root: str, name: str, header: str, sep: str,
+    ext: str,
+) -> str:
+    """Write the range-partitioned frame as ``sep``-separated part files
+    and stream-concatenate them (filename order == global order) into one
+    ``root/name.ext``; returns the md5 of the merged bytes."""
+    tmp = os.path.join(root, f"_tmp_{name}")
+    ordered.write.mode("overwrite").option("sep", sep).option(
+        "header", False
+    ).csv(tmp)
+    out_path = os.path.join(root, f"{name}.{ext}")
+    md5 = hashlib.md5()
+    with open(out_path, "wb") as out:
+        out.write(header.encode())
+        md5.update(header.encode())
+        parts = sorted(p for p in os.listdir(tmp) if p.startswith("part-"))
+        for p in parts:
+            with open(os.path.join(tmp, p), "rb") as fh:
+                while chunk := fh.read(1 << 20):
+                    out.write(chunk)
+                    md5.update(chunk)
+    for p in os.listdir(tmp):
+        os.remove(os.path.join(tmp, p))
+    os.rmdir(tmp)
+    return md5.hexdigest()
+
+
+def _range_ordered(
+    df: DataFrame, sorting: list[str], partitions: int | None
+) -> DataFrame:
+    n = partitions or max(df.rdd.getNumPartitions() // 4, 1)
+    return df.repartitionByRange(
+        n, *[F.col(c) for c in sorting]
+    ).sortWithinPartitions(*sorting)
 
 
 def write_vc(
@@ -57,54 +132,49 @@ def write_vc(
     sorting: list[str],
     digits: int = 6,
     partitions: int | None = None,
+    spec: TableSpec | None = None,
 ) -> dict:
     """Write ``root``/``name``.tsv + ``name``.yml deterministically.
 
     ``sorting`` must be a total order (write_vc errors on duplicate sort
-    keys in the reference too — same contract)."""
+    keys in the reference too — same contract). Pass ``spec`` to serialize
+    its factor columns as level indices with labels/ordered in the yml."""
     os.makedirs(root, exist_ok=True)
     schema = df.schema
-    out_cols = [_fmt(f.name, f.dataType, digits) for f in schema.fields]
-
-    n = partitions or max(df.rdd.getNumPartitions() // 4, 1)
-    ordered = (
-        df.repartitionByRange(n, *[F.col(c) for c in sorting])
-        .sortWithinPartitions(*sorting)
-        .select(out_cols)
-    )
-    tmp = os.path.join(root, f"_tmp_{name}")
-    ordered.write.mode("overwrite").option("sep", "\t").option(
-        "header", False
-    ).csv(tmp)
-
-    # range partitions are globally ordered: part files concatenate in
-    # filename order into one globally sorted TSV (streamed, never loaded)
-    tsv_path = os.path.join(root, f"{name}.tsv")
-    md5 = hashlib.md5()
-    header = "\t".join(f.name for f in schema.fields) + "\n"
-    with open(tsv_path, "wb") as out:
-        out.write(header.encode())
-        md5.update(header.encode())
-        parts = sorted(
-            p for p in os.listdir(tmp) if p.startswith("part-")
+    factors: dict[str, tuple[tuple[str, ...], bool]] = {}
+    if spec is not None:
+        for c in spec.columns:
+            if c.yml_class == "factor" and c.levels:
+                factors[c.name] = (tuple(c.levels), c.ordered)
+    out_cols = [
+        _fmt(
+            f.name,
+            f.dataType,
+            digits,
+            levels=factors.get(f.name, (None, None))[0],
         )
-        for p in parts:
-            with open(os.path.join(tmp, p), "rb") as fh:
-                while chunk := fh.read(1 << 20):
-                    out.write(chunk)
-                    md5.update(chunk)
-    for p in os.listdir(tmp):
-        os.remove(os.path.join(tmp, p))
-    os.rmdir(tmp)
+        for f in schema.fields
+    ]
+    ordered = _range_ordered(df, sorting, partitions).select(out_cols)
+    header = "\t".join(f.name for f in schema.fields) + "\n"
+    data_hash = _merge_parts(ordered, root, name, header, "\t", "tsv")
 
+    col_meta: dict[str, object] = {}
+    for f in schema.fields:
+        if f.name in factors:
+            levels, is_ordered = factors[f.name]
+            col_meta[f.name] = {
+                "class": "factor",
+                "labels": list(levels),
+                "ordered": is_ordered,
+            }
+        else:
+            col_meta[f.name] = _SPARK_TO_YML.get(f.dataType, "character")
     meta = {
         "name": name,
         "sorting": list(sorting),
-        "data_hash": md5.hexdigest(),
-        "columns": {
-            f.name: _SPARK_TO_YML.get(f.dataType, "character")
-            for f in schema.fields
-        },
+        "data_hash": data_hash,
+        "columns": col_meta,
         "digits": digits,
         "written": str(date.today()),
     }
@@ -115,9 +185,66 @@ def write_vc(
         fh.write(f"digits: {digits}\n")
         fh.write(f"sorting: [{', '.join(sorting)}]\n")
         fh.write("columns:\n")
-        for cname, cls in meta["columns"].items():
-            fh.write(f"  {cname}: {cls}\n")
+        for cname, cls in col_meta.items():
+            if isinstance(cls, dict):
+                fh.write(f"  {cname}:\n")
+                fh.write("    class: factor\n")
+                fh.write(
+                    "    labels: ["
+                    + ", ".join(cls["labels"])  # type: ignore[index]
+                    + "]\n"
+                )
+                fh.write(
+                    f"    ordered: {'true' if cls['ordered'] else 'false'}\n"
+                )
+            else:
+                fh.write(f"  {cname}: {cls}\n")
     return meta
+
+
+def read_vc_meta(yml_path: str) -> TableSpec:
+    """Parse a write_vc yml sidecar back into a TableSpec (the read half of
+    the factor round-trip: labels + ordered flag are restored from here)."""
+    from n2khab_mhq_data_spark.catalog import ColumnSpec
+
+    cols: list[ColumnSpec] = []
+    name = ""
+    sorting: tuple[str, ...] = ()
+    in_cols = False
+    cur: ColumnSpec | None = None
+    with open(yml_path) as fh:
+        for raw in fh:
+            line = raw.rstrip("\n")
+            if line.startswith("name:"):
+                name = line.split(":", 1)[1].strip()
+            elif line.startswith("sorting:"):
+                inner = line.split("[", 1)[1].rstrip("]")
+                sorting = tuple(
+                    s.strip() for s in inner.split(",") if s.strip()
+                )
+            elif line == "columns:":
+                in_cols = True
+            elif in_cols and line.startswith("    "):
+                assert cur is not None
+                k, v = line.strip().split(":", 1)
+                v = v.strip()
+                if k == "class":
+                    cur.yml_class = v
+                elif k == "labels":
+                    cur.levels = tuple(
+                        s.strip() for s in v.strip("[]").split(",") if s.strip()
+                    )
+                elif k == "ordered":
+                    cur.ordered = v == "true"
+            elif in_cols and line.startswith("  "):
+                head = line.strip()
+                if head.endswith(":"):
+                    cur = ColumnSpec(head[:-1], "character")
+                else:
+                    cname, cls = head.split(":", 1)
+                    cur = ColumnSpec(cname.strip(), cls.strip())
+                cols.append(cur)
+    return TableSpec(name, cols, sorting=sorting)
 
 
 def write_published(
@@ -141,10 +268,28 @@ def write_published(
     out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
 
 
-def write_csv2(df: DataFrame, path: str, sorting: list[str] | None = None):
-    """S9 — write_csv2 (';' separator) CSV extract sink
-    (HT31xx_LSVI.Rmd:320-332)."""
-    out = df.orderBy(*sorting) if sorting else df
-    out.coalesce(1).write.mode("overwrite").option("sep", ";").option(
-        "header", True
-    ).csv(path)
+def write_csv2(
+    df: DataFrame,
+    name: str,
+    root: str,
+    sorting: list[str] | None = None,
+    digits: int = 6,
+    partitions: int | None = None,
+) -> dict:
+    """S9 — write_csv2 CSV extract sink (HT31xx_LSVI.Rmd:320-332): ';'
+    separator, ',' decimal mark (the R locale), NA for nulls, sorted.
+
+    Same parallel shape as write_vc — range-partitioned part files merged
+    by a streamed driver concat (serial only in O(bytes), never a
+    ``coalesce(1)`` single-task sort+write). Default sort = all columns,
+    so the extract is deterministic even without a declared key."""
+    os.makedirs(root, exist_ok=True)
+    keys = sorting or list(df.columns)
+    out_cols = [
+        _fmt(f.name, f.dataType, digits, decimal=",")
+        for f in df.schema.fields
+    ]
+    ordered = _range_ordered(df, keys, partitions).select(out_cols)
+    header = ";".join(f.name for f in df.schema.fields) + "\n"
+    data_hash = _merge_parts(ordered, root, name, header, ";", "csv")
+    return {"name": name, "data_hash": data_hash, "sorting": keys}

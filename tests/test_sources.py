@@ -178,3 +178,83 @@ def test_read_jdbc_derby_end_to_end(spark, tmp_path):
     )
     assert q.columns == ["plotid", "areaha"]
     assert [r.plotid for r in q.collect()] == [2]
+
+
+def test_write_vc_factor_round_trip(spark, tmp_path):
+    """git2rdata factor parity: levels serialize as 1-based indices with
+    labels/ordered in the yml; read_vc (sidecar-driven, no hand spec)
+    restores the labels and the LEVEL ORDER — including levels absent from
+    the data."""
+    spec = TableSpec(
+        "t",
+        [
+            ColumnSpec("plot_id", "integer"),
+            ColumnSpec(
+                "status",
+                "factor",
+                levels=("good", "moderate", "bad", "unknown"),
+                ordered=True,
+            ),
+        ],
+        sorting=("plot_id",),
+    )
+    df = spark.createDataFrame(
+        [(1, "bad"), (2, "good"), (3, None), (4, "good")],
+        "plot_id int, status string",
+    )
+    write_vc(df, "t", str(tmp_path), ["plot_id"], spec=spec)
+
+    tsv = open(tmp_path / "t.tsv").read().strip().split("\n")
+    # stored as level indices, not labels
+    assert tsv[1].split("\t") == ["1", "3"]
+    assert tsv[3].split("\t") == ["3", "NA"]
+    yml = open(tmp_path / "t.yml").read()
+    assert "labels: [good, moderate, bad, unknown]" in yml
+    assert "ordered: true" in yml
+
+    from n2khab_mhq_data_spark.sources.sink import read_vc_meta
+
+    back_spec = read_vc_meta(str(tmp_path / "t.yml"))
+    fac = [c for c in back_spec.columns if c.name == "status"][0]
+    assert fac.levels == ("good", "moderate", "bad", "unknown")
+    assert fac.ordered is True
+
+    back = read_vc(spark, str(tmp_path / "t.tsv"))
+    rows = {(r.plot_id, r.status) for r in back.collect()}
+    assert rows == {(1, "bad"), (2, "good"), (3, None), (4, "good")}
+
+
+def test_write_vc_factor_out_of_domain_fails(spark, tmp_path):
+    import pytest
+
+    spec = TableSpec(
+        "t",
+        [ColumnSpec("s", "factor", levels=("a", "b"))],
+        sorting=("s",),
+    )
+    df = spark.createDataFrame([("a",), ("z",)], "s string")
+    with pytest.raises(Exception, match="factor level not in spec"):
+        write_vc(df, "t", str(tmp_path), ["s"], spec=spec)
+
+
+def test_write_csv2_parallel_deterministic(spark, tmp_path):
+    """S9 writes through the same range-partition + streamed-merge path as
+    write_vc: no coalesce(1), and the merged bytes are independent of the
+    partition count. Locale: ';' separator, ',' decimal mark."""
+    from n2khab_mhq_data_spark.sources.sink import write_csv2
+
+    df = spark.createDataFrame(
+        [(2, 2.5, "y"), (1, 1.25, "x"), (3, None, None)],
+        "id int, v double, s string",
+    )
+    m1 = write_csv2(df.repartition(1), "e", str(tmp_path / "a"),
+                    ["id"], partitions=1)
+    m2 = write_csv2(df.repartition(5), "e", str(tmp_path / "b"),
+                    ["id"], partitions=3)
+    assert m1["data_hash"] == m2["data_hash"]
+    a = open(tmp_path / "a" / "e.csv").read()
+    assert a == open(tmp_path / "b" / "e.csv").read()
+    lines = a.strip().split("\n")
+    assert lines[0] == "id;v;s"
+    assert lines[1] == "1;1,25;x"
+    assert lines[3] == "3;NA;NA"
