@@ -429,3 +429,42 @@ def j11_wkt_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("seg_area") + F.lit(1e-9), 3).alias("seg_area"),
         F.round(F.col("weight") + F.lit(1e-9), 6).alias("weight"),
     )
+
+
+# 100x100 grid of 1x1 cells over [0,100)^2; polygon id = col + 100*row —
+# the many-polygon layer (1e4 polygons, habitat-map scale shape) that the
+# grid-bucket index in point_in_polygon_join exists for
+_GRID_POLYGONS_10K = {
+    col + 100 * row: [
+        (float(col), float(row)),
+        (float(col + 1), float(row)),
+        (float(col + 1), float(row + 1)),
+        (float(col), float(row + 1)),
+    ]
+    for row in range(100)
+    for col in range(100)
+}
+
+
+@query(
+    "j10_point_in_polygon_10k",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS point_id,
+             (c_custkey * 7919 % 1000) / 10.0 + 0.05 AS x,
+             (c_custkey * 104729 % 1000) / 10.0 + 0.05 AS y
+      FROM customer
+    )
+    SELECT point_id,
+           CAST(floor(x) + 100 * floor(y) AS BIGINT) AS polygon_id
+    FROM p
+    """,
+)
+def j10_point_in_polygon_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 at habitat-map polygon counts (~1e4 polygons; the reference
+    layer is ~1e5, check_observed_habitat_type.Rmd:147-148): same general
+    ray-casting kernel, but candidate polygons come from the grid-bucket
+    index, so each Arrow batch tests only its points' own cells' candidates
+    instead of paying 1e4 bbox masks per batch. The 1x1-cell layer gives
+    the oracle an exact closed form."""
+    return point_in_polygon_join(_points(spark, sf_dir), _GRID_POLYGONS_10K)

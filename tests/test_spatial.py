@@ -150,3 +150,39 @@ def test_circle_polygon_area_containment_cases():
         np.array([0.0]), np.array([0.0]), r,
     )[0]
     assert a == pytest.approx(0.0, abs=1e-9)
+
+
+def test_point_in_polygon_grid_index_matches_bruteforce(spark):
+    """The grid-bucket candidate index must not change results vs an exact
+    check: polygons spanning many cells, overlapping polygons (multi-hit),
+    and points outside the layer extent."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.spatial.geometry import points_in_polygon
+    from n2khab_mhq_data_spark.spatial.join import point_in_polygon_join
+
+    rng = np.random.RandomState(7)
+    polygons = {}
+    for pid in range(300):
+        cx, cy = rng.uniform(0, 50, 2)
+        w, h = rng.uniform(0.5, 12, 2)  # some span many grid cells
+        polygons[pid] = [
+            (cx - w, cy - h), (cx + w, cy - h), (cx + w, cy + h),
+            (cx - w, cy + h),
+        ]
+    px = rng.uniform(-10, 60, 400)  # includes out-of-extent points
+    py = rng.uniform(-10, 60, 400)
+    pts = spark.createDataFrame(
+        [(i, float(px[i]), float(py[i])) for i in range(400)],
+        "point_id int, x double, y double",
+    )
+    got = {
+        (r.point_id, r.polygon_id)
+        for r in point_in_polygon_join(pts, polygons).collect()
+    }
+    want = set()
+    for pid, poly in polygons.items():
+        hit = points_in_polygon(px, py, poly)
+        for i in np.nonzero(hit)[0]:
+            want.add((int(i), pid))
+    assert got == want
