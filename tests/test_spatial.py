@@ -186,3 +186,56 @@ def test_point_in_polygon_grid_index_matches_bruteforce(spark):
         for i in np.nonzero(hit)[0]:
             want.add((int(i), pid))
     assert got == want
+
+
+def test_shapefile_round_trip_and_layer_pipeline(spark, tmp_path):
+    """S7 end-to-end: write a real .shp/.shx pair (public ESRI layout),
+    read it back DISTRIBUTED (shx-indexed record ranges in mapInPandas),
+    and pipe the WKT into the existing layer parser — st_read + st_area
+    parity without any GIS dependency."""
+    from n2khab_mhq_data_spark.spatial.join import parse_wkt_layer
+    from n2khab_mhq_data_spark.spatial.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    shp = str(tmp_path / "layer.shp")
+    # polygon with a hole (outer 4x4 square, inner 2x2 hole), plain square,
+    # and a point record
+    outer = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    hole = [(1.0, 1.0), (1.0, 3.0), (3.0, 3.0), (3.0, 1.0), (1.0, 1.0)]
+    sq = [(10.0, 10.0), (13.0, 10.0), (13.0, 13.0), (10.0, 13.0),
+          (10.0, 10.0)]
+    write_shapefile(shp, [(5, [outer, hole]), (5, [sq])])
+
+    layer = read_shapefile(spark, shp)
+    rows = {r.feature_id: r.wkt for r in layer.collect()}
+    assert len(rows) == 2
+    assert rows[0].startswith("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1,")
+    assert rows[1] == "POLYGON ((10 10, 13 10, 13 13, 10 13, 10 10))"
+
+    stats = {
+        r.feature_id: (r.n_rings, r.area)
+        for r in parse_wkt_layer(layer, "wkt", "feature_id").collect()
+    }
+    assert stats[0] == (2, 16.0 - 4.0)
+    assert stats[1] == (1, 9.0)
+
+
+def test_shapefile_points_and_lines(spark, tmp_path):
+    from n2khab_mhq_data_spark.spatial.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    shp = str(tmp_path / "pts.shp")
+    write_shapefile(
+        shp,
+        [
+            (1, [[(3.5, -2.25)]]),
+            (3, [[(0.0, 0.0), (1.0, 1.0), (2.0, 0.0)]]),
+        ],
+    )
+    rows = {r.feature_id: r.wkt for r in read_shapefile(spark, shp).collect()}
+    assert rows[0] == "POINT (3.5 -2.25)"
+    assert rows[1] == "LINESTRING (0 0, 1 1, 2 0)"
