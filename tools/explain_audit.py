@@ -83,6 +83,17 @@ EXPECTED: dict[str, set[str]] = {
     # row — a deliberate 1-row BroadcastNestedLoopJoin, the standard way
     # to attach a global statistic without a single-partition window
     "text_tfidf_topk": {"CARTESIAN"},
+    # recall@10 of the k-means IVF path recomputes the brute-force
+    # baseline (sim_cosine_topk's deliberate broadcast cross join); the
+    # IVF side itself has NO cartesian — literal-centroid assignment is a
+    # pure projection (ann_ivf_kmeans_topk is unflagged)
+    "ann_ivf_kmeans_recall_at_10": {"CARTESIAN"},
+    # two keyed equi-joins of same-grain fact sides: cover facts x plot
+    # habitat (both corpus-sized), and the absent-species scaffold LEFT
+    # JOIN matched per-plot stats (both plot x voorwaarde grain) —
+    # SortMergeJoin is the correct strategy for both; AQE may downgrade
+    # either to broadcast at runtime when a side is small
+    "k7_lsvi_species": {"SMJ"},
 }
 
 
