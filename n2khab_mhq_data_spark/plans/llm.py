@@ -94,7 +94,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) via the
-    gram self-join. The exact/expensive baseline the LSH path approximates."""
+    UNCAPPED gram self-join — the exact/expensive ORACLE BASELINE only
+    (stop-grams make the pair space quadratic; a scale killer at 100x).
+    The production path is ``dedup_ngram_capped`` (max_doc_freq caps
+    stop-gram fan-out) or the MinHash-LSH route (``dedup_minhash_lsh``);
+    SCALE.md documents the same split."""
     return ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.8
     )
