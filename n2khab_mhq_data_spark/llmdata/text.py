@@ -161,3 +161,35 @@ def quality_metrics(text: Column) -> dict[str, Column]:
         "stopword_ratio": n_stop.cast("double") / n_tokens,
         "mean_token_len": mean_token_len,
     }
+
+
+def repetition_metrics(text: Column) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher/C4 rule family):
+    duplicate-word fraction and duplicate-bigram fraction per document —
+    high values mark boilerplate/spam for the quality gate. Pure JVM
+    array expressions (split + array_distinct + transform over an index
+    sequence): no UDF, no shuffle, runs inside the scan projection."""
+    toks = tokens(text)
+    n = F.size(toks)
+    dup_word = F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(toks))).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    # aligned slices + zip_with, NOT transform-over-index (an index lambda
+    # re-inlines the tokenizing split into every element_at — the O(k·n)
+    # regex re-run word_shingles documents)
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    n_g = F.size(grams)
+    dup_gram = F.when(
+        n >= 2,
+        (n_g - F.size(F.array_distinct(grams))).cast("double") / n_g,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_words": n.cast("long"),
+        "dup_word_frac": dup_word,
+        "dup_bigram_frac": dup_gram,
+    }

@@ -1248,3 +1248,44 @@ def ann_ivf_kmeans_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("inb").alias("hits"),
         F.round(F.count("inb") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
     )
+
+
+@query(
+    "text_repetition_metrics",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w,
+             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_words,
+           round(CASE WHEN len(w) > 0
+                 THEN (len(w) - len(list_distinct(w))) * 1.0 / len(w)
+                 ELSE 0.0 END + 1e-9, 6) AS dup_word_frac,
+           round(CASE WHEN len(w) >= 2
+                 THEN (len(g) - len(list_distinct(g))) * 1.0 / len(g)
+                 ELSE 0.0 END + 1e-9, 6) AS dup_bigram_frac
+    FROM g
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/C4 boilerplate rules):
+    duplicate-word and duplicate-bigram fractions per document, as pure JVM
+    array expressions inside the scan projection — composes with
+    pipeline_quality_gate as another filter column. No UDF, no shuffle."""
+    from n2khab_mhq_data_spark.llmdata.text import repetition_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    m = repetition_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        F.round(m["dup_word_frac"] + F.lit(1e-9), 6).alias("dup_word_frac"),
+        F.round(m["dup_bigram_frac"] + F.lit(1e-9), 6).alias(
+            "dup_bigram_frac"
+        ),
+    )

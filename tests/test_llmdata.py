@@ -132,3 +132,35 @@ def test_connected_components_non_clique_shapes(spark):
         10: 10, 11: 10, 12: 10, 20: 10, 21: 10, 22: 10,
         30: 30, 31: 30,
     }
+
+
+def test_repetition_metrics_edge_cases(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.text import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # all dup words; bigrams "a a" x3 dup
+            (2, "w x y z"),          # no repetition
+            (3, "solo"),             # single word: no bigrams
+            (4, "go go stop go go"), # mixed
+        ],
+        "doc_id int, text string",
+    )
+    m = repetition_metrics(F.col("text"))
+    out = {
+        r.doc_id: (r.n_words, round(r.dup_word_frac, 6), round(r.dup_bigram_frac, 6))
+        for r in df.select(
+            "doc_id",
+            m["n_words"].alias("n_words"),
+            m["dup_word_frac"].alias("dup_word_frac"),
+            m["dup_bigram_frac"].alias("dup_bigram_frac"),
+        ).collect()
+    }
+    assert out[1] == (4, 0.75, round(2 / 3, 6))
+    assert out[2] == (4, 0.0, 0.0)
+    assert out[3] == (1, 0.0, 0.0)
+    # words: go x4, stop -> dups = 5-2=3 -> 0.6
+    # bigrams: "go go","go stop","stop go","go go" -> 1 dup of 4 -> 0.25
+    assert out[4] == (5, 0.6, 0.25)
