@@ -1127,3 +1127,71 @@ def a13_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("l_returnflag", "returnflag")
         .withColumnRenamed("l_linestatus", "linestatus")
     )
+
+
+@query(
+    "a14_approx_distinct_audit",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           CAST(count(DISTINCT l_custkey_exact) AS BIGINT) AS exact_distinct,
+           TRUE AS approx_within_5pct
+    FROM (SELECT l_returnflag, l_orderkey % 7500 AS l_custkey_exact
+          FROM lineitem)
+    GROUP BY 1
+    """,
+)
+def a14_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB audit path for distinct counts (SURVEY.md §2.4 note):
+    ``approx_count_distinct`` (HyperLogLog++, map-side mergeable sketch —
+    no exact-distinct shuffle explosion) audited against the exact count.
+    The query emits the exact count plus a within-5%-tolerance flag; at
+    rsd=0.005 the sketch stays in sparse mode at these cardinalities, so
+    the flag is deterministically TRUE and the oracle can assert it. At
+    production scale you keep the approx column and drop the exact one —
+    same plan shape, one streaming pass."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (F.col("l_orderkey") % 7500).alias("k")
+    )
+    out = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.countDistinct("k").alias("exact_distinct"),
+        F.approx_count_distinct("k", rsd=0.005).alias("approx"),
+    )
+    tol = (
+        F.abs(F.col("approx") - F.col("exact_distinct"))
+        <= 0.05 * F.col("exact_distinct")
+    )
+    return out.select(
+        "returnflag", "exact_distinct", tol.alias("approx_within_5pct")
+    )
+
+
+@query(
+    "a15_approx_quantile_audit",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(quantile_cont(l_extendedprice, 0.5) + 1e-9, 2)
+             AS exact_median,
+           TRUE AS approx_within_1pct
+    FROM lineitem GROUP BY 1
+    """,
+)
+def a15_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles for 100 TB profiling: ``percentile_approx``
+    (Greenwald-Khanna sketch, mergeable partials) audited against the
+    exact interpolated median — emitted as the exact value plus a
+    within-1%-tolerance flag (accuracy 10000 keeps GK well inside 1% at
+    any data size, so the oracle can assert the flag)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.percentile("l_extendedprice", 0.5).alias("exact_med"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx"),
+    )
+    tol = (
+        F.abs(F.col("approx") - F.col("exact_med"))
+        <= 0.01 * F.abs(F.col("exact_med"))
+    )
+    return out.select(
+        "returnflag",
+        F.round(F.col("exact_med") + F.lit(1e-9), 2).alias("exact_median"),
+        tol.alias("approx_within_1pct"),
+    )
