@@ -185,41 +185,57 @@ def ivf_centroids(
     )
 
 
-def _dot_literal_sql(vec: str, coeffs: list[float]) -> str:
-    """Unrolled dot of a vector COLUMN against literal coefficients — same
-    left-associative order and +0.0 null-coalescing as ``_dot_sql``, so it
-    is bit-identical to the SQL fold the oracles use."""
-    terms = " + ".join(
-        f"coalesce(CAST(try_element_at({vec}, {i}) AS DOUBLE)"
-        f" * ({c!r}D), 0D)"
-        for i, c in enumerate(coeffs, start=1)
-    )
-    return f"(0D + {terms})"
+def _cent_matrices(cents: list[tuple[int, list[float]]]):
+    """(ids, C, Cn) numpy closure payload for the BLAS assignment."""
+    import numpy as np
+
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    Cn = np.sqrt((C * C).sum(axis=1))
+    Cn[Cn == 0] = 1.0
+    return ids, C, Cn
 
 
-def kmeans_assign_expr(
-    vec_col: str, vnrm_col: str, cents: list[tuple[int, list[float]]]
-) -> Column:
-    """Nearest-centroid id (cosine argmax, ties to lowest id) as ONE pure
-    projection: the centroid components are PLAN-TIME LITERALS, so
-    assignment costs no join and no shuffle — each corpus partition scores
-    its rows against the unrolled literal dots inside whole-stage codegen
-    (the same plan shape as ``lsh_bucket``). This is the Lloyd's-iteration
-    hot path: at 100 TB each iteration is exactly one corpus scan plus a
-    K x dim partial-aggregate shuffle."""
-    import math
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    out_cols: str,
+) -> DataFrame:
+    """Nearest-centroid id (cosine argmax, ties to lowest id) as ONE
+    Arrow-batched BLAS pass (``mapInPandas``): V @ C.T per batch, centroid
+    matrix shipped in the closure — no join, no shuffle; the corpus
+    streams through once. ``out_cols`` is the output schema: every input
+    column to carry through plus ``cent_id int`` (cent_id is appended by
+    the kernel).
 
-    structs = []
-    for cid, cv in cents:
-        # plain sequential sum, NOT fsum: the left-associative order is
-        # the cross-engine contract (matches the oracle's list_sum fold)
-        cnrm = math.sqrt(sum(x * x for x in cv)) or 1.0
-        cos = (
-            f"({_dot_literal_sql(vec_col, cv)}"
-            f" / ({vnrm_col} * ({cnrm!r}D)))"
-        )
-        structs.append(f"named_struct('c', {cos}, 'nc', {-cid})")
-    return F.expr(f"-(array_max(array({', '.join(structs)})).nc)")
+    Why not codegen: the literal-coefficient unrolled form (K=8 x dim=64
+    = 512-term expression) exceeds the JIT method budget and evaluates
+    INTERPRETED — measured ~0.4 ms/row, vs well under 1 us/row for the
+    blocked matmul. Same finding and fix as ``cosine_pairs_bucketed``.
+    Argmax ties break to the lowest centroid id (np.argmax returns the
+    first maximum; the matrix rows are ordered by cent_id)."""
+    import numpy as np
+    import pandas as pd
+
+    ids, C, Cn = _cent_matrices(cents)
+    # NB: naive comma split — fine for the flat/array column types used
+    # here, would break on map<k,v> carry columns
+    carry = [c.strip().split()[0] for c in out_cols.split(",")]
+
+    def op(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Vn = np.sqrt((V * V).sum(axis=1))
+            Vn[Vn == 0] = 1.0
+            S = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+            out = pdf[carry].copy()
+            out["cent_id"] = ids[S.argmax(axis=1)].astype(np.int32)
+            yield out
+
+    return df.mapInPandas(op, out_cols + ", cent_id int")
 
 
 def ivf_kmeans_centroids(
@@ -233,18 +249,18 @@ def ivf_kmeans_centroids(
     """IVF coarse quantizer via deterministic seeded Lloyd's iterations.
 
     Init = the first ``n_centroids`` corpus vectors (the round-1 stand-in,
-    kept as the fixed seed so the whole pass stays oracle-checkable);
-    then ``iters`` fixed iterations of assign (cosine argmax, plan-time
-    literal centroids, no shuffle) + update (per-component mean, one
-    K x dim partial-agg shuffle). Component means are eps-rounded to 9
-    decimals so both engines' float summation orders agree bit-for-bit;
-    a cluster that loses all members falls back to its INITIAL vector
-    (mirrored by the oracle's coalesce against cent0). Returns literal
-    centroids for :func:`kmeans_assign_expr` / :func:`ivf_topk`.
+    kept as the fixed seed so the whole pass stays oracle-checkable); then
+    ``iters`` fixed iterations of assign + update fused into ONE
+    Arrow-batched pass per iteration: each batch BLAS-assigns its vectors
+    (``kmeans_assign`` math) and emits per-centroid partial sums, so only
+    ~K x dim x n_batches partial rows leave the executors. Component means
+    are eps-rounded to 9 decimals, absorbing engine/summation-order float
+    drift so the DuckDB oracle's replayed iterations agree; a cluster
+    that loses all members falls back to its INITIAL vector (mirrored by
+    the oracle's coalesce against cent0). The per-iteration driver sync is
+    the classic Spark k-means shape; the corpus never shuffles."""
+    import numpy as np
 
-    Driver involvement is one tiny collect per iteration (K x dim doubles
-    — the classic Spark k-means shape); the corpus never leaves executors.
-    """
     init_rows = (
         corpus.filter(F.col(id_col) < n_centroids)
         .select(
@@ -255,27 +271,46 @@ def ivf_kmeans_centroids(
     )
     init = {r.cent_id: [float(x) for x in r.cvec] for r in init_rows}
     cents = sorted(init.items())
+    src = corpus.select(F.col(vec_col).alias("vec"))
     for _ in range(iters):
-        projected = corpus.select(
-            F.col(vec_col).alias("vec"), norm(vec_col, dim).alias("vnrm")
-        )
-        assigned = projected.select(
-            "vec", kmeans_assign_expr("vec", "vnrm", cents).alias("cent_id")
-        )
-        mean_i = [
-            F.avg(F.expr(f"CAST(try_element_at(vec, {i}) AS DOUBLE)"))
-            for i in range(1, dim + 1)
-        ]
-        aggs = [
-            F.round(m + F.signum(m) * F.lit(1e-12), 9).alias(f"c{i}")
-            for i, m in enumerate(mean_i, start=1)
-        ]
-        upd_rows = assigned.groupBy("cent_id").agg(*aggs).collect()
-        upd = {
-            r["cent_id"]: [r[f"c{i}"] for i in range(1, dim + 1)]
-            for r in upd_rows
-        }
-        cents = [(cid, upd.get(cid, init[cid])) for cid, _ in cents]
+        ids, C, Cn = _cent_matrices(cents)
+
+        def op(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+                Vn = np.sqrt((V * V).sum(axis=1))
+                Vn[Vn == 0] = 1.0
+                S = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+                a = S.argmax(axis=1)
+                rows = {"cent_id": [], "n": [], "s": []}
+                for j in np.unique(a):
+                    m = a == j
+                    rows["cent_id"].append(int(ids[j]))
+                    rows["n"].append(int(m.sum()))
+                    rows["s"].append(V[m].sum(axis=0).tolist())
+                yield pd.DataFrame(rows)
+
+        partials = src.mapInPandas(
+            op, "cent_id int, n long, s array<double>"
+        ).collect()
+        sums: dict[int, tuple[int, "np.ndarray"]] = {}
+        for r in sorted(partials, key=lambda r: (r.cent_id,)):
+            n0, s0 = sums.get(r.cent_id, (0, np.zeros(dim)))
+            sums[r.cent_id] = (n0 + r.n, s0 + np.array(r.s))
+        new = []
+        for cid, _ in cents:
+            if cid in sums and sums[cid][0] > 0:
+                n0, s0 = sums[cid]
+                mean = s0 / n0
+                mean = np.round(mean + np.sign(mean) * 1e-12, 9)
+                new.append((cid, [float(x) for x in mean]))
+            else:
+                new.append((cid, init[cid]))
+        cents = new
     return cents
 
 
@@ -347,12 +382,12 @@ def ivf_topk(
 
     ``kmeans_iters > 0`` upgrades the coarse quantizer from the first-K
     seed to seeded Lloyd's centroids (:func:`ivf_kmeans_centroids`); the
-    centroids become plan-time literals, so BOTH assignment passes lose
-    their broadcast join — each side is a pure projection (nprobe=1 only:
-    multi-probe routing still takes the DataFrame-centroid path). Pass
-    ``cents`` (an :func:`ivf_kmeans_centroids` result) to reuse an already
-    built index — the build is a distinct lifecycle step, search should
-    not re-run Lloyd's."""
+    centroids ship in the BLAS kernel's closure, so BOTH assignment passes
+    lose their broadcast join — each side is one Arrow-batched matmul pass
+    (nprobe=1 only: multi-probe routing still takes the DataFrame-centroid
+    path). Pass ``cents`` (an :func:`ivf_kmeans_centroids` result) to
+    reuse an already built index — the build is a distinct lifecycle step,
+    search should not re-run Lloyd's."""
     if kmeans_iters > 0 or cents is not None:
         if nprobe != 1:
             raise ValueError("kmeans_iters currently requires nprobe=1")
@@ -361,18 +396,26 @@ def ivf_topk(
             cents = ivf_kmeans_centroids(
                 corpus, id_col, vec_col, n_centroids, dim, iters=kmeans_iters
             )
-        corpus_lists = corpus.select(
-            F.col(id_col).alias("neighbour_id"),
-            F.col(vec_col).alias("cvec"),
-            norm(vec_col, dim).alias("cnrm"),
-        ).withColumn(
-            "cent_id", kmeans_assign_expr("cvec", "cnrm", cents)
-        )
-        q = queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            norm(vec_col, dim).alias("qnrm"),
-        ).withColumn("cent_id", kmeans_assign_expr("qvec", "qnrm", cents))
+        idt = corpus.schema[id_col].dataType.simpleString()
+        vt = corpus.schema[vec_col].dataType.simpleString()
+        corpus_lists = kmeans_assign(
+            corpus.select(
+                F.col(id_col).alias("neighbour_id"),
+                F.col(vec_col).alias("cvec"),
+            ),
+            "cvec",
+            cents,
+            f"neighbour_id {idt}, cvec {vt}",
+        ).withColumn("cnrm", norm("cvec", dim))
+        q = kmeans_assign(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+            ),
+            "qvec",
+            cents,
+            f"query_id {idt}, qvec {vt}",
+        ).withColumn("qnrm", norm("qvec", dim))
     else:
         cent = ivf_centroids(corpus, id_col, vec_col, n_centroids, dim)
         c_assign = ivf_assign(

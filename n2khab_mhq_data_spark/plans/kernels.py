@@ -1136,3 +1136,96 @@ def k7_lsvi_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         measurements, rules_dim(spark, _LSVI_RULES)
     )
     return aggregate_levels(detail, by_version=True)["lsvi_globaal"]
+
+
+@query(
+    "mhq_publish_pipeline",
+    oracle="""
+    WITH gen1 AS (
+      SELECT o_orderkey AS plot_id,
+             CASE o_orderstatus WHEN 'O' THEN 'to do'
+                  WHEN 'F' THEN 'done' ELSE 'busy' END AS status_raw,
+             CAST(o_orderdate AS DATE) AS date_status,
+             'gen1' AS db, CAST(NULL AS VARCHAR) AS priority
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), gen2 AS (
+      SELECT o_orderkey,
+             CASE o_orderstatus WHEN 'O' THEN 'open'
+                  WHEN 'F' THEN 'afgewerkt' ELSE 'in uitvoering' END,
+             CAST(o_orderdate AS DATE) + 30,
+             'gen2', o_orderpriority
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), u AS (
+      SELECT * FROM gen1 UNION ALL SELECT * FROM gen2
+    ), h AS (
+      SELECT *, CASE WHEN status_raw IN ('to do', 'open') THEN 'todo'
+                     WHEN status_raw IN ('busy', 'in uitvoering') THEN 'busy'
+                     ELSE 'done' END AS status
+      FROM u
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY plot_id
+                ORDER BY date_status DESC, db DESC) AS rn
+      FROM h
+    )
+    SELECT r.plot_id, r.db, r.status, r.date_status, r.priority,
+           CAST(o.o_orderdate AS DATE) AS date_assessment
+    FROM r JOIN orders o ON o.o_orderkey = r.plot_id
+    WHERE rn = 1
+    """,
+)
+def mhq_publish_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — the reference's publish pipeline end to end, as ONE Catalyst
+    plan (SURVEY.md §3 E1; query_fieldmap.Rmd:1313-1975): per-generation
+    conform + status recode (P6), union across database generations with
+    schema drift (U1: gen1 lacks the priority column), vocabulary
+    harmonization (K4), most-recent-wins grain resolution (W2/W3,
+    date_status desc with db tiebreak), and the date-attach inner join
+    (J5) before the deterministic publish sort. The whole chain is lazy —
+    Catalyst pushes the per-generation filters into the shared orders
+    scan and AQE picks join strategies at runtime."""
+    o = load(spark, sf_dir, "orders")
+    st = F.col("o_orderstatus")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("plot_id"),
+        F.when(st == "O", "to do").when(st == "F", "done")
+        .otherwise("busy").alias("status_raw"),
+        F.col("o_orderdate").cast("date").alias("date_status"),
+        F.lit("gen1").alias("db"),
+    )
+    gen2 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("plot_id"),
+        F.when(st == "O", "open").when(st == "F", "afgewerkt")
+        .otherwise("in uitvoering").alias("status_raw"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias(
+            "date_status"
+        ),
+        F.lit("gen2").alias("db"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    u = gen1.unionByName(gen2, allowMissingColumns=True)
+    h = u.withColumn(
+        "status",
+        F.when(F.col("status_raw").isin("to do", "open"), "todo")
+        .when(F.col("status_raw").isin("busy", "in uitvoering"), "busy")
+        .otherwise("done"),
+    )
+    w = W.partitionBy("plot_id").orderBy(
+        F.col("date_status").desc(), F.col("db").desc()
+    )
+    latest = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "status_raw")
+    )
+    dates = o.select(
+        F.col("o_orderkey").alias("plot_id"),
+        F.col("o_orderdate").cast("date").alias("date_assessment"),
+    )
+    return (
+        latest.join(dates, "plot_id", "inner")
+        .select(
+            "plot_id", "db", "status", "date_status", "priority",
+            "date_assessment",
+        )
+        .orderBy("plot_id")
+    )
