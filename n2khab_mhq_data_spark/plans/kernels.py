@@ -1229,3 +1229,220 @@ def mhq_publish_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("plot_id")
     )
+
+
+_E2_RULES = [
+    # the aquatic-chain rule set (versie '1.0'): thresholds on the mean
+    # measured value per variable
+    ("1.0", "ht_rush", "activiteit", "interactie", "click", ">=", 0.9, False),
+    ("1.0", "ht_rush", "activiteit", "conversie", "purchase", ">=", 0.95, False),
+    ("1.0", "ht_rush", "kwaliteit", "fouten", "error", "<", 0.52, False),
+    ("1.0", "ht_normal", "activiteit", "interactie", "click", ">=", 0.95, False),
+    ("1.0", "ht_normal", "activiteit", "conversie", "purchase", ">=", 1.0, False),
+    ("1.0", "ht_normal", "kwaliteit", "fouten", "error", "<", 0.51, False),
+    ("1.0", "ht_lax", "activiteit", "interactie", "click", ">=", 1.0, False),
+    ("1.0", "ht_lax", "activiteit", "conversie", "purchase", ">=", 1.05, False),
+    ("1.0", "ht_lax", "kwaliteit", "fouten", "error", "<", 0.50, False),
+]
+
+_E2_RULES_SQL = """
+  (VALUES
+    ('1.0','ht_rush','activiteit','interactie','click','>=',0.9,FALSE),
+    ('1.0','ht_rush','activiteit','conversie','purchase','>=',0.95,FALSE),
+    ('1.0','ht_rush','kwaliteit','fouten','error','<',0.52,FALSE),
+    ('1.0','ht_normal','activiteit','interactie','click','>=',0.95,FALSE),
+    ('1.0','ht_normal','activiteit','conversie','purchase','>=',1.0,FALSE),
+    ('1.0','ht_normal','kwaliteit','fouten','error','<',0.51,FALSE),
+    ('1.0','ht_lax','activiteit','interactie','click','>=',1.0,FALSE),
+    ('1.0','ht_lax','activiteit','conversie','purchase','>=',1.05,FALSE),
+    ('1.0','ht_lax','kwaliteit','fouten','error','<',0.50,FALSE))
+  AS r(versie, habitat_type, criterium, indicator, voorwaarde, op,
+       threshold, optional)
+"""
+
+
+@query(
+    "inboveg_lsvi_pipeline",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type AS var_code,
+             CAST(round(value * 100) AS BIGINT) AS v100, value
+      FROM events WHERE value IS NOT NULL
+    ), rawv AS (
+      SELECT event_id, var_code,
+             CASE WHEN var_code = 'error' THEN 'ZS'
+                  WHEN value < 20 THEN '<0,2'
+                  WHEN value > 180 THEN '>180'
+                  ELSE CAST(v100 // 100 AS VARCHAR) || ',' ||
+                       lpad(CAST(v100 % 100 AS VARCHAR), 2, '0')
+             END AS value
+      FROM src
+    ), eav AS (
+      SELECT event_id, var_code,
+             round(CASE WHEN value = 'ZS' THEN 0.5
+                        WHEN value LIKE '<%'
+                          THEN CAST(replace(substr(value, 2), ',', '.')
+                                    AS DOUBLE)
+                        WHEN value LIKE '>%'
+                          THEN CAST(replace(substr(value, 2), ',', '.')
+                                    AS DOUBLE)
+                        ELSE CAST(replace(value, ',', '.') AS DOUBLE)
+                   END + 1e-9, 6) AS value_numeric,
+             value LIKE '<%' AS is_below_loq
+      FROM rawv
+    ), m AS (
+      SELECT event_id % 3000 AS plot_id,
+             CASE (event_id % 3000) % 3 WHEN 0 THEN 'ht_rush'
+                  WHEN 1 THEN 'ht_normal' ELSE 'ht_lax' END AS habitat_type,
+             var_code AS voorwaarde,
+             CASE WHEN is_below_loq THEN value_numeric / 2
+                  ELSE value_numeric END AS v
+      FROM eav
+    ), meas AS (
+      SELECT plot_id, habitat_type, voorwaarde,
+             round(avg(v) + sign(avg(v)) * 1e-9, 6) AS value
+      FROM m GROUP BY 1, 2, 3
+    ), detail AS (
+      SELECT m.plot_id, m.habitat_type, r.criterium, r.indicator,
+             CASE r.op WHEN '>=' THEN m.value >= r.threshold
+                       WHEN '>'  THEN m.value >  r.threshold
+                       WHEN '<=' THEN m.value <= r.threshold
+                       WHEN '<'  THEN m.value <  r.threshold
+                       WHEN '='  THEN m.value =  r.threshold
+             END AS sv
+      FROM meas m JOIN {rules}
+        ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
+       AND r.versie = '1.0'
+    ), ind AS (
+      SELECT plot_id, habitat_type, criterium, indicator,
+             bool_and(sv) AS si
+      FROM detail GROUP BY 1, 2, 3, 4
+    ), crit AS (
+      SELECT plot_id, habitat_type, criterium, bool_and(si) AS sc
+      FROM ind GROUP BY 1, 2, 3
+    )
+    SELECT plot_id, habitat_type, bool_and(sc) AS status_global,
+           round(avg(CASE WHEN sc THEN 1 ELSE 0 END) + 1e-9, 6)
+             AS share_favourable
+    FROM crit GROUP BY 1, 2
+    """.format(rules=_E2_RULES_SQL),
+)
+def inboveg_lsvi_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — the INBOVEG aquatic chain end to end, as ONE Catalyst plan
+    (SURVEY.md §3 E2): the K6 EAV restructure (locale/LOQ measurement
+    parsing) feeds LSVI input shaping — below-LOQ values halved per
+    HT31xx_LSVI.Rmd:128-132 — then per-plot mean measurements run through
+    the K7 broadcast-rule engine to the global status. Three notebooks in
+    the reference, one lazy plan here: the EAV parse stays in the scan
+    projection, the only shuffles are the measurement aggregation and the
+    level roll-ups."""
+    eav = k6_eav_restructure(spark, sf_dir)
+    plot = F.col("event_id") % 3000
+    m = eav.select(
+        plot.alias("plot_id"),
+        F.when(plot % 3 == 0, "ht_rush")
+        .when(plot % 3 == 1, "ht_normal")
+        .otherwise("ht_lax")
+        .alias("habitat_type"),
+        F.col("var_code").alias("voorwaarde"),
+        F.when(
+            F.col("is_below_LOQ"), F.col("value_numeric") / 2
+        ).otherwise(F.col("value_numeric")).alias("v"),
+    )
+    meas = m.groupBy("plot_id", "habitat_type", "voorwaarde").agg(
+        eps_round(F.avg("v"), 6).alias("value")
+    )
+    detail = evaluate_conditions(
+        meas, rules_dim(spark, _E2_RULES), versie="1.0"
+    )
+    return aggregate_levels(detail)["lsvi_globaal"]
+
+
+@query(
+    "vbi_forest_pipeline",
+    oracle="""
+    WITH trees AS (
+      SELECT l_orderkey AS plot_id,
+             CASE WHEN l_partkey % 3 = 0 THEN 'g1'
+                  WHEN l_partkey % 3 = 1 THEN 'g2' ELSE 'g3' END
+               AS species_group,
+             CAST(l_quantity AS DOUBLE) AS dbh,
+             round(l_extendedprice / 1000 + 1e-9, 2) AS height,
+             l_discount * 1000 AS cover_mean
+      FROM lineitem
+    ), params AS (
+      SELECT * FROM (VALUES
+        ('g1', 1, 0.05, 0.002, 0.0001, 0.0),
+        ('g2', 2, 0.02, 0.003, 0.0002, 0.00001),
+        ('g3', 3, 0.01, 0.0005, 0.00002, 0.0))
+      AS p(species_group, formule_type, a, b, c, d)
+    ), vols AS (
+      SELECT t.plot_id,
+             round(CASE p.formule_type
+                     WHEN 1 THEN a + b * dbh + c * dbh * dbh
+                     WHEN 2 THEN a + b * dbh + c * dbh * dbh
+                                 + d * dbh * dbh * dbh
+                     WHEN 3 THEN a + b * dbh * dbh + c * dbh * dbh * height
+                   END + sign(CASE p.formule_type
+                     WHEN 1 THEN a + b * dbh + c * dbh * dbh
+                     WHEN 2 THEN a + b * dbh + c * dbh * dbh
+                                 + d * dbh * dbh * dbh
+                     WHEN 3 THEN a + b * dbh * dbh + c * dbh * dbh * height
+                   END) * 1e-9, 6) AS vol_m3,
+             cover_mean
+      FROM trees t LEFT JOIN params p USING (species_group)
+    ), per_plot AS (
+      SELECT plot_id,
+             CAST(count(*) AS BIGINT) AS n_trees,
+             round(sum(vol_m3) + 1e-9, 4) AS vol_total,
+             CASE WHEN count(*) <> count(cover_mean) THEN NULL
+                  WHEN max(cover_mean) >= 100 THEN 100.0
+                  ELSE round((1 - exp(sum(CASE WHEN cover_mean < 100
+                         THEN ln(1 - cover_mean / 100.0) END))) * 100
+                         + 1e-9, 6)
+             END AS cover_layer
+      FROM vols GROUP BY 1
+    )
+    SELECT plot_id, n_trees, vol_total, cover_layer FROM per_plot
+    """,
+)
+def vbi_forest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — the VBI forest-inventory chain end to end
+    (SURVEY.md §3 E3; export_from_vbidwh.Rmd:41-201): per-tree volumes via
+    the K8 tariff polynomials (broadcast parameter dim), rolled up per
+    plot next to the A3 complement-product layer cover — the published
+    per-plot stand summary. Two operator reuses joined on the plot key;
+    both sides pre-aggregate on the same key, so the final join is a
+    broadcast of the smaller aggregate under AQE."""
+    li = load(spark, sf_dir, "lineitem")
+    trees = li.select(
+        F.col("l_orderkey").alias("plot_id"),
+        F.when(F.col("l_partkey") % 3 == 0, "g1")
+        .when(F.col("l_partkey") % 3 == 1, "g2")
+        .otherwise("g3")
+        .alias("species_group"),
+        F.col("l_quantity").cast("double").alias("dbh"),
+        F.round(F.col("l_extendedprice") / 1000 + F.lit(1e-9), 2).alias(
+            "height"
+        ),
+        (F.col("l_discount") * 1000).alias("cover_mean"),
+    )
+    params = tariff_dim(
+        spark,
+        [
+            ("g1", 1, 0.05, 0.002, 0.0001, 0.0),
+            ("g2", 2, 0.02, 0.003, 0.0002, 0.00001),
+            ("g3", 3, 0.01, 0.0005, 0.00002, 0.0),
+        ],
+    )
+    vols = compute_volume(trees, params, dbh_col="dbh", height_col="height")
+    per_plot_vol = vols.groupBy("plot_id").agg(
+        F.count("*").alias("n_trees"),
+        F.round(F.sum("vol_m3") + F.lit(1e-9), 4).alias("vol_total"),
+    )
+    per_plot_cover = layer_cover_rollup(
+        trees.select("plot_id", "cover_mean"), ["plot_id"]
+    )
+    return per_plot_vol.join(per_plot_cover, "plot_id").select(
+        "plot_id", "n_trees", "vol_total", "cover_layer"
+    )
