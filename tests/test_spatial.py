@@ -239,3 +239,81 @@ def test_shapefile_points_and_lines(spark, tmp_path):
     rows = {r.feature_id: r.wkt for r in read_shapefile(spark, shp).collect()}
     assert rows[0] == "POINT (3.5 -2.25)"
     assert rows[1] == "LINESTRING (0 0, 1 1, 2 0)"
+
+
+def _wkb_polygon(rings):
+    import struct
+
+    out = struct.pack("<BI", 1, 3) + struct.pack("<I", len(rings))
+    for r in rings:
+        out += struct.pack("<I", len(r))
+        for x, y in r:
+            out += struct.pack("<2d", x, y)
+    return out
+
+
+def _gpb(wkb, with_envelope=False):
+    import struct
+
+    flags = 0b00000011 if with_envelope else 0b00000001  # LE, env 1 or 0
+    head = b"GP" + bytes([0, flags]) + struct.pack("<i", 31370)
+    if with_envelope:
+        head += struct.pack("<4d", 0, 0, 0, 0)  # minx maxx miny maxy
+    return head + wkb
+
+
+def test_geopackage_layer_read(spark, tmp_path):
+    """S7 GPKG half: a real SQLite GeoPackage (gpkg_contents +
+    gpkg_geometry_columns + feature table with GPB blobs, one with an
+    envelope) loads into the WKT interchange column with attributes, and
+    composes with the layer parser."""
+    import sqlite3
+
+    from n2khab_mhq_data_spark.spatial.geopackage import read_geopackage
+    from n2khab_mhq_data_spark.spatial.join import parse_wkt_layer
+
+    gpkg = str(tmp_path / "layer.gpkg")
+    con = sqlite3.connect(gpkg)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns"
+        " (table_name TEXT, column_name TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE habitat (fid INTEGER PRIMARY KEY, naam TEXT,"
+        " geom BLOB)"
+    )
+    con.execute(
+        "INSERT INTO gpkg_contents VALUES ('habitat', 'features')"
+    )
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES ('habitat', 'geom')"
+    )
+    sq = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0), (0.0, 0.0)]
+    hole = [(0.5, 0.5), (0.5, 1.5), (1.5, 1.5), (1.5, 0.5), (0.5, 0.5)]
+    con.execute(
+        "INSERT INTO habitat VALUES (1, 'heide', ?)",
+        (_gpb(_wkb_polygon([sq])),),
+    )
+    con.execute(
+        "INSERT INTO habitat VALUES (2, 'ven', ?)",
+        (_gpb(_wkb_polygon([sq, hole]), with_envelope=True),),
+    )
+    con.commit()
+    con.close()
+
+    df = read_geopackage(spark, gpkg)
+    rows = {r.fid: (r.naam, r.wkt) for r in df.collect()}
+    assert rows[1] == ("heide", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")
+    assert rows[2][1].startswith(
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0), (0.5 0.5,"
+    )
+    layer = df.selectExpr("fid AS feature_id", "wkt")
+    stats = {
+        r.feature_id: r.area
+        for r in parse_wkt_layer(layer, "wkt", "feature_id").collect()
+    }
+    assert stats[1] == 4.0
+    assert stats[2] == 4.0 - 1.0
