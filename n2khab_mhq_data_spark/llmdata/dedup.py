@@ -405,3 +405,44 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc"), F.col("comp").alias("component_id")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing >=
+    ``min_hits`` distinct word ``k``-grams with any benchmark document
+    (the standard test-set-overlap removal before training). Returns the
+    corpus ids with ``n_contaminated_grams`` and a ``contaminated`` flag —
+    callers anti-join or filter on it.
+
+    Scale shape: the benchmark side is small by nature (eval sets), so its
+    DISTINCT gram set broadcasts; the corpus streams through one shingle
+    projection + broadcast semi-ish join + groupBy on the doc id. The
+    corpus is never shuffled by gram — only (doc, hit) pairs aggregate,
+    and map-side combine collapses them per partition."""
+    corpus_grams = shingle_table(corpus, text_col, id_col, k)
+    bench_grams = (
+        shingle_table(benchmark, text_col, id_col, k)
+        .select("gram")
+        .distinct()
+    )
+    hits = corpus_grams.join(F.broadcast(bench_grams), "gram", "inner")
+    per_doc = hits.groupBy("doc").agg(
+        F.count("*").alias("n_contaminated_grams")
+    )
+    ids = corpus.select(F.col(id_col).alias("doc"))
+    return ids.join(per_doc, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+            "n_contaminated_grams"
+        ),
+        (
+            F.coalesce("n_contaminated_grams", F.lit(0)) >= min_hits
+        ).alias("contaminated"),
+    )

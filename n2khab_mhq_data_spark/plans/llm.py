@@ -1289,3 +1289,37 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_bigram_frac"
         ),
     )
+
+
+@query(
+    "dedup_decontaminate",
+    oracle=_SHINGLES_SQL
+    + """
+    , bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc % 97 = 0
+    ), corpus AS (
+      SELECT doc, g FROM sh WHERE doc % 97 != 0
+    ), hits AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n
+      FROM corpus JOIN bench USING (g) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(h.n, 0) AS n_contaminated_grams,
+           coalesce(h.n, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+    LEFT JOIN hits h ON h.doc = d.doc_id
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (test-set overlap removal before
+    training): every 97th document plays the held-out benchmark; corpus
+    documents sharing any distinct word 3-gram with it are flagged with
+    their hit count. The benchmark gram set broadcasts (eval sets are
+    small by nature); the corpus streams through one shingle projection —
+    it is never shuffled by gram."""
+    from n2khab_mhq_data_spark.llmdata.dedup import decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, benchmark, "text", "doc_id", k=3)
