@@ -375,3 +375,41 @@ def pipeline_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "offset"
         ),
     )
+
+
+@query(
+    "pipeline_domain_mix",
+    oracle="""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('src0', 100), ('src1', 75), ('src2', 50),
+                            ('src3', 25)) AS r(source, keep_pct)
+    ), hashed AS (
+      SELECT doc_id, d.source,
+             coalesce(r.keep_pct, 10) AS keep_pct,
+             ((((doc_id * 131071 + 524287) % 1000003) + 1000003) % 1000003)
+               % 100 AS pct
+      FROM documents d LEFT JOIN rates r ON d.source = r.source
+    )
+    SELECT doc_id, source FROM hashed WHERE pct < keep_pct
+    """,
+)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing (data-mixture weights): per-domain keep
+    rates from a broadcast dimension, membership decided by the same
+    portable integer hash as the train/val/test split — deterministic
+    under corpus growth and retries, pure projection + broadcast join (no
+    shuffle, no RNG state). Unlisted domains fall back to a 10% floor."""
+    from n2khab_mhq_data_spark.catalog import local_dim
+    from n2khab_mhq_data_spark.llmdata.pipeline import split_hash
+
+    docs = load(spark, sf_dir, "documents")
+    rates = local_dim(
+        spark,
+        [("src0", 100), ("src1", 75), ("src2", 50), ("src3", 25)],
+        "source string, keep_pct int",
+    )
+    j = docs.join(F.broadcast(rates), "source", "left")
+    keep = split_hash(F.col("doc_id")) < F.coalesce(
+        F.col("keep_pct"), F.lit(10)
+    )
+    return j.filter(keep).select("doc_id", "source")
