@@ -83,3 +83,72 @@ def test_simhash_kernel_matches_reference(spark, docs):
 def test_char_hash_stays_in_prime_field():
     for tok in ("", "a", "zz" * 50, "Ā˿"):
         assert 0 <= _char_hash(tok) < HASH_PRIME
+
+
+# --- geometry IO round-trips (no Spark session: pure parsers) -----------
+
+coord = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+).map(lambda x: round(x, 6))
+
+
+@st.composite
+def _ring(draw, min_pts=3, max_pts=8):
+    pts = draw(
+        st.lists(st.tuples(coord, coord), min_size=min_pts, max_size=max_pts)
+    )
+    return pts + [pts[0]]  # closed
+
+
+@given(st.lists(_ring(), min_size=1, max_size=3))
+@settings(max_examples=60, deadline=None)
+def test_wkb_gpb_wkt_round_trip(rings):
+    """Random polygons encoded as WKB inside a GPB blob must decode to WKT
+    that re-parses to the same vertices."""
+    import struct
+
+    from n2khab_mhq_data_spark.spatial.geopackage import gpb_to_wkt
+    from n2khab_mhq_data_spark.spatial.wkt import parse_wkt_polygon
+
+    wkb = struct.pack("<BI", 1, 3) + struct.pack("<I", len(rings))
+    for r in rings:
+        wkb += struct.pack("<I", len(r))
+        for x, y in r:
+            wkb += struct.pack("<2d", x, y)
+    blob = b"GP" + bytes([0, 0b1]) + struct.pack("<i", 31370) + wkb
+    wkt = gpb_to_wkt(blob)
+    (parsed,) = parse_wkt_polygon(wkt)
+    assert len(parsed) == len(rings)
+    for got, want in zip(parsed, rings):
+        assert len(got) == len(want)
+        for (gx, gy), (wx, wy) in zip(got, want):
+            # %.10g formatting keeps 10 significant digits; inputs are
+            # rounded to 6 decimals at <= 1e6 magnitude, so round-trip is
+            # exact up to that quantization
+            assert abs(gx - wx) < 1e-3 and abs(gy - wy) < 1e-3
+
+
+@given(st.lists(_ring(), min_size=1, max_size=2))
+@settings(max_examples=40, deadline=None)
+def test_shapefile_record_round_trip(rings):
+    """write_shapefile -> raw record parse preserves every ring vertex."""
+    import os
+    import struct
+    import tempfile
+
+    from n2khab_mhq_data_spark.spatial.shapefile import (
+        _parse_record,
+        read_shx_offsets,
+        write_shapefile,
+    )
+    from n2khab_mhq_data_spark.spatial.wkt import parse_wkt_polygon
+
+    with tempfile.TemporaryDirectory() as d:
+        shp = os.path.join(d, "t.shp")
+        write_shapefile(shp, [(5, rings)])
+        (off, ln) = read_shx_offsets(os.path.join(d, "t.shx"))[0]
+        with open(shp, "rb") as fh:
+            fh.seek(off + 8)
+            wkt = _parse_record(fh.read(ln))
+    (parsed,) = parse_wkt_polygon(wkt)
+    assert [len(r) for r in parsed] == [len(r) for r in rings]
