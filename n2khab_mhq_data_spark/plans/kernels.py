@@ -58,7 +58,8 @@ _BB_CLASSES = ["r", "+", "1", "2", "3", "4", "5"]
              END AS class_id
       FROM events WHERE value IS NOT NULL AND value >= 0
     )
-    SELECT c.coverscale_name, c.class_id, dim.cover_mean,
+    SELECT c.coverscale_name, c.class_id,
+           CAST(dim.cover_mean AS DOUBLE) AS cover_mean,
            CAST(count(*) AS BIGINT) AS n
     FROM coded c LEFT JOIN {_COVER_DIM_SQL}
       ON c.coverscale_name = dim.coverscale_name
@@ -721,9 +722,10 @@ def k10_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seg AS (
       SELECT l_orderkey AS plot_id, l_quantity AS area,
-             row_number() OVER (PARTITION BY l_orderkey
-                                ORDER BY l_linenumber, l_returnflag,
-                                         l_quantity, l_partkey) AS seg_no
+             CAST(row_number() OVER (PARTITION BY l_orderkey
+                                     ORDER BY l_linenumber, l_returnflag,
+                                              l_quantity, l_partkey)
+                  AS INTEGER) AS seg_no
       FROM lineitem
     )
     SELECT plot_id, seg_no,

@@ -178,8 +178,9 @@ _COSINE_SQL = """
     )
     SELECT query_id, neighbour_id, rank,
            round(cos + sign(cos) * 1e-9, 6) AS cosine
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbour_id) AS rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbour_id)
+                         AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 10
     """
@@ -411,8 +412,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbour_id, rank,
            round(cos + sign(cos) * 1e-9, 6) AS cosine
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbour_id) AS rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbour_id)
+                         AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 10
     """,
@@ -512,8 +514,9 @@ _IVF_ASSIGN_SQL = f"""
     )
     SELECT query_id, neighbour_id, rank,
            round(cos + sign(cos) * 1e-9, 6) AS cosine
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbour_id) AS rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbour_id)
+                         AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 10
     """,
@@ -564,8 +567,9 @@ _IVF_MULTIPROBE_SQL = f"""
     )
     SELECT query_id, neighbour_id, rank,
            round(cos + sign(cos) * 1e-9, 6) AS cosine
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbour_id) AS rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbour_id)
+                         AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 10
     """
@@ -849,8 +853,9 @@ _LSH_TOPK_SQL = f"""
       WHERE a.vec_id < 3
     )
     SELECT query_id, neighbour_id
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbour_id) AS rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbour_id)
+                         AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 10
 """
@@ -1183,8 +1188,9 @@ _IVF_KMEANS_TOPK_SQL = f"""
     )
     SELECT query_id, neighbour_id, rank,
            round(cos + sign(cos) * 1e-9, 6) AS cosine
-    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-                                       ORDER BY cos DESC, neighbour_id) AS rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbour_id)
+                         AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 10
     """

@@ -53,7 +53,7 @@ def pipeline_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT shard, bin,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_tok) AS token_sum,
+           CAST(sum(n_tok) AS BIGINT) AS token_sum,
            min(doc) AS first_doc,
            max(doc) AS last_doc
     FROM binned GROUP BY 1, 2
@@ -87,8 +87,9 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc, tok, rank,
            round(score + sign(score) * 1e-9, 6) AS tfidf
-    FROM (SELECT *, row_number() OVER (PARTITION BY doc
-                                       ORDER BY score DESC, tok) AS rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc
+                                            ORDER BY score DESC, tok)
+                         AS INTEGER) AS rank
           FROM scored)
     WHERE rank <= 3
     """,
@@ -286,7 +287,7 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split,
            CAST(count(*) AS BIGINT) AS n_docs,
-           sum(n_tokens) AS token_sum
+           CAST(sum(n_tokens) AS BIGINT) AS token_sum
     FROM final GROUP BY 1
     """,
 )
@@ -343,9 +344,10 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rec r JOIN toks t ON t.shard = r.shard AND t.rn = r.rn + 1
     )
     SELECT shard, bin, doc, n_tok,
-           coalesce(sum(n_tok) OVER (
+           CAST(coalesce(sum(n_tok) OVER (
              PARTITION BY shard, bin ORDER BY doc
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS offset
     FROM rec
     """,
 )

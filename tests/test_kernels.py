@@ -24,25 +24,35 @@ def test_lsvi_levels_hand_computed(spark):
     rules = rules_dim(
         spark,
         [
-            ("ht1", "structuur", "omvang", "area", ">=", 10.0),
-            ("ht1", "structuur", "omvang", "n", ">=", 2.0),
-            ("ht1", "kwaliteit", "verstoring", "disturb", "<", 0.3),
+            ("3.0", "ht1", "structuur", "omvang", "area", ">=", 10.0, False),
+            ("3.0", "ht1", "structuur", "omvang", "n", ">=", 2.0, False),
+            ("3.0", "ht1", "kwaliteit", "verstoring", "disturb", "<", 0.3, False),
+            # optional rule: unmeasured (null value) must be SKIPPED, not
+            # null the indicator (kernels/lsvi.py na.rm semantics)
+            ("3.0", "ht1", "kwaliteit", "verstoring", "extra", "<", 5.0, True),
         ],
     )
     meas = spark.createDataFrame(
         [
-            # plot 1: area ok, n ok, disturb ok -> all favourable
+            # plot 1: area ok, n ok, disturb ok -> all favourable;
+            # optional 'extra' unmeasured -> skipped
             (1, "ht1", "area", 12.0),
             (1, "ht1", "n", 3.0),
             (1, "ht1", "disturb", 0.1),
+            (1, "ht1", "extra", None),
             # plot 2: n fails -> structuur unfavourable, kwaliteit ok
             (2, "ht1", "area", 15.0),
             (2, "ht1", "n", 1.0),
             (2, "ht1", "disturb", 0.2),
+            # plot 3: MANDATORY area unmeasured -> omvang null -> structuur
+            # null -> global null (strict-null propagation)
+            (3, "ht1", "area", None),
+            (3, "ht1", "n", 2.0),
+            (3, "ht1", "disturb", 0.1),
         ],
         "plot_id int, habitat_type string, voorwaarde string, value double",
     )
-    levels = aggregate_levels(evaluate_conditions(meas, rules))
+    levels = aggregate_levels(evaluate_conditions(meas, rules, versie="3.0"))
 
     ind = {
         (r.plot_id, r.indicator): r.status_indicator
@@ -50,6 +60,9 @@ def test_lsvi_levels_hand_computed(spark):
     }
     assert ind[(1, "omvang")] is True and ind[(2, "omvang")] is False
     assert ind[(1, "verstoring")] is True and ind[(2, "verstoring")] is True
+    # plot 3: mandatory null -> indicator unknown; optional-null untouched
+    assert ind[(3, "omvang")] is None
+    assert ind[(3, "verstoring")] is True
 
     glob = {
         r.plot_id: (r.status_global, r.share_favourable)
@@ -58,6 +71,9 @@ def test_lsvi_levels_hand_computed(spark):
     assert glob[1] == (True, 1.0)
     # plot 2: structuur fails, kwaliteit passes -> global False, share 0.5
     assert glob[2][0] is False and abs(glob[2][1] - 0.5) < 1e-6
+    # plot 3: null propagates criterium -> global; share nulled too so an
+    # unknown never masquerades as a measured share
+    assert glob[3] == (None, None)
 
 
 def test_tariff_polynomials(spark):
