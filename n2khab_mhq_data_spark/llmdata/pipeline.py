@@ -170,8 +170,9 @@ def hash_sample(df: DataFrame, id_col: str, k: int = 100) -> DataFrame:
     the hash boundary. orderBy + limit compiles to TakeOrderedAndProject:
     each partition contributes its local top k and the driver merges —
     the full table is never shuffled (a global row_number window would
-    move every row to one partition)."""
-    h = (F.col(id_col) * 131071 + 524287) % HASH_PRIME
+    move every row to one partition). ``pmod`` keeps negative ids in
+    [0, p) — the module-wide convention set by ``split_hash``."""
+    h = F.pmod(F.col(id_col) * 131071 + 524287, F.lit(HASH_PRIME))
     return (
         df.select(F.col(id_col), h.alias("h"))
         .orderBy(F.col("h").asc(), F.col(id_col))
@@ -248,7 +249,7 @@ def stratified_hash_sample(
     (same contract as ``hash_sample``, per group). The window partitions
     by stratum, so it parallelizes across strata and never globally
     sorts."""
-    h = (F.col(id_col) * 131071 + 524287) % HASH_PRIME
+    h = F.pmod(F.col(id_col) * 131071 + 524287, F.lit(HASH_PRIME))
     w = W.partitionBy("stratum").orderBy(F.col("h").asc(), F.col(id_col))
     return (
         df.select(
@@ -275,7 +276,7 @@ def weighted_hash_sample(
     engines derive from identical integers via pow — the repo's float
     recipe (eps-rounded output, integer tie-break) applies."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (((F.col(id_col) * 131071 + 524287) % HASH_PRIME) + 1.0) / (
+    u = (F.pmod(F.col(id_col) * 131071 + 524287, F.lit(HASH_PRIME)) + 1.0) / (
         HASH_PRIME + 1.0
     )
     key = F.pow(u, 1.0 / w)

@@ -142,7 +142,8 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_hash_sample",
     oracle="""
-    SELECT doc_id, (doc_id * 131071 + 524287) % 1000003 AS h
+    SELECT doc_id,
+           (((doc_id * 131071 + 524287) % 1000003) + 1000003) % 1000003 AS h
     FROM documents
     ORDER BY h, doc_id
     LIMIT 100
@@ -216,10 +217,13 @@ def pipeline_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT stratum, doc_id, h
     FROM (
       SELECT lang AS stratum, doc_id,
-             (doc_id * 131071 + 524287) % 1000003 AS h,
-             row_number() OVER (PARTITION BY lang
-                                ORDER BY (doc_id * 131071 + 524287) % 1000003,
-                                         doc_id) AS rn
+             (((doc_id * 131071 + 524287) % 1000003) + 1000003) % 1000003
+               AS h,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (((doc_id * 131071 + 524287) % 1000003) + 1000003)
+                        % 1000003,
+                        doc_id) AS rn
       FROM documents
     )
     WHERE rn <= 25
@@ -239,10 +243,12 @@ def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_weighted_sample",
     oracle="""
     SELECT doc_id,
-           round(pow((((doc_id * 131071 + 524287) % 1000003) + 1.0)
+           round(pow((((((doc_id * 131071 + 524287) % 1000003) + 1000003)
+                       % 1000003) + 1.0)
                      / 1000004.0, 1.0 / n_chars) + 1e-9, 6) AS sample_key
     FROM documents
-    ORDER BY pow((((doc_id * 131071 + 524287) % 1000003) + 1.0)
+    ORDER BY pow((((((doc_id * 131071 + 524287) % 1000003) + 1000003)
+                   % 1000003) + 1.0)
                  / 1000004.0, 1.0 / n_chars) DESC, doc_id
     LIMIT 50
     """,
@@ -279,9 +285,11 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
     ), final AS (
       SELECT k.doc_id, k.n_tokens,
-             CASE WHEN ((k.doc_id * 131071 + 524287) % 1000003) % 100 < 80
+             CASE WHEN ((((k.doc_id * 131071 + 524287) % 1000003) + 1000003)
+                        % 1000003) % 100 < 80
                   THEN 'train'
-                  WHEN ((k.doc_id * 131071 + 524287) % 1000003) % 100 < 90
+                  WHEN ((((k.doc_id * 131071 + 524287) % 1000003) + 1000003)
+                        % 1000003) % 100 < 90
                   THEN 'val' ELSE 'test' END AS split
       FROM kept k JOIN canon c ON k.doc_id = c.doc_id
     )
