@@ -1162,18 +1162,35 @@ def _kmeans_cent_sql(iters: int) -> str:
 # index-build memo: Lloyd's is deterministic per dataset, and building the
 # coarse quantizer is a separate lifecycle step from searching it — rerunning
 # the same 2 iterations on every query invocation would bill ~2 Catalyst
-# analysis passes + 2 tiny jobs per call for bit-identical centroids
-_KMEANS_CENTS: dict[str, list[tuple[int, list[float]]]] = {}
+# analysis passes + 2 tiny jobs per call for bit-identical centroids.
+# Keyed on a fingerprint of the parquet files (path + mtime + size), not the
+# path alone: regenerated data at the same sf_dir must invalidate the memo
+# or the cached centroids silently diverge from the oracle's (ADVICE r2).
+_KMEANS_CENTS: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
+def _embeddings_fingerprint(sf_dir: str) -> tuple:
+    import glob
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = sorted(glob.glob(os.path.join(path, "*"))) or [path]
+    return tuple(
+        (f, int(os.stat(f).st_mtime_ns), os.stat(f).st_size)
+        for f in files
+        if os.path.exists(f)
+    )
 
 
 def _kmeans_cents(spark: SparkSession, sf_dir: str):
     from n2khab_mhq_data_spark.llmdata.similarity import ivf_kmeans_centroids
 
-    if sf_dir not in _KMEANS_CENTS:
-        _KMEANS_CENTS[sf_dir] = ivf_kmeans_centroids(
+    key = (sf_dir, _embeddings_fingerprint(sf_dir))
+    if key not in _KMEANS_CENTS:
+        _KMEANS_CENTS[key] = ivf_kmeans_centroids(
             load(spark, sf_dir, "embeddings"), iters=2
         )
-    return _KMEANS_CENTS[sf_dir]
+    return _KMEANS_CENTS[key]
 
 
 _IVF_KMEANS_TOPK_SQL = f"""

@@ -145,6 +145,21 @@ def write_vc(
     if spec is not None:
         for c in spec.columns:
             if c.yml_class == "factor" and c.levels:
+                # the sidecar stores labels as an unquoted comma-joined
+                # flow list and read_vc_meta splits on commas — a label
+                # carrying YAML-significant characters would round-trip
+                # silently wrong, so refuse it at write time (same
+                # fail-fast posture as the out-of-domain check)
+                bad = [
+                    lv
+                    for lv in c.levels
+                    if any(ch in lv for ch in ",:[]{}#\n\t")
+                    or lv != lv.strip()
+                ]
+                if bad:
+                    raise ValueError(
+                        f"factor {c.name!r} labels not yml-safe: {bad!r}"
+                    )
                 factors[c.name] = (tuple(c.levels), c.ordered)
     out_cols = [
         _fmt(

@@ -86,12 +86,22 @@ def wkb_to_wkt(buf: bytes) -> str:
     return wkt
 
 
-def gpb_to_wkt(blob: bytes) -> str | None:
-    """GeoPackage binary geometry -> WKT (None for empty geometries)."""
-    if blob is None or len(blob) < 8 or blob[:2] != b"GP":
+def gpb_to_wkt(blob: bytes | None) -> str | None:
+    """GeoPackage binary geometry -> WKT (None for SQL NULL or empty
+    geometries).
+
+    Per OGC 12-128 the flags byte is RRXYEEEB: bit 5 (X, 0b00100000) marks
+    an ExtendedGeoPackageBinary payload (unsupported here — fail fast, the
+    body is not plain WKB) and bit 4 (Y, 0b00010000) marks an empty
+    geometry."""
+    if blob is None:  # SQL NULL geometry rows are legal and common
+        return None
+    if len(blob) < 8 or blob[:2] != b"GP":
         raise ValueError("not a GeoPackage geometry blob")
     flags = blob[3]
-    if flags & 0b00100000:  # empty-geometry flag
+    if flags & 0b00100000:
+        raise ValueError("ExtendedGeoPackageBinary geometry unsupported")
+    if flags & 0b00010000:  # empty-geometry flag
         return None
     env = _ENVELOPE_BYTES.get((flags >> 1) & 0b111)
     if env is None:

@@ -70,20 +70,68 @@ def _parse_record(buf: bytes) -> str | None:
         pts_off = 44 + 4 * n_parts
         xy = struct.unpack_from(f"<{2 * n_points}d", buf, pts_off)
         bounds = parts + [n_points]
-        rings = []
-        for a, b in zip(bounds[:-1], bounds[1:]):
-            coords = ", ".join(
-                f"{xy[2 * i]:.10g} {xy[2 * i + 1]:.10g}" for i in range(a, b)
-            )
-            rings.append(f"({coords})")
+        coords = [
+            [(xy[2 * i], xy[2 * i + 1]) for i in range(a, b)]
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        rings = [
+            "(" + ", ".join(f"{x:.10g} {y:.10g}" for x, y in ring) + ")"
+            for ring in coords
+        ]
         if stype == _SHAPE_POLYLINE:
             if len(rings) == 1:
                 return f"LINESTRING {rings[0]}"
             return "MULTILINESTRING (" + ", ".join(rings) + ")"
-        # ESRI polygons: outer rings clockwise, holes counter-clockwise,
-        # all in one record; WKT POLYGON keeps the ring nesting as-is
-        return "POLYGON (" + ", ".join(rings) + ")"
+        return _polygon_wkt(coords, rings)
     raise ValueError(f"unsupported shape type {stype}")
+
+
+def _polygon_wkt(coords: list, rings: list[str]) -> str:
+    """ESRI polygon record -> WKT, grouping rings by orientation.
+
+    An ESRI record may hold SEVERAL outer rings (CW, negative shoelace
+    signed area) each with holes (CCW); flattening them into one WKT
+    POLYGON would subtract the later outers' areas as if they were holes.
+    Each CW ring starts a polygon; each CCW ring attaches to the outer
+    whose interior contains its first vertex (fallback: the preceding
+    outer, the common writer ordering). One outer -> POLYGON, several ->
+    MULTIPOLYGON. Records that carry no CW ring at all (orientation-less
+    writers) keep the legacy single-POLYGON reading."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.spatial.wkt import ring_signed_area
+
+    outer_idx = [
+        i
+        for i, c in enumerate(coords)
+        if ring_signed_area(np.asarray(c, dtype=float)) < 0
+    ]
+    if len(outer_idx) <= 1:
+        return "POLYGON (" + ", ".join(rings) + ")"
+
+    def contains(ring: list, pt: tuple) -> bool:
+        x, y = pt
+        inside = False
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            if (y1 > y) != (y2 > y):
+                xin = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+                if x < xin:
+                    inside = not inside
+        return inside
+
+    groups: dict[int, list[str]] = {i: [rings[i]] for i in outer_idx}
+    for i, c in enumerate(coords):
+        if i in groups:
+            continue
+        host = next(
+            (j for j in outer_idx if contains(coords[j], c[0])),
+            max((j for j in outer_idx if j < i), default=outer_idx[0]),
+        )
+        groups[host].append(rings[i])
+    polys = ["(" + ", ".join(g) + ")" for _, g in sorted(groups.items())]
+    return "MULTIPOLYGON (" + ", ".join(polys) + ")"
 
 
 def read_shapefile(

@@ -150,5 +150,9 @@ def test_shapefile_record_round_trip(rings):
         with open(shp, "rb") as fh:
             fh.seek(off + 8)
             wkt = _parse_record(fh.read(ln))
-    (parsed,) = parse_wkt_polygon(wkt)
-    assert [len(r) for r in parsed] == [len(r) for r in rings]
+    # orientation grouping may split multiple CW rings into a
+    # MULTIPOLYGON; every ring and vertex must survive either way
+    parsed_rings = [r for poly in parse_wkt_polygon(wkt) for r in poly]
+    assert sorted(len(r) for r in parsed_rings) == sorted(
+        len(r) for r in rings
+    )

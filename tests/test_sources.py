@@ -237,6 +237,23 @@ def test_write_vc_factor_out_of_domain_fails(spark, tmp_path):
         write_vc(df, "t", str(tmp_path), ["s"], spec=spec)
 
 
+def test_write_vc_factor_yaml_unsafe_label_fails(spark, tmp_path):
+    """The sidecar's flow-list label format splits on commas; a label with
+    YAML-significant characters would corrupt the round-trip silently, so
+    write_vc refuses it up front (ADVICE r2)."""
+    import pytest
+
+    df = spark.createDataFrame([("x",)], "s string")
+    for bad in ("a,b", "a:b", "[a]", " a", "a "):
+        spec = TableSpec(
+            "t",
+            [ColumnSpec("s", "factor", levels=("x", bad))],
+            sorting=("s",),
+        )
+        with pytest.raises(ValueError, match="not yml-safe"):
+            write_vc(df, "t", str(tmp_path), ["s"], spec=spec)
+
+
 def test_write_csv2_parallel_deterministic(spark, tmp_path):
     """S9 writes through the same range-partition + streamed-merge path as
     write_vc: no coalesce(1), and the merged bytes are independent of the

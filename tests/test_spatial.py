@@ -222,6 +222,33 @@ def test_shapefile_round_trip_and_layer_pipeline(spark, tmp_path):
     assert stats[1] == (1, 9.0)
 
 
+def test_shapefile_multi_outer_ring_record(spark, tmp_path):
+    """A single ESRI Polygon record may carry SEVERAL outer rings (CW)
+    plus holes (CCW); it must decode to a MULTIPOLYGON with the hole
+    attached to the outer that contains it — not one POLYGON whose
+    'holes' subtract the later outers (ADVICE r2)."""
+    from n2khab_mhq_data_spark.spatial.shapefile import (
+        read_shapefile,
+        write_shapefile,
+    )
+    from n2khab_mhq_data_spark.spatial.wkt import wkt_area
+
+    shp = str(tmp_path / "multi.shp")
+    # ESRI orientation: outers clockwise, holes counter-clockwise
+    outer_a = [(0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0)]
+    hole_a = [(1.0, 1.0), (3.0, 1.0), (3.0, 3.0), (1.0, 3.0), (1.0, 1.0)]
+    outer_b = [(10.0, 10.0), (10.0, 12.0), (12.0, 12.0), (12.0, 10.0),
+               (10.0, 10.0)]
+    # hole listed AFTER both outers: containment, not adjacency, must
+    # route it to outer_a
+    write_shapefile(shp, [(5, [outer_a, outer_b, hole_a])])
+
+    (row,) = read_shapefile(spark, shp).collect()
+    assert row.wkt.startswith("MULTIPOLYGON ")
+    assert row.wkt.count("((") == 2  # two polygons
+    assert abs(wkt_area(row.wkt) - ((16.0 - 4.0) + 4.0)) < 1e-9
+
+
 def test_shapefile_points_and_lines(spark, tmp_path):
     from n2khab_mhq_data_spark.spatial.shapefile import (
         read_shapefile,
@@ -317,3 +344,31 @@ def test_geopackage_layer_read(spark, tmp_path):
     }
     assert stats[1] == 4.0
     assert stats[2] == 4.0 - 1.0
+
+
+def test_gpb_flag_bits_null_empty_extended():
+    """OGC 12-128 flags byte is RRXYEEEB: bit 4 = empty geometry -> None,
+    bit 5 = ExtendedGeoPackageBinary -> fail fast (body is not plain WKB).
+    SQL NULL geometry values are legal rows -> None, not an error."""
+    import struct
+
+    import pytest
+
+    from n2khab_mhq_data_spark.spatial.geopackage import gpb_to_wkt
+
+    assert gpb_to_wkt(None) is None
+
+    srid = struct.pack("<i", 31370)
+    empty = b"GP" + bytes([0, 0b00010001]) + srid
+    assert gpb_to_wkt(empty) is None
+
+    point_wkb = struct.pack("<BI2d", 1, 1, 1.0, 2.0)
+    extended = b"GP" + bytes([0, 0b00100001]) + srid + point_wkb
+    with pytest.raises(ValueError, match="Extended"):
+        gpb_to_wkt(extended)
+
+    plain = b"GP" + bytes([0, 0b00000001]) + srid + point_wkb
+    assert gpb_to_wkt(plain) == "POINT (1 2)"
+
+    with pytest.raises(ValueError, match="not a GeoPackage"):
+        gpb_to_wkt(b"XX")
