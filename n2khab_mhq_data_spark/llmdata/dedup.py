@@ -407,6 +407,123 @@ def connected_components(
     )
 
 
+def connected_components_twophase(
+    edges: DataFrame,
+    a_col: str = "d1",
+    b_col: str = "d2",
+    max_iter: int = 30,
+    reliable: bool = False,
+) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    contraction (the two-phase MapReduce CC algorithm, Kiveris et al.
+    2014) — same exact output as :func:`connected_components`, but
+    converging in O(log^2 n) rounds instead of O(component diameter), so
+    high-diameter near-dup graphs (chains of pairwise-similar docs) stop
+    dominating wall-clock at 100 TB.
+
+    Per round, each phase is ONE groupBy on the star center plus a join
+    back to the neighbor list — the same shuffle key both phases, and
+    strictly fewer shuffles per round than min-label propagation's two
+    edge-label joins once diameter exceeds ~4. Convergence is detected by
+    an order-insensitive edge-set fingerprint (count + bit_xor of a
+    portable row hash): one tiny aggregate per round instead of a
+    join-and-count diff.
+
+    Keep :func:`connected_components` as the oracle sibling — identical
+    labels, simpler invariants."""
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    # undirected edge list, self-loops dropped, canonical (min, max) dedup
+    e0 = (
+        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    # node universe from the RAW edges: a self-loop-only node has no row
+    # in e0 but is still its own component (parity with
+    # connected_components)
+    nodes = ckpt(
+        edges.select(F.col(a_col).alias("node"))
+        .union(edges.select(F.col(b_col)))
+        .distinct()
+    )
+    e = ckpt(e0)
+
+    def fingerprint(df: DataFrame) -> tuple:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.col("a"), F.col("b"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        (row,) = (
+            df.select(h.alias("h"))
+            .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
+            .collect()
+        )
+        return (row.n, row.x)
+
+    def large_star(ed: DataFrame) -> DataFrame:
+        # directed both ways: for each center u, m = min(N(u) ∪ {u});
+        # re-link strictly larger neighbors to m
+        nbr = ed.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(ed.select(F.col("b"), F.col("a")))
+        m = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbr.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(ed: DataFrame) -> DataFrame:
+        # orient larger -> smaller: center u keeps neighbors v < u;
+        # all of them (and u) re-link to the minimum
+        nbr = ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m = nbr.groupBy("u").agg(F.min("v").alias("m"))
+        linked = nbr.join(m, "u")
+        relink = linked.select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        ).union(linked.select(F.col("u"), F.col("m")))
+        return (
+            relink.filter(F.col("a") != F.col("b"))
+            .select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .distinct()
+        )
+
+    fp = fingerprint(e)
+    for _ in range(max_iter):
+        e = ckpt(small_star(large_star(e)))
+        nfp = fingerprint(e)
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged: stars rooted at component minima; roots label themselves
+    return (
+        nodes.join(e, nodes["node"] == e["b"], "left")
+        .select("node", F.coalesce(e["a"], nodes["node"]).alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+        .select(
+            F.col("node").alias("doc"), F.col("comp").alias("component_id")
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1448,3 +1448,59 @@ def vbi_forest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_plot_vol.join(per_plot_cover, "plot_id").select(
         "plot_id", "n_trees", "vol_total", "cover_layer"
     )
+
+
+@query(
+    "audit_input_pinning",
+    oracle="""
+    WITH fp AS (
+      SELECT lang,
+             bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                          || chr(31) || text), 1, 15))
+                          AS BIGINT)) AS fingerprint,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY 1
+    ), rec AS (
+      SELECT lang,
+             xor(fingerprint,
+                 CASE WHEN lang = (SELECT min(lang) FROM documents)
+                      THEN 1 ELSE 0 END) AS fingerprint_expected
+      FROM fp
+    )
+    SELECT f.lang, f.fingerprint, r.fingerprint_expected,
+           f.fingerprint = r.fingerprint_expected AS match, f.n_rows
+    FROM fp f LEFT JOIN rec r USING (lang)
+    """,
+)
+def audit_input_pinning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-version pinning audit (check_observed_habitat_type.Rmd:106-113
+    scaled to datasets): per-shard order-insensitive content fingerprints
+    (bit_xor of a portable 60-bit md5 row hash — partial-aggregable, no
+    sort) joined against a recorded manifest with a match flag. The
+    manifest here is derived in-query with the lexicographically first
+    lang's entry deliberately poisoned, so the audit demonstrably flags a
+    drifted input at any sf."""
+    from n2khab_mhq_data_spark.operators.pinning import (
+        dataset_fingerprint,
+        pin_dataset_version,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    fp = dataset_fingerprint(docs, cols=["doc_id", "text"], group_by=["lang"])
+    first = docs.agg(F.min("lang").alias("__ml"))
+    recorded = (
+        fp.crossJoin(F.broadcast(first))
+        .select(
+            "lang",
+            F.col("fingerprint")
+            .bitwiseXOR(
+                F.when(F.col("lang") == F.col("__ml"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .alias("fingerprint_expected"),
+        )
+    )
+    return pin_dataset_version(
+        docs, recorded, ["lang"], cols=["doc_id", "text"]
+    )

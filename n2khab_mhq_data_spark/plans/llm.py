@@ -1024,6 +1024,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components_twophase",
+    oracle=f"""
+    WITH RECURSIVE near AS (
+      SELECT d1, d2 FROM ({_JACCARD_SQL}) _j
+    ), e AS (
+      SELECT d1 AS a, d2 AS b FROM near
+      UNION SELECT d2, d1 FROM near
+    ), reach AS (
+      SELECT a AS node, a AS r FROM e
+      UNION
+      SELECT rc.node, e.b FROM reach rc JOIN e ON rc.r = e.a
+    )
+    SELECT node AS doc, min(r) AS component_id FROM reach GROUP BY 1
+    """,
+)
+def dedup_components_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale sibling of dedup_components: alternating large-star /
+    small-star contraction (Kiveris et al. 2014) over the same near-dup
+    graph — O(log^2 n) rounds instead of O(diameter), so chain-shaped
+    near-dup components stop dominating at 100 TB. Same recursive-CTE
+    reachability oracle pins both algorithms to identical labels."""
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        connected_components_twophase,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    return connected_components_twophase(near, "d1", "d2")
+
+
+@query(
     "sketch_count_min",
     oracle="""
     WITH th AS (

@@ -81,3 +81,78 @@ def test_split_column(spark):
     df = spark.createDataFrame([("1-URGENT",)], "p string")
     out = split_column(df, "p", into=["rank", "label"], sep="-")
     assert out.collect()[0].asDict() == {"rank": "1", "label": "URGENT"}
+
+
+def test_input_version_pinning(spark, tmp_path):
+    """§5 audit family: file-level md5 pin (reference
+    check_observed_habitat_type.Rmd:106-113) and the dataset-scale
+    fingerprint analog."""
+    import hashlib
+
+    import pytest
+
+    from n2khab_mhq_data_spark.operators.pinning import (
+        InputVersionMismatch,
+        assert_input_version,
+        dataset_fingerprint,
+        pin_dataset_version,
+        pin_file_version,
+    )
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "layer.bin"
+    p.write_bytes(b"habitatmap v1 contents")
+    good = hashlib.md5(b"habitatmap v1 contents").hexdigest()
+
+    (row,) = pin_file_version(spark, str(p), good, "v1").collect()
+    assert row.match is True and row.md5_file == good
+    (row,) = pin_file_version(spark, str(p), "0" * 32, "v1").collect()
+    assert row.match is False
+
+    assert_input_version(spark, str(p), good, "v1")  # no raise
+    with pytest.raises(InputVersionMismatch, match="v1"):
+        assert_input_version(spark, str(p), "0" * 32, "v1")
+
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+        "id long, txt string, shard string",
+    )
+    fp = dataset_fingerprint(df, cols=["id", "txt"], group_by=["shard"])
+    rows = {r.shard: (r.fingerprint, r.n_rows) for r in fp.collect()}
+    assert rows["x"][1] == 2 and rows["y"][1] == 1
+    # order-insensitive: same rows, different order -> same fingerprint
+    df2 = spark.createDataFrame(
+        [(2, "b", "x"), (1, "a", "x"), (3, "c", "y")],
+        "id long, txt string, shard string",
+    )
+    rows2 = {
+        r.shard: r.fingerprint
+        for r in dataset_fingerprint(
+            df2, cols=["id", "txt"], group_by=["shard"]
+        ).collect()
+    }
+    assert rows2 == {s: f for s, (f, _) in rows.items()}
+    # content-sensitive: one changed character flips the fingerprint
+    df3 = spark.createDataFrame(
+        [(1, "a", "x"), (2, "B", "x"), (3, "c", "y")],
+        "id long, txt string, shard string",
+    )
+    rows3 = {
+        r.shard: r.fingerprint
+        for r in dataset_fingerprint(
+            df3, cols=["id", "txt"], group_by=["shard"]
+        ).collect()
+    }
+    assert rows3["x"] != rows["x"][0] and rows3["y"] == rows["y"][0]
+
+    recorded = spark.createDataFrame(
+        [("x", rows["x"][0]), ("y", rows["y"][0] ^ 1)],
+        "shard string, fingerprint_expected long",
+    )
+    verdict = {
+        r.shard: r.match
+        for r in pin_dataset_version(
+            df, recorded, ["shard"], cols=["id", "txt"]
+        ).collect()
+    }
+    assert verdict == {"x": True, "y": False}
