@@ -289,3 +289,77 @@ def weighted_hash_sample(
             F.round(F.col("key") + F.lit(1e-9), 6).alias("sample_key"),
         )
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """Data Selection via Importance Resampling weights (DSIR, Xie et
+    al. 2023, arXiv:2302.03169): per-document log importance weight
+    ``log p_target(x) - log p_raw(x)`` under bag-of-hashed-ngrams unigram
+    models — the standard recipe for steering a raw crawl toward a
+    target domain before training.
+
+    Features are word unigrams + bigrams hashed into ``buckets`` cells
+    with the repo's portable md5 hash, so recorded weights reproduce on
+    any engine. Both bucket models use add-1 smoothing over the SAME
+    bucket universe.
+
+    Scale shape: one explode + one groupBy(bucket) builds both models
+    (map-side combine collapses the gram stream; the model is
+    ``buckets`` rows — broadcast size by construction); the per-doc pass
+    joins the broadcast model and re-aggregates on the doc id. No
+    driver-side collect; the corpus is scanned twice (model fit +
+    scoring), which is DSIR's own two-pass structure."""
+    ws = tokens(F.col(text_col))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc"),
+        target.alias("is_target"),
+        F.explode(F.concat(ws, bigrams)).alias("g"),
+    ).select(
+        "doc",
+        "is_target",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast(
+                "long"
+            ),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    counts = grams.groupBy("bucket").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("is_target"), 1)).alias("n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("n_tgt") + 1) / (F.col("t_tgt") + buckets))
+            - F.log((F.col("n_raw") + 1) / (F.col("t_raw") + buckets))
+        ).alias("logratio"),
+    )
+    per_doc = (
+        grams.join(F.broadcast(model), "bucket")
+        .groupBy("doc")
+        .agg(F.sum("logratio").alias("logw"))
+    )
+    lw = F.coalesce(F.col("logw"), F.lit(0.0))
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(per_doc, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.round(lw + F.signum(lw) * 1e-9, 6).alias("dsir_logweight"),
+        )
+    )

@@ -594,3 +594,69 @@ def ann_topk_bucketed(
             F.round(F.col("cos") + F.signum("cos") * 1e-9, 6).alias("cosine"),
         )
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cents: list[tuple[int, list[float]]],
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Semantic deduplication by cluster-then-prune (SemDeDup, Abbas et
+    al. 2023, arXiv:2303.09540): assign every vector to its nearest
+    k-means centroid, then WITHIN each cluster flag vectors that have a
+    smaller-id neighbour above the cosine threshold; callers keep the
+    unflagged representatives.
+
+    Scale shape: the centroid assignment is the zero-shuffle Arrow/BLAS
+    pass (:func:`kmeans_assign`); the only shuffle keys on ``cent_id``;
+    pair work is one in-memory V@V.T per cluster, quadratic ONLY in the
+    cluster size — which the operator of a 100 TB corpus bounds by
+    scaling K with N (the paper's design point), never all-pairs across
+    the corpus. Smaller-id-wins makes the kept set deterministic and
+    engine-independent.
+
+    Output: one row per vector — ``cent_id``, ``max_sim_smaller`` (max
+    cosine to any smaller-id cluster-mate; null when none) and ``keep``.
+    Rounding is left to the caller so the plan's float recipe stays in
+    one place."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_assign(
+        df.select(id_col, vec_col),
+        vec_col,
+        cents,
+        f"{id_col} long, {vec_col} array<float>",
+    )
+    schema = (
+        f"{id_col} long, cent_id int, max_sim_smaller double, keep boolean"
+    )
+
+    def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = np.sqrt((V * V).sum(axis=1))
+        n[n == 0] = 1.0
+        # dot first, normalize after — the same float path as the SQL
+        # oracle's list_sum/(sqrt*sqrt) (see cosine_pairs_bucketed)
+        S = (V @ V.T) / (n[:, None] * n[None, :])
+        S[np.triu_indices(len(S))] = -np.inf  # keep j < i only (incl. diag)
+        ms = S.max(axis=1)
+        has = np.isfinite(ms)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cent_id": pdf["cent_id"],
+                # object column: Arrow maps None -> SQL NULL (a float NaN
+                # would survive as NaN and diverge from the oracle)
+                "max_sim_smaller": pd.Series(
+                    [float(v) if h else None for v, h in zip(ms, has)],
+                    dtype="object",
+                ),
+                "keep": ~has | (ms < threshold),
+            }
+        )
+
+    return assigned.groupBy("cent_id").applyInPandas(_prune, schema)

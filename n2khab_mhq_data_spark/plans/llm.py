@@ -1377,3 +1377,44 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     benchmark = docs.filter(F.col("doc_id") % 97 == 0)
     return decontaminate(corpus, benchmark, "text", "doc_id", k=3)
+
+
+@query(
+    "dedup_semantic_clusters",
+    oracle=f"""
+    WITH {_kmeans_cent_sql(2)},
+    pair AS (
+      SELECT s1.vec_id, s1.cent_id,
+             max(CASE WHEN s2.vec_id < s1.vec_id THEN {_COS_AB} END) AS ms
+      FROM sassign s1
+      JOIN sassign s2 ON s2.cent_id = s1.cent_id
+      JOIN embeddings a ON a.vec_id = s1.vec_id
+      JOIN embeddings b ON b.vec_id = s2.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_id, cent_id,
+           round(ms + sign(ms) * 1e-9, 6) AS max_sim_smaller,
+           coalesce(ms < 0.8, true) AS keep
+    FROM pair
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means cluster assignment (the
+    seeded Lloyd's quantizer, zero-shuffle BLAS pass) then within-cluster
+    cosine pruning — smaller id wins, so the kept representative set is
+    deterministic. The oracle replays the identical clustering in SQL and
+    prunes with a correlated max; the engine shuffles once on cent_id and
+    runs one V@V.T per cluster."""
+    from n2khab_mhq_data_spark.llmdata.similarity import semdedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semdedup(
+        emb, "embedding", "vec_id", _kmeans_cents(spark, sf_dir), 0.8
+    )
+    ms = F.col("max_sim_smaller")
+    return out.select(
+        "vec_id",
+        "cent_id",
+        F.round(ms + F.signum(ms) * 1e-9, 6).alias("max_sim_smaller"),
+        "keep",
+    )

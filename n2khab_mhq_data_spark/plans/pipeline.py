@@ -423,3 +423,61 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keep_pct"), F.lit(10)
     )
     return j.filter(keep).select("doc_id", "source")
+
+
+@query(
+    "pipeline_dsir_weights",
+    oracle="""
+    WITH docs_ws AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             source = (SELECT min(source) FROM documents) AS is_target,
+             CAST(('0x' || substr(md5(t.g), 1, 15)) AS BIGINT) % 1024
+               AS bucket
+      FROM docs_ws,
+           unnest(list_concat(
+             ws,
+             list_transform(range(1, len(ws)),
+                            i -> ws[i] || ' ' || ws[i + 1])
+           )) AS t(g)
+    ), counts AS (
+      SELECT bucket,
+             CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(count(CASE WHEN is_target THEN 1 END) AS BIGINT) AS n_tgt
+      FROM grams GROUP BY 1
+    ), totals AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS t_raw,
+             CAST(sum(n_tgt) AS BIGINT) AS t_tgt
+      FROM counts
+    ), model AS (
+      SELECT bucket,
+             ln((n_tgt + 1) / CAST(t_tgt + 1024 AS DOUBLE))
+             - ln((n_raw + 1) / CAST(t_raw + 1024 AS DOUBLE)) AS logratio
+      FROM counts, totals
+    ), per_doc AS (
+      SELECT g.doc_id, sum(m.logratio) AS logw
+      FROM grams g JOIN model m USING (bucket)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           round(coalesce(p.logw, 0.0)
+                 + sign(coalesce(p.logw, 0.0)) * 1e-9, 6) AS dsir_logweight
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): log p_target/p_raw under
+    bag-of-hashed-ngrams models, target = the lexicographically first
+    source shard. Model fit is one groupBy over 1024 hashed buckets (the
+    model broadcasts by construction); scoring re-joins the broadcast
+    model — the whole op is two corpus scans and one doc-key aggregate."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import dsir_logweights
+
+    docs = load(spark, sf_dir, "documents")
+    first = docs.agg(F.min("source").alias("__ms"))
+    docs_t = docs.crossJoin(F.broadcast(first)).withColumn(
+        "__is_t", F.col("source") == F.col("__ms")
+    )
+    return dsir_logweights(docs_t, "text", "doc_id", F.col("__is_t"), 1024)

@@ -197,3 +197,50 @@ def test_samplers_negative_ids_consistent(spark):
 
     sp = hash_split(df, "doc_id").select("split").distinct().collect()
     assert {r.split for r in sp} <= {"train", "val", "test"}
+
+
+def test_semdedup_keeps_smallest_of_duplicate_group(spark):
+    """SemDeDup keep-rule: within a cluster, only vectors with NO
+    smaller-id near-duplicate survive — the kept set is deterministic."""
+    from n2khab_mhq_data_spark.llmdata.similarity import semdedup
+
+    e1 = [1.0, 0.0, 0.0, 0.0]
+    e1b = [2.0, 0.0, 0.0, 0.0]      # same direction as e1 (cos = 1)
+    e2 = [0.0, 1.0, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, e1), (2, e1b), (3, e2)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, e1), (1, e2)]
+    out = {
+        r.vec_id: (r.cent_id, r.keep)
+        for r in semdedup(df, "embedding", "vec_id", cents, 0.9).collect()
+    }
+    assert out[1] == (0, True)      # no smaller-id mate
+    assert out[2] == (0, False)     # duplicate of 1 -> pruned
+    assert out[3] == (1, True)      # alone in its cluster
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """DSIR: a doc sharing the target domain's vocabulary must score a
+    higher log importance weight than an out-of-domain doc."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import dsir_logweights
+
+    df = spark.createDataFrame(
+        [
+            (1, "wiki science physics energy", True),
+            (2, "wiki science biology cells", True),
+            (3, "science physics experiment", False),   # target-like
+            (4, "buy cheap pills now", False),          # off-domain
+        ],
+        "doc_id long, text string, is_t boolean",
+    )
+    w = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_logweights(
+            df, "text", "doc_id", F.col("is_t"), 256
+        ).collect()
+    }
+    assert w[3] > w[4]

@@ -94,6 +94,20 @@ EXPECTED: dict[str, set[str]] = {
     # SortMergeJoin is the correct strategy for both; AQE may downgrade
     # either to broadcast at runtime when a side is small
     "k7_lsvi_species": {"SMJ"},
+    # DSIR: 1-row global-stat broadcasts (gram totals, target-source
+    # scalar — the text_tfidf_topk pattern) plus one doc-key LeftOuter of
+    # two corpus-grain sides (docs x per-doc sums) where SortMergeJoin is
+    # the correct strategy; the bucket-model join itself is a
+    # BroadcastHashJoin (the model is `buckets` rows by construction)
+    "pipeline_dsir_weights": {"CARTESIAN", "SMJ"},
+    # 1-row scalar broadcast (the poisoned-manifest min(lang) pin);
+    # the manifest join is a BroadcastHashJoin
+    "audit_input_pinning": {"CARTESIAN"},
+    # large-star/small-star rounds join the edge list with per-center
+    # minima — both corpus-grain, same node key both phases, so
+    # SortMergeJoin is the correct strategy (AQE downgrades to broadcast
+    # when a side shrinks late in convergence)
+    "dedup_components_twophase": {"SMJ"},
 }
 
 
