@@ -435,21 +435,25 @@ def connected_components_twophase(
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable else df.localCheckpoint()
 
+    # materialize the raw pair projection ONCE — both the edge list and
+    # the node universe derive from it, and the pair pipeline feeding
+    # `edges` is usually the expensive part (building nodes from the raw
+    # DataFrame would re-run it a second time)
+    raw = ckpt(edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")))
     # undirected edge list, self-loops dropped, canonical (min, max) dedup
     e0 = (
-        edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .filter(F.col("a") != F.col("b"))
+        raw.filter(F.col("a") != F.col("b"))
         .select(
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
         )
         .distinct()
     )
-    # node universe from the RAW edges: a self-loop-only node has no row
+    # node universe from the RAW pairs: a self-loop-only node has no row
     # in e0 but is still its own component (parity with
     # connected_components)
-    nodes = ckpt(
-        edges.select(F.col(a_col).alias("node"))
-        .union(edges.select(F.col(b_col)))
+    nodes = (
+        raw.select(F.col("a").alias("node"))
+        .union(raw.select(F.col("b")))
         .distinct()
     )
     e = ckpt(e0)
@@ -469,31 +473,36 @@ def connected_components_twophase(
         )
         return (row.n, row.x)
 
+    from pyspark.sql.window import Window as W
+
+    # Each phase computes its per-center minimum with a WINDOW over the
+    # center partition instead of a groupBy + self-join: one shuffle per
+    # phase (the window's hash partitioning), no join at all. Dedup
+    # happens once per round (small_star's trailing distinct) — duplicate
+    # intermediate edges can't change a min.
     def large_star(ed: DataFrame) -> DataFrame:
         # directed both ways: for each center u, m = min(N(u) ∪ {u});
         # re-link strictly larger neighbors to m
         nbr = ed.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).union(ed.select(F.col("b"), F.col("a")))
-        m = nbr.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
+        m = F.min(F.least("v", "u")).over(W.partitionBy("u"))
         return (
-            nbr.join(m, "u")
+            nbr.withColumn("m", m)
             .filter(F.col("v") > F.col("u"))
             .select(
                 F.least("v", "m").alias("a"), F.greatest("v", "m").alias("b")
             )
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
 
     def small_star(ed: DataFrame) -> DataFrame:
         # orient larger -> smaller: center u keeps neighbors v < u;
         # all of them (and u) re-link to the minimum
         nbr = ed.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        m = nbr.groupBy("u").agg(F.min("v").alias("m"))
-        linked = nbr.join(m, "u")
+        linked = nbr.withColumn(
+            "m", F.min("v").over(W.partitionBy("u"))
+        )
         relink = linked.select(
             F.col("v").alias("a"), F.col("m").alias("b")
         ).union(linked.select(F.col("u"), F.col("m")))
