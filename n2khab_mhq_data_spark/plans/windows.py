@@ -663,3 +663,28 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("r_ts") - F.unix_timestamp("ts")
         ).alias("secs_between"),
     )
+
+
+@query(
+    "streaming_dedup_first_touch",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (
+      SELECT user_id, event_type, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def streaming_dedup_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exactly-once ingestion dedup's batch contract: first event per
+    (user, type) by event time with a total-order tiebreak. The streaming
+    sibling (dropDuplicatesWithinWatermark, bounded key state) is pinned
+    by tests/test_streaming.py::test_dedup_within_watermark_state_expiry."""
+    from n2khab_mhq_data_spark.streaming.incremental import dedup_stream
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return dedup_stream(e, keys=("user_id", "event_type"))

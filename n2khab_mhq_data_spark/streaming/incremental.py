@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.window import Window as W
 
 from n2khab_mhq_data_spark.operators.merge import incremental_merge
 
@@ -138,3 +139,36 @@ def interval_join_stream(
         )
     )
     return lw.join(rw, cond, "inner")
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tiebreak: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once keyed dedup for at-least-once ingestion.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — keeps the first
+    ARRIVAL per key and, unlike plain ``dropDuplicates``, expires key
+    state once the watermark passes the key's event time + delay, so
+    state is bounded by the duplicate-arrival horizon instead of growing
+    with the whole key universe (the property that matters on an
+    unbounded 100 TB ingest).
+
+    Batch: the deterministic contract — first row per key by
+    (event time, tiebreak). The streaming path converges to it whenever
+    duplicates arrive within the watermark and sources replay in event
+    order; the engine test pins the divergence (a duplicate arriving
+    AFTER state expiry is re-emitted, by design)."""
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(list(keys))
+    w = W.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
