@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from n2khab_mhq_data_spark.llmdata.text import word_shingles
+from n2khab_mhq_data_spark.llmdata.text import tokens, word_shingles
 
 HASH_PRIME = 1_000_003
 
@@ -571,4 +571,55 @@ def decontaminate(
         (
             F.coalesce("n_contaminated_grams", F.lit(0)) >= min_hits
         ).alias("contaminated"),
+    )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection (the artifact of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499 — simplified from suffix arrays to fixed-length
+    token windows): every ``span``-token window occurring in >=
+    ``min_docs`` distinct documents, with its positions — the worklist a
+    substring-removal pass consumes.
+
+    One projection builds all windows with their 1-based token position
+    (slice + concat inside a ``transform``; no join against the
+    tokenizer); ONE shuffle on the gram key computes both the distinct-
+    doc count (collect_set size — the W6 idiom, since count-distinct
+    windows don't exist) and the occurrence count as windows over the
+    same partitioning. Spans hash to md5 in the output so the worklist
+    rows stay narrow; at 100 TB the gram key space is bounded the same
+    way shingle tables are (cap via max doc frequency before pairing if
+    a boilerplate span explodes a partition)."""
+    ws = tokens(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("doc"), ws.alias("ws")).filter(
+        F.size("ws") >= span
+    )
+    grams = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - span + 1),
+                lambda i: F.concat_ws(" ", F.slice("ws", i, span)),
+            )
+        ).alias("pos0", "gram"),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "gram")
+    w = W.partitionBy("gram")
+    return (
+        grams.withColumn("n_docs", F.size(F.collect_set("doc").over(w)))
+        .withColumn("n_occurrences", F.count("*").over(w))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(
+            "doc",
+            "pos",
+            F.md5("gram").alias("span_hash"),
+            "n_docs",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        )
     )

@@ -1418,3 +1418,84 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ms + F.signum(ms) * 1e-9, 6).alias("max_sim_smaller"),
         "keep",
     )
+
+
+@query(
+    "dedup_substring_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id AS doc, CAST(u.i AS INTEGER) AS pos,
+             array_to_string(
+               ws[CAST(u.i AS INTEGER):CAST(u.i AS INTEGER) + 7], ' ')
+               AS gram
+      FROM t, unnest(range(1, len(ws) - 8 + 2)) AS u(i)
+      WHERE len(ws) >= 8
+    ), wg AS (
+      SELECT doc, pos, gram,
+             CAST(count(DISTINCT doc) OVER (PARTITION BY gram) AS INTEGER)
+               AS n_docs,
+             CAST(count(*) OVER (PARTITION BY gram) AS BIGINT)
+               AS n_occurrences
+      FROM g
+    )
+    SELECT doc, pos, md5(gram) AS span_hash, n_docs, n_occurrences
+    FROM wg WHERE n_docs >= 2
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring spans (Lee et al. 2022, simplified to
+    fixed 8-token windows): every span occurring in >= 2 distinct docs,
+    with positions — the substring-removal worklist. One shuffle on the
+    gram key computes both the distinct-doc and occurrence counts as
+    windows over the same partitioning."""
+    from n2khab_mhq_data_spark.llmdata.dedup import duplicated_spans
+
+    return duplicated_spans(
+        load(spark, sf_dir, "documents"), "text", "doc_id", span=8,
+        min_docs=2,
+    )
+
+
+@query(
+    "text_token_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           CAST(least(n_tok // 100, 9) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok
+    FROM t GROUP BY 1, 2
+    """,
+)
+def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length histogram (100-token buckets, top-coded at
+    9) — the corpus-shape dashboard behind packing-budget and length-
+    filter decisions. Pure projection + one groupBy; partial aggregation
+    collapses the per-partition stream map-side."""
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    return (
+        docs.select("source", n_tok.alias("n_tok"))
+        .groupBy(
+            "source",
+            F.least(F.floor(F.col("n_tok") / 100), F.lit(9))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )

@@ -244,3 +244,24 @@ def test_dsir_weights_prefer_target_like_docs(spark):
         ).collect()
     }
     assert w[3] > w[4]
+
+
+def test_duplicated_spans_positions(spark):
+    """Two docs sharing an 8-token phrase at different positions are both
+    reported at the right 1-based positions; unshared text is silent."""
+    from n2khab_mhq_data_spark.llmdata.dedup import duplicated_spans
+
+    phrase = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, phrase + " tail1 tail2"),
+            (2, "lead " + phrase),
+            (3, "u v w x y z q r s t"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = duplicated_spans(df, "text", "doc_id", span=8).collect()
+    got = {(r.doc, r.pos): (r.n_docs, r.n_occurrences) for r in rows}
+    # only the shared phrase qualifies: doc 1 at pos 1, doc 2 at pos 2
+    assert got == {(1, 1): (2, 2), (2, 2): (2, 2)}
+    assert len({r.span_hash for r in rows}) == 1
