@@ -1499,3 +1499,42 @@ def text_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tok").alias("max_tok"),
         )
     )
+
+
+@query(
+    "ann_scalar_quant_error",
+    oracle="""
+    WITH dims AS (
+      SELECT t.i,
+             min(CAST(embedding[t.i] AS DOUBLE)) AS mn,
+             max(CAST(embedding[t.i] AS DOUBLE)) AS mx
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      GROUP BY 1
+    ), err AS (
+      SELECT e.vec_id,
+             max(abs(CAST(e.embedding[d.i] AS DOUBLE)
+                     - CASE WHEN d.mx = d.mn
+                            THEN CAST(e.embedding[d.i] AS DOUBLE)
+                            ELSE d.mn
+                                 + round((CAST(e.embedding[d.i] AS DOUBLE)
+                                          - d.mn) / (d.mx - d.mn) * 255)
+                                   / 255.0 * (d.mx - d.mn)
+                       END)) AS max_err
+      FROM embeddings e, dims d
+      GROUP BY 1
+    )
+    SELECT vec_id, round(max_err + 1e-9, 6) AS max_abs_err FROM err
+    """,
+)
+def ann_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization acceptance check (FAISS SQ8
+    analog): per-dimension min/max trained in one aggregation pass (the
+    2 x dim range table broadcasts), encode/decode as a pure projection,
+    per-vector max reconstruction error as the output metric — the 4x
+    index-memory reduction a 100 TB ANN deployment takes before PQ."""
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        scalar_quantization_error,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return scalar_quantization_error(emb, "embedding", "vec_id", 255)

@@ -108,6 +108,10 @@ EXPECTED: dict[str, set[str]] = {
     # SortMergeJoin is the correct strategy (AQE downgrades to broadcast
     # when a side shrinks late in convergence)
     "dedup_components_twophase": {"SMJ"},
+    # the trained 1-row quantizer range table (2 x dim scalars)
+    # broadcasts onto every vector — the standard global-statistic
+    # attach (see text_tfidf_topk)
+    "ann_scalar_quant_error": {"CARTESIAN"},
 }
 
 
