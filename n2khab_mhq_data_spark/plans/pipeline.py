@@ -306,23 +306,39 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators keeps every stage optimizable together — the quality
     filter pushes below the dedup shuffle, and the split label is a
     projection on the surviving rows."""
-    from n2khab_mhq_data_spark.llmdata.pipeline import hash_split, quality_filter
-    from n2khab_mhq_data_spark.llmdata.text import tokens
+    from pyspark.sql.window import Window as W
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import split_hash
+    from n2khab_mhq_data_spark.llmdata.text import quality_metrics, tokens
 
     docs = load(spark, sf_dir, "documents")
-    verdicts = quality_filter(docs, "text", "doc_id")
-    kept = docs.join(
-        verdicts.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    # every stage INLINE on one subtree: the factored operators
+    # (quality_filter -> semi join, groupBy canon -> semi join,
+    # hash_split -> join) each re-evaluate their input subtree; composed
+    # as filter + window + projection the whole flow is one scan and one
+    # shuffle (the md5 window), with the quality filter pushed to it
+    m = quality_metrics(F.col("text"))
+    kept = docs.filter(
+        ~(
+            (m["n_tokens"] < 20)
+            | (m["n_tokens"] > 1000)
+            | (m["punct_ratio"] > 0.10)
+            | (m["stopword_ratio"] < 0.02)
+        )
     ).select(
         "doc_id",
         "text",
         F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
     )
-    canon = kept.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
-    final = kept.join(canon.select("doc_id"), "doc_id", "left_semi")
-    split = hash_split(final, "doc_id").select("doc_id", "split")
+    # canonical = lowest id per content hash, as a window (W2 idiom): one
+    # shuffle, no join, no double evaluation
+    final = kept.withColumn(
+        "__canon", F.min("doc_id").over(W.partitionBy(F.md5("text")))
+    ).filter(F.col("doc_id") == F.col("__canon"))
+    pct = split_hash(F.col("doc_id"))
+    lab = F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
     return (
-        final.join(split, "doc_id")
+        final.withColumn("split", lab)
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
