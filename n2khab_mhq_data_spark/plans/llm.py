@@ -1392,7 +1392,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN embeddings b ON b.vec_id = s2.vec_id
       GROUP BY 1, 2
     )
-    SELECT vec_id, cent_id,
+    SELECT vec_id, CAST(cent_id AS INTEGER) AS cent_id,
            round(ms + sign(ms) * 1e-9, 6) AS max_sim_smaller,
            coalesce(ms < 0.8, true) AS keep
     FROM pair
@@ -1538,3 +1538,87 @@ def ann_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     return scalar_quantization_error(emb, "embedding", "vec_id", 255)
+
+
+@query(
+    "pipeline_curate_corpus",
+    oracle=f"""
+    WITH {_kmeans_cent_sql(2)},
+    sem AS (
+      SELECT s1.vec_id,
+             coalesce(max(CASE WHEN s2.vec_id < s1.vec_id
+                               THEN {_COS_AB} END) < 0.8, true) AS sem_keep
+      FROM sassign s1
+      JOIN sassign s2 ON s2.cent_id = s1.cent_id
+      JOIN embeddings a ON a.vec_id = s1.vec_id
+      JOIN embeddings b ON b.vec_id = s2.vec_id
+      GROUP BY 1
+    ), q AS (
+      SELECT doc_id, source,
+             NOT (len(w) < 20 OR len(w) > 1000
+                  OR (length(text) - length(regexp_replace(text,
+                        '[.!?,;:]', '', 'g'))) * 1.0 / length(text) > 0.10
+                  OR len(list_filter(w, x -> x IN
+                        ('the','a','and','of','is')))
+                     * 1.0 / len(w) < 0.02) AS q_keep,
+             ((((doc_id * 131071 + 524287) % 1000003) + 1000003) % 1000003)
+               % 100 < 80 AS is_train
+      FROM (SELECT doc_id, source, text,
+                   string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN q_keep THEN 1 END) AS BIGINT) AS n_quality,
+           CAST(count(CASE WHEN q_keep AND sem_keep THEN 1 END) AS BIGINT)
+             AS n_sem_kept,
+           CAST(count(CASE WHEN q_keep AND sem_keep AND is_train THEN 1 END)
+                AS BIGINT) AS n_train_kept
+    FROM q JOIN sem ON sem.vec_id = q.doc_id
+    GROUP BY 1
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-family curation flow as ONE Catalyst plan: heuristic
+    quality gate (text side) x SemDeDup keep (embedding side) x
+    deterministic split — the per-source yield manifest an operator reads
+    before a training run. Composing keeps every stage optimizable
+    together: the quality predicate is a pushed-down filter expression,
+    the semantic-dedup side joins on the doc key once, and the split
+    label is a projection."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import split_hash
+    from n2khab_mhq_data_spark.llmdata.similarity import semdedup
+    from n2khab_mhq_data_spark.llmdata.text import quality_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    sem = semdedup(
+        emb, "embedding", "vec_id", _kmeans_cents(spark, sf_dir), 0.8
+    ).select(F.col("vec_id").alias("doc_id"), F.col("keep").alias("sem_keep"))
+    m = quality_metrics(F.col("text"))
+    q_keep = ~(
+        (m["n_tokens"] < 20)
+        | (m["n_tokens"] > 1000)
+        | (m["punct_ratio"] > 0.10)
+        | (m["stopword_ratio"] < 0.02)
+    )
+    is_train = split_hash(F.col("doc_id")) < 80
+    q = docs.select(
+        "doc_id",
+        "source",
+        q_keep.alias("q_keep"),
+        is_train.alias("is_train"),
+    )
+    kept = F.col("q_keep") & F.col("sem_keep")
+    return (
+        q.join(sem, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("q_keep"), 1)).alias("n_quality"),
+            F.count(F.when(kept, 1)).alias("n_sem_kept"),
+            F.count(F.when(kept & F.col("is_train"), 1)).alias(
+                "n_train_kept"
+            ),
+        )
+    )
