@@ -65,3 +65,30 @@ def test_twophase_converges_faster_than_diameter(spark):
         for r in D.connected_components_twophase(edges, max_iter=8).collect()
     }
     assert set(out.values()) == {1} and len(out) == 65
+
+
+def test_twophase_matches_minlabel_on_random_graphs(spark):
+    """Seeded random graphs (sparse, dense, with self-loops): the
+    two-phase labels must equal the min-label oracle's exactly."""
+    import random
+
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    for seed, n, m in [(1, 30, 15), (2, 40, 60), (3, 25, 25)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # includes occasional self-loops
+        df = spark.createDataFrame(edges, "d1 long, d2 long")
+        oracle = {
+            r.doc: r.component_id
+            for r in connected_components(df, max_iter=40).collect()
+        }
+        got = {
+            r.doc: r.component_id
+            for r in connected_components_twophase(df).collect()
+        }
+        assert got == oracle, f"seed {seed}"

@@ -265,3 +265,78 @@ def test_duplicated_spans_positions(spark):
     # only the shared phrase qualifies: doc 1 at pos 1, doc 2 at pos 2
     assert got == {(1, 1): (2, 2), (2, 2): (2, 2)}
     assert len({r.span_hash for r in rows}) == 1
+
+
+def test_duplicated_spans_matches_python_reference(spark):
+    """Seeded random corpora: duplicated_spans equals a pure-python
+    reference (every span, position, and count)."""
+    import random
+    from collections import defaultdict
+
+    from n2khab_mhq_data_spark.llmdata.dedup import duplicated_spans
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 25))))
+        for i in range(12)
+    ]
+    span = 4
+    occ = defaultdict(list)
+    for did, text in docs:
+        ws = text.split()
+        for p in range(len(ws) - span + 1):
+            occ[" ".join(ws[p : p + span])].append((did, p + 1))
+    want = {}
+    for gram, hits in occ.items():
+        ndocs = len({d for d, _ in hits})
+        if ndocs >= 2:
+            for d, p in hits:
+                want[(d, p)] = (ndocs, len(hits))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc, r.pos): (r.n_docs, r.n_occurrences)
+        for r in duplicated_spans(df, "text", "doc_id", span=span).collect()
+    }
+    assert got == want
+
+
+def test_semdedup_matches_brute_force(spark):
+    """Seeded random vectors, one cluster: keep iff no smaller-id vector
+    exceeds the cosine threshold (brute-force reference)."""
+    import random
+
+    from n2khab_mhq_data_spark.llmdata.similarity import semdedup
+
+    rng = random.Random(11)
+    vecs = []
+    for i in range(14):
+        if i % 4 == 3:
+            base = vecs[i - 1][1]
+            v = [x + rng.uniform(-0.01, 0.01) for x in base]  # near-dup
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(6)]
+        vecs.append((i, v))
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    tau = 0.95
+    want = {
+        i: all(cos(v, w) < tau for j, w in vecs if j < i)
+        for i, v in vecs
+    }
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.keep
+        for r in semdedup(
+            df, "embedding", "vec_id", [(0, vecs[0][1])], tau
+        ).collect()
+    }
+    assert got == want
