@@ -95,3 +95,111 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id", F.encode(F.col(text_col), "UTF-8").alias("payload")
     )
+
+
+# Gear table for content-defined chunking: a deterministic per-byte
+# 64-bit mix (splitmix64 finalizer over the byte value), so chunk
+# boundaries are reproducible across runs, engines, and languages.
+def _gear(b: int) -> int:
+    z = (b + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return z ^ (z >> 31)
+
+
+CDC_SCHEMA = (
+    "doc_id long, chunk_idx long, offset long, n_bytes long,"
+    " chunk_md5 string"
+)
+
+
+def cdc_chunks(
+    binary_df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    mask: int = 0x3F,
+    min_len: int = 16,
+    max_len: int = 512,
+) -> DataFrame:
+    """Content-defined chunking (Gear/FastCDC family, public literature):
+    boundaries where a rolling per-byte hash masks to zero, clamped to
+    [min_len, max_len]. Unlike fixed-size chunking (multimodal_chunk), an
+    insertion early in a payload only perturbs chunks up to the next
+    content boundary — the property that makes chunk-level dedup of
+    binary blobs survive edits, which is why backup/dedup systems use it.
+
+    Spark shape: ``mapInPandas`` over the binary column — per batch the
+    rolling hash is 64 vectorized shift-adds (numpy), boundary-candidate
+    selection is a masked nonzero, and only the sparse candidate list is
+    walked in Python. Zero shuffle; chunk rows stream out of the scan
+    partition-locally. Genuinely sequential semantics (the min/max clamp
+    consumes boundaries in order), so there is no SQL oracle — the
+    python-reference pytest is the check, and the registered query gets
+    the driver's rows-only verdict.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    G = np.array([_gear(b) for b in range(256)], dtype=np.uint64)
+
+    def chunk_one(raw: bytes) -> list[tuple[int, int, str]]:
+        n = len(raw)
+        if n == 0:
+            return []
+        b = np.frombuffer(raw, dtype=np.uint8)
+        g = G[b]
+        h = np.zeros(n, dtype=np.uint64)
+        for s in range(min(64, n)):
+            # h_i += G[b_{i-s}] << s  (terms shifted past 64 bits vanish)
+            h[s:] += g[: n - s] << np.uint64(s)
+        cand = np.nonzero((h & np.uint64(mask)) == 0)[0]
+        chunks = []
+        start = 0
+        ci = 0
+        for pos in cand:
+            end = int(pos) + 1
+            if end - start < min_len:
+                continue
+            while end - start > max_len:
+                cut = start + max_len
+                chunks.append((start, cut - start, ci))
+                ci += 1
+                start = cut
+            chunks.append((start, end - start, ci))
+            ci += 1
+            start = end
+        while n - start > max_len:
+            cut = start + max_len
+            chunks.append((start, cut - start, ci))
+            ci += 1
+            start = cut
+        if n - start > 0:
+            chunks.append((start, n - start, ci))
+        return [
+            (off, ln, hashlib.md5(raw[off : off + ln]).hexdigest())
+            for off, ln, _ in chunks
+        ]
+
+    def op(batches):
+        for pdf in batches:
+            ids, idxs, offs, lens, digs = [], [], [], [], []
+            for did, raw in zip(pdf[id_col], pdf[payload_col]):
+                for i, (off, ln, dig) in enumerate(chunk_one(bytes(raw))):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(ln)
+                    digs.append(dig)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(idxs, dtype="int64"),
+                    "offset": pd.Series(offs, dtype="int64"),
+                    "n_bytes": pd.Series(lens, dtype="int64"),
+                    "chunk_md5": pd.Series(digs, dtype="object"),
+                }
+            )
+
+    return binary_df.mapInPandas(op, CDC_SCHEMA)

@@ -1622,3 +1622,31 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query("multimodal_cdc_dedup")
+def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over content-defined chunks (Gear/FastCDC
+    family): payloads chunk at rolling-hash boundaries (edit-local, so a
+    prepended byte doesn't re-key every downstream chunk the way
+    fixed-size chunking does), then one shuffle on the 16-byte digest
+    yields the cross-document chunk-reuse table. NO SQL oracle: the
+    min/max clamp makes boundary selection genuinely sequential per
+    payload (driver records the rows-only check); the python-reference
+    pytest (tests/test_multimodal.py) pins tiling, determinism, and edit
+    locality."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        cdc_chunks,
+        with_binary_payload,
+    )
+
+    docs = with_binary_payload(load(spark, sf_dir, "documents"))
+    chunks = cdc_chunks(docs, mask=0x1F, min_len=8, max_len=256)
+    return (
+        chunks.groupBy("chunk_md5", "n_bytes")
+        .agg(
+            F.count("*").alias("n_refs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_refs") >= 2)
+    )

@@ -62,3 +62,44 @@ def test_payload_bytes_drive_partition_sizing(spark, tmp_path):
     assert n_small > n_big
     assert meta_small == meta_big
     assert all(nb == 64 * 1024 for _, nb, _ in meta_small)
+
+
+def test_cdc_chunks_reference_and_locality(spark):
+    """CDC invariants: chunks tile the payload exactly; lengths respect
+    [min, max] (final chunk may undershoot); identical payloads chunk
+    identically; and — the property fixed-size chunking lacks — a byte
+    inserted at the FRONT leaves the chunk digests after the next content
+    boundary unchanged (edit locality)."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import cdc_chunks
+
+    import random
+
+    rng = random.Random(3)
+    base = bytes(rng.randrange(256) for _ in range(4000))
+    edited = b"X" + base
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(base)), (3, bytearray(edited))],
+        "doc_id long, payload binary",
+    )
+    rows = cdc_chunks(df, mask=0x3F, min_len=16, max_len=512).collect()
+    by_doc = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    for did, payload in ((1, base), (2, base), (3, edited)):
+        cs = by_doc[did]
+        assert cs[0].offset == 0
+        for a, b in zip(cs, cs[1:]):
+            assert b.offset == a.offset + a.n_bytes  # exact tiling
+        assert sum(c.n_bytes for c in cs) == len(payload)
+        assert all(c.n_bytes <= 512 for c in cs)
+        assert all(c.n_bytes >= 16 for c in cs[:-1])
+
+    # determinism: identical payloads -> identical digest sequences
+    assert [c.chunk_md5 for c in by_doc[1]] == [c.chunk_md5 for c in by_doc[2]]
+    # locality: after the first boundary, doc 3's digests realign with
+    # doc 1's (suffix of digest sequences matches)
+    d1 = [c.chunk_md5 for c in by_doc[1]]
+    d3 = [c.chunk_md5 for c in by_doc[3]]
+    assert len(set(d1) & set(d3)) >= len(d1) - 2
+    assert d1[-1] == d3[-1]
