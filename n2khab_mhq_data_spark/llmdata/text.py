@@ -193,3 +193,63 @@ def repetition_metrics(text: Column) -> dict[str, Column]:
         "dup_word_frac": dup_word,
         "dup_bigram_frac": dup_gram,
     }
+
+
+def bigram_lm_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated bigram LM
+    fit on the corpus itself (Jelinek-Mercer smoothing, public NLP
+    standard): p(w2|w1) = lam * c(w1 w2)/c(w1·) + (1-lam) * c(·w2)/N,
+    counts taken over the corpus bigram stream. The classic
+    fluency/quality signal a pre-training filter thresholds on (the
+    bigram upgrade of ``unigram_logprob``).
+
+    Shuffle accounting: the bigram stream is one explode; all three
+    count attachments are WINDOWS over it (partitionBy (w1,w2), (w1),
+    (w2) — three hash shuffles of the stream, no count-table joins, no
+    broadcast of an unbounded vocabulary); the corpus total N is the
+    1-row broadcast. Final per-doc mean is one aggregation on the doc
+    key."""
+    from pyspark.sql.window import Window as W
+
+    ws = tokens(F.col(text_col))
+    n_w = F.size(ws)
+    pairs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(n_w - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(n_w - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c12 = F.count("*").over(W.partitionBy("w1", "w2"))
+    c1 = F.count("*").over(W.partitionBy("w1"))
+    c2 = F.count("*").over(W.partitionBy("w2"))
+    scored = pairs.select(
+        "doc", c12.alias("c12"), c1.alias("c1"), c2.alias("c2")
+    )
+    total = scored.agg(F.count("*").cast("double").alias("n_bigrams"))
+    logp = F.log(
+        lam * F.col("c12") / F.col("c1")
+        + (1 - lam) * F.col("c2") / F.col("n_bigrams")
+    )
+    out = (
+        scored.crossJoin(F.broadcast(total))
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_scored"),
+            F.avg(logp).alias("m"),
+        )
+    )
+    m = F.col("m")
+    return out.select(
+        F.col("doc").alias(id_col),
+        "n_scored",
+        F.round(m + F.signum(m) * 1e-9, 6).alias("mean_logprob"),
+    )

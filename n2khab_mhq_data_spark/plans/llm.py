@@ -1650,3 +1650,40 @@ def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_refs") >= 2)
     )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS doc, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+           unnest(range(1, len(ws))) AS t(i)
+    ), scored AS (
+      SELECT doc,
+             count(*) OVER (PARTITION BY w1, w2) AS c12,
+             count(*) OVER (PARTITION BY w1) AS c1,
+             count(*) OVER (PARTITION BY w2) AS c2
+      FROM pairs
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_bigrams FROM scored
+    )
+    SELECT doc AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           round(avg(ln(0.75 * c12 / c1 + 0.25 * c2 / n_bigrams))
+                 + sign(avg(ln(0.75 * c12 / c1 + 0.25 * c2 / n_bigrams)))
+                   * 1e-9, 6) AS mean_logprob
+    FROM scored, tot
+    GROUP BY 1
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean log-probability under a corpus-fit interpolated
+    bigram LM (Jelinek-Mercer) — the bigram upgrade of the unigram
+    fluency signal; counts attach as windows over one bigram stream, no
+    vocabulary-sized join."""
+    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
+
+    return bigram_lm_logprob(load(spark, sf_dir, "documents"), "text",
+                             "doc_id", 0.75)

@@ -112,6 +112,9 @@ EXPECTED: dict[str, set[str]] = {
     # broadcasts onto every vector — the standard global-statistic
     # attach (see text_tfidf_topk)
     "ann_scalar_quant_error": {"CARTESIAN"},
+    # the 1-row corpus bigram total broadcasts onto the scored stream
+    # (see text_tfidf_topk)
+    "text_bigram_lm": {"CARTESIAN"},
 }
 
 
