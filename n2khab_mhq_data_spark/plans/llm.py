@@ -1687,3 +1687,106 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bigram_lm_logprob(load(spark, sf_dir, "documents"), "text",
                              "doc_id", 0.75)
+
+
+@query(
+    "text_ngram_diversity",
+    oracle="""
+    WITH g AS (
+      SELECT source, ws[i] || ' ' || ws[i + 1] AS gram
+      FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+           unnest(range(1, len(ws))) AS t(i)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+           round(count(DISTINCT gram) * 1.0 / count(*) + 1e-9, 6)
+             AS type_token_ratio
+    FROM g GROUP BY 1
+    """,
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram type/token ratio — the repetitiveness /
+    template-detection dashboard (a low TTR source is boilerplate or
+    spinner output). One explode + one groupBy with a distinct
+    aggregate; partials combine map-side."""
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    ws = tokens(F.col("text"))
+    n_w = F.size(ws)
+    g = load(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(
+            F.zip_with(
+                F.slice(ws, 1, F.greatest(n_w - 1, F.lit(0))),
+                F.slice(ws, 2, F.greatest(n_w - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    return g.groupBy("source").agg(
+        F.count("*").alias("n_grams"),
+        F.countDistinct("gram").alias("n_distinct"),
+        F.round(
+            F.countDistinct("gram") / F.count("*") + F.lit(1e-9), 6
+        ).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "text_domain_shift_kl",
+    oracle="""
+    WITH w AS (
+      SELECT source, t.tok
+      FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents), unnest(ws) AS t(tok)
+    ), csw AS (
+      SELECT source, tok, CAST(count(*) AS DOUBLE) AS c_sw
+      FROM w GROUP BY 1, 2
+    ), attach AS (
+      SELECT source, tok, c_sw,
+             sum(c_sw) OVER (PARTITION BY tok) AS c_w,
+             sum(c_sw) OVER (PARTITION BY source) AS n_s,
+             sum(c_sw) OVER () AS n
+      FROM csw
+    )
+    SELECT source,
+           round(sum((c_sw / n_s) * ln((c_sw / n_s) / (c_w / n)))
+                 + 1e-9, 6) AS kl_from_corpus
+    FROM attach GROUP BY 1
+    """,
+)
+def text_domain_shift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(source ∥ corpus) over unigram distributions — the domain-shift
+    score DSIR-style mixture planning reads per shard (KL >= 0; a source
+    indistinguishable from the mixture scores ~0). One token groupBy
+    builds the (source, token) counts; the three normalizers attach as
+    windows over that SAME aggregated table (vocab-sized, far smaller
+    than the token stream), then one aggregation per source."""
+    from pyspark.sql.window import Window as W
+
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    w = load(spark, sf_dir, "documents").select(
+        "source", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    csw = w.groupBy("source", "tok").agg(
+        F.count("*").cast("double").alias("c_sw")
+    )
+    # corpus total as a 1-row broadcast, NOT an empty-partition window
+    # (sum() OVER () would drag the whole vocab table onto one partition)
+    total = csw.agg(F.sum("c_sw").alias("n"))
+    attach = csw.crossJoin(F.broadcast(total)).select(
+        "source",
+        "c_sw",
+        F.sum("c_sw").over(W.partitionBy("tok")).alias("c_w"),
+        F.sum("c_sw").over(W.partitionBy("source")).alias("n_s"),
+        "n",
+    )
+    term = (F.col("c_sw") / F.col("n_s")) * F.log(
+        (F.col("c_sw") / F.col("n_s")) / (F.col("c_w") / F.col("n"))
+    )
+    return attach.groupBy("source").agg(
+        F.round(F.sum(term) + F.lit(1e-9), 6).alias("kl_from_corpus")
+    )

@@ -308,3 +308,76 @@ def write_csv2(
     header = ";".join(f.name for f in df.schema.fields) + "\n"
     data_hash = _merge_parts(ordered, root, name, header, ";", "csv")
     return {"name": name, "data_hash": data_hash, "sorting": keys}
+
+
+def compact_published(
+    spark,
+    path: str,
+    partition_by: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_keys: list[str] | None = None,
+) -> dict:
+    """Small-files compaction for the published store — the maintenance
+    op every incremental-append layout (K10 merge, streaming
+    foreachBatch) eventually needs: micro-batches leave hundreds of tiny
+    parquet files per partition, and at 100 TB the scan's task-per-file
+    overhead and NameNode/listing pressure dominate.
+
+    Reads the store, re-buckets each hive partition to
+    ``ceil(partition_bytes / target_file_bytes)`` output files (sized
+    from the CURRENT on-disk footprint, so skewed partitions get more
+    files instead of one giant task), restores the in-file sort (row-
+    group min/max pruning survives compaction), and atomically swaps the
+    directory (write to sibling tmp, rename over). Returns before/after
+    file counts so operators can alert on ineffective runs."""
+    import math
+    import shutil
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    def count_files(p: str) -> int:
+        n = 0
+        for root_, _dirs, files in os.walk(p):
+            n += sum(
+                1 for f in files
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+        return n
+
+    def partition_bytes(p: str) -> dict[str, int]:
+        sizes: dict[str, int] = {}
+        for root_, _dirs, files in os.walk(p):
+            rel = os.path.relpath(root_, p)
+            for f in files:
+                if f.endswith(".parquet"):
+                    sizes[rel] = sizes.get(rel, 0) + os.path.getsize(
+                        os.path.join(root_, f)
+                    )
+        return sizes
+
+    before = count_files(path)
+    sizes = partition_bytes(path)
+    df = spark.read.parquet(path)
+    # rebucket: files-per-partition from the on-disk footprint; the
+    # repartition key (partition cols + a bucket id salted per partition)
+    # spreads a fat partition over several writers without shuffling
+    # small partitions at all more than once
+    max_buckets = max(
+        math.ceil(b / target_file_bytes) for b in sizes.values()
+    ) if sizes else 1
+    bucket = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(max_buckets)
+    )
+    out = df.repartition(
+        *[F.col(c) for c in partition_by], bucket.alias("__b")
+    )
+    if sort_keys:
+        out = out.sortWithinPartitions(*partition_by, *sort_keys)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
+    old = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = count_files(path)
+    return {"files_before": before, "files_after": after}

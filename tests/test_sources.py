@@ -275,3 +275,46 @@ def test_write_csv2_parallel_deterministic(spark, tmp_path):
     assert lines[0] == "id;v;s"
     assert lines[1] == "1;1,25;x"
     assert lines[3] == "3;NA;NA"
+
+
+def test_compact_published_reduces_files(spark, tmp_path):
+    """Compaction: a store fragmented by many tiny appends collapses to
+    ~1 file per partition, preserves every row, keeps the hive layout
+    (partition pruning still works), and swaps atomically."""
+    from n2khab_mhq_data_spark.sources.sink import (
+        compact_published,
+        write_published,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(c, i, float(i)) for c in (1, 2) for i in range(50)],
+        "mon_cycle int, plot_id int, v double",
+    )
+    write_published(df, store, ["mon_cycle"], sort_keys=["plot_id"])
+    # fragment it: 5 tiny appends per cycle (the K10/streaming pattern)
+    for k in range(5):
+        spark.createDataFrame(
+            [(c, 100 + k * 10 + i, 1.0) for c in (1, 2) for i in range(3)],
+            "mon_cycle int, plot_id int, v double",
+        ).repartition(4).write.mode("append").partitionBy(
+            "mon_cycle"
+        ).parquet(store)
+
+    before_rows = spark.read.parquet(store).count()
+    stats = compact_published(
+        spark, store, ["mon_cycle"], target_file_bytes=1 << 30,
+        sort_keys=["plot_id"],
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] <= 2  # one per mon_cycle at this size
+    after = spark.read.parquet(store)
+    assert after.count() == before_rows
+    # partition pruning still applies on the compacted layout
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        after.filter(F.col("mon_cycle") == 1).explain()
+    assert "PartitionFilters" in buf.getvalue()
