@@ -200,6 +200,7 @@ def bigram_lm_logprob(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.75,
+    rounded: bool = True,
 ) -> DataFrame:
     """Per-document mean log-probability under an interpolated bigram LM
     fit on the corpus itself (Jelinek-Mercer smoothing, public NLP
@@ -248,8 +249,12 @@ def bigram_lm_logprob(
         )
     )
     m = F.col("m")
+    # rounded=False hands the RAW double to composing plans (e.g. the
+    # adaptive percentile gate): thresholds must compare the values both
+    # engines actually computed, with rounding only at the final output
+    score = F.round(m + F.signum(m) * 1e-9, 6) if rounded else m
     return out.select(
         F.col("doc").alias(id_col),
         "n_scored",
-        F.round(m + F.signum(m) * 1e-9, 6).alias("mean_logprob"),
+        score.alias("mean_logprob"),
     )

@@ -1790,3 +1790,70 @@ def text_domain_shift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return attach.groupBy("source").agg(
         F.round(F.sum(term) + F.lit(1e-9), 6).alias("kl_from_corpus")
     )
+
+
+@query(
+    "pipeline_adaptive_quality_gate",
+    oracle="""
+    WITH pairs AS (
+      SELECT doc_id AS doc, source, ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT doc_id, source,
+                   string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents),
+           unnest(range(1, len(ws))) AS t(i)
+    ), scored AS (
+      SELECT doc, source,
+             count(*) OVER (PARTITION BY w1, w2) AS c12,
+             count(*) OVER (PARTITION BY w1) AS c1,
+             count(*) OVER (PARTITION BY w2) AS c2
+      FROM pairs
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_bigrams FROM scored
+    ), per_doc AS (
+      SELECT doc, source,
+             avg(ln(0.75 * c12 / c1 + 0.25 * c2 / n_bigrams)) AS lp
+      FROM scored, tot GROUP BY 1, 2
+    ), cut AS (
+      SELECT source, quantile_cont(lp, 0.10) AS p10 FROM per_doc GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN d.lp >= c.p10 THEN 1 END) AS BIGINT)
+             AS n_kept,
+           round(c.p10 + sign(c.p10) * 1e-9, 6) AS cutoff_p10
+    FROM per_doc d JOIN cut c USING (source)
+    GROUP BY 1, c.p10
+    """,
+)
+def pipeline_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive (per-source percentile) quality gating — the robust
+    alternative to fixed thresholds when sources have different fluency
+    baselines: score every doc under the corpus bigram LM, cut each
+    source at its own p10. EXACT linear-interpolated percentile so the
+    oracle hash-matches (a11's recipe; at 100 TB switch to
+    approx_percentile and a tolerance check). The per-source cutoff dim
+    is #sources rows — broadcast back onto the doc scores."""
+    from pyspark.sql.window import Window as W
+
+    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
+
+    docs = load(spark, sf_dir, "documents")
+    lp = bigram_lm_logprob(docs, "text", "doc_id", 0.75, rounded=False)\
+        .select("doc_id", F.col("mean_logprob").alias("lp_r"))
+    ws_docs = docs.select("doc_id", "source")
+    scored = ws_docs.join(lp, "doc_id")
+    cut = scored.groupBy("source").agg(
+        F.expr("percentile(lp_r, 0.10)").alias("p10")
+    )
+    j = scored.join(F.broadcast(cut), "source")
+    return j.groupBy("source", "p10").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("lp_r") >= F.col("p10"), 1)).alias("n_kept"),
+    ).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        F.round(F.col("p10") + F.signum("p10") * 1e-9, 6).alias(
+            "cutoff_p10"
+        ),
+    )

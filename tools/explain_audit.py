@@ -118,6 +118,9 @@ EXPECTED: dict[str, set[str]] = {
     # the 1-row corpus token total broadcasts onto the vocab table —
     # deliberately replaces a sum() OVER () empty-partition window
     "text_domain_shift_kl": {"CARTESIAN"},
+    # inherits text_bigram_lm's 1-row corpus-total broadcast; the
+    # per-source cutoff dim is also a deliberate tiny broadcast
+    "pipeline_adaptive_quality_gate": {"CARTESIAN"},
 }
 
 
