@@ -1857,3 +1857,55 @@ def pipeline_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFram
             "cutoff_p10"
         ),
     )
+
+
+@query(
+    "ann_index_health",
+    oracle=f"""
+    WITH {_kmeans_cent_sql(2)},
+    j AS (
+      SELECT s.cent_id, {_KM_COS.replace('e.', 'a.')} AS cos
+      FROM sassign s
+      JOIN embeddings a ON a.vec_id = s.vec_id
+      JOIN cent2 c ON c.cent_id = s.cent_id
+    )
+    SELECT CAST(cent_id AS INTEGER) AS cent_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(1.0 - cos) + 1e-9, 6) AS inertia
+    FROM j GROUP BY 1
+    """,
+)
+def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health report: per-cluster population and cosine
+    inertia (avg 1 - cos to the assigned centroid) — the monitoring
+    table an ANN operator watches for list skew (one hot inverted list
+    ruins nprobe latency) and for quantizer drift after data growth.
+    Assignment is the zero-shuffle BLAS pass; the report is one groupBy
+    on cent_id."""
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        cosine,
+        kmeans_assign,
+    )
+
+    cents = _kmeans_cents(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(
+        emb.select("vec_id", "embedding"), "embedding", cents,
+        "vec_id long, embedding array<float>",
+    )
+    # cosine to own centroid over the broadcast literal centroid table
+    # (K x dim scalars); dim known -> unrolled codegen form (see `dot`)
+    cent_rows = [
+        (int(cid), [float(x) for x in vec]) for cid, vec in cents
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cent_id int, cvec array<double>")
+    j = assigned.join(F.broadcast(cdf), "cent_id").select(
+        "cent_id",
+        cosine("embedding", "cvec", 64).alias("cos"),
+    )
+    return j.groupBy("cent_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.avg(1.0 - F.col("cos")) + F.lit(1e-9), 6).alias(
+            "inertia"
+        ),
+    )
