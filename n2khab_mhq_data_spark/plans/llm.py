@@ -1909,3 +1909,44 @@ def ann_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inertia"
         ),
     )
+
+
+@query(
+    "dedup_component_sizes",
+    oracle=f"""
+    WITH RECURSIVE near AS (
+      SELECT d1, d2 FROM ({_JACCARD_SQL}) _j
+    ), e AS (
+      SELECT d1 AS a, d2 AS b FROM near
+      UNION SELECT d2, d1 FROM near
+    ), reach AS (
+      SELECT a AS node, a AS r FROM e
+      UNION
+      SELECT rc.node, e.b FROM reach rc JOIN e ON rc.r = e.a
+    ), comp AS (
+      SELECT node AS doc, min(r) AS component_id FROM reach GROUP BY 1
+    ), sizes AS (
+      SELECT component_id, CAST(count(*) AS BIGINT) AS size
+      FROM comp GROUP BY 1
+    )
+    SELECT size, CAST(count(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY 1
+    """,
+)
+def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup component-size histogram — the dedup observability
+    table: a fat component means boilerplate/template contamination, a
+    long tail of pairs means genuine near-dups. Two cheap aggregations
+    on top of the exact component labels."""
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    comp = connected_components(near, "d1", "d2")
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count("*").alias("n_components")
+    )

@@ -497,3 +497,43 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__is_t", F.col("source") == F.col("__ms")
     )
     return dsir_logweights(docs_t, "text", "doc_id", F.col("__is_t"), 1024)
+
+
+@query(
+    "pipeline_mix_report",
+    oracle="""
+    SELECT source,
+           CASE WHEN ((((doc_id * 131071 + 524287) % 1000003) + 1000003)
+                      % 1000003) % 100 < 80 THEN 'train'
+                WHEN ((((doc_id * 131071 + 524287) % 1000003) + 1000003)
+                      % 1000003) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def pipeline_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-run mixture manifest: docs and tokens per source x split —
+    what a training-run config reads to set sampling weights and verify
+    the deterministic split didn't skew a small domain. One projection +
+    one groupBy."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import split_hash
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    pct = split_hash(F.col("doc_id"))
+    lab = F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    return (
+        docs.select(
+            "source",
+            lab.alias("split"),
+            F.size(tokens(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
