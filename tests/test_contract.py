@@ -26,3 +26,38 @@ def test_every_query_runs(spark, sf_dir):
         df = fn(spark, sf_dir)
         # schema resolves and the plan executes
         assert df.limit(5).count() >= 0, name
+
+
+def test_catalog_load_handles_nanos_timestamp(spark, tmp_path):
+    """The driver's events.parquet ships TIMESTAMP(NANOS), which vanilla
+    Spark rejects (PARQUET_TYPE_ILLEGAL) — catalog.load must recover by
+    reading nanos as long and rebuilding microsecond timestamps with
+    integer division (float division would overflow the 53-bit mantissa
+    on nano-epoch values). Pinned here with a synthesized nanos file so
+    a testdata regen can't silently break it (it drifted in round 2)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n2khab_mhq_data_spark.catalog import load
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t0 = datetime(2024, 3, 1, 12, 30, 15, 123456)
+    table = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([t0, datetime(2024, 3, 2)], pa.timestamp("ns")),
+            "user_id": pa.array([10, 20], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.5, 2.5], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    df = load(spark, str(sf), "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
+    got = {r.event_id: r.ts for r in df.collect()}
+    assert got[1] == t0  # microsecond precision survives exactly
