@@ -458,14 +458,10 @@ def connected_components_twophase(
     )
     e = ckpt(e0)
 
+    from n2khab_mhq_data_spark.operators.pinning import row_hash
+
     def fingerprint(df: DataFrame) -> tuple:
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat_ws("\x1f", F.col("a"), F.col("b"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+        h = row_hash("a", "b")
         (row,) = (
             df.select(h.alias("h"))
             .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))

@@ -155,31 +155,35 @@ def cdc_chunks(
             # h_i += G[b_{i-s}] << s  (terms shifted past 64 bits vanish)
             h[s:] += g[: n - s] << np.uint64(s)
         cand = np.nonzero((h & np.uint64(mask)) == 0)[0]
-        chunks = []
+        # FastCDC-style walk: from each chunk start, cut at the FIRST
+        # boundary candidate in [start+min_len, start+max_len]; if none,
+        # force a cut at start+max_len. Every cut is therefore >= min_len
+        # from its start — no sub-min mid-chunk can ever be emitted (the
+        # naive skip-short-then-split walk produced one whenever the next
+        # candidate fell in (max_len, max_len+min_len)); only the final
+        # chunk may undershoot.
+        chunks: list[tuple[int, int]] = []
         start = 0
-        ci = 0
-        for pos in cand:
-            end = int(pos) + 1
-            if end - start < min_len:
-                continue
-            while end - start > max_len:
-                cut = start + max_len
-                chunks.append((start, cut - start, ci))
-                ci += 1
-                start = cut
-            chunks.append((start, end - start, ci))
-            ci += 1
+        ptr = 0
+        while start < n:
+            while ptr < len(cand) and int(cand[ptr]) + 1 < start + min_len:
+                ptr += 1
+            if (
+                ptr < len(cand)
+                and int(cand[ptr]) + 1 <= start + max_len
+                and int(cand[ptr]) + 1 < n
+            ):
+                end = int(cand[ptr]) + 1
+                ptr += 1
+            elif n - start > max_len:
+                end = start + max_len
+            else:
+                end = n
+            chunks.append((start, end - start))
             start = end
-        while n - start > max_len:
-            cut = start + max_len
-            chunks.append((start, cut - start, ci))
-            ci += 1
-            start = cut
-        if n - start > 0:
-            chunks.append((start, n - start, ci))
         return [
             (off, ln, hashlib.md5(raw[off : off + ln]).hexdigest())
-            for off, ln, _ in chunks
+            for off, ln in chunks
         ]
 
     def op(batches):

@@ -315,12 +315,11 @@ def dsir_logweights(
     joins the broadcast model and re-aggregates on the doc id. No
     driver-side collect; the corpus is scanned twice (model fit +
     scoring), which is DSIR's own two-pass structure."""
+    from n2khab_mhq_data_spark.llmdata.text import word_bigrams
+    from n2khab_mhq_data_spark.operators.pinning import row_hash
+
     ws = tokens(F.col(text_col))
-    bigrams = F.zip_with(
-        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
-        F.slice(ws, 2, F.greatest(F.size(ws) - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    bigrams = word_bigrams(ws)
     grams = docs.select(
         F.col(id_col).alias("doc"),
         target.alias("is_target"),
@@ -328,12 +327,7 @@ def dsir_logweights(
     ).select(
         "doc",
         "is_target",
-        F.pmod(
-            F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast(
-                "long"
-            ),
-            F.lit(buckets),
-        ).alias("bucket"),
+        F.pmod(row_hash(F.col("g")), F.lit(buckets)).alias("bucket"),
     )
     counts = grams.groupBy("bucket").agg(
         F.count("*").alias("n_raw"),

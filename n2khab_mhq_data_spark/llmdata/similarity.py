@@ -663,7 +663,11 @@ def semdedup(
 
 
 def scalar_quantization_error(
-    df: DataFrame, vec_col: str, id_col: str, levels: int = 255
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    levels: int = 255,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-vector reconstruction error of int8-style scalar quantization
     — the standard 4x memory reduction applied to ANN indexes before
@@ -682,7 +686,16 @@ def scalar_quantization_error(
     array_max are JVM HOFs over dim-sized arrays (well under the JIT
     expression budget that bans the unrolled-literal shapes)."""
     v = _as_double(F.col(vec_col))
-    dim = len(df.select(F.col(vec_col)).first()[0])
+    if dim is None:
+        # probe costs one tiny job at plan-build time; callers on a hot
+        # path (or on possibly-empty inputs) pass dim explicitly
+        row = df.select(F.col(vec_col)).first()
+        if row is None or row[0] is None:
+            raise ValueError(
+                "cannot infer vector dim from an empty/null-first input;"
+                " pass dim explicitly"
+            )
+        dim = len(row[0])
     stats = df.select(
         *[
             F.min(F.element_at(v, i + 1)).alias(f"mn{i}")

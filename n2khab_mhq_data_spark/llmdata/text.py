@@ -163,6 +163,35 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def word_bigrams(toks: Column) -> Column:
+    """Adjacent-word bigrams of a token array, as ``"w1 w2"`` strings.
+
+    Built from two aligned ``slice``s zipped together, NOT a transform
+    over an index sequence — an index lambda re-inlines the tokenizing
+    ``split`` into every ``element_at``, re-running the regex
+    O(n_tokens) times per row (the word_shingles finding). One shared
+    helper so the measured-safe shape lives in one place (previously
+    copy-pasted at four sites)."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def word_bigram_pairs(toks: Column) -> Column:
+    """Adjacent-word bigrams as ``struct<w1, w2>`` (for consumers that
+    need the parts separately); same aligned-slice construction as
+    :func:`word_bigrams`."""
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(toks, 1, n1),
+        F.slice(toks, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
 def repetition_metrics(text: Column) -> dict[str, Column]:
     """Repetition-based quality signals (the Gopher/C4 rule family):
     duplicate-word fraction and duplicate-bigram fraction per document —
@@ -175,14 +204,7 @@ def repetition_metrics(text: Column) -> dict[str, Column]:
         n > 0,
         (n - F.size(F.array_distinct(toks))).cast("double") / n,
     ).otherwise(F.lit(0.0))
-    # aligned slices + zip_with, NOT transform-over-index (an index lambda
-    # re-inlines the tokenizing split into every element_at — the O(k·n)
-    # regex re-run word_shingles documents)
-    grams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
-    )
+    grams = word_bigrams(toks)
     n_g = F.size(grams)
     dup_gram = F.when(
         n >= 2,
@@ -218,16 +240,9 @@ def bigram_lm_logprob(
     from pyspark.sql.window import Window as W
 
     ws = tokens(F.col(text_col))
-    n_w = F.size(ws)
     pairs = docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.greatest(n_w - 1, F.lit(0))),
-                F.slice(ws, 2, F.greatest(n_w - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg"),
+        F.explode(word_bigram_pairs(ws)).alias("bg"),
     ).select("doc", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     c12 = F.count("*").over(W.partitionBy("w1", "w2"))
     c1 = F.count("*").over(W.partitionBy("w1"))

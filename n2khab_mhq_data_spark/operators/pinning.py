@@ -77,12 +77,22 @@ def assert_input_version(
 
 def row_hash(*cols: Column | str) -> Column:
     """Portable 60-bit row hash: leading 15 hex digits of
-    md5(concat_ws('\\x1f', cols)) parsed base-16. The same expression is
+    md5(concat_ws('\\x1f', cols)) parsed base-16, with NULLs encoded as
+    the explicit sentinel ``'\\x00NULL'`` per column — concat_ws alone
+    silently DROPS null columns, which would both diverge from a
+    ``||``-style SQL recomputation (NULL-propagating) and make
+    ('a', NULL, 'b') hash like ('a', 'b', NULL). The same expression is
     writable in ANSI-ish SQL on any engine (DuckDB:
-    ``CAST(('0x' || substr(md5(...),1,15)) AS BIGINT)``), which is the
-    point — a recorded fingerprint must be re-computable anywhere."""
+    ``CAST(('0x' || substr(md5(coalesce(CAST(x AS VARCHAR),
+    chr(0) || 'NULL') || chr(31) || ...), 1, 15)) AS BIGINT)``), which
+    is the point — a recorded fingerprint must be re-computable
+    anywhere. Caveat: a real string equal to the sentinel collides with
+    NULL."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
-    joined = F.concat_ws("\x1f", *[c.cast("string") for c in cs])
+    joined = F.concat_ws(
+        "\x1f",
+        *[F.coalesce(c.cast("string"), F.lit("\x00NULL")) for c in cs],
+    )
     return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
 
 
@@ -111,18 +121,26 @@ def pin_dataset_version(
 ) -> DataFrame:
     """Join the computed per-group fingerprints against a recorded
     manifest (columns: ``group_by`` + ``fingerprint_expected``) and flag
-    matches — the dataset-scale review table. The manifest is
-    dimension-sized, so it broadcasts."""
+    matches — the dataset-scale review table.
+
+    Fails CLOSED on both one-sided cases: a pinned group with NO data
+    rows (the manifest entry survives the FULL OUTER join with
+    fingerprint null, match false — exactly the vanished-input drift the
+    audit exists to catch) and an unpinned group in the data (expected
+    null, match false). The manifest is dimension-sized; full-outer
+    cannot broadcast, but the join's fingerprint side is already
+    aggregated to group grain so the shuffle is tiny."""
     fp = dataset_fingerprint(df, cols=cols, group_by=group_by)
-    return (
-        fp.join(F.broadcast(recorded), group_by, "left")
-        .select(
-            *group_by,
-            "fingerprint",
-            "fingerprint_expected",
-            (F.col("fingerprint") == F.col("fingerprint_expected")).alias(
-                "match"
-            ),
-            "n_rows",
-        )
+    missing = (
+        F.col("fingerprint").isNull()
+        | F.col("fingerprint_expected").isNull()
+    )
+    return fp.join(recorded, group_by, "full_outer").select(
+        *group_by,
+        "fingerprint",
+        "fingerprint_expected",
+        F.when(missing, F.lit(False))
+        .otherwise(F.col("fingerprint") == F.col("fingerprint_expected"))
+        .alias("match"),
+        F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
     )

@@ -1455,8 +1455,10 @@ def vbi_forest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH fp AS (
       SELECT lang,
-             bit_xor(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
-                                          || chr(31) || text), 1, 15))
+             bit_xor(CAST(('0x' || substr(md5(
+                 coalesce(CAST(doc_id AS VARCHAR), chr(0) || 'NULL')
+                 || chr(31)
+                 || coalesce(text, chr(0) || 'NULL')), 1, 15))
                           AS BIGINT)) AS fingerprint,
              CAST(count(*) AS BIGINT) AS n_rows
       FROM documents GROUP BY 1

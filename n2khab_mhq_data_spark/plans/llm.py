@@ -1537,7 +1537,9 @@ def ann_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings")
-    return scalar_quantization_error(emb, "embedding", "vec_id", 255)
+    return scalar_quantization_error(
+        emb, "embedding", "vec_id", 255, dim=64
+    )
 
 
 @query(
@@ -1711,19 +1713,12 @@ def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     template-detection dashboard (a low TTR source is boilerplate or
     spinner output). One explode + one groupBy with a distinct
     aggregate; partials combine map-side."""
-    from n2khab_mhq_data_spark.llmdata.text import tokens
+    from n2khab_mhq_data_spark.llmdata.text import tokens, word_bigrams
 
     ws = tokens(F.col("text"))
-    n_w = F.size(ws)
     g = load(spark, sf_dir, "documents").select(
         "source",
-        F.explode(
-            F.zip_with(
-                F.slice(ws, 1, F.greatest(n_w - 1, F.lit(0))),
-                F.slice(ws, 2, F.greatest(n_w - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ).alias("gram"),
+        F.explode(word_bigrams(ws)).alias("gram"),
     )
     return g.groupBy("source").agg(
         F.count("*").alias("n_grams"),

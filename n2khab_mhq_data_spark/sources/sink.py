@@ -323,17 +323,29 @@ def compact_published(
     parquet files per partition, and at 100 TB the scan's task-per-file
     overhead and NameNode/listing pressure dominate.
 
-    Reads the store, re-buckets each hive partition to
-    ``ceil(partition_bytes / target_file_bytes)`` output files (sized
-    from the CURRENT on-disk footprint, so skewed partitions get more
-    files instead of one giant task), restores the in-file sort (row-
-    group min/max pruning survives compaction), and atomically swaps the
-    directory (write to sibling tmp, rename over). Returns before/after
-    file counts so operators can alert on ineffective runs."""
+    Reads the store, re-buckets EACH hive partition to
+    ``ceil(partition_bytes / target_file_bytes)`` output files from its
+    OWN on-disk footprint (a broadcast per-partition bucket-count dim,
+    so a fat partition splits across writers while small partitions
+    collapse to one file — a single global bucket count would fragment
+    every small partition by the fattest one's count), restores the
+    in-file sort (row-group min/max pruning survives compaction), and
+    swaps the directory (write to sibling tmp, two renames — crash-safe
+    to re-run: stale tmp/old dirs from an interrupted run are cleaned up
+    front, and a crash between the renames leaves the old dir intact
+    for manual restore). Returns before/after file counts so operators
+    can alert on ineffective runs."""
     import math
     import shutil
+    import urllib.parse
 
     from pyspark.sql import functions as F  # noqa: F811
+
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
 
     def count_files(p: str) -> int:
         n = 0
@@ -356,26 +368,53 @@ def compact_published(
         return sizes
 
     before = count_files(path)
-    sizes = partition_bytes(path)
     df = spark.read.parquet(path)
-    # rebucket: files-per-partition from the on-disk footprint; the
-    # repartition key (partition cols + a bucket id salted per partition)
-    # spreads a fat partition over several writers without shuffling
-    # small partitions at all more than once
-    max_buckets = max(
-        math.ceil(b / target_file_bytes) for b in sizes.values()
-    ) if sizes else 1
+    # per-partition bucket counts from the hive dir sizes (keys parsed
+    # from the "col=value" path segments; hive-escaped values unquoted)
+    dim_rows = []
+    for rel, b in partition_bytes(path).items():
+        kv = dict(
+            seg.split("=", 1)
+            for seg in rel.split(os.sep)
+            if "=" in seg
+        )
+        if len(kv) != len(partition_by):
+            continue
+        dim_rows.append(
+            tuple(urllib.parse.unquote(kv[c]) for c in partition_by)
+            + (max(1, math.ceil(b / target_file_bytes)),)
+        )
+    key_cols = [f"__k_{c}" for c in partition_by]
+    bdf = spark.createDataFrame(
+        dim_rows or [tuple("" for _ in partition_by) + (1,)],
+        ", ".join(f"{k} string" for k in key_cols) + ", __nb int",
+    )
+    cond = [
+        df[c].cast("string") == bdf[k]
+        for c, k in zip(partition_by, key_cols)
+    ]
+    joined = df.join(F.broadcast(bdf), cond, "left")
     bucket = F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(max_buckets)
+        F.xxhash64(*[df[c] for c in df.columns]),
+        F.coalesce(F.col("__nb"), F.lit(1)),
     )
-    out = df.repartition(
-        *[F.col(c) for c in partition_by], bucket.alias("__b")
-    )
+    out = joined.select(
+        *[df[c] for c in df.columns], bucket.alias("__b")
+    ).repartition(*[F.col(c) for c in partition_by], F.col("__b"))
     if sort_keys:
         out = out.sortWithinPartitions(*partition_by, *sort_keys)
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    out.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
-    old = path.rstrip("/") + ".__compact_old__"
+    # AQE partition coalescing would merge the buckets right back (it
+    # targets the advisory size, not ours) — this op IS the sizing
+    # policy, so pin the exact bucket layout for the write only
+    coalesce_conf = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_conf, "true")
+    spark.conf.set(coalesce_conf, "false")
+    try:
+        out.drop("__b").write.mode("overwrite").partitionBy(
+            *partition_by
+        ).parquet(tmp)
+    finally:
+        spark.conf.set(coalesce_conf, prev)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

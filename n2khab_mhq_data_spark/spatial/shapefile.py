@@ -122,13 +122,25 @@ def _polygon_wkt(coords: list, rings: list[str]) -> str:
         return inside
 
     groups: dict[int, list[str]] = {i: [rings[i]] for i in outer_idx}
+    areas = {
+        j: abs(ring_signed_area(np.asarray(coords[j], dtype=float)))
+        for j in outer_idx
+    }
     for i, c in enumerate(coords):
         if i in groups:
             continue
-        host = next(
-            (j for j in outer_idx if contains(coords[j], c[0])),
-            max((j for j in outer_idx if j < i), default=outer_idx[0]),
-        )
+        # the INNERMOST containing outer hosts the hole (smallest area
+        # among containers — in a lake-island-pond nesting the hole
+        # belongs to the island, not the enclosing outer, and record
+        # order must not decide); fallback: the preceding outer, the
+        # common writer ordering
+        containing = [j for j in outer_idx if contains(coords[j], c[0])]
+        if containing:
+            host = min(containing, key=lambda j: areas[j])
+        else:
+            host = max(
+                (j for j in outer_idx if j < i), default=outer_idx[0]
+            )
         groups[host].append(rings[i])
     polys = ["(" + ", ".join(g) + ")" for _, g in sorted(groups.items())]
     return "MULTIPOLYGON (" + ", ".join(polys) + ")"

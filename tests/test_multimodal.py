@@ -95,6 +95,20 @@ def test_cdc_chunks_reference_and_locality(spark):
         assert all(c.n_bytes <= 512 for c in cs)
         assert all(c.n_bytes >= 16 for c in cs[:-1])
 
+    # adversarial clamp stress: a tight [12, 24] window over a dense
+    # boundary mask forces many max_len cuts whose NEXT candidate falls
+    # inside (max_len, max_len + min_len) — the gap where the naive walk
+    # emitted sub-min mid-chunks
+    tight = cdc_chunks(df, mask=0xF, min_len=12, max_len=24).collect()
+    per = {}
+    for r in sorted(tight, key=lambda r: (r.doc_id, r.chunk_idx)):
+        per.setdefault(r.doc_id, []).append(r)
+    for did, payload in ((1, base), (3, edited)):
+        cs = per[did]
+        assert sum(c.n_bytes for c in cs) == len(payload)
+        assert all(12 <= c.n_bytes <= 24 for c in cs[:-1])
+        assert cs[-1].n_bytes <= 24
+
     # determinism: identical payloads -> identical digest sequences
     assert [c.chunk_md5 for c in by_doc[1]] == [c.chunk_md5 for c in by_doc[2]]
     # locality: after the first boundary, doc 3's digests realign with

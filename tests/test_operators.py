@@ -146,13 +146,46 @@ def test_input_version_pinning(spark, tmp_path):
     assert rows3["x"] != rows["x"][0] and rows3["y"] == rows["y"][0]
 
     recorded = spark.createDataFrame(
-        [("x", rows["x"][0]), ("y", rows["y"][0] ^ 1)],
+        [
+            ("x", rows["x"][0]),
+            ("y", rows["y"][0] ^ 1),
+            # pinned shard with NO data rows: must fail CLOSED
+            ("z", 12345),
+        ],
         "shard string, fingerprint_expected long",
     )
-    verdict = {
-        r.shard: r.match
+    out = {
+        r.shard: (r.match, r.n_rows)
         for r in pin_dataset_version(
             df, recorded, ["shard"], cols=["id", "txt"]
         ).collect()
     }
-    assert verdict == {"x": True, "y": False}
+    assert out["x"] == (True, 2)
+    assert out["y"] == (False, 1)
+    assert out["z"] == (False, 0)  # vanished input is flagged, not dropped
+
+    # unpinned shard in the data also fails closed
+    partial = spark.createDataFrame(
+        [("x", rows["x"][0])], "shard string, fingerprint_expected long"
+    )
+    out2 = {
+        r.shard: r.match
+        for r in pin_dataset_version(
+            df, partial, ["shard"], cols=["id", "txt"]
+        ).collect()
+    }
+    assert out2 == {"x": True, "y": False}
+
+    # NULL values participate via the explicit sentinel: a null-bearing
+    # row changes the fingerprint (concat_ws alone would drop it)
+    dfn = spark.createDataFrame(
+        [(1, "a", "x"), (2, None, "x"), (3, "c", "y")],
+        "id long, txt string, shard string",
+    )
+    fpn = {
+        r.shard: r.fingerprint
+        for r in dataset_fingerprint(
+            dfn, cols=["id", "txt"], group_by=["shard"]
+        ).collect()
+    }
+    assert fpn["x"] != rows["x"][0] and fpn["y"] == rows["y"][0]

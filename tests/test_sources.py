@@ -310,6 +310,31 @@ def test_compact_published_reduces_files(spark, tmp_path):
     assert stats["files_after"] <= 2  # one per mon_cycle at this size
     after = spark.read.parquet(store)
     assert after.count() == before_rows
+
+    # per-partition bucketing: with a target small enough to split the
+    # fat partition, the small partition must STILL collapse to one file
+    # (a global bucket count would fragment it by the fat one's count)
+    store2 = str(tmp_path / "store2")
+    fat = [(1, i, "x" * 200) for i in range(4000)]
+    thin = [(2, i, "y") for i in range(5)]
+    spark.createDataFrame(
+        fat + thin, "mon_cycle int, plot_id int, v string"
+    ).repartition(8).write.partitionBy("mon_cycle").parquet(store2)
+    fat_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(store2, "mon_cycle=1"))
+        for f in fs if f.endswith(".parquet")
+    )
+    compact_published(
+        spark, store2, ["mon_cycle"], target_file_bytes=fat_bytes // 3
+    )
+    n_files = lambda d: sum(  # noqa: E731
+        1 for _r, _d, fs in os.walk(os.path.join(store2, d))
+        for f in fs if f.endswith(".parquet")
+    )
+    assert n_files("mon_cycle=2") == 1
+    assert n_files("mon_cycle=1") >= 2
+    assert spark.read.parquet(store2).count() == len(fat) + len(thin)
     # partition pruning still applies on the compacted layout
     import io
     from contextlib import redirect_stdout

@@ -45,16 +45,12 @@ def risky(duck_type: str, spark_type: str) -> bool:
     d = duck_type.upper()
     if d.startswith(("DECIMAL", "HUGEINT", "INT128", "UHUGEINT")):
         return True
-    if d.endswith("[]") or spark_type.startswith("array"):
-        de = d[:-2] if d.endswith("[]") else d
-        se = (
-            spark_type[6:-1]
-            if spark_type.startswith("array<") and spark_type.endswith(">")
-            else spark_type
-        )
-        return risky(de, se) if (d.endswith("[]") and "<" in spark_type) else (
-            de not in _EQUIV or se not in _EQUIV.get(de, set())
-        )
+    d_is_arr = d.endswith("[]")
+    s_is_arr = spark_type.startswith("array<") and spark_type.endswith(">")
+    if d_is_arr != s_is_arr:
+        return True  # scalar vs array can never hash-match
+    if d_is_arr:
+        return risky(d[:-2], spark_type[len("array<") : -1])
     return spark_type not in _EQUIV.get(d, {spark_type})
 
 
