@@ -100,9 +100,11 @@ EXPECTED: dict[str, set[str]] = {
     # the correct strategy; the bucket-model join itself is a
     # BroadcastHashJoin (the model is `buckets` rows by construction)
     "pipeline_dsir_weights": {"CARTESIAN", "SMJ"},
-    # 1-row scalar broadcast (the poisoned-manifest min(lang) pin);
-    # the manifest join is a BroadcastHashJoin
-    "audit_input_pinning": {"CARTESIAN"},
+    # 1-row scalar broadcast (the poisoned-manifest min(lang) pin); the
+    # manifest comparison is a FULL OUTER join (fail-closed on vanished
+    # pinned groups), which cannot broadcast — SortMergeJoin of two
+    # group-grain sides is the correct strategy
+    "audit_input_pinning": {"CARTESIAN", "SMJ"},
     # large-star/small-star rounds join the edge list with per-center
     # minima — both corpus-grain, same node key both phases, so
     # SortMergeJoin is the correct strategy (AQE downgrades to broadcast
