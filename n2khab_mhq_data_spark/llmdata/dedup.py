@@ -619,3 +619,42 @@ def duplicated_spans(
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
         )
     )
+
+
+def duplicated_runs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token RUNS per document — consecutive
+    duplicated ``span``-windows merged by gap-and-islands, which is what
+    a substring-removal pass actually cuts (Lee et al. 2022 removes the
+    full repeated region, not one fixed window). A run covering
+    positions [start, end] spans ``end - start + span`` tokens.
+
+    One extra shuffle beyond :func:`duplicated_spans` (the per-doc
+    window + run groupBy, both on the doc key)."""
+    spans = duplicated_spans(docs, text_col, id_col, span, min_docs)
+    w = W.partitionBy("doc").orderBy("pos")
+    islands = spans.withColumn(
+        "island", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc",
+            "start_pos",
+            "end_pos",
+            "n_windows",
+            (F.col("end_pos") - F.col("start_pos") + span)
+            .cast("long")
+            .alias("run_tokens"),
+        )
+    )

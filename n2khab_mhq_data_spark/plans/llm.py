@@ -1945,3 +1945,49 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("size").agg(
         F.count("*").alias("n_components")
     )
+
+
+@query(
+    "dedup_substring_runs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id AS doc, CAST(u.i AS INTEGER) AS pos,
+             array_to_string(
+               ws[CAST(u.i AS INTEGER):CAST(u.i AS INTEGER) + 7], ' ')
+               AS gram
+      FROM t, unnest(range(1, len(ws) - 8 + 2)) AS u(i)
+      WHERE len(ws) >= 8
+    ), dup AS (
+      SELECT doc, pos FROM (
+        SELECT doc, pos,
+               count(DISTINCT doc) OVER (PARTITION BY gram) AS n_docs
+        FROM g
+      ) WHERE n_docs >= 2
+    ), isl AS (
+      SELECT doc, pos,
+             pos - row_number() OVER (PARTITION BY doc ORDER BY pos)
+               AS island
+      FROM dup
+    )
+    SELECT doc,
+           CAST(min(pos) AS INTEGER) AS start_pos,
+           CAST(max(pos) AS INTEGER) AS end_pos,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(max(pos) - min(pos) + 8 AS BIGINT) AS run_tokens
+    FROM isl GROUP BY doc, island
+    """,
+)
+def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated token runs (consecutive duplicated 8-token
+    windows merged by gap-and-islands) — the regions a substring-removal
+    pass cuts. Span detection shuffles once on the gram key; run
+    merging adds one doc-key window + groupBy."""
+    from n2khab_mhq_data_spark.llmdata.dedup import duplicated_runs
+
+    return duplicated_runs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", span=8,
+        min_docs=2,
+    )

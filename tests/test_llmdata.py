@@ -340,3 +340,26 @@ def test_semdedup_matches_brute_force(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_duplicated_runs_merge_adjacent_windows(spark):
+    """Adjacent duplicated windows merge into one maximal run covering
+    the full repeated region; distant duplicates stay separate runs."""
+    from n2khab_mhq_data_spark.llmdata.dedup import duplicated_runs
+
+    shared = "a b c d e f g h i j"  # 10 tokens -> 3 dup 8-windows
+    df = spark.createDataFrame(
+        [
+            (1, shared + " solo1 solo2"),
+            (2, "x y " + shared),
+        ],
+        "doc_id long, text string",
+    )
+    runs = {
+        r.doc: (r.start_pos, r.end_pos, r.n_windows, r.run_tokens)
+        for r in duplicated_runs(df, "text", "doc_id", span=8).collect()
+    }
+    # doc 1: windows at 1..3 merge -> run of 3+8-1 = 10 tokens from pos 1
+    assert runs[1] == (1, 3, 3, 10)
+    # doc 2: same region shifted by 2
+    assert runs[2] == (3, 5, 3, 10)
