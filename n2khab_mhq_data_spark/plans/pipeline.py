@@ -537,3 +537,69 @@ def pipeline_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+@query(
+    "pipeline_split_balance_audit",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN ((((doc_id * 131071 + 524287) % 1000003) + 1000003)
+                        % 1000003) % 100 < 80 THEN 'train'
+                  WHEN ((((doc_id * 131071 + 524287) % 1000003) + 1000003)
+                        % 1000003) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             count(*) AS n
+      FROM documents GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, sum(n) AS n_src FROM s GROUP BY 1
+    )
+    SELECT s.source, s.split,
+           CAST(s.n AS BIGINT) AS n_docs,
+           round(s.n * 1.0 / t.n_src + 1e-9, 6) AS observed_frac,
+           CAST(CASE s.split WHEN 'train' THEN 0.8
+                             WHEN 'val' THEN 0.1 ELSE 0.1 END
+                AS DOUBLE) AS expected_frac,
+           round(abs(s.n * 1.0 / t.n_src
+                     - CASE s.split WHEN 'train' THEN 0.8
+                                    WHEN 'val' THEN 0.1
+                                    ELSE 0.1 END) + 1e-9, 6) AS abs_dev
+    FROM s JOIN tot t USING (source)
+    """,
+)
+def pipeline_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-fairness audit: observed vs expected 80/10/10 fraction per
+    source with the absolute deviation — the check that the
+    deterministic hash split didn't skew a small domain (hash splits are
+    only fair in expectation; tiny sources can drift badly). Composes
+    with the mixture manifest before a run."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import split_hash
+
+    docs = load(spark, sf_dir, "documents")
+    pct = split_hash(F.col("doc_id"))
+    lab = F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test")
+    s = docs.select("source", lab.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count("*").alias("n"))
+    from pyspark.sql.window import Window as W
+
+    n_src = F.sum("n").over(W.partitionBy("source"))
+    exp_frac = (
+        F.when(F.col("split") == "train", 0.8)
+        .when(F.col("split") == "val", 0.1)
+        .otherwise(0.1)
+    )
+    obs = F.col("n") / F.col("n_src")
+    return (
+        s.withColumn("n_src", n_src)
+        .select(
+            "source",
+            "split",
+            F.col("n").alias("n_docs"),
+            F.round(obs + F.lit(1e-9), 6).alias("observed_frac"),
+            exp_frac.alias("expected_frac"),
+            F.round(F.abs(obs - exp_frac) + F.lit(1e-9), 6).alias(
+                "abs_dev"
+            ),
+        )
+    )
