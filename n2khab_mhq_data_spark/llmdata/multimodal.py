@@ -137,60 +137,14 @@ def cdc_chunks(
     python-reference pytest is the check, and the registered query gets
     the driver's rows-only verdict.
     """
-    import hashlib
-
-    import numpy as np
     import pandas as pd
-
-    G = np.array([_gear(b) for b in range(256)], dtype=np.uint64)
-
-    def chunk_one(raw: bytes) -> list[tuple[int, int, str]]:
-        n = len(raw)
-        if n == 0:
-            return []
-        b = np.frombuffer(raw, dtype=np.uint8)
-        g = G[b]
-        h = np.zeros(n, dtype=np.uint64)
-        for s in range(min(64, n)):
-            # h_i += G[b_{i-s}] << s  (terms shifted past 64 bits vanish)
-            h[s:] += g[: n - s] << np.uint64(s)
-        cand = np.nonzero((h & np.uint64(mask)) == 0)[0]
-        # FastCDC-style walk: from each chunk start, cut at the FIRST
-        # boundary candidate in [start+min_len, start+max_len]; if none,
-        # force a cut at start+max_len. Every cut is therefore >= min_len
-        # from its start — no sub-min mid-chunk can ever be emitted (the
-        # naive skip-short-then-split walk produced one whenever the next
-        # candidate fell in (max_len, max_len+min_len)); only the final
-        # chunk may undershoot.
-        chunks: list[tuple[int, int]] = []
-        start = 0
-        ptr = 0
-        while start < n:
-            while ptr < len(cand) and int(cand[ptr]) + 1 < start + min_len:
-                ptr += 1
-            if (
-                ptr < len(cand)
-                and int(cand[ptr]) + 1 <= start + max_len
-                and int(cand[ptr]) + 1 < n
-            ):
-                end = int(cand[ptr]) + 1
-                ptr += 1
-            elif n - start > max_len:
-                end = start + max_len
-            else:
-                end = n
-            chunks.append((start, end - start))
-            start = end
-        return [
-            (off, ln, hashlib.md5(raw[off : off + ln]).hexdigest())
-            for off, ln in chunks
-        ]
 
     def op(batches):
         for pdf in batches:
             ids, idxs, offs, lens, digs = [], [], [], [], []
             for did, raw in zip(pdf[id_col], pdf[payload_col]):
-                for i, (off, ln, dig) in enumerate(chunk_one(bytes(raw))):
+                chunks = cdc_chunk_one(bytes(raw), mask, min_len, max_len)
+                for i, (off, ln, dig) in enumerate(chunks):
                     ids.append(int(did))
                     idxs.append(i)
                     offs.append(off)
@@ -207,3 +161,66 @@ def cdc_chunks(
             )
 
     return binary_df.mapInPandas(op, CDC_SCHEMA)
+
+
+_GEAR_TABLE = None
+
+
+def cdc_chunk_one(
+    raw: bytes, mask: int = 0x3F, min_len: int = 16, max_len: int = 512
+) -> list[tuple[int, int, str]]:
+    """Single-payload CDC kernel (module-level so the invariants are
+    unit/property-testable without Spark): (offset, length, md5) chunk
+    tuples per the FastCDC-style walk documented in :func:`cdc_chunks`."""
+    import hashlib
+
+    import numpy as np
+
+    global _GEAR_TABLE
+    if _GEAR_TABLE is None:
+        _GEAR_TABLE = np.array(
+            [_gear(b) for b in range(256)], dtype=np.uint64
+        )
+    G = _GEAR_TABLE
+    n = len(raw)
+    if n == 0:
+        return []
+    b = np.frombuffer(raw, dtype=np.uint8)
+    g = G[b]
+    h = np.zeros(n, dtype=np.uint64)
+    for s in range(min(64, n)):
+        # h_i += G[b_{i-s}] << s  (terms shifted past 64 bits vanish)
+        h[s:] += g[: n - s] << np.uint64(s)
+    cand = np.nonzero((h & np.uint64(mask)) == 0)[0]
+    # FastCDC-style walk: from each chunk start, cut at the FIRST
+    # boundary candidate in [start+min_len, start+max_len]; if none,
+    # force a cut at start+max_len. Every cut is therefore >= min_len
+    # from its start — no sub-min mid-chunk can ever be emitted (the
+    # naive skip-short-then-split walk produced one whenever the next
+    # candidate fell in (max_len, max_len+min_len)); only the final
+    # chunk may undershoot.
+    chunks: list[tuple[int, int]] = []
+    start = 0
+    ptr = 0
+    while start < n:
+        while ptr < len(cand) and int(cand[ptr]) + 1 < start + min_len:
+            ptr += 1
+        if (
+            ptr < len(cand)
+            and int(cand[ptr]) + 1 <= start + max_len
+            and int(cand[ptr]) + 1 < n
+        ):
+            end = int(cand[ptr]) + 1
+            ptr += 1
+        elif n - start > max_len:
+            end = start + max_len
+        else:
+            end = n
+        chunks.append((start, end - start))
+        start = end
+    return [
+        (off, ln, hashlib.md5(raw[off : off + ln]).hexdigest())
+        for off, ln in chunks
+    ]
+
+

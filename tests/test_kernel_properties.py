@@ -156,3 +156,33 @@ def test_shapefile_record_round_trip(rings):
     assert sorted(len(r) for r in parsed_rings) == sorted(
         len(r) for r in rings
     )
+
+
+@given(
+    st.binary(min_size=0, max_size=3000),
+    st.sampled_from([(0xF, 8, 32), (0x3F, 16, 128), (0x1F, 4, 24)]),
+)
+@settings(max_examples=150, deadline=None)
+def test_cdc_chunk_invariants(raw, params):
+    """CDC kernel invariants over arbitrary bytes: exact tiling, the
+    [min_len, max_len] clamp on every non-final chunk, max_len on the
+    final one, determinism, and digest correctness."""
+    import hashlib
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import cdc_chunk_one
+
+    mask, mn, mx = params
+    chunks = cdc_chunk_one(raw, mask, mn, mx)
+    if not raw:
+        assert chunks == []
+        return
+    assert chunks[0][0] == 0
+    pos = 0
+    for off, ln, dig in chunks:
+        assert off == pos
+        assert dig == hashlib.md5(raw[off : off + ln]).hexdigest()
+        pos = off + ln
+    assert pos == len(raw)
+    assert all(ln <= mx for _, ln, _ in chunks)
+    assert all(ln >= mn for _, ln, _ in chunks[:-1])
+    assert chunks == cdc_chunk_one(raw, mask, mn, mx)
