@@ -1195,3 +1195,60 @@ def a15_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("exact_med") + F.lit(1e-9), 2).alias("exact_median"),
         tol.alias("approx_within_1pct"),
     )
+
+
+@query(
+    "u4_cycle_drift_audit",
+    oracle="""
+    WITH old_cycle AS (
+      SELECT o_orderkey AS okey, o_orderstatus AS status,
+             round(o_totalprice, 2) AS price
+      FROM orders
+    ), new_cycle AS (
+      SELECT okey,
+             CASE WHEN okey % 97 = 0 THEN 'X' ELSE status END AS status,
+             price
+      FROM old_cycle WHERE okey % 101 != 0
+    ), removed AS (
+      SELECT * FROM old_cycle EXCEPT ALL SELECT * FROM new_cycle
+    ), added AS (
+      SELECT * FROM new_cycle EXCEPT ALL SELECT * FROM old_cycle
+    )
+    SELECT side, status, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT 'removed' AS side, status FROM removed
+      UNION ALL
+      SELECT 'added', status FROM added
+    ) GROUP BY 1, 2
+    """,
+)
+def u4_cycle_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Between-cycle drift report — the reference's update workflow
+    re-publishes tables per monitoring cycle and reviews what changed
+    (query_fieldmap_update_fieldwork2022.Rmd's re-check pattern):
+    EXCEPT ALL in both directions (bag semantics — a duplicate-count
+    change IS drift, which distinct EXCEPT would hide) aggregated to a
+    per-status added/removed summary. The new cycle is derived from the
+    old with a deterministic patch so the audit is reproducible at any
+    sf."""
+    old = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    new = old.filter(F.col("okey") % 101 != 0).select(
+        "okey",
+        F.when(F.col("okey") % 97 == 0, "X")
+        .otherwise(F.col("status"))
+        .alias("status"),
+        "price",
+    )
+    removed = old.exceptAll(new).select(
+        F.lit("removed").alias("side"), "status"
+    )
+    added = new.exceptAll(old).select(F.lit("added").alias("side"), "status")
+    return (
+        removed.unionByName(added)
+        .groupBy("side", "status")
+        .agg(F.count("*").alias("n"))
+    )
