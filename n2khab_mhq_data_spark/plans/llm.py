@@ -1991,3 +1991,118 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), "text", "doc_id", span=8,
         min_docs=2,
     )
+
+
+def _pq_dist_sql(e: str, c: str, j: int, sub_dim: int = 16) -> str:
+    """Unrolled sequential L2 distance over subspace ``j`` (0-based) —
+    '0D + t1 + ...' is left-associative, matching the list_sum fold, and
+    (a-b)*(a-b) keeps both engines on the identical float path."""
+    base = j * sub_dim
+    terms = " + ".join(
+        f"(CAST(try_element_at({e}, {base + i}) AS DOUBLE)"
+        f" - CAST(try_element_at({c}, {base + i}) AS DOUBLE))"
+        f" * (CAST(try_element_at({e}, {base + i}) AS DOUBLE)"
+        f" - CAST(try_element_at({c}, {base + i}) AS DOUBLE))"
+        for i in range(1, sub_dim + 1)
+    )
+    return f"(0D + {terms})"
+
+
+_PQ_DUCK_DIST = """list_sum(list_transform(range(1, 17),
+    i -> (CAST(e.embedding[{base} + i] AS DOUBLE)
+          - CAST(c.embedding[{base} + i] AS DOUBLE))
+         * (CAST(e.embedding[{base} + i] AS DOUBLE)
+            - CAST(c.embedding[{base} + i] AS DOUBLE))))"""
+
+
+@query(
+    "ann_pq_codes",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 4
+    ), d AS (
+      SELECT e.vec_id, c.cid, j.j,
+             CASE j.j
+               {' '.join(
+                   'WHEN ' + str(j + 1) + ' THEN '
+                   + _PQ_DUCK_DIST.format(base=j * 16)
+                   for j in range(4)
+               )}
+             END AS dist
+      FROM embeddings e, cents c,
+           (SELECT CAST(t.j0 AS INTEGER) AS j
+            FROM unnest(range(1, 5)) AS t(j0)) j
+    ), sel AS (
+      SELECT vec_id, j, cid, dist,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY dist, cid) AS rn
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN j = 1 AND rn = 1 THEN cid END) AS INTEGER)
+             AS code_1,
+           CAST(max(CASE WHEN j = 2 AND rn = 1 THEN cid END) AS INTEGER)
+             AS code_2,
+           CAST(max(CASE WHEN j = 3 AND rn = 1 THEN cid END) AS INTEGER)
+             AS code_3,
+           CAST(max(CASE WHEN j = 4 AND rn = 1 THEN cid END) AS INTEGER)
+             AS code_4,
+           round(sum(CASE WHEN rn = 1 THEN dist ELSE 0 END) + 1e-9, 6)
+             AS sq_err
+    FROM sel GROUP BY 1
+    """,
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jegou et al. 2011, public literature): the
+    64-dim vector splits into 4 x 16-dim subspaces, each encoded as the
+    id of its nearest sub-centroid (seeded codebook: the first-4
+    vectors' slices — deterministic so the oracle replays it) — 4 bytes
+    per vector instead of 256, the compression step beyond SQ8. Output:
+    per-vector sub-codes + total squared reconstruction error.
+
+    Plan shape: the 4-row codebook broadcasts; per (vector, centroid,
+    subspace) distances are UNROLLED 16-term expressions (whole-stage
+    codegen — the HOF fold is interpreted, see similarity.dot); argmin
+    is a (vec, subspace)-window with the cid tie-break; one groupBy
+    folds codes and error. At 100 TB the codebook is K x dim literals
+    and the corpus streams once — the kmeans_assign BLAS kernel is the
+    drop-in when K grows past expression-budget range."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    dist_rows = pairs.select(
+        "vec_id",
+        "cid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j + 1).alias("j"),
+                        F.expr(
+                            _pq_dist_sql("embedding", "cvec", j)
+                        ).alias("dist"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "cid", F.col("s.j").alias("j"), F.col("s.dist").alias("dist"))
+    w = W.partitionBy("vec_id", "j").orderBy("dist", "cid")
+    sel = dist_rows.withColumn("rn", F.row_number().over(w))
+    code = lambda j: F.max(  # noqa: E731
+        F.when((F.col("j") == j) & (F.col("rn") == 1), F.col("cid"))
+    ).cast("int")
+    return sel.groupBy("vec_id").agg(
+        code(1).alias("code_1"),
+        code(2).alias("code_2"),
+        code(3).alias("code_3"),
+        code(4).alias("code_4"),
+        F.round(
+            F.sum(F.when(F.col("rn") == 1, F.col("dist")).otherwise(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("sq_err"),
+    )

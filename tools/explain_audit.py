@@ -123,6 +123,9 @@ EXPECTED: dict[str, set[str]] = {
     # inherits text_bigram_lm's 1-row corpus-total broadcast; the
     # per-source cutoff dim is also a deliberate tiny broadcast
     "pipeline_adaptive_quality_gate": {"CARTESIAN"},
+    # the 4-row PQ codebook broadcasts onto every vector — an n x K
+    # map-side cross join bounded by K (the ann_ivf_topk pattern)
+    "ann_pq_codes": {"CARTESIAN"},
 }
 
 
