@@ -1,0 +1,141 @@
+"""Co-occurrence graph analytics — degree / wedge / triangle statistics.
+
+The near-dup dedup family (llmdata/dedup.py) already builds similarity
+*graphs* (candidate pairs -> connected components); this module adds the
+read-side analytics a curation pipeline runs over such graphs before
+deciding thresholds: degree distributions (how connected is the corpus?)
+and triangle / clustering statistics (are candidate pairs transitive —
+i.e. will component-based canonicalization over-merge?).
+
+The same operators apply to any co-occurrence graph; the registered
+queries exercise them on the TPC-H-ish co-purchase graph (parts that
+appear in the same order), which is the classic market-basket shape.
+
+Scale design (100 TB):
+
+- Edge generation is a self-join co-partitioned on the group key
+  (one shuffle each side); fan-out per group is bounded by the group's
+  item count, so there is no global quadratic blow-up — the pair count
+  is sum_g n_g^2, controlled by the natural group size (order lines
+  here, LSH bucket size in dedup). Hot groups would be capped upstream
+  exactly like ``dedup.py``'s ``max_doc_freq`` cap.
+- Triangle counting uses the degree-ordered orientation (the
+  node-iterator++ / Suri-Vassilvitskii MapReduce formulation): every
+  edge is directed from the (degree, node)-smaller endpoint to the
+  larger, which bounds every out-neighborhood by O(sqrt(m)) and keeps
+  the path-join skew-free even on power-law graphs. The count is
+  identical to the naive a<b<c enumeration, which is what the DuckDB
+  oracle runs.
+- All statistics are algebraic aggregates (sums over per-node partials)
+  — map-side combinable, one shuffle per groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges ``(a, b)`` with ``a < b``:
+    two items are linked when they appear under the same group key.
+
+    One shuffle on ``group_col`` for the dedup + self-join (AQE picks the
+    join strategy); one shuffle for the final edge dedup.
+    """
+    items = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("a")
+    ).distinct()
+    right = items.select(F.col("g"), F.col("a").alias("b"))
+    return (
+        items.join(right, "g")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-node degree of an undirected ``(a, b)`` edge list (each edge
+    counted once per endpoint)."""
+    both = edges.select(F.col("a").alias("node")).unionAll(
+        edges.select(F.col("b").alias("node"))
+    )
+    return both.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Degree distribution: ``(degree, n_nodes)`` — the first thing to
+    look at before running components on a candidate graph (a heavy tail
+    here predicts giant-component over-merge)."""
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Single-row global graph statistics: nodes, edges, wedges (open
+    2-paths), triangles, and the global clustering coefficient
+    ``3*triangles / wedges``.
+
+    Triangles via degree-ordered orientation: edge ``{u, v}`` is directed
+    ``u -> v`` iff ``(deg(u), u) < (deg(v), v)``; a triangle is a
+    directed path ``u -> v -> w`` closed by the edge ``u -> w``. Every
+    triangle is counted exactly once, and out-degrees are O(sqrt(m)),
+    so the two joins below stay balanced even when a stop-item links a
+    large fraction of all groups.
+    """
+    deg = degrees(edges)
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("deg_b")
+    )
+    with_deg = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+    paths = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        "v",
+    )
+    closing = oriented.select(
+        F.col("src").alias("u"), F.col("dst").alias("w")
+    )
+    tri = paths.join(closing, ["u", "w"]).agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+    node_stats = deg.agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.sum(
+            (F.col("degree") * (F.col("degree") - F.lit(1))) / F.lit(2)
+        )
+        .cast("bigint")
+        .alias("n_wedges"),
+    )
+    edge_stats = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    # three 1-row frames: cross join is trivially safe
+    out = node_stats.crossJoin(edge_stats).crossJoin(tri)
+    return out.select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.lit(3.0)
+            * F.col("n_triangles")
+            / F.when(F.col("n_wedges") > 0, F.col("n_wedges")),
+            6,
+        ).alias("global_cc"),
+    )

@@ -40,6 +40,7 @@ def _load_modules() -> None:
         llm,
         pipeline,
         spatial,
+        graph,
     )
 
 

@@ -1,0 +1,144 @@
+"""Graph-analytics + record-linkage queries: co-occurrence graph health
+metrics (degree distribution, triangles / clustering) and blocked fuzzy
+record linkage.
+
+These are the read-side companions to the near-dup graph machinery in
+``llmdata/dedup.py`` (which builds pair graphs and components): before a
+pipeline canonicalizes on connected components it should know the
+candidate graph's degree tail and transitivity, and registry-style
+tables need fuzzy (edit-distance) linkage beyond the reference's exact
+reconciliation keys (mhq_terr_inboveg_fieldmap.Rmd's K9 cascade).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.operators.graph import (
+    cooccurrence_edges,
+    degree_histogram,
+    triangle_stats,
+)
+from n2khab_mhq_data_spark.operators.linkage import sorted_neighborhood_pairs
+from n2khab_mhq_data_spark.plans import query
+
+# shared oracle CTE: the co-purchase graph — distinct part pairs that
+# share an order (canonical a < b)
+_EDGES_SQL = """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+    ), e AS (
+      SELECT DISTINCT i1.a AS a, i2.a AS b
+      FROM items i1 JOIN items i2 ON i1.g = i2.g AND i1.a < i2.a
+    )
+"""
+
+_DEGREE_SQL = """
+    , d AS (
+      SELECT node, count(*) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    )
+"""
+
+
+@query(
+    "graph_copurchase_degree",
+    _EDGES_SQL
+    + _DEGREE_SQL
+    + """
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM d GROUP BY degree
+    """,
+)
+def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (parts sharing an
+    order). Pair generation is a self-join co-partitioned on the order
+    key — fan-out bounded by lines-per-order, linear overall."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return degree_histogram(edges)
+
+
+@query(
+    "graph_triangle_stats",
+    _EDGES_SQL
+    + _DEGREE_SQL
+    + """
+    , n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(degree * (degree - 1) / 2) AS BIGINT) AS n_wedges
+      FROM d
+    ), m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e1.b = e2.a
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           round(3.0 * n_triangles / nullif(n_wedges, 0), 6) AS global_cc
+    FROM n, m, t
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering statistics of the co-purchase graph. The Spark
+    side counts triangles with the degree-ordered orientation (skew-safe
+    at scale); the oracle runs the naive canonical a<b<c enumeration —
+    the counts are provably identical."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_stats(edges)
+
+
+@query(
+    "link_sorted_neighborhood",
+    """
+    WITH c AS (
+      SELECT c_custkey AS id, c_name AS key,
+             CAST(substr(c_name, 10, 9) AS BIGINT) AS sfx
+      FROM customer
+    ), b AS (
+      SELECT id, key, sfx // 256 AS blk FROM c
+      UNION ALL
+      SELECT id, key, (sfx + 128) // 256 + 1000000 AS blk FROM c
+    ), n AS (
+      SELECT id, key,
+             lead(id, 1) OVER w AS nid1, lead(key, 1) OVER w AS nk1,
+             lead(id, 2) OVER w AS nid2, lead(key, 2) OVER w AS nk2
+      FROM b WINDOW w AS (PARTITION BY blk ORDER BY key, id)
+    ), pairs AS (
+      SELECT id, key, nid1 AS nid, nk1 AS nkey FROM n
+      WHERE nid1 IS NOT NULL
+      UNION ALL
+      SELECT id, key, nid2, nk2 FROM n WHERE nid2 IS NOT NULL
+    )
+    SELECT DISTINCT
+      least(id, nid) AS id1, greatest(id, nid) AS id2,
+      CASE WHEN id < nid THEN key ELSE nkey END AS key1,
+      CASE WHEN id < nid THEN nkey ELSE key END AS key2,
+      CAST(levenshtein(key, nkey) AS INTEGER) AS lev_dist
+    FROM pairs
+    WHERE levenshtein(key, nkey) <= 2
+    """,
+)
+def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy customer linkage: multi-pass blocked sorted-neighborhood
+    (blocks of 256 on the name's numeric suffix, second pass shifted by
+    half a block) + levenshtein <= 2 scoring. Linear pair count, every
+    window partitioned by block — no global-sort bottleneck."""
+    c = load(spark, sf_dir, "customer")
+    sfx = F.substring("c_name", 10, 9).cast("bigint")
+    blocks = [
+        F.floor(sfx / 256),
+        F.floor((sfx + 128) / 256) + 1000000,
+    ]
+    out = sorted_neighborhood_pairs(
+        c, "c_custkey", "c_name", blocks, window=3, max_dist=2
+    )
+    return out.select(
+        "id1", "id2", "key1", "key2",
+        F.col("lev_dist").cast("int").alias("lev_dist"),
+    )

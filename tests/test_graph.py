@@ -1,0 +1,104 @@
+"""Hand-computed fixtures for the graph-analytics and record-linkage
+operators (operators/graph.py, operators/linkage.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from n2khab_mhq_data_spark.operators.graph import (
+    cooccurrence_edges,
+    degree_histogram,
+    triangle_stats,
+)
+from n2khab_mhq_data_spark.operators.linkage import sorted_neighborhood_pairs
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a int, b int")
+
+
+def test_cooccurrence_edges_canonical_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 10), (2, 20), (2, 10), (3, 30)],
+        "g int, item int",
+    )
+    got = sorted(
+        tuple(r) for r in cooccurrence_edges(df, "g", "item").collect()
+    )
+    # groups 1 and 2 both link {10, 20}; the edge appears once; the
+    # singleton group 3 contributes no edge
+    assert got == [(10, 20)]
+
+
+def test_triangle_stats_hand_computed(spark):
+    # K3 triangle (1,2,3) plus a pendant node 4 attached to 3:
+    # degrees 2,2,3,1 -> wedges 1+1+3+0 = 5, triangles 1, cc = 3/5
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    row = triangle_stats(e).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        4, 4, 5, 1,
+    )
+    assert abs(row.global_cc - 0.6) < 1e-9
+
+    hist = {
+        r.degree: r.n_nodes for r in degree_histogram(e).collect()
+    }
+    assert hist == {1: 1, 2: 2, 3: 1}
+
+
+def test_triangle_stats_two_triangles_sharing_edge(spark):
+    # bowtie-ish: triangles (1,2,3) and (2,3,4) share edge (2,3)
+    # degrees: 1->2, 2->3, 3->3, 4->2 ; wedges 1+3+3+1 = 8, triangles 2
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)])
+    row = triangle_stats(e).collect()[0]
+    assert (row.n_wedges, row.n_triangles) == (8, 2)
+    assert abs(row.global_cc - 0.75) < 1e-9
+
+
+def test_triangle_free_graph(spark):
+    # path 1-2-3-4: no triangles, wedges 2, cc null (wedges>0 -> 0.0)
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4)])
+    row = triangle_stats(e).collect()[0]
+    assert row.n_triangles == 0 and row.n_wedges == 2
+    assert row.global_cc == 0.0
+
+
+def test_sorted_neighborhood_finds_cross_block_pair(spark):
+    # ids chosen so 'b' and 'c' straddle the primary block boundary at
+    # 100 — only the shifted second pass can pair them
+    df = spark.createDataFrame(
+        [(1, "aaaa", 98), (2, "aaab", 99), (3, "aaac", 100),
+         (4, "zzzz", 101)],
+        "id int, key string, sfx int",
+    )
+    blocks = [
+        F.floor(F.col("sfx") / 100),
+        F.floor((F.col("sfx") + 50) / 100) + 10_000,
+    ]
+    got = {
+        (r.id1, r.id2): r.lev_dist
+        for r in sorted_neighborhood_pairs(
+            df, "id", "key", blocks, window=3, max_dist=2
+        ).collect()
+    }
+    # within block 0: (1,2) lev 1 and the window-2 pair (1,3)... but 3 is
+    # in block 1 for pass one; pass two (shifted) puts 98..147 together
+    assert got[(1, 2)] == 1
+    assert got[(2, 3)] == 1  # cross-boundary, found only by pass two
+    assert got[(1, 3)] == 1  # window=3 reaches 2 steps in pass two
+    # 'zzzz' is within reach positionally but lev > max_dist
+    assert (3, 4) not in got and (2, 4) not in got
+
+
+def test_sorted_neighborhood_canonical_dedup(spark):
+    # the same neighbor pair discovered by both passes appears once
+    df = spark.createDataFrame(
+        [(1, "aa", 1), (2, "ab", 2)], "id int, key string, sfx int"
+    )
+    blocks = [F.lit(0), F.lit(1)]
+    rows = sorted_neighborhood_pairs(
+        df, "id", "key", blocks, window=2, max_dist=2
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id1, r.id2, r.key1, r.key2, r.lev_dist) == (1, 2, "aa", "ab", 1)
