@@ -37,13 +37,19 @@ from pyspark.sql import functions as F
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, item_col: str
+    df: DataFrame, group_col: str, item_col: str, min_support: int = 1
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges ``(a, b)`` with ``a < b``:
-    two items are linked when they appear under the same group key.
+    two items are linked when they appear under at least ``min_support``
+    common group keys.
 
-    One shuffle on ``group_col`` for the dedup + self-join (AQE picks the
-    join strategy); one shuffle for the final edge dedup.
+    ``min_support`` is the market-basket noise gate and the *scale
+    control*: on a random co-occurrence graph almost all pairs have
+    support 1, so ``min_support=2`` shrinks the edge set by orders of
+    magnitude before any downstream graph pass — the same role
+    ``max_doc_freq`` plays for n-gram dedup. One shuffle on
+    ``group_col`` for the dedup + self-join (AQE picks the strategy);
+    one shuffle on the pair for the support count (map-side combinable).
     """
     items = df.select(
         F.col(group_col).alias("g"), F.col(item_col).alias("a")
@@ -52,8 +58,10 @@ def cooccurrence_edges(
     return (
         items.join(right, "g")
         .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
         .select("a", "b")
-        .distinct()
     )
 
 
@@ -88,8 +96,15 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     triangle is counted exactly once, and out-degrees are O(sqrt(m)),
     so the two joins below stay balanced even when a stop-item links a
     large fraction of all groups.
+
+    The edge list feeds five consumers (degrees, both orientation
+    joins, the path join, the closing join); without materialization
+    Spark re-executes the upstream pair pipeline per consumer, so the
+    (pruned, small) edge list is localCheckpoint'ed once — the same
+    pattern as the connected-components loop in llmdata/dedup.py.
     """
-    deg = degrees(edges)
+    edges = edges.localCheckpoint()
+    deg = degrees(edges).localCheckpoint()
     da = deg.select(
         F.col("node").alias("a"), F.col("degree").alias("deg_a")
     )

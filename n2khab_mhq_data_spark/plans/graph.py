@@ -24,14 +24,17 @@ from n2khab_mhq_data_spark.operators.graph import (
 from n2khab_mhq_data_spark.operators.linkage import sorted_neighborhood_pairs
 from n2khab_mhq_data_spark.plans import query
 
-# shared oracle CTE: the co-purchase graph — distinct part pairs that
-# share an order (canonical a < b)
+# shared oracle CTE: the support-pruned co-purchase graph — part pairs
+# sharing at least 2 orders (canonical a < b). Support >= 2 is the
+# market-basket noise gate AND the scale control: it prunes the random
+# 1-support pairs (~97% of edges here) before any graph pass.
 _EDGES_SQL = """
     WITH items AS (
       SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
     ), e AS (
-      SELECT DISTINCT i1.a AS a, i2.a AS b
+      SELECT i1.a AS a, i2.a AS b
       FROM items i1 JOIN items i2 ON i1.g = i2.g AND i1.a < i2.a
+      GROUP BY 1, 2 HAVING count(*) >= 2
     )
 """
 
@@ -54,11 +57,12 @@ _DEGREE_SQL = """
     """,
 )
 def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree distribution of the co-purchase graph (parts sharing an
-    order). Pair generation is a self-join co-partitioned on the order
-    key — fan-out bounded by lines-per-order, linear overall."""
+    """Degree distribution of the support-pruned co-purchase graph
+    (parts sharing >= 2 orders). Pair generation is a self-join
+    co-partitioned on the order key — fan-out bounded by lines-per-order;
+    the support gate keeps the edge set sparse."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
     return degree_histogram(edges)
 
 
@@ -89,7 +93,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale); the oracle runs the naive canonical a<b<c enumeration —
     the counts are provably identical."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
     return triangle_stats(edges)
 
 

@@ -30,6 +30,21 @@ def test_cooccurrence_edges_canonical_distinct(spark):
     assert got == [(10, 20)]
 
 
+def test_cooccurrence_min_support_prunes(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20)],
+        "g int, item int",
+    )
+    # support: (10,20)->2, (10,30)->1, (20,30)->1
+    got = sorted(
+        tuple(r)
+        for r in cooccurrence_edges(
+            df, "g", "item", min_support=2
+        ).collect()
+    )
+    assert got == [(10, 20)]
+
+
 def test_triangle_stats_hand_computed(spark):
     # K3 triangle (1,2,3) plus a pendant node 4 attached to 3:
     # degrees 2,2,3,1 -> wedges 1+1+3+0 = 5, triangles 1, cc = 3/5
