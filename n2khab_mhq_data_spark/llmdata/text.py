@@ -273,3 +273,61 @@ def bigram_lm_logprob(
         "n_scored",
         score.alias("mean_logprob"),
     )
+
+
+def hashed_linear_quality(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 512,
+    bias: float = 0.0,
+) -> DataFrame:
+    """Fasttext-style linear quality-classifier scoring: feature-hash the
+    token stream into ``dim`` buckets, mean-pool the per-bucket weights,
+    squash through a sigmoid, threshold at 0.5 — the standard shape of
+    model-based quality filters (CCNet / fasttext LID, Llama-style
+    wiki-ref classifiers) at the scoring stage.
+
+    The weight vector here is a deterministic stand-in
+    (``w_j = ((j * 2654435761 + 12345) mod 2001 - 1000) / 1000``); in
+    production the trained weights arrive as a broadcast array or a
+    ``dim``-row dimension — the plumbing being exercised (hashing,
+    pooling, thresholding) is identical and that is what must scale.
+
+    Scale design: ZERO shuffle — the whole score is one projection of
+    nested higher-order functions (aggregate over the token array, char
+    polynomial hash per token), entirely inside whole-stage codegen; at
+    100 TB this is a map-only pass like P1-P6. The char hash is the
+    portable (acc*31 + ascii) mod 1000003 polynomial shared with the
+    winnowing fingerprints, so a DuckDB oracle can replay it exactly.
+    """
+    toks = tokens(F.col(text_col))
+
+    def tok_bucket(t: Column) -> Column:
+        return (
+            F.aggregate(
+                F.split(t, ""),
+                F.lit(7).cast("long"),
+                lambda acc, c: (acc * F.lit(31) + F.coalesce(F.ascii(c), F.lit(0)))
+                % F.lit(1000003),
+            )
+            % dim
+        )
+
+    def tok_weight(t: Column) -> Column:
+        return (
+            (tok_bucket(t) * F.lit(2654435761) + F.lit(12345)) % F.lit(2001)
+            - F.lit(1000)
+        ).cast("double") / F.lit(1000.0)
+
+    mean_w = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + tok_weight(t)
+    ) / F.size(toks)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(mean_w + F.lit(bias))))
+    from n2khab_mhq_data_spark.functions.scalars import eps_round
+
+    return docs.select(
+        F.col(id_col),
+        eps_round(prob, 6).alias("quality_prob"),
+        (prob >= 0.5).alias("keep"),
+    )

@@ -2106,3 +2106,43 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("sq_err"),
     )
+
+
+@query(
+    "text_quality_classifier",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(w) AS tk FROM t
+    ), h AS (
+      SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(7 AS BIGINT),
+            list_transform(range(1, length(tk) + 1),
+              i -> CAST(ascii(substr(tk, CAST(i AS INTEGER), 1))
+                        AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % 1000003) % 512 AS b
+      FROM tok
+    ), s AS (
+      SELECT doc_id,
+             avg(((b * 2654435761 + 12345) % 2001 - 1000) / 1000.0) AS mw
+      FROM h GROUP BY 1
+    )
+    SELECT doc_id,
+      round((1 / (1 + exp(-mw)))
+            + sign(1 / (1 + exp(-mw))) * 1e-9, 6) AS quality_prob,
+      (1 / (1 + exp(-mw))) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fasttext-style linear quality-classifier scoring: hashed
+    bag-of-words features, mean-pooled deterministic weights, sigmoid,
+    0.5 keep-threshold. Zero shuffle — one codegen'd projection (see
+    llmdata/text.py::hashed_linear_quality)."""
+    from n2khab_mhq_data_spark.llmdata.text import hashed_linear_quality
+
+    docs = load(spark, sf_dir, "documents")
+    return hashed_linear_quality(docs)

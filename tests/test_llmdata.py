@@ -363,3 +363,29 @@ def test_duplicated_runs_merge_adjacent_windows(spark):
     assert runs[1] == (1, 3, 3, 10)
     # doc 2: same region shifted by 2
     assert runs[2] == (3, 5, 3, 10)
+
+
+def test_hashed_linear_quality_matches_python_reference(spark):
+    from n2khab_mhq_data_spark.llmdata.text import hashed_linear_quality
+    import math
+
+    texts = [(1, "alpha beta gamma"), (2, "delta"), (3, "zz zz zz")]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+
+    def bucket(tok):
+        acc = 7
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % 1000003
+        return acc % 512
+
+    def weight(tok):
+        return ((bucket(tok) * 2654435761 + 12345) % 2001 - 1000) / 1000.0
+
+    got = {r.doc_id: (r.quality_prob, r.keep)
+           for r in hashed_linear_quality(df).collect()}
+    for doc_id, text in texts:
+        toks = text.split()
+        mw = sum(weight(t) for t in toks) / len(toks)
+        prob = 1.0 / (1.0 + math.exp(-mw))
+        assert abs(got[doc_id][0] - prob) < 2e-6, (doc_id, got[doc_id], prob)
+        assert got[doc_id][1] == (prob >= 0.5)
