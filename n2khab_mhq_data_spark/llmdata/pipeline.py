@@ -357,3 +357,66 @@ def dsir_logweights(
             F.round(lw + F.signum(lw) * 1e-9, 6).alias("dsir_logweight"),
         )
     )
+
+
+def budget_waterfill(
+    per_group: DataFrame,
+    budget: Column,
+    group_col: str = "source",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Water-filling token-budget allocation: give every group up to a
+    common level L, where L is chosen so allocations sum to ``budget``
+    (groups smaller than L keep everything; bigger groups are capped).
+    This is the classic fair-allocation step of mixture planning — cap
+    the over-represented domains, keep the tails whole.
+
+    Closed form via windows (no iteration): sort groups by size
+    ascending; with prefix sum P_k and k-1 groups already saturated, the
+    candidate level is L_k = (B - P_{k-1}) / (S - k + 1). L_k is
+    feasible iff L_k <= n_k, and the true level is the MAX over feasible
+    candidates (for k past the pivot the candidate only shrinks). One
+    window pass + one tiny self-attach — all on the per-group table,
+    whose grain (number of domains/sources) is planning-table small by
+    construction; the corpus-sized work happened in the upstream
+    aggregation that produced ``per_group``.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("n", "grp")
+    sized = per_group.select(
+        F.col(group_col).alias("grp"),
+        F.col(size_col).cast("double").alias("n"),
+    )
+    ordered = sized.select(
+        "grp",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        (F.sum("n").over(w) - F.col("n")).alias("p_before"),
+        F.count("*").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("s"),
+    )
+    cand = ordered.withColumn(
+        "lk",
+        (budget - F.col("p_before")) / (F.col("s") - F.col("rk") + 1),
+    )
+    level = cand.filter(F.col("lk") <= F.col("n")).agg(
+        F.max("lk").alias("level")
+    )
+    return (
+        cand.crossJoin(F.broadcast(level))
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("bigint").alias(size_col),
+            F.round(F.least(F.col("n"), F.col("level")) + F.lit(1e-9), 6)
+            .alias("allocation"),
+            F.round(
+                F.least(F.col("n"), F.col("level")) / F.col("n")
+                + F.lit(1e-9),
+                6,
+            ).alias("keep_rate"),
+        )
+    )

@@ -603,3 +603,51 @@ def pipeline_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_budget_waterfill",
+    oracle="""
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n
+      FROM documents
+    ), g AS (
+      SELECT source AS grp, CAST(sum(n) AS DOUBLE) AS n FROM t GROUP BY 1
+    ), o AS (
+      SELECT grp, n,
+             row_number() OVER (ORDER BY n, grp) AS rk,
+             sum(n) OVER (ORDER BY n, grp) - n AS p_before,
+             count(*) OVER () AS s,
+             0.5 * sum(n) OVER () AS b
+      FROM g
+    ), c AS (
+      SELECT *, (b - p_before) / (s - rk + 1) AS lk FROM o
+    ), lvl AS (SELECT max(lk) AS level FROM c WHERE lk <= n)
+    SELECT grp AS source, CAST(n AS BIGINT) AS n_tokens,
+           round(least(n, level) + 1e-9, 6) AS allocation,
+           round(least(n, level) / n + 1e-9, 6) AS keep_rate
+    FROM c, lvl
+    """,
+)
+def pipeline_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token-budget allocation across sources at half the
+    corpus token count: over-represented domains are capped at a common
+    level, small domains keep everything (llmdata/pipeline.py::
+    budget_waterfill — closed-form window pass, no iteration; all
+    planning-table work happens after the corpus-sized aggregation)."""
+    from pyspark.sql.window import Window as W
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import budget_waterfill
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    per = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("bigint").alias("n")
+    ).groupBy("source").agg(F.sum("n").alias("n_tokens"))
+    full = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    budget = F.lit(0.5) * F.sum("n").over(full)
+    return budget_waterfill(per, budget, "source", "n_tokens")

@@ -66,3 +66,41 @@ def test_quality_filter_reason_codes(spark):
     assert out[2][0] is False
     assert "too_short" in out[2][1] and "low_stopword" in out[2][1]
     assert out[3] == (False, "puncty")
+
+
+def test_budget_waterfill_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import budget_waterfill
+
+    per = spark.createDataFrame(
+        [("a", 1), ("b", 10), ("c", 10)], "source string, n_tokens long"
+    )
+    out = {
+        r.source: (r.allocation, r.keep_rate)
+        for r in budget_waterfill(
+            per, F.lit(15.0), "source", "n_tokens"
+        ).collect()
+    }
+    # level = (15 - 1) / 2 = 7: 'a' keeps all, b/c capped at 7
+    assert out["a"] == (1.0, 1.0)
+    assert out["b"] == (7.0, 0.7)
+    assert out["c"] == (7.0, 0.7)
+
+
+def test_budget_waterfill_budget_exceeds_total(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import budget_waterfill
+
+    per = spark.createDataFrame(
+        [("a", 4), ("b", 6)], "source string, n_tokens long"
+    )
+    out = {
+        r.source: r.allocation
+        for r in budget_waterfill(
+            per, F.lit(100.0), "source", "n_tokens"
+        ).collect()
+    }
+    # budget above total: every group keeps everything
+    assert out == {"a": 4.0, "b": 6.0}
