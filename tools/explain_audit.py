@@ -126,6 +126,16 @@ EXPECTED: dict[str, set[str]] = {
     # the 4-row PQ codebook broadcasts onto every vector — an n x K
     # map-side cross join bounded by K (the ann_ivf_topk pattern)
     "ann_pq_codes": {"CARTESIAN"},
+    # the three 1-row stat frames (nodes/edges/triangles) combine via
+    # trivially-safe cross joins; edges x degrees and the path/closing
+    # joins are corpus-grain x node-grain equi-joins where SortMergeJoin
+    # is the correct static strategy at scale (neither side is bounded
+    # on a 100 TB graph) — AQE downgrades to broadcast at runtime here
+    # because the min-support-pruned edge list is small
+    "graph_triangle_stats": {"CARTESIAN", "SMJ"},
+    # the 1-row water level broadcasts onto the per-source planning
+    # table — the standard global-statistic attach (see text_tfidf_topk)
+    "pipeline_budget_waterfill": {"CARTESIAN"},
 }
 
 
