@@ -52,3 +52,33 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(
         *[a2.alias(name) for name, (_, a2) in aggs.items()]
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted shuffle join for hot keys when the dim side is too big to
+    broadcast outright: the dim side is replicated ``buckets`` times
+    (explode of a literal salt array), the fact side gets a
+    deterministic row-hash salt, and the join runs on (key, salt) — a
+    hot fact key's rows now land on ``buckets`` different reducers
+    instead of one.
+
+    Cost: dim side grows x``buckets`` (choose buckets so that
+    |dim| x buckets stays shuffle-friendly); the fact side is
+    unchanged. AQE's skew-join split covers most cases at runtime —
+    this operator is for the planned-ahead variant (known-hot keys,
+    deterministic layout, or AQE unavailable mid-stream). The salt is
+    the row hash, not rand(): speculative retries must salt
+    identically.
+    """
+    fact_s = with_salt(fact, buckets)
+    dim_s = dim.withColumn(
+        "__salt",
+        F.explode(F.array(*[F.lit(i).cast("bigint") for i in range(buckets)])),
+    )
+    return fact_s.join(dim_s, on + ["__salt"], how).drop("__salt")

@@ -1252,3 +1252,39 @@ def u4_cycle_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("side", "status")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "skew_salted_join",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+             AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join (operators/skew.py::salted_join): the part
+    dim is replicated 8x with a literal salt, the lineitem fact gets a
+    deterministic row-hash salt, and the join key becomes (partkey,
+    salt) — a hot part's lineitems spread over 8 reducers instead of
+    one. The oracle is the plain join: salting must be invisible in
+    the result."""
+    from n2khab_mhq_data_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), p,
+        ["p_partkey"], buckets=8,
+    )
+    return j.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

@@ -468,3 +468,39 @@ def j10_point_in_polygon_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of paying 1e4 bbox masks per batch. The 1x1-cell layer gives
     the oracle an exact closed form."""
     return point_in_polygon_join(_points(spark, sf_dir), _GRID_POLYGONS_10K)
+
+
+def _zorder_oracle() -> str:
+    from n2khab_mhq_data_spark.spatial.zorder import zvalue_sql
+
+    return f"""
+    WITH p AS (
+      SELECT (c_custkey * 7919 % 1000) / 10.0 + 0.05 AS x,
+             (c_custkey * 104729 % 1000) / 10.0 + 0.05 AS y
+      FROM customer
+    ), c AS (
+      SELECT CAST(floor(x) AS BIGINT) AS cx,
+             CAST(floor(y) AS BIGINT) AS cy, x, y
+      FROM p
+    ), z AS (
+      SELECT ({zvalue_sql('cx', 'cy', 7)}) >> 6 AS zbucket, x, y FROM c
+    )
+    SELECT zbucket, CAST(count(*) AS BIGINT) AS n_points,
+           round(min(x) + 1e-9, 6) AS min_x,
+           round(max(x) + 1e-9, 6) AS max_x,
+           round(min(y) + 1e-9, 6) AS min_y,
+           round(max(y) + 1e-9, 6) AS max_y
+    FROM z GROUP BY 1
+    """
+
+
+@query("spatial_zorder_layout", oracle=_zorder_oracle())
+def spatial_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering layout stats: per z-bucket point
+    count + bbox — the file-level min/max statistics a z-order-sorted
+    writer would produce, which is what makes spatial range predicates
+    prune at 100 TB (spatial/zorder.py; the Delta/Iceberg OPTIMIZE
+    ZORDER analog from plain Column bit arithmetic)."""
+    from n2khab_mhq_data_spark.spatial.zorder import zorder_layout_stats
+
+    return zorder_layout_stats(_points(spark, sf_dir))

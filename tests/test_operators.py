@@ -189,3 +189,32 @@ def test_input_version_pinning(spark, tmp_path):
         ).collect()
     }
     assert fpn["x"] != rows["x"][0] and fpn["y"] == rows["y"][0]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from n2khab_mhq_data_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, v) for v, k in enumerate(["hot"] * 50 + ["a", "b", "c"])],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("a", 2), ("b", 3), ("z", 9)], "k string, attr int"
+    )
+    got = sorted(
+        tuple(r)
+        for r in salted_join(fact, dim, ["k"], buckets=4).collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, ["k"]).collect())
+    assert got == want
+
+    got_l = sorted(
+        tuple(r)
+        for r in salted_join(
+            fact, dim, ["k"], buckets=4, how="left"
+        ).collect()
+    )
+    want_l = sorted(
+        tuple(r) for r in fact.join(dim, ["k"], "left").collect()
+    )
+    assert got_l == want_l

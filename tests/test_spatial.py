@@ -372,3 +372,31 @@ def test_gpb_flag_bits_null_empty_extended():
 
     with pytest.raises(ValueError, match="not a GeoPackage"):
         gpb_to_wkt(b"XX")
+
+
+def test_zvalue_interleave_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.spatial.zorder import zvalue
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (127, 127)], "cx long, cy long"
+    )
+    got = [
+        r.z
+        for r in df.select(
+            zvalue(F.col("cx"), F.col("cy"), 7).alias("z")
+        ).collect()
+    ]
+
+    def morton(x, y):
+        z = 0
+        for i in range(7):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    want = [morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (127, 127)]]
+    assert got == want
+    # z-order locality: adjacent cells differ in few low bits
+    assert morton(1, 0) == 1 and morton(0, 1) == 2 and morton(1, 1) == 3
