@@ -1,0 +1,51 @@
+"""Per-key sequential time-series kernels that plain window frames can't
+express (genuinely recursive state), run as Arrow-batched grouped maps.
+
+EWMA is the canonical example: ``s_t = alpha * v_t + (1-alpha) * s_{t-1}``
+depends on its own previous OUTPUT, which Spark window functions cannot
+reference (the closed form ``alpha * sum((1-alpha)^(t-i) v_i)`` exists
+but needs ``(1-alpha)^{-i}`` prefix factors that overflow doubles after
+~700 rows). So this is one of the few places the repo's UDF policy
+allows Python: an ``applyInPandas`` grouped map — Arrow-batched,
+vectorized inside pandas' C ewm loop, never row-at-a-time.
+
+Scale: one shuffle on the key columns; each key's series is processed
+by exactly one task, so the operator scales with the number of keys
+(time-series cardinality), which is the natural parallelism of the
+problem. A single pathological key with billions of rows would need
+chunked carry-state processing (the transformWithState pattern in
+streaming/sessions.py); batch corpora key series are bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value_col: str,
+    alpha: float = 0.25,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially-weighted moving average per key group, ordered by
+    ``order`` (ties must be broken by the caller's order columns —
+    include a unique id). ``adjust=False`` semantics: ``s_1 = v_1``,
+    then the recurrence above — matching the textbook online form."""
+    import pandas as pd
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(fn, schema)

@@ -688,3 +688,43 @@ def streaming_dedup_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "event_id", "ts", "value"
     )
     return dedup_stream(e, keys=("user_id", "event_type"))
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT user_id, event_id, rn, value AS s FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn,
+             0.25 * o.value + 0.75 * r.s
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           round(s + sign(s) * 1e-9, 6) AS ewma
+    FROM r
+    """,
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA over the event stream (alpha=0.25, adjust=False):
+    genuinely recursive per-key state, so it runs as an Arrow grouped
+    map (operators/timeseries.py::ewma) — one shuffle on user_id,
+    pandas' C ewm loop inside. The oracle replays the recurrence with a
+    recursive CTE, pinning every intermediate smoothed value."""
+    from n2khab_mhq_data_spark.functions.scalars import eps_round
+    from n2khab_mhq_data_spark.operators.timeseries import ewma
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = ewma(e, ["user_id"], ["ts", "event_id"], "value", alpha=0.25)
+    return out.select(
+        "user_id", "event_id", eps_round(F.col("ewma"), 6).alias("ewma")
+    )

@@ -218,3 +218,21 @@ def test_salted_join_equals_plain_join(spark):
         tuple(r) for r in fact.join(dim, ["k"], "left").collect()
     )
     assert got_l == want_l
+
+
+def test_ewma_hand_computed(spark):
+    from n2khab_mhq_data_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [("u", 1, 4.0), ("u", 2, 8.0), ("u", 3, 0.0), ("v", 1, 2.0)],
+        "k string, t int, v double",
+    )
+    got = {
+        (r.k, r.t): r.ewma
+        for r in ewma(df, ["k"], ["t"], "v", alpha=0.5).collect()
+    }
+    # s1=4, s2=.5*8+.5*4=6, s3=.5*0+.5*6=3; v: s1=2
+    assert got[("u", 1)] == 4.0
+    assert got[("u", 2)] == 6.0
+    assert got[("u", 3)] == 3.0
+    assert got[("v", 1)] == 2.0
