@@ -728,3 +728,50 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", eps_round(F.col("ewma"), 6).alias("ewma")
     )
+
+
+@query(
+    "streaming_interval_join_outer",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, ts, event_id AS click_id FROM events
+      WHERE event_type = 'click'
+    ), r AS (
+      SELECT user_id AS r_user_id, ts AS r_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.click_id, r.purchase_id, l.user_id,
+           r.purchase_id IS NULL AS unattributed
+    FROM l LEFT JOIN r
+      ON l.user_id = r.r_user_id
+     AND r.r_ts > l.ts
+     AND r.r_ts <= l.ts + INTERVAL 30 MINUTE
+    """,
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer watermarked interval join — the UNattributed-clicks
+    report: clicks with no purchase inside the window come out
+    null-padded. Under readStream the null-padded rows are emitted when
+    the watermark passes the interval bound (engine-tested in
+    tests/test_streaming.py::test_interval_join_left_outer_emits_unmatched);
+    batch mode, as here, emits them immediately."""
+    from n2khab_mhq_data_spark.streaming.incremental import (
+        interval_join_stream,
+    )
+
+    e = load(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = interval_join_stream(left, right, how="left_outer")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.col("purchase_id").isNull().alias("unattributed"),
+    )

@@ -120,6 +120,7 @@ def interval_join_stream(
     right_ts: str = "r_ts",
     max_delay: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: each left event pairs with
     right events for the same key that happened in (left_ts, left_ts +
@@ -127,7 +128,13 @@ def interval_join_stream(
     watermarked so the state store can expire buffered rows once the
     watermark passes the interval bound (without it, stream-stream join
     state grows forever). Works identically on batch DataFrames, which is
-    how the oracle checks it."""
+    how the oracle checks it.
+
+    ``how="left_outer"`` adds the unattributed-clicks shape: a left event
+    with no right match is emitted null-padded once the watermark passes
+    its interval bound (batch mode emits it immediately). The event-time
+    bound in the join condition is what makes outer emission decidable —
+    without it Spark rejects the outer stream-stream join."""
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     cond = (
@@ -138,7 +145,7 @@ def interval_join_stream(
             <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)
 
 
 def dedup_stream(

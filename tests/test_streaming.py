@@ -410,3 +410,73 @@ def test_dedup_stream_batch_contract(spark):
         for r in dedup_stream(df).collect()
     }
     assert got == {(1, "click"): 2, (2, "view"): 9}
+
+
+def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
+    """left_outer: the unattributed click must come out null-padded once
+    the watermark passes its interval bound. A far-future flush event on
+    both sides drives the watermark forward so eviction is observable
+    under availableNow."""
+    from n2khab_mhq_data_spark.streaming.incremental import (
+        interval_join_stream,
+    )
+
+    lsrc, rsrc = tmp_path / "clicks", tmp_path / "buys"
+    ckpt = tmp_path / "ljckpt"
+    lschema = "user_id bigint, ts timestamp, click_id bigint"
+    rschema = "r_user_id bigint, r_ts timestamp, purchase_id bigint"
+    clicks = [
+        (1, "2024-01-01 10:00:00", 100),   # matched
+        (2, "2024-01-01 10:00:00", 102),   # unmatched -> null-padded
+        (99, "2024-03-01 00:00:00", 999),  # watermark flush
+    ]
+    buys = [
+        (1, "2024-01-01 10:20:00", 900),
+        (98, "2024-03-01 00:00:00", 998),  # watermark flush
+    ]
+    spark.createDataFrame(
+        clicks, "user_id bigint, ts string, click_id bigint"
+    ).selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) ts", "click_id"
+    ).write.parquet(str(lsrc))
+    spark.createDataFrame(
+        buys, "r_user_id bigint, r_ts string, purchase_id bigint"
+    ).selectExpr(
+        "r_user_id", "CAST(r_ts AS TIMESTAMP) r_ts", "purchase_id"
+    ).write.parquet(str(rsrc))
+
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join_stream(
+            spark.read.parquet(str(lsrc)),
+            spark.read.parquet(str(rsrc)),
+            how="left_outer",
+        ).collect()
+    }
+    assert batch == {(100, 900), (102, None), (999, None), (998, None)} - {
+        (998, None)
+    }
+
+    q = (
+        interval_join_stream(
+            spark.readStream.schema(lschema).parquet(str(lsrc)),
+            spark.readStream.schema(rschema).parquet(str(rsrc)),
+            how="left_outer",
+        )
+        .writeStream.format("memory")
+        .queryName("lij")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM lij").collect()
+    }
+    # the matched pair and the watermark-expired unmatched click must be
+    # out; the flush click (999) itself may still be buffered — that is
+    # watermark semantics, not data loss
+    assert (100, 900) in streamed
+    assert (102, None) in streamed
