@@ -1288,3 +1288,55 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "audit_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]')
+                  AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS DOUBLE) AS total
+      FROM d GROUP BY 1
+    )
+    SELECT digit, n,
+           round(n / total + 1e-9, 6) AS obs_frac,
+           round(log10(1.0 + 1.0 / digit) + 1e-9, 6) AS exp_frac,
+           round(power(n / total - log10(1.0 + 1.0 / digit), 2)
+                 / log10(1.0 + 1.0 / digit) + 1e-9, 6) AS chi2_term
+    FROM c
+    """,
+)
+def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fabricated-data screen (completes the §5 audit family next to
+    completeness / grain / pinning). Leading digit via string regexp —
+    no log10-boundary knife edges — then observed vs log10(1 + 1/d)
+    with per-digit chi-square contributions. One groupBy on a 9-value
+    key; the global total attaches via a 9-row window, not a collect."""
+    from pyspark.sql.window import Window as W
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.regexp_extract(
+            F.col("o_totalprice").cast("string"), "[1-9]", 0
+        ).cast("int").alias("digit")
+    )
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    c = d.groupBy("digit").agg(F.count("*").cast("long").alias("n")).select(
+        "digit", "n", F.sum("n").over(full).cast("double").alias("total")
+    )
+    obs = F.col("n") / F.col("total")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.select(
+        "digit",
+        "n",
+        F.round(obs + F.lit(1e-9), 6).alias("obs_frac"),
+        F.round(exp + F.lit(1e-9), 6).alias("exp_frac"),
+        F.round(F.pow(obs - exp, 2) / exp + F.lit(1e-9), 6).alias(
+            "chi2_term"
+        ),
+    )

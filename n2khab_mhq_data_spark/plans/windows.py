@@ -775,3 +775,49 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         F.col("purchase_id").isNull().alias("unattributed"),
     )
+
+
+@query(
+    "scd2_user_status",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), ch AS (
+      SELECT user_id, event_type, event_id, ts AS valid_from FROM o
+      WHERE prev IS DISTINCT FROM event_type
+    )
+    SELECT user_id, event_type AS status, event_id, valid_from,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) AS valid_to,
+           lead(valid_from) OVER (
+             PARTITION BY user_id ORDER BY valid_from, event_id
+           ) IS NULL AS is_current
+    FROM ch
+    """,
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity intervals over each user's event-type stream:
+    consecutive same-status events collapse, each surviving row carries
+    [valid_from, valid_to) and an is_current flag
+    (operators/scd.py::scd2_history — two windows over ONE key
+    partitioning)."""
+    from n2khab_mhq_data_spark.operators.scd import scd2_history
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = scd2_history(
+        e, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "event_id",
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

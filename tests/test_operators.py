@@ -236,3 +236,34 @@ def test_ewma_hand_computed(spark):
     assert got[("u", 2)] == 6.0
     assert got[("u", 3)] == 3.0
     assert got[("v", 1)] == 2.0
+
+
+def test_scd2_history_collapses_noop_changes(spark):
+    from n2khab_mhq_data_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(
+        [
+            ("k", "a", 1, 10),
+            ("k", "a", 2, 11),   # no-op -> collapsed
+            ("k", "b", 3, 12),
+            ("k", "a", 4, 13),   # back to a -> NEW interval
+            ("x", None, 1, 14),  # null state must survive null-safe lag
+            ("x", "c", 2, 15),
+        ],
+        "k string, state string, ts int, eid int",
+    )
+    out = scd2_history(df, ["k"], ["state"], "ts", ["eid"])
+    rows = sorted(
+        (
+            (r.k, r.state or "", r.valid_from),
+            (r.k, r.state, r.valid_from, r.valid_to, r.is_current),
+        )
+        for r in out.collect()
+    )
+    assert [r[1] for r in rows] == [
+        ("k", "a", 1, 3, False),
+        ("k", "a", 4, None, True),
+        ("k", "b", 3, 4, False),
+        ("x", None, 1, 2, False),
+        ("x", "c", 2, None, True),
+    ]
