@@ -651,3 +651,34 @@ def pipeline_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budget = F.lit(0.5) * F.sum("n").over(full)
     return budget_waterfill(per, budget, "source", "n_tokens")
+
+
+@query(
+    "pipeline_stratified_exact_n",
+    oracle="""
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 131071 + 524287) % 1000003, doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def pipeline_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: exactly min(5, |group|) docs per
+    source, selected by deterministic hash order (not rate-based like
+    pipeline_stratified_sample — eval sets need exact per-class counts).
+    One window per source partition; the hash order makes retries and
+    re-runs pick identical rows."""
+    from pyspark.sql.window import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * 131071 + 524287, F.lit(1000003))
+    w = W.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )

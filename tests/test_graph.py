@@ -117,3 +117,41 @@ def test_sorted_neighborhood_canonical_dedup(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.id1, r.id2, r.key1, r.key2, r.lev_dist) == (1, 2, "aa", "ab", 1)
+
+
+def test_triangle_stats_random_graphs_vs_python(spark):
+    """Seeded random graphs: the degree-oriented distributed count must
+    equal a brute-force pure-python enumeration."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        edges = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(30)
+                )
+                if a != b
+            }
+        )
+        eset = set(edges)
+        want_tri = sum(
+            1
+            for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in eset and (b, c) in eset and (a, c) in eset
+        )
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        want_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+        e = spark.createDataFrame(edges, "a int, b int")
+        row = triangle_stats(e).collect()[0]
+        assert row.n_triangles == want_tri, (trial, edges)
+        assert row.n_wedges == want_wedges
+        assert row.n_edges == len(edges)
+        assert row.n_nodes == len(deg)
