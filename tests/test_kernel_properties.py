@@ -186,3 +186,56 @@ def test_cdc_chunk_invariants(raw, params):
     assert all(ln <= mx for _, ln, _ in chunks)
     assert all(ln >= mn for _, ln, _ in chunks[:-1])
     assert chunks == cdc_chunk_one(raw, mask, mn, mx)
+
+
+# --- record linkage invariants ------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+keys = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=102),
+    min_size=0,
+    max_size=6,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(keys, min_size=2, max_size=10, unique=True))
+def test_sorted_neighborhood_invariants(spark, ks):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, k, i % 3) for i, k in enumerate(ks)]
+    df = spark.createDataFrame(rows, "id int, key string, blk int")
+    blocks = [F.col("blk"), F.lit(99)]  # pass 2: everything one block
+    out = sorted_neighborhood_pairs(
+        df, "id", "key", blocks, window=3, max_dist=2
+    ).collect()
+    by_id = dict((i, k) for i, k, _ in rows)
+    seen = set()
+    for r in out:
+        assert r.id1 < r.id2
+        assert (r.key1, r.key2) == (by_id[r.id1], by_id[r.id2])
+        assert r.lev_dist == _lev(r.key1, r.key2) <= 2
+        assert (r.id1, r.id2) not in seen  # distinct output
+        seen.add((r.id1, r.id2))
+    # completeness within the single-block pass: adjacent-in-sorted-order
+    # keys with lev <= 2 MUST be found (window=3 covers distance 1 and 2)
+    by_key = sorted((k, i) for i, k, _ in rows)
+    for (k1, i1), (k2, i2) in zip(by_key, by_key[1:]):
+        if _lev(k1, k2) <= 2:
+            assert (min(i1, i2), max(i1, i2)) in seen, (k1, k2)
