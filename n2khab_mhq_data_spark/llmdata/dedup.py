@@ -658,3 +658,54 @@ def duplicated_runs(
             .alias("run_tokens"),
         )
     )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    min_jaccard: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Per-Jaccard-bin recall of the banded-LSH candidate generator
+    against exact n-gram Jaccard ground truth: ``(bin, n_pairs,
+    n_captured, recall)`` for true pairs above ``min_jaccard``.
+
+    This is the threshold-tuning audit run before trusting an LSH
+    config on a new corpus: the banding s-curve says a pair at Jaccard
+    j survives with prob 1-(1-j^r)^b, so with r=2/b=32 everything
+    above 0.6 must be captured (miss prob <= (1-0.36)^32 ~ 6e-7) —
+    the audit proves the deployed signature/banding code actually
+    delivers that, per bin, on real data.
+
+    Ground truth is the exact gram self-join — quadratic on stop-grams,
+    so at 100 TB this audit runs on a hash-sampled slice (the recall
+    estimate needs only enough pairs per bin), exactly like
+    ann_recall_at_10's brute-force leg.
+    """
+    truth = ngram_jaccard_pairs(df, text_col, id_col, k, threshold=min_jaccard)
+    sh = shingle_table(df, text_col, id_col, k)
+    cand = minhash_lsh_candidates(
+        minhash_signatures(sh, num_hashes), num_hashes, bands
+    ).withColumn("hit", F.lit(1))
+    return (
+        truth.withColumn("bin", F.floor(F.col("jaccard") * 10) / 10)
+        .join(cand, ["d1", "d2"], "left")
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_captured"),
+        )
+        .select(
+            "bin",
+            "n_pairs",
+            "n_captured",
+            F.round(
+                F.col("n_captured").cast("double") / F.col("n_pairs"), 6
+            ).alias("recall"),
+        )
+    )

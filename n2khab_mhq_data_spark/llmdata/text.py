@@ -331,3 +331,102 @@ def hashed_linear_quality(
         eps_round(prob, 6).alias("quality_prob"),
         (prob >= 0.5).alias("keep"),
     )
+
+
+def word_frequency(df: DataFrame, text_col: str) -> DataFrame:
+    """Corpus word-frequency table ``(w, wc)`` — ONE shuffle on the word
+    (map-side combinable count). This is the standard scale reduction
+    for tokenizer training: the corpus may be 100 TB but its distinct
+    word vocabulary is bounded (Heaps' law), so everything downstream
+    (pair counts, BPE merges) runs on the aggregated table, never the
+    raw text again."""
+    return (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
+
+
+def bpe_pair_counts(wf: DataFrame) -> DataFrame:
+    """Adjacent character-pair counts over the word-frequency table
+    ``(w, wc)`` — iteration 0 of byte-pair-encoding training, weighted
+    by word frequency. Pure Column expressions (transform over a
+    sequence of substrings): JVM-side, no UDF; one shuffle on the pair
+    key."""
+    return (
+        wf.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int = 5,
+    max_vocab: int = 10000,
+) -> list[tuple[int, str, str, int]]:
+    """Greedy BPE merge training: ``num_merges`` rounds of
+    (rank, left_symbol, right_symbol, pair_count), most-frequent pair
+    first, ties broken lexicographically (deterministic).
+
+    Scale split: the CLUSTER does the one expensive pass — word counts
+    over the full corpus (``word_frequency``) capped to the
+    ``max_vocab`` most frequent words (deterministic count-desc/word-asc
+    top-k, a TakeOrderedAndProject) — and the DRIVER runs the
+    inherently sequential merge loop over that bounded table, exactly
+    how production tokenizer trainers (HF tokenizers, sentencepiece)
+    structure it. The collect is bounded by ``max_vocab`` rows, the
+    same contract as the k-means K*dim partials in
+    llmdata/similarity.py."""
+    wf = (
+        word_frequency(df, text_col)
+        .orderBy(F.col("wc").desc(), F.col("w"))
+        .limit(max_vocab)
+        .collect()
+    )
+    vocab: list[tuple[list[str], int]] = [
+        (list(r["w"]), int(r["wc"])) for r in wf
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, wc in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, n))
+        merged = a + b
+        new_vocab: list[tuple[list[str], int]] = []
+        for syms, wc in vocab:
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab.append((out, wc))
+        vocab = new_vocab
+    return merges

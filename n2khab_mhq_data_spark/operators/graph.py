@@ -154,3 +154,51 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             6,
         ).alias("global_cc"),
     )
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:
+    """PageRank over an undirected ``(a, b)`` edge list (each edge walked
+    in both directions), fixed ``iters`` power iterations with uniform
+    1/n initialization — the importance ranking a curation pipeline uses
+    to pick canonical representatives inside near-dup components (keep
+    the best-connected doc) or to weight hub items in a co-purchase
+    graph.
+
+    Scale design (100 TB): the classic Spark PageRank shape —
+    ``de`` (directed edge list) and per-source out-degree are built once
+    and localCheckpoint'ed, so every iteration is ONE shuffle: join
+    current ranks to the edge list on ``src`` (both sides hash-partition
+    on the same key, and AQE reuses the exchange), then groupBy ``dst``
+    with a map-side-combinable sum. No driver-side state beyond the
+    node-count scalar (one long). Undirected edges mean every node has
+    degree >= 1, so there is no dangling-mass term to redistribute.
+    Convergence-by-tolerance would add a per-iteration driver sync;
+    fixed iteration count keeps the job a static DAG.
+    """
+    de = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = de.groupBy("src").agg(F.count("*").alias("d"))
+    # edge list + out-degree, reused by every iteration
+    adj = de.join(deg, "src").localCheckpoint()
+    n = deg.count()  # bounded driver scalar (one long), like k-means K*dim
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
+    )
+    for _ in range(iters):
+        contribs = adj.join(
+            ranks, adj["src"] == ranks["node"]
+        ).select("dst", (F.col("r") / F.col("d")).alias("c"))
+        ranks = contribs.groupBy("dst").agg(
+            (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias(
+                "r"
+            )
+        ).select(F.col("dst").alias("node"), "r")
+    # +1e-12 nudge keeps engine-order float sums from flipping a half-ulp
+    # rounding boundary between Spark and the oracle (same convention as
+    # the jaccard queries)
+    return ranks.select(
+        "node", F.round(F.col("r") + F.lit(1e-12), 6).alias("pagerank")
+    )

@@ -146,3 +146,45 @@ def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2", "key1", "key2",
         F.col("lev_dist").cast("int").alias("lev_dist"),
     )
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-iteration SQL: r_{k+1}(v) = (1-d)/n +
+    d * sum_{u->v} r_k(u)/deg(u). One CTE per iteration."""
+    body = _EDGES_SQL + """
+    , de AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+    ), deg AS (
+      SELECT src, count(*) AS d FROM de GROUP BY src
+    ), nn AS (SELECT count(*) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM nn) AS r FROM deg)
+    """
+    for k in range(iters):
+        body += f""", r{k + 1} AS (
+      SELECT de.dst AS node,
+             {1.0 - damping} / (SELECT n FROM nn)
+             + {damping} * sum(r{k}.r / deg.d) AS r
+      FROM de
+      JOIN deg ON deg.src = de.src
+      JOIN r{k} ON r{k}.node = de.src
+      GROUP BY de.dst
+    )
+    """
+    return body + f"""
+    SELECT node, round(r + 1e-12, 6) AS pagerank FROM r{iters}
+    """
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed power iterations, d=0.85) over the
+    support-pruned co-purchase graph — hub scoring for canonical-doc
+    selection / item weighting. Spark side iterates ONE shuffle per
+    round over a checkpointed edge+degree list (operators/graph.py:
+    pagerank); the oracle unrolls the same three iterations as CTEs."""
+    from n2khab_mhq_data_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return pagerank(edges, iters=3, damping=0.85)

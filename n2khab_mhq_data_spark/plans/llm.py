@@ -2146,3 +2146,99 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return hashed_linear_quality(docs)
+
+
+_LSH_RECALL_SQL = (
+    _SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc AS d1, b.doc AS d2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc < b.doc
+      GROUP BY 1, 2
+    ), jac AS (
+      SELECT round(inter * 1.0 / (s1.n + s2.n - inter) + 1e-9, 6) AS j
+      FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+      WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.6
+    )
+    SELECT floor(j * 10) / 10 AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) AS BIGINT) AS n_captured,
+           CAST(1.0 AS DOUBLE) AS recall
+    FROM jac GROUP BY 1
+    """
+)
+
+
+@query("dedup_lsh_recall_audit", oracle=_LSH_RECALL_SQL)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH recall audit per true-Jaccard bin (llmdata/dedup.py::
+    lsh_recall_audit). Above Jaccard 0.6 the r=2/b=32 s-curve misses a
+    pair with prob <= 6e-7, so the oracle asserts EXACT full recall per
+    bin — a differential test that the deployed signature + banding
+    code delivers the theoretical capture rate on real data."""
+    from n2khab_mhq_data_spark.llmdata.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        k=3, min_jaccard=0.6, num_hashes=64, bands=32,
+    )
+
+
+_BPE_PAIRS_SQL = r"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ), wf AS (
+      SELECT w, count(*) AS wc FROM words WHERE length(w) > 0 GROUP BY w
+    ), pr AS (
+      SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+      FROM wf, unnest(range(1, length(w))) AS t(i)
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+    FROM pr GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@query("text_bpe_pairs", oracle=_BPE_PAIRS_SQL)
+def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs weighted by corpus word frequency
+    — BPE-training iteration 0 (llmdata/text.py::bpe_pair_counts). The
+    corpus collapses to its word-frequency table first (one shuffle),
+    so pair counting runs on the bounded vocabulary, not the raw text;
+    top-20 is a TakeOrderedAndProject with a deterministic
+    (count desc, pair) tie-break."""
+    from n2khab_mhq_data_spark.llmdata.text import (
+        bpe_pair_counts,
+        word_frequency,
+    )
+
+    wf = word_frequency(load(spark, sf_dir, "documents"), "text")
+    return (
+        bpe_pair_counts(wf)
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+@query("text_bpe_merges")  # iterative greedy merges: no SQL oracle —
+# rows-only driver check; the merge loop is hand-verified in
+# tests/test_llmdata.py::test_bpe_train_hand_computed
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 8 BPE merges over the documents corpus (llmdata/text.py::
+    bpe_train): cluster aggregates the word-frequency table, the driver
+    runs the inherently sequential greedy merge loop over that bounded
+    vocabulary (the sentencepiece/HF-tokenizers split). Deterministic:
+    ties break lexicographically."""
+    from n2khab_mhq_data_spark.llmdata.text import bpe_train
+
+    merges = bpe_train(
+        load(spark, sf_dir, "documents"), "text", num_merges=8,
+        max_vocab=10000,
+    )
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, n bigint"
+    )

@@ -155,3 +155,35 @@ def test_triangle_stats_random_graphs_vs_python(spark):
         assert row.n_wedges == want_wedges
         assert row.n_edges == len(edges)
         assert row.n_nodes == len(deg)
+
+
+def test_pagerank_hand_computed_one_iteration(spark):
+    from n2khab_mhq_data_spark.operators.graph import pagerank
+
+    # path graph 1-2-3: deg(1)=deg(3)=1, deg(2)=2; r0 = 1/3 each.
+    # r1(1) = 0.15/3 + 0.85*(r0(2)/2)       = 0.191667
+    # r1(2) = 0.15/3 + 0.85*(r0(1)+r0(3))   = 0.616667
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(
+            _edges(spark, [(1, 2), (2, 3)]), iters=1
+        ).collect()
+    }
+    assert abs(got[1] - 0.191667) < 1e-6
+    assert abs(got[2] - 0.616667) < 1e-6
+    assert abs(got[3] - 0.191667) < 1e-6
+
+
+def test_pagerank_mass_conserved_and_symmetry(spark):
+    from n2khab_mhq_data_spark.operators.graph import pagerank
+
+    # star + tail: mass sums to 1 after any iteration count (no dangling
+    # nodes in an undirected graph), symmetric leaves tie exactly
+    rows = pagerank(
+        _edges(spark, [(1, 2), (1, 3), (1, 4), (4, 5)]), iters=3
+    ).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-5
+    got = {r["node"]: r["pagerank"] for r in rows}
+    assert got[2] == got[3]  # symmetric leaves of the star
+    assert got[1] > got[4] > got[5]  # hub > bridge > tail leaf

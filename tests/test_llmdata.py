@@ -389,3 +389,48 @@ def test_hashed_linear_quality_matches_python_reference(spark):
         prob = 1.0 / (1.0 + math.exp(-mw))
         assert abs(got[doc_id][0] - prob) < 2e-6, (doc_id, got[doc_id], prob)
         assert got[doc_id][1] == (prob >= 0.5)
+
+
+def test_bpe_train_hand_computed(spark):
+    from n2khab_mhq_data_spark.llmdata.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id int, text string"
+    )
+    # vocab: aaab x2, ab x1
+    # round 0: (a,a) = 2 per 'aaab' * 2 = 4; (a,b) = 2 + 1 = 3 -> merge (a,a)
+    # round 1: words [aa,a,b]x2 [a,b]x1: (aa,a)=2, (a,b)=3 -> merge (a,b)
+    # round 2: words [aa,ab]x2 [ab]x1: (aa,ab)=2 -> merge (aa,ab)
+    assert bpe_train(docs, "text", num_merges=5) == [
+        (0, "a", "a", 4),
+        (1, "a", "b", 3),
+        (2, "aa", "ab", 2),
+    ]
+
+
+def test_bpe_train_lexicographic_tie_break(spark):
+    from n2khab_mhq_data_spark.llmdata.text import bpe_train
+
+    # 'xy' and 'ab' both count 1 -> ties break lexicographically: (a,b)
+    docs = spark.createDataFrame([(1, "xy ab")], "doc_id int, text string")
+    merges = bpe_train(docs, "text", num_merges=1)
+    assert merges == [(0, "a", "b", 1)]
+
+
+def test_lsh_recall_audit_full_recall_on_planted_dups(spark):
+    from n2khab_mhq_data_spark.llmdata.dedup import lsh_recall_audit
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),  # near-dup of 1 (high jaccard)
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = lsh_recall_audit(docs, "text", "doc_id", min_jaccard=0.6).collect()
+    assert len(rows) >= 1
+    for r in rows:
+        assert r["n_captured"] == r["n_pairs"]  # s-curve guarantee
+        assert r["recall"] == 1.0
