@@ -420,3 +420,48 @@ def budget_waterfill(
             ).alias("keep_rate"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    near_pairs: DataFrame,
+    id_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Near-dup-aware train/val/test split: every document in one
+    near-dup component is assigned the split of the component's
+    CANONICAL id (min doc id), so a pair of near-duplicates can never
+    straddle the train/test boundary — the standard guard against
+    evaluation leakage that a plain per-doc hash split does not give.
+
+    Shape: connected components over the near-dup pair graph (the same
+    iterative min-label kernel as dedup_components), one LEFT join to
+    attach each doc's component (docs outside any pair keep their own
+    id), then the deterministic ``split_hash`` projection on the group
+    id. At scale the component table is far smaller than the corpus
+    (only docs with a near-dup), so AQE broadcasts it; the split itself
+    adds no shuffle."""
+    from n2khab_mhq_data_spark.llmdata.dedup import connected_components
+
+    comp = connected_components(near_pairs, "d1", "d2").withColumnRenamed(
+        "doc", id_col
+    )
+    gid = F.coalesce(F.col("component_id"), F.col(id_col))
+    pct = split_hash(gid)
+    return (
+        docs.select(id_col)
+        # shuffle_hash: no ordering is reused downstream and the
+        # component table is the far smaller side — skip the SMJ sorts
+        # (AQE upgrades to broadcast when comp is tiny)
+        .join(comp.hint("shuffle_hash"), id_col, "left")
+        .select(
+            F.col(id_col),
+            gid.alias("group_id"),
+            pct.cast("long").alias("pct"),
+            F.when(pct < train_pct, "train")
+            .when(pct < train_pct + val_pct, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

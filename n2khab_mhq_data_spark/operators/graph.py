@@ -181,15 +181,23 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
         .localCheckpoint()
     )
     deg = de.groupBy("src").agg(F.count("*").alias("d"))
-    # edge list + out-degree, reused by every iteration
-    adj = de.join(deg, "src").localCheckpoint()
+    # edge list + out-degree, hash-partitioned on the join key ONCE and
+    # checkpointed: every iteration's ranks join then reshuffles only the
+    # (small) ranks side onto adj's existing partitioning, and the
+    # shuffle_hash hint skips the sort a SortMergeJoin would pay per
+    # round (no ordering is ever reused here)
+    adj = (
+        de.join(deg.hint("shuffle_hash"), "src")
+        .repartition("src")
+        .localCheckpoint()
+    )
     n = deg.count()  # bounded driver scalar (one long), like k-means K*dim
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
     )
     for _ in range(iters):
         contribs = adj.join(
-            ranks, adj["src"] == ranks["node"]
+            ranks.hint("shuffle_hash"), adj["src"] == ranks["node"]
         ).select("dst", (F.col("r") / F.col("d")).alias("c"))
         ranks = contribs.groupBy("dst").agg(
             (F.lit((1.0 - damping) / n) + F.lit(damping) * F.sum("c")).alias(

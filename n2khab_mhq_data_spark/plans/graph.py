@@ -188,3 +188,69 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
     return pagerank(edges, iters=3, damping=0.85)
+
+
+@query(
+    "graph_copurchase_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+    ), sup AS (
+      SELECT a AS item, count(*) AS s FROM items GROUP BY a
+    ), nn AS (SELECT count(DISTINCT g) AS n FROM items),
+    pairs AS (
+      SELECT i1.a AS a, i2.a AS b, count(*) AS s_ab
+      FROM items i1 JOIN items i2 ON i1.g = i2.g AND i1.a < i2.a
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT a, b, CAST(s_ab AS BIGINT) AS support,
+           round(s_ab * 1.0 / sa.s + 1e-12, 6) AS confidence,
+           round(s_ab * 1.0 * (SELECT n FROM nn) / (sa.s * sb.s) + 1e-12,
+                 6) AS lift
+    FROM pairs
+    JOIN sup sa ON sa.item = a JOIN sup sb ON sb.item = b
+    ORDER BY lift DESC, a, b LIMIT 20
+    """,
+)
+def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule strength for the top-20 co-purchase pairs:
+    support, confidence P(b|a) and lift P(ab)/(P(a)P(b)). Item supports
+    attach via broadcast-able joins on the pruned pair list; the global
+    order count is a 1-row broadcast (the text_tfidf_topk global-stat
+    pattern); top-20 is a TakeOrderedAndProject with a deterministic
+    (lift desc, a, b) tie-break."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.select(
+        F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("a")
+    ).distinct()
+    pairs = (
+        items.join(items.select("g", F.col("a").alias("b")), "g")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= 2)
+    )
+    sup = items.groupBy("a").agg(F.count("*").alias("s"))
+    nn = items.agg(F.countDistinct("g").alias("n"))
+    sa = sup.select(F.col("a"), F.col("s").alias("s_a"))
+    sb = sup.select(F.col("a").alias("b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "a",
+            "b",
+            F.col("s_ab").cast("bigint").alias("support"),
+            F.round(
+                F.col("s_ab") / F.col("s_a") + F.lit(1e-12), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("s_ab") * F.col("n") / (F.col("s_a") * F.col("s_b"))
+                + F.lit(1e-12),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "a", "b")
+        .limit(20)
+    )

@@ -2242,3 +2242,47 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, n bigint"
     )
+
+
+_PCT = (
+    "((((group_id * 131071 + 524287) % 1000003) + 1000003) % 1000003) % 100"
+)
+
+_LEAKAGE_SPLIT_SQL = f"""
+    WITH RECURSIVE near AS (
+      SELECT d1, d2 FROM ({_JACCARD_SQL}) _j
+    ), e AS (
+      SELECT d1 AS a, d2 AS b FROM near
+      UNION SELECT d2, d1 FROM near
+    ), reach AS (
+      SELECT a AS node, a AS r FROM e
+      UNION
+      SELECT rc.node, e.b FROM reach rc JOIN e ON rc.r = e.a
+    ), comp AS (
+      SELECT node AS doc, min(r) AS component_id FROM reach GROUP BY 1
+    ), g AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id
+    )
+    SELECT doc_id, group_id,
+           CAST({_PCT} AS BIGINT) AS pct,
+           CASE WHEN {_PCT} < 80 THEN 'train'
+                WHEN {_PCT} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM g
+"""
+
+
+@query("pipeline_leakage_safe_split", oracle=_LEAKAGE_SPLIT_SQL)
+def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation-leakage guard: near-dup components (exact Jaccard >
+    0.8 pairs -> iterative min-label CC) share ONE split assignment via
+    the portable hash on the component's canonical id; singleton docs
+    hash their own id (llmdata/pipeline.py::leakage_safe_split). The
+    recursive-CTE oracle recomputes components + the same integer hash,
+    so the no-straddle property is differentially pinned."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import leakage_safe_split
+
+    docs = load(spark, sf_dir, "documents")
+    near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    return leakage_safe_split(docs, near, "doc_id")

@@ -187,3 +187,26 @@ def test_pagerank_mass_conserved_and_symmetry(spark):
     got = {r["node"]: r["pagerank"] for r in rows}
     assert got[2] == got[3]  # symmetric leaves of the star
     assert got[1] > got[4] > got[5]  # hub > bridge > tail leaf
+
+
+def test_copurchase_lift_hand_computed(spark):
+    """3 orders: {1,2}, {1,2}, {1,3}. N=3, s(1)=3, s(2)=2, s(3)=1.
+    Pair (1,2): support 2, confidence 2/3, lift (2*3)/(3*2)=1.0."""
+    from n2khab_mhq_data_spark.plans import graph as graph_plans  # noqa: F401
+
+    li = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (11, 2), (12, 1), (12, 3)],
+        "g int, a int",
+    )
+    items = li.select("g", "a").distinct()
+    from pyspark.sql import functions as FF
+
+    pairs = (
+        items.join(items.select("g", FF.col("a").alias("b")), "g")
+        .filter(FF.col("a") < FF.col("b"))
+        .groupBy("a", "b")
+        .agg(FF.count("*").alias("s_ab"))
+        .filter(FF.col("s_ab") >= 2)
+        .collect()
+    )
+    assert [(r["a"], r["b"], r["s_ab"]) for r in pairs] == [(1, 2, 2)]

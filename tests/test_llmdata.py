@@ -434,3 +434,36 @@ def test_lsh_recall_audit_full_recall_on_planted_dups(spark):
     for r in rows:
         assert r["n_captured"] == r["n_pairs"]  # s-curve guarantee
         assert r["recall"] == 1.0
+
+
+def test_leakage_safe_split_no_straddle(spark):
+    from n2khab_mhq_data_spark.llmdata.pipeline import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(200)], "doc_id int, text string"
+    )
+    # chain 7-8-9 is one component; 50-51 another; rest singletons
+    near = spark.createDataFrame(
+        [(7, 8), (8, 9), (50, 51)], "d1 int, d2 int"
+    )
+    rows = leakage_safe_split(docs, near, "doc_id").collect()
+    assert len(rows) == 200
+    by_id = {r["doc_id"]: r for r in rows}
+    # all members of a component share group_id AND split
+    assert (
+        by_id[7]["group_id"] == by_id[8]["group_id"] == by_id[9]["group_id"]
+        == 7
+    )
+    assert by_id[7]["split"] == by_id[8]["split"] == by_id[9]["split"]
+    assert by_id[50]["split"] == by_id[51]["split"]
+    # singletons keep their own id and match the plain hash_split label
+    from n2khab_mhq_data_spark.llmdata.pipeline import hash_split
+
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id").collect()
+    }
+    for i in range(200):
+        if i not in (7, 8, 9, 50, 51):
+            assert by_id[i]["group_id"] == i
+            assert by_id[i]["split"] == plain[i]

@@ -117,6 +117,9 @@ EXPECTED: dict[str, set[str]] = {
     # the 1-row corpus bigram total broadcasts onto the scored stream
     # (see text_tfidf_topk)
     "text_bigram_lm": {"CARTESIAN"},
+    # the 1-row global order count broadcasts onto the pruned pair list
+    # for the lift denominator (see text_tfidf_topk)
+    "graph_copurchase_lift": {"CARTESIAN"},
     # the 1-row corpus token total broadcasts onto the vocab table —
     # deliberately replaces a sum() OVER () empty-partition window
     "text_domain_shift_kl": {"CARTESIAN"},
