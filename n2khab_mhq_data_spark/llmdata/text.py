@@ -430,3 +430,62 @@ def bpe_train(
             new_vocab.append((out, wc))
         vocab = new_vocab
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Apply a trained BPE merge list to the corpus: per-doc token count
+    before (chars) and after merges — ``(id, n_words, n_symbols_raw,
+    n_tokens_bpe)``. The merge table is tiny (num_merges rows) and ships
+    to every task as a plain closure (an implicit broadcast); encoding
+    is an Arrow-batched ``mapInPandas`` pass — one scan, no shuffle,
+    embarrassingly parallel per document. The inner loop applies merges
+    in rank order exactly like the trainer, so
+    encode(train_corpus) reproduces the trainer's final symbol counts.
+    """
+    ordered = [(a, b) for _, a, b, _ in sorted(merges)]
+
+    def encode_word(w: str) -> int:
+        syms = list(w)
+        for a, b in ordered:
+            out: list[str] = []
+            i = 0
+            merged = a + b
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_words, n_raw, n_bpe = [], [], []
+            for t in pdf[text_col]:
+                ws = [w for w in (t or "").strip().split() if w]
+                n_words.append(len(ws))
+                n_raw.append(sum(len(w) for w in ws))
+                n_bpe.append(sum(encode_word(w) for w in ws))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": n_words,
+                    "n_symbols_raw": n_raw,
+                    "n_tokens_bpe": n_bpe,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        op, f"{id_col} long, n_words long, n_symbols_raw long, n_tokens_bpe long"
+    )

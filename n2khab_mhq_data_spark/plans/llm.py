@@ -2286,3 +2286,19 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
     return leakage_safe_split(docs, near, "doc_id")
+
+
+@query("text_bpe_encode")  # sequential merge application: no SQL oracle —
+# rows-only driver check; hand-verified in tests/test_llmdata.py
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenization: train 8 merges on the corpus
+    (bounded-vocab driver loop, see text_bpe_merges), then apply them
+    corpus-wide in one Arrow-batched mapInPandas pass (llmdata/text.py::
+    bpe_encode) — per-doc word/raw-symbol/BPE-token counts, the
+    token-budget input pack_sequences consumes. No shuffle: the merge
+    table broadcasts as a closure; encoding is per-document."""
+    from n2khab_mhq_data_spark.llmdata.text import bpe_encode, bpe_train
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", num_merges=8, max_vocab=10000)
+    return bpe_encode(docs, "text", "doc_id", merges)

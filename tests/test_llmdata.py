@@ -467,3 +467,20 @@ def test_leakage_safe_split_no_straddle(spark):
         if i not in (7, 8, 9, 50, 51):
             assert by_id[i]["group_id"] == i
             assert by_id[i]["split"] == plain[i]
+
+
+def test_bpe_encode_reproduces_trainer_state(spark):
+    from n2khab_mhq_data_spark.llmdata.text import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id int, text string"
+    )
+    merges = bpe_train(docs, "text", num_merges=5)
+    # merges: (a,a), (a,b), (aa,ab) -> 'aaab' encodes to 1 token, 'ab' to 1
+    row = bpe_encode(docs, "text", "doc_id", merges).collect()[0]
+    assert row["n_words"] == 3
+    assert row["n_symbols_raw"] == 10
+    assert row["n_tokens_bpe"] == 3
+    # zero merges: every char is a token
+    row0 = bpe_encode(docs, "text", "doc_id", []).collect()[0]
+    assert row0["n_tokens_bpe"] == 10
