@@ -49,6 +49,12 @@ def main() -> None:
         # land inside a timed run shows up as a multi-second spike on
         # whichever query is unlucky (observed 0.8s queries spiking to 7-10s
         # late in the sequence)
+        # Python-side first: localCheckpoint'ed RDDs (components, pagerank,
+        # triangle stats) stay pinned until their Python DataFrame wrappers
+        # are collected, so the JVM GC alone can't reclaim them mid-run
+        import gc as _gc
+
+        _gc.collect()
         spark._jvm.System.gc()
         n = fn(spark, sf_dir).count()  # warm-up (plan + codegen + IO cache)
         samples = []

@@ -48,4 +48,6 @@ def ewma(
         )
         return pdf
 
-    return df.groupBy(*keys).applyInPandas(fn, schema)
+    from n2khab_mhq_data_spark.operators.grouped import grouped_map
+
+    return grouped_map(df, keys, fn, schema)
