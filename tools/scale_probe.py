@@ -44,6 +44,9 @@ HEADLINE = [
     "pipeline_end_to_end",        # composed corpus-prep flow
     "graph_triangle_stats",       # oriented triangle join
     "link_sorted_neighborhood",   # blocked window linkage
+    "graph_pagerank",             # iterative joins (1 shuffle/round)
+    "pipeline_leakage_safe_split",  # components + split attach
+    "ts_ewma",                    # Arrow grouped map (pinned dispatch)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
