@@ -2302,3 +2302,144 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     merges = bpe_train(docs, "text", num_merges=8, max_vocab=10000)
     return bpe_encode(docs, "text", "doc_id", merges)
+
+
+_PQ_QDIST = """list_sum(list_transform(range(1, 17),
+    i -> (CAST(q.embedding[{base} + i] AS DOUBLE)
+          - CAST(c.embedding[{base} + i] AS DOUBLE))
+         * (CAST(q.embedding[{base} + i] AS DOUBLE)
+            - CAST(c.embedding[{base} + i] AS DOUBLE))))"""
+
+_PQ_ADC_SQL = f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 4
+    ), d AS (
+      SELECT e.vec_id, c.cid, j.j,
+             CASE j.j
+               {' '.join(
+                   'WHEN ' + str(j + 1) + ' THEN '
+                   + _PQ_DUCK_DIST.format(base=j * 16)
+                   for j in range(4)
+               )}
+             END AS dist
+      FROM embeddings e, cents c,
+           (SELECT CAST(t.j0 AS INTEGER) AS j
+            FROM unnest(range(1, 5)) AS t(j0)) j
+    ), codes AS (
+      SELECT vec_id, j, cid,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY dist, cid) AS rn
+      FROM d
+    ), dt AS (
+      SELECT q.vec_id AS qid, c.cid, j.j,
+             CASE j.j
+               {' '.join(
+                   'WHEN ' + str(j + 1) + ' THEN '
+                   + _PQ_QDIST.format(base=j * 16)
+                   for j in range(4)
+               )}
+             END AS qdist
+      FROM embeddings q, cents c,
+           (SELECT CAST(t.j0 AS INTEGER) AS j
+            FROM unnest(range(1, 5)) AS t(j0)) j
+      WHERE q.vec_id < 3
+    ), adc AS (
+      SELECT dt.qid AS query_id, k.vec_id AS neighbour_id,
+             sum(dt.qdist) AS approx_dist
+      FROM codes k
+      JOIN dt ON dt.j = k.j AND dt.cid = k.cid
+      WHERE k.rn = 1 AND k.vec_id != dt.qid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbour_id,
+           CAST(rnk AS INTEGER) AS rank,
+           round(approx_dist + 1e-9, 6) AS approx_dist
+    FROM (
+      SELECT query_id, neighbour_id, approx_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_dist, neighbour_id) AS rnk
+      FROM adc
+    ) WHERE rnk <= 10
+"""
+
+
+@query("ann_pq_adc_topk", oracle=_PQ_ADC_SQL)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-10 search (Jegou et al. 2011):
+    queries stay full-precision; the corpus is its 4-byte PQ codes.
+    Per query, a 4x4 distance TABLE (subspace x centroid, K*M scalars)
+    is computed once against the broadcast codebook, then every corpus
+    vector's approximate distance is a 4-term table lookup — the scan
+    touches only the code columns, never the embeddings. Plan: codes
+    melt long (vec, subspace, cid), the tiny distance-table frame
+    broadcasts onto the (j, cid) equi-join, one groupBy sums the
+    per-subspace lookups, top-10 per query via window. At 100 TB the
+    codes table is ~1/64th the embedding bytes and the only full scan —
+    the whole point of PQ."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("embedding").alias("cvec"),
+    )
+
+    def sub_dists(side: DataFrame, vec_col: str, id_alias: str) -> DataFrame:
+        pairs = side.crossJoin(F.broadcast(cents))
+        return pairs.select(
+            F.col("vec_id").alias(id_alias),
+            "cid",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j + 1).alias("j"),
+                            F.expr(
+                                _pq_dist_sql(vec_col, "cvec", j)
+                            ).alias("dist"),
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("s"),
+        ).select(
+            id_alias, "cid", F.col("s.j").alias("j"),
+            F.col("s.dist").alias("dist"),
+        )
+
+    # corpus codes: argmin centroid per (vector, subspace)
+    dist_rows = sub_dists(
+        emb.select("vec_id", "embedding"), "embedding", "vec_id"
+    )
+    w = W.partitionBy("vec_id", "j").orderBy("dist", "cid")
+    codes = (
+        dist_rows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", "cid")
+    )
+    # per-query distance tables (3 queries x 4 subspaces x 4 centroids)
+    dt = sub_dists(
+        emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding"),
+        "embedding",
+        "qid",
+    ).select("qid", "j", "cid", F.col("dist").alias("qdist"))
+    adc = (
+        codes.join(F.broadcast(dt), ["j", "cid"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbour_id"),
+        )
+        .agg(F.sum("qdist").alias("approx_dist"))
+    )
+    wq = W.partitionBy("query_id").orderBy("approx_dist", "neighbour_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wq))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "query_id",
+            "neighbour_id",
+            F.col("rnk").cast("int").alias("rank"),
+            F.round(F.col("approx_dist") + F.lit(1e-9), 6).alias(
+                "approx_dist"
+            ),
+        )
+    )

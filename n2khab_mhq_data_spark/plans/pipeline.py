@@ -682,3 +682,53 @@ def pipeline_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "pipeline_temperature_mix",
+    oracle=r"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT sum(power(CAST(n_tokens AS DOUBLE), 0.7)) AS z FROM per_src
+    )
+    SELECT source, n_docs, n_tokens,
+           round(power(CAST(n_tokens AS DOUBLE), 0.7) / (SELECT z FROM z)
+                 + 1e-9, 6) AS weight,
+           CAST(floor(power(CAST(n_tokens AS DOUBLE), 0.7)
+                      / (SELECT z FROM z) * 10000) AS BIGINT) AS alloc_docs
+    FROM per_src
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-sampling
+    standard, tau=0.7): per-source sampling weight w_s = c_s^tau / sum
+    c^tau over token counts, plus the implied doc allocation for a 10k
+    budget. Upstream of pipeline_domain_mix (which APPLIES given rates)
+    and the waterfill allocator (which CAPS by per-source supply): this
+    op DERIVES the rates. One map-side-combinable shuffle for the
+    per-source counts; the partition-function scalar is a 1-row
+    broadcast; both engines evaluate pow via libm on identical doubles
+    (the text_tfidf_topk ln precedent)."""
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    wpow = F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    z = per_src.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))).alias("z")
+    )
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(wpow / F.col("z") + F.lit(1e-9), 6).alias("weight"),
+        F.floor(wpow / F.col("z") * 10000).cast("bigint").alias("alloc_docs"),
+    )

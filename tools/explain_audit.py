@@ -120,6 +120,13 @@ EXPECTED: dict[str, set[str]] = {
     # the 1-row global order count broadcasts onto the pruned pair list
     # for the lift denominator (see text_tfidf_topk)
     "graph_copurchase_lift": {"CARTESIAN"},
+    # the 1-row partition-function scalar (sum of c^tau) broadcasts onto
+    # the per-source table (see text_tfidf_topk)
+    "pipeline_temperature_mix": {"CARTESIAN"},
+    # the 4-row PQ codebook broadcasts onto corpus + query sides for the
+    # subspace-distance tables — deliberate n x K scoring bounded by the
+    # codebook size (see ann_ivf_topk)
+    "ann_pq_adc_topk": {"CARTESIAN"},
     # the 1-row corpus token total broadcasts onto the vocab table —
     # deliberately replaces a sum() OVER () empty-partition window
     "text_domain_shift_kl": {"CARTESIAN"},
