@@ -21,6 +21,53 @@ from pyspark.sql.window import Window as W
 from n2khab_mhq_data_spark.operators.merge import incremental_merge
 
 
+def _fs_path(s: SparkSession, path: str):
+    hpath = s._jvm.org.apache.hadoop.fs.Path
+    p = hpath(path)
+    return p.getFileSystem(s._jsc.hadoopConfiguration()), hpath
+
+
+def read_state(s: SparkSession, state_path: str) -> DataFrame | None:
+    """Read a published parquet state dir, recovering first from a crash
+    that happened mid-swap (state moved aside to ``.bak``, temp output
+    never promoted): restore the pre-batch state and let the replayed
+    batch run against it. Returns None when no state exists yet (an
+    explicit exists() check — a transient IO failure must surface, not
+    silently truncate state)."""
+    fs, hpath = _fs_path(s, state_path)
+    state = hpath(state_path)
+    bak = hpath(state_path + ".bak")
+    if not fs.exists(state) and fs.exists(bak):
+        fs.rename(bak, state)
+    if fs.exists(state):
+        return s.read.parquet(state_path)
+    return None
+
+
+def publish_state(s: SparkSession, state_path: str, df: DataFrame) -> None:
+    """Atomically replace a published parquet state dir with ``df``.
+
+    Write NEXT TO the live state (so any scan of the old state feeding
+    ``df`` still has its input), then swap via atomic renames
+    (state -> .bak, .tmp -> state, drop .bak) — never
+    ``mode("overwrite")`` of the directory being read, which deletes
+    existing state before the new write is known-good."""
+    fs, hpath = _fs_path(s, state_path)
+    state = hpath(state_path)
+    bak = hpath(state_path + ".bak")
+    tmp = hpath(state_path + ".tmp")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    df.write.mode("overwrite").parquet(tmp.toString())
+    if fs.exists(bak):
+        fs.delete(bak, True)
+    if fs.exists(state):
+        fs.rename(state, bak)
+    fs.rename(tmp, state)
+    if fs.exists(bak):
+        fs.delete(bak, True)
+
+
 def merge_stream(
     spark: SparkSession,
     source: DataFrame,
@@ -46,20 +93,8 @@ def merge_stream(
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        jvm = s._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path
-        state = hpath(state_path)
-        fs = state.getFileSystem(s._jsc.hadoopConfiguration())
-        bak = hpath(state_path + ".bak")
-        tmp = hpath(state_path + ".tmp")
-        # Crash recovery: a previous batch died between moving state aside
-        # and promoting its temp output — restore the pre-batch state and
-        # let the replayed batch merge against it.
-        if not fs.exists(state) and fs.exists(bak):
-            fs.rename(bak, state)
-        if fs.exists(state):
-            published = s.read.parquet(state_path)
-        else:
+        published = read_state(s, state_path)
+        if published is None:
             published = batch.limit(0)
         merged = incremental_merge(
             published,
@@ -67,18 +102,7 @@ def merge_stream(
             keys,
             [F.col(c).desc() for c in order_cols],
         )
-        # Write the merged state NEXT TO the live state (so the scan above
-        # still has its input), then swap via atomic renames.
-        if fs.exists(tmp):
-            fs.delete(tmp, True)
-        merged.write.mode("overwrite").parquet(tmp.toString())
-        if fs.exists(bak):
-            fs.delete(bak, True)
-        if fs.exists(state):
-            fs.rename(state, bak)
-        fs.rename(tmp, state)
-        if fs.exists(bak):
-            fs.delete(bak, True)
+        publish_state(s, state_path, merged)
 
     return (
         source.writeStream.foreachBatch(merge_batch)
@@ -178,4 +202,72 @@ def dedup_stream(
         events.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def scd2_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    events_path: str,
+    scd2_path: str,
+    key_cols: list[str],
+    state_cols: list[str],
+    ts_col: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """CDC change events -> continuously materialized SCD Type-2 table.
+
+    Each micro-batch (foreachBatch):
+
+    1. merges the batch's raw change events into ``events_path`` with
+       latest-wins on (key, ts) — replayed/duplicate events collapse, so
+       the pipeline is effectively-once end-to-end;
+    2. rebuilds validity intervals ONLY for the keys present in the
+       batch (``operators/scd.py::scd2_history`` over the merged event
+       log semi-joined to the batch's keys — late events re-open history
+       correctly because the rebuild always reads the full per-key
+       log);
+    3. publishes old-scd2-minus-affected-keys + rebuilt fragment via the
+       same atomic-rename swap as ``merge_stream``.
+
+    Scale: step 2's cost is proportional to the CHANGED keys' event
+    volume, not the table — the standard CDC merge shape; both joins are
+    on the key columns (the batch key set broadcasts)."""
+    from n2khab_mhq_data_spark.operators.scd import scd2_history
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        log = read_state(s, events_path)
+        # event identity is (key, ts); replays are exact duplicates, and a
+        # same-timestamp correction resolves deterministically by state
+        all_events = (
+            batch if log is None
+            else incremental_merge(
+                log,
+                batch,
+                key_cols + [ts_col],
+                [F.col(c).desc() for c in state_cols],
+            )
+        )
+        # materialize the merged log FIRST; both downstream legs read it
+        publish_state(s, events_path, all_events)
+        merged_log = s.read.parquet(events_path)
+        affected = batch.select(*key_cols).distinct()
+        fragment = scd2_history(
+            merged_log.join(F.broadcast(affected), key_cols, "semi"),
+            key_cols,
+            state_cols,
+            ts_col,
+        )
+        prev = read_state(s, scd2_path)
+        if prev is not None:
+            kept = prev.join(F.broadcast(affected), key_cols, "anti")
+            fragment = kept.unionByName(fragment)
+        publish_state(s, scd2_path, fragment)
+
+    return (
+        source.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -480,3 +480,66 @@ def test_interval_join_left_outer_emits_unmatched(spark, tmp_path):
     # watermark semantics, not data loss
     assert (100, 900) in streamed
     assert (102, None) in streamed
+
+
+def test_scd2_stream_converges_to_batch_history(spark, tmp_path):
+    """CDC stream -> materialized SCD2: two micro-batch rounds with a
+    duplicate replay and a LATE event; the final table must equal a
+    batch scd2_history over the full deduped event log."""
+    from n2khab_mhq_data_spark.operators.scd import scd2_history
+    from n2khab_mhq_data_spark.streaming.incremental import scd2_stream
+
+    src = tmp_path / "cdc"
+    events = tmp_path / "events"
+    scd2 = tmp_path / "scd2"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "user_id long, status string, ts long"
+
+    def run_round():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = scd2_stream(
+            spark, stream, str(events), str(scd2),
+            ["user_id"], ["status"], "ts", str(ckpt),
+        )
+        q.awaitTermination(120)
+
+    # round 1: user 1 goes free -> paid; user 2 stays free
+    spark.createDataFrame(
+        [(1, "free", 10), (1, "paid", 20), (2, "free", 15)], schema
+    ).write.mode("append").parquet(str(src))
+    run_round()
+    cur = {
+        (r.user_id, r.status)
+        for r in spark.read.parquet(str(scd2))
+        .filter("is_current").collect()
+    }
+    assert cur == {(1, "paid"), (2, "free")}
+
+    # round 2: exact replay of (1, paid, 20), a LATE event for user 1
+    # (churn at ts 15 — before the paid upgrade), user 3 appears
+    spark.createDataFrame(
+        [(1, "paid", 20), (1, "churned", 15), (3, "trial", 30)], schema
+    ).write.mode("append").parquet(str(src))
+    run_round()
+
+    got = {
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.is_current)
+        for r in spark.read.parquet(str(scd2)).collect()
+    }
+    # batch reference over the full (deduped) log
+    log = spark.createDataFrame(
+        [(1, "free", 10), (1, "churned", 15), (1, "paid", 20),
+         (2, "free", 15), (3, "trial", 30)],
+        schema,
+    )
+    want = {
+        (r.user_id, r.status, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(log, ["user_id"], ["status"], "ts").collect()
+    }
+    assert got == want
+    # the late churn event re-opened user 1's history: 3 intervals
+    assert sum(1 for g in got if g[0] == 1) == 3
+    # replayed (1, paid, 20) did not duplicate the event log:
+    # 3 round-1 events + churned/trial; the replay collapsed
+    assert spark.read.parquet(str(events)).count() == 5
