@@ -489,3 +489,46 @@ def bpe_encode(
     return df.select(id_col, text_col).mapInPandas(
         op, f"{id_col} long, n_words long, n_symbols_raw long, n_tokens_bpe long"
     )
+
+
+# versioned banned-term lexicon for the C4-style blocklist gate — a
+# DIMENSION (reviewable, versionable), not a hard-coded regex
+BANNED_LEXICON: list[tuple[str]] = [("slow",), ("stale",), ("broken",)]
+
+
+def banned_lexicon_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_ratio: float = 0.05,
+) -> DataFrame:
+    """C4-style blocklist gate: per-doc banned-token count/ratio against
+    the broadcast ``BANNED_LEXICON`` dimension, plus the keep verdict
+    (ratio <= ``max_ratio``). One explode + broadcast LEFT join +
+    groupBy — the text_langid plan shape; docs with zero hits keep a
+    0 count via the left join, so the gate emits one row per doc."""
+    spark = df.sparkSession
+    banned = local_dim(spark, BANNED_LEXICON, "btok string").withColumn(
+        "hit", F.lit(1)
+    )
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    per_doc = (
+        tok.join(F.broadcast(banned), tok["tok"] == banned["btok"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_banned"),
+        )
+    )
+    ratio = F.col("n_banned").cast("double") / F.col("n_tokens")
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_banned",
+        F.round(ratio + F.lit(1e-9), 6).alias("banned_ratio"),
+        (ratio <= max_ratio).alias("keep"),
+    )

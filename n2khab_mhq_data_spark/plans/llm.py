@@ -2443,3 +2443,38 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_banned_lexicon_gate",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+            FROM documents), unnest(w) AS t(tok)
+    ), banned AS (
+      SELECT * FROM (VALUES ('slow'), ('stale'), ('broken')) AS b(btok)
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN btok IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_banned
+      FROM tok LEFT JOIN banned ON tok = btok
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_banned,
+           round(n_banned * 1.0 / n_tokens + 1e-9, 6) AS banned_ratio,
+           n_banned * 1.0 / n_tokens <= 0.05 AS keep
+    FROM per_doc
+    """,
+)
+def text_banned_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style banned-term blocklist gate (llmdata/text.py::
+    banned_lexicon_gate): per-doc banned count/ratio from a broadcast
+    versioned lexicon dimension + the keep verdict at 5%. Same plan
+    shape as text_langid — explode, broadcast dim join, one groupBy."""
+    from n2khab_mhq_data_spark.llmdata.text import banned_lexicon_gate
+
+    return banned_lexicon_gate(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    )
