@@ -543,3 +543,52 @@ def test_scd2_stream_converges_to_batch_history(spark, tmp_path):
     # replayed (1, paid, 20) did not duplicate the event log:
     # 3 round-1 events + churned/trial; the replay collapsed
     assert spark.read.parquet(str(events)).count() == 5
+
+
+def test_neardup_gate_stream_flags_against_store(spark, tmp_path):
+    """Streaming MinHash near-dup gate: round 2's near-copy of a round-1
+    doc is flagged against the persistent signature store; in-batch
+    near-dups resolve to the smaller id; canonical docs extend the
+    store, dups don't."""
+    from n2khab_mhq_data_spark.streaming.neardup import neardup_gate_stream
+
+    src = tmp_path / "in"
+    sig = tmp_path / "sigs"
+    verdicts = tmp_path / "verdicts"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+
+    def run_round():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = neardup_gate_stream(
+            spark, stream, str(sig), str(verdicts),
+            "text", "doc_id", str(ckpt),
+        )
+        q.awaitTermination(120)
+
+    # round 1: two distinct docs
+    spark.createDataFrame(
+        [(1, base), (2, " ".join(f"v{i}" for i in range(40)))], schema
+    ).write.mode("append").parquet(str(src))
+    run_round()
+    v1 = {r.doc_id: (r.is_dup, r.dup_of)
+          for r in spark.read.parquet(str(verdicts)).collect()}
+    assert v1 == {1: (False, None), 2: (False, None)}
+
+    # round 2: near-copy of doc 1, a new doc, and an in-batch dup pair
+    other = " ".join(f"u{i}" for i in range(40))
+    spark.createDataFrame(
+        [(10, base + " extra"), (11, other), (12, other + " tail")],
+        schema,
+    ).write.mode("append").parquet(str(src))
+    run_round()
+    v2 = {r.doc_id: (r.is_dup, r.dup_of)
+          for r in spark.read.parquet(str(verdicts)).collect()}
+    assert v2[10] == (True, 1)     # flagged against the round-1 store
+    assert v2[11] == (False, None)
+    assert v2[12] == (True, 11)    # in-batch dup, smaller id canonical
+    # store holds only canonical docs
+    store_ids = {r.doc for r in spark.read.parquet(str(sig)).collect()}
+    assert store_ids == {1, 2, 11}
