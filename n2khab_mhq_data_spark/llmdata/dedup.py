@@ -139,6 +139,22 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_combined(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """ONE aggregation producing both the minhash signature (``num_hashes``
+    seeded min-aggs) and the verification gram set per doc — the shared
+    shuffled/aggregated child for every signature + verification consumer
+    (3.6s -> 2.8s at sf0.1 vs re-shingling per consumer). This is the
+    SINGLE definition of the signature scheme: the streaming near-dup
+    store persists these rows, so batch and streaming paths stay
+    byte-compatible by construction."""
+    sig_aggs = [
+        F.expr(f"min(xxhash64(gram, {j})) AS h{j}") for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(
+        F.collect_set("gram").alias("grams"), *sig_aggs
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     text_col: str,
@@ -152,16 +168,8 @@ def minhash_dedup_pairs(
     buckets -> candidate pairs -> exact-Jaccard verification. Output equals
     exact ngram_jaccard_pairs (up to the ~1e-14 LSH miss probability) at a
     fraction of the join volume."""
-    sh = shingle_table(df, text_col, id_col, k)
-    # ONE aggregation produces both the minhash signature (64 min-aggs)
-    # and the verification gram set: the signature pipeline and the
-    # verification joins share the same shuffled/aggregated child instead
-    # of re-shingling the corpus per consumer (3.6s -> 2.8s at sf0.1).
-    sig_aggs = [
-        F.expr(f"min(xxhash64(gram, {j})) AS h{j}") for j in range(num_hashes)
-    ]
-    combined = sh.groupBy("doc").agg(
-        F.collect_set("gram").alias("grams"), *sig_aggs
+    combined = minhash_combined(
+        shingle_table(df, text_col, id_col, k), num_hashes
     )
     cand = minhash_lsh_candidates(combined, num_hashes, bands)
 
@@ -685,10 +693,38 @@ def lsh_recall_audit(
     estimate needs only enough pairs per bin), exactly like
     ann_recall_at_10's brute-force leg.
     """
-    truth = ngram_jaccard_pairs(df, text_col, id_col, k, threshold=min_jaccard)
-    sh = shingle_table(df, text_col, id_col, k)
+    # ONE shingle aggregation (minhash_combined) feeds BOTH legs: exact
+    # ground truth re-derives the long gram table by exploding the stored
+    # gram sets (the shared shuffle is reused; the corpus regex/tokenize
+    # pass runs once), candidates come from the same rows' signatures —
+    # the minhash_dedup_pairs sharing pattern
+    combined = minhash_combined(
+        shingle_table(df, text_col, id_col, k), num_hashes
+    )
+    long = combined.select(
+        "doc", F.size("grams").alias("n"), F.explode("grams").alias("gram")
+    )
+    right = long.select(
+        F.col("doc").alias("d2"), F.col("n").alias("n2"),
+        F.col("gram"),
+    )
+    pairs = (
+        long.select(
+            F.col("doc").alias("d1"), F.col("n").alias("n1"), "gram"
+        )
+        .join(right, "gram")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2", "n1", "n2")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    truth = pairs.filter(jac > min_jaccard).select(
+        "d1", "d2", F.round(jac + F.lit(1e-9), 6).alias("jaccard")
+    )
     cand = minhash_lsh_candidates(
-        minhash_signatures(sh, num_hashes), num_hashes, bands
+        combined, num_hashes, bands
     ).withColumn("hit", F.lit(1))
     return (
         truth.withColumn("bin", F.floor(F.col("jaccard") * 10) / 10)

@@ -239,15 +239,16 @@ def scd2_stream(
         s = batch.sparkSession
         log = read_state(s, events_path)
         # event identity is (key, ts); replays are exact duplicates, and a
-        # same-timestamp correction resolves deterministically by state
-        all_events = (
-            batch if log is None
-            else incremental_merge(
-                log,
-                batch,
-                key_cols + [ts_col],
-                [F.col(c).desc() for c in state_cols],
-            )
+        # same-timestamp correction resolves deterministically by state.
+        # The merge ALWAYS runs (empty published side on batch 0) so
+        # intra-batch duplicates / same-(key,ts) conflicts collapse before
+        # the log is published — without it the first batch's raw rows
+        # would make scd2_history's ts-ordered window nondeterministic.
+        all_events = incremental_merge(
+            log if log is not None else batch.limit(0),
+            batch,
+            key_cols + [ts_col],
+            [F.col(c).desc() for c in state_cols],
         )
         # materialize the merged log FIRST; both downstream legs read it
         publish_state(s, events_path, all_events)

@@ -31,26 +31,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from n2khab_mhq_data_spark.llmdata.dedup import (
+    minhash_combined,
     minhash_lsh_candidates,
     shingle_table,
 )
+from n2khab_mhq_data_spark.operators.merge import incremental_merge
 from n2khab_mhq_data_spark.streaming.incremental import (
     publish_state,
     read_state,
 )
-
-
-def _signatures(
-    df: DataFrame, text_col: str, id_col: str, k: int, num_hashes: int
-) -> DataFrame:
-    sh = shingle_table(df, text_col, id_col, k)
-    sig_aggs = [
-        F.expr(f"min(xxhash64(gram, {j})) AS h{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(
-        F.collect_set("gram").alias("grams"), *sig_aggs
-    )
 
 
 def neardup_gate_stream(
@@ -67,8 +56,13 @@ def neardup_gate_stream(
     bands: int = 32,
 ) -> StreamingQuery:
     """readStream -> foreachBatch near-dup gate against a persistent
-    MinHash signature store. Verdicts append to ``verdict_path``;
-    canonical (non-dup) signatures extend ``sig_path``.
+    MinHash signature store. Per-doc verdicts accumulate in
+    ``verdict_path`` (a keyed state table, latest-wins — NOT an append
+    log, so a replayed micro-batch rewrites the same rows instead of
+    duplicating them); canonical (non-dup) signatures extend
+    ``sig_path`` with a per-doc dedup for the same reason.
+    Effectively-once under foreachBatch's at-least-once contract: every
+    state transition is idempotent.
 
     Contract: doc ids are monotonically increasing across batches (the
     usual ingest sequence) — "dup of" always points at the SMALLER id,
@@ -77,31 +71,36 @@ def neardup_gate_stream(
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        bsig = _signatures(batch, text_col, id_col, k, num_hashes)
+        bsig = minhash_combined(
+            shingle_table(batch, text_col, id_col, k), num_hashes
+        )
         store = read_state(s, sig_path)
         pool = bsig if store is None else store.unionByName(bsig)
         batch_ids = bsig.select(F.col("doc").alias("bid"))
-        cand = minhash_lsh_candidates(pool, num_hashes, bands)
+        # prune to candidates whose LARGER side is a batch doc BEFORE the
+        # expensive gram verification: sub-threshold store-store pairs
+        # collide in >=1 band with high probability and would otherwise
+        # be re-verified every batch — per-batch cost must scale with
+        # the batch, not the accepted corpus
+        cand = minhash_lsh_candidates(pool, num_hashes, bands).join(
+            batch_ids, F.col("d2") == F.col("bid"), "semi"
+        )
         g1 = pool.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
         g2 = pool.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
         inter = F.size(F.array_intersect("g1", "g2"))
         union = F.size("g1") + F.size("g2") - inter
-        verified = (
+        # a batch doc is a dup of any matched SMALLER doc id (store ids
+        # precede batch ids under the monotonic-id contract; within-batch
+        # ties resolve to the smaller id, which stays canonical) — d1 < d2
+        # by construction
+        dup_of = (
             cand.join(g1, "d1")
             .join(g2, "d2")
             .filter(inter.cast("double") / union > threshold)
-            .select("d1", "d2")
+            .groupBy(F.col("d2").alias("doc"))
+            .agg(F.min("d1").alias("dup_of"))
         )
-        # a batch doc is a dup of any matched SMALLER doc id (store ids
-        # precede batch ids in practice; within-batch ties resolve to the
-        # smaller id, which stays canonical) — d1 < d2 by construction
-        dup_edges = verified.join(
-            batch_ids, verified["d2"] == batch_ids["bid"], "semi"
-        )
-        dup_of = dup_edges.groupBy(F.col("d2").alias("doc")).agg(
-            F.min("d1").alias("dup_of")
-        )
-        verdicts = (
+        batch_verdicts = (
             bsig.select("doc")
             .join(dup_of, "doc", "left")
             .select(
@@ -110,14 +109,20 @@ def neardup_gate_stream(
                 "dup_of",
             )
         )
-        verdicts.write.mode("append").parquet(verdict_path)
-        canon = bsig.join(
-            dup_of.select(F.col("doc")), "doc", "anti"
+        prev_verdicts = read_state(s, verdict_path)
+        all_verdicts = (
+            batch_verdicts if prev_verdicts is None
+            else incremental_merge(
+                prev_verdicts, batch_verdicts, [id_col], [F.lit(1)]
+            )
         )
-        publish_state(
-            s, sig_path, canon if store is None
-            else store.unionByName(canon)
+        publish_state(s, verdict_path, all_verdicts)
+        # canonical store = pool minus dups, deduped per doc so a replay
+        # (store already containing this batch's canon rows) converges
+        canon_all = pool.join(dup_of.select("doc"), "doc", "anti").dropDuplicates(
+            ["doc"]
         )
+        publish_state(s, sig_path, canon_all)
 
     return (
         source.writeStream.foreachBatch(gate)

@@ -592,3 +592,51 @@ def test_neardup_gate_stream_flags_against_store(spark, tmp_path):
     # store holds only canonical docs
     store_ids = {r.doc for r in spark.read.parquet(str(sig)).collect()}
     assert store_ids == {1, 2, 11}
+
+
+def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
+    """Replaying micro-batches (checkpoint wiped, full backlog
+    re-processed) must converge to the SAME verdict table and signature
+    store — every state transition of the gate is idempotent."""
+    import shutil
+
+    from n2khab_mhq_data_spark.streaming.neardup import neardup_gate_stream
+
+    src = tmp_path / "in"
+    sig = tmp_path / "sigs"
+    verdicts = tmp_path / "verdicts"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    spark.createDataFrame(
+        [(1, base), (2, base + " extra"),
+         (3, " ".join(f"v{i}" for i in range(40)))],
+        schema,
+    ).write.mode("append").parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = neardup_gate_stream(
+            spark, stream, str(sig), str(verdicts),
+            "text", "doc_id", str(ckpt),
+        )
+        q.awaitTermination(120)
+
+    run()
+    v1 = sorted(
+        tuple(r) for r in spark.read.parquet(str(verdicts)).collect()
+    )
+    s1 = sorted(r.doc for r in spark.read.parquet(str(sig)).collect())
+    assert v1 == [(1, False, None), (2, True, 1), (3, False, None)]
+    assert s1 == [1, 3]
+
+    # wipe the checkpoint -> the whole backlog replays as a new batch 0
+    shutil.rmtree(ckpt)
+    run()
+    v2 = sorted(
+        tuple(r) for r in spark.read.parquet(str(verdicts)).collect()
+    )
+    s2 = sorted(r.doc for r in spark.read.parquet(str(sig)).collect())
+    assert v2 == v1
+    assert s2 == s1
