@@ -1932,14 +1932,22 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup component-size histogram — the dedup observability
     table: a fat component means boilerplate/template contamination, a
     long tail of pairs means genuine near-dups. Two cheap aggregations
-    on top of the exact component labels."""
+    on top of the component labels.
+
+    The edge list comes from the PRODUCTION pair path (verified
+    MinHash-LSH) rather than the uncapped exact self-join the oracle
+    runs: at threshold 0.8 the 32x2 banding misses a qualifying pair
+    with prob ~6e-15 (differentially proven by dedup_minhash_lsh and
+    the recall audit), so the component labels are identical — and the
+    observability query inherits the scale-safe plan instead of the
+    quadratic baseline."""
     from n2khab_mhq_data_spark.llmdata.dedup import (
         connected_components,
-        ngram_jaccard_pairs,
+        minhash_dedup_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    near = minhash_dedup_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
     comp = connected_components(near, "d1", "d2")
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(

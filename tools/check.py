@@ -12,6 +12,7 @@ Usage: python tools/check.py [sf_dir] [query_name ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 import traceback
@@ -65,7 +66,19 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args or list(qs)
 
-    spark = get_spark("check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # mimic the driver's verify: a DEFAULT-conf session (no tuned
+        # shuffle count, no pinned timezone, 10MB broadcast threshold) —
+        # any query whose result depends on our session tuning fails here
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check")
     con = duck_connect(sf_dir)
     failures = []
     for name in names:
