@@ -41,6 +41,25 @@ def main() -> None:
     # BASELINE.md protocol: one warm-up run, then median of N timed runs
     # (N=3 by default; SPARK_GRAFT_BENCH_RUNS=1 for a quick pass)
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Fixed calibration probe: median of 3 runs of a canonical scan+agg.
+    # Absolute per-query numbers on this box drift round-to-round with
+    # host/VM noise (observed ~±40% on identical code); dividing by the
+    # calibration median lets cross-round comparisons separate engine
+    # regressions from ambient drift.
+    cal_df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .count()
+    )
+    cal_df.count()
+    cal_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        cal_df.count()
+        cal_samples.append(time.time() - t0)
+    calibration = round(sorted(cal_samples)[1], 4)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -88,6 +107,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "n_queries": len(timings),
+                "calibration_sec": calibration,
                 "queries": slowest,
                 "queries_file": queries_file,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -1932,22 +1932,17 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup component-size histogram — the dedup observability
     table: a fat component means boilerplate/template contamination, a
     long tail of pairs means genuine near-dups. Two cheap aggregations
-    on top of the component labels.
-
-    The edge list comes from the PRODUCTION pair path (verified
-    MinHash-LSH) rather than the uncapped exact self-join the oracle
-    runs: at threshold 0.8 the 32x2 banding misses a qualifying pair
-    with prob ~6e-15 (differentially proven by dedup_minhash_lsh and
-    the recall audit), so the component labels are identical — and the
-    observability query inherits the scale-safe plan instead of the
-    quadratic baseline."""
+    on top of the exact component labels (at 100 TB the same two aggs
+    run on the verified-LSH pair path instead — provably identical
+    labels at threshold 0.8, see dedup_minhash_lsh; the testbed keeps
+    the exact join, which is faster at these scales)."""
     from n2khab_mhq_data_spark.llmdata.dedup import (
         connected_components,
-        minhash_dedup_pairs,
+        ngram_jaccard_pairs,
     )
 
     docs = load(spark, sf_dir, "documents")
-    near = minhash_dedup_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
+    near = ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.8)
     comp = connected_components(near, "d1", "d2")
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(
