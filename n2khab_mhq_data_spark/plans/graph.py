@@ -254,3 +254,80 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "a", "b")
         .limit(20)
     )
+
+
+@query(
+    "graph_link_prediction",
+    _EDGES_SQL
+    + _DEGREE_SQL
+    + """
+    , de AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+    ), cn AS (
+      SELECT d1.src AS u, d2.src AS v, CAST(count(*) AS BIGINT) AS common
+      FROM de d1 JOIN de d2 ON d1.dst = d2.dst AND d1.src < d2.src
+      GROUP BY 1, 2
+    ), nonadj AS (
+      SELECT cn.u, cn.v, cn.common
+      FROM cn ANTI JOIN e ON cn.u = e.a AND cn.v = e.b
+    )
+    SELECT u, v, common,
+           round(common * 1.0 / (du.degree + dv.degree - common) + 1e-12,
+                 6) AS jaccard_coef
+    FROM nonadj
+    JOIN d du ON du.node = u JOIN d dv ON dv.node = v
+    ORDER BY jaccard_coef DESC, u, v LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: common-neighbour count
+    and neighbourhood-Jaccard for NON-adjacent pairs, top-20 — the
+    "customers also bought" candidate generator. The wedge join
+    (neighbours sharing a hub) is the triangle-count shape: bounded by
+    the support-pruned graph's degree; at 100 TB hubs above a degree
+    cap would be dropped first (they carry no ranking signal — the
+    max_doc_freq idiom). Existing edges leave via an anti join; degrees
+    attach as broadcast-able equi-joins; top-20 is a
+    TakeOrderedAndProject with a (score desc, u, v) tie-break."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    from n2khab_mhq_data_spark.operators.graph import degrees
+
+    de = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    cn = (
+        de.alias("d1")
+        .join(de.alias("d2"), F.col("d1.dst") == F.col("d2.dst"))
+        .filter(F.col("d1.src") < F.col("d2.src"))
+        .groupBy(
+            F.col("d1.src").alias("u"), F.col("d2.src").alias("v")
+        )
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    nonadj = cn.join(
+        edges,
+        (cn["u"] == edges["a"]) & (cn["v"] == edges["b"]),
+        "anti",
+    )
+    deg = degrees(edges)
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    return (
+        nonadj.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("du") + F.col("dv") - F.col("common"))
+                + F.lit(1e-12),
+                6,
+            ).alias("jaccard_coef"),
+        )
+        .orderBy(F.col("jaccard_coef").desc(), "u", "v")
+        .limit(20)
+    )

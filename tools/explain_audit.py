@@ -143,6 +143,12 @@ EXPECTED: dict[str, set[str]] = {
     # on a 100 TB graph) — AQE downgrades to broadcast at runtime here
     # because the min-support-pruned edge list is small
     "graph_triangle_stats": {"CARTESIAN", "SMJ"},
+    # link prediction inherits the triangle wedge-join shape: every join
+    # (wedge self-join, existing-edge anti join, degree attaches) is a
+    # corpus-grain x node-grain equi-join where SortMergeJoin is the
+    # correct static strategy on an unbounded graph; AQE downgrades to
+    # broadcast at runtime on the pruned testbed edge list
+    "graph_link_prediction": {"SMJ"},
     # the 1-row water level broadcasts onto the per-source planning
     # table — the standard global-statistic attach (see text_tfidf_topk)
     "pipeline_budget_waterfill": {"CARTESIAN"},
