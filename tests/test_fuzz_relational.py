@@ -126,3 +126,56 @@ def test_fuzz_window_rank(spark, seed):
         2,
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [3, 77])
+def test_fuzz_bag_set_ops(spark, seed):
+    """EXCEPT ALL / INTERSECT ALL bag semantics on duplicate-heavy
+    random tables must match DuckDB's multiset arithmetic exactly."""
+    rng = random.Random(seed)
+    a, b = _random_frame(rng, 150), _random_frame(rng, 150)
+    sa, sb = _spark_df(spark, a), _spark_df(spark, b)
+    con = duckdb.connect()
+    con.register("a", a)
+    con.register("b", b)
+    got_ex = _norm(sa.exceptAll(sb).collect(), 3)
+    want_ex = _norm(
+        con.execute("SELECT * FROM a EXCEPT ALL SELECT * FROM b").fetchall(),
+        3,
+    )
+    assert got_ex == want_ex
+    got_in = _norm(sa.intersectAll(sb).collect(), 3)
+    want_in = _norm(
+        con.execute(
+            "SELECT * FROM a INTERSECT ALL SELECT * FROM b"
+        ).fetchall(),
+        3,
+    )
+    assert got_in == want_in
+
+
+@pytest.mark.parametrize("seed", [13, 21])
+def test_fuzz_pivot(spark, seed):
+    """groupBy().pivot() against DuckDB conditional aggregation."""
+    rng = random.Random(seed)
+    pdf = _random_frame(rng, 200)
+    sdf = _spark_df(spark, pdf)
+    from pyspark.sql import functions as F
+
+    got = _norm(
+        sdf.groupBy("k")
+        .pivot("s", ["a", "b", "c", "dd", ""])
+        .agg(F.sum("v"))
+        .collect(),
+        6,
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN s = '{lit}' THEN v END) AS BIGINT)"
+        for lit in ["a", "b", "c", "dd", ""]
+    )
+    want = _norm(
+        con.execute(f"SELECT k, {cols} FROM t GROUP BY k").fetchall(), 6
+    )
+    assert got == want
