@@ -504,3 +504,45 @@ def spatial_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from n2khab_mhq_data_spark.spatial.zorder import zorder_layout_stats
 
     return zorder_layout_stats(_points(spark, sf_dir))
+
+
+@query(
+    "spatial_knn_join",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS point_id,
+             (c_custkey * 7919 % 1000) / 10.0 + 0.05 AS x,
+             (c_custkey * 104729 % 1000) / 10.0 + 0.05 AS y
+      FROM customer
+    ), q AS (SELECT * FROM p WHERE point_id < 20),
+    cand AS (
+      SELECT q.point_id AS query_id, p.point_id AS neighbour_id,
+             (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS d2
+      FROM q JOIN p ON p.point_id != q.point_id
+    ), ranked AS (
+      SELECT query_id, neighbour_id, d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, neighbour_id) AS rnk
+      FROM cand
+    )
+    SELECT query_id, neighbour_id, CAST(rnk AS INTEGER) AS rank,
+           round(sqrt(d2) + 1e-9, 6) AS dist
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN join for 20 query points against the full point set
+    via grid buckets (spatial/join.py::knn_join_gridded, cell=20):
+    candidates come from the query's 3x3 cell neighbourhood only — the
+    2D analog of the banded-LSH candidate pattern — and exact distances
+    + a per-query window produce the top 5. The brute-force cross-join
+    oracle differentially proves exactness (the kth neighbour distance
+    on this density is ~3 units, far inside the 20-unit ring
+    guarantee); distances are identical doubles in both engines, so
+    ranks can't drift."""
+    from n2khab_mhq_data_spark.spatial.join import knn_join_gridded
+
+    pts = _points(spark, sf_dir)
+    return knn_join_gridded(
+        pts, pts.filter(F.col("point_id") < 20), k=5, cell=20.0
+    )

@@ -400,3 +400,38 @@ def test_zvalue_interleave_hand_computed(spark):
     assert got == want
     # z-order locality: adjacent cells differ in few low bits
     assert morton(1, 0) == 1 and morton(0, 1) == 2 and morton(1, 1) == 3
+
+
+def test_knn_join_gridded_exact_vs_brute_force(spark):
+    """Grid-bucketed kNN must equal brute force, and the exactness
+    precondition (kth distance <= cell) must hold with margin."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.spatial.join import knn_join_gridded
+
+    pts = spark.createDataFrame(
+        [(i, (i * 7919 % 1000) / 10.0 + 0.05,
+          (i * 104729 % 1000) / 10.0 + 0.05) for i in range(300)],
+        "point_id long, x double, y double",
+    )
+    qs = pts.filter(F.col("point_id") < 10)
+    got = {
+        (r.query_id, r.rank): (r.neighbour_id, r.dist)
+        for r in knn_join_gridded(pts, qs, k=3, cell=20.0).collect()
+    }
+    rows = pts.collect()
+    import math
+
+    for q in rows[:10]:
+        if q.point_id >= 10:
+            continue
+        dists = sorted(
+            (math.hypot(q.x - p.x, q.y - p.y), p.point_id)
+            for p in rows
+            if p.point_id != q.point_id
+        )[:3]
+        for rank, (d, nid) in enumerate(dists, 1):
+            gn, gd = got[(q.point_id, rank)]
+            assert gn == nid
+            assert abs(gd - d) < 1e-5
+        assert dists[-1][0] <= 20.0  # ring-guarantee margin holds
