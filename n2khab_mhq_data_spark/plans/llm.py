@@ -2481,3 +2481,48 @@ def text_banned_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banned_lexicon_gate(
         load(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle=r"""
+    WITH wf AS (
+      SELECT w, count(*) AS c
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY w
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM wf
+    )
+    SELECT round(regr_slope(ln(CAST(c AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))) + 1e-9, 4)
+             AS zipf_slope,
+           round(regr_r2(ln(CAST(c AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))) + 1e-9, 4) AS fit_r2,
+           CAST(count(*) AS BIGINT) AS vocab_size
+    FROM ranked
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus word-frequency table: OLS slope of
+    ln(freq) on ln(rank) (natural text ~ -1; synthetic/templated
+    corpora drift toward 0 — a cheap corpus-health screen). One
+    word-count shuffle, one global ranking window over the SMALL vocab
+    table (bounded by Heaps' law, same contract as BPE training), one
+    regression aggregate."""
+    from n2khab_mhq_data_spark.llmdata.text import word_frequency
+
+    wf = word_frequency(load(spark, sf_dir, "documents"), "text")
+    ranked = wf.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.orderBy(F.col("wc").desc(), F.col("w"))
+        ),
+    )
+    lc = F.log(F.col("wc").cast("double"))
+    lr = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lc, lr) + F.lit(1e-9), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr) + F.lit(1e-9), 4).alias("fit_r2"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+    )

@@ -821,3 +821,35 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@query(
+    "events_ohlc_bars",
+    oracle="""
+    SELECT event_type, date_trunc('hour', ts) AS bucket,
+           round(first(value ORDER BY ts, event_id) + 1e-9, 6) AS open,
+           round(max(value) + 1e-9, 6) AS high,
+           round(min(value) + 1e-9, 6) AS low,
+           round(last(value ORDER BY ts, event_id) + 1e-9, 6) AS close,
+           CAST(count(value) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling bars (the classic time-series resample): per
+    (event_type, hour) open/high/low/close/count, open and close picked
+    by (ts, event_id) order via min_by/max_by over a struct key — ONE
+    map-side-combinable aggregation, no window, no sort. The oracle uses
+    DuckDB's ordered-aggregate first()/last() for the same picks."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    key = F.struct("ts", "event_id")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.round(F.min_by("value", key) + F.lit(1e-9), 6).alias("open"),
+        F.round(F.max("value") + F.lit(1e-9), 6).alias("high"),
+        F.round(F.min("value") + F.lit(1e-9), 6).alias("low"),
+        F.round(F.max_by("value", key) + F.lit(1e-9), 6).alias("close"),
+        F.count("value").cast("bigint").alias("n"),
+    )
