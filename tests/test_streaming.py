@@ -640,3 +640,68 @@ def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
     s2 = sorted(r.doc for r in spark.read.parquet(str(sig)).collect())
     assert v2 == v1
     assert s2 == s1
+
+
+def test_trending_topk_stream_equals_batch(spark, tmp_path):
+    """Streaming leaderboard: two rounds (second updates an existing
+    window and opens a new one) must converge to the batch top-k."""
+    from n2khab_mhq_data_spark.streaming.trending import (
+        trending_topk,
+        trending_topk_stream,
+    )
+
+    src = tmp_path / "ev"
+    counts = tmp_path / "counts"
+    topk = tmp_path / "topk"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "ts timestamp, event_type string"
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, event_type string"
+        ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type").write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = trending_topk_stream(
+            spark, stream, str(counts), str(topk), str(ckpt), k=2,
+        )
+        q.awaitTermination(120)
+
+    write([
+        ("2024-01-01 10:05:00", "click"), ("2024-01-01 10:06:00", "click"),
+        ("2024-01-01 10:07:00", "view"), ("2024-01-01 10:08:00", "buy"),
+    ])
+    run()
+    write([
+        # 10:00 window: 'buy' overtakes (2 more), new 11:00 window opens
+        ("2024-01-01 10:20:00", "buy"), ("2024-01-01 10:21:00", "buy"),
+        ("2024-01-01 11:01:00", "view"),
+    ])
+    run()
+
+    got = {
+        (str(r.window_start), r.rank): (r.event_type, r.n)
+        for r in spark.read.parquet(str(topk)).collect()
+    }
+    # batch reference over all events
+    from pyspark.sql import functions as F
+
+    all_e = spark.read.parquet(str(src))
+    ref_counts = (
+        all_e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"),
+                "event_type", "n")
+    )
+    want = {
+        (str(r.window_start), r.rank): (r.event_type, r.n)
+        for r in trending_topk(ref_counts, 2).collect()
+    }
+    assert got == want
+    assert got[("2024-01-01 10:00:00", 1)] == ("buy", 3)
+    assert got[("2024-01-01 10:00:00", 2)] == ("click", 2)
+    assert got[("2024-01-01 11:00:00", 1)] == ("view", 1)
