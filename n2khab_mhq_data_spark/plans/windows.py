@@ -853,3 +853,53 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", key) + F.lit(1e-9), 6).alias("close"),
         F.count("value").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type) + 1e-9, 6)
+             AS p
+    FROM pairs
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() per user (one shuffle on user_id), pair counts
+    (map-side combinable), row-normalized probabilities via a window
+    over the TINY (type x type) matrix. The sequence-analytics
+    companion to events_funnel — same plan family as W9's lead/lag."""
+    e = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n")
+            / F.sum("n").over(W.partitionBy("from_type"))
+            + F.lit(1e-9),
+            6,
+        ).alias("p"),
+    )
