@@ -291,7 +291,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach as broadcast-able equi-joins; top-20 is a
     TakeOrderedAndProject with a (score desc, u, v) tie-break."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    # ~7 plan consumers (wedge self-join x4, anti join, two degree
+    # attaches) — materialize the pruned edge list ONCE or the pair
+    # pipeline re-runs per consumer (the triangle_stats hazard; measured
+    # 6.7s -> ~1s at sf0.01)
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    ).localCheckpoint()
     from n2khab_mhq_data_spark.operators.graph import degrees
 
     de = edges.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(

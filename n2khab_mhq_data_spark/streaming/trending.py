@@ -10,11 +10,17 @@ and replays converge) -> re-rank ONLY the windows touched by the batch
 -> publish the leaderboard via the shared atomic-swap protocol.
 
 Scale: the engine handles the unbounded count state (watermark-bounded
-RocksDB); the foreachBatch legs touch only changed windows (semi-join),
-and the rank window partitions by window_start — per-batch work is
-proportional to the batch's windows, not history."""
+RocksDB); the foreachBatch legs re-rank only the windows touched by the
+batch, and a retention horizon prunes long-final windows from the
+published states, so per-batch IO tracks the active horizon. The
+published COUNT/topk stores are still rewritten wholesale within that
+horizon each trigger — at true scale the publish target would be a
+partitioned-by-window store with per-partition overwrite (the
+write_published layout), same logic, narrower IO."""
 
 from __future__ import annotations
+
+import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,7 +59,10 @@ def trending_topk_stream(
     window: str = "1 hour",
     watermark: str = "2 hours",
     k: int = 3,
+    retention: datetime.timedelta | None = None,
 ) -> StreamingQuery:
+    if retention is None:
+        retention = datetime.timedelta(days=365)
     agg = (
         source.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
@@ -65,6 +74,22 @@ def trending_topk_stream(
 
     def rerank(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        # one evaluation of the micro-batch: the touched-window set is
+        # tiny (windows per trigger), collect it to literals so the
+        # batch plan isn't re-executed by the downstream semi/anti legs
+        batch = batch.persist()
+        touched = [
+            r["window_start"]
+            for r in batch.select("window_start").distinct().collect()
+        ]
+        if not touched:
+            batch.unpersist()
+            return
+        # retention horizon: windows older than the newest touched
+        # window minus `retention` are final (the engine's watermark
+        # stopped updating them long ago) — prune them from BOTH states
+        # so per-batch IO tracks the active horizon, not all history
+        horizon = max(touched) - retention
         prev = read_state(s, counts_path)
         merged = (
             batch if prev is None
@@ -73,18 +98,20 @@ def trending_topk_stream(
                 [F.col("n").desc()],
             )
         )
+        merged = merged.filter(F.col("window_start") >= F.lit(horizon))
         publish_state(s, counts_path, merged)
         counts = s.read.parquet(counts_path)
-        touched = batch.select("window_start").distinct()
         fresh = trending_topk(
-            counts.join(F.broadcast(touched), "window_start", "semi"), k
+            counts.filter(F.col("window_start").isin(touched)), k
         )
         prev_topk = read_state(s, topk_path)
         if prev_topk is not None:
-            fresh = prev_topk.join(
-                F.broadcast(touched), "window_start", "anti"
+            fresh = prev_topk.filter(
+                ~F.col("window_start").isin(touched)
+                & (F.col("window_start") >= F.lit(horizon))
             ).unionByName(fresh)
         publish_state(s, topk_path, fresh)
+        batch.unpersist()
 
     return (
         agg.writeStream.foreachBatch(rerank)

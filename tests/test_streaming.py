@@ -705,3 +705,47 @@ def test_trending_topk_stream_equals_batch(spark, tmp_path):
     assert got[("2024-01-01 10:00:00", 1)] == ("buy", 3)
     assert got[("2024-01-01 10:00:00", 2)] == ("click", 2)
     assert got[("2024-01-01 11:00:00", 1)] == ("view", 1)
+
+
+def test_trending_topk_retention_prunes_final_windows(spark, tmp_path):
+    import datetime
+
+    from n2khab_mhq_data_spark.streaming.trending import trending_topk_stream
+
+    src = tmp_path / "ev"
+    counts = tmp_path / "counts"
+    topk = tmp_path / "topk"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "ts timestamp, event_type string"
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts string, event_type string"
+        ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type").write.mode(
+            "append"
+        ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = trending_topk_stream(
+            spark, stream, str(counts), str(topk), str(ckpt), k=2,
+            retention=datetime.timedelta(hours=3),
+        )
+        q.awaitTermination(120)
+
+    write([("2024-01-01 10:05:00", "click")])
+    run()
+    # a much later batch: the 10:00 window falls outside the 3h horizon
+    write([("2024-01-02 09:10:00", "view")])
+    run()
+    windows = {
+        str(r.window_start)
+        for r in spark.read.parquet(str(topk)).collect()
+    }
+    assert windows == {"2024-01-02 09:00:00"}
+    cwindows = {
+        str(r.window_start)
+        for r in spark.read.parquet(str(counts)).collect()
+    }
+    assert cwindows == {"2024-01-02 09:00:00"}
