@@ -2065,48 +2065,30 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the 4-row codebook broadcasts; per (vector, centroid,
     subspace) distances are UNROLLED 16-term expressions (whole-stage
-    codegen — the HOF fold is interpreted, see similarity.dot); argmin
-    is a (vec, subspace)-window with the cid tie-break; one groupBy
-    folds codes and error. At 100 TB the codebook is K x dim literals
-    and the corpus streams once — the kmeans_assign BLAS kernel is the
-    drop-in when K grows past expression-budget range."""
+    codegen — the HOF fold is interpreted, see similarity.dot); per
+    subspace the argmin is ``min_by(cid, (dist, cid))`` and the error
+    term a plain ``min(dist)`` — ONE groupBy of the 4 centroid rows per
+    vector, no explode, no window sort (the previous
+    explode-16 + window-argmin shape paid a per-(vec, subspace) sort).
+    At 100 TB the codebook is K x dim literals and the corpus streams
+    once — the kmeans_assign BLAS kernel is the drop-in when K grows
+    past expression-budget range."""
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").cast("int").alias("cid"),
         F.col("embedding").alias("cvec"),
     )
     pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
-    dist_rows = pairs.select(
-        "vec_id",
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j + 1).alias("j"),
-                        F.expr(
-                            _pq_dist_sql("embedding", "cvec", j)
-                        ).alias("dist"),
-                    )
-                    for j in range(4)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", "cid", F.col("s.j").alias("j"), F.col("s.dist").alias("dist"))
-    w = W.partitionBy("vec_id", "j").orderBy("dist", "cid")
-    sel = dist_rows.withColumn("rn", F.row_number().over(w))
-    code = lambda j: F.max(  # noqa: E731
-        F.when((F.col("j") == j) & (F.col("rn") == 1), F.col("cid"))
-    ).cast("int")
-    return sel.groupBy("vec_id").agg(
-        code(1).alias("code_1"),
-        code(2).alias("code_2"),
-        code(3).alias("code_3"),
-        code(4).alias("code_4"),
+    dist = [F.expr(_pq_dist_sql("embedding", "cvec", j)) for j in range(4)]
+    return pairs.groupBy("vec_id").agg(
+        *[
+            F.min_by("cid", F.struct(dist[j].alias("d"), F.col("cid")))
+            .cast("int")
+            .alias(f"code_{j + 1}")
+            for j in range(4)
+        ],
         F.round(
-            F.sum(F.when(F.col("rn") == 1, F.col("dist")).otherwise(0.0))
-            + F.lit(1e-9),
-            6,
+            sum(F.min(dist[j]) for j in range(4)) + F.lit(1e-9), 6
         ).alias("sq_err"),
     )
 
@@ -2408,16 +2390,36 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.dist").alias("dist"),
         )
 
-    # corpus codes: argmin centroid per (vector, subspace)
-    dist_rows = sub_dists(
-        emb.select("vec_id", "embedding"), "embedding", "vec_id"
-    )
-    w = W.partitionBy("vec_id", "j").orderBy("dist", "cid")
-    codes = (
-        dist_rows.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "j", "cid")
-    )
+    # corpus codes: argmin centroid per (vector, subspace) — min_by over
+    # the 4 centroid rows with a (dist, cid) struct key, ONE shuffle of
+    # 4 rows/vector and no sort (the explode-16-rows + window-argmin
+    # shape this replaces paid a per-(vec,subspace) sort: 3.0s -> 2.1s
+    # at sf0.1); the wide->long melt back is a pure projection
+    pairs = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cents))
+    code_aggs = [
+        F.min_by(
+            "cid",
+            F.struct(
+                F.expr(_pq_dist_sql("embedding", "cvec", j)).alias("d"),
+                F.col("cid"),
+            ),
+        ).alias(f"c{j}")
+        for j in range(4)
+    ]
+    codes_wide = pairs.groupBy("vec_id").agg(*code_aggs)
+    codes = codes_wide.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j + 1).alias("j"), F.col(f"c{j}").alias("cid")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.j").alias("j"), F.col("s.cid").alias("cid"))
     # per-query distance tables (3 queries x 4 subspaces x 4 centroids)
     dt = sub_dists(
         emb.filter(F.col("vec_id") < 3).select("vec_id", "embedding"),
