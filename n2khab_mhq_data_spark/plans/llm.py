@@ -2528,3 +2528,72 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(lc, lr) + F.lit(1e-9), 4).alias("fit_r2"),
         F.count("*").cast("bigint").alias("vocab_size"),
     )
+
+
+_L2_EXACT_SQL = f"""
+    SELECT query_id, neighbour_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbour_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {' + '.join(_PQ_QDIST.format(base=j * 16) for j in range(4))},
+                        c.vec_id) AS rnk
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 3 AND c.vec_id != q.vec_id
+    ) WHERE rnk <= 10
+"""
+
+
+@query(
+    "ann_pq_recall_at_10",
+    oracle=f"""
+    WITH exact AS ({_L2_EXACT_SQL}),
+    adc AS (
+      SELECT query_id, neighbour_id FROM ({_PQ_ADC_SQL}) a
+    )
+    SELECT e.query_id,
+           CAST(count(i.neighbour_id) AS BIGINT) AS hits,
+           round(count(i.neighbour_id) / 10.0 + 1e-9, 3) AS recall_at_10
+    FROM exact e
+    LEFT JOIN adc i
+      ON e.query_id = i.query_id AND e.neighbour_id = i.neighbour_id
+    GROUP BY 1
+    """,
+)
+def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 4-byte ADC search against exact L2 top-10 —
+    quantifies what the 64x compression costs in ranking quality,
+    closing the PQ loop (codes -> ADC search -> acceptance metric)
+    alongside the LSH and IVF recall measurements. Both legs are the
+    engine's own operators; the oracle recomputes both in SQL with the
+    identical subspace-sum float path, so ranks cannot drift."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("cv")
+    )
+    d = None
+    for j in range(4):
+        t = F.expr(_pq_dist_sql("qv", "cv", j))
+        d = t if d is None else d + t
+    exact = (
+        q.crossJoin(c)
+        .filter(F.col("nid") != F.col("qid"))
+        .withColumn("rnk", F.row_number().over(W.partitionBy("qid").orderBy(d, "nid")))
+        .filter(F.col("rnk") <= 10)
+        .select(F.col("qid").alias("query_id"), F.col("nid").alias("neighbour_id"))
+    )
+    adc = ann_pq_adc_topk(spark, sf_dir).select(
+        F.col("query_id").alias("iq"), F.col("neighbour_id").alias("inb")
+    )
+    j2 = exact.join(
+        F.broadcast(adc),
+        (F.col("query_id") == F.col("iq"))
+        & (F.col("neighbour_id") == F.col("inb")),
+        "left",
+    )
+    return j2.groupBy("query_id").agg(
+        F.count("inb").alias("hits"),
+        F.round(F.count("inb") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
+    )

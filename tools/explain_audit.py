@@ -127,6 +127,10 @@ EXPECTED: dict[str, set[str]] = {
     # subspace-distance tables — deliberate n x K scoring bounded by the
     # codebook size (see ann_ivf_topk)
     "ann_pq_adc_topk": {"CARTESIAN"},
+    # recall measurement recomputes the brute-force exact leg (tiny
+    # broadcast query set, the sim_cosine_topk contract) plus the ADC
+    # leg's codebook broadcast
+    "ann_pq_recall_at_10": {"CARTESIAN"},
     # the 1-row corpus token total broadcasts onto the vocab table —
     # deliberately replaces a sum() OVER () empty-partition window
     "text_domain_shift_kl": {"CARTESIAN"},
