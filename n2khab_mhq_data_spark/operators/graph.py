@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 
 
 def cooccurrence_edges(
-    df: DataFrame, group_col: str, item_col: str, min_support: int = 1
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_support: int = 1,
+    keep_support: bool = False,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges ``(a, b)`` with ``a < b``:
     two items are linked when they appear under at least ``min_support``
@@ -55,14 +59,14 @@ def cooccurrence_edges(
         F.col(group_col).alias("g"), F.col(item_col).alias("a")
     ).distinct()
     right = items.select(F.col("g"), F.col("a").alias("b"))
-    return (
+    out = (
         items.join(right, "g")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= min_support)
-        .select("a", "b")
     )
+    return out if keep_support else out.select("a", "b")
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -192,6 +196,12 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
         .localCheckpoint()
     )
     n = deg.count()  # bounded driver scalar (one long), like k-means K*dim
+    if n == 0:
+        # empty edge list (everything support-pruned, or a pair graph
+        # with no pairs): zero rows, same schema as the SQL oracle shape
+        return edges.sparkSession.createDataFrame(
+            [], "node long, pagerank double"
+        )
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")
     )

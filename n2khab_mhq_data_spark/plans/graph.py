@@ -223,13 +223,9 @@ def graph_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     items = li.select(
         F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("a")
     ).distinct()
-    pairs = (
-        items.join(items.select("g", F.col("a").alias("b")), "g")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("s_ab"))
-        .filter(F.col("s_ab") >= 2)
-    )
+    pairs = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2, keep_support=True
+    ).withColumnRenamed("support", "s_ab")
     sup = items.groupBy("a").agg(F.count("*").alias("s"))
     nn = items.agg(F.countDistinct("g").alias("n"))
     sa = sup.select(F.col("a"), F.col("s").alias("s_a"))

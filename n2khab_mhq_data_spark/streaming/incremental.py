@@ -237,6 +237,9 @@ def scd2_stream(
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        # batch feeds three actions (log publish, affected-keys semi and
+        # anti joins) — persist so the micro-batch source is read once
+        batch = batch.persist()
         log = read_state(s, events_path)
         # event identity is (key, ts); replays are exact duplicates, and a
         # same-timestamp correction resolves deterministically by state.
@@ -265,6 +268,7 @@ def scd2_stream(
             kept = prev.join(F.broadcast(affected), key_cols, "anti")
             fragment = kept.unionByName(fragment)
         publish_state(s, scd2_path, fragment)
+        batch.unpersist()
 
     return (
         source.writeStream.foreachBatch(upsert)

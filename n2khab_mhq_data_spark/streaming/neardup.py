@@ -71,9 +71,14 @@ def neardup_gate_stream(
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        # the gate runs TWO publish actions (verdicts, store) over the
+        # same signature/verification pipeline; persist the batch
+        # signatures and the (small) dup map so the 64-min-agg shingle
+        # aggregation and the candidate verification run once, not per
+        # action (the trending.py rerank precedent)
         bsig = minhash_combined(
             shingle_table(batch, text_col, id_col, k), num_hashes
-        )
+        ).persist()
         store = read_state(s, sig_path)
         pool = bsig if store is None else store.unionByName(bsig)
         batch_ids = bsig.select(F.col("doc").alias("bid"))
@@ -99,6 +104,7 @@ def neardup_gate_stream(
             .filter(inter.cast("double") / union > threshold)
             .groupBy(F.col("d2").alias("doc"))
             .agg(F.min("d1").alias("dup_of"))
+            .persist()
         )
         batch_verdicts = (
             bsig.select("doc")
@@ -110,10 +116,17 @@ def neardup_gate_stream(
             )
         )
         prev_verdicts = read_state(s, verdict_path)
+        # total-order tiebreak (dedup_keep_latest contract): replays are
+        # identical rows, and a contract-breaching re-ingest resolves
+        # DETERMINISTICALLY to the dup-flagged / smallest-dup_of row
+        # instead of flip-flopping per run
         all_verdicts = (
             batch_verdicts if prev_verdicts is None
             else incremental_merge(
-                prev_verdicts, batch_verdicts, [id_col], [F.lit(1)]
+                prev_verdicts,
+                batch_verdicts,
+                [id_col],
+                [F.col("is_dup").desc(), F.col("dup_of").asc_nulls_last()],
             )
         )
         publish_state(s, verdict_path, all_verdicts)
@@ -123,6 +136,8 @@ def neardup_gate_stream(
             ["doc"]
         )
         publish_state(s, sig_path, canon_all)
+        bsig.unpersist()
+        dup_of.unpersist()
 
     return (
         source.writeStream.foreachBatch(gate)

@@ -34,6 +34,21 @@ from n2khab_mhq_data_spark.streaming.incremental import (
 )
 
 
+_UNITS = {
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+}
+
+
+def _parse_interval(spec: str) -> datetime.timedelta:
+    """Parse the 'N unit' interval strings Spark accepts for windows and
+    watermarks (enough for the retention guard; compound specs raise)."""
+    parts = spec.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _UNITS:
+        raise ValueError(f"unsupported interval spec: {spec!r}")
+    return datetime.timedelta(seconds=float(parts[0]) * _UNITS[parts[1].lower()])
+
+
 def trending_topk(counts: DataFrame, k: int) -> DataFrame:
     """Rank (window_start, event_type, n) counts into a per-window
     top-k leaderboard — shared by the batch oracle and the stream."""
@@ -63,6 +78,16 @@ def trending_topk_stream(
 ) -> StreamingQuery:
     if retention is None:
         retention = datetime.timedelta(days=365)
+    # a window can still receive engine-admitted late updates until the
+    # watermark passes it; pruning inside that horizon would silently
+    # drop those updates — fail fast instead
+    min_retention = _parse_interval(watermark) + _parse_interval(window)
+    if retention < min_retention:
+        raise ValueError(
+            f"retention {retention} < watermark + window"
+            f" ({min_retention}): late updates the engine still admits"
+            " would be pruned from the published states"
+        )
     agg = (
         source.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))

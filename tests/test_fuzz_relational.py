@@ -39,6 +39,7 @@ def _spark_df(spark, pdf: pd.DataFrame):
 def _norm(rows, ncols):
     out = []
     for r in rows:
+        assert len(r) == ncols, (len(r), ncols)  # width must match
         out.append(tuple("∅" if v is None else str(v) for v in r))
     return sorted(out)
 

@@ -210,3 +210,11 @@ def test_copurchase_lift_hand_computed(spark):
         .collect()
     )
     assert [(r["a"], r["b"], r["s_ab"]) for r in pairs] == [(1, 2, 2)]
+
+
+def test_pagerank_empty_edge_list_returns_empty(spark):
+    from n2khab_mhq_data_spark.operators.graph import pagerank
+
+    out = pagerank(spark.createDataFrame([], "a long, b long"), iters=2)
+    assert out.count() == 0
+    assert out.columns == ["node", "pagerank"]

@@ -16,7 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tools.explain_audit import EXPECTED, audit, plan_text  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_DIR  # single source of the testdata path
 
 REPRESENTATIVE = [
     "p3_null_domain_filter",   # scan + filter (pushdown family)
