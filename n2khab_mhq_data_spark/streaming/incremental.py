@@ -68,6 +68,44 @@ def publish_state(s: SparkSession, state_path: str, df: DataFrame) -> None:
         fs.delete(bak, True)
 
 
+def publish_state_partitioned(
+    s: SparkSession, state_path: str, df: DataFrame, part_col: str
+) -> None:
+    """Overwrite ONLY the hive partitions present in ``df`` (dynamic
+    partition overwrite) — the per-trigger IO tracks the touched
+    partitions, never the whole store. Each partition commit is a staged
+    write + rename; a crash mid-publish leaves a mix of old/new
+    partitions, which the idempotent foreachBatch replay (checkpointed
+    batch re-runs against the same inputs) repairs — the same
+    effectively-once argument as ``merge_stream``, narrowed to the
+    partition grain."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(part_col)
+        .parquet(state_path)
+    )
+
+
+def prune_state_partitions(
+    s: SparkSession, state_path: str, part_col: str, min_value: str
+) -> None:
+    """Drop hive partition dirs whose ``part_col`` value sorts below
+    ``min_value`` (values must be strings whose lexicographic order is
+    the intended order — e.g. zero-padded ``yyyy-MM-dd-HH-mm-ss``).
+    Retention for a partitioned state store is directory deletes, not a
+    rewrite of the surviving data."""
+    fs, hpath = _fs_path(s, state_path)
+    root = hpath(state_path)
+    if not fs.exists(root):
+        return
+    prefix = part_col + "="
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(prefix) and name[len(prefix):] < min_value:
+            fs.delete(st.getPath(), True)
+
+
 def merge_stream(
     spark: SparkSession,
     source: DataFrame,

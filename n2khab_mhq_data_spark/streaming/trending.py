@@ -11,12 +11,15 @@ and replays converge) -> re-rank ONLY the windows touched by the batch
 
 Scale: the engine handles the unbounded count state (watermark-bounded
 RocksDB); the foreachBatch legs re-rank only the windows touched by the
-batch, and a retention horizon prunes long-final windows from the
-published states, so per-batch IO tracks the active horizon. The
-published COUNT/topk stores are still rewritten wholesale within that
-horizon each trigger — at true scale the publish target would be a
-partitioned-by-window store with per-partition overwrite (the
-write_published layout), same logic, narrower IO."""
+batch. Both published stores are hive-partitioned by window
+(``win_part=yyyy-MM-dd-HH-mm-ss``) and written with dynamic partition
+overwrite, so per-trigger bytes READ and WRITTEN track the touched
+windows only — untouched window partitions are never opened (partition
+pruning on the read side, per-partition overwrite on the write side).
+The retention horizon prunes long-final windows as whole-directory
+deletes. This is the write_published layout applied to streaming state;
+the wholesale-rewrite shape this replaced scaled IO with the retention
+horizon instead of the trigger's touch set."""
 
 from __future__ import annotations
 
@@ -29,9 +32,16 @@ from pyspark.sql.window import Window as W
 
 from n2khab_mhq_data_spark.operators.merge import incremental_merge
 from n2khab_mhq_data_spark.streaming.incremental import (
-    publish_state,
+    prune_state_partitions,
+    publish_state_partitioned,
     read_state,
 )
+
+# partition-value format for the published stores: zero-padded so
+# lexicographic dir-name order == chronological order (retention prune
+# compares strings), filesystem-safe (no ':' as in a raw timestamp)
+_PART_FMT_SQL = "yyyy-MM-dd-HH-mm-ss"
+_PART_FMT_PY = "%Y-%m-%d-%H-%M-%S"
 
 
 _UNITS = {
@@ -97,11 +107,16 @@ def trending_topk_stream(
         )
     )
 
+    def _with_part(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "win_part", F.date_format("window_start", _PART_FMT_SQL)
+        )
+
     def rerank(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
         # one evaluation of the micro-batch: the touched-window set is
         # tiny (windows per trigger), collect it to literals so the
-        # batch plan isn't re-executed by the downstream semi/anti legs
+        # batch plan isn't re-executed by the downstream merge/rank legs
         batch = batch.persist()
         touched = [
             r["window_start"]
@@ -110,32 +125,47 @@ def trending_topk_stream(
         if not touched:
             batch.unpersist()
             return
+        touched_parts = [w.strftime(_PART_FMT_PY) for w in touched]
         # retention horizon: windows older than the newest touched
         # window minus `retention` are final (the engine's watermark
-        # stopped updating them long ago) — prune them from BOTH states
-        # so per-batch IO tracks the active horizon, not all history
+        # stopped updating them long ago; the retention >= watermark +
+        # window guard above means no admitted update can precede it) —
+        # their partitions are dropped from BOTH states as directory
+        # deletes, never a rewrite of surviving data
         horizon = max(touched) - retention
+        horizon_part = horizon.strftime(_PART_FMT_PY)
+        # merge ONLY the touched partitions of the count state (the
+        # isin on the partition column prunes every other directory
+        # from the scan); dynamic overwrite then writes back exactly
+        # those partitions — untouched windows are never opened
         prev = read_state(s, counts_path)
+        prev_touched = (
+            None if prev is None
+            else prev.filter(F.col("win_part").isin(touched_parts))
+            .drop("win_part")
+        )
         merged = (
-            batch if prev is None
+            batch if prev_touched is None
             else incremental_merge(
-                prev, batch, ["window_start", "event_type"],
+                prev_touched, batch, ["window_start", "event_type"],
                 [F.col("n").desc()],
             )
         )
         merged = merged.filter(F.col("window_start") >= F.lit(horizon))
-        publish_state(s, counts_path, merged)
-        counts = s.read.parquet(counts_path)
-        fresh = trending_topk(
-            counts.filter(F.col("window_start").isin(touched)), k
+        publish_state_partitioned(
+            s, counts_path, _with_part(merged), "win_part"
         )
-        prev_topk = read_state(s, topk_path)
-        if prev_topk is not None:
-            fresh = prev_topk.filter(
-                ~F.col("window_start").isin(touched)
-                & (F.col("window_start") >= F.lit(horizon))
-            ).unionByName(fresh)
-        publish_state(s, topk_path, fresh)
+        prune_state_partitions(s, counts_path, "win_part", horizon_part)
+        counts = (
+            s.read.parquet(counts_path)
+            .filter(F.col("win_part").isin(touched_parts))
+            .drop("win_part")
+        )
+        fresh = trending_topk(counts, k)
+        publish_state_partitioned(
+            s, topk_path, _with_part(fresh), "win_part"
+        )
+        prune_state_partitions(s, topk_path, "win_part", horizon_part)
         batch.unpersist()
 
     return (

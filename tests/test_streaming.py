@@ -644,7 +644,11 @@ def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
 
 def test_trending_topk_stream_equals_batch(spark, tmp_path):
     """Streaming leaderboard: two rounds (second updates an existing
-    window and opens a new one) must converge to the batch top-k."""
+    window and opens a new one) must converge to the batch top-k, and
+    per-trigger IO must track the touched windows — a window untouched
+    by the second trigger keeps byte-identical partition files."""
+    import os
+
     from n2khab_mhq_data_spark.streaming.trending import (
         trending_topk,
         trending_topk_stream,
@@ -672,16 +676,32 @@ def test_trending_topk_stream_equals_batch(spark, tmp_path):
         q.awaitTermination(120)
 
     write([
+        ("2024-01-01 09:30:00", "scroll"),  # 09:00: untouched by round 2
         ("2024-01-01 10:05:00", "click"), ("2024-01-01 10:06:00", "click"),
         ("2024-01-01 10:07:00", "view"), ("2024-01-01 10:08:00", "buy"),
     ])
     run()
+
+    def part_files(store):
+        d = os.path.join(str(store), "win_part=2024-01-01-09-00-00")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in sorted(os.listdir(d))
+            if not f.startswith(("_", "."))
+        }
+
+    before = {p: part_files(p) for p in (counts, topk)}
     write([
         # 10:00 window: 'buy' overtakes (2 more), new 11:00 window opens
         ("2024-01-01 10:20:00", "buy"), ("2024-01-01 10:21:00", "buy"),
         ("2024-01-01 11:01:00", "view"),
     ])
     run()
+    # dynamic partition overwrite: the 09:00 partition was not touched by
+    # the second trigger, so its files (names AND mtimes) are unchanged —
+    # per-trigger bytes written track the touched windows
+    for p in (counts, topk):
+        assert part_files(p) == before[p] and before[p]
 
     got = {
         (str(r.window_start), r.rank): (r.event_type, r.n)
