@@ -1,0 +1,172 @@
+"""Value-level differentials for the three queries with rows-only driver
+checks (no SQL oracle): ``text_bpe_merges``, ``text_bpe_encode``,
+``multimodal_cdc_dedup``.
+
+The driver can only count their rows, so each gets an INDEPENDENT pure-
+Python reference here — different algorithmic shape from the Spark path
+(Counter-based word counts vs the word_frequency shuffle; the classic
+scalar Gear recurrence ``h = 2h + g`` vs the vectorized 64-term shift-sum;
+a fresh merge-application loop) — compared value-for-value over the FULL
+query output at sf0.01, the same scale the driver samples at."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+SF001 = "/root/testdata/sf0.01"
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java default (ASCII) \s
+
+
+def _docs():
+    t = pq.read_table(SF001 + "/documents.parquet", columns=["doc_id", "text"])
+    return list(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _words(text: str) -> list[str]:
+    # mirror F.split(F.trim(text), r"\s+") + length>0 filter: trim strips
+    # ASCII spaces only; Java's \s is the ASCII class
+    return [w for w in _WS.split(text.strip(" ")) if w]
+
+
+def _ref_bpe_train(docs, num_merges: int, max_vocab: int):
+    wc: Counter[str] = Counter()
+    for _, text in docs:
+        wc.update(_words(text))
+    capped = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:max_vocab]
+    vocab = {w: (tuple(w), c) for w, (c) in capped}
+    merges = []
+    for rank in range(num_merges):
+        pc: Counter[tuple[str, str]] = Counter()
+        for syms, c in vocab.values():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), n = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, a, b, n))
+        vocab = {
+            w: (_ref_apply_merge(syms, a, b), c)
+            for w, (syms, c) in vocab.items()
+        }
+    return merges
+
+
+def _ref_apply_merge(syms: tuple[str, ...], a: str, b: str):
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if syms[i] == a and i + 1 < len(syms) and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def test_bpe_merges_differential_sf001(spark):
+    from n2khab_mhq_data_spark.plans.llm import text_bpe_merges
+
+    want = _ref_bpe_train(_docs(), num_merges=8, max_vocab=10000)
+    got = sorted(
+        (r.rank, r.left, r.right, r.n)
+        for r in text_bpe_merges(spark, SF001).collect()
+    )
+    assert got == want
+
+
+def test_bpe_encode_differential_sf001(spark):
+    from n2khab_mhq_data_spark.plans.llm import text_bpe_encode
+
+    docs = _docs()
+    merges = _ref_bpe_train(docs, num_merges=8, max_vocab=10000)
+    want = {}
+    for doc_id, text in docs:
+        ws = _words(text)
+        n_tok = 0
+        for w in ws:
+            syms: tuple[str, ...] = tuple(w)
+            for _, a, b, _n in merges:
+                syms = _ref_apply_merge(syms, a, b)
+            n_tok += len(syms)
+        want[doc_id] = (len(ws), sum(len(w) for w in ws), n_tok)
+    got = {
+        r.doc_id: (r.n_words, r.n_symbols_raw, r.n_tokens_bpe)
+        for r in text_bpe_encode(spark, SF001).collect()
+    }
+    assert got == want
+    assert len(got) == 500
+
+
+def _ref_gear_candidates(raw: bytes, mask: int) -> list[int]:
+    # classic scalar Gear recurrence: h <- (2h + G[b]) mod 2^64 — keeps
+    # exactly the last 64 bytes' contributions, the same window the
+    # vectorized shift-sum in llmdata/multimodal.py builds explicitly
+    from n2khab_mhq_data_spark.llmdata.multimodal import _gear
+
+    g = [_gear(b) for b in range(256)]
+    h = 0
+    out = []
+    for i, byte in enumerate(raw):
+        h = ((h << 1) + g[byte]) & 0xFFFFFFFFFFFFFFFF
+        if (h & mask) == 0:
+            out.append(i)
+    return out
+
+
+def _ref_cdc_chunks(raw: bytes, mask: int, min_len: int, max_len: int):
+    n = len(raw)
+    if n == 0:
+        return []
+    cand = _ref_gear_candidates(raw, mask)
+    chunks = []
+    start = 0
+    while start < n:
+        cut = None
+        for c in cand:
+            end = c + 1
+            if end < start + min_len:
+                continue
+            if end > start + max_len:
+                break
+            if end < n:
+                cut = end
+                break
+        if cut is None:
+            cut = min(start + max_len, n) if n - start > max_len else n
+        chunks.append((start, cut - start))
+        start = cut
+    return [
+        (off, ln, hashlib.md5(raw[off:off + ln]).hexdigest())
+        for off, ln in chunks
+    ]
+
+
+def test_cdc_dedup_differential_sf001(spark):
+    """Full-output differential for multimodal_cdc_dedup: the reference
+    chunks every payload with an independently written scalar kernel,
+    then aggregates chunk reuse in pure Python."""
+    from n2khab_mhq_data_spark.plans.llm import multimodal_cdc_dedup
+
+    refs: Counter[tuple[str, int]] = Counter()
+    docs_per: dict[tuple[str, int], set] = {}
+    for doc_id, text in _docs():
+        raw = text.encode("utf-8")
+        for _off, ln, dig in _ref_cdc_chunks(raw, 0x1F, 8, 256):
+            key = (dig, ln)
+            refs[key] += 1
+            docs_per.setdefault(key, set()).add(doc_id)
+    want = {
+        k: (n, len(docs_per[k])) for k, n in refs.items() if n >= 2
+    }
+    got = {
+        (r.chunk_md5, r.n_bytes): (r.n_refs, r.n_docs)
+        for r in multimodal_cdc_dedup(spark, SF001).collect()
+    }
+    assert got == want
+    assert want  # the corpus genuinely contains reused chunks
