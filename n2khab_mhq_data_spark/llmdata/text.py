@@ -377,6 +377,7 @@ def bpe_train(
     text_col: str,
     num_merges: int = 5,
     max_vocab: int = 10000,
+    strict_vocab: bool = False,
 ) -> list[tuple[int, str, str, int]]:
     """Greedy BPE merge training: ``num_merges`` rounds of
     (rank, left_symbol, right_symbol, pair_count), most-frequent pair
@@ -390,13 +391,34 @@ def bpe_train(
     how production tokenizer trainers (HF tokenizers, sentencepiece)
     structure it. The collect is bounded by ``max_vocab`` rows, the
     same contract as the k-means K*dim partials in
-    llmdata/similarity.py."""
+    llmdata/similarity.py.
+
+    Truncation is SURFACED, never silent (ADVICE r3): when the corpus
+    vocabulary exceeds ``max_vocab`` the merge counts (and potentially
+    the merge ORDER) are computed over the capped table only — a
+    warning names the cap so callers can distinguish exact from
+    approximate merge tables, and ``strict_vocab=True`` turns it into
+    an error for callers that require corpus-exact BPE. Detection costs
+    nothing: the top-k collect fetches ``max_vocab + 1`` rows and
+    checks whether the extra row exists."""
     wf = (
         word_frequency(df, text_col)
         .orderBy(F.col("wc").desc(), F.col("w"))
-        .limit(max_vocab)
+        .limit(max_vocab + 1)
         .collect()
     )
+    if len(wf) > max_vocab:
+        msg = (
+            f"bpe_train: corpus vocabulary exceeds max_vocab={max_vocab};"
+            " merge counts/order are computed over the capped top"
+            f" {max_vocab} words and may diverge from corpus-exact BPE"
+        )
+        if strict_vocab:
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
+        wf = wf[:max_vocab]
     vocab: list[tuple[list[str], int]] = [
         (list(r["w"]), int(r["wc"])) for r in wf
     ]

@@ -266,6 +266,7 @@ def knn_join_gridded(
     queries: DataFrame,
     k: int,
     cell: float,
+    enforce_exact: bool = True,
 ) -> DataFrame:
     """Exact k-nearest-neighbour join via grid buckets: each corpus
     point hashes to ONE (cx, cy) cell; each query probes its 3x3 cell
@@ -275,11 +276,17 @@ def knn_join_gridded(
     EXACTNESS PRECONDITION: the kth neighbour must lie within ``cell``
     of the query (the 3x3 ring's guaranteed radius). Pick ``cell`` so
     that expected k-NN distance sqrt(k / (pi * density)) is well under
-    it — tests/test_spatial.py asserts the margin on the testbed and
-    the DuckDB brute-force oracle differentially proves exactness.
+    it. With ``enforce_exact`` (default) the precondition is CHECKED AT
+    RUNTIME inside the plan: any query whose kth kept distance exceeds
+    ``cell``, or that kept fewer than k rows while eligible points
+    exist outside its ring, fails the job via ``raise_error`` — an
+    inexact result can never pass silently (ADVICE r3). The guard is a
+    second window over the already-qid-partitioned kept rows plus a
+    broadcast 1-row corpus count: no extra shuffle, no extra job.
     Production path at unbounded scale is ring expansion: re-probe
-    radius-2 cells for the (rare) queries whose kth candidate distance
-    exceeds ``cell`` — same plan shape, one extra round.
+    radius-2 cells for the (rare) flagged queries — same plan shape,
+    one extra round; ``enforce_exact=False`` is for that caller, which
+    re-checks after expansion.
 
     Scale: one shuffle each side on the cell key (query side is 9 rows
     per query — broadcastable when the query set is small); candidate
@@ -312,13 +319,36 @@ def knn_join_gridded(
         .select("qid", "nid", d2.alias("d2"))
     )
     w = W.partitionBy("qid").orderBy("d2", "nid")
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbour_id"),
-            F.col("rank").cast("int").alias("rank"),
-            F.round(F.sqrt(F.col("d2")) + F.lit(1e-9), 6).alias("dist"),
+    kept = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    dist = F.round(F.sqrt(F.col("d2")) + F.lit(1e-9), 6)
+    if enforce_exact:
+        wq = W.partitionBy("qid")
+        # kth kept distance beyond the ring radius, or a short result
+        # while eligible points (>= corpus-1 after the self-exclusion)
+        # remain outside the ring -> the true k-NN may be missed
+        n_corpus = points.select(F.count("*").alias("__np"))
+        kept = kept.join(F.broadcast(n_corpus))
+        bad = (F.max("d2").over(wq) > F.lit(float(cell) * float(cell))) | (
+            (F.count("*").over(wq) < k)
+            & (F.count("*").over(wq) < F.col("__np") - 1)
         )
+        dist = F.when(
+            bad,
+            F.raise_error(
+                F.format_string(
+                    "knn_join_gridded exactness breach for query %s:"
+                    " kth neighbour beyond cell=%s — expand the probe"
+                    " ring or enlarge cell",
+                    F.col("qid"),
+                    F.lit(str(cell)),
+                )
+            ).cast("double"),
+        ).otherwise(dist)
+    return kept.select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("neighbour_id"),
+        F.col("rank").cast("int").alias("rank"),
+        dist.alias("dist"),
     )

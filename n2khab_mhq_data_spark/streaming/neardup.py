@@ -13,8 +13,9 @@ Shape per micro-batch (foreachBatch):
 2. banded-LSH candidate join of batch signatures against the
    ACCUMULATED signature store (plus within-batch pairs), exact-Jaccard
    verification on candidates only;
-3. emit a verdict row per batch doc (``is_dup``, ``dup_of`` = smallest
-   matched accepted/earlier doc);
+3. emit a verdict row per batch doc (``is_dup``, ``dup_of`` = the
+   ACCEPTED canonical doc reached by resolving matched-dup chains —
+   never a doc gated out in the same batch);
 4. extend the store with the batch's CANONICAL docs only (dups are
    gated out), via the atomic-rename swap shared with merge_stream.
 
@@ -67,7 +68,12 @@ def neardup_gate_stream(
     Contract: doc ids are monotonically increasing across batches (the
     usual ingest sequence) — "dup of" always points at the SMALLER id,
     so an accepted doc is never retroactively demoted by a later
-    arrival."""
+    arrival. The contract is ENFORCED per batch (min batch id must
+    exceed the store's max id): a breach would silently route the pair's
+    store doc to the batch side of the candidate prune and admit the
+    near-dup as canonical, so it fails loudly instead. ``dup_of`` is
+    resolved transitively, so it always names an ACCEPTED (stored) doc,
+    never a doc gated out in the same batch."""
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
@@ -80,6 +86,34 @@ def neardup_gate_stream(
             shingle_table(batch, text_col, id_col, k), num_hashes
         ).persist()
         store = read_state(s, sig_path)
+        if store is not None:
+            # enforce the monotonic-id contract: the candidate prune
+            # below keys on "larger side is a batch doc", so a NEW batch
+            # id below the store's max would silently drop its pairs and
+            # admit a near-dup — fail loudly instead. Replays are exempt:
+            # a re-delivered doc already has a verdict row, and the gate's
+            # state transitions are idempotent for it. The guard costs a
+            # 2-scalar agg (parquet min/max stats) and, only when the
+            # ranges overlap, one anti-join against the verdict state.
+            lo = bsig.agg(F.min("doc")).first()[0]
+            hi = store.agg(F.max("doc")).first()[0]
+            if lo is not None and hi is not None and lo <= hi:
+                prev_v = read_state(s, verdict_path)
+                offending = bsig.select("doc").filter(F.col("doc") <= hi)
+                if prev_v is not None:
+                    offending = offending.join(
+                        prev_v.select(F.col(id_col).alias("doc")),
+                        "doc",
+                        "anti",
+                    )
+                bad = [r.doc for r in offending.limit(3).collect()]
+                if bad:
+                    raise ValueError(
+                        f"neardup gate id contract breach: never-seen"
+                        f" batch doc ids {bad} <= store max doc id {hi};"
+                        " ingest ids must be monotonically increasing"
+                        " across batches"
+                    )
         pool = bsig if store is None else store.unionByName(bsig)
         batch_ids = bsig.select(F.col("doc").alias("bid"))
         # prune to candidates whose LARGER side is a batch doc BEFORE the
@@ -106,6 +140,35 @@ def neardup_gate_stream(
             .agg(F.min("d1").alias("dup_of"))
             .persist()
         )
+        # resolve transitive chains (A<B<C where C matched only B and B
+        # matched A): a dup_of target flagged in the SAME batch is not
+        # stored, so pointer-jump the tiny per-batch dup map until every
+        # target is an accepted doc — each pass at least halves chain
+        # length, and dup_of strictly decreases so the loop terminates
+        while True:
+            parent = dup_of.select(
+                F.col("doc").alias("dup_of"), F.col("dup_of").alias("next")
+            )
+            jumped = (
+                dup_of.join(parent, "dup_of", "left")
+                .select(
+                    "doc", F.coalesce("next", "dup_of").alias("dup_of")
+                )
+                .persist()
+            )
+            unresolved = (
+                jumped.join(
+                    jumped.select(F.col("doc").alias("dup_of")),
+                    "dup_of",
+                    "semi",
+                )
+                .limit(1)
+                .count()
+            )
+            dup_of.unpersist()
+            dup_of = jumped
+            if unresolved == 0:
+                break
         batch_verdicts = (
             bsig.select("doc")
             .join(dup_of, "doc", "left")

@@ -484,3 +484,28 @@ def test_bpe_encode_reproduces_trainer_state(spark):
     # zero merges: every char is a token
     row0 = bpe_encode(docs, "text", "doc_id", []).collect()[0]
     assert row0["n_tokens_bpe"] == 10
+
+
+def test_bpe_train_surfaces_vocab_truncation(spark):
+    import warnings
+
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee")], "doc_id int, text string"
+    )
+    # cap below the 5-word vocabulary: must warn (and raise under strict)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        bpe_train(docs, "text", num_merges=1, max_vocab=3)
+    assert any("max_vocab" in str(w.message) for w in caught)
+    with pytest.raises(ValueError, match="max_vocab"):
+        bpe_train(docs, "text", num_merges=1, max_vocab=3, strict_vocab=True)
+    # an uncapped corpus stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        merges = bpe_train(docs, "text", num_merges=1, max_vocab=100)
+    assert not any("max_vocab" in str(w.message) for w in caught)
+    assert merges

@@ -435,3 +435,29 @@ def test_knn_join_gridded_exact_vs_brute_force(spark):
             assert gn == nid
             assert abs(gd - d) < 1e-5
         assert dists[-1][0] <= 20.0  # ring-guarantee margin holds
+
+
+def test_knn_join_gridded_inexact_cell_fails_loud(spark):
+    """A cell too small for the kth neighbour must fail the job at
+    runtime (raise_error in the plan), never silently return wrong
+    neighbours: two far-apart clusters with cell smaller than the
+    inter-cluster gap."""
+    import pytest
+
+    from n2khab_mhq_data_spark.spatial.join import knn_join_gridded
+
+    # query 0 has exactly 1 in-ring neighbour; its 2nd/3rd NN live 50
+    # units away — outside the 3x3 ring at cell=2.0
+    pts = spark.createDataFrame(
+        [(0, 0.0, 0.0), (1, 0.5, 0.0),
+         (2, 50.0, 0.0), (3, 50.5, 0.0), (4, 51.0, 0.0)],
+        "point_id long, x double, y double",
+    )
+    qs = pts.filter("point_id = 0")
+    with pytest.raises(Exception, match="exactness breach"):
+        knn_join_gridded(pts, qs, k=3, cell=2.0).collect()
+    # the escape hatch for the ring-expansion caller still returns rows
+    rows = knn_join_gridded(
+        pts, qs, k=3, cell=2.0, enforce_exact=False
+    ).collect()
+    assert len(rows) == 1  # only the in-ring candidate survives

@@ -594,6 +594,72 @@ def test_neardup_gate_stream_flags_against_store(spark, tmp_path):
     assert store_ids == {1, 2, 11}
 
 
+def test_neardup_gate_transitive_chain_resolves_to_accepted(spark, tmp_path):
+    """A<B<C where C matches only B (not A): B is gated out, so C's
+    dup_of must resolve through the chain to the ACCEPTED doc A — a
+    consumer following dup_of never lands on a non-stored doc."""
+    from n2khab_mhq_data_spark.streaming.neardup import neardup_gate_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    words = [f"w{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:-3] + ["x1", "x2", "x3"])          # ~0.85 vs A
+    c = " ".join(["y1", "y2", "y3"] + words[3:-3] + ["x1", "x2", "x3"])
+    spark.createDataFrame(
+        [(21, a), (22, b), (23, c)], schema
+    ).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = neardup_gate_stream(
+        spark, stream, str(tmp_path / "sigs"), str(tmp_path / "verdicts"),
+        "text", "doc_id", str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    v = {r.doc_id: (r.is_dup, r.dup_of)
+         for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()}
+    assert v[21] == (False, None)
+    assert v[22] == (True, 21)
+    assert v[23] == (True, 21)  # resolved through gated-out 22
+    store_ids = {
+        r.doc for r in spark.read.parquet(str(tmp_path / "sigs")).collect()
+    }
+    assert store_ids == {21}
+
+
+def test_neardup_gate_monotonic_id_breach_fails_loud(spark, tmp_path):
+    """A batch doc id at or below the store's max id breaks the
+    documented monotonic-ingest contract — the gate must raise, not
+    silently admit the near-dup."""
+    import pytest
+
+    from n2khab_mhq_data_spark.streaming.neardup import neardup_gate_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = neardup_gate_stream(
+            spark, stream, str(tmp_path / "sigs"),
+            str(tmp_path / "verdicts"), "text", "doc_id",
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([(10, base)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    run()
+    spark.createDataFrame(
+        [(5, " ".join(f"v{i}" for i in range(40)))], schema
+    ).write.mode("append").parquet(str(src))
+    with pytest.raises(Exception, match="id contract breach"):
+        run()
+
+
 def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
     """Replaying micro-batches (checkpoint wiped, full backlog
     re-processed) must converge to the SAME verdict table and signature
