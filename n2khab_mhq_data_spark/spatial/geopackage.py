@@ -8,13 +8,24 @@ and each geometry value is a GPB blob — an 8-byte header (magic 'GP',
 version, flags byte whose bits 1-3 select the envelope size, little/big
 endian bit 0) + optional envelope + standard OGC WKB.
 
-Driver-side by design: the container needs random access through the
-SQLite b-tree, which Python's stdlib ``sqlite3`` provides — no extra
-dependency. Reference GPKG layers are dimension-sized (a habitat or
-military-domain boundary layer); the distributed-file scale path for big
-layers is the shapefile reader (``spatial/shapefile.py``) or WKT columns
-in parquet. Attributes come along as typed columns; geometry lands as the
-engine's WKT interchange column, composing with ``parse_wkt_layer`` /
+Two paths share the GPB/WKB decoder:
+
+- ``read_geopackage`` — driver-side, for the reference's dimension-sized
+  layers (a habitat or military-domain boundary,
+  data_heide_groot_schietveld.Rmd:32): stdlib ``sqlite3`` random access,
+  no extra dependency.
+- ``read_geopackage_distributed`` — the big-layer scale path: the driver
+  touches only the container CATALOG (layer list, geometry column,
+  declared schema, rowid range); executors each open the SQLite file and
+  range-scan one rowid window through the b-tree (``rowid BETWEEN`` is an
+  index range scan, so tasks read disjoint pages), decoding GPB->WKT
+  inside the task — the same ranged-read shape as
+  ``spatial/shapefile.py``. Requires the .gpkg to be reachable from every
+  executor (shared FS / distributed cache), the shapefile path's
+  contract.
+
+Attributes come along as typed columns; geometry lands as the engine's
+WKT interchange column, composing with ``parse_wkt_layer`` /
 ``point_in_polygon_join`` / ``wkt_circle_intersection_areas``."""
 
 from __future__ import annotations
@@ -118,19 +129,118 @@ def list_layers(path: str) -> list[str]:
     return [r[0] for r in rows]
 
 
+def _resolve_layer(path: str, layer: str | None) -> str:
+    layers = list_layers(path)
+    if layer is None:
+        if len(layers) != 1:
+            raise ValueError(f"specify layer; gpkg has {layers}")
+        return layers[0]
+    if layer not in layers:
+        raise ValueError(f"no feature layer {layer!r}; gpkg has {layers}")
+    return layer
+
+
+def _decl_to_spark(decl: str | None) -> str:
+    d = (decl or "").upper()
+    if "INT" in d:
+        return "bigint"
+    if any(t in d for t in ("REAL", "FLOA", "DOUB")):
+        return "double"
+    if "BLOB" in d:
+        return "binary"
+    return "string"
+
+
+def read_geopackage_distributed(
+    spark: SparkSession,
+    path: str,
+    layer: str | None = None,
+    rows_per_task: int = 4096,
+) -> DataFrame:
+    """Distributed GPKG feature-layer read (see module docstring): the
+    driver reads catalog metadata only; each task range-scans one rowid
+    window and decodes GPB->WKT. Output columns and values match
+    ``read_geopackage`` (all attribute columns, typed from the SQLite
+    declarations, plus the ``wkt`` interchange column)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    layer = _resolve_layer(path, layer)
+    with sqlite3.connect(path) as con:
+        (geom_col,) = con.execute(
+            "SELECT column_name FROM gpkg_geometry_columns"
+            " WHERE table_name = ?",
+            (layer,),
+        ).fetchone()
+        info = con.execute(f'PRAGMA table_info("{layer}")').fetchall()
+        lo_hi = con.execute(
+            f'SELECT min(rowid), max(rowid) FROM "{layer}"'
+        ).fetchone()
+    attrs = [(r[1], _decl_to_spark(r[2])) for r in info if r[1] != geom_col]
+    spark_t = {
+        "bigint": LongType(),
+        "double": DoubleType(),
+        "binary": BinaryType(),
+        "string": StringType(),
+    }
+    schema = StructType(
+        [StructField(n, spark_t[t], True) for n, t in attrs]
+        + [StructField("wkt", StringType(), True)]
+    )
+    if lo_hi[0] is None:  # empty layer
+        return spark.createDataFrame([], schema)
+    lo, hi = int(lo_hi[0]), int(lo_hi[1])
+    ranges = [
+        (s, min(s + rows_per_task - 1, hi))
+        for s in range(lo, hi + 1, rows_per_task)
+    ]
+    sel = ", ".join(f'"{n}"' for n, _ in attrs) + f', "{geom_col}"'
+    names = [n for n, _ in attrs]
+
+    def op(batches):
+        import pandas as pd
+
+        con = sqlite3.connect(path)
+        try:
+            for pdf in batches:
+                for rlo, rhi in zip(pdf["lo"], pdf["hi"]):
+                    rows = con.execute(
+                        f'SELECT {sel} FROM "{layer}"'
+                        " WHERE rowid BETWEEN ? AND ?",
+                        (int(rlo), int(rhi)),
+                    ).fetchall()
+                    if not rows:
+                        continue
+                    data = {
+                        n: [r[i] for r in rows]
+                        for i, n in enumerate(names)
+                    }
+                    data["wkt"] = [gpb_to_wkt(r[-1]) for r in rows]
+                    yield pd.DataFrame(data, columns=names + ["wkt"])
+        finally:
+            con.close()
+
+    rng = spark.createDataFrame(ranges, "lo long, hi long").repartition(
+        max(1, min(len(ranges), spark.sparkContext.defaultParallelism)),
+        F.col("lo"),
+    )
+    return rng.mapInPandas(op, schema)
+
+
 def read_geopackage(
     spark: SparkSession, path: str, layer: str | None = None
 ) -> DataFrame:
     """st_read(dsn, layer): load one feature layer (default: the only
     one) with its attributes; geometry decoded GPB->WKB->WKT into a
     ``wkt`` column."""
-    layers = list_layers(path)
-    if layer is None:
-        if len(layers) != 1:
-            raise ValueError(f"specify layer; gpkg has {layers}")
-        layer = layers[0]
-    elif layer not in layers:
-        raise ValueError(f"no feature layer {layer!r}; gpkg has {layers}")
+    layer = _resolve_layer(path, layer)
     with sqlite3.connect(path) as con:
         (geom_col,) = con.execute(
             "SELECT column_name FROM gpkg_geometry_columns"

@@ -346,6 +346,57 @@ def test_geopackage_layer_read(spark, tmp_path):
     assert stats[2] == 4.0 - 1.0
 
 
+def test_geopackage_distributed_matches_driver_path(spark, tmp_path):
+    """The ranged-rowid distributed GPKG read must return exactly the
+    driver-side reader's rows on a 10k-feature layer (many rowid
+    windows), including NULL geometries and a rowid gap."""
+    import sqlite3
+
+    from n2khab_mhq_data_spark.spatial.geopackage import (
+        read_geopackage,
+        read_geopackage_distributed,
+    )
+
+    gpkg = str(tmp_path / "big.gpkg")
+    con = sqlite3.connect(gpkg)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns"
+        " (table_name TEXT, column_name TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE parcels (fid INTEGER PRIMARY KEY, naam TEXT,"
+        " opp REAL, geom BLOB)"
+    )
+    con.execute("INSERT INTO gpkg_contents VALUES ('parcels', 'features')")
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES ('parcels', 'geom')"
+    )
+    rows = []
+    for i in range(10_000):
+        x = float(i % 100)
+        y = float(i // 100)
+        ring = [(x, y), (x + 1, y), (x + 1, y + 1), (x, y + 1), (x, y)]
+        geom = None if i % 997 == 0 else _gpb(_wkb_polygon([ring]))
+        # rowid gap: skip fid 5000 to exercise sparse ranges
+        fid = i if i < 5000 else i + 137
+        rows.append((fid, f"p{i}", float(i), geom))
+    con.executemany("INSERT INTO parcels VALUES (?,?,?,?)", rows)
+    con.commit()
+    con.close()
+
+    dist = read_geopackage_distributed(spark, gpkg, rows_per_task=512)
+    assert dist.rdd.getNumPartitions() > 1
+    got = sorted(tuple(r) for r in dist.collect())
+    want = sorted(tuple(r) for r in read_geopackage(spark, gpkg).collect())
+    assert len(got) == 10_000
+    assert got == want
+    assert dist.schema["fid"].dataType.typeName() == "long"
+    assert dist.schema["opp"].dataType.typeName() == "double"
+
+
 def test_gpb_flag_bits_null_empty_extended():
     """OGC 12-128 flags byte is RRXYEEEB: bit 4 = empty geometry -> None,
     bit 5 = ExtendedGeoPackageBinary -> fail fast (body is not plain WKB).

@@ -47,10 +47,21 @@ HEADLINE = [
     "graph_pagerank",             # iterative joins (1 shuffle/round)
     "pipeline_leakage_safe_split",  # components + split attach
     "ts_ewma",                    # Arrow grouped map (pinned dispatch)
+    # the rest of the r3-bench top-10 most expensive queries: where a
+    # hidden quadratic would cost the most
+    "dedup_component_sizes",      # exact-pair edges + CC + histogram
+    "ann_ivf_topk",               # IVF inverted-list rerank
+    "dedup_lsh_recall_audit",     # exact pairs vs banded capture
+    "dedup_components",           # single-phase min-label CC
+    "k7_lsvi_species",            # species-branch rule engine
+    "ann_ivf_multiprobe",         # nprobe=2 routing windows
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
        "/root/testdata/sf0.1"]
+# optional 4th tier: the 0.1 -> 1.0 leg (tools/make_sf1.py output) —
+# the slope where a hidden quadratic would first dominate real work
+SF1 = "/root/repo/.scale/sf1.0"
 
 
 def main() -> int:
@@ -63,13 +74,18 @@ def main() -> int:
     # session fixed costs
     qs["p1_select_rename"](spark, SFS[0]).count()
 
+    sfs = list(SFS)
+    if Path(SF1).is_dir():
+        sfs.append(SF1)
+        print("sf1.0 tier found — probing the 0.1 -> 1.0 leg too")
+
     rows = []
     for name in names:
         if name not in qs:
             print(f"?? unknown query {name}", file=sys.stderr)
             continue
         times = []
-        for sf in SFS:
+        for sf in sfs:
             t0 = time.time()
             qs[name](spark, sf).count()
             times.append(time.time() - t0)
@@ -77,18 +93,31 @@ def main() -> int:
         r_big = times[2] / times[1] if times[1] > 0 else float("nan")
         # 10x data; flag only clearly super-linear growth (>2x slope)
         flag = "SUPER-LINEAR" if r_big > 20 else ""
-        rows.append({
+        row = {
             "query": name,
             "sf0.001_s": round(times[0], 2),
             "sf0.01_s": round(times[1], 2),
             "sf0.1_s": round(times[2], 2),
             "ratio_0.01/0.001": round(r_mid, 1),
             "ratio_0.1/0.01": round(r_big, 1),
-            "flag": flag,
-        })
+        }
+        tail = f"x{r_big:5.1f}"
+        if len(times) > 3:
+            r_sf1 = times[3] / times[2] if times[2] > 0 else float("nan")
+            row["sf1.0_s"] = round(times[3], 2)
+            row["ratio_1.0/0.1"] = round(r_sf1, 1)
+            # at this leg real data work dominates scheduling overhead,
+            # so linear shapes approach ~10x for 10x data — flag only
+            # clearly super-linear growth
+            if r_sf1 > 20:
+                flag = "SUPER-LINEAR"
+            tail += f" x{r_sf1:5.1f}"
+        row["flag"] = flag
+        rows.append(row)
         print(
-            f"{name:28s} {times[0]:6.2f} {times[1]:6.2f} {times[2]:6.2f}"
-            f"   x{r_big:5.1f} {flag}"
+            f"{name:28s} "
+            + " ".join(f"{t:6.2f}" for t in times)
+            + f"   {tail} {flag}"
         )
 
     out = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
