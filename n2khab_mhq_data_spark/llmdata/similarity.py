@@ -201,6 +201,7 @@ def kmeans_assign(
     vec_col: str,
     cents: list[tuple[int, list[float]]],
     out_cols: str,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Nearest-centroid id (cosine argmax, ties to lowest id) as ONE
     Arrow-batched BLAS pass (``mapInPandas``): V @ C.T per batch, centroid
@@ -209,12 +210,18 @@ def kmeans_assign(
     column to carry through plus ``cent_id int`` (cent_id is appended by
     the kernel).
 
+    ``nprobe > 1`` emits the ``nprobe`` nearest centroids as that many
+    output rows per input row (cosine-ranked, ties to lowest id) — the
+    multi-probe query-side routing, still zero-shuffle: the per-batch
+    argsort replaces the n x K window ranking of ``ivf_assign``.
+
     Why not codegen: the literal-coefficient unrolled form (K=8 x dim=64
     = 512-term expression) exceeds the JIT method budget and evaluates
     INTERPRETED — measured ~0.4 ms/row, vs well under 1 us/row for the
     blocked matmul. Same finding and fix as ``cosine_pairs_bucketed``.
     Argmax ties break to the lowest centroid id (np.argmax returns the
-    first maximum; the matrix rows are ordered by cent_id)."""
+    first maximum; the matrix rows are ordered by cent_id — and for
+    nprobe > 1 a stable argsort on -cos preserves that order)."""
     import numpy as np
     import pandas as pd
 
@@ -231,9 +238,18 @@ def kmeans_assign(
             Vn = np.sqrt((V * V).sum(axis=1))
             Vn[Vn == 0] = 1.0
             S = (V @ C.T) / (Vn[:, None] * Cn[None, :])
-            out = pdf[carry].copy()
-            out["cent_id"] = ids[S.argmax(axis=1)].astype(np.int32)
-            yield out
+            if nprobe == 1:
+                out = pdf[carry].copy()
+                out["cent_id"] = ids[S.argmax(axis=1)].astype(np.int32)
+                yield out
+            else:
+                # stable sort on -cos: equal cosines keep cent_id order
+                top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+                out = pdf[carry].loc[
+                    pdf.index.repeat(nprobe)
+                ].reset_index(drop=True)
+                out["cent_id"] = ids[top.ravel()].astype(np.int32)
+                yield out
 
     return df.mapInPandas(op, out_cols + ", cent_id int")
 
@@ -384,17 +400,18 @@ def ivf_topk(
     seed to seeded Lloyd's centroids (:func:`ivf_kmeans_centroids`); the
     centroids ship in the BLAS kernel's closure, so BOTH assignment passes
     lose their broadcast join — each side is one Arrow-batched matmul pass.
-    nprobe=1 with the first-K seed takes the SAME closure path (the K seed
-    vectors are a bounded K x dim driver collect, exactly like reusing a
-    built index) — measured ~1.8x faster than the broadcast-join shape at
-    sf0.1 because it drops the n x K expansion, the argmax groupBy shuffle,
-    and the corpus re-join. Multi-probe routing (nprobe > 1) keeps the
-    DataFrame-centroid broadcast path: its per-query nprobe ranking is a
-    window over the n x K scores. Pass ``cents`` (an
-    :func:`ivf_kmeans_centroids` result) to reuse an already built index —
-    the build is a distinct lifecycle step, search should not re-run
-    Lloyd's."""
-    if nprobe == 1 and kmeans_iters == 0 and cents is None and dim:
+    The first-K seed takes the SAME closure path (the K seed vectors are
+    a bounded K x dim driver collect, exactly like reusing a built
+    index) — measured ~1.8x faster than the broadcast-join shape at
+    sf0.1 because it drops the n x K expansion, the argmax groupBy
+    shuffle, and the corpus re-join. Multi-probe routing (nprobe > 1)
+    rides the same closure kernel: the per-batch argsort emits nprobe
+    routing rows per query, replacing ``ivf_assign``'s n x K window
+    shuffle. Pass ``cents`` (an :func:`ivf_kmeans_centroids` result) to
+    reuse an already built index — the build is a distinct lifecycle
+    step, search should not re-run Lloyd's. The DataFrame-centroid
+    broadcast path remains only for dim-less callers."""
+    if kmeans_iters == 0 and cents is None and dim:
         # first-K seed as closure centroids: one bounded K x dim collect
         # buys zero-shuffle assignment on both sides (same argmax + lowest-
         # id tie-break as ivf_assign, so results are identical)
@@ -408,8 +425,6 @@ def ivf_topk(
             )
         ]
     if kmeans_iters > 0 or cents is not None:
-        if nprobe != 1:
-            raise ValueError("kmeans_iters currently requires nprobe=1")
         assert dim is not None
         if cents is None:
             cents = ivf_kmeans_centroids(
@@ -434,6 +449,7 @@ def ivf_topk(
             "qvec",
             cents,
             f"query_id {idt}, qvec {vt}",
+            nprobe=nprobe,
         ).withColumn("qnrm", norm("qvec", dim))
     else:
         cent = ivf_centroids(corpus, id_col, vec_col, n_centroids, dim)

@@ -532,17 +532,28 @@ def spatial_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-NN join for 20 query points against the full point set
-    via grid buckets (spatial/join.py::knn_join_gridded, cell=20):
-    candidates come from the query's 3x3 cell neighbourhood only — the
-    2D analog of the banded-LSH candidate pattern — and exact distances
-    + a per-query window produce the top 5. The brute-force cross-join
-    oracle differentially proves exactness (the kth neighbour distance
-    on this density is ~3 units, far inside the 20-unit ring
-    guarantee); distances are identical doubles in both engines, so
+    via grid buckets (spatial/join.py::knn_join_gridded): candidates
+    come from the query's 3x3 cell neighbourhood only — the 2D analog
+    of the banded-LSH candidate pattern — and exact distances + a
+    per-query window produce the top 5. ``cell`` is sized from measured
+    density (10x the expected kth-NN distance sqrt(k*A/(pi*n)) over the
+    fixed 100x100 domain — the wide margin covers point 0, which sits
+    isolated at the domain corner with a kth-NN distance ~6x the
+    lattice spacing), so every sf tier keeps the ring guarantee; the
+    candidate count per query stays bounded (~100*k/pi points) because
+    cell^2 x density is scale-free. The r4 runtime exactness guard
+    exposed that the previous fixed cell=20 was silently INEXACT at
+    sf0.001 (corner kth ~ 35 > 20) — the failure mode the guard
+    exists for. The brute-force cross-join oracle differentially proves
+    exactness; distances are identical doubles in both engines, so
     ranks can't drift."""
+    import math
+
     from n2khab_mhq_data_spark.spatial.join import knn_join_gridded
 
     pts = _points(spark, sf_dir)
+    n = pts.count()  # tiny parquet-count job at plan build
+    cell = 10.0 * math.sqrt(5 * 10000.0 / (math.pi * max(n, 1)))
     return knn_join_gridded(
-        pts, pts.filter(F.col("point_id") < 20), k=5, cell=20.0
+        pts, pts.filter(F.col("point_id") < 20), k=5, cell=cell
     )

@@ -24,7 +24,7 @@ REPRESENTATIVE = [
     "w2_keep_latest",          # window
     "k7_lsvi_globaal",         # layered kernel
     "dedup_minhash_lsh",       # banded LSH
-    "ann_ivf_topk",            # whitelisted centroid cross join
+    "ann_ivf_topk",            # zero-shuffle closure assignment (r4)
     "text_tfidf_topk",         # whitelisted 1-row broadcast
     "graph_pagerank",          # iterative joins (hinted shuffle-hash)
     "pipeline_leakage_safe_split",  # components + split attach

@@ -68,16 +68,14 @@ EXPECTED: dict[str, set[str]] = {
     # large fact sides — SortMergeJoin is the correct strategy (see
     # j4_full_outer)
     "k2_square_override": {"SMJ"},
-    # IVF assignment scores every vector against K=8 broadcast centroids:
-    # a deliberate n x K map-side cross join, bounded by n_centroids
-    "ann_ivf_topk": {"CARTESIAN"},
-    # multi-probe variant of ann_ivf_topk: same deliberate n x K
-    # broadcast-centroid scoring (nprobe only widens the routing filter)
-    "ann_ivf_multiprobe": {"CARTESIAN"},
+    # r4: ann_ivf_topk / ann_ivf_multiprobe no longer appear here — the
+    # centroid scoring moved from a broadcast cross join to the
+    # zero-shuffle Arrow/BLAS closure pass, so their plans are flag-free
     # recall@10 recomputes the brute-force baseline, inheriting
     # sim_cosine_topk's deliberate broadcast cross join
     "ann_recall_at_10": {"CARTESIAN"},
-    # same baseline recomputation, plus the IVF centroid cross join
+    # same brute-force baseline recomputation (the IVF leg itself is
+    # closure-based and flag-free since r4)
     "ann_ivf_recall_at_10": {"CARTESIAN"},
     # the corpus-size scalar (one row) broadcasts onto every (doc, token)
     # row — a deliberate 1-row BroadcastNestedLoopJoin, the standard way
@@ -114,6 +112,11 @@ EXPECTED: dict[str, set[str]] = {
     # broadcasts onto every vector — the standard global-statistic
     # attach (see text_tfidf_topk)
     "ann_scalar_quant_error": {"CARTESIAN"},
+    # the r4 runtime exactness guard attaches the 1-row corpus count to
+    # the kept rows (the text_tfidf_topk global-statistic pattern) so a
+    # short result can distinguish "corpus exhausted" from "ring missed
+    # points" without a driver job
+    "spatial_knn_join": {"CARTESIAN"},
     # the 1-row corpus bigram total broadcasts onto the scored stream
     # (see text_tfidf_topk)
     "text_bigram_lm": {"CARTESIAN"},
