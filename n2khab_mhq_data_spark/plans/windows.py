@@ -427,6 +427,56 @@ def events_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_trending_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT to_timestamp(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT))
+               AS ws,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT ws, event_type, n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM counts
+    )
+    SELECT CAST(ws AS DATE) AS window_day,
+           CAST(extract(hour FROM ws) AS INTEGER) AS window_hour,
+           CAST(rnk AS INTEGER) AS rank,
+           event_type,
+           CAST(n AS BIGINT) AS n
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window trending top-3 leaderboard over tumbling 1h windows —
+    the BATCH leg of streaming/trending.py's continuously materialized
+    leaderboard, ranked by the SAME trending_topk function the stream's
+    foreachBatch publishes (the stream-equals-batch pytest ties the two;
+    this entry puts the ranking core under the driver's value hash).
+    One shuffle for the windowed count, one window partitioned by
+    window_start for the rank. Window start split day/hour for
+    engine-portable comparison."""
+    from n2khab_mhq_data_spark.streaming.trending import trending_topk
+
+    e = load(spark, sf_dir, "events")
+    counts = (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    return trending_topk(counts, 3).select(
+        F.col("window_start").cast("date").alias("window_day"),
+        F.hour("window_start").alias("window_hour"),
+        "rank",
+        "event_type",
+        "n",
+    )
+
+
+@query(
     "events_cohort_retention",
     oracle="""
     WITH activity AS (
