@@ -54,7 +54,9 @@ HEADLINE = [
     "dedup_lsh_recall_audit",     # exact pairs vs banded capture
     "dedup_components",           # single-phase min-label CC
     "k7_lsvi_species",            # species-branch rule engine
-    "ann_ivf_multiprobe",         # nprobe=2 routing windows
+    "ann_ivf_multiprobe",         # nprobe=2 closure routing (r4)
+    "spatial_knn_join",           # grid kNN with runtime exactness guard
+    "events_trending_topk",       # windowed leaderboard (batch leg)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
