@@ -578,6 +578,97 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_hits: int = 1,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Sketch-routed benchmark decontamination — identical output to
+    :func:`decontaminate`, different scale shape: instead of
+    broadcasting the benchmark's distinct gram STRINGS, collapse them
+    into a Bloom filter (``m_bits`` bits, ``n_hashes`` double-hashed
+    probes over the portable ``xxhash64``) and prefilter corpus grams
+    JVM-side against the bitmap; only the sketch's survivors (true hits
+    + ~(1-e^(-jn/m))^j false positives) take the exact broadcast-join
+    verification, so the exact join's build side no longer scales with
+    the benchmark-suite gram count.
+
+    Spark shape: the filter BUILD is one distributed aggregation —
+    gram -> j bit positions (explode) -> per-word ``bit_or`` — whose
+    result is at most ``m_bits / 64`` longs (2048 for the default 128
+    Kbit filter), collected under the same bounded-driver-state
+    contract as the k-means K x dim partials and shipped back as ONE
+    array literal. The PROBE is pure whole-stage-codegen bit arithmetic
+    (element_at + bitwise AND per hash) — no Python, no shuffle, and
+    the corpus is still never shuffled by gram. Exact verification
+    removes every false positive, which is what lets the exact-path
+    oracle pin this query value-for-value."""
+    corpus_grams = shingle_table(corpus, text_col, id_col, k)
+    bench_grams = (
+        shingle_table(benchmark, text_col, id_col, k)
+        .select("gram")
+        .distinct()
+    )
+    n_words = m_bits // 64
+
+    def positions(col: str):
+        # reduce each hash mod m BEFORE combining: h1 + j*h2 on raw
+        # 64-bit hashes overflows (ANSI arithmetic throws); the reduced
+        # form is congruent mod m and stays < (n_hashes + 1) * m
+        h1 = F.pmod(F.xxhash64(F.col(col)), F.lit(m_bits))
+        h2 = F.pmod(F.xxhash64(F.col(col), F.lit(1)), F.lit(m_bits))
+        return [
+            F.pmod(h1 + F.lit(j) * h2, F.lit(m_bits)) for j in range(n_hashes)
+        ]
+
+    words = (
+        bench_grams.select(F.explode(F.array(*positions("gram"))).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))"
+            ).alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r.w] = r.bits
+    bm = F.array(*[F.lit(x) for x in bitmap])
+
+    probed = corpus_grams
+    cond = F.lit(True)
+    for j, p in enumerate(positions("gram")):
+        probed = probed.withColumn(f"_p{j}", p).withColumn(
+            f"_b{j}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{j} % 64 AS INT))"),
+        )
+        word = F.element_at(bm, (F.col(f"_p{j}") / 64).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(F.col(f"_b{j}")) != 0)
+    cand = probed.filter(cond).select(*corpus_grams.columns)
+    hits = cand.join(F.broadcast(bench_grams), "gram", "inner")
+    per_doc = hits.groupBy("doc").agg(
+        F.count("*").alias("n_contaminated_grams")
+    )
+    ids = corpus.select(F.col(id_col).alias("doc"))
+    return ids.join(per_doc, "doc", "left").select(
+        F.col("doc").alias(id_col),
+        F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+            "n_contaminated_grams"
+        ),
+        (
+            F.coalesce("n_contaminated_grams", F.lit(0)) >= min_hits
+        ).alias("contaminated"),
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     text_col: str = "text",

@@ -1384,6 +1384,43 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_decontaminate_bloom",
+    oracle=_SHINGLES_SQL
+    + """
+    , bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc % 97 = 0
+    ), corpus AS (
+      SELECT doc, g FROM sh WHERE doc % 97 != 0
+    ), hits AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n
+      FROM corpus JOIN bench USING (g) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(h.n, 0) AS n_contaminated_grams,
+           coalesce(h.n, 0) >= 1 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 != 0) d
+    LEFT JOIN hits h ON h.doc = d.doc_id
+    """,
+)
+def dedup_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-routed decontamination — same task and same EXACT oracle as
+    dedup_decontaminate, but the benchmark gram set travels as a 128 Kbit
+    Bloom filter (one bit_or aggregation, collected as <= 2048 longs,
+    shipped back as an array literal) and corpus grams prefilter against
+    it in whole-stage codegen before the exact verification join removes
+    the sketch's false positives (llmdata/dedup.py::decontaminate_bloom).
+    The scale path when the benchmark SUITE's gram count outgrows a
+    string broadcast: the exact join's build side becomes the verified
+    survivors, not the suite."""
+    from n2khab_mhq_data_spark.llmdata.dedup import decontaminate_bloom
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate_bloom(corpus, benchmark, "text", "doc_id", k=3)
+
+
+@query(
     "dedup_semantic_clusters",
     oracle=f"""
     WITH {_kmeans_cent_sql(2)},

@@ -509,3 +509,37 @@ def test_bpe_train_surfaces_vocab_truncation(spark):
         merges = bpe_train(docs, "text", num_merges=1, max_vocab=100)
     assert not any("max_vocab" in str(w.message) for w in caught)
     assert merges
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom-routed decontamination must return EXACTLY the exact
+    path's output (verification removes every false positive), and the
+    bitmap prefilter must actually prune non-benchmark grams."""
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta w{i} x{i} y{i} z{i}") for i in range(1, 60)]
+        + [(99, "held out secret evaluation prompt appears here")],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(1000, "held out secret evaluation prompt appears here tail")],
+        "doc_id long, text string",
+    )
+    exact = {
+        tuple(r)
+        for r in decontaminate(corpus, benchmark, "text", "doc_id", k=3)
+        .collect()
+    }
+    bloom = {
+        tuple(r)
+        for r in decontaminate_bloom(
+            corpus, benchmark, "text", "doc_id", k=3
+        ).collect()
+    }
+    assert bloom == exact
+    assert any(r[2] for r in bloom)          # doc 99 flagged
+    assert sum(1 for r in bloom if r[2]) == 1
