@@ -1166,6 +1166,46 @@ def a14_approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a17_approx_topk_audit",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           TRUE AS approx_exact
+    FROM events GROUP BY 1
+    ORDER BY n DESC, event_type LIMIT 5
+    """,
+)
+def a17_approx_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB audit path for heavy hitters: ``approx_top_k`` (a
+    map-side mergeable frequent-items sketch — one streaming pass, no
+    per-key shuffle of the full key space) audited against the exact
+    grouped counts. With maxItemsTracked >= the column's distinct
+    cardinality the sketch's counts are exact, so the audit flag is
+    deterministically TRUE and the oracle asserts it; at production
+    scale you keep only the sketch column — same plan shape. Ties
+    re-ranked (count desc, item) so the emitted top-5 is deterministic
+    where the sketch's internal tie order is not."""
+    e = load(spark, sf_dir, "events")
+    sk = e.agg(
+        F.expr("approx_top_k(event_type, 5, 10000)").alias("tk")
+    ).select(F.explode("tk").alias("s")).select(
+        F.col("s.item").alias("event_type"),
+        F.col("s.count").alias("approx_n"),
+    )
+    exact = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    return (
+        exact.join(sk, "event_type", "inner")
+        .select(
+            "event_type",
+            "n",
+            (F.col("approx_n") == F.col("n")).alias("approx_exact"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+        .limit(5)
+    )
+
+
+@query(
     "a15_approx_quantile_audit",
     oracle="""
     SELECT l_returnflag AS returnflag,
