@@ -180,3 +180,87 @@ def test_fuzz_pivot(spark, seed):
         con.execute(f"SELECT k, {cols} FROM t GROUP BY k").fetchall(), 6
     )
     assert got == want
+
+
+@pytest.mark.parametrize("seed", [13, 211])
+def test_fuzz_bloom_decontaminate_equals_exact(spark, seed):
+    """Random corpora: the Bloom-routed decontamination must equal the
+    exact route bit-for-bit — verification removes every sketch false
+    positive regardless of collision pattern (a tiny 1 Kbit filter
+    forces plenty of them)."""
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(30)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))  # noqa: E731
+    corpus = spark.createDataFrame(
+        [(i, mk(rng.randrange(3, 12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, mk(rng.randrange(3, 10))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    exact = sorted(
+        tuple(r)
+        for r in decontaminate(corpus, bench, "text", "doc_id", k=3).collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in decontaminate_bloom(
+            corpus, bench, "text", "doc_id", k=3, m_bits=1024, n_hashes=2
+        ).collect()
+    )
+    assert bloom == exact
+
+
+@pytest.mark.parametrize("seed", [29, 307])
+@pytest.mark.parametrize("nprobe", [1, 2, 3])
+def test_fuzz_kmeans_assign_matches_window_routing(spark, seed, nprobe):
+    """The closure-kernel centroid routing (BLAS argsort, stable ties)
+    must route every vector exactly like the DataFrame window-ranking
+    path (cosine desc, ties to lowest centroid id) — the parity that
+    let ann_ivf_topk/multiprobe drop their shuffles."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        kmeans_assign,
+    )
+
+    rng = random.Random(seed)
+    dim = 8
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent_df = ivf_centroids(df, "vec_id", "embedding", 4, dim)
+    cents = [
+        (int(r.cent_id), [float(x) for x in r.cvec])
+        for r in sorted(
+            cent_df.select("cent_id", "cvec").collect(),
+            key=lambda r: r.cent_id,
+        )
+    ]
+    closure = {
+        (r.vec_id, r.cent_id)
+        for r in kmeans_assign(
+            df.select("vec_id", "embedding"),
+            "embedding",
+            cents,
+            "vec_id long, embedding array<double>",
+            nprobe=nprobe,
+        ).collect()
+    }
+    window = {
+        (r.vec_id, r.cent_id)
+        for r in ivf_assign(
+            df, cent_df, "vec_id", "embedding", nprobe=nprobe, dim=dim
+        ).collect()
+    }
+    assert closure == window
