@@ -554,3 +554,58 @@ def banned_lexicon_gate(
         F.round(ratio + F.lit(1e-9), 6).alias("banned_ratio"),
         (ratio <= max_ratio).alias("keep"),
     )
+
+
+def unicode_normalize_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+    lower: bool = True,
+) -> DataFrame:
+    """Unicode normalization — the canonical first step of any text
+    dedup pipeline (un-normalized text makes byte-identical near-dups
+    hash apart: e.g. e + COMBINING ACUTE vs the precomposed é). Spark
+    has no unicode-normalize builtin, so this is one Arrow-batched
+    ``mapInPandas`` pass over ``unicodedata.normalize`` (stdlib — C
+    implementation, linear per char): no shuffle, narrow output
+    (id, normalized text, changed flag + length delta for
+    observability). Lowercasing is applied AFTER normalization,
+    matching the usual canonicalization order.
+
+    The changed/delta columns let a curation pipeline measure how much
+    of the corpus was non-canonical — a data-quality signal in its own
+    right."""
+    from collections.abc import Iterator
+    from unicodedata import normalize as _norm
+
+    import pandas as pd
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_txt = []
+            for t in pdf[text_col]:
+                n = _norm(form, t)
+                if lower:
+                    n = n.lower()
+                out_txt.append(n)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "text_norm": out_txt,
+                    "changed": [
+                        n != t for n, t in zip(out_txt, pdf[text_col])
+                    ],
+                    "len_delta": [
+                        len(n) - len(t)
+                        for n, t in zip(out_txt, pdf[text_col])
+                    ],
+                }
+            )
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, text_col).mapInPandas(
+        op,
+        f"{id_col} {idt}, text_norm string, changed boolean,"
+        " len_delta int",
+    )

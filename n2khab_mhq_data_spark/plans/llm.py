@@ -1384,6 +1384,31 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_normalize_nfc",
+    oracle="""
+    SELECT doc_id,
+           lower(nfc_normalize(text)) AS text_norm,
+           lower(nfc_normalize(text)) != text AS changed,
+           CAST(length(lower(nfc_normalize(text))) - length(text)
+                AS INTEGER) AS len_delta
+    FROM documents
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + lowercasing — the canonical first
+    step before any text dedup (combining-mark vs precomposed forms
+    hash apart otherwise). Spark has no unicode-normalize builtin, so
+    it is one Arrow-batched mapInPandas pass over stdlib unicodedata
+    (llmdata/text.py::unicode_normalize_corpus); DuckDB's native
+    nfc_normalize is the independent oracle, hash-checking the whole
+    UDF path including the changed/len_delta observability columns."""
+    from n2khab_mhq_data_spark.llmdata.text import unicode_normalize_corpus
+
+    docs = load(spark, sf_dir, "documents")
+    return unicode_normalize_corpus(docs, "text", "doc_id")
+
+
+@query(
     "dedup_decontaminate_bloom",
     oracle=_SHINGLES_SQL
     + """

@@ -543,3 +543,21 @@ def test_decontaminate_bloom_equals_exact(spark):
     assert bloom == exact
     assert any(r[2] for r in bloom)          # doc 99 flagged
     assert sum(1 for r in bloom if r[2]) == 1
+
+
+def test_unicode_normalize_corpus_combining_marks(spark):
+    """NFC: combining-mark sequences collapse to precomposed forms so
+    near-dup hashing sees them as identical; lowercasing applies after."""
+    from n2khab_mhq_data_spark.llmdata.text import unicode_normalize_corpus
+
+    decomposed = "Café"   # Cafe + COMBINING ACUTE
+    precomposed = "café"        # café
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, precomposed), (3, "plain ascii")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in unicode_normalize_corpus(docs).collect()}
+    assert rows[1].text_norm == precomposed
+    assert rows[1].changed and rows[1].len_delta == -1
+    assert rows[2].text_norm == precomposed and not rows[2].changed
+    assert rows[3].text_norm == "plain ascii" and not rows[3].changed
