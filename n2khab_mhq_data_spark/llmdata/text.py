@@ -609,3 +609,45 @@ def unicode_normalize_corpus(
         f"{id_col} {idt}, text_norm string, changed boolean,"
         " len_delta int",
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 5,
+    stride: int = 3,
+) -> DataFrame:
+    """Overlapping sentence-window chunking — the retrieval-corpus prep
+    op (RAG indexing slices documents into ``size``-sentence windows
+    every ``stride`` sentences so a hit near a window edge still has
+    context). Pure Column expressions: one ``split`` on the sentence
+    boundary, a ``sequence`` of window starts, ``slice`` +
+    ``array_join`` per window, one ``posexplode`` — JVM-side, no
+    shuffle, rows fan out inside the scan stage. Output grain is
+    (doc, chunk_idx) with the chunk text and its sentence count; a
+    downstream embedding pass consumes it as-is.
+
+    Sentence boundary is the deterministic ``'. '`` split (both engines
+    RE2-safe; no lookbehind), so the oracle reproduces chunking
+    exactly."""
+    s = F.split(F.col(text_col), r"\. ")
+    n = F.size(s)
+    starts = F.sequence(F.lit(1), n, F.lit(stride))
+    win = F.transform(
+        starts,
+        lambda i: F.struct(
+            F.array_join(F.slice(s, i, size), ". ").alias("chunk_text"),
+            F.least(F.lit(size), n - i + 1)
+            .cast("int")
+            .alias("n_sentences"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(win).alias("chunk_idx", "c")
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_sentences").alias("n_sentences"),
+    )

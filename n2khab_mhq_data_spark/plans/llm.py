@@ -1384,6 +1384,33 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_chunk_sliding",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\. ') AS s FROM documents
+    )
+    SELECT doc_id,
+           CAST((u.i - 1) / 3 AS INTEGER) AS chunk_idx,
+           array_to_string(s[CAST(u.i AS INTEGER)
+                            : CAST(u.i AS INTEGER) + 4], '. ')
+             AS chunk_text,
+           CAST(least(5, len(s) - u.i + 1) AS INTEGER) AS n_sentences
+    FROM t, unnest(range(1, len(s) + 1, 3)) AS u(i)
+    """,
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sentence-window chunking (5-sentence windows every 3
+    sentences) — the retrieval-corpus prep op, entirely in whole-stage
+    codegen (llmdata/text.py::sliding_chunks): one split + sequence +
+    slice/array_join + posexplode, rows fan out inside the scan stage
+    with no shuffle."""
+    from n2khab_mhq_data_spark.llmdata.text import sliding_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return sliding_chunks(docs, "text", "doc_id", size=5, stride=3)
+
+
+@query(
     "text_normalize_nfc",
     oracle="""
     SELECT doc_id,

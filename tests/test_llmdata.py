@@ -561,3 +561,23 @@ def test_unicode_normalize_corpus_combining_marks(spark):
     assert rows[1].changed and rows[1].len_delta == -1
     assert rows[2].text_norm == precomposed and not rows[2].changed
     assert rows[3].text_norm == "plain ascii" and not rows[3].changed
+
+
+def test_sliding_chunks_windows_and_overlap(spark):
+    from n2khab_mhq_data_spark.llmdata.text import sliding_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "s1. s2. s3. s4. s5. s6. s7"), (2, "only")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        tuple(r)
+        for r in sliding_chunks(docs, size=3, stride=2).collect()
+    )
+    assert rows == [
+        (1, 0, "s1. s2. s3", 3),
+        (1, 1, "s3. s4. s5", 3),
+        (1, 2, "s5. s6. s7", 3),
+        (1, 3, "s7", 1),
+        (2, 0, "only", 1),
+    ]
