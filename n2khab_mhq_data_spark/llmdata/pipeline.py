@@ -465,3 +465,30 @@ def leakage_safe_split(
             .alias("split"),
         )
     )
+
+
+def temporal_split(
+    df: DataFrame,
+    ts_col: str,
+    cutoff: str,
+    embargo: str = "0 seconds",
+) -> DataFrame:
+    """Leakage-safe TEMPORAL split: rows strictly before ``cutoff`` are
+    train, rows at or after ``cutoff + embargo`` are test, and rows
+    inside the embargo window are EXCLUDED (split = null) — the purged
+    split of time-ordered ML evaluation (forecasting, event models):
+    features computed near the boundary leak label information across
+    it, so a gap is removed instead of risking adjacency leakage.
+
+    Pure projection — no shuffle, no UDF; the cutoff/embargo arithmetic
+    folds to literals so the comparison is codegen against the scan."""
+    cut = F.lit(cutoff).cast("timestamp")
+    test_from = F.to_timestamp(
+        F.lit(cutoff).cast("timestamp") + F.expr(f"INTERVAL {embargo}")
+    )
+    return df.withColumn(
+        "split",
+        F.when(F.col(ts_col) < cut, "train")
+        .when(F.col(ts_col) >= test_from, "test")
+        .otherwise(F.lit(None).cast("string")),
+    )

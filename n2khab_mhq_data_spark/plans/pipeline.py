@@ -16,6 +16,31 @@ from n2khab_mhq_data_spark.plans import query
 
 
 @query(
+    "pipeline_temporal_split",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+                WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+           END AS split
+    FROM events
+    """,
+)
+def pipeline_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged temporal split over the event stream: train strictly
+    before the cutoff, test from cutoff + 7-day embargo, the embargo
+    week EXCLUDED (null split) so boundary-adjacent feature windows
+    cannot leak label information across the split
+    (llmdata/pipeline.py::temporal_split). A pure projection — the
+    interval arithmetic folds to literals against the scan."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import temporal_split
+
+    e = load(spark, sf_dir, "events")
+    return temporal_split(
+        e, "ts", "2024-01-15 00:00:00", embargo="7 days"
+    ).select("event_id", "user_id", "split")
+
+
+@query(
     "pipeline_hash_split",
     oracle="""
     SELECT doc_id,

@@ -104,3 +104,21 @@ def test_budget_waterfill_budget_exceeds_total(spark):
     }
     # budget above total: every group keeps everything
     assert out == {"a": 4.0, "b": 6.0}
+
+
+def test_temporal_split_embargo_excluded(spark):
+    from n2khab_mhq_data_spark.llmdata.pipeline import temporal_split
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-10 00:00:00"), (2, "2024-01-15 00:00:00"),
+         (3, "2024-01-18 12:00:00"), (4, "2024-01-22 00:00:00"),
+         (5, "2024-01-25 00:00:00")],
+        "id long, ts_s string",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = {
+        r.id: r.split
+        for r in temporal_split(
+            df, "ts", "2024-01-15 00:00:00", embargo="7 days"
+        ).collect()
+    }
+    assert got == {1: "train", 2: None, 3: None, 4: "test", 5: "test"}
