@@ -836,3 +836,60 @@ def lsh_recall_audit(
             ).alias("recall"),
         )
     )
+
+
+def remove_duplicated_runs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL pass the duplicated-run detector feeds (Lee et al.
+    2022 cut the repeated regions out of the corpus; detection alone is
+    only half the operator): every token position covered by a
+    duplicated run is dropped and the document re-joined from its
+    surviving tokens. Policy: duplicated regions are removed from EVERY
+    occurrence (the conservative decontamination-style variant — a
+    keep-one-canonical policy is a caller-side tweak of the run table,
+    not a different plan shape).
+
+    Spark shape: runs aggregate to one interval-array row per affected
+    doc (orders of magnitude smaller than the corpus), joined back on
+    the doc key — AQE broadcasts it; the token surgery itself is pure
+    codegen HOFs (``filter`` with a positional lambda + ``exists`` over
+    the interval array + ``array_join``): no UDF, no extra shuffle.
+    Output keeps before/after token counts and the run count per doc —
+    the removal-rate observability a curation run reports."""
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    runs = duplicated_runs(docs, text_col, id_col, span, min_docs)
+    ivs = runs.groupBy("doc").agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_pos").alias("s"),
+                (F.col("end_pos") + span - 1).alias("e"),
+            )
+        ).alias("ivs"),
+        F.count("*").cast("long").alias("n_runs"),
+    )
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), toks.alias("ws")
+    ).join(ivs, F.col(id_col) == ivs["doc"], "left")
+    iv_arr = F.coalesce(
+        F.col("ivs"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept = F.filter(
+        F.col("ws"),
+        lambda t, i: ~F.exists(
+            iv_arr, lambda v: (i + 1 >= v["s"]) & (i + 1 <= v["e"])
+        ),
+    )
+    return base.select(
+        id_col,
+        F.array_join(kept, " ").alias("text_clean"),
+        F.size("ws").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_tokens_clean"),
+        F.coalesce(F.col("n_runs"), F.lit(0)).alias("n_runs"),
+    )

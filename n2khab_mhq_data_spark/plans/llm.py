@@ -2129,6 +2129,77 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_substring_remove",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ), g AS (
+      SELECT doc_id AS doc, CAST(u.i AS INTEGER) AS pos,
+             array_to_string(
+               ws[CAST(u.i AS INTEGER):CAST(u.i AS INTEGER) + 7], ' ')
+               AS gram
+      FROM t, unnest(range(1, len(ws) - 8 + 2)) AS u(i)
+      WHERE len(ws) >= 8
+    ), dup AS (
+      SELECT doc, pos FROM (
+        SELECT doc, pos,
+               count(DISTINCT doc) OVER (PARTITION BY gram) AS n_docs
+        FROM g
+      ) WHERE n_docs >= 2
+    ), isl AS (
+      SELECT doc, pos,
+             pos - row_number() OVER (PARTITION BY doc ORDER BY pos)
+               AS island
+      FROM dup
+    ), iv AS (
+      SELECT doc, min(pos) AS s, max(pos) + 7 AS e
+      FROM isl GROUP BY doc, island
+    ), tokpos AS (
+      SELECT doc_id AS doc, CAST(p.i AS INTEGER) AS pos,
+             ws[CAST(p.i AS INTEGER)] AS tok
+      FROM t, unnest(range(1, len(ws) + 1)) AS p(i)
+    ), kept AS (
+      SELECT tp.doc, tp.pos, tp.tok
+      FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc = tp.doc AND tp.pos BETWEEN iv.s AND iv.e
+      )
+    ), agg AS (
+      SELECT doc, string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+             CAST(count(*) AS BIGINT) AS n_tokens_clean
+      FROM kept GROUP BY doc
+    )
+    SELECT t.doc_id,
+           coalesce(a.text_clean, '') AS text_clean,
+           CAST(len(t.ws) AS BIGINT) AS n_tokens,
+           coalesce(a.n_tokens_clean, 0) AS n_tokens_clean,
+           coalesce(r.n_runs, 0) AS n_runs
+    FROM t
+    LEFT JOIN agg a ON a.doc = t.doc_id
+    LEFT JOIN (SELECT doc, CAST(count(*) AS BIGINT) AS n_runs
+               FROM iv GROUP BY 1) r ON r.doc = t.doc_id
+    """,
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-removal pass itself (Lee et al. 2022 cut the
+    duplicated regions out of the corpus — detection without removal is
+    half an operator): tokens covered by a duplicated run are dropped
+    and the doc re-joined, with before/after token counts and run count
+    as the removal-rate observability columns
+    (llmdata/dedup.py::remove_duplicated_runs). Interval surgery is
+    pure codegen HOFs over a per-doc interval array; the only work
+    beyond run detection is one doc-key join AQE broadcasts."""
+    from n2khab_mhq_data_spark.llmdata.dedup import remove_duplicated_runs
+
+    return remove_duplicated_runs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", span=8,
+        min_docs=2,
+    )
+
+
 def _pq_dist_sql(e: str, c: str, j: int, sub_dim: int = 16) -> str:
     """Unrolled sequential L2 distance over subspace ``j`` (0-based) —
     '0D + t1 + ...' is left-associative, matching the list_sum fold, and

@@ -581,3 +581,27 @@ def test_sliding_chunks_windows_and_overlap(spark):
         (1, 3, "s7", 1),
         (2, 0, "only", 1),
     ]
+
+
+def test_remove_duplicated_runs_hand_computed(spark):
+    """Two docs share an 8-token run; the run region disappears from
+    BOTH (remove-everywhere policy), unique docs pass through, and the
+    before/after counts report the removal rate."""
+    from n2khab_mhq_data_spark.llmdata.dedup import remove_duplicated_runs
+
+    shared = " ".join(f"d{i}" for i in range(8))      # 8 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {shared} a3"),
+            (2, f"b1 {shared} b2 b3 b4"),
+            (3, "unique tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_tokens, r.n_tokens_clean, r.n_runs)
+        for r in remove_duplicated_runs(docs, span=8).collect()
+    }
+    assert got[1] == ("a1 a2 a3", 11, 3, 1)
+    assert got[2] == ("b1 b2 b3 b4", 12, 4, 1)
+    assert got[3] == ("unique tokens only here", 4, 4, 0)
