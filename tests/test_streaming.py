@@ -793,6 +793,48 @@ def test_trending_topk_stream_equals_batch(spark, tmp_path):
     assert got[("2024-01-01 11:00:00", 1)] == ("view", 1)
 
 
+def test_trending_topk_replay_idempotent(spark, tmp_path):
+    """Wiping the checkpoint and replaying the whole backlog must
+    converge both partitioned stores to the same contents — the
+    dynamic-partition-overwrite publish is idempotent per window, which
+    is also what repairs a crash mid-publish (some partitions new, some
+    old) on the replayed batch."""
+    import shutil
+
+    from n2khab_mhq_data_spark.streaming.trending import trending_topk_stream
+
+    src = tmp_path / "ev"
+    counts = tmp_path / "counts"
+    topk = tmp_path / "topk"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "ts timestamp, event_type string"
+    spark.createDataFrame(
+        [("2024-01-01 10:05:00", "click"), ("2024-01-01 10:06:00", "view"),
+         ("2024-01-01 11:30:00", "view")],
+        "ts string, event_type string",
+    ).selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = trending_topk_stream(
+            spark, stream, str(counts), str(topk), str(ckpt), k=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+    snap = lambda p: sorted(  # noqa: E731
+        tuple(r) for r in spark.read.parquet(str(p)).collect()
+    )
+    c1, t1 = snap(counts), snap(topk)
+    shutil.rmtree(ckpt)
+    run()
+    assert snap(counts) == c1
+    assert snap(topk) == t1
+
+
 def test_trending_topk_retention_prunes_final_windows(spark, tmp_path):
     import datetime
 
