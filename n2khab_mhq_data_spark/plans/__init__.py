@@ -46,63 +46,78 @@ def _load_modules() -> None:
 
 # Queries that ever FAILED a driver correctness row — rotated to the very
 # FRONT so a prefix-sampling driver re-confirms the fix first thing next
-# round.  pipeline_pack_sequences: r2 hash mismatch (DuckDB HUGEINT sum
-# artifact), fixed by CAST(... AS BIGINT) in the oracle; local hash-
-# equivalent check passes, awaiting driver re-confirmation.
-_DRIVER_FAILED: frozenset[str] = frozenset({
-    "pipeline_pack_sequences",
-})
+# round.  Empty since round 4: pipeline_pack_sequences (the only historical
+# failure, an r2 DuckDB HUGEINT sum artifact fixed with CAST AS BIGINT) was
+# driver-re-confirmed green in CORRECTNESS_r04.json.
+_DRIVER_FAILED: frozenset[str] = frozenset()
 
-# queries the driver has already sampled in CORRECTNESS_r01/r02/r03 —
+# queries the driver has already sampled in CORRECTNESS_r01..r04 —
 # rotated to the BACK of the registration order so a prefix-sampling driver
 # drains the never-checked tail first (refresh per round from the union of
 # the CORRECTNESS_r*.json files)
 _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "a10_max_value_dedupe", "a11_percentile_corr", "a12_rollup",
     "a13_grouping_sets", "a14_approx_distinct_audit",
-    "a15_approx_quantile_audit", "a16_ols_regression", "a1_count_distinct",
-    "a2_min_max_sum", "a3_complement_product", "a4_bool_any_all",
-    "a5_first_per_group", "a6_dedup_distinct", "a7_string_agg",
-    "a8_single_value_per_group", "a9_topn_counts", "ann_ivf_multiprobe",
-    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_topk",
-    "audit_benford_digits", "dedup_embedding_cosine", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "a15_approx_quantile_audit", "a16_ols_regression",
+    "a17_approx_topk_audit", "a1_count_distinct", "a2_min_max_sum",
+    "a3_complement_product", "a4_bool_any_all", "a5_first_per_group",
+    "a6_dedup_distinct", "a7_string_agg", "a8_single_value_per_group",
+    "a9_topn_counts", "ann_index_health", "ann_ivf_kmeans_recall_at_10",
+    "ann_ivf_kmeans_topk", "ann_ivf_multiprobe", "ann_ivf_recall_at_10",
+    "ann_ivf_topk", "ann_lsh_buckets", "ann_lsh_topk", "ann_pq_codes",
+    "ann_recall_at_10", "ann_scalar_quant_error", "audit_benford_digits",
+    "audit_input_pinning", "dedup_canonicalize", "dedup_component_sizes",
+    "dedup_components", "dedup_components_twophase", "dedup_decontaminate",
+    "dedup_decontaminate_bloom", "dedup_embedding_cosine", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_capped", "dedup_ngram_jaccard",
+    "dedup_semantic_clusters", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_substring_remove", "dedup_substring_runs", "dedup_substring_spans",
     "events_asof_attribution", "events_cohort_retention", "events_funnel",
     "events_hopping_counts", "events_hypertable_rollup",
-    "events_session_assign", "f1_string_functions", "f2_date_functions",
+    "events_markov_transitions", "events_ohlc_bars", "events_session_assign",
+    "events_trending_topk", "f1_string_functions", "f2_date_functions",
     "f3_math_functions", "f4_conditional_coalesce", "f5_array_functions",
     "f6_json_functions", "graph_copurchase_degree", "graph_copurchase_lift",
     "graph_link_prediction", "graph_pagerank", "graph_triangle_stats",
-    "j10_point_in_polygon", "j10_point_in_polygon_10k",
-    "j11_segment_area_weights", "j11_wkt_polygon_area", "j12_latest_per_key",
-    "j1_broadcast_decode", "j2_inner_join_decode", "j3_chained_left_join",
-    "j4_full_outer", "j5_inner_attach_date", "j6_semi_join", "j7_anti_join",
+    "inboveg_lsvi_pipeline", "j10_point_in_polygon",
+    "j10_point_in_polygon_10k", "j11_segment_area_weights",
+    "j11_wkt_polygon_area", "j12_latest_per_key", "j1_broadcast_decode",
+    "j2_inner_join_decode", "j3_chained_left_join", "j4_full_outer",
+    "j5_inner_attach_date", "j6_semi_join", "j7_anti_join",
     "j8_membership_flag", "j9_pivot_pairing", "k10_incremental_merge",
     "k11_crs_full_datum", "k11_crs_transform", "k1_cover_decode",
     "k1_cover_rollup_boundary", "k2_square_override", "k2_type_resolution",
     "k3_completeness_audit", "k4_status_harmonize", "k5_area_weights",
     "k6_eav_restructure", "k7_lsvi_criterium", "k7_lsvi_crosstab",
     "k7_lsvi_detail", "k7_lsvi_globaal", "k7_lsvi_indicator",
-    "k8_tariff_volume", "k9_reconciliation_cascade",
-    "link_sorted_neighborhood", "multimodal_frame_meta",
-    "multimodal_frame_sample", "o1_multikey_sort", "o2_top_desc",
-    "p1_select_rename", "p2_lowercase_conform", "p3_null_domain_filter",
-    "p4_regex_predicate", "p5_row_patch", "p6_recode_ladder",
-    "pipeline_budget_waterfill", "pipeline_domain_mix",
-    "pipeline_dsir_weights", "pipeline_end_to_end", "pipeline_hash_sample",
-    "pipeline_hash_split", "pipeline_mix_report", "pipeline_pack_greedy",
-    "pipeline_pack_offsets", "pipeline_pack_sequences",
-    "pipeline_quality_filter", "pipeline_redact",
-    "pipeline_split_balance_audit", "pipeline_stratified_sample",
-    "pipeline_weighted_sample", "r1_melt_wide_to_long",
-    "r2_pivot_long_to_wide", "r3_split_column", "s7_wkt_layer_load",
-    "sim_cosine_topk", "skew_salted_agg", "skew_salted_join",
+    "k7_lsvi_species", "k7_lsvi_versions", "k8_tariff_volume",
+    "k9_reconciliation_cascade", "link_sorted_neighborhood",
+    "mhq_publish_pipeline", "multimodal_cdc_dedup", "multimodal_chunk",
+    "multimodal_frame_meta", "multimodal_frame_sample", "o1_multikey_sort",
+    "o2_top_desc", "p1_select_rename", "p2_lowercase_conform",
+    "p3_null_domain_filter", "p4_regex_predicate", "p5_row_patch",
+    "p6_recode_ladder", "pandas_grouped_zscore",
+    "pipeline_adaptive_quality_gate", "pipeline_budget_waterfill",
+    "pipeline_curate_corpus", "pipeline_domain_mix", "pipeline_dsir_weights",
+    "pipeline_end_to_end", "pipeline_hash_sample", "pipeline_hash_split",
+    "pipeline_mix_report", "pipeline_pack_greedy", "pipeline_pack_offsets",
+    "pipeline_pack_sequences", "pipeline_quality_filter", "pipeline_redact",
+    "pipeline_split_balance_audit", "pipeline_stratified_exact_n",
+    "pipeline_stratified_sample", "pipeline_temperature_mix",
+    "pipeline_temporal_split", "pipeline_weighted_sample",
+    "r1_melt_wide_to_long", "r2_pivot_long_to_wide", "r3_split_column",
+    "s7_wkt_layer_load", "scd2_user_status", "sim_cosine_topk",
+    "sketch_count_min", "skew_salted_agg", "skew_salted_join",
     "spatial_knn_join", "spatial_zorder_layout",
     "streaming_dedup_first_touch", "streaming_interval_join",
     "streaming_interval_join_outer", "streaming_windowed_counts",
-    "text_fingerprint", "text_langid", "text_quality", "text_tfidf_topk",
-    "text_token_count", "ts_ewma", "ts_gap_fill", "u1_union_by_name",
-    "u2_union_positional", "u3_except_intersect", "u4_cycle_drift_audit",
+    "text_bigram_lm", "text_chunk_sliding", "text_domain_shift_kl",
+    "text_fingerprint", "text_langid", "text_ngram_diversity",
+    "text_normalize_nfc", "text_quality", "text_quality_classifier",
+    "text_repetition_metrics", "text_tfidf_topk", "text_token_count",
+    "text_token_histogram", "text_unigram_lm", "text_winnow", "ts_ewma",
+    "ts_gap_fill", "u1_union_by_name", "u2_union_positional",
+    "u3_except_intersect", "u4_cycle_drift_audit", "vbi_forest_pipeline",
     "w10_percentile_position", "w1_dup_detector", "w2_keep_latest",
     "w3_top1_per_group", "w4_window_string_concat", "w5_window_sums_flags",
     "w6_distinct_count_filter", "w7_session_window", "w8_rank_family",
