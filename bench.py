@@ -21,6 +21,30 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from n2khab_mhq_data_spark.session import get_spark  # noqa: E402
 
+# sf1.0 scratch tier (tools/make_sf1.py output): when present, the top-N
+# most expensive sf0.1 queries are re-timed at 10x data so cross-round
+# regressions are caught at the scale where they matter
+SF1_DIR = "/root/repo/.scale/sf1.0"
+SF1_TOP_N = 20
+
+
+def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
+    """Build each shared memo (deterministic build-step intermediates)
+    and return {step: seconds}. Queries then all run memo-warm."""
+    from n2khab_mhq_data_spark.plans import llm
+
+    steps = {}
+    t0 = time.time()
+    llm._near_pairs(spark, sf_dir).count()
+    steps["near_pairs"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    llm._bpe_merges(spark, sf_dir)
+    steps["bpe_merges"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    llm._kmeans_cents(spark, sf_dir)
+    steps["kmeans_cents"] = round(time.time() - t0, 3)
+    return steps
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,6 +84,14 @@ def main() -> None:
         cal_samples.append(time.time() - t0)
     calibration = round(sorted(cal_samples)[1], 4)
 
+    # Pre-build the shared build-step memos (near-dup pair table, BPE
+    # merge table, IVF centroids) ONCE, timed as declared build steps.
+    # This makes every per-query timing order-INdependent — all memo
+    # consumers run warm, none of them hides the build cost in its own
+    # number, and the build cost is its own line instead of vanishing
+    # into whichever consumer's untimed warm-up ran first (ADVICE r4).
+    build_steps = _prebuild_memos(spark, sf_dir)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in qs.items():
@@ -91,6 +123,37 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows, median {dt:.2f}s of {samples}", file=sys.stderr)
 
+    # Optional sf1.0 tier: re-time the top-N most expensive queries at
+    # 10x data (one warmed run each — regression detection, not a
+    # median-of-3 microbenchmark). Skipped when the scratch tier hasn't
+    # been generated or is explicitly disabled.
+    sf1: dict | None = None
+    run_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+    if run_sf1 and os.path.isdir(SF1_DIR) and sf_dir.rstrip("/") != SF1_DIR:
+        top = [
+            n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
+        ][:SF1_TOP_N]
+        sf1_build = _prebuild_memos(spark, SF1_DIR)
+        sf1_timings: dict[str, float] = {}
+        for name in top:
+            import gc as _gc
+
+            _gc.collect()
+            spark._jvm.System.gc()
+            time.sleep(0.3)
+            qs[name](spark, SF1_DIR).count()  # warm-up
+            t0 = time.time()
+            qs[name](spark, SF1_DIR).count()
+            dt = time.time() - t0
+            sf1_timings[name] = round(dt, 3)
+            print(f"# sf1.0 {name}: {dt:.2f}s", file=sys.stderr)
+        sf1 = {
+            "dir": SF1_DIR,
+            "total": round(sum(sf1_timings.values()), 3),
+            "build_seconds": sf1_build,
+            "queries": sf1_timings,
+        }
+
     # Full per-query timings go to a sidecar file; the stdout JSON line
     # stays small (the driver's round-1 capture truncated a ~4 KB line to
     # "parsed: null") — it carries the totals plus only the 10 slowest.
@@ -100,20 +163,22 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(total, 3),
-                "unit": "sec",
-                "n_queries": len(timings),
-                "calibration_sec": calibration,
-                "queries": slowest,
-                "queries_file": queries_file,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "total_query_wall_seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "calibration_sec": calibration,
+        # shared-intermediate build steps, timed separately so no
+        # query's number hides (or pays) them — see _prebuild_memos
+        "build_seconds": build_steps,
+        "queries": slowest,
+        "queries_file": queries_file,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if sf1 is not None:
+        out["sf1"] = sf1
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

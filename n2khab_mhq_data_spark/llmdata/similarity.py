@@ -237,16 +237,28 @@ def kmeans_assign(
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             Vn = np.sqrt((V * V).sum(axis=1))
             Vn[Vn == 0] = 1.0
-            S = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+            # round to 12 decimals BEFORE the argmax (mirrored by
+            # round(..., 12) in the oracles' ORDER BY): BLAS pairwise
+            # summation and the oracle's sequential list_sum fold can
+            # land 1 ulp apart, and an exact-cosine tie (e.g. permuted
+            # duplicate centroids) then flips the assignment between
+            # engines — measured ~45% flip rate on crafted ties.
+            # Collapsing sub-1e-12 differences makes both sides break
+            # the tie on cent_id identically (ADVICE r4).
+            S = np.round((V @ C.T) / (Vn[:, None] * Cn[None, :]), 12)
             if nprobe == 1:
                 out = pdf[carry].copy()
                 out["cent_id"] = ids[S.argmax(axis=1)].astype(np.int32)
                 yield out
             else:
-                # stable sort on -cos: equal cosines keep cent_id order
-                top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+                # stable sort on -cos: equal cosines keep cent_id order.
+                # Clamp to K: nprobe > len(cents) must emit K rows per
+                # vector (parity with the ivf_assign window path), not
+                # crash on a ravel/repeat length mismatch (ADVICE r4)
+                width = min(nprobe, S.shape[1])
+                top = np.argsort(-S, axis=1, kind="stable")[:, :width]
                 out = pdf[carry].loc[
-                    pdf.index.repeat(nprobe)
+                    pdf.index.repeat(width)
                 ].reset_index(drop=True)
                 out["cent_id"] = ids[top.ravel()].astype(np.int32)
                 yield out
@@ -300,7 +312,11 @@ def ivf_kmeans_centroids(
                 V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
                 Vn = np.sqrt((V * V).sum(axis=1))
                 Vn[Vn == 0] = 1.0
-                S = (V @ C.T) / (Vn[:, None] * Cn[None, :])
+                # same 12-decimal pre-argmax rounding as kmeans_assign,
+                # mirrored by round(..., 12) in the kassign oracle CTEs
+                S = np.round(
+                    (V @ C.T) / (Vn[:, None] * Cn[None, :]), 12
+                )
                 a = S.argmax(axis=1)
                 rows = {"cent_id": [], "n": [], "s": []}
                 for j in np.unique(a):
@@ -352,9 +368,12 @@ def ivf_assign(
     scored = c.join(F.broadcast(cent)).select(
         "vec_id",
         "cent_id",
-        (
-            dot("vec", "cvec", dim)
-            / (F.col("vnrm") * F.col("cnrm"))
+        # 12-decimal rounding before the rank, matching kmeans_assign's
+        # pre-argmax rounding so the two assignment paths stay
+        # bit-identical on exact-cosine ties (ADVICE r4)
+        F.round(
+            dot("vec", "cvec", dim) / (F.col("vnrm") * F.col("cnrm")),
+            12,
         ).alias("cos"),
     )
     if nprobe == 1:

@@ -484,7 +484,7 @@ _IVF_ASSIGN_SQL = f"""
         SELECT e.vec_id, c.cent_id,
                row_number() OVER (
                  PARTITION BY e.vec_id
-                 ORDER BY (list_sum(list_transform(range(1, 65),
+                 ORDER BY round((list_sum(list_transform(range(1, 65),
                      i -> CAST(e.embedding[i] AS DOUBLE)
                           * CAST(c.cvec[i] AS DOUBLE)))
                    / (sqrt(list_sum(list_transform(range(1, 65),
@@ -492,7 +492,7 @@ _IVF_ASSIGN_SQL = f"""
                              * CAST(e.embedding[i] AS DOUBLE))))
                     * sqrt(list_sum(list_transform(range(1, 65),
                         i -> CAST(c.cvec[i] AS DOUBLE)
-                             * CAST(c.cvec[i] AS DOUBLE)))))) DESC,
+                             * CAST(c.cvec[i] AS DOUBLE)))))), 12) DESC,
                    c.cent_id) AS rn
         FROM embeddings e, cent c
       ) WHERE rn = 1
@@ -547,7 +547,7 @@ _IVF_MULTIPROBE_SQL = f"""
       SELECT e.vec_id, c.cent_id,
              row_number() OVER (
                PARTITION BY e.vec_id
-               ORDER BY (list_sum(list_transform(range(1, 65),
+               ORDER BY round((list_sum(list_transform(range(1, 65),
                    i -> CAST(e.embedding[i] AS DOUBLE)
                         * CAST(c.cvec[i] AS DOUBLE)))
                  / (sqrt(list_sum(list_transform(range(1, 65),
@@ -555,7 +555,7 @@ _IVF_MULTIPROBE_SQL = f"""
                            * CAST(e.embedding[i] AS DOUBLE))))
                   * sqrt(list_sum(list_transform(range(1, 65),
                       i -> CAST(c.cvec[i] AS DOUBLE)
-                           * CAST(c.cvec[i] AS DOUBLE)))))) DESC,
+                           * CAST(c.cvec[i] AS DOUBLE)))))), 12) DESC,
                  c.cent_id) AS rn
       FROM embeddings e, cent c
     ),
@@ -1160,7 +1160,7 @@ def _kmeans_cent_sql(iters: int) -> str:
       SELECT vec_id, cent_id FROM (
         SELECT e.vec_id, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_KM_COS} DESC, c.cent_id) AS rn
+                 ORDER BY round({_KM_COS}, 12) DESC, c.cent_id) AS rn
         FROM embeddings e, cent{t - 1} c
       ) WHERE rn = 1
     )"""
@@ -1186,7 +1186,7 @@ def _kmeans_cent_sql(iters: int) -> str:
       SELECT vec_id, cent_id FROM (
         SELECT e.vec_id, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_KM_COS} DESC, c.cent_id) AS rn
+                 ORDER BY round({_KM_COS}, 12) DESC, c.cent_id) AS rn
         FROM embeddings e, cent{iters} c
       ) WHERE rn = 1
     )"""
@@ -1231,17 +1231,38 @@ def _docs_fingerprint(sf_dir: str) -> tuple:
 
 
 def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # a cached checkpoint dies with its SparkContext — evict EVERY entry
+    # from another session, not just the one about to be rebuilt, so
+    # checkpoints of dead sessions don't accumulate across the dict
+    # (tests spin up multiple sessions per process; ADVICE r4)
+    for k in [
+        k for k, v in _NEAR_PAIRS.items() if v.sparkSession is not spark
+    ]:
+        del _NEAR_PAIRS[k]
     key = (sf_dir, _docs_fingerprint(sf_dir))
     df = _NEAR_PAIRS.get(key)
-    # a cached checkpoint dies with its SparkContext — rebuild if the
-    # session changed (tests spin up multiple sessions per process)
-    if df is None or df.sparkSession is not spark:
+    if df is None:
         docs = load(spark, sf_dir, "documents")
         df = ngram_jaccard_pairs(
             docs, "text", "doc_id", k=3, threshold=0.8
         ).localCheckpoint()
         _NEAR_PAIRS[key] = df
     return df
+
+
+def memo_warm(sf_dir: str) -> dict[str, bool]:
+    """Which build-step memos are already populated for ``sf_dir`` —
+    bench.py records this per query so per-query timings declare whether
+    they ran against a warm shared intermediate (ADVICE r4: the five
+    near-dup consumers and two BPE consumers are order-dependent:
+    whichever runs first pays the build cost)."""
+    dkey = (sf_dir, _docs_fingerprint(sf_dir))
+    ekey = (sf_dir, _embeddings_fingerprint(sf_dir))
+    return {
+        "near_pairs": dkey in _NEAR_PAIRS,
+        "bpe_merges": dkey in _BPE_MERGES,
+        "kmeans_cents": ekey in _KMEANS_CENTS,
+    }
 
 
 def _embeddings_fingerprint(sf_dir: str) -> tuple:

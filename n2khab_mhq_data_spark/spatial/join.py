@@ -261,37 +261,32 @@ def parse_wkt_layer(
     )
 
 
-def knn_join_gridded(
+def _knn_probe(
     points: DataFrame,
     queries: DataFrame,
     k: int,
     cell: float,
-    enforce_exact: bool = True,
+    radius: int = 1,
 ) -> DataFrame:
-    """Exact k-nearest-neighbour join via grid buckets: each corpus
-    point hashes to ONE (cx, cy) cell; each query probes its 3x3 cell
-    neighbourhood; exact distances verify inside the candidate set, a
-    per-query window keeps the top k.
+    """Grid-bucketed kNN candidate pass at probe ``radius`` (the query
+    probes its (2*radius+1)^2 cell neighbourhood; guaranteed covered
+    distance is ``radius * cell``).
 
-    EXACTNESS PRECONDITION: the kth neighbour must lie within ``cell``
-    of the query (the 3x3 ring's guaranteed radius). Pick ``cell`` so
-    that expected k-NN distance sqrt(k / (pi * density)) is well under
-    it. With ``enforce_exact`` (default) the precondition is CHECKED AT
-    RUNTIME inside the plan: any query whose kth kept distance exceeds
-    ``cell``, or that kept fewer than k rows while eligible points
-    exist outside its ring, fails the job via ``raise_error`` — an
-    inexact result can never pass silently (ADVICE r3). The guard is a
-    second window over the already-qid-partitioned kept rows plus a
-    broadcast 1-row corpus count: no extra shuffle, no extra job.
-    Production path at unbounded scale is ring expansion: re-probe
-    radius-2 cells for the (rare) flagged queries — same plan shape,
-    one extra round; ``enforce_exact=False`` is for that caller, which
-    re-checks after expansion.
+    Returns one row per kept candidate — columns ``qid, nid, rank, d2,
+    __bad`` — PLUS a null-``nid`` placeholder row for every query with
+    ZERO in-ring candidates (right-outer against the query-id set), so
+    zero-candidate queries can never silently vanish (ADVICE r4). The
+    per-query ``__bad`` flag is the exactness-breach signal: kth kept
+    distance beyond the guaranteed ring radius, or a short result while
+    eligible corpus points remain outside the ring. "Eligible" counts
+    ACTUAL id matches (``__np - __self`` where ``__self`` is the corpus
+    count of points sharing the query's id), not an assumed single
+    self-exclusion — a query set disjoint from the corpus is checked
+    against the full corpus size (ADVICE r4).
 
-    Scale: one shuffle each side on the cell key (query side is 9 rows
-    per query — broadcastable when the query set is small); candidate
-    count is bounded by 9 * cell occupancy, never O(n) per query; the
-    top-k window partitions by query id only."""
+    Scale: one shuffle each side on the cell key; the per-query
+    metadata (corpus count + self-match count) is two broadcast joins
+    of aggregate tables bounded by 1 row and |queries| rows."""
     p = points.select(
         F.col("point_id").alias("nid"),
         F.col("x").alias("px"),
@@ -302,12 +297,12 @@ def knn_join_gridded(
     probes = queries.select(
         F.col("point_id").alias("qid"), "x", "y",
         F.explode(
-            F.expr("sequence(-1, 1)")
+            F.expr(f"sequence(-{radius}, {radius})")
         ).alias("dx"),
     ).select(
         "qid", "x", "y",
         (F.floor(F.col("x") / cell) + F.col("dx")).alias("cx"),
-        F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+        F.explode(F.expr(f"sequence(-{radius}, {radius})")).alias("dy"),
     ).select(
         "qid", "x", "y", "cx",
         (F.floor(F.col("y") / cell) + F.col("dy")).alias("cy"),
@@ -322,33 +317,148 @@ def knn_join_gridded(
     kept = cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
-    dist = F.round(F.sqrt(F.col("d2")) + F.lit(1e-9), 6)
-    if enforce_exact:
-        wq = W.partitionBy("qid")
-        # kth kept distance beyond the ring radius, or a short result
-        # while eligible points (>= corpus-1 after the self-exclusion)
-        # remain outside the ring -> the true k-NN may be missed
-        n_corpus = points.select(F.count("*").alias("__np"))
-        kept = kept.join(F.broadcast(n_corpus))
-        bad = (F.max("d2").over(wq) > F.lit(float(cell) * float(cell))) | (
-            (F.count("*").over(wq) < k)
-            & (F.count("*").over(wq) < F.col("__np") - 1)
+    # per-query metadata: corpus size and ACTUAL self-match count
+    qids = queries.select(F.col("point_id").alias("qid"))
+    n_corpus = points.select(F.count("*").alias("__np"))
+    selfc = (
+        points.select(F.col("point_id").alias("qid"))
+        .join(F.broadcast(qids.distinct()), "qid")
+        .groupBy("qid")
+        .agg(F.count("*").alias("__self"))
+    )
+    qmeta = (
+        qids.join(F.broadcast(n_corpus))
+        .join(F.broadcast(selfc), "qid", "left")
+        .na.fill({"__self": 0})
+    )
+    # right-outer: a query with zero kept candidates gets a null-nid
+    # placeholder row instead of disappearing (kept is already hash-
+    # partitioned on qid by the window, so only tiny qmeta reshuffles)
+    joined = kept.join(qmeta, "qid", "right")
+    wq = W.partitionBy("qid")
+    kcnt = F.count("nid").over(wq)  # non-null kept rows only
+    reach = float(radius) * float(cell)
+    bad = (
+        F.coalesce(
+            F.max("d2").over(wq) > F.lit(reach * reach), F.lit(False)
         )
-        dist = F.when(
-            bad,
+    ) | ((kcnt < k) & (kcnt < F.col("__np") - F.col("__self")))
+    return joined.select("qid", "nid", "rank", "d2", bad.alias("__bad"))
+
+
+def _knn_finalize(probe: DataFrame, enforce: bool, context: str) -> DataFrame:
+    """Project a ``_knn_probe`` result to the public schema. The breach
+    raise lives INSIDE the filter condition so the null-nid placeholder
+    rows are evaluated (and raise) before they are dropped — a filter on
+    ``nid`` alone could be planned before the breach column and lose the
+    zero-candidate signal."""
+    dist = F.round(F.sqrt(F.col("d2")) + F.lit(1e-9), 6)
+    if enforce:
+        keep = F.when(
+            F.col("__bad"),
             F.raise_error(
                 F.format_string(
                     "knn_join_gridded exactness breach for query %s:"
-                    " kth neighbour beyond cell=%s — expand the probe"
+                    " kth neighbour beyond %s — expand the probe"
                     " ring or enlarge cell",
                     F.col("qid"),
-                    F.lit(str(cell)),
+                    F.lit(context),
                 )
-            ).cast("double"),
-        ).otherwise(dist)
-    return kept.select(
+            ).cast("boolean"),
+        ).otherwise(F.col("nid").isNotNull())
+    else:
+        keep = F.col("nid").isNotNull()
+    return probe.filter(keep).select(
         F.col("qid").alias("query_id"),
         F.col("nid").alias("neighbour_id"),
         F.col("rank").cast("int").alias("rank"),
         dist.alias("dist"),
     )
+
+
+def knn_join_gridded(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cell: float,
+    enforce_exact: bool = True,
+    radius: int = 1,
+) -> DataFrame:
+    """Exact k-nearest-neighbour join via grid buckets: each corpus
+    point hashes to ONE (cx, cy) cell; each query probes its
+    (2*radius+1)^2 cell neighbourhood; exact distances verify inside
+    the candidate set, a per-query window keeps the top k.
+
+    EXACTNESS PRECONDITION: the kth neighbour must lie within
+    ``radius * cell`` of the query (the probe ring's guaranteed
+    radius). Pick ``cell`` so that expected k-NN distance
+    sqrt(k / (pi * density)) is well under it. With ``enforce_exact``
+    (default) the precondition is CHECKED AT RUNTIME inside the plan:
+    any query whose kth kept distance exceeds the guaranteed radius,
+    that kept fewer than k rows while eligible points exist outside its
+    ring, or that kept ZERO rows while eligible points exist, fails the
+    job via ``raise_error`` — an inexact result can never pass silently
+    (ADVICE r3/r4). Eligibility uses the query's actual corpus
+    id-match count, so disjoint query sets are held to the full corpus
+    size. Production path at unbounded scale is ``knn_join_expanding``:
+    re-probe wider rings for the (rare) flagged queries;
+    ``enforce_exact=False`` is for that caller, which re-checks after
+    expansion.
+
+    Scale: one shuffle each side on the cell key (query side is
+    (2r+1)^2 rows per query — broadcastable when the query set is
+    small); candidate count is bounded by ring size * cell occupancy,
+    never O(n) per query; the top-k window partitions by query id only."""
+    probe = _knn_probe(points, queries, k, cell, radius)
+    return _knn_finalize(
+        probe, enforce_exact, f"radius {radius} * cell {cell}"
+    )
+
+
+def knn_join_expanding(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int,
+    cell: float,
+    max_radius: int = 4,
+) -> DataFrame:
+    """Ring-expansion kNN: probe at radius 1, then re-probe ONLY the
+    flagged queries (exactness breach: kth-distance overflow, short or
+    empty result with eligible points remaining) at radius 2, 3, ...
+    ``max_radius``. The final radius enforces — if a query still
+    breaches at ``max_radius`` the job fails loudly rather than return
+    an inexact neighbour list.
+
+    This is the production caller the ``enforce_exact=False`` escape
+    hatch exists for: the radius-1 pass does the bulk of the work once
+    (localCheckpoint-pinned so the good/bad split does not recompute
+    it); each widening round touches only the residual query set, which
+    shrinks geometrically for any sane cell choice."""
+    out: DataFrame | None = None
+    remaining = queries
+    for radius in range(1, max_radius + 1):
+        last = radius == max_radius
+        probe = _knn_probe(points, remaining, k, cell, radius)
+        if not last:
+            # pin this round so the good-rows projection and the
+            # bad-query id set share one computation of the probe
+            probe = probe.localCheckpoint(eager=False)
+        if last:
+            good = _knn_finalize(
+                probe, True, f"max_radius {max_radius} * cell {cell}"
+            )
+        else:
+            good = _knn_finalize(
+                probe.filter(~F.col("__bad")), False, ""
+            )
+        out = good if out is None else out.unionByName(good)
+        if last:
+            break
+        badq = probe.filter(F.col("__bad")).select("qid").distinct()
+        if badq.isEmpty():
+            break
+        remaining = remaining.join(
+            badq, remaining["point_id"] == badq["qid"], "left_semi"
+        )
+    assert out is not None
+    return out

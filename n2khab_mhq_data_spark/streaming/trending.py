@@ -39,9 +39,11 @@ from n2khab_mhq_data_spark.streaming.incremental import (
 
 # partition-value format for the published stores: zero-padded so
 # lexicographic dir-name order == chronological order (retention prune
-# compares strings), filesystem-safe (no ':' as in a raw timestamp)
+# compares strings), filesystem-safe (no ':' as in a raw timestamp).
+# Only the Spark-side date_format spelling exists — every partition
+# string (written, pruned, or compared) derives from this one
+# expression so a session-vs-driver timezone split cannot occur.
 _PART_FMT_SQL = "yyyy-MM-dd-HH-mm-ss"
-_PART_FMT_PY = "%Y-%m-%d-%H-%M-%S"
 
 
 _UNITS = {
@@ -116,24 +118,43 @@ def trending_topk_stream(
         s = batch.sparkSession
         # one evaluation of the micro-batch: the touched-window set is
         # tiny (windows per trigger), collect it to literals so the
-        # batch plan isn't re-executed by the downstream merge/rank legs
+        # batch plan isn't re-executed by the downstream merge/rank legs.
+        # Partition strings are derived Spark-side with the SAME
+        # date_format expression that wrote win_part — a driver-side
+        # strftime over collected datetimes silently diverges whenever
+        # spark.sql.session.timeZone differs from the driver zone, and
+        # the isin below would then prune away the very partitions just
+        # written (ADVICE r4)
         batch = batch.persist()
-        touched = [
-            r["window_start"]
-            for r in batch.select("window_start").distinct().collect()
-        ]
-        if not touched:
+        meta = (
+            batch.select(
+                F.date_format("window_start", _PART_FMT_SQL).alias(
+                    "win_part"
+                ),
+                F.date_format(
+                    F.col("window_start")
+                    - F.make_interval(
+                        secs=F.lit(retention.total_seconds())
+                    ),
+                    _PART_FMT_SQL,
+                ).alias("h_part"),
+            )
+            .distinct()
+            .collect()
+        )
+        if not meta:
             batch.unpersist()
             return
-        touched_parts = [w.strftime(_PART_FMT_PY) for w in touched]
+        touched_parts = sorted({r["win_part"] for r in meta})
         # retention horizon: windows older than the newest touched
         # window minus `retention` are final (the engine's watermark
         # stopped updating them long ago; the retention >= watermark +
         # window guard above means no admitted update can precede it) —
         # their partitions are dropped from BOTH states as directory
-        # deletes, never a rewrite of surviving data
-        horizon = max(touched) - retention
-        horizon_part = horizon.strftime(_PART_FMT_PY)
+        # deletes, never a rewrite of surviving data. The zero-padded
+        # format is lexicographically chronological, so every horizon
+        # comparison below is a plain string compare on win_part.
+        horizon_part = max(r["h_part"] for r in meta)
         # merge ONLY the touched partitions of the count state (the
         # isin on the partition column prunes every other directory
         # from the scan); dynamic overwrite then writes back exactly
@@ -151,10 +172,10 @@ def trending_topk_stream(
                 [F.col("n").desc()],
             )
         )
-        merged = merged.filter(F.col("window_start") >= F.lit(horizon))
-        publish_state_partitioned(
-            s, counts_path, _with_part(merged), "win_part"
+        merged = _with_part(merged).filter(
+            F.col("win_part") >= horizon_part
         )
+        publish_state_partitioned(s, counts_path, merged, "win_part")
         prune_state_partitions(s, counts_path, "win_part", horizon_part)
         counts = (
             s.read.parquet(counts_path)

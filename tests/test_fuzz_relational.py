@@ -264,3 +264,98 @@ def test_fuzz_kmeans_assign_matches_window_routing(spark, seed, nprobe):
         ).collect()
     }
     assert closure == window
+
+
+def test_kmeans_assign_exact_cosine_tie_matches_fold_reference(spark):
+    """Centroids that are component PERMUTATIONS of each other are an
+    exact cosine tie against the all-ones query in real arithmetic —
+    but BLAS pairwise summation and the oracle's sequential list_sum
+    fold can land 1 ulp apart in opposite directions and flip the
+    argmax (measured ~45% flip rate unrounded on such ties). With the
+    12-decimal pre-argmax rounding, the kernel and a sequential-fold
+    reference must both collapse the tie and break it to the LOWEST
+    centroid id (ADVICE r4)."""
+    import functools
+    import operator
+
+    import random as _random
+
+    from n2khab_mhq_data_spark.llmdata.similarity import kmeans_assign
+
+    dim = 64
+    rng = _random.Random(41)
+
+    def seq_cos(a, b):
+        # DuckDB list_sum order: left-to-right sequential fold
+        d = functools.reduce(operator.add, (x * y for x, y in zip(a, b)))
+        na = functools.reduce(operator.add, (x * x for x in a)) ** 0.5
+        nb = functools.reduce(operator.add, (x * x for x in b)) ** 0.5
+        return round(d / (na * nb), 12)
+
+    cases = []
+    for case in range(10):
+        base = [rng.uniform(0.05, 0.95) for _ in range(dim)]
+        perm = list(range(dim))
+        rng.shuffle(perm)
+        cases.append((base, [base[i] for i in perm]))
+
+    rows = [(i, [1.0] * dim) for i in range(len(cases))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for nprobe in (1, 2):
+        for case, (c0, c1) in enumerate(cases):
+            cents = [(0, c0), (1, c1)]
+            got = sorted(
+                (r.vec_id, r.cent_id)
+                for r in kmeans_assign(
+                    df.filter(f"vec_id = {case}"),
+                    "embedding",
+                    cents,
+                    "vec_id long, embedding array<double>",
+                    nprobe=nprobe,
+                ).collect()
+            )
+            # sequential-fold reference with the same rounding
+            q = [1.0] * dim
+            ranked = sorted(
+                [(0, seq_cos(q, c0)), (1, seq_cos(q, c1))],
+                key=lambda t: (-t[1], t[0]),
+            )[:nprobe]
+            want = sorted((case, cid) for cid, _ in ranked)
+            assert got == want
+            if nprobe == 1:
+                # exact tie must break to the lowest centroid id
+                assert got == [(case, 0)]
+
+
+def test_kmeans_assign_nprobe_exceeds_centroid_count(spark):
+    """nprobe > K must emit K rows per vector (parity with the
+    ivf_assign window path), not crash on a ravel/repeat length
+    mismatch inside the Arrow worker (ADVICE r4)."""
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        ivf_assign,
+        kmeans_assign,
+    )
+
+    dim = 4
+    rows = [(i, [float(i + j) for j in range(dim)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    got = sorted(
+        (r.vec_id, r.cent_id)
+        for r in kmeans_assign(
+            df, "embedding", cents,
+            "vec_id long, embedding array<double>", nprobe=5,
+        ).collect()
+    )
+    cent_df = spark.createDataFrame(
+        [(cid, v, sum(x * x for x in v) ** 0.5) for cid, v in cents],
+        "cent_id int, cvec array<double>, cnrm double",
+    )
+    want = sorted(
+        (r.vec_id, r.cent_id)
+        for r in ivf_assign(
+            df, cent_df, "vec_id", "embedding", nprobe=5, dim=dim
+        ).collect()
+    )
+    assert got == want
+    assert len(got) == 6 * len(cents)

@@ -877,3 +877,73 @@ def test_trending_topk_retention_prunes_final_windows(spark, tmp_path):
         for r in spark.read.parquet(str(counts)).collect()
     }
     assert cwindows == {"2024-01-02 09:00:00"}
+
+
+def test_trending_topk_session_timezone_independent(spark, tmp_path):
+    """With spark.sql.session.timeZone set away from the JVM/driver
+    default, every partition string must still agree: they all derive
+    from one Spark-side date_format now, where the old driver-side
+    strftime over collected datetimes silently missed the partitions
+    just written (the count merge then read nothing and fresh top-k
+    came from an empty slice — ADVICE r4)."""
+    from n2khab_mhq_data_spark.streaming.trending import (
+        trending_topk,
+        trending_topk_stream,
+    )
+    from pyspark.sql import functions as F
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Australia/Eucla")
+    try:
+        src = tmp_path / "ev"
+        src.mkdir()
+        schema = "ts timestamp, event_type string"
+
+        def write(rows):
+            spark.createDataFrame(
+                rows, "ts string, event_type string"
+            ).selectExpr(
+                "CAST(ts AS TIMESTAMP) ts", "event_type"
+            ).write.mode("append").parquet(str(src))
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(str(src))
+            q = trending_topk_stream(
+                spark, stream, str(tmp_path / "counts"),
+                str(tmp_path / "topk"), str(tmp_path / "ckpt"), k=2,
+            )
+            q.awaitTermination(120)
+
+        write([
+            ("2024-01-01 10:05:00", "click"),
+            ("2024-01-01 10:06:00", "click"),
+            ("2024-01-01 10:07:00", "view"),
+        ])
+        run()
+        # second trigger MERGES into the same window — the regression
+        # read an empty slice here and dropped the earlier counts
+        write([
+            ("2024-01-01 10:20:00", "view"),
+            ("2024-01-01 10:21:00", "view"),
+        ])
+        run()
+        got = {
+            (str(r.window_start), r.rank): (r.event_type, r.n)
+            for r in spark.read.parquet(str(tmp_path / "topk")).collect()
+        }
+        all_e = spark.read.parquet(str(src))
+        ref = (
+            all_e.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    "event_type", "n")
+        )
+        want = {
+            (str(r.window_start), r.rank): (r.event_type, r.n)
+            for r in trending_topk(ref, 2).collect()
+        }
+        assert got == want and got
+        # the merged window ranks view(3) over click(2)
+        assert any(v == ("view", 3) for v in got.values())
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
