@@ -557,3 +557,117 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join_gridded(
         pts, pts.filter(F.col("point_id") < 20), k=5, cell=cell
     )
+
+
+def _demo_gpkg(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per customer-parquet fingerprint) a GeoPackage layer
+    with one square-polygon feature per customer — the driver-checkable
+    stand-in for the reference's .gpkg inputs
+    (data_heide_groot_schietveld.Rmd:32) at a size that forces multiple
+    rowid-window tasks. Geometry is integer-arithmetic-exact so the
+    DuckDB oracle re-derives the areas from the customer view alone."""
+    import hashlib
+    import os
+
+    from n2khab_mhq_data_spark.plans.llm import _docs_fingerprint
+    from n2khab_mhq_data_spark.spatial.geopackage import (
+        write_geopackage_layer,
+    )
+
+    cust = os.path.join(sf_dir, "customer.parquet")
+    files = sorted(
+        os.path.join(cust, f) for f in os.listdir(cust)
+    ) if os.path.isdir(cust) else [cust]
+    fp = hashlib.md5(
+        ";".join(
+            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    scratch = "/root/repo/.scale/gpkg"
+    os.makedirs(scratch, exist_ok=True)
+    path = os.path.join(scratch, f"plots_{fp}.gpkg")
+    if os.path.exists(path):
+        return path
+    keys = [
+        int(r.c_custkey)
+        for r in load(spark, sf_dir, "customer").select("c_custkey").collect()
+    ]
+
+    def sq(cx: float, cy: float, h: float) -> str:
+        return (
+            f"({cx - h} {cy - h}, {cx + h} {cy - h}, {cx + h} {cy + h},"
+            f" {cx - h} {cy + h}, {cx - h} {cy - h})"
+        )
+
+    rows = []
+    for k in sorted(keys):
+        s = float(1 + k % 4)
+        cx, cy = float(k % 23), float(k % 17)
+        if k % 3 == 0:  # square with a centered hole (half-side s/2)
+            wkt = f"POLYGON ({sq(cx, cy, s)}, {sq(cx, cy, s / 2)})"
+        else:
+            wkt = f"POLYGON ({sq(cx, cy, s)})"
+        rows.append((k, f"c{k % 7}", wkt))
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        os.unlink(tmp)
+    write_geopackage_layer(
+        tmp, "plots", rows, [("fid", "INTEGER"), ("tag", "TEXT")]
+    )
+    os.replace(tmp, path)
+    return path
+
+
+@query(
+    "s7_gpkg_distributed",
+    oracle="""
+    SELECT CAST(c_custkey AS BIGINT) AS feature_id,
+           'c' || CAST(c_custkey % 7 AS VARCHAR) AS tag,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 2 ELSE 1 END
+                AS BIGINT) AS n_rings,
+           CAST(CASE WHEN c_custkey % 3 = 0 THEN 10 ELSE 5 END
+                AS BIGINT) AS n_points,
+           round(CASE WHEN c_custkey % 3 = 0 THEN 3.0 * s * s
+                      ELSE 4.0 * s * s END + 1e-9, 3) AS area
+    FROM (SELECT c_custkey,
+                 CAST(1 + (c_custkey % 4) AS DOUBLE) AS s
+          FROM customer)
+    """,
+)
+def s7_gpkg_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 scale path end-to-end: write a GeoPackage feature layer (one
+    square polygon per customer, some with holes), read it back with the
+    DISTRIBUTED rowid-window reader (spatial/geopackage.py::
+    read_geopackage_distributed — executors range-scan disjoint SQLite
+    b-tree windows and decode GPB->WKB->WKT inside the task), then run
+    the WKT stats kernel. The oracle re-derives ring/point counts and
+    exact shoelace areas (outer 4s^2, hole s^2) arithmetically from the
+    customer view — so the whole container round-trip (GPB header, WKB
+    writer/reader, rowid windowing, attribute typing) is hash-checked.
+    rows_per_task=512 forces multiple windows at every sf tier."""
+    from n2khab_mhq_data_spark.spatial.geopackage import (
+        read_geopackage_distributed,
+    )
+    from n2khab_mhq_data_spark.spatial.join import parse_wkt_layer
+
+    path = _demo_gpkg(spark, sf_dir)
+    feats = read_geopackage_distributed(
+        spark, path, "plots", rows_per_task=512
+    )
+    stats = parse_wkt_layer(
+        feats.select(F.col("fid").alias("feature_id"), "wkt"),
+        "wkt",
+        "feature_id",
+    )
+    tags = feats.select(F.col("fid").alias("feature_id"), "tag")
+    return (
+        stats.join(tags, "feature_id")
+        .select(
+            "feature_id",
+            "tag",
+            "n_rings",
+            "n_points",
+            F.round(F.col("area") + F.lit(1e-9), 3).alias("area"),
+        )
+    )

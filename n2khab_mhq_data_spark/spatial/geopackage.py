@@ -256,3 +256,85 @@ def read_geopackage(
             attrs = [v for i, v in enumerate(row) if i != gi]
             data.append(tuple(attrs + [gpb_to_wkt(row[gi])]))
     return spark.createDataFrame(data, out_names)
+
+
+def _wkt_to_wkb(wkt: str) -> bytes:
+    """WKT POLYGON / MULTIPOLYGON -> little-endian OGC WKB (inverse of
+    ``wkb_to_wkt`` for the polygonal subset the engine emits)."""
+    from n2khab_mhq_data_spark.spatial.wkt import parse_wkt_polygon
+
+    polys = parse_wkt_polygon(wkt)
+
+    def poly_body(rings) -> bytes:
+        out = [struct.pack("<BII", 1, 3, len(rings))]
+        for ring in rings:
+            out.append(struct.pack("<I", len(ring)))
+            for x, y in ring:
+                out.append(struct.pack("<2d", x, y))
+        return b"".join(out)
+
+    if wkt.lstrip().upper().startswith("MULTIPOLYGON"):
+        return (
+            struct.pack("<BII", 1, 6, len(polys))
+            + b"".join(poly_body(r) for r in polys)
+        )
+    assert len(polys) == 1
+    return poly_body(polys[0])
+
+
+def wkt_to_gpb(wkt: str | None, srs_id: int = 0) -> bytes | None:
+    """WKT -> GeoPackage binary geometry (GP header, no envelope,
+    little-endian) — the write-side counterpart of ``gpb_to_wkt``."""
+    if wkt is None:
+        return None
+    return b"GP" + bytes([0, 1]) + struct.pack("<i", srs_id) + _wkt_to_wkb(wkt)
+
+
+def write_geopackage_layer(
+    path: str,
+    layer: str,
+    rows: list[tuple],
+    attr_schema: list[tuple[str, str]],
+    geom_col: str = "geom",
+) -> None:
+    """Create/replace one feature layer in a GeoPackage container
+    (driver-side, dimension-sized — the write-side S7 surface; the
+    read-back scale path is ``read_geopackage_distributed``). Each row
+    is ``(*attrs, wkt)``; ``attr_schema`` is [(name, sqlite_decl)] with
+    the FIRST attribute used as the INTEGER PRIMARY KEY (= rowid, which
+    the distributed reader range-scans)."""
+    with sqlite3.connect(path) as con:
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_contents ("
+            " table_name TEXT PRIMARY KEY, data_type TEXT,"
+            " identifier TEXT, srs_id INTEGER)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS gpkg_geometry_columns ("
+            " table_name TEXT PRIMARY KEY, column_name TEXT,"
+            " geometry_type_name TEXT, srs_id INTEGER, z TINYINT,"
+            " m TINYINT)"
+        )
+        con.execute(f'DROP TABLE IF EXISTS "{layer}"')
+        pk, rest = attr_schema[0], attr_schema[1:]
+        cols = ", ".join(
+            [f'"{pk[0]}" INTEGER PRIMARY KEY']
+            + [f'"{n}" {d}' for n, d in rest]
+            + [f'"{geom_col}" BLOB']
+        )
+        con.execute(f'CREATE TABLE "{layer}" ({cols})')
+        marks = ", ".join("?" * (len(attr_schema) + 1))
+        con.executemany(
+            f'INSERT INTO "{layer}" VALUES ({marks})',
+            [(*r[:-1], wkt_to_gpb(r[-1])) for r in rows],
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_contents VALUES (?, ?, ?, ?)",
+            (layer, "features", layer, 0),
+        )
+        con.execute(
+            "INSERT OR REPLACE INTO gpkg_geometry_columns"
+            " VALUES (?, ?, ?, ?, ?, ?)",
+            (layer, geom_col, "GEOMETRY", 0, 0, 0),
+        )
+        con.commit()
