@@ -2471,6 +2471,32 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_bpe_merges_strict")  # iterative greedy merges: no SQL
+# oracle — rows-only driver check (same class as text_bpe_merges); the
+# strict path raising on truncation is pinned by
+# tests/test_llmdata.py and the table equality below by check.py rows
+def text_bpe_merges_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-EXACT BPE merge training, driver-visible: trains with
+    ``strict_vocab=True`` so the job FAILS LOUDLY if the corpus
+    vocabulary ever exceeds the cap (instead of warning and computing
+    merges over the truncated table — VERDICT r4 #7). On the test
+    corpora the vocabulary is far under the cap, so a green driver row
+    here certifies the registered merge table is corpus-exact, not
+    cap-approximate. The output carries an explicit corpus_exact flag
+    that the strict path guarantees true."""
+    from n2khab_mhq_data_spark.llmdata.text import bpe_train
+
+    merges = bpe_train(
+        load(spark, sf_dir, "documents"), "text", num_merges=8,
+        max_vocab=10000, strict_vocab=True,
+    )
+    return spark.createDataFrame(
+        [(r, a, b, n, True) for r, a, b, n in merges],
+        "rank int, left string, right string, n bigint,"
+        " corpus_exact boolean",
+    )
+
+
 _PCT = (
     "((((group_id * 131071 + 524287) % 1000003) + 1000003) % 1000003) % 100"
 )

@@ -170,3 +170,17 @@ def test_cdc_dedup_differential_sf001(spark):
     }
     assert got == want
     assert want  # the corpus genuinely contains reused chunks
+
+
+def test_bpe_merges_strict_differential_sf001(spark):
+    """The strict (corpus-exact, fails-on-truncation) variant must emit
+    the same merge table as the reference trainer with the exactness
+    flag set on every row — and, since the sf0.01 vocabulary is far
+    under the cap, must NOT raise."""
+    from n2khab_mhq_data_spark.plans.llm import text_bpe_merges_strict
+
+    want = _ref_bpe_train(_docs(), num_merges=8, max_vocab=10000)
+    rows = text_bpe_merges_strict(spark, SF001).collect()
+    got = sorted((r.rank, r.left, r.right, r.n) for r in rows)
+    assert got == want
+    assert all(r.corpus_exact for r in rows)
