@@ -2,11 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-The decode step is STUBBED (no imaging/audio libraries in this container):
-``decode_image`` raises NotImplementedError unless ``fake=True``, in which
-case a deterministic fake decoder derives metadata from the raw bytes. The
-Spark-side plumbing — schema, batch iteration, partition sizing — is real
-and tested; swapping in PIL/ffmpeg later only changes the inner function.
+Decode support comes in two tiers. PNG and WAV decode is REAL and pure
+stdlib (zlib inflate + scanline unfilter; RIFF/PCM16 parse — see
+``decode_png`` / ``decode_wav`` below), with matching encoders so the
+registered queries build spec-valid payloads and hash-check the decoded
+statistics against arithmetic oracles. Codecs that genuinely need an
+external library (JPEG, MP4/ffmpeg-class video) remain STUBBED:
+``decode_image`` raises NotImplementedError for unrecognized magic
+unless ``fake=True``, in which case a deterministic fake decoder
+derives metadata from the raw bytes. The Spark-side plumbing — schema,
+batch iteration, partition sizing — is identical across tiers;
+swapping in PIL/ffmpeg later only changes the inner function.
 
 Scale notes: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` for the payload, not the row count,
@@ -27,18 +33,39 @@ FRAME_META_SCHEMA = (
 
 
 def decode_image(raw: bytes, fake: bool = False) -> dict:
-    """Decode an image payload. STUB: real decoding needs an imaging
-    library not present in this environment."""
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an imaging library (not in container); "
-            "pass fake=True for the deterministic test decoder"
-        )
-    return {
-        "format": "fake/raw",
-        "n_frames": len(raw) % 7 + 1,
-        "first_byte": raw[0] if raw else -1,
-    }
+    """Decode a media payload. PNG and WAV are decoded FOR REAL (pure
+    stdlib — see module docstring); other codecs need an imaging/audio
+    library not present in this environment and stay stubbed. With
+    ``fake=True`` the deterministic fake decoder is used regardless of
+    magic (the existing fake-payload queries pin that path)."""
+    if fake:
+        return {
+            "format": "fake/raw",
+            "n_frames": len(raw) % 7 + 1,
+            "first_byte": raw[0] if raw else -1,
+        }
+    if raw[:8] == _PNG_MAGIC:
+        img = decode_png(raw)
+        return {
+            "format": "png",
+            "n_frames": 1,
+            "first_byte": raw[0],
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+        }
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        rate, samples = decode_wav(raw)
+        return {
+            "format": "wav",
+            "n_frames": int(len(samples)),
+            "first_byte": raw[0],
+            "sample_rate": int(rate),
+        }
+    raise NotImplementedError(
+        "codec not decodable with stdlib (JPEG/video need an imaging"
+        " library absent from this container); PNG/WAV decode for real,"
+        " or pass fake=True for the deterministic test decoder"
+    )
 
 
 def extract_frame_meta(binary_df: DataFrame, fake: bool = True) -> DataFrame:
@@ -224,3 +251,327 @@ def cdc_chunk_one(
     ]
 
 
+
+
+# --- REAL codecs (pure stdlib: zlib/struct — no PIL/ffmpeg needed) -----
+#
+# The container has no imaging/audio libraries, but PNG and WAV are
+# decodable with nothing beyond zlib + struct, so for those two formats
+# the decode step is REAL, not stubbed: full chunk walk, inflate,
+# scanline unfilter (all five PNG filter types), RIFF parse, PCM16
+# samples. JPEG/MP4/ffmpeg-class codecs remain the env-gated stub.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img) -> bytes:
+    """Minimal real PNG encoder: 8-bit grayscale, filter 0, one IDAT.
+    Output is a spec-valid PNG (CRC'd chunks) any external tool can
+    open — used to build REAL binary payloads for the decode queries."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w = a.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scan = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(raw: bytes):
+    """Real PNG decode (pure stdlib): chunk walk, IDAT inflate, scanline
+    unfilter (types 0-4 incl. Paeth), 8-bit grayscale/RGB, no
+    interlace. Returns an (h, w) or (h, w, 3) uint8 numpy array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    off, idat = 8, []
+    w = h = ctype = None
+    while off + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, off)
+        typ = raw[off + 4 : off + 8]
+        data = raw[off + 8 : off + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2) or inter or comp or filt:
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth} ctype={ctype}"
+                    f" interlace={inter})"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    ch = 1 if ctype == 0 else 3
+    stride = w * ch
+    flat = zlib.decompress(b"".join(idat))
+    if len(flat) != h * (stride + 1):
+        raise ValueError("PNG scanline payload length mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for r in range(h):
+        f = flat[pos]
+        line = np.frombuffer(flat, np.uint8, stride, pos + 1).copy()
+        pos += stride + 1
+        prev = img[r - 1] if r > 0 else np.zeros(stride, np.uint8)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized (mod-256 uint8 add)
+            line += prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need the left
+            # neighbour sequentially; scalar walk (decode here is
+            # dimension-sized — thumbnails/tiles, not rasters)
+            out = line.astype(np.int64)
+            pr = prev.astype(np.int64)
+            for i in range(stride):
+                a = out[i - ch] if i >= ch else 0
+                b = pr[i]
+                c = pr[i - ch] if i >= ch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else b if pb <= pc else c
+                    )
+                out[i] = (out[i] + pred) % 256
+            line = out.astype(np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        img[r] = line
+    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, 3)
+
+
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Minimal real WAV encoder: PCM16 mono RIFF container."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    data = s.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(raw: bytes):
+    """Real WAV decode (pure stdlib): RIFF chunk walk, PCM16 mono.
+    Returns (sample_rate, int16 numpy array)."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    off = 12
+    rate = None
+    samples = None
+    while off + 8 <= len(raw):
+        typ = raw[off : off + 4]
+        (ln,) = struct.unpack_from("<I", raw, off + 4)
+        body = raw[off + 8 : off + 8 + ln]
+        if typ == b"fmt ":
+            fmt, nch, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt != 1 or nch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV shape (fmt={fmt} ch={nch} bits={bits})"
+                )
+        elif typ == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        off += 8 + ln + (ln & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return rate, samples
+
+
+def png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image payloads for the decode queries: one 8-bit grayscale
+    PNG per row, pixel(r, c) = (id + 7r + 13c) mod 256 at
+    (8 + id%5) x (8 + id%3) — integer arithmetic, so a SQL oracle can
+    re-derive every decoded statistic without touching the bytes."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 8 + did % 5, 8 + did % 3
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                payloads.append(
+                    encode_png(((did + 7 * r + 13 * c) % 256))
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(op, "doc_id long, payload binary")
+
+
+def image_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL decode feature extraction: inflate + unfilter each PNG and
+    emit (width, height, n_px, mean_luma, max_luma). One Arrow pass,
+    no shuffle; narrow output."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, npx, mean, mx = [], [], [], [], []
+            for raw in pdf["payload"]:
+                img = decode_png(bytes(raw))
+                h, w = img.shape[:2]
+                ws.append(w)
+                hs.append(h)
+                npx.append(h * w)
+                mean.append(round(float(np.mean(img)) + 1e-9, 3))
+                mx.append(int(img.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                    "mean_luma": pd.Series(mean, dtype="float64"),
+                    "max_luma": pd.Series(mx, dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, width int, height int, n_px long,"
+        " mean_luma double, max_luma int",
+    )
+
+
+def image_resize_nn(
+    binary_df: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """REAL decode + nearest-neighbour resize: each PNG decodes and
+    downsamples to out_h x out_w (src index = floor(out_idx * src / out),
+    the standard NN mapping); output is one row per output pixel —
+    the thumbnail/tile-pyramid primitive. Fan-out is bounded
+    (out_w * out_h rows per payload), one Arrow pass, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "ro": [], "co": [], "v": []
+            }
+            for did, raw in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(raw))
+                h, w = img.shape[:2]
+                for ro in range(out_h):
+                    sr = ro * h // out_h
+                    for co in range(out_w):
+                        sc = co * w // out_w
+                        rows["doc_id"].append(int(did))
+                        rows["ro"].append(ro)
+                        rows["co"].append(co)
+                        rows["v"].append(int(img[sr, sc]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "ro": pd.Series(rows["ro"], dtype="int32"),
+                    "co": pd.Series(rows["co"], dtype="int32"),
+                    "v": pd.Series(rows["v"], dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op, "doc_id long, ro int, co int, v int"
+    )
+
+
+def wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio payloads: one PCM16 mono WAV per row with
+    (64 + id%32) samples at 8 kHz, sample_i = ((id*31 + i*17) mod 4096)
+    - 2048 — integer arithmetic for the oracle, real RIFF bytes for the
+    decoder."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 32
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * 17) % 4096) - 2048
+                payloads.append(encode_wav(s.astype(np.int16), 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(op, "doc_id long, payload binary")
+
+
+def audio_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL WAV decode feature extraction: (sample_rate, n_samples,
+    peak, rms) per payload — the audio-quality gate primitive."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, peak, rms = [], [], [], []
+            for raw in pdf["payload"]:
+                rate, s = decode_wav(bytes(raw))
+                x = s.astype(np.float64)
+                rates.append(rate)
+                ns.append(len(s))
+                peak.append(int(np.abs(s.astype(np.int64)).max()))
+                rms.append(
+                    round(float(np.sqrt(np.mean(x * x))) + 1e-9, 3)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int64"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, sample_rate int, n_samples long, peak long,"
+        " rms double",
+    )

@@ -474,6 +474,108 @@ def multimodal_frame_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_frame_meta(with_binary_payload(docs), fake=True)
 
 
+@query(
+    "multimodal_image_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+      FROM documents
+    ), r AS (SELECT unnest(range(0, 11)) AS r),
+    c AS (SELECT unnest(range(0, 13)) AS c),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id + 7 * r.r + 13 * c.c) % 256 AS v
+      FROM dims d, r, c WHERE r.r < d.h AND c.c < d.w
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(avg(v) + 1e-9, 3) AS mean_luma,
+           CAST(max(v) AS INTEGER) AS max_luma
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: build a spec-valid 8-bit grayscale
+    PNG per document (pixel = (id + 7r + 13c) mod 256 — pure-stdlib
+    encoder, llmdata/multimodal.py::encode_png), then inflate +
+    unfilter it back (decode_png) and emit width/height/mean/max
+    luminance. The oracle re-derives every statistic from the pixel
+    arithmetic alone, so a hash match proves the PNG bytes really
+    round-tripped (chunk CRCs, zlib, scanline filters) — the decode
+    step is no longer a stub for PNG (COVERAGE waiver narrowed, r5).
+    Two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        image_stats,
+        png_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return image_stats(png_payloads(docs))
+
+
+@query(
+    "multimodal_image_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+      FROM documents
+    ), o AS (SELECT unnest(range(0, 4)) AS i)
+    SELECT doc_id, CAST(ro.i AS INTEGER) AS ro, CAST(co.i AS INTEGER) AS co,
+           CAST((doc_id + 7 * ((ro.i * h) // 4)
+                 + 13 * ((co.i * w) // 4)) % 256 AS INTEGER) AS v
+    FROM dims, o AS ro, o AS co
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-neighbour 4x4 downsample (thumbnail/tile
+    primitive): every output pixel comes off the actually-decoded
+    raster; the oracle computes the NN source index arithmetically.
+    Bounded fan-out (16 rows per payload), one Arrow pass after the
+    encode pass, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        image_resize_nn,
+        png_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return image_resize_nn(png_payloads(docs), out_w=4, out_h=4)
+
+
+@query(
+    "multimodal_audio_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 64 + doc_id % 32 AS n FROM documents
+    ), i AS (SELECT unnest(range(0, 96)) AS i),
+    s AS (
+      SELECT d.doc_id, d.n,
+             ((d.doc_id * 31 + i.i * 17) % 4096) - 2048 AS v
+      FROM dims d, i WHERE i.i < d.n
+    )
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           round(sqrt(avg(CAST(v AS DOUBLE) * v)) + 1e-9, 3) AS rms
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: PCM16 mono WAV per document
+    (encode_wav), RIFF-parsed back (decode_wav), peak/RMS per payload —
+    the audio-quality-gate primitive. The oracle recomputes peak/RMS
+    from the sample arithmetic; a hash match proves the RIFF container
+    and PCM samples round-tripped byte-exactly."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        audio_stats,
+        wav_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return audio_stats(wav_payloads(docs))
+
+
 _IVF_ASSIGN_SQL = f"""
     cent AS (
       SELECT vec_id AS cent_id, embedding AS cvec FROM embeddings

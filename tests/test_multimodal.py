@@ -117,3 +117,106 @@ def test_cdc_chunks_reference_and_locality(spark):
     d3 = [c.chunk_md5 for c in by_doc[3]]
     assert len(set(d1) & set(d3)) >= len(d1) - 2
     assert d1[-1] == d3[-1]
+
+
+def _png_from_scanlines(w, h, ctype, scanlines):
+    """Build a spec-valid PNG from pre-filtered scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types():
+    """Unfilter reference vectors for Sub/Up/Average/Paeth, computed by
+    hand per the PNG spec (RFC 2083 §6), must reconstruct exactly."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import decode_png
+
+    # 4px-wide grayscale rows. Row 0: filter 1 (Sub): raw = [10,5,5,5]
+    #   -> recon = [10,15,20,25]
+    # Row 1: filter 2 (Up): raw = [1,1,1,1] -> recon = [11,16,21,26]
+    # Row 2: filter 3 (Average): raw r=[4,4,4,4], left a, up b:
+    #   p0 = 4 + (0+11)//2 = 9; p1 = 4+(9+16)//2 = 16;
+    #   p2 = 4+(16+21)//2 = 22; p3 = 4+(22+26)//2 = 28
+    # Row 3: filter 4 (Paeth): raw = [2,2,2,2]:
+    #   p0: pred = paeth(0,9,0)=9 -> 11; p1: paeth(11,16,9)->11? compute:
+    #   p=11+16-9=18, pa=7,pb=2,pc=9 -> b=16 -> 18;
+    #   p2: a=18,b=22,c=16: p=24, pa=6,pb=2,pc=8 -> b=22 -> 24;
+    #   p3: a=24,b=28,c=22: p=30, pa=6,pb=2,pc=8 -> b=28 -> 30
+    png = _png_from_scanlines(
+        4, 4, 0,
+        [
+            b"\x01" + bytes([10, 5, 5, 5]),
+            b"\x02" + bytes([1, 1, 1, 1]),
+            b"\x03" + bytes([4, 4, 4, 4]),
+            b"\x04" + bytes([2, 2, 2, 2]),
+        ],
+    )
+    want = np.array(
+        [
+            [10, 15, 20, 25],
+            [11, 16, 21, 26],
+            [9, 16, 22, 28],
+            [11, 18, 24, 30],
+        ],
+        dtype=np.uint8,
+    )
+    assert (decode_png(png) == want).all()
+
+
+def test_png_decode_rgb_and_modular_wrap():
+    """ctype 2 (RGB): the left neighbour for Sub is CH bytes back, and
+    uint8 arithmetic wraps mod 256."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import decode_png
+
+    # 2x2 RGB; row 0 filter 1: first pixel raw, second = delta from
+    # first (250 + 10 = 260 -> 4 mod 256)
+    png = _png_from_scanlines(
+        2, 2, 2,
+        [
+            b"\x01" + bytes([250, 20, 30, 10, 10, 10]),
+            b"\x02" + bytes([6, 236, 226, 0, 0, 0]),
+        ],
+    )
+    img = decode_png(png)
+    assert img.shape == (2, 2, 3)
+    assert img[0].tolist() == [[250, 20, 30], [4, 30, 40]]
+    # row 1 = row 0 + up-deltas mod 256: 250+6=0, 20+236=0, 30+226=0
+    assert img[1].tolist() == [[0, 0, 0], [4 + 0, 30 + 0, 40 + 0]]
+
+
+def test_png_wav_roundtrip_property():
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        h, w = rng.randint(1, 24), rng.randint(1, 24)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (decode_png(encode_png(img)) == img).all()
+        n = rng.randint(1, 300)
+        s = rng.randint(-32768, 32768, n).astype(np.int16)
+        rate, back = decode_wav(encode_wav(s, 44100))
+        assert rate == 44100 and (back == s).all()
