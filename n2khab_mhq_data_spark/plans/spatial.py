@@ -655,19 +655,18 @@ def s7_gpkg_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = read_geopackage_distributed(
         spark, path, "plots", rows_per_task=512
     )
+    # attributes CARRY through the one extraction pass — no re-join of
+    # two corpus-grain sides (plan-audit clean)
     stats = parse_wkt_layer(
-        feats.select(F.col("fid").alias("feature_id"), "wkt"),
+        feats.select(F.col("fid").alias("feature_id"), "tag", "wkt"),
         "wkt",
         "feature_id",
+        carry=(("tag", "string"),),
     )
-    tags = feats.select(F.col("fid").alias("feature_id"), "tag")
-    return (
-        stats.join(tags, "feature_id")
-        .select(
-            "feature_id",
-            "tag",
-            "n_rings",
-            "n_points",
-            F.round(F.col("area") + F.lit(1e-9), 3).alias("area"),
-        )
+    return stats.select(
+        "feature_id",
+        "tag",
+        "n_rings",
+        "n_points",
+        F.round(F.col("area") + F.lit(1e-9), 3).alias("area"),
     )

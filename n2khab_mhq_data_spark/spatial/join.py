@@ -214,17 +214,27 @@ def wkt_circle_intersection_areas(
 
 
 def parse_wkt_layer(
-    df: DataFrame, wkt_col: str = "wkt", id_col: str = "feature_id"
+    df: DataFrame,
+    wkt_col: str = "wkt",
+    id_col: str = "feature_id",
+    carry: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
     """S7 — spatial-layer ingestion from a WKT text column (the engine's
     interchange path for sf::st_read'd shapefiles/GPKG,
     process_external_data.Rmd:34): validates every geometry (malformed WKT
     fails the job, matching st_read) and materializes per-feature shape
-    stats + exact planar area (shoelace, holes subtracted — st_area)."""
+    stats + exact planar area (shoelace, holes subtracted — st_area).
+
+    ``carry`` is [(column, spark_type), ...] attribute columns passed
+    through unchanged — attributes ride the one extraction pass instead
+    of re-joining the source afterwards (an unstatted SortMergeJoin of
+    two corpus-grain sides the single pass makes unnecessary)."""
     from n2khab_mhq_data_spark.spatial.wkt import (
         parse_wkt_polygon,
         ring_signed_area,
     )
+
+    carry_names = [c for c, _ in carry]
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -244,21 +254,23 @@ def parse_wkt_layer(
                 n_rings.append(rings)
                 n_points.append(pts)
                 areas.append(area)
-            yield pd.DataFrame(
-                {
-                    "feature_id": pd.Series(ids, dtype="int64"),
-                    "n_polys": pd.Series(n_polys, dtype="int64"),
-                    "n_rings": pd.Series(n_rings, dtype="int64"),
-                    "n_points": pd.Series(n_points, dtype="int64"),
-                    "area": pd.Series(areas, dtype="float64"),
-                }
-            )
+            out = {
+                "feature_id": pd.Series(ids, dtype="int64"),
+                "n_polys": pd.Series(n_polys, dtype="int64"),
+                "n_rings": pd.Series(n_rings, dtype="int64"),
+                "n_points": pd.Series(n_points, dtype="int64"),
+                "area": pd.Series(areas, dtype="float64"),
+            }
+            for c in carry_names:
+                out[c] = pdf[c].reset_index(drop=True)
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(
-        op,
+    schema = (
         "feature_id long, n_polys long, n_rings long, n_points long,"
-        " area double",
+        " area double"
+        + "".join(f", {c} {t}" for c, t in carry)
     )
+    return df.mapInPandas(op, schema)
 
 
 def _knn_probe(

@@ -108,15 +108,21 @@ EXPECTED: dict[str, set[str]] = {
     # SortMergeJoin is the correct strategy (AQE downgrades to broadcast
     # when a side shrinks late in convergence)
     "dedup_components_twophase": {"SMJ"},
+    # r5 exactness-guard plumbing (ADVICE r4): the 1-row corpus count
+    # broadcasts onto the query-id set (deliberate 1-row cross — the
+    # text_tfidf_topk global-stat pattern); the zero-candidate guard is
+    # a right-outer of kept candidates against per-query metadata on
+    # qid — kept is already hash-partitioned on qid by the top-k window
+    # so only the tiny metadata side reshuffles, but both inputs are
+    # mapInPandas/agg-derived (no stats) so the planner picks SMJ; AQE
+    # downgrades to broadcast at runtime when the query set is small.
+    # The self-match count join itself IS a BroadcastHashJoin (query-id
+    # set broadcasts into the corpus scan).
+    "spatial_knn_join": {"CARTESIAN", "SMJ"},
     # the trained 1-row quantizer range table (2 x dim scalars)
     # broadcasts onto every vector — the standard global-statistic
     # attach (see text_tfidf_topk)
     "ann_scalar_quant_error": {"CARTESIAN"},
-    # the r4 runtime exactness guard attaches the 1-row corpus count to
-    # the kept rows (the text_tfidf_topk global-statistic pattern) so a
-    # short result can distinguish "corpus exhausted" from "ring missed
-    # points" without a driver job
-    "spatial_knn_join": {"CARTESIAN"},
     # the 1-row corpus bigram total broadcasts onto the scored stream
     # (see text_tfidf_topk)
     "text_bigram_lm": {"CARTESIAN"},
