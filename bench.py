@@ -31,7 +31,7 @@ SF1_TOP_N = 20
 def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
     """Build each shared memo (deterministic build-step intermediates)
     and return {step: seconds}. Queries then all run memo-warm."""
-    from n2khab_mhq_data_spark.plans import llm
+    from n2khab_mhq_data_spark.plans import graph, llm
 
     steps = {}
     t0 = time.time()
@@ -43,6 +43,9 @@ def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     llm._kmeans_cents(spark, sf_dir)
     steps["kmeans_cents"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    graph._copurchase_edges(spark, sf_dir).count()
+    steps["copurchase_edges"] = round(time.time() - t0, 3)
     return steps
 
 

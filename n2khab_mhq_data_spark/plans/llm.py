@@ -1358,12 +1358,18 @@ def memo_warm(sf_dir: str) -> dict[str, bool]:
     they ran against a warm shared intermediate (ADVICE r4: the five
     near-dup consumers and two BPE consumers are order-dependent:
     whichever runs first pays the build cost)."""
+    from n2khab_mhq_data_spark.plans import graph
+
     dkey = (sf_dir, _docs_fingerprint(sf_dir))
     ekey = (sf_dir, _embeddings_fingerprint(sf_dir))
     return {
         "near_pairs": dkey in _NEAR_PAIRS,
         "bpe_merges": dkey in _BPE_MERGES,
         "kmeans_cents": ekey in _KMEANS_CENTS,
+        "copurchase_edges": (
+            (sf_dir, graph._li_fingerprint(sf_dir))
+            in graph._COPURCHASE_EDGES
+        ),
     }
 
 
