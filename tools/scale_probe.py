@@ -57,6 +57,11 @@ HEADLINE = [
     "ann_ivf_multiprobe",         # nprobe=2 closure routing (r4)
     "spatial_knn_join",           # grid kNN with runtime exactness guard
     "events_trending_topk",       # windowed leaderboard (batch leg)
+    # r5 additions
+    "multimodal_image_stats",     # real PNG encode+decode Arrow passes
+    "multimodal_audio_stats",     # real WAV encode+decode Arrow passes
+    "s7_gpkg_distributed",        # GPKG write + rowid-window read + WKT
+    "graph_link_prediction",      # wedge join + anti join (r4 top-10)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
