@@ -2,17 +2,19 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Decode support comes in two tiers. PNG and WAV decode is REAL and pure
-stdlib (zlib inflate + scanline unfilter; RIFF/PCM16 parse — see
-``decode_png`` / ``decode_wav`` below), with matching encoders so the
-registered queries build spec-valid payloads and hash-check the decoded
-statistics against arithmetic oracles. Codecs that genuinely need an
-external library (JPEG, MP4/ffmpeg-class video) remain STUBBED:
-``decode_image`` raises NotImplementedError for unrecognized magic
-unless ``fake=True``, in which case a deterministic fake decoder
-derives metadata from the raw bytes. The Spark-side plumbing — schema,
-batch iteration, partition sizing — is identical across tiers;
-swapping in PIL/ffmpeg later only changes the inner function.
+Decode support comes in two tiers. PNG, WAV, and baseline grayscale
+JPEG decode is REAL and pure stdlib/numpy (zlib inflate + scanline
+unfilter; RIFF/PCM16 parse; canonical-Huffman + IDCT — see
+``decode_png`` / ``decode_wav`` here and ``llmdata/jpeg.py``), with
+matching encoders so the registered queries build spec-valid payloads
+and hash-check the decoded statistics against arithmetic oracles.
+Codecs that genuinely need an external library (color/progressive
+JPEG, MP4/ffmpeg-class video) remain STUBBED: ``decode_image`` raises
+NotImplementedError for unrecognized magic unless ``fake=True``, in
+which case a deterministic fake decoder derives metadata from the raw
+bytes. The Spark-side plumbing — schema, batch iteration, partition
+sizing — is identical across tiers; swapping in PIL/ffmpeg later only
+changes the inner function.
 
 Scale notes: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` for the payload, not the row count,
@@ -61,10 +63,22 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
             "first_byte": raw[0],
             "sample_rate": int(rate),
         }
+    if raw[:2] == b"\xff\xd8":
+        from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg
+
+        img = decode_jpeg(raw)  # baseline grayscale; else raises
+        return {
+            "format": "jpeg",
+            "n_frames": 1,
+            "first_byte": raw[0],
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+        }
     raise NotImplementedError(
-        "codec not decodable with stdlib (JPEG/video need an imaging"
-        " library absent from this container); PNG/WAV decode for real,"
-        " or pass fake=True for the deterministic test decoder"
+        "codec not decodable with stdlib (video and non-baseline image"
+        " formats need libraries absent from this container); PNG, WAV"
+        " and baseline grayscale JPEG decode for real, or pass"
+        " fake=True for the deterministic test decoder"
     )
 
 
@@ -574,4 +588,70 @@ def audio_stats(binary_df: DataFrame) -> DataFrame:
         op,
         "doc_id long, sample_rate int, n_samples long, peak long,"
         " rms double",
+    )
+
+
+def jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL JPEG payloads (llmdata/jpeg.py — baseline grayscale,
+    all-ones quantization): one image per row built from CONSTANT 8x8
+    blocks, block (bi, bj) value = (id*13 + 7*bi + 3*bj) mod 256 at
+    (2 + id%3) x (2 + id%2) blocks — under Q=1 a block-constant image
+    survives the DCT/Huffman round trip bit-exactly, so the decoded
+    statistics stay SQL-derivable while the full entropy-coding path
+    (canonical Huffman, byte stuffing, zigzag, IDCT) really runs."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import encode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                wb, hb = 2 + did % 3, 2 + did % 2
+                bi = np.arange(hb)[:, None]
+                bj = np.arange(wb)[None, :]
+                vals = (did * 13 + 7 * bi + 3 * bj) % 256
+                img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                payloads.append(encode_jpeg(img.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(op, "doc_id long, payload binary")
+
+
+def jpeg_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL JPEG decode feature extraction (Huffman decode, dequantize,
+    IDCT per block): (width, height, n_px, mean_luma, max_luma)."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, npx, mean, mx = [], [], [], [], []
+            for raw in pdf["payload"]:
+                img = decode_jpeg(bytes(raw))
+                h, w = img.shape
+                ws.append(w)
+                hs.append(h)
+                npx.append(h * w)
+                mean.append(round(float(np.mean(img)) + 1e-9, 3))
+                mx.append(int(img.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "n_px": pd.Series(npx, dtype="int64"),
+                    "mean_luma": pd.Series(mean, dtype="float64"),
+                    "max_luma": pd.Series(mx, dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, width int, height int, n_px long,"
+        " mean_luma double, max_luma int",
     )

@@ -544,6 +544,47 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_jpeg_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 2 + doc_id % 3 AS wb, 2 + doc_id % 2 AS hb
+      FROM documents
+    ), bi AS (SELECT unnest(range(0, 3)) AS i),
+    bj AS (SELECT unnest(range(0, 5)) AS j),
+    blocks AS (
+      SELECT d.doc_id, d.wb, d.hb,
+             (d.doc_id * 13 + 7 * bi.i + 3 * bj.j) % 256 AS v
+      FROM dims d, bi, bj WHERE bi.i < d.hb AND bj.j < d.wb
+    )
+    SELECT doc_id, CAST(8 * wb AS INTEGER) AS width,
+           CAST(8 * hb AS INTEGER) AS height,
+           CAST(64 * wb * hb AS BIGINT) AS n_px,
+           round(avg(v) + 1e-9, 3) AS mean_luma,
+           CAST(max(v) AS INTEGER) AS max_luma
+    FROM blocks GROUP BY doc_id, wb, hb
+    """,
+)
+def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode end-to-end (llmdata/jpeg.py — baseline
+    grayscale, pure stdlib/numpy): each document becomes a spec-valid
+    JPEG of constant 8x8 blocks (value = (id*13 + 7bi + 3bj) mod 256,
+    all-ones quantization), which the full pipeline — canonical
+    Huffman decode, byte unstuffing, dezigzag, dequantize, IDCT —
+    reconstructs BIT-EXACTLY (DC-only blocks are integral under Q=1).
+    The oracle re-derives every statistic from the block arithmetic,
+    so a hash match proves the entropy-coded bytes really round-
+    tripped; equal-size blocks make the pixel mean equal the block
+    mean. Two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        jpeg_payloads,
+        jpeg_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return jpeg_stats(jpeg_payloads(docs))
+
+
+@query(
     "multimodal_audio_stats",
     oracle="""
     WITH dims AS (

@@ -17,7 +17,12 @@ from n2khab_mhq_data_spark.llmdata.multimodal import (
 
 
 def test_decode_stub_fails_loud_without_fake():
-    with pytest.raises(NotImplementedError, match="imaging library"):
+    # unrecognized magic (here: a GIF header, and a corrupt PNG prefix
+    # that fails the full 8-byte magic) must fail loud — only PNG, WAV
+    # and baseline grayscale JPEG decode for real without libraries
+    with pytest.raises(NotImplementedError, match="decodable with stdlib"):
+        decode_image(b"GIF89a....")
+    with pytest.raises(NotImplementedError, match="decodable with stdlib"):
         decode_image(b"\x89PNG....")
 
 
@@ -220,3 +225,99 @@ def test_png_wav_roundtrip_property():
         s = rng.randint(-32768, 32768, n).astype(np.int16)
         rate, back = decode_wav(encode_wav(s, 44100))
         assert rate == 44100 and (back == s).all()
+
+
+def test_jpeg_decode_hand_built_bitstream():
+    """A minimal baseline JPEG assembled BYTE BY HAND (independent of
+    the encoder) must decode to the expected constant block.
+
+    One 8x8 block, value 130: DC = 8*(130-128) = 16, category 5,
+    amplitude bits 10000. Huffman tables declare ONE symbol each at
+    code length 1 (code '0'): DC symbol 5, AC symbol 0x00 (EOB).
+    Entropy bits: DC code '0' + '10000' + EOB '0' -> 0100000, 1-padded
+    to 0x41."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker, (len(body) + 2) >> 8,
+                      (len(body) + 2) & 0xFF]) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes([1] + [0] * 15) + bytes([5])       # DC: sym 5 @ len 1
+        + b"\x11" + bytes([1] + [0] * 15) + bytes([0x00]),  # AC: EOB @ len 1
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x01, 0, 63, 0]))
+    raw = b"\xff\xd8" + dqt + sof + dht + sos + b"\x41" + b"\xff\xd9"
+    img = decode_jpeg(raw)
+    assert img.shape == (8, 8)
+    assert (img == np.full((8, 8), 130, dtype=np.uint8)).all()
+
+
+def test_jpeg_decode_single_ac_coefficient():
+    """Hand-built stream with ONE AC coefficient: after the DC (0),
+    the AC symbol (run=1, size=1) with amplitude bit 1 puts value +1 at
+    zigzag index 2, i.e. S(1,0) — vertical half-cosine. Pins the zigzag
+    order and the run-length skip independently of the encoder."""
+    import math
+
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker, (len(body) + 2) >> 8,
+                      (len(body) + 2) & 0xFF]) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    # DC table: symbol 0 (zero diff) @ len 1; AC: symbols 0x00 (EOB)
+    # and 0x11 (run 1, size 1) @ len 2 -> codes '00' = EOB, '01' = 0x11
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes([1] + [0] * 15) + bytes([0])
+        + b"\x11" + bytes([0, 2] + [0] * 14) + bytes([0x00, 0x11]),
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x01, 0, 63, 0]))
+    # bits: DC '0'; AC '01' + amplitude '1'; EOB '00' -> 001100 + pad 11
+    raw = b"\xff\xd8" + dqt + sof + dht + sos + bytes([0b00110011]) + b"\xff\xd9"
+    img = decode_jpeg(raw).astype(float)
+    # expected: IDCT of S with S[1,0] = 1 -> f(x,y) = 0.5*cos((2y+1)pi/16)
+    # per spec orientation: zigzag index 2 is row u=1, col v=0 of S, the
+    # vertical frequency -> varies along y (rows)
+    for y in range(8):
+        want = 128 + 0.5 * math.cos((2 * y + 1) * math.pi / 16)
+        got = img[y, 0]
+        assert abs(got - round(want)) <= 1, (y, got, want)
+    # constant along x
+    assert (img == img[:, :1]).all()
+
+
+def test_jpeg_roundtrips():
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(7)
+    # exact: block-constant images (the oracle-query payload shape)
+    for _ in range(4):
+        vals = rng.randint(0, 256, (rng.randint(1, 4), rng.randint(1, 4)))
+        img = np.kron(vals, np.ones((8, 8), dtype=int)).astype(np.uint8)
+        assert (decode_jpeg(encode_jpeg(img)) == img).all()
+    # near-lossless at Q=1 for arbitrary images, incl. non-multiple-of-8
+    for _ in range(4):
+        img = rng.randint(
+            0, 256, (rng.randint(3, 30), rng.randint(3, 30))
+        ).astype(np.uint8)
+        dec = decode_jpeg(encode_jpeg(img))
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+    # progressive / color streams fail loud, not silently wrong
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
