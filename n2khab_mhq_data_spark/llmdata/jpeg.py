@@ -381,3 +381,80 @@ def decode_jpeg(raw: bytes):
             S = q.reshape(8, 8) * Q
             out[by : by + 8, bx : bx + 8] = A.T @ S @ A + 128.0
     return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# --- MJPEG-in-AVI: the minimal REAL video container path -------------
+#
+# AVI is RIFF (the same chunk grammar as WAV); an MJPEG stream is one
+# JPEG per frame — so with the baseline-JPEG codec above, video frame
+# extraction can be REAL with pure stdlib: walk the 'movi' LIST, pull
+# '00dc' chunks, decode each frame. Codecs that need external
+# libraries (H.264/H.265/VP9...) stay env-gated.
+
+
+def encode_avi_mjpeg(frames: list[bytes], fps: int = 10,
+                     width: int = 0, height: int = 0) -> bytes:
+    """Mux JPEG frame payloads into a spec-valid minimal AVI (RIFF
+    'AVI ', hdrl with avih/strh/strf, movi with word-aligned '00dc'
+    chunks)."""
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(fourcc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + body)
+
+    n = len(frames)
+    usec = 1_000_000 // max(fps, 1)
+    maxb = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I", usec, maxb * fps, 0, 0x10, n, 0, 1, maxb,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsmjpg"
+        + struct.pack("<IHH8I", 0, 0, 0, 0, 1, fps, 0, n, maxb, 0, 0)
+        + struct.pack("<4H", 0, 0, 0, 0)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_mjpeg(raw: bytes) -> tuple[int, list[bytes]]:
+    """Demux a minimal MJPEG AVI: returns (fps, [jpeg frame bytes]).
+    Walks the RIFF chunk tree; '00dc'/'00db' chunks under 'movi' are
+    the frames; fps comes from the avih main header."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    fps = 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, off: int, end: int) -> None:
+        nonlocal fps
+        while off + 8 <= end:
+            fourcc = buf[off : off + 4]
+            (ln,) = struct.unpack_from("<I", buf, off + 4)
+            body_off = off + 8
+            if fourcc == b"LIST":
+                walk(buf, body_off + 4, body_off + ln)
+            elif fourcc == b"avih":
+                (usec,) = struct.unpack_from("<I", buf, body_off)
+                fps = round(1_000_000 / usec) if usec else 0
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(buf[body_off : body_off + ln])
+            off = body_off + ln + (ln & 1)  # word alignment
+
+    walk(raw, 12, len(raw))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return fps, frames

@@ -35,11 +35,12 @@ FRAME_META_SCHEMA = (
 
 
 def decode_image(raw: bytes, fake: bool = False) -> dict:
-    """Decode a media payload. PNG and WAV are decoded FOR REAL (pure
-    stdlib — see module docstring); other codecs need an imaging/audio
-    library not present in this environment and stay stubbed. With
-    ``fake=True`` the deterministic fake decoder is used regardless of
-    magic (the existing fake-payload queries pin that path)."""
+    """Decode a media payload. PNG, WAV, baseline grayscale JPEG, and
+    MJPEG-in-AVI are decoded FOR REAL (pure stdlib/numpy — see module
+    docstring); other codecs need an imaging/audio library not present
+    in this environment and stay stubbed. With ``fake=True`` the
+    deterministic fake decoder is used regardless of magic (the
+    existing fake-payload queries pin that path)."""
     if fake:
         return {
             "format": "fake/raw",
@@ -62,6 +63,16 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
             "n_frames": int(len(samples)),
             "first_byte": raw[0],
             "sample_rate": int(rate),
+        }
+    if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+        from n2khab_mhq_data_spark.llmdata.jpeg import decode_avi_mjpeg
+
+        fps, frames = decode_avi_mjpeg(raw)
+        return {
+            "format": "avi/mjpeg",
+            "n_frames": len(frames),
+            "first_byte": raw[0],
+            "fps": fps,
         }
     if raw[:2] == b"\xff\xd8":
         from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg
@@ -653,5 +664,92 @@ def jpeg_stats(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(
         op,
         "doc_id long, width int, height int, n_px long,"
+        " mean_luma double, max_luma int",
+    )
+
+
+def video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL video payloads: one MJPEG-in-AVI clip per row (llmdata/
+    jpeg.py::encode_avi_mjpeg), (3 + id%4) frames at 10 fps; frame f is
+    a 16x16 image of constant 8x8 blocks, block (bi, bj) value =
+    (id*11 + 19*f + 7*bi + 3*bj) mod 256 — exact under the all-ones
+    JPEG quantization, so every sampled frame's statistics stay
+    SQL-derivable while a real RIFF demux + entropy decode runs."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = []
+                for f in range(3 + did % 4):
+                    bi = np.arange(2)[:, None]
+                    bj = np.arange(2)[None, :]
+                    vals = (did * 11 + 19 * f + 7 * bi + 3 * bj) % 256
+                    img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+                    frames.append(encode_jpeg(img.astype(np.uint8)))
+                payloads.append(
+                    encode_avi_mjpeg(frames, fps=10, width=16, height=16)
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(op, "doc_id long, payload binary")
+
+
+def video_frame_stats(binary_df: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame sampling: demux the AVI container, decode every
+    ``stride``-th MJPEG frame (full baseline-JPEG entropy decode), emit
+    one row per sampled frame — the frame-sample primitive with real
+    bytes instead of the fake decoder. Bounded fan-out (n_frames /
+    stride rows per clip), one Arrow pass, no shuffle."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        decode_avi_mjpeg,
+        decode_jpeg,
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "n_frames": [],
+                "fps": [], "mean_luma": [], "max_luma": [],
+            }
+            for did, raw in zip(pdf["doc_id"], pdf["payload"]):
+                fps, frames = decode_avi_mjpeg(bytes(raw))
+                for f in range(0, len(frames), stride):
+                    img = decode_jpeg(frames[f])
+                    rows["doc_id"].append(int(did))
+                    rows["frame_idx"].append(f)
+                    rows["n_frames"].append(len(frames))
+                    rows["fps"].append(fps)
+                    rows["mean_luma"].append(
+                        round(float(np.mean(img)) + 1e-9, 3)
+                    )
+                    rows["max_luma"].append(int(img.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(rows["frame_idx"], dtype="int32"),
+                    "n_frames": pd.Series(rows["n_frames"], dtype="int32"),
+                    "fps": pd.Series(rows["fps"], dtype="int32"),
+                    "mean_luma": pd.Series(
+                        rows["mean_luma"], dtype="float64"
+                    ),
+                    "max_luma": pd.Series(rows["max_luma"], dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, frame_idx int, n_frames int, fps int,"
         " mean_luma double, max_luma int",
     )

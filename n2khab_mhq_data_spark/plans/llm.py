@@ -585,6 +585,47 @@ def multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_frames",
+    oracle="""
+    WITH clips AS (
+      SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+    ), fr AS (SELECT unnest(range(0, 7, 2)) AS f),
+    bi AS (SELECT unnest(range(0, 2)) AS i),
+    bj AS (SELECT unnest(range(0, 2)) AS j),
+    px AS (
+      SELECT c.doc_id, c.nf, fr.f,
+             (c.doc_id * 11 + 19 * fr.f + 7 * bi.i + 3 * bj.j) % 256 AS v
+      FROM clips c, fr, bi, bj WHERE fr.f < c.nf
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(10 AS INTEGER) AS fps,
+           round(avg(v) + 1e-9, 3) AS mean_luma,
+           CAST(max(v) AS INTEGER) AS max_luma
+    FROM px GROUP BY doc_id, nf, f
+    """,
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling end-to-end: each document becomes an
+    MJPEG-in-AVI clip (RIFF mux of per-frame baseline JPEGs,
+    llmdata/jpeg.py); the extractor demuxes the container, entropy-
+    decodes every 2nd frame, and emits per-frame statistics — video is
+    no longer a fake-decoder-only modality (COVERAGE waiver narrowed
+    again, r5); only out-of-scope codecs (H.264-class) stay env-gated.
+    The oracle re-derives every sampled frame's stats from the block
+    arithmetic, so a hash match proves the container walk, word-aligned
+    chunk framing, and per-frame JPEG decode all round-tripped. Bounded
+    fan-out, two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        video_frame_stats,
+        video_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return video_frame_stats(video_payloads(docs), stride=2)
+
+
+@query(
     "multimodal_audio_stats",
     oracle="""
     WITH dims AS (

@@ -1,7 +1,9 @@
-"""Multimodal plumbing contract tests: the decode stays a declared stub
-(no imaging libs in the container), but the Spark-side contracts — Arrow
-batching, generator fan-out, and BYTE-based partition sizing for binary
-payloads — are real and pinned here."""
+"""Multimodal contract tests. The Spark-side contracts — Arrow
+batching, generator fan-out, BYTE-based partition sizing for binary
+payloads — are pinned here, plus the REAL pure-stdlib codecs (PNG
+unfilter vectors, WAV/AVI RIFF round-trips, hand-built JPEG
+bitstreams); only codecs that need external libraries (GIF, color/
+progressive JPEG, H.264-class video) remain a declared stub."""
 
 from __future__ import annotations
 
@@ -321,3 +323,57 @@ def test_jpeg_roundtrips():
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+
+
+def test_avi_mjpeg_roundtrip_and_alignment():
+    """RIFF mux/demux: frames come back byte-identical, odd-length
+    chunks are word-padded per RIFF (the next chunk header must stay
+    aligned), fps survives, and a frameless AVI fails loud."""
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    # deliberately odd-length payloads exercise the pad byte on every
+    # chunk boundary
+    frames = [b"a", b"abc", b"abcde", b"even", b"x" * 7]
+    avi = encode_avi_mjpeg(frames, fps=24, width=2, height=2)
+    fps, back = decode_avi_mjpeg(avi)
+    assert fps == 24
+    assert back == frames
+    with pytest.raises(ValueError, match="no video frames"):
+        decode_avi_mjpeg(encode_avi_mjpeg([], fps=10))
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFFxxxxWAVE")
+
+
+def test_decode_image_real_tier_sniffing():
+    """decode_image must route each magic to its real decoder: PNG,
+    WAV, baseline JPEG, MJPEG-AVI — and report the right metadata."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_image,
+        encode_png,
+        encode_wav,
+    )
+
+    img = np.full((16, 8), 77, dtype=np.uint8)
+    m = decode_image(encode_png(img))
+    assert (m["format"], m["width"], m["height"]) == ("png", 8, 16)
+    m = decode_image(encode_wav(np.zeros(30, dtype=np.int16), 8000))
+    assert (m["format"], m["n_frames"], m["sample_rate"]) == (
+        "wav", 30, 8000,
+    )
+    m = decode_image(encode_jpeg(img))
+    assert (m["format"], m["width"], m["height"]) == ("jpeg", 8, 16)
+    m = decode_image(
+        encode_avi_mjpeg([encode_jpeg(img)] * 3, fps=10, width=8, height=16)
+    )
+    assert (m["format"], m["n_frames"], m["fps"]) == ("avi/mjpeg", 3, 10)
