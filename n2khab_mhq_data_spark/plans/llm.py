@@ -1987,6 +1987,13 @@ def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = with_binary_payload(load(spark, sf_dir, "documents"))
+    # spread the CPU-bound gear-hash pass across cores: the testbed's
+    # single-file scan is one input partition (see llmdata's
+    # _spread_ids); repartitioning payload rows is a tiny shuffle here
+    # and a near-no-op rebalance on a many-partition production scan
+    docs = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     chunks = cdc_chunks(docs, mask=0x1F, min_len=8, max_len=256)
     return (
         chunks.groupBy("chunk_md5", "n_bytes")
@@ -2742,7 +2749,11 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table broadcasts as a closure; encoding is per-document."""
     from n2khab_mhq_data_spark.llmdata.text import bpe_encode
 
-    docs = load(spark, sf_dir, "documents")
+    # spread the per-document merge loop across cores (the testbed's
+    # single-file scan is one input partition; see llmdata _spread_ids)
+    docs = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     return bpe_encode(docs, "text", "doc_id", _bpe_merges(spark, sf_dir))
 
 

@@ -328,7 +328,13 @@ def s7_wkt_layer_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.format_string("POLYGON (%s)", sq(cx, cy, s)))
     )
-    layer = c.select(k.alias("feature_id"), wkt.alias("wkt"))
+    # spread the CPU-bound python WKT parse: the testbed's single-file
+    # customer scan is one input partition, which would serialize the
+    # whole pass onto one Arrow worker (same fix as llmdata's
+    # _spread_ids); at 100 TB the scan already has ample partitions
+    layer = c.select(k.alias("feature_id"), wkt.alias("wkt")).repartition(
+        spark.sparkContext.defaultParallelism, "feature_id"
+    )
     out = parse_wkt_layer(layer, "wkt", "feature_id")
     return out.select(
         "feature_id",
