@@ -60,6 +60,7 @@ HEADLINE = [
     # r5 additions
     "multimodal_image_stats",     # real PNG encode+decode Arrow passes
     "multimodal_audio_stats",     # real WAV encode+decode Arrow passes
+    "multimodal_video_frames",    # AVI demux + per-frame JPEG decode
     "s7_gpkg_distributed",        # GPKG write + rowid-window read + WKT
     "graph_link_prediction",      # wedge join + anti join (r4 top-10)
 ]
