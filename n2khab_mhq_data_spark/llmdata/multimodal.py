@@ -2,19 +2,20 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Decode support comes in two tiers. PNG, WAV, and baseline grayscale
-JPEG decode is REAL and pure stdlib/numpy (zlib inflate + scanline
-unfilter; RIFF/PCM16 parse; canonical-Huffman + IDCT — see
-``decode_png`` / ``decode_wav`` here and ``llmdata/jpeg.py``), with
-matching encoders so the registered queries build spec-valid payloads
-and hash-check the decoded statistics against arithmetic oracles.
-Codecs that genuinely need an external library (color/progressive
-JPEG, MP4/ffmpeg-class video) remain STUBBED: ``decode_image`` raises
-NotImplementedError for unrecognized magic unless ``fake=True``, in
-which case a deterministic fake decoder derives metadata from the raw
-bytes. The Spark-side plumbing — schema, batch iteration, partition
-sizing — is identical across tiers; swapping in PIL/ffmpeg later only
-changes the inner function.
+Decode support comes in two tiers. PNG, WAV, GIF, baseline grayscale
+JPEG, and MJPEG-in-AVI video decode is REAL and pure stdlib/numpy
+(zlib inflate + scanline unfilter; RIFF/PCM16 parse; GIF-LZW;
+canonical-Huffman + IDCT; RIFF AVI demux — see ``decode_png`` /
+``decode_wav`` here and ``llmdata/jpeg.py`` / ``llmdata/gif.py``),
+with matching encoders/muxers so the registered queries build
+spec-valid payloads and hash-check the decoded statistics against
+arithmetic oracles. Codecs that genuinely need an external library
+(BMP/TIFF, color/progressive JPEG, H.264/MP4-class video) remain
+STUBBED: ``decode_image`` raises NotImplementedError for unrecognized
+magic unless ``fake=True``, in which case a deterministic fake decoder
+derives metadata from the raw bytes. The Spark-side plumbing — schema,
+batch iteration, partition sizing — is identical across tiers;
+swapping in PIL/ffmpeg later only changes the inner function.
 
 Scale notes: binary payloads dominate partition size — size
 ``spark.sql.files.maxPartitionBytes`` for the payload, not the row count,
@@ -85,11 +86,23 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
         }
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        from n2khab_mhq_data_spark.llmdata.gif import decode_gif
+
+        img = decode_gif(raw)
+        return {
+            "format": "gif",
+            "n_frames": 1,
+            "first_byte": raw[0],
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+        }
     raise NotImplementedError(
-        "codec not decodable with stdlib (video and non-baseline image"
-        " formats need libraries absent from this container); PNG, WAV"
-        " and baseline grayscale JPEG decode for real, or pass"
-        " fake=True for the deterministic test decoder"
+        "codec not decodable with stdlib (video beyond MJPEG-AVI and"
+        " non-baseline image formats need libraries absent from this"
+        " container); PNG, WAV, GIF, baseline grayscale JPEG and"
+        " MJPEG-AVI decode for real, or pass fake=True for the"
+        " deterministic test decoder"
     )
 
 
@@ -485,17 +498,26 @@ def png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def image_stats(binary_df: DataFrame) -> DataFrame:
-    """REAL decode feature extraction: inflate + unfilter each PNG and
-    emit (width, height, n_px, mean_luma, max_luma). One Arrow pass,
-    no shuffle; narrow output."""
+def image_stats(binary_df: DataFrame, fmt: str = "png") -> DataFrame:
+    """REAL decode feature extraction: fully decode each image (PNG
+    inflate + unfilter, or GIF LZW) and emit (width, height, n_px,
+    mean_luma, max_luma). One Arrow pass, no shuffle; narrow output."""
     import numpy as np
+
+    if fmt == "png":
+        decode = decode_png
+    elif fmt == "gif":
+        from n2khab_mhq_data_spark.llmdata.gif import decode_gif
+
+        decode = decode_gif
+    else:
+        raise ValueError(f"unsupported image_stats format {fmt!r}")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ws, hs, npx, mean, mx = [], [], [], [], []
             for raw in pdf["payload"]:
-                img = decode_png(bytes(raw))
+                img = decode(bytes(raw))
                 h, w = img.shape[:2]
                 ws.append(w)
                 hs.append(h)
@@ -517,6 +539,36 @@ def image_stats(binary_df: DataFrame) -> DataFrame:
         op,
         "doc_id long, width int, height int, n_px long,"
         " mean_luma double, max_luma int",
+    )
+
+
+def gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL GIF payloads (llmdata/gif.py — GIF87a LZW, lossless): the
+    same gradient image per row as ``png_payloads``, so the identical
+    arithmetic oracle verifies the whole LZW round trip."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import encode_gif
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                w, h = 8 + did % 5, 8 + did % 3
+                r = np.arange(h)[:, None]
+                c = np.arange(w)[None, :]
+                payloads.append(
+                    encode_gif(
+                        ((did + 7 * r + 13 * c) % 256).astype(np.uint8)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, "doc_id long, payload binary"
     )
 
 
@@ -772,4 +824,92 @@ def video_frame_stats(binary_df: DataFrame, stride: int = 2) -> DataFrame:
         op,
         "doc_id long, frame_idx int, n_frames int, fps int,"
         " mean_luma double, max_luma int",
+    )
+
+
+def mixed_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """One REAL payload per row in a format chosen by id mod 5 — PNG /
+    WAV / JPEG / MJPEG-AVI / GIF — with the same deterministic content
+    formulas as the per-format generators, so the format-dispatch query
+    has an arithmetic oracle for every decoded field."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import encode_gif
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        encode_avi_mjpeg,
+        encode_jpeg,
+    )
+
+    def build(did: int) -> bytes:
+        kind = did % 5
+        if kind in (0, 4):  # PNG / GIF: the gradient image
+            w, h = 8 + did % 5, 8 + did % 3
+            r = np.arange(h)[:, None]
+            c = np.arange(w)[None, :]
+            img = ((did + 7 * r + 13 * c) % 256).astype(np.uint8)
+            return encode_png(img) if kind == 0 else encode_gif(img)
+        if kind == 1:  # WAV
+            n = 64 + did % 32
+            i = np.arange(n, dtype=np.int64)
+            s = ((did * 31 + i * 17) % 4096) - 2048
+            return encode_wav(s.astype(np.int16), 8000)
+        if kind == 2:  # JPEG: block-constant
+            wb, hb = 2 + did % 3, 2 + did % 2
+            bi = np.arange(hb)[:, None]
+            bj = np.arange(wb)[None, :]
+            vals = (did * 13 + 7 * bi + 3 * bj) % 256
+            img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+            return encode_jpeg(img.astype(np.uint8))
+        frames = []  # AVI
+        for f in range(3 + did % 4):
+            bi = np.arange(2)[:, None]
+            bj = np.arange(2)[None, :]
+            vals = (did * 11 + 19 * f + 7 * bi + 3 * bj) % 256
+            img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
+            frames.append(encode_jpeg(img.astype(np.uint8)))
+        return encode_avi_mjpeg(frames, fps=10, width=16, height=16)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [build(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, "doc_id long, payload binary"
+    )
+
+
+def format_dispatch(binary_df: DataFrame) -> DataFrame:
+    """REAL format sniffing over a mixed binary column: decode_image
+    routes each payload by magic to its real decoder and reports the
+    format tag, frame count, and leading byte — the ingestion-side
+    triage a multimodal pipeline runs before modality-specific
+    processing. One Arrow pass, no shuffle."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [
+                decode_image(bytes(b), fake=False) for b in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": pd.Series(
+                        [m["format"] for m in metas], dtype="object"
+                    ),
+                    "n_frames": pd.Series(
+                        [m["n_frames"] for m in metas], dtype="int64"
+                    ),
+                    "first_byte": pd.Series(
+                        [m["first_byte"] for m in metas], dtype="int32"
+                    ),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op, "doc_id long, format string, n_frames long, first_byte int"
     )

@@ -544,6 +544,76 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+      FROM documents
+    ), r AS (SELECT unnest(range(0, 11)) AS r),
+    c AS (SELECT unnest(range(0, 13)) AS c),
+    px AS (
+      SELECT d.doc_id, d.w, d.h,
+             (d.doc_id + 7 * r.r + 13 * c.c) % 256 AS v
+      FROM dims d, r, c WHERE r.r < d.h AND c.c < d.w
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(w * h AS BIGINT) AS n_px,
+           round(avg(v) + 1e-9, 3) AS mean_luma,
+           CAST(max(v) AS INTEGER) AS max_luma
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end-to-end (llmdata/gif.py — GIF87a LZW,
+    variable code widths, CLEAR resets, KwKwK case): the same gradient
+    image per document as multimodal_image_stats, so the identical
+    arithmetic oracle proves the LZW bytes round-tripped losslessly.
+    Two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        gif_payloads,
+        image_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return image_stats(gif_payloads(docs), fmt="gif")
+
+
+@query(
+    "multimodal_format_dispatch",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+                WHEN 2 THEN 'jpeg' WHEN 3 THEN 'avi/mjpeg'
+                ELSE 'gif' END AS format,
+           CAST(CASE doc_id % 5 WHEN 1 THEN 64 + doc_id % 32
+                     WHEN 3 THEN 3 + doc_id % 4
+                     ELSE 1 END AS BIGINT) AS n_frames,
+           CAST(CASE doc_id % 5 WHEN 0 THEN 137 WHEN 1 THEN 82
+                     WHEN 2 THEN 255 WHEN 3 THEN 82
+                     ELSE 71 END AS INTEGER) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_format_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-side format triage over a MIXED binary column: each
+    document's payload is one of the five REAL formats (by id mod 5);
+    decode_image sniffs the magic and routes to the matching pure-
+    stdlib decoder, and the oracle re-derives the expected format tag,
+    frame/sample count, and leading byte per class — so the dispatch
+    table itself (all five magic-decode paths in one query) is
+    hash-checked. One Arrow pass after the generation pass."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        format_dispatch,
+        mixed_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return format_dispatch(mixed_payloads(docs))
+
+
+@query(
     "multimodal_jpeg_stats",
     oracle="""
     WITH dims AS (

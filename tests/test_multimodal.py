@@ -1,9 +1,9 @@
 """Multimodal contract tests. The Spark-side contracts — Arrow
 batching, generator fan-out, BYTE-based partition sizing for binary
 payloads — are pinned here, plus the REAL pure-stdlib codecs (PNG
-unfilter vectors, WAV/AVI RIFF round-trips, hand-built JPEG
-bitstreams); only codecs that need external libraries (GIF, color/
-progressive JPEG, H.264-class video) remain a declared stub."""
+unfilter vectors, WAV/AVI RIFF round-trips, hand-built JPEG and GIF
+bitstreams); only codecs that need external libraries (BMP/TIFF,
+color/progressive JPEG, H.264-class video) remain a declared stub."""
 
 from __future__ import annotations
 
@@ -19,12 +19,14 @@ from n2khab_mhq_data_spark.llmdata.multimodal import (
 
 
 def test_decode_stub_fails_loud_without_fake():
-    # unrecognized magic (here: a GIF header, and a corrupt PNG prefix
-    # that fails the full 8-byte magic) must fail loud — only PNG, WAV,
-    # baseline grayscale JPEG, and MJPEG-AVI decode for real without
-    # external libraries
+    # unrecognized magic (here: BMP and TIFF headers, and a corrupt PNG
+    # prefix that fails the full 8-byte magic) must fail loud — only
+    # PNG, WAV, GIF, baseline grayscale JPEG, and MJPEG-AVI decode for
+    # real without external libraries
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
-        decode_image(b"GIF89a....")
+        decode_image(b"BM......")
+    with pytest.raises(NotImplementedError, match="decodable with stdlib"):
+        decode_image(b"II*\x00....")
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
         decode_image(b"\x89PNG....")
 
@@ -401,6 +403,8 @@ def test_codecs_fail_loud_on_truncation_and_corruption():
         encode_wav,
     )
 
+    from n2khab_mhq_data_spark.llmdata.gif import decode_gif, encode_gif
+
     rng = np.random.RandomState(13)
     img = rng.randint(0, 256, (16, 16)).astype(np.uint8)
     jpg = encode_jpeg(img)
@@ -409,6 +413,7 @@ def test_codecs_fail_loud_on_truncation_and_corruption():
         (decode_wav, encode_wav(np.arange(50, dtype=np.int16), 8000)),
         (decode_jpeg, jpg),
         (decode_avi_mjpeg, encode_avi_mjpeg([jpg, jpg], fps=5)),
+        (decode_gif, encode_gif(img)),
     ]
     for dec, full in payloads:
         # sanity: the intact payload decodes
@@ -432,3 +437,55 @@ def test_codecs_fail_loud_on_truncation_and_corruption():
                 dec(bytes(bad))
             except Exception:
                 continue
+
+
+def test_gif_decode_hand_packed_bitstream():
+    """A minimal GIF87a assembled by hand (independent of the encoder)
+    must decode to the expected pixels.
+
+    2x1 image [5, 9]: LZW codes CLEAR(256), 5, 9, EOI(257), all at
+    width 9 (the decoder's one table add leaves next_free=259 < 512).
+    LSB-first packing is expressed as one integer to_bytes — a
+    different code path from the codec's incremental bit writer."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import decode_gif
+
+    lzw = (256 | (5 << 9) | (9 << 18) | (257 << 27)).to_bytes(5, "little")
+    gif = bytearray(b"GIF87a")
+    gif += (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    gif += bytes([0xF7, 0, 0])  # global table, 256 entries
+    for i in range(256):
+        gif += bytes((i, i, i))
+    # image descriptor: left 0, top 0, w=2, h=1, no local table
+    gif += b"\x2c"
+    gif += (0).to_bytes(2, "little") + (0).to_bytes(2, "little")
+    gif += (2).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    gif += bytes([0])
+    gif += bytes([8])  # LZW min code size
+    gif += bytes([len(lzw)]) + lzw + b"\x00"  # one sub-block
+    gif += b"\x3b"
+    img = decode_gif(bytes(gif))
+    assert img.shape == (1, 2)
+    assert img.tolist() == [[5, 9]]
+
+
+def test_gif_roundtrips_and_width_growth():
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(21)
+    for _ in range(5):
+        img = rng.randint(
+            0, 256, (rng.randint(1, 50), rng.randint(1, 50))
+        ).astype(np.uint8)
+        assert (decode_gif(encode_gif(img)) == img).all()
+    # large image: forces width growth through 10/11/12 bits and a
+    # CLEAR/reset mid-stream; constant region exercises KwKwK
+    big = np.tile(np.arange(256, dtype=np.uint8), (80, 30))
+    big[:20] = 9
+    assert (decode_gif(encode_gif(big)) == big).all()
+    # dispatch integration
+    m = decode_image(encode_gif(big))
+    assert (m["format"], m["width"], m["height"]) == ("gif", 7680, 80)
