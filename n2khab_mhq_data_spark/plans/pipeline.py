@@ -757,3 +757,81 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(wpow / F.col("z") + F.lit(1e-9), 6).alias("weight"),
         F.floor(wpow / F.col("z") * 10000).cast("bigint").alias("alloc_docs"),
     )
+
+
+def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per customer-parquet fingerprint) a two-version
+    snapshot store so the AS-OF query has deterministic history:
+    v1 = customers with c_custkey % 3 = 0; v2 = c_custkey % 3 <= 1 —
+    both derivable arithmetically by the oracle."""
+    import hashlib
+    import os
+
+    from n2khab_mhq_data_spark.sources.snapshots import write_snapshot
+
+    cust = os.path.join(sf_dir, "customer.parquet")
+    files = sorted(
+        os.path.join(cust, f) for f in os.listdir(cust)
+    ) if os.path.isdir(cust) else [cust]
+    fp = hashlib.md5(
+        ";".join(
+            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/root/repo/.scale/snapshots/customers_{fp}"
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        return path
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    write_snapshot(base.filter(F.col("c_custkey") % 3 == 0), path)
+    write_snapshot(base.filter(F.col("c_custkey") % 3 <= 1), path)
+    return path
+
+
+@query(
+    "s8_snapshot_asof",
+    oracle="""
+    SELECT 1 AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 2,
+           CAST(count(*) AS BIGINT),
+           CAST(sum(c_custkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT)
+    FROM customer WHERE c_custkey % 3 <= 1
+    """,
+)
+def s8_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel end-to-end (sources/snapshots.py — the
+    100 TB analog of the reference's publish-then-commit versioning,
+    README.md:1-6): two snapshot versions are published append-only
+    with atomic manifests, then EACH version is read back AS OF its
+    number and aggregated. A hash match proves version isolation (v1's
+    read is untouched by v2's publish) and the manifest-gated read
+    path; the per-version content hashes are additionally re-verified
+    against their manifests inside the query (verify_snapshot raises
+    on drift). Old-version data is never rewritten — publishes create
+    new directories and retention is whole-directory deletes."""
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        read_snapshot,
+        verify_snapshot,
+    )
+
+    path = _snapshot_store(spark, sf_dir)
+    outs = []
+    for v in (1, 2):
+        verify_snapshot(spark, path, v)
+        outs.append(
+            read_snapshot(spark, path, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("bigint").alias("sum_key"),
+                F.countDistinct("c_nationkey").alias("n_nations"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -1,0 +1,154 @@
+"""Versioned snapshot store with AS-OF reads (time travel).
+
+The reference's whole publishing model is version control: every
+``write_vc`` output is committed so any past state is recoverable via
+git (README.md:1-6; the golden-file workflow in SURVEY.md §5). On a
+100 TB lake, git over TSVs doesn't scale — the equivalent capability is
+an append-only SNAPSHOT LOG over parquet, the directory-level core of
+what table formats (Iceberg/Delta, public designs) provide:
+
+- each publish writes a NEW immutable version directory
+  (``<path>/v=<n>/`` parquet) — previous versions are never rewritten
+  or touched, so concurrent readers of any version are safe;
+- a tiny JSON manifest per version (``<path>/_manifests/<n>.json``)
+  records schema, row count, and a content hash; the manifest is
+  renamed into place LAST, so a torn write can never surface as a
+  readable version (readers only trust manifested versions);
+- ``read_snapshot(..., version=k)`` is time travel; ``version=None``
+  reads the latest manifested version; ``snapshot_log`` lists history.
+
+Scale notes: version data is written with Spark's normal parallel
+parquet writer (no driver-side bytes); the manifest content hash is an
+ORDER-INSENSITIVE aggregate (sum of per-row 64-bit hashes mod 2^64)
+computed in the same job that counts rows — one extra map-side
+expression, no extra pass, independent of partitioning. The manifest
+directory is O(versions) tiny JSON files; history pruning is
+whole-directory deletes of expired ``v=<n>`` dirs (same shape as the
+trending store's retention)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _versions(path: str) -> list[int]:
+    d = _manifest_dir(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for f in os.listdir(d):
+        if f.endswith(".json"):
+            try:
+                out.append(int(f[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _content_stats(df: DataFrame) -> tuple[int, int]:
+    """(row count, order-insensitive content hash) in ONE job: sum of
+    per-row xxhash64 over all columns, mod 2^64 — commutative, so the
+    result is independent of partitioning and row order."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        ).alias("h"),
+    ).first()
+    n = int(row["n"])
+    h = 0 if row["h"] is None else int(row["h"]) % (1 << 64)
+    return n, h
+
+
+def write_snapshot(df: DataFrame, path: str) -> int:
+    """Publish ``df`` as the next snapshot version; returns the version
+    number. Append-only: never touches existing version directories."""
+    versions = _versions(path)
+    v = (versions[-1] + 1) if versions else 1
+    data_dir = os.path.join(path, f"v={v}")
+    df.write.mode("errorifexists").parquet(data_dir)
+    n, h = _content_stats(df.sparkSession.read.parquet(data_dir))
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    manifest = {
+        "version": v,
+        "n_rows": n,
+        "content_hash": h,
+        "schema": df.schema.jsonValue(),
+        "parent": versions[-1] if versions else None,
+    }
+    tmp = os.path.join(_manifest_dir(path), f".{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    # rename LAST: the version becomes visible atomically
+    os.replace(tmp, os.path.join(_manifest_dir(path), f"{v}.json"))
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a manifested snapshot version (latest when ``version`` is
+    None). Reading an unmanifested or missing version raises — a torn
+    write can never be silently read."""
+    versions = _versions(path)
+    if not versions:
+        raise ValueError(f"no snapshot versions at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(
+            f"snapshot version {version} not in manifest log {versions}"
+        )
+    return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def verify_snapshot(spark: SparkSession, path: str, version: int) -> None:
+    """Re-compute the content stats of a stored version and fail loudly
+    on any drift from its manifest (bit-rot / out-of-band edits)."""
+    with open(os.path.join(_manifest_dir(path), f"{version}.json")) as fh:
+        manifest = json.load(fh)
+    n, h = _content_stats(read_snapshot(spark, path, version))
+    if n != manifest["n_rows"] or h != manifest["content_hash"]:
+        raise ValueError(
+            f"snapshot v{version} drifted from its manifest:"
+            f" rows {n} vs {manifest['n_rows']},"
+            f" hash {h} vs {manifest['content_hash']}"
+        )
+
+
+def snapshot_log(spark: SparkSession, path: str) -> DataFrame:
+    """The version history as a DataFrame (version, n_rows,
+    content_hash as its decimal string, parent)."""
+    rows = []
+    for v in _versions(path):
+        with open(os.path.join(_manifest_dir(path), f"{v}.json")) as fh:
+            m = json.load(fh)
+        rows.append(
+            (m["version"], m["n_rows"], str(m["content_hash"]), m["parent"])
+        )
+    return spark.createDataFrame(
+        rows, "version int, n_rows long, content_hash string, parent int"
+    )
+
+
+def prune_snapshots(path: str, keep_last: int) -> list[int]:
+    """Expire all but the newest ``keep_last`` versions: manifests are
+    removed FIRST (the version disappears from the readable log before
+    its data does), then the data directories — whole-directory
+    deletes, never a rewrite of surviving versions."""
+    import shutil
+
+    versions = _versions(path)
+    expired = versions[:-keep_last] if keep_last > 0 else versions
+    for v in expired:
+        os.remove(os.path.join(_manifest_dir(path), f"{v}.json"))
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return expired

@@ -343,3 +343,89 @@ def test_compact_published_reduces_files(spark, tmp_path):
     with redirect_stdout(buf):
         after.filter(F.col("mon_cycle") == 1).explain()
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_snapshot_store_time_travel_and_isolation(spark, tmp_path):
+    """Append-only snapshot log: AS-OF reads return each version's
+    exact content, a later publish never perturbs an earlier version,
+    the latest-read follows the manifest log, and unmanifested
+    versions are unreadable."""
+    import pytest
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_log,
+        verify_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    df1 = spark.range(10).withColumnRenamed("id", "k")
+    df2 = spark.range(25).withColumnRenamed("id", "k")
+    assert write_snapshot(df1, path) == 1
+    v1_rows = sorted(r.k for r in read_snapshot(spark, path).collect())
+    assert write_snapshot(df2, path) == 2
+    # time travel: v1 unchanged after v2's publish
+    assert sorted(
+        r.k for r in read_snapshot(spark, path, 1).collect()
+    ) == v1_rows == list(range(10))
+    assert read_snapshot(spark, path).count() == 25  # latest = v2
+    verify_snapshot(spark, path, 1)
+    verify_snapshot(spark, path, 2)
+    log = {r.version: (r.n_rows, r.parent)
+           for r in snapshot_log(spark, path).collect()}
+    assert log == {1: (10, None), 2: (25, 1)}
+    with pytest.raises(ValueError, match="not in manifest log"):
+        read_snapshot(spark, path, 3)
+    with pytest.raises(ValueError, match="no snapshot versions"):
+        read_snapshot(spark, str(tmp_path / "missing"))
+
+
+def test_snapshot_torn_write_invisible_and_drift_detected(spark, tmp_path):
+    """A version directory without its manifest (a torn write) must be
+    invisible to readers; out-of-band edits to stored data must fail
+    verify_snapshot loudly."""
+    import json
+    import os
+
+    import pytest
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        read_snapshot,
+        verify_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    write_snapshot(spark.range(5), path)
+    # simulate a torn second publish: data lands, manifest never does
+    spark.range(99).write.parquet(os.path.join(path, "v=2"))
+    assert read_snapshot(spark, path).count() == 5  # latest is still v1
+    with pytest.raises(ValueError, match="not in manifest log"):
+        read_snapshot(spark, path, 2)
+    # bit-rot: corrupt the manifest hash -> verify fails loudly
+    mf = os.path.join(path, "_manifests", "1.json")
+    m = json.load(open(mf))
+    m["content_hash"] = (m["content_hash"] + 1) % (1 << 64)
+    json.dump(m, open(mf, "w"))
+    with pytest.raises(ValueError, match="drifted from its manifest"):
+        verify_snapshot(spark, path, 1)
+
+
+def test_snapshot_prune_keeps_newest(spark, tmp_path):
+    import pytest
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        prune_snapshots,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    for n in (3, 6, 9):
+        write_snapshot(spark.range(n), path)
+    assert prune_snapshots(path, keep_last=2) == [1]
+    assert read_snapshot(spark, path, 2).count() == 6
+    assert read_snapshot(spark, path).count() == 9
+    with pytest.raises(ValueError, match="not in manifest log"):
+        read_snapshot(spark, path, 1)
