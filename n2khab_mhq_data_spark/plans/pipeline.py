@@ -835,3 +835,93 @@ def s8_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+def _merge_store(spark: SparkSession, sf_dir: str) -> str:
+    """Two-version store built with MERGE-publish: v1 = customers with
+    c_custkey % 3 = 0 (rev 1); v2 = v1 upserted with a delta that
+    UPDATES the % 6 = 0 keys (c_nationkey + 100, rev 2) and INSERTS the
+    % 3 = 1 keys — all arithmetic, so the oracle replays the merge."""
+    import hashlib
+    import os
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        merge_snapshot,
+        write_snapshot,
+    )
+
+    cust = os.path.join(sf_dir, "customer.parquet")
+    files = sorted(
+        os.path.join(cust, f) for f in os.listdir(cust)
+    ) if os.path.isdir(cust) else [cust]
+    fp = hashlib.md5(
+        ";".join(
+            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/root/repo/.scale/snapshots/customers_merge_{fp}"
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        return path
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    v1 = base.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "rev", F.lit(1)
+    )
+    write_snapshot(v1, path)
+    updates = base.filter(F.col("c_custkey") % 6 == 0).select(
+        "c_custkey",
+        (F.col("c_nationkey") + 100).alias("c_nationkey"),
+        F.lit(2).alias("rev"),
+    )
+    inserts = base.filter(F.col("c_custkey") % 3 == 1).withColumn(
+        "rev", F.lit(2)
+    )
+    merge_snapshot(
+        path,
+        updates.unionByName(inserts),
+        ["c_custkey"],
+        [F.col("rev").desc()],
+    )
+    return path
+
+
+@query(
+    "s8_snapshot_merge",
+    oracle="""
+    SELECT 1 AS version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+           CAST(sum(c_nationkey) AS BIGINT) AS sum_val
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT), CAST(sum(c_custkey) AS BIGINT),
+           CAST(sum(CASE WHEN c_custkey % 6 = 0 THEN c_nationkey + 100
+                         ELSE c_nationkey END) AS BIGINT)
+    FROM customer WHERE c_custkey % 3 <= 1
+    """,
+)
+def s8_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-publish on the snapshot store (sources/snapshots.py::
+    merge_snapshot — the K10 latest-wins upsert composed with the
+    append-only version log): the delta both updates and inserts; the
+    result lands as a NEW version while the parent stays readable AS OF
+    its number. The query reads BOTH versions back and hash-checks
+    their aggregates against an oracle that replays the upsert
+    arithmetically — update-wins, insert-union, and parent isolation
+    all verified in one result."""
+    from n2khab_mhq_data_spark.sources.snapshots import read_snapshot
+
+    path = _merge_store(spark, sf_dir)
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            read_snapshot(spark, path, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("bigint").alias("sum_key"),
+                F.sum("c_nationkey").cast("bigint").alias("sum_val"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -152,3 +152,23 @@ def prune_snapshots(path: str, keep_last: int) -> list[int]:
         os.remove(os.path.join(_manifest_dir(path), f"{v}.json"))
         shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     return expired
+
+
+def merge_snapshot(
+    path: str,
+    delta: DataFrame,
+    keys: list,
+    order_by: list,
+) -> int:
+    """MERGE-publish: read the latest snapshot, upsert ``delta`` into
+    it (latest-wins on ``keys`` per ``order_by`` — the K10
+    incremental-merge kernel), and publish the result as a NEW version.
+    The previous version is untouched, so a bad merge is recoverable by
+    reading AS OF its parent — the snapshot-log property that makes
+    upserts safe at 100 TB without table locks (single-writer
+    assumption, as in the reference's commit workflow)."""
+    from n2khab_mhq_data_spark.operators.merge import incremental_merge
+
+    spark = delta.sparkSession
+    base = read_snapshot(spark, path)
+    return write_snapshot(incremental_merge(base, delta, keys, order_by), path)

@@ -429,3 +429,29 @@ def test_snapshot_prune_keeps_newest(spark, tmp_path):
     assert read_snapshot(spark, path).count() == 9
     with pytest.raises(ValueError, match="not in manifest log"):
         read_snapshot(spark, path, 1)
+
+
+def test_snapshot_merge_publish(spark, tmp_path):
+    """merge_snapshot: latest-wins upsert lands as a NEW version; the
+    parent is byte-level untouched; updates override, inserts append."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        merge_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, rev int"
+    )
+    write_snapshot(base, path)
+    delta = spark.createDataFrame(
+        [(2, "B", 2), (9, "z", 2)], "k int, v string, rev int"
+    )
+    assert merge_snapshot(path, delta, ["k"], [F.col("rev").desc()]) == 2
+    v2 = {r.k: r.v for r in read_snapshot(spark, path, 2).collect()}
+    assert v2 == {1: "a", 2: "B", 3: "c", 9: "z"}
+    v1 = {r.k: r.v for r in read_snapshot(spark, path, 1).collect()}
+    assert v1 == {1: "a", 2: "b", 3: "c"}
