@@ -925,3 +925,27 @@ def s8_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+@query(
+    "s8_snapshot_diff",
+    oracle="""
+    SELECT c_custkey, 'update' AS op FROM customer
+    WHERE c_custkey % 6 = 0
+    UNION ALL
+    SELECT c_custkey, 'insert' FROM customer
+    WHERE c_custkey % 3 = 1
+    """,
+)
+def s8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data feed between snapshot versions (sources/
+    snapshots.py::snapshot_diff): the v1 -> v2 diff of the MERGE store
+    must surface exactly the upsert's updates (% 6 = 0 keys, whose
+    value hash changed) and inserts (% 3 = 1 keys) and nothing else —
+    the oracle replays the delta's key arithmetic. One key shuffle
+    (full outer join of the two immutable versions' key+hash
+    projections); no row-level history is stored anywhere."""
+    from n2khab_mhq_data_spark.sources.snapshots import snapshot_diff
+
+    path = _merge_store(spark, sf_dir)
+    return snapshot_diff(spark, path, 1, 2, ["c_custkey"])

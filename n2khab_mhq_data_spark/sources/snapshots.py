@@ -172,3 +172,39 @@ def merge_snapshot(
     spark = delta.sparkSession
     base = read_snapshot(spark, path)
     return write_snapshot(incremental_merge(base, delta, keys, order_by), path)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change-data feed between two snapshot versions: one row per
+    changed key with ``op`` in (insert, delete, update). Computed as a
+    full outer join on ``keys`` with an xxhash64 compare over the
+    non-key columns — one shuffle on the key, no row-level history
+    needed because versions are immutable. This is the read-side
+    complement of merge_snapshot: downstream consumers subscribe to
+    version-pair diffs instead of rescanning full snapshots."""
+    a = read_snapshot(spark, path, from_version)
+    b = read_snapshot(spark, path, to_version)
+    val_cols = [c for c in b.columns if c not in keys]
+    ah = a.select(
+        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("__ha")
+    )
+    bh = b.select(
+        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("__hb")
+    )
+    j = ah.join(bh, keys, "full_outer")
+    op = (
+        F.when(F.col("__ha").isNull(), F.lit("insert"))
+        .when(F.col("__hb").isNull(), F.lit("delete"))
+        .when(F.col("__ha") != F.col("__hb"), F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*keys, "op")
+    )

@@ -455,3 +455,35 @@ def test_snapshot_merge_publish(spark, tmp_path):
     assert v2 == {1: "a", 2: "B", 3: "c", 9: "z"}
     v1 = {r.k: r.v for r in read_snapshot(spark, path, 1).collect()}
     assert v1 == {1: "a", 2: "b", 3: "c"}
+
+
+def test_snapshot_diff_insert_update_delete(spark, tmp_path):
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+        ),
+        path,
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (9, "z")], "k int, v string"
+        ),
+        path,
+    )
+    got = {
+        (r.k, r.op)
+        for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert got == {(2, "update"), (3, "delete"), (9, "insert")}
+    # reverse direction flips insert/delete
+    rev = {
+        (r.k, r.op)
+        for r in snapshot_diff(spark, path, 2, 1, ["k"]).collect()
+    }
+    assert rev == {(2, "update"), (3, "insert"), (9, "delete")}
