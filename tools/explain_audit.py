@@ -60,6 +60,10 @@ EXPECTED: dict[str, set[str]] = {
     # full outer join of two large sides: broadcast cannot produce full
     # outer semantics, SortMergeJoin is the correct strategy at any scale
     "j4_full_outer": {"SMJ"},
+    # snapshot change feed: full outer join of two immutable version
+    # scans' key+hash projections — neither side is bounded at 100 TB
+    # and full outer cannot broadcast (the j4_full_outer argument)
+    "s8_snapshot_diff": {"SMJ"},
     # brute-force ANN baseline: BroadcastNestedLoopJoin of a tiny broadcast
     # query set against one partition-local corpus scan — the quadratic
     # side is bounded by len(queries), which is the operator's contract
