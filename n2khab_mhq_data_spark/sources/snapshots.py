@@ -208,3 +208,65 @@ def snapshot_diff(
         .filter(F.col("op").isNotNull())
         .select(*keys, "op")
     )
+
+
+def _seen_batch_ids(path: str) -> set[int]:
+    out = set()
+    for v in _versions(path):
+        with open(os.path.join(_manifest_dir(path), f"{v}.json")) as fh:
+            m = json.load(fh)
+        if m.get("batch_id") is not None:
+            out.add(int(m["batch_id"]))
+    return out
+
+
+def snapshot_stream(
+    source: DataFrame,
+    path: str,
+    keys: list,
+    order_by_cols: list[str],
+    checkpoint: str,
+):
+    """Streaming upsert INTO the snapshot store: each micro-batch
+    MERGE-publishes as a new version, with the engine's ``batch_id``
+    recorded in the manifest so a checkpoint replay of an
+    already-published batch is a NO-OP — the foreachBatch exactly-once
+    recipe applied to the version log. Downstream consumers get both
+    the latest state (read_snapshot) and the per-trigger change feed
+    (snapshot_diff of consecutive versions) for free.
+
+    ``order_by_cols`` are column NAMES (descending) rather than Column
+    objects so the closure stays picklable."""
+    from pyspark.sql import functions as F
+
+    def publish(batch: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in _seen_batch_ids(path):
+            return  # replayed batch: its version is already manifested
+        order_by = [F.col(c).desc() for c in order_by_cols]
+        if _versions(path):
+            v = merge_snapshot(path, batch, keys, order_by)
+        else:
+            from n2khab_mhq_data_spark.operators.relational import (
+                dedup_keep_latest,
+            )
+
+            v = write_snapshot(
+                dedup_keep_latest(batch, keys, order_by), path
+            )
+        # stamp the publishing batch into the (just-written) manifest
+        mf = os.path.join(_manifest_dir(path), f"{v}.json")
+        with open(mf) as fh:
+            m = json.load(fh)
+        m["batch_id"] = int(batch_id)
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp, mf)
+
+    return (
+        source.writeStream.foreachBatch(publish)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

