@@ -270,3 +270,52 @@ def snapshot_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    path: str,
+    n_files: int = 1,
+    zorder_cols: list[str] | None = None,
+) -> int:
+    """Compaction / clustering maintenance (the OPTIMIZE [ZORDER]
+    analog): rewrite the LATEST version's data into ``n_files``
+    partitions — optionally sorted by a Morton z-order interleave of
+    ``zorder_cols`` for multi-column row-group pruning — and publish it
+    as a NEW version. Content is provably unchanged: the manifest's
+    order-insensitive content hash of the optimized version EQUALS its
+    parent's, which ``verify`` asserts before the new version becomes
+    visible; old readers are untouched (append-only log)."""
+    import json as _json
+
+    from n2khab_mhq_data_spark.spatial.zorder import zvalue
+
+    versions = _versions(path)
+    if not versions:
+        raise ValueError(f"no snapshot versions at {path}")
+    parent = versions[-1]
+    df = read_snapshot(spark, path, parent)
+    if zorder_cols:
+        if len(zorder_cols) == 2:
+            key = zvalue(F.col(zorder_cols[0]), F.col(zorder_cols[1]))
+        elif len(zorder_cols) == 1:
+            key = F.col(zorder_cols[0])
+        else:
+            raise ValueError("zorder_cols supports 1 or 2 columns")
+        df = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
+    else:
+        df = df.coalesce(n_files)
+    v = write_snapshot(df, path)
+    mdir = _manifest_dir(path)
+    with open(os.path.join(mdir, f"{parent}.json")) as fh:
+        pm = _json.load(fh)
+    with open(os.path.join(mdir, f"{v}.json")) as fh:
+        nm = _json.load(fh)
+    if nm["content_hash"] != pm["content_hash"] or nm["n_rows"] != pm["n_rows"]:
+        # roll the bad version back before anyone can read it
+        os.remove(os.path.join(mdir, f"{v}.json"))
+        raise ValueError(
+            "optimize_snapshot produced content drift vs parent"
+            f" (v{parent} -> v{v}); version rolled back"
+        )
+    return v

@@ -487,3 +487,39 @@ def test_snapshot_diff_insert_update_delete(spark, tmp_path):
         for r in snapshot_diff(spark, path, 2, 1, ["k"]).collect()
     }
     assert rev == {(2, "update"), (3, "insert"), (9, "delete")}
+
+
+def test_snapshot_optimize_preserves_content_hash(spark, tmp_path):
+    """OPTIMIZE-style compaction publishes a NEW version whose
+    order-insensitive content hash must EQUAL its parent's (layout
+    changed, content provably not); file count shrinks; parent stays
+    readable; a drift-producing rewrite would roll back."""
+    import glob
+    import os
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        optimize_snapshot,
+        read_snapshot,
+        snapshot_log,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("x"),
+        (F.col("id") % 23).alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(16)
+    write_snapshot(df, path)
+    n_before = len(glob.glob(os.path.join(path, "v=1", "part-*")))
+    assert n_before >= 8
+    v = optimize_snapshot(spark, path, n_files=2, zorder_cols=["x", "y"])
+    assert v == 2
+    n_after = len(glob.glob(os.path.join(path, "v=2", "part-*")))
+    assert n_after <= 2
+    log = {r.version: r.content_hash
+           for r in snapshot_log(spark, path).collect()}
+    assert log[1] == log[2]  # bit-identical content despite re-layout
+    a = sorted(tuple(r) for r in read_snapshot(spark, path, 1).collect())
+    b = sorted(tuple(r) for r in read_snapshot(spark, path, 2).collect())
+    assert a == b
