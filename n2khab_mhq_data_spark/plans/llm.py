@@ -3135,3 +3135,114 @@ def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("inb").alias("hits"),
         F.round(F.count("inb") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
     )
+
+
+_CANON_SQL = (
+    _JACCARD_SQL.replace(
+        "SELECT d1, d2,",
+        "SELECT d1, d2, NULL AS _ignore,",
+    ).replace(
+        """    SELECT d1, d2, NULL AS _ignore,
+           round(inter * 1.0 / (s1.n + s2.n - inter) + 1e-9, 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+    WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
+    """,
+        """, near AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
+      WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
+    ), edges AS (
+      SELECT d1 AS doc, d2 AS nb FROM near
+      UNION ALL SELECT d2, d1 FROM near
+      UNION ALL SELECT DISTINCT d1, d1 FROM near
+      UNION ALL SELECT DISTINCT d2, d2 FROM near
+    )
+    SELECT doc, min(nb) AS canonical_id FROM edges GROUP BY doc
+    """,
+    )
+)
+
+
+@query(
+    "pipeline_multimodal_curation",
+    oracle=f"""
+    WITH canon AS ({_CANON_SQL}),
+    txt AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h
+      FROM documents
+    ), r AS (SELECT unnest(range(0, 11)) AS r),
+    c AS (SELECT unnest(range(0, 13)) AS c),
+    img AS (
+      SELECT d.doc_id, avg((d.doc_id + 7 * r.r + 13 * c.c) % 256) AS ml
+      FROM dims d, r, c WHERE r.r < d.h AND c.c < d.w
+      GROUP BY d.doc_id
+    )
+    SELECT t.doc_id,
+           t.n_tokens >= 50 AS passes_text,
+           i.ml >= 100 AS passes_image,
+           coalesce(cn.canonical_id, t.doc_id) = t.doc_id AS is_canonical,
+           (t.n_tokens >= 50 AND i.ml >= 100
+            AND coalesce(cn.canonical_id, t.doc_id) = t.doc_id) AS curated
+    FROM txt t
+    JOIN img i ON i.doc_id = t.doc_id
+    LEFT JOIN canon cn ON cn.doc = t.doc_id
+    """,
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MULTIMODAL curation gate — the composition the whole
+    r5 decode surface exists for: a document survives only if its TEXT
+    passes the token-count heuristic, its IMAGE payload (REAL PNG
+    decode) passes the luminance gate, and it is the CANONICAL member
+    of its near-dup component (star-contraction over the memoized
+    verified pair table; non-dup docs are trivially canonical). Three
+    doc-grain legs joined on the id; at 100 TB each leg is a linear
+    pass and the joins are key-partitioned SortMergeJoins (AQE
+    downgrades to broadcast when a side is small)."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        image_stats,
+        png_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    txt = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    img = image_stats(png_payloads(docs)).select(
+        "doc_id", F.col("mean_luma").alias("ml")
+    )
+    near = _near_pairs(spark, sf_dir)
+    edges = near.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("d1").alias("doc"), F.col("d2").alias("nb")),
+                F.struct(F.col("d2").alias("doc"), F.col("d1").alias("nb")),
+                F.struct(F.col("d1").alias("doc"), F.col("d1").alias("nb")),
+                F.struct(F.col("d2").alias("doc"), F.col("d2").alias("nb")),
+            )
+        ).alias("e")
+    ).select("e.doc", "e.nb")
+    canon = edges.groupBy("doc").agg(F.min("nb").alias("canonical_id"))
+    is_canon = (
+        F.coalesce(F.col("canonical_id"), F.col("doc_id"))
+        == F.col("doc_id")
+    )
+    passes_text = F.col("n_tokens") >= 50
+    passes_image = F.col("ml") >= 100.0
+    return (
+        txt.join(img, "doc_id")
+        .join(canon, txt["doc_id"] == canon["doc"], "left")
+        .select(
+            "doc_id",
+            passes_text.alias("passes_text"),
+            passes_image.alias("passes_image"),
+            is_canon.alias("is_canonical"),
+            (passes_text & passes_image & is_canon).alias("curated"),
+        )
+    )

@@ -64,6 +64,13 @@ EXPECTED: dict[str, set[str]] = {
     # scans' key+hash projections — neither side is bounded at 100 TB
     # and full outer cannot broadcast (the j4_full_outer argument)
     "s8_snapshot_diff": {"SMJ"},
+    # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
+    # image gate, canonical assignment) joined on the id — every side
+    # is corpus-sized at 100 TB so SortMergeJoin is the correct static
+    # strategy (the k7_lsvi_species argument); the image leg is
+    # mapInPandas-derived (no stats) which is why the planner can't
+    # pick broadcast statically — AQE downgrades at runtime when small
+    "pipeline_multimodal_curation": {"SMJ"},
     # brute-force ANN baseline: BroadcastNestedLoopJoin of a tiny broadcast
     # query set against one partition-local corpus scan — the quadratic
     # side is bounded by len(queries), which is the operator's contract
