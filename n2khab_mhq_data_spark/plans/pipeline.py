@@ -949,3 +949,82 @@ def s8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _merge_store(spark, sf_dir)
     return snapshot_diff(spark, path, 1, 2, ["c_custkey"])
+
+
+def _optimize_store(spark: SparkSession, sf_dir: str) -> str:
+    """One-version store (customers with c_custkey % 4 = 0 over many
+    small files) plus its OPTIMIZE/ZORDER-compacted child — built once
+    per customer fingerprint so the version log stays deterministic."""
+    import hashlib
+    import os
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        optimize_snapshot,
+        write_snapshot,
+    )
+
+    cust = os.path.join(sf_dir, "customer.parquet")
+    files = sorted(
+        os.path.join(cust, f) for f in os.listdir(cust)
+    ) if os.path.isdir(cust) else [cust]
+    fp = hashlib.md5(
+        ";".join(
+            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/root/repo/.scale/snapshots/customers_opt_{fp}"
+    if os.path.isdir(os.path.join(path, "_manifests")):
+        return path
+    base = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 4 == 0)
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+        .repartition(16)  # deliberately fragmented pre-compaction
+    )
+    write_snapshot(base, path)
+    optimize_snapshot(
+        spark, path, n_files=2, zorder_cols=["c_nationkey", "c_custkey"]
+    )
+    return path
+
+
+@query(
+    "s8_snapshot_optimize",
+    oracle="""
+    SELECT v.version,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+           CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM customer, (SELECT unnest(range(1, 3)) AS version) v
+    WHERE c_custkey % 4 = 0
+    GROUP BY v.version
+    """,
+)
+def s8_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE/ZORDER compaction, driver-visible: v2 is v1 rewritten
+    from 16 fragments into 2 Morton-clustered files; the query reads
+    BOTH versions back and aggregates them — identical rows per version
+    (the oracle emits the same aggregate for version 1 and 2) prove the
+    re-layout preserved content, and optimize_snapshot itself has
+    already asserted manifest-hash equality (a drifting rewrite rolls
+    back before becoming readable). verify_snapshot re-checks both
+    stored versions against their manifests inside the query."""
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        read_snapshot,
+        verify_snapshot,
+    )
+
+    path = _optimize_store(spark, sf_dir)
+    outs = []
+    for v in (1, 2):
+        verify_snapshot(spark, path, v)
+        outs.append(
+            read_snapshot(spark, path, v).agg(
+                F.lit(v).cast("int").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("bigint").alias("sum_key"),
+                F.countDistinct("c_nationkey").alias("n_nations"),
+            )
+        )
+    return outs[0].unionByName(outs[1])
