@@ -139,6 +139,81 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval: top-k documents per query (Robertson/
+    Sparck-Jones idf as used by Lucene, always positive):
+
+        idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(q,d) = sum_t idf(t) * tf * (k1+1)
+                                  / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    ``queries_df`` is a small (query_id, term) relation — one row per
+    query term, duplicate terms deduped so a repeated term scores once
+    (the standard bag-of-query-TERMS simplification).
+
+    Scale: the (doc, term) tf table is one shuffle over the corpus;
+    doc-frequency and doc-length hang off it as map-side-combinable
+    aggregations (df additionally prunable to query terms only —
+    expressed here as an agg AFTER the semi-filtering broadcast join so
+    only matched terms shuffle); the query relation and the 1-row corpus
+    stats broadcast. Per-query scoring touches only postings of query
+    terms — selectivity |query vocab| / |vocab| — and the final top-k is
+    a bounded per-query window. Nothing is ever all-docs x all-queries.
+    Scores eps-rounded for engine portability; ranking compares raw
+    doubles (libm ln agrees to the ulp — the tfidf_topk precedent)."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doclen = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = queries_df.select("query_id", "term").distinct()
+    # postings of query terms only; df computed on the pruned postings
+    posts = tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+    dfreq = posts.groupBy("term").agg(F.count("*").alias("df"))
+    contrib = (
+        posts.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclen, "doc")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    scored = contrib.groupBy("query_id", "doc").agg(
+        F.sum(idf * F.col("tf") * (k1 + 1.0) / norm).alias("score"),
+        F.count("*").alias("n_terms_hit"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc",
+            "rank",
+            "n_terms_hit",
+            F.round(F.col("score") + F.lit(1e-9), 6).alias("bm25"),
+        )
+    )
+
+
 def quality_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Composite keep/drop verdict over the heuristic quality signals —
     the final gate of a filtering pipeline, with machine-readable reason

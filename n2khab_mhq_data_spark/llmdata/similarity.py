@@ -650,6 +650,109 @@ def ann_topk_bucketed(
     )
 
 
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    n_cand: int = 8,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified re-ranking (Carbonell &
+    Goldstein '98): per query, greedily pick k of the top-``n_cand``
+    relevance candidates maximizing
+
+        step 1:   lam * rel(d)
+        step i>1: lam * rel(d) - mu * max_{s in chosen} cos(d, s)
+
+    ties on the candidate id. ``lam``/``mu`` are independent literals
+    (NOT mu = 1 - lam) so both engines parse the identical decimal — the
+    float of ``1 - 0.7`` differs from the literal ``0.3`` by one ulp,
+    enough to flip a knife-edge argmax.
+
+    Scale: candidate generation is the existing broadcast-query cosine
+    pass (swap in the LSH/IVF path for huge corpora) — the corpus never
+    shuffles; the greedy itself is inherently sequential per query but
+    bounded to ``n_cand`` rows, so it runs as ONE Arrow grouped map
+    keyed by query_id — O(k * n_cand^2) per group, parallel across
+    queries. Pair cosines inside the kernel use cumsum (sequential
+    left-associative) summation so they are bit-identical to a SQL
+    list_sum fold over the same doubles."""
+    import numpy as np
+    import pandas as pd
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(vec_col, dim).alias("qnrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("cvec"),
+        norm(vec_col, dim).alias("cnrm"),
+    )
+    joined = c.join(F.broadcast(q), F.col("doc") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        "doc",
+        "cvec",
+        (dot("qvec", "cvec", dim) / (F.col("qnrm") * F.col("cnrm"))).alias(
+            "rel"
+        ),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rel").desc(), F.col("doc"))
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= n_cand)
+        .drop("rnk")
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc").reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cvec"]])
+        prods = V[:, None, :] * V[None, :, :]
+        dots = np.cumsum(prods, axis=-1)[..., -1]
+        nrm = np.sqrt(np.cumsum(V * V, axis=-1)[..., -1])
+        S = dots / (nrm[:, None] * nrm[None, :])
+        rel = pdf["rel"].to_numpy()
+        n = len(pdf)
+        chosen: list[int] = []
+        out_scores: list[float] = []
+        for step in range(min(k, n)):
+            if step == 0:
+                sc = lam * rel
+            else:
+                sc = lam * rel - mu * S[:, chosen].max(axis=1)
+            sc = sc.copy()
+            sc[chosen] = -np.inf
+            pick = int(np.argmax(sc))  # first max -> doc-asc tie-break
+            chosen.append(pick)
+            out_scores.append(float(sc[pick]))
+        return pd.DataFrame(
+            {
+                "query_id": [int(pdf["query_id"].iloc[0])] * len(chosen),
+                "doc": pdf["doc"].iloc[chosen].to_numpy(),
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score": out_scores,
+            }
+        )
+
+    out = cand.groupBy("query_id").applyInPandas(
+        _greedy, "query_id long, doc long, mmr_rank int, mmr_score double"
+    )
+    return out.select(
+        "query_id",
+        "doc",
+        "mmr_rank",
+        F.round(
+            F.col("mmr_score") + F.signum("mmr_score") * 1e-9, 6
+        ).alias("mmr"),
+    )
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str,

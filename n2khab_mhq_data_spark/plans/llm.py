@@ -196,6 +196,97 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle(k: int = 4, n_cand: int = 8) -> str:
+    """Unrolled greedy MMR as pure SQL: one CTE layer per selection step
+    (a recursive CTE would need an aggregate in the recursive term).
+    lam/mu appear as the literals 0.7/0.3 — the same decimals the Spark
+    kernel uses — so both engines score with bit-identical coefficients."""
+
+    def fold(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        )
+
+    cos = f"{fold('qv', 'cv')} / (sqrt({fold('qv', 'qv')}) * sqrt({fold('cv', 'cv')}))"
+    layers = []
+    for i in range(2, k + 1):
+        layers.append(f"""
+    t{i} AS (
+      SELECT cd.query_id, cd.doc, 0.7 * cd.rel - 0.3 * max(p.s) AS score
+      FROM cand cd
+      JOIN ch{i - 1} ch ON cd.query_id = ch.query_id
+                       AND NOT list_contains(ch.arr, cd.doc)
+      JOIN ps p ON p.query_id = cd.query_id AND p.d1 = cd.doc
+               AND list_contains(ch.arr, p.d2)
+      GROUP BY cd.query_id, cd.doc, cd.rel
+    ), p{i} AS (
+      SELECT query_id, doc, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc) AS r
+      FROM t{i}
+    ), ch{i} AS (
+      SELECT ch.query_id, list_append(ch.arr, p.doc) AS arr
+      FROM ch{i - 1} ch
+      JOIN p{i} p ON p.query_id = ch.query_id AND p.r = 1
+    )""")
+    picks = "\n      UNION ALL ".join(
+        f"SELECT query_id, doc, {i} AS mmr_rank, score FROM p{i} WHERE r = 1"
+        for i in range(1, k + 1)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ), c AS (
+      SELECT vec_id AS nid, embedding AS cv FROM embeddings
+    ), cand AS (
+      SELECT query_id, doc, rel FROM (
+        SELECT qid AS query_id, nid AS doc, cos AS rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, nid) AS rnk
+        FROM (SELECT qid, nid, {cos} AS cos FROM q, c WHERE nid != qid))
+      WHERE rnk <= {n_cand}
+    ), ps AS (
+      SELECT a.query_id, a.doc AS d1, b.doc AS d2,
+             {fold("e1.cv", "e2.cv")}
+               / (sqrt({fold("e1.cv", "e1.cv")})
+                  * sqrt({fold("e2.cv", "e2.cv")})) AS s
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.doc != b.doc
+      JOIN c e1 ON e1.nid = a.doc
+      JOIN c e2 ON e2.nid = b.doc
+    ), p1 AS (
+      SELECT query_id, doc, 0.7 * rel AS score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, doc) AS r
+      FROM cand
+    ), ch1 AS (
+      SELECT query_id, [doc] AS arr FROM p1 WHERE r = 1
+    ),{",".join(layers)}
+    SELECT query_id, doc, mmr_rank,
+           round(score + sign(score) * 1e-9, 6) AS mmr
+    FROM ({picks})
+    """
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: greedy MMR (lam=0.7, mu=0.3) over the top-8
+    cosine candidates of each query vector (vec_id < 3), k=4 picks — the
+    dedup-aware re-ranker a RAG/eval pipeline runs after ANN retrieval.
+    Candidate gen rides the broadcast-query cosine pass; the bounded
+    greedy is one Arrow grouped map per query
+    (llmdata/similarity.py::mmr_rerank). The oracle unrolls the greedy
+    into one SQL layer per pick."""
+    from n2khab_mhq_data_spark.llmdata.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=4, n_cand=8, dim=64,
+    )
+
+
 def _ann_oracle(planes: int = 8, dim: int = 64) -> str:
     ds = ",\n             ".join(
         f"""list_sum(list_transform(range(1, {dim + 1}),

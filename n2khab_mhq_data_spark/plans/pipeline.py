@@ -125,6 +125,78 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(load(spark, sf_dir, "documents"), "text", "doc_id", 3)
 
 
+# The retrieval benchmark's fixed query set (terms from the corpus
+# vocabulary); duplicated terms are deduped by bm25_topk.
+_BM25_QUERIES: list[tuple[str, str]] = [
+    ("q1", "hash"), ("q1", "join"),
+    ("q2", "scan"), ("q2", "filter"), ("q2", "fast"),
+    ("q3", "window"), ("q3", "merge"), ("q3", "batch"), ("q3", "slow"),
+]
+
+
+@query(
+    "text_bm25_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id AS doc, t.tok AS term
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents), unnest(w) AS t(tok)
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ), q(query_id, term) AS (
+      VALUES ('q1','hash'),('q1','join'),
+             ('q2','scan'),('q2','filter'),('q2','fast'),
+             ('q3','window'),('q3','merge'),('q3','batch'),('q3','slow')
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf
+      WHERE term IN (SELECT term FROM q) GROUP BY 1
+    ), contrib AS (
+      SELECT q.query_id, tf.doc,
+             ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * (1.2 + 1.0)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl))
+               AS c
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN q USING (term)
+      JOIN dl ON dl.doc = tf.doc,
+      stats s
+    ), scored AS (
+      SELECT query_id, doc, sum(c) AS score,
+             CAST(count(*) AS BIGINT) AS n_terms_hit
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT query_id, doc, rank, n_terms_hit,
+           round(score + 1e-9, 6) AS bm25
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, doc)
+                         AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval: top-5 documents for each of 3 fixed term
+    queries (Lucene-style positive idf, k1=1.2 b=0.75). The RAG /
+    eval-retrieval primitive over the documents table: postings pruned
+    to query terms by a broadcast semi-filter, so corpus cost is the
+    one (doc, term) tf shuffle regardless of query count
+    (llmdata/pipeline.py::bm25_topk)."""
+    from n2khab_mhq_data_spark.catalog import local_dim
+    from n2khab_mhq_data_spark.llmdata.pipeline import bm25_topk
+
+    qdim = local_dim(
+        spark, _BM25_QUERIES, "query_id string, term string"
+    )
+    return bm25_topk(
+        load(spark, sf_dir, "documents"), qdim, "text", "doc_id", k=5
+    )
+
+
 @query(
     "pipeline_quality_filter",
     oracle="""

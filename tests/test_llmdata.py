@@ -605,3 +605,34 @@ def test_remove_duplicated_runs_hand_computed(spark):
     assert got[1] == ("a1 a2 a3", 11, 3, 1)
     assert got[2] == ("b1 b2 b3 b4", 12, 4, 1)
     assert got[3] == ("unique tokens only here", 4, 4, 0)
+
+
+def test_mmr_rerank_prefers_diverse_over_duplicate(spark):
+    from n2khab_mhq_data_spark.llmdata.similarity import mmr_rerank
+
+    # d1 == d2 (exact duplicates, rel = 1); d3 diverse with rel = 0.8.
+    # Pure relevance ranks (d1, d2, d3); MMR at lam=0.3/mu=0.7 demotes
+    # the duplicate: picks (d1, d3, d2) with hand-computed scores.
+    rows = [
+        (100, [1.0, 0.0]),  # query
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.8, 0.6]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        (r.doc, r.mmr_rank, r.mmr)
+        for r in mmr_rerank(
+            emb.filter(F.col("vec_id") < 100),
+            emb.filter(F.col("vec_id") == 100),
+            k=3, n_cand=3, lam=0.3, mu=0.7, dim=2,
+        ).orderBy("mmr_rank").collect()
+    ]
+    # step1: lam*rel ties d1/d2 at 0.3 -> doc-asc tie-break picks d1
+    # step2: d2 = 0.3 - 0.7*1 = -0.4 ; d3 = 0.24 - 0.7*0.8 = -0.32 -> d3
+    # step3: d2 = -0.4
+    assert got == [(1, 1, 0.3), (3, 2, -0.32), (2, 3, -0.4)]

@@ -122,3 +122,35 @@ def test_temporal_split_embargo_excluded(spark):
         ).collect()
     }
     assert got == {1: "train", 2: None, 3: None, 4: "test", 5: "test"}
+
+
+def test_bm25_topk_hand_computed(spark):
+    import math
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat dog"), (2, "cat dog"),
+         (3, "dog dog dog dog"), (4, "bird")],
+        "doc_id long, text string",
+    )
+    # repeated query term must be deduped (scores once)
+    q = spark.createDataFrame(
+        [("q", "cat"), ("q", "cat")], "query_id string, term string"
+    )
+    rows = bm25_topk(docs, q, "text", "doc_id", k=5).collect()
+    got = {r.doc: (r.rank, r.n_terms_hit, r.bm25) for r in rows}
+    # only docs containing 'cat' retrieved; higher tf wins despite longer doc
+    assert set(got) == {1, 2}
+    assert got[1][0] == 1 and got[2][0] == 2
+    assert got[1][1] == 1 and got[2][1] == 1
+
+    # pin the exact formula: N=4, df(cat)=2, avgdl=(4+2+4+1)/4
+    idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    avgdl = 11 / 4
+
+    def score(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    assert abs(got[1][2] - round(score(3, 4) + 1e-9, 6)) < 1e-9
+    assert abs(got[2][2] - round(score(1, 2) + 1e-9, 6)) < 1e-9

@@ -75,6 +75,9 @@ EXPECTED: dict[str, set[str]] = {
     # query set against one partition-local corpus scan — the quadratic
     # side is bounded by len(queries), which is the operator's contract
     "sim_cosine_topk": {"CARTESIAN"},
+    # MMR candidate generation IS the sim_cosine_topk broadcast cross;
+    # the greedy itself is a bounded per-query grouped map (no join)
+    "sim_mmr_rerank": {"CARTESIAN"},
     # circle (x) square observation merge is a full outer join of two
     # large fact sides — SortMergeJoin is the correct strategy (see
     # j4_full_outer)
@@ -92,6 +95,9 @@ EXPECTED: dict[str, set[str]] = {
     # row — a deliberate 1-row BroadcastNestedLoopJoin, the standard way
     # to attach a global statistic without a single-partition window
     "text_tfidf_topk": {"CARTESIAN"},
+    # same 1-row global-stat attach (corpus n_docs/avgdl scalars onto the
+    # query-term postings — the text_tfidf_topk pattern)
+    "text_bm25_topk": {"CARTESIAN"},
     # recall@10 of the k-means IVF path recomputes the brute-force
     # baseline (sim_cosine_topk's deliberate broadcast cross join); the
     # IVF side itself has NO cartesian — literal-centroid assignment is a
