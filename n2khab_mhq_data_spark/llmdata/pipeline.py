@@ -214,6 +214,131 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    k: int = 5,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher '09) of named
+    retrieval runs — the standard hybrid-retrieval combiner (lexical
+    BM25 + dense cosine being the canonical pair):
+
+        rrf(q, d) = sum over legs where d appears:  1 / (c + rank)
+
+    Each leg is a (query_id, doc, rank) relation. Missing legs simply
+    contribute nothing (no imputed rank). Ties on doc id.
+
+    Scale: each leg is already a bounded top-n per query, so the fused
+    relation is at most ``n_legs * n`` rows per query — the union +
+    groupBy shuffles only that bounded set, never the corpus; the final
+    top-k is a per-query window over <= n_legs * n rows. Float safety:
+    every addend 1/(c+rank) is an exact IEEE division of small integers,
+    and a doc appears in at most ``n_legs`` legs, so the sum has <= 2-3
+    terms — engine-order-proof (2-term FP addition is commutative)."""
+    tagged = None
+    for name, df in legs.items():
+        t = df.select(
+            "query_id", "doc", "rank", F.lit(name).alias("leg")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    assert tagged is not None, "rrf_fuse needs at least one leg"
+    fused = tagged.groupBy("query_id", "doc").agg(
+        F.sum(1.0 / (F.lit(float(c)) + F.col("rank"))).alias("score"),
+        F.count("*").alias("n_legs"),
+        F.min(F.col("rank")).alias("best_rank"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), "doc")
+    return (
+        fused.withColumn("rrf_rank", F.row_number().over(w))
+        .filter(F.col("rrf_rank") <= k)
+        .select(
+            "query_id",
+            "doc",
+            "rrf_rank",
+            "n_legs",
+            "best_rank",
+            F.round(F.col("score") + F.lit(1e-9), 6).alias("rrf"),
+        )
+    )
+
+
+def retrieval_metrics(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query retrieval-quality metrics of a ranked ``run``
+    (query_id, doc, rank) against graded relevance judgments ``qrels``
+    (query_id, doc, rel >= 1) — the eval harness a retrieval/RAG
+    curation pipeline runs after every index change:
+
+        mrr      = 1 / rank of the first relevant hit        (0 if none)
+        dcg@k    = sum over hits: (2^rel - 1) / log2(rank+1)
+        idcg@k   = same over the ideal ordering of qrels (top k)
+        ndcg@k   = dcg / idcg
+        recall@k = distinct relevant docs retrieved / total relevant
+
+    Every query present in qrels gets a row (zero metrics when the run
+    retrieved nothing relevant, or retrieved nothing at all).
+
+    Scale: the run is already bounded to top-k per query and qrels is a
+    judgment set (human- or rule-sized) — both shuffle on query_id only;
+    the hit join is qrels-broadcast when qrels is small, and never
+    touches the corpus. Float safety: dcg/idcg sum <= k log-terms of
+    similar magnitude; results eps-rounded."""
+    run = run.filter(F.col("rank") <= k)
+    qr = qrels.select("query_id", "doc", F.col("rel").cast("int"))
+    gain = F.pow(F.lit(2.0), F.col("rel")) - 1.0
+    # ideal ordering: judgments by grade desc (doc asc tie-break is
+    # value-neutral — equal grades contribute identical terms)
+    iw = W.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc")
+    )
+    ideal = (
+        qr.withColumn("pos", F.row_number().over(iw))
+        .filter(F.col("pos") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(gain / F.log2(F.col("pos") + 1.0)).alias("idcg"),
+        )
+    )
+    totals = qr.groupBy("query_id").agg(
+        F.count("*").alias("n_rel")
+    )
+    hits = run.join(F.broadcast(qr), ["query_id", "doc"])
+    per_q = hits.groupBy("query_id").agg(
+        F.sum(gain / F.log2(F.col("rank") + 1.0)).alias("dcg"),
+        (1.0 / F.min("rank")).alias("mrr"),
+        F.count("*").alias("n_hits"),
+    )
+    out = (
+        totals.join(F.broadcast(ideal), "query_id")
+        .join(F.broadcast(per_q), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("mrr"), F.lit(0.0)) + 1e-9, 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0))
+                + 1e-9,
+                6,
+            ).alias("ndcg"),
+            F.round(
+                (
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.col("n_rel").cast("double")
+                )
+                + 1e-9,
+                6,
+            ).alias("recall"),
+        )
+    )
+    return out
+
+
 def quality_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Composite keep/drop verdict over the heuristic quality signals —
     the final gate of a filtering pipeline, with machine-readable reason

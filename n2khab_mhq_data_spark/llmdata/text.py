@@ -163,6 +163,41 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     }
 
 
+def char_entropy(text: Column) -> dict[str, Column]:
+    """Shannon entropy of the per-document character distribution (bits)
+    plus distinct-char count — the classic cheap compressibility proxy:
+    boilerplate / keyboard-mash / repeated-pad documents score low, real
+    prose lands around 4-4.5 bits for English.
+
+        H = -sum_c  (n_c / n) * log2(n_c / n)
+
+    Scale: ZERO shuffle — everything is a per-row Column expression
+    (split -> distinct -> counted via higher-order functions), so the
+    signal is computed inside the corpus scan exactly like the other
+    quality heuristics. Per-row cost is O(distinct_chars * n_chars),
+    fine for documents (distinct is alphabet-sized). The fold adds terms
+    in ascending-char order so an oracle can reproduce the exact FP sum.
+    Empty text yields H = 0.0, n_distinct = 0 (fold over empty array)."""
+    chars = F.filter(F.split(text, ""), lambda c: c != F.lit(""))
+    n = F.size(chars)
+    alphabet = F.array_sort(F.array_distinct(chars))
+    counts = F.transform(
+        alphabet,
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    h = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, cnt: acc
+        - (cnt.cast("double") / n) * F.log2(cnt.cast("double") / n),
+    )
+    return {
+        "n_chars": n.cast("long"),
+        "n_distinct_chars": F.size(alphabet).cast("long"),
+        "entropy_bits": h,
+    }
+
+
 def word_bigrams(toks: Column) -> Column:
     """Adjacent-word bigrams of a token array, as ``"w1 w2"`` strings.
 

@@ -196,6 +196,134 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETRIEVAL_METRICS_SQL = f"""
+    WITH run AS (
+      SELECT query_id, neighbour_id AS doc, rank FROM ({_COSINE_SQL})
+    ), q AS (
+      SELECT vec_id AS qid, label AS qlabel FROM embeddings WHERE vec_id < 3
+    ), qr AS (
+      SELECT q.qid AS query_id, e.vec_id AS doc,
+             CASE WHEN e.vec_id % 7 = q.qid % 7 THEN 2 ELSE 1 END AS rel
+      FROM embeddings e
+      JOIN q ON e.label = q.qlabel AND e.vec_id != q.qid
+    ), ideal AS (
+      SELECT query_id,
+             sum((pow(2.0, rel) - 1.0) / log2(pos + 1.0)) AS idcg
+      FROM (SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, doc) AS pos
+            FROM qr)
+      WHERE pos <= 10 GROUP BY 1
+    ), tot AS (
+      SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+      FROM qr GROUP BY 1
+    ), hits AS (
+      SELECT r.query_id, r.rank, qr.rel
+      FROM run r JOIN qr ON qr.query_id = r.query_id AND qr.doc = r.doc
+    ), perq AS (
+      SELECT query_id,
+             sum((pow(2.0, rel) - 1.0) / log2(rank + 1.0)) AS dcg,
+             1.0 / min(rank) AS mrr,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM hits GROUP BY 1
+    )
+    SELECT t.query_id,
+           coalesce(p.n_hits, 0) AS n_hits,
+           t.n_rel,
+           round(coalesce(p.mrr, 0.0) + 1e-9, 6) AS mrr,
+           round(coalesce(p.dcg / i.idcg, 0.0) + 1e-9, 6) AS ndcg,
+           round(coalesce(p.n_hits, 0) / CAST(t.n_rel AS DOUBLE) + 1e-9, 6)
+             AS recall
+    FROM tot t
+    JOIN ideal i ON i.query_id = t.query_id
+    LEFT JOIN perq p ON p.query_id = t.query_id
+    """
+
+
+@query("eval_retrieval_metrics", oracle=_RETRIEVAL_METRICS_SQL)
+def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval harness: MRR / nDCG@10 / recall@10 of the
+    brute-force cosine run (sim_cosine_topk) against label-derived
+    graded judgments — relevant = shares the query vector's class label
+    (grade 2 when additionally id-congruent mod 7, so the graded nDCG
+    branch is exercised). The check a curation pipeline runs after every
+    index/embedding change (llmdata/pipeline.py::retrieval_metrics).
+    Judgments here are corpus-derived for determinism at every sf; real
+    qrels are human-sized and broadcast."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import retrieval_metrics
+    from n2khab_mhq_data_spark.llmdata.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("label").alias("qlabel")
+    )
+    qrels = emb.join(
+        F.broadcast(q),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("qid")),
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("vec_id").alias("doc"),
+        F.when(
+            F.col("vec_id") % 7 == F.col("qid") % 7, F.lit(2)
+        ).otherwise(F.lit(1)).alias("rel"),
+    )
+    run = cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10
+    ).select("query_id", F.col("neighbour_id").alias("doc"), "rank")
+    return retrieval_metrics(run, qrels, k=10)
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS c
+      FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+    ), cnt AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+      FROM ch GROUP BY 1, 2
+    ), n AS (
+      SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1
+    ), agg AS (
+      SELECT cnt.doc_id,
+             CAST(any_value(n.n) AS BIGINT) AS n_chars,
+             CAST(count(*) AS BIGINT) AS n_distinct_chars,
+             list_sum(list(-(k / n.n) * log2(k / n.n) ORDER BY c)) AS h
+      FROM cnt JOIN n ON n.doc_id = cnt.doc_id
+      GROUP BY cnt.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_chars, 0) AS n_chars,
+           coalesce(a.n_distinct_chars, 0) AS n_distinct_chars,
+           round(coalesce(a.h, 0.0) + 1e-9, 6) AS entropy_bits,
+           round(coalesce(a.h, 0.0) + 1e-9, 6) < 3.0 AS low_entropy
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (bits) — the
+    cheap compressibility proxy that catches boilerplate / repeated-pad /
+    keyboard-mash documents (real prose ~4-4.5 bits); flagged below 3.0
+    on the ROUNDED value so the gate is engine-portable. ZERO shuffle:
+    the whole signal is higher-order-function Column algebra inside the
+    corpus scan (llmdata/text.py::char_entropy); the fold sums terms in
+    ascending-char order, which the oracle mirrors with an ordered list
+    aggregate."""
+    from n2khab_mhq_data_spark.llmdata.text import char_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    m = char_entropy(F.col("text"))
+    ent = F.round(m["entropy_bits"] + F.lit(1e-9), 6)
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_distinct_chars"].alias("n_distinct_chars"),
+        ent.alias("entropy_bits"),
+        (ent < 3.0).alias("low_entropy"),
+    )
+
+
 def _mmr_oracle(k: int = 4, n_cand: int = 8) -> str:
     """Unrolled greedy MMR as pure SQL: one CTE layer per selection step
     (a recursive CTE would need an aggregate in the recursive term).

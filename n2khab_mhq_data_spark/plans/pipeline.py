@@ -134,10 +134,11 @@ _BM25_QUERIES: list[tuple[str, str]] = [
 ]
 
 
-@query(
-    "text_bm25_topk",
-    oracle="""
-    WITH tok AS (
+# Shared oracle fragment: CTE chain ending in `scored` (query_id, doc,
+# score, n_terms_hit) — the BM25 run both text_bm25_topk and
+# sim_rrf_fusion rank from.
+_BM25_CTES = """
+    tok AS (
       SELECT doc_id AS doc, t.tok AS term
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
             FROM documents), unnest(w) AS t(tok)
@@ -170,6 +171,13 @@ _BM25_QUERIES: list[tuple[str, str]] = [
              CAST(count(*) AS BIGINT) AS n_terms_hit
       FROM contrib GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT query_id, doc, rank, n_terms_hit,
            round(score + 1e-9, 6) AS bm25
     FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
@@ -194,6 +202,168 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return bm25_topk(
         load(spark, sf_dir, "documents"), qdim, "text", "doc_id", k=5
+    )
+
+
+_RRF_SQL = f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT query_id, doc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc)
+                  AS INTEGER) AS rank
+      FROM scored
+      QUALIFY rank <= 10
+    ), qmap(query_id, qvec) AS (
+      VALUES ('q1', 1), ('q2', 2), ('q3', 3)
+    ), qv AS (
+      SELECT m.query_id, m.qvec, e.embedding AS qvec_e
+      FROM qmap m JOIN embeddings e ON e.vec_id = m.qvec
+    ), dense_scored AS (
+      SELECT qv.query_id, c.vec_id AS doc,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(qv.qvec_e[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(qv.qvec_e[i] AS DOUBLE) * CAST(qv.qvec_e[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(c.embedding[i] AS DOUBLE)
+                  * CAST(c.embedding[i] AS DOUBLE))))) AS cos
+      FROM qv, embeddings c WHERE c.vec_id != qv.qvec
+    ), den AS (
+      SELECT query_id, doc,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, doc)
+                  AS INTEGER) AS rank
+      FROM dense_scored
+      QUALIFY rank <= 10
+    ), legs AS (
+      SELECT * FROM lex UNION ALL SELECT * FROM den
+    ), fused AS (
+      SELECT query_id, doc,
+             sum(1.0 / (60.0 + rank)) AS score,
+             CAST(count(*) AS BIGINT) AS n_legs,
+             min(rank) AS best_rank
+      FROM legs GROUP BY 1, 2
+    )
+    SELECT query_id, doc, rrf_rank, n_legs, best_rank,
+           round(score + 1e-9, 6) AS rrf
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score DESC, doc)
+                         AS INTEGER) AS rrf_rank
+          FROM fused)
+    WHERE rrf_rank <= 5
+    """
+
+
+@query("sim_rrf_fusion", oracle=_RRF_SQL)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion (c=60) of a lexical
+    BM25 top-10 run and a dense cosine top-10 run over the same corpus
+    (documents row i <-> embeddings row i), top-5 fused per query — the
+    standard two-tower RAG retrieval combiner
+    (llmdata/pipeline.py::rrf_fuse). Each leg is already bounded per
+    query, so fusion shuffles only ~20 rows/query; the corpus is touched
+    once per leg (BM25's tf shuffle, cosine's broadcast-query scan)."""
+    from n2khab_mhq_data_spark.catalog import local_dim
+    from n2khab_mhq_data_spark.llmdata.pipeline import bm25_topk, rrf_fuse
+    from n2khab_mhq_data_spark.llmdata.similarity import cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    qdim = local_dim(spark, _BM25_QUERIES, "query_id string, term string")
+    qmap = local_dim(
+        spark, [("q1", 1), ("q2", 2), ("q3", 3)], "query_id string, qvec long"
+    )
+    lex = bm25_topk(docs, qdim, "text", "doc_id", k=10).select(
+        "query_id", "doc", "rank"
+    )
+    dense_raw = cosine_topk(
+        emb,
+        emb.join(F.broadcast(qmap), F.col("vec_id") == F.col("qvec")).select(
+            "vec_id", "embedding"
+        ),
+        "vec_id",
+        "embedding",
+        k=10,
+        dim=64,
+    ).withColumnRenamed("query_id", "qv_id")
+    den = dense_raw.join(
+        F.broadcast(qmap), F.col("qv_id") == F.col("qvec")
+    ).select(
+        "query_id",
+        F.col("neighbour_id").alias("doc"),
+        "rank",
+    )
+    return rrf_fuse({"lex": lex, "dense": den}, k=5, c=60)
+
+
+def _jsonl_store(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprinted scratch JSONL export of the documents table —
+    rebuilt only when the source parquet changes."""
+    import hashlib
+    import os
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    files = sorted(
+        os.path.join(doc, f) for f in os.listdir(doc)
+    ) if os.path.isdir(doc) else [doc]
+    fp = hashlib.md5(
+        ";".join(
+            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/root/repo/.scale/jsonl/documents_{fp}"
+    if not os.path.isdir(path):
+        from n2khab_mhq_data_spark.sources.jsonl import write_jsonl
+
+        write_jsonl(
+            load(spark, sf_dir, "documents"),
+            path,
+            order_by=["doc_id"],
+            n_shards=8,
+        )
+    return path
+
+
+@query(
+    "s11_jsonl_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents",
+)
+def s11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus export/import round-trip (sources/jsonl.py — the
+    LLM-corpus interchange analog of the reference's CSV/TSV extract
+    surface, SURVEY.md §2.1 S5/S8): the documents table is written as
+    hash-sharded, within-shard-sorted JSONL and read back with an
+    explicit schema in PERMISSIVE corrupt-capture mode. The hash match
+    against the source table proves lossless round-trip (longs exact,
+    text escaping reversible); the in-plan guard proves zero corrupt
+    lines. Read side is line-splittable (no multiLine), so a 100 TB
+    corpus scans block-parallel; write side is shard-parallel with no
+    driver funnel."""
+    from n2khab_mhq_data_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    path = _jsonl_store(spark, sf_dir)
+    raw = read_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    good, _bad = split_corrupt(raw)
+    # loud in-plan corruption guard: a malformed line can only surface
+    # in `good` as a null doc_id (the source never has one), so any null
+    # key fails the query instead of silently shrinking the result
+    return good.select(
+        F.coalesce(
+            F.col("doc_id"),
+            F.raise_error(
+                F.lit("jsonl roundtrip produced a null doc_id row")
+            ).cast("long"),
+        ).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
     )
 
 

@@ -1,0 +1,118 @@
+"""JSONL (newline-delimited JSON) source and sink.
+
+JSONL is the interchange format of LLM training corpora (one document
+object per line — the shape HuggingFace datasets, Dolma, RedPajama and
+every crawl pipeline publish). The reference's extract surface is
+CSV/TSV (SURVEY.md §2.1 S5/S6/S8/S9); this module is the corpus-side
+analog with the same determinism contract as ``write_vc``/``write_csv2``:
+a given DataFrame always produces byte-identical shard files.
+
+Scale notes:
+- READ is splittable: line-delimited JSON parses per HDFS block (Spark's
+  JSON datasource in default single-line mode), so a 100 TB corpus fans
+  out across all executors — unlike ``multiLine`` JSON, which forces one
+  task per file. The schema is supplied explicitly, which skips the
+  sampling inference pass (one full extra scan at scale) AND pins types
+  against drift in heterogeneous shards.
+- Malformed lines are captured, not dropped: PERMISSIVE mode routes them
+  to a corrupt-record column so the pipeline can count/quarantine them
+  (a crawl corpus ALWAYS has some), while ``read_jsonl_strict`` raises
+  on first corruption for publish-grade inputs.
+- WRITE is shard-parallel: rows are hash-assigned to ``n_shards``
+  writers and sorted within each shard, so output bytes are independent
+  of the incoming partitioning/row order — no ``coalesce(1)`` driver
+  funnel anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> DataFrame:
+    """Read line-delimited JSON with an explicit schema; malformed lines
+    land in ``_corrupt_record`` (all data columns null) instead of being
+    silently dropped. Returns the full frame including the corrupt
+    column — callers split it with ``split_corrupt``.
+
+    Implemented as text scan + ``from_json`` rather than the JSON
+    datasource: the datasource forbids any plan whose pruned scan
+    schema is only the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN), which breaks the most natural quarantine
+    query of all — ``bad.count()``. The text scan is equally
+    line-splittable and ``from_json`` is JVM-side codegen, so nothing
+    is lost at scale; Catalyst still prunes parsed struct fields."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    return (
+        spark.read.text(path)
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": CORRUPT_COL,
+                },
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): good rows with the corrupt column dropped; bad rows
+    kept WHOLE (all data columns null + the raw line in
+    ``_corrupt_record``) for quarantine. The bad leg deliberately keeps
+    every column: Spark refuses a scan whose pruned schema is ONLY the
+    internal corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    RECORD_COLUMN — it could never be populated), and a quarantine sink
+    wants the full row context anyway."""
+    good = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = df.filter(F.col(CORRUPT_COL).isNotNull())
+    return good, bad
+
+
+def read_jsonl_strict(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """FAILFAST read for publish-grade inputs: any malformed line aborts
+    the job (the JSONL analog of the versioned-TSV hash check)."""
+    return (
+        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    )
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    order_by: list[str],
+    n_shards: int = 8,
+    shard_by: list[str] | None = None,
+) -> None:
+    """Deterministic sharded JSONL export: rows are assigned to shards
+    by a hash of ``shard_by`` (default: the sort key) and sorted by
+    ``order_by`` within each shard, so the emitted bytes are a pure
+    function of the data — independent of input partitioning, task
+    scheduling, or cluster size. NaN-free numeric columns round-trip
+    exactly (JSON longs are exact; doubles print shortest-round-trip).
+
+    ``to_json(struct(*))`` keeps serialization JVM-side (codegen), and
+    each shard writes in parallel — the merge step CSV needs for a
+    single file is unnecessary here because JSONL consumers glob."""
+    keys = shard_by or order_by
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), n_shards)
+    (
+        df.withColumn("__shard", shard)
+        .repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", *order_by)
+        .select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )

@@ -636,3 +636,29 @@ def test_mmr_rerank_prefers_diverse_over_duplicate(spark):
     # step2: d2 = 0.3 - 0.7*1 = -0.4 ; d3 = 0.24 - 0.7*0.8 = -0.32 -> d3
     # step3: d2 = -0.4
     assert got == [(1, 1, 0.3), (3, 2, -0.32), (2, 3, -0.4)]
+
+
+def test_char_entropy_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string",
+    )
+    m = char_entropy(F.col("text"))
+    rows = df.select(
+        "doc_id",
+        m["n_chars"].alias("n"),
+        m["n_distinct_chars"].alias("d"),
+        m["entropy_bits"].alias("h"),
+    ).collect()
+    got = {r.doc_id: (r.n, r.d, r.h) for r in rows}
+    assert got[1] == (4, 1, 0.0)            # constant string: H = 0
+    assert got[2][0:2] == (4, 2)
+    assert abs(got[2][2] - 1.0) < 1e-12     # uniform over 2 symbols: 1 bit
+    assert abs(got[3][2] - 2.0) < 1e-12     # uniform over 4 symbols: 2 bits
+    assert got[4] == (0, 0, 0.0)            # empty text: fold over []

@@ -154,3 +154,62 @@ def test_bm25_topk_hand_computed(spark):
 
     assert abs(got[1][2] - round(score(3, 4) + 1e-9, 6)) < 1e-9
     assert abs(got[2][2] - round(score(1, 2) + 1e-9, 6)) < 1e-9
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from n2khab_mhq_data_spark.llmdata.pipeline import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", 10, 1), ("q", 20, 2)], "query_id string, doc long, rank int"
+    )
+    den = spark.createDataFrame(
+        [("q", 20, 1), ("q", 30, 2)], "query_id string, doc long, rank int"
+    )
+    rows = rrf_fuse({"lex": lex, "dense": den}, k=3, c=60).collect()
+    got = {r.doc: (r.rrf_rank, r.n_legs, r.best_rank, r.rrf) for r in rows}
+    # doc 20: both legs (1/62 + 1/61) wins; 10 and 30 tie on score
+    # (1/61 vs 1/62) -> 10 ranks above 30 by score, not by id
+    assert got[20] == (1, 2, 1, round(1 / 62 + 1 / 61 + 1e-9, 6))
+    assert got[10] == (2, 1, 1, round(1 / 61 + 1e-9, 6))
+    assert got[30] == (3, 1, 2, round(1 / 62 + 1e-9, 6))
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    import math
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import retrieval_metrics
+
+    # run for one query: ranks 1..3 = docs 7, 8, 9
+    run = spark.createDataFrame(
+        [("q", 7, 1), ("q", 8, 2), ("q", 9, 3)],
+        "query_id string, doc long, rank int",
+    )
+    # judgments: 8 (grade 2), 9 (grade 1), 99 (grade 1, never retrieved)
+    qrels = spark.createDataFrame(
+        [("q", 8, 2), ("q", 9, 1), ("q", 99, 1)],
+        "query_id string, doc long, rel int",
+    )
+    r = retrieval_metrics(run, qrels, k=10).collect()[0]
+    dcg = 3.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    idcg = 3.0 / math.log2(2.0) + 1.0 / math.log2(3.0) + 1.0 / math.log2(4.0)
+    assert (r.query_id, r.n_hits, r.n_rel) == ("q", 2, 3)
+    assert r.mrr == round(1.0 / 2.0 + 1e-9, 6)
+    assert r.ndcg == round(dcg / idcg + 1e-9, 6)
+    assert r.recall == round(2.0 / 3.0 + 1e-9, 6)
+
+
+def test_retrieval_metrics_zero_hit_query(spark):
+    from n2khab_mhq_data_spark.llmdata.pipeline import retrieval_metrics
+
+    run = spark.createDataFrame(
+        [("q", 7, 1)], "query_id string, doc long, rank int"
+    )
+    qrels = spark.createDataFrame(
+        [("q2", 8, 1)], "query_id string, doc long, rel int"
+    )
+    r = retrieval_metrics(run, qrels, k=10).collect()
+    # every judged query gets a row, zero metrics when nothing relevant
+    assert len(r) == 1
+    assert (r[0].query_id, r[0].n_hits, r[0].mrr, r[0].ndcg, r[0].recall) == (
+        "q2", 0, 0.0, 0.0, 0.0,
+    )

@@ -78,6 +78,13 @@ EXPECTED: dict[str, set[str]] = {
     # MMR candidate generation IS the sim_cosine_topk broadcast cross;
     # the greedy itself is a bounded per-query grouped map (no join)
     "sim_mmr_rerank": {"CARTESIAN"},
+    # RRF's dense leg is the sim_cosine_topk broadcast-query cross and
+    # its lexical leg attaches BM25's 1-row corpus stats (the
+    # text_bm25_topk pattern); the fusion itself is a bounded union+agg
+    "sim_rrf_fusion": {"CARTESIAN"},
+    # the eval run IS sim_cosine_topk (deliberate broadcast-query
+    # cross); metrics join only bounded per-query aggregates
+    "eval_retrieval_metrics": {"CARTESIAN"},
     # circle (x) square observation merge is a full outer join of two
     # large fact sides — SortMergeJoin is the correct strategy (see
     # j4_full_outer)
