@@ -1,0 +1,97 @@
+"""Distributed global order statistics — ranking without the
+single-partition window trap.
+
+``row_number() OVER (ORDER BY ...)`` with no PARTITION BY moves the
+ENTIRE dataset to one task (Spark warns exactly this), which is the
+canonical 100 TB scale-killer. This module implements the TeraSort-style
+two-pass alternative: range-shuffle on the sort key so partitions hold
+disjoint key ranges, count each partition (a bounded P-row driver
+collect), broadcast the cumulative offsets back, and add them to the
+per-partition ``row_number``. Every pass is fully parallel; the only
+driver state is one integer per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach a global 1-based ``row_number`` under the total order
+    ``order_by`` — distributed (no single-partition window).
+
+    The caller's ``order_by`` must be a TOTAL order (include a unique
+    tie-break column): range partitioning keeps equal keys in one
+    partition, and a unique order makes ranks reproducible and range
+    partitions balanced (no single hot key ever exceeds one partition).
+
+    Mechanics: ``repartitionByRange`` is pinned with ``localCheckpoint``
+    so the size-count pass and the ranking pass see the SAME partitioning
+    (the range sampler is not otherwise guaranteed stable across
+    recomputation); partition sizes are a <= P-row collect; offsets come
+    back as a broadcast P-row dimension joined on
+    ``spark_partition_id()``; final rank = offset + within-partition
+    row_number. Two scans of the shuffled data, zero full sorts on one
+    machine — the shape external sort-rank has had since TeraSort."""
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = df.repartitionByRange(p, *order_by).localCheckpoint()
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    sizes = sorted(
+        (r["__pid"], r["c"])
+        for r in with_pid.groupBy("__pid")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, c in sizes:
+        offsets.append((pid, acc))
+        acc += c
+    off_dim = spark.createDataFrame(offsets, "__pid int, __offset long")
+    w = W.partitionBy("__pid").orderBy(*order_by)
+    return (
+        with_pid.join(F.broadcast(off_dim), "__pid")
+        .withColumn(
+            rank_col,
+            (F.col("__offset") + F.row_number().over(w)).cast("long"),
+        )
+        .drop("__pid", "__offset")
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    order_by: list[Column],
+    n_bins: int = 10,
+    bin_col: str = "bin",
+) -> DataFrame:
+    """Assign each row an exact quantile bin 0..n_bins-1 under the total
+    order ``order_by`` — the curriculum/difficulty-binning primitive.
+
+    bin = ((rank - 1) * n_bins) div n_rows — INTEGER arithmetic, so both
+    engines agree exactly and bins differ in size by at most one row.
+    (Deliberately NOT SQL ntile: ntile front-loads its remainder rows
+    while this formula spreads them — the formula is reproducible from
+    (rank, n) alone, which keeps oracles trivial.) Rides
+    :func:`global_rank`, so no single-partition window; the total row
+    count reuses the rank pass's partition sizes via one more bounded
+    aggregation."""
+    ranked = global_rank(df, order_by, rank_col="__rank")
+    n = ranked.agg(F.count("*").alias("__n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn(
+            bin_col,
+            F.expr(f"CAST(((__rank - 1) * {n_bins}) DIV __n AS INT)"),
+        )
+        .drop("__rank", "__n")
+    )

@@ -2294,9 +2294,10 @@ def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_bigram_lm",
-    oracle="""
+# Shared oracle fragment: CTE chain whose final SELECT yields the
+# per-doc bigram-LM table (doc_id, n_scored, mean_logprob rounded) —
+# text_bigram_lm returns it directly; pipeline_curriculum_bins bins it.
+_BIGRAM_LM_SQL = """
     WITH pairs AS (
       SELECT doc_id AS doc, ws[i] AS w1, ws[i + 1] AS w2
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -2318,8 +2319,10 @@ def multimodal_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * 1e-9, 6) AS mean_logprob
     FROM scored, tot
     GROUP BY 1
-    """,
-)
+    """
+
+
+@query("text_bigram_lm", oracle=_BIGRAM_LM_SQL)
 def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean log-probability under a corpus-fit interpolated
     bigram LM (Jelinek-Mercer) — the bigram upgrade of the unigram
@@ -2329,6 +2332,55 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return bigram_lm_logprob(load(spark, sf_dir, "documents"), "text",
                              "doc_id", 0.75)
+
+
+@query(
+    "pipeline_curriculum_bins",
+    oracle=f"""
+    WITH lm AS (
+      SELECT * FROM ({_BIGRAM_LM_SQL})
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY mean_logprob, doc_id) AS r,
+             count(*) OVER () AS n
+      FROM lm
+    ), binned AS (
+      SELECT *, CAST(((r - 1) * 10) // n AS INTEGER) AS bin FROM ranked
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_scored) AS BIGINT) AS n_bigrams,
+           min(mean_logprob) AS lo_logprob,
+           max(mean_logprob) AS hi_logprob
+    FROM binned GROUP BY 1
+    """,
+)
+def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum / difficulty binning: exact deciles of the corpus by
+    bigram-LM fluency (low bins = hardest/noisiest docs — the slices a
+    curriculum schedule orders or a quality sweep drops). Binning rides
+    the distributed two-pass ranker (operators/rank.py::quantile_bins),
+    NOT a global ntile window — the oracle's ``row_number() OVER (ORDER
+    BY ...)`` is exactly the single-partition shape the Spark side
+    refuses to run at 100 TB. Bin boundaries use the ROUNDED LM score
+    (hash-proven identical across engines) with doc_id tie-break, so
+    assignments are engine-exact; bin = ((rank-1)*10) div n is integer
+    arithmetic."""
+    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
+    from n2khab_mhq_data_spark.operators.rank import quantile_bins
+
+    lm = bigram_lm_logprob(
+        load(spark, sf_dir, "documents"), "text", "doc_id", 0.75
+    )
+    binned = quantile_bins(
+        lm, [F.col("mean_logprob").asc(), F.col("doc_id").asc()], 10
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_scored").alias("n_bigrams"),
+        F.min("mean_logprob").alias("lo_logprob"),
+        F.max("mean_logprob").alias("hi_logprob"),
+    )
 
 
 @query(

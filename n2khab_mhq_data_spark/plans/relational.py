@@ -747,6 +747,32 @@ def o2_top_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "o3_global_rank",
+    oracle="""
+    SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM documents
+    """,
+)
+def o3_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 — global ranking WITHOUT the single-partition window trap:
+    documents ranked corpus-wide by length. The oracle is a plain
+    ``row_number() OVER (ORDER BY ...)``; the Spark side is the
+    TeraSort-style two-pass (range shuffle -> bounded per-partition
+    count collect -> broadcast offsets + per-partition row_number,
+    operators/rank.py::global_rank), because the naive global window
+    moves ALL data to one task — the canonical 100 TB scale-killer
+    this operator exists to avoid."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_rank(
+        docs, [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+
+
+@query(
     "j2_inner_join_decode",
     oracle="""
     SELECT n.n_name AS nation,

@@ -267,3 +267,34 @@ def test_scd2_history_collapses_noop_changes(spark):
         ("x", None, 1, 2, False),
         ("x", "c", 2, None, True),
     ]
+
+
+def test_global_rank_matches_single_partition_window(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.operators.rank import (
+        global_rank,
+        quantile_bins,
+    )
+
+    # 97 rows over many input partitions, with duplicate sort keys so
+    # the tie-break path is exercised across range-partition boundaries
+    df = spark.range(97).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(13)
+    got = {
+        r.id: r.rank
+        for r in global_rank(
+            df, [F.col("k").asc(), F.col("id").desc()], num_partitions=5
+        ).collect()
+    }
+    rows = sorted(((i % 7, -i, i) for i in range(97)))
+    want = {i: pos + 1 for pos, (_, _, i) in enumerate(rows)}
+    assert got == want
+
+    # exact decile bins: sizes differ by at most 1, order-respecting
+    b = quantile_bins(df, [F.col("k").asc(), F.col("id").desc()], 10)
+    byid = {r.id: r.bin for r in b.collect()}
+    assert {byid[i] for i in range(97)} == set(range(10))
+    for i in range(97):
+        assert byid[i] == ((want[i] - 1) * 10) // 97

@@ -105,6 +105,10 @@ EXPECTED: dict[str, set[str]] = {
     # same 1-row global-stat attach (corpus n_docs/avgdl scalars onto the
     # query-term postings — the text_tfidf_topk pattern)
     "text_bm25_topk": {"CARTESIAN"},
+    # quantile_bins attaches the 1-row total row count to compute
+    # bin = ((rank-1)*k) div n — the text_tfidf_topk 1-row-stat pattern;
+    # the ranking itself is the distributed two-pass (no global window)
+    "pipeline_curriculum_bins": {"CARTESIAN"},
     # recall@10 of the k-means IVF path recomputes the brute-force
     # baseline (sim_cosine_topk's deliberate broadcast cross join); the
     # IVF side itself has NO cartesian — literal-centroid assignment is a

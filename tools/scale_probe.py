@@ -63,6 +63,10 @@ HEADLINE = [
     "multimodal_video_frames",    # AVI demux + per-frame JPEG decode
     "s7_gpkg_distributed",        # GPKG write + rowid-window read + WKT
     "graph_link_prediction",      # wedge join + anti join (r4 top-10)
+    "text_bm25_topk",             # postings shuffle + pruned retrieval (r5)
+    "sim_rrf_fusion",             # BM25 + cosine legs fused (r5)
+    "text_char_entropy",          # zero-shuffle HOF fold (r5)
+    "s11_jsonl_roundtrip",        # JSONL write + text/from_json read (r5)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
