@@ -161,6 +161,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
 
 
+def _cosine_topk_sql(corpus_where: str = "", k: int = 10) -> str:
+    """Brute-force cosine top-k oracle, optionally over a
+    metadata-filtered corpus slice."""
+    where = f"WHERE {corpus_where}" if corpus_where else ""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ), c AS (
+      SELECT vec_id AS nid, embedding AS cv FROM embeddings {where}
+    ), scored AS (
+      SELECT qid AS query_id, nid AS neighbour_id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+      FROM q, c WHERE nid != qid
+    )
+    SELECT query_id, neighbour_id, rank,
+           round(cos + sign(cos) * 1e-9, 6) AS cosine
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cos DESC, neighbour_id)
+                         AS INTEGER) AS rank
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
 _COSINE_SQL = """
     WITH q AS (
       SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
@@ -193,6 +222,81 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10
+    )
+
+
+@query("ann_filtered_topk", oracle=_cosine_topk_sql("label = 1", 5))
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search: cosine top-5 per query vector
+    restricted to corpus rows with label = 1 — the pre-filter shape
+    every production vector store needs (filter THEN search, so recall
+    is exact over the slice; post-filtering a global top-k silently
+    under-returns). The label predicate is a plain pushed scan filter,
+    so at 100 TB the cross pass touches only the matching fraction of
+    the corpus; everything downstream is the standard bounded top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb.filter(F.col("label") == 1),
+        emb.filter(F.col("vec_id") < 3),
+        "vec_id",
+        "embedding",
+        k=5,
+        dim=64,
+    )
+
+
+@query(
+    "ann_embedding_outliers",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE)
+                    * CAST(embedding[i] AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), m AS (
+      SELECT quantile_cont(nrm, 0.5) AS med FROM v
+    ), d AS (
+      SELECT v.nrm, abs(v.nrm - m.med) AS adev, m.med AS med FROM v, m
+    ), md AS (
+      SELECT quantile_cont(adev, 0.5) AS mad FROM d
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           round(any_value(d.med) + 1e-9, 6) AS med_norm,
+           round(any_value(md.mad) + 1e-9, 6) AS mad_norm,
+           CAST(sum(CASE WHEN 0.6745 * d.adev > 3.5 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM d, md
+    """,
+)
+def ann_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-health audit: robust MAD outlier count over vector
+    norms (Iglewicz-Hoaglin modified z > 3.5, expressed as the
+    division-free 0.6745*|x-med| > 3.5*MAD so a zero MAD cannot divide)
+    — catches corrupt/zeroed/exploded embeddings before they poison
+    ANN indexes or dedup thresholds. Registered with EXACT percentiles
+    for oracle parity; at 100 TB the same plan swaps in
+    approx_percentile (the a15_approx_quantile_audit pattern measures
+    exactly that drift). Norms are one zero-shuffle HOF projection;
+    the two medians are single-scalar aggregations broadcast back."""
+    from n2khab_mhq_data_spark.llmdata.similarity import norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    v = emb.select(norm("embedding", 64).alias("nrm"))
+    med = v.agg(F.expr("percentile(nrm, 0.5)").alias("med"))
+    d = v.join(F.broadcast(med)).select(
+        "nrm", F.abs(F.col("nrm") - F.col("med")).alias("adev"), "med"
+    )
+    mad = d.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    return d.join(F.broadcast(mad)).agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.first("med") + F.lit(1e-9), 6).alias("med_norm"),
+        F.round(F.first("mad") + F.lit(1e-9), 6).alias("mad_norm"),
+        F.sum(
+            F.when(
+                0.6745 * F.col("adev") > 3.5 * F.col("mad"), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_outliers"),
     )
 
 

@@ -1,0 +1,104 @@
+"""Streaming JSONL corpus intake — the front door of a training-data
+pipeline: new shard files land in a directory, each micro-batch parses
+them with corrupt-line quarantine, and the clean rows merge exactly-once
+into the published parquet state.
+
+Composes the repo's existing pieces end to end: the text+from_json
+corrupt-capture parse (sources/jsonl.py), latest-wins incremental merge
+with atomic temp+rename publish (streaming/incremental.py), and an
+append-only quarantine keyed by batch id so every rejected line stays
+inspectable (a crawl feed ALWAYS has some).
+
+Scale: the file source lists only NEW files per trigger (checkpointed),
+text parsing is line-splittable and JVM-side, the merge shuffles one
+key-hash per batch, and quarantine appends are batch-sized. Nothing in
+the loop scans historical state except the merge's published read —
+which is the incremental-merge contract shared with K10.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from n2khab_mhq_data_spark.sources.jsonl import CORRUPT_COL
+from n2khab_mhq_data_spark.streaming.incremental import (
+    publish_state,
+    read_state,
+)
+
+
+def parse_jsonl_stream(
+    spark: SparkSession, path: str, schema: str
+) -> DataFrame:
+    """Streaming analog of sources.jsonl.read_jsonl: readStream.text +
+    from_json with the corrupt column captured (same parse expression,
+    so batch and stream agree line for line)."""
+    full = f"{schema}, {CORRUPT_COL} string"
+    return (
+        spark.readStream.text(path)
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": CORRUPT_COL,
+                },
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
+def jsonl_ingest_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema: str,
+    state_path: str,
+    quarantine_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    checkpoint: str,
+) -> StreamingQuery:
+    """Run the intake: good rows merge latest-wins on ``keys`` ordered
+    by ``order_cols`` desc into ``state_path`` (atomic temp+rename
+    publish — replays converge, crash never truncates state); corrupt
+    lines append to ``quarantine_path`` tagged with their batch id.
+
+    Exactly-once story: file-source checkpointing dedups batch
+    delivery; the merge is idempotent under replay (latest-wins);
+    quarantine is append-only so a replayed batch may duplicate
+    quarantine rows — they carry ``batch_id`` precisely so an auditor
+    can dedup, the same trade CDC audit logs make."""
+    from n2khab_mhq_data_spark.operators.merge import incremental_merge
+
+    parsed = parse_jsonl_stream(spark, source_path, schema)
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        bad = batch.filter(F.col(CORRUPT_COL).isNotNull())
+        good = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+        (
+            bad.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(quarantine_path)
+        )
+        published = read_state(s, state_path)
+        if published is None:
+            published = good.limit(0)
+        merged = incremental_merge(
+            published,
+            good,
+            keys,
+            [F.col(c).desc() for c in order_cols],
+        )
+        publish_state(s, state_path, merged)
+
+    return (
+        parsed.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

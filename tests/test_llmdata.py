@@ -662,3 +662,33 @@ def test_char_entropy_hand_computed(spark):
     assert abs(got[2][2] - 1.0) < 1e-12     # uniform over 2 symbols: 1 bit
     assert abs(got[3][2] - 2.0) < 1e-12     # uniform over 4 symbols: 2 bits
     assert got[4] == (0, 0, 0.0)            # empty text: fold over []
+
+
+def test_embedding_outlier_audit_flags_planted_corruption(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.similarity import norm
+
+    # 50 unit-norm-ish vectors + one exploded and one zeroed vector
+    rows = [(i, [1.0, 1.0]) for i in range(50)]
+    rows += [(100, [1000.0, 0.0]), (101, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    v = emb.select(norm("embedding", 2).alias("nrm"))
+    med = v.agg(F.expr("percentile(nrm, 0.5)").alias("med"))
+    d = v.join(F.broadcast(med)).select(
+        "nrm", F.abs(F.col("nrm") - F.col("med")).alias("adev"), "med"
+    )
+    mad = d.agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    r = (
+        d.join(F.broadcast(mad))
+        .agg(
+            F.sum(
+                F.when(0.6745 * F.col("adev") > 3.5 * F.col("mad"), 1)
+                .otherwise(0)
+            ).alias("n_out")
+        )
+        .collect()[0]
+    )
+    # MAD = 0 (majority identical): the division-free form flags exactly
+    # the two planted corruptions and cannot divide by zero
+    assert r.n_out == 2

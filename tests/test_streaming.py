@@ -1003,3 +1003,60 @@ def test_snapshot_stream_publishes_versions_exactly_once(spark, tmp_path):
     assert [r.version for r in snapshot_log(spark, store).collect()] == [1, 2]
     # time travel to the pre-merge state still works
     assert {r.k for r in read_snapshot(spark, store, 1).collect()} == {1, 2}
+
+
+def test_jsonl_ingest_stream_quarantine_and_merge(spark, tmp_path):
+    from n2khab_mhq_data_spark.streaming.ingest import jsonl_ingest_stream
+
+    src = tmp_path / "in"
+    state = tmp_path / "state"
+    quar = tmp_path / "quarantine"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    schema = "doc_id long, text string, rev long"
+
+    # shard 1: two good lines and one corrupt line
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha", "rev": 1}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "beta", "rev": 1}\n'
+    )
+    q = jsonl_ingest_stream(
+        spark, str(src), schema, str(state), str(quar),
+        ["doc_id"], ["rev"], str(ckpt),
+    )
+    q.awaitTermination(120)
+
+    s1 = {(r.doc_id, r.text, r.rev)
+          for r in spark.read.parquet(str(state)).collect()}
+    assert s1 == {(1, "alpha", 1), (2, "beta", 1)}
+    bad = spark.read.parquet(str(quar)).collect()
+    assert len(bad) == 1 and bad[0]._corrupt_record == "THIS IS NOT JSON"
+
+    # shard 2: update doc 1 (rev 2 wins), insert doc 3
+    (src / "b.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha-v2", "rev": 2}\n'
+        '{"doc_id": 3, "text": "gamma", "rev": 1}\n'
+    )
+    q = jsonl_ingest_stream(
+        spark, str(src), schema, str(state), str(quar),
+        ["doc_id"], ["rev"], str(ckpt),
+    )
+    q.awaitTermination(120)
+
+    s2 = {(r.doc_id, r.text, r.rev)
+          for r in spark.read.parquet(str(state)).collect()}
+    assert s2 == {(1, "alpha-v2", 2), (2, "beta", 1), (3, "gamma", 1)}
+
+    # replay with the same checkpoint and no new files: state unchanged,
+    # quarantine not double-appended (file source dedups delivery)
+    q = jsonl_ingest_stream(
+        spark, str(src), schema, str(state), str(quar),
+        ["doc_id"], ["rev"], str(ckpt),
+    )
+    q.awaitTermination(120)
+    s3 = {(r.doc_id, r.text, r.rev)
+          for r in spark.read.parquet(str(state)).collect()}
+    assert s3 == s2
+    assert spark.read.parquet(str(quar)).count() == 1

@@ -85,6 +85,12 @@ EXPECTED: dict[str, set[str]] = {
     # the eval run IS sim_cosine_topk (deliberate broadcast-query
     # cross); metrics join only bounded per-query aggregates
     "eval_retrieval_metrics": {"CARTESIAN"},
+    # filtered vector search: the sim_cosine_topk broadcast-query cross
+    # over the label-pruned corpus slice (predicate pushed to the scan)
+    "ann_filtered_topk": {"CARTESIAN"},
+    # two 1-row scalar attaches (median, MAD) onto the norm stream —
+    # the text_tfidf_topk global-stat pattern, twice
+    "ann_embedding_outliers": {"CARTESIAN"},
     # circle (x) square observation merge is a full outer join of two
     # large fact sides — SortMergeJoin is the correct strategy (see
     # j4_full_outer)
