@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def cooccurrence_edges(
@@ -158,6 +159,52 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             6,
         ).alias("global_cc"),
     )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. '07) over an
+    undirected ``(a, b)`` edge list: every node starts labeled with its
+    own id; each of the ``iters`` rounds relabels every node with the
+    most frequent label among its neighbours, ties broken toward the
+    SMALLEST label. Finds density-based communities — a different
+    grouping than connected components (which merge through any single
+    bridge edge), and the cheap first cut at "near-dup neighbourhoods"
+    / item communities in a co-purchase graph.
+
+    Determinism: synchronous updates + fixed iteration count + min-label
+    tie-break make the result a pure integer function of the edge list,
+    so a SQL oracle unrolls the same rounds exactly. Scale: the directed
+    edge list is built once and localCheckpoint'ed; every round is ONE
+    shuffle (labels join edges on src — shuffle_hash, no per-round sort
+    — then a map-side-combinable count per (dst, label) and a bounded
+    per-dst argmax window). Labels are relabeled per round, never
+    accumulated, so state stays one row per node."""
+    de = (
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .repartition("src")
+        .localCheckpoint()
+    )
+    labels = de.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = W.partitionBy("dst").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(iters):
+        counts = (
+            de.join(
+                labels.hint("shuffle_hash"), de["src"] == labels["node"]
+            )
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("n"))
+        )
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+    return labels.select("node", F.col("label").alias("community"))
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFrame:

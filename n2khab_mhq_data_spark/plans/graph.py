@@ -196,6 +196,48 @@ def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle(iters: int = 3) -> str:
+    """Unrolled synchronous label propagation: one CTE pair per round
+    (neighbour-label counts -> min-label argmax). Integer-only — zero
+    float drift possible."""
+    body = _EDGES_SQL + """
+    , de AS (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+    ), l0 AS (
+      SELECT DISTINCT src AS node, src AS label FROM de
+    )
+    """
+    for k in range(iters):
+        body += f""", l{k + 1} AS (
+      SELECT node, label FROM (
+        SELECT de.dst AS node, l.label,
+               row_number() OVER (PARTITION BY de.dst
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM de JOIN l{k} l ON l.node = de.src
+        GROUP BY de.dst, l.label
+      ) WHERE rn = 1
+    )
+    """
+    return body + f"""
+    SELECT node, label AS community FROM l{iters}
+    """
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 3 rounds of synchronous label propagation
+    (min-label tie-break) over the support-pruned co-purchase graph —
+    density-based communities, the complement of connected components
+    (which merge through any bridge edge). One shuffle per round on the
+    checkpointed edge list (operators/graph.py::label_propagation);
+    integer-only, so the unrolled SQL oracle reproduces it exactly."""
+    from n2khab_mhq_data_spark.operators.graph import label_propagation
+
+    edges = _copurchase_edges(spark, sf_dir).select("a", "b")
+    return label_propagation(edges, iters=3)
+
+
 def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
     """Unrolled power-iteration SQL: r_{k+1}(v) = (1-d)/n +
     d * sum_{u->v} r_k(u)/deg(u). One CTE per iteration."""

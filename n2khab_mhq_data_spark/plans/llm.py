@@ -32,7 +32,9 @@ from n2khab_mhq_data_spark.llmdata.similarity import (
     ann_topk_bucketed,
     cosine_pairs_bucketed,
     cosine_topk,
+    dot,
     ivf_topk,
+    norm,
 )
 from n2khab_mhq_data_spark.llmdata.text import (
     fingerprint,
@@ -222,6 +224,71 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10
+    )
+
+
+@query(
+    "dedup_decontaminate_semantic",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS nid, embedding AS cv FROM embeddings
+      WHERE vec_id >= 10
+    ), s AS (
+      SELECT nid, max(
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))))) AS m
+      FROM q, c GROUP BY nid
+    )
+    SELECT nid AS vec_id,
+           round(m + sign(m) * 1e-9, 6) AS max_cos,
+           round(m + sign(m) * 1e-9, 6) >= 0.35 AS contaminated
+    FROM s
+    """,
+)
+def dedup_decontaminate_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semantic decontamination: every corpus vector scored by its max
+    cosine to the (broadcast) eval-set embeddings, flagged above
+    threshold — the embedding-space complement of the n-gram
+    decontamination gate (dedup_decontaminate), catching paraphrased
+    eval leakage that exact grams miss. Threshold 0.35 is calibrated to
+    this synthetic corpus (near-orthogonal vectors top out ~0.49) so
+    both branches are exercised. Eval sets are small by nature →
+    broadcast; the corpus never shuffles except the map-side-combinable
+    per-vector max; at 100 TB the same gate routes through the banded
+    LSH candidates first (dedup_embedding_cosine's path) instead of
+    scoring every corpus row."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        norm("embedding", 64).alias("qnrm"),
+    )
+    c = emb.filter(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("cvec"),
+        norm("embedding", 64).alias("cnrm"),
+    )
+    cos = dot("qvec", "cvec", 64) / (F.col("qnrm") * F.col("cnrm"))
+    m = (
+        c.join(F.broadcast(q))
+        .select("nid", cos.alias("cos"))
+        .groupBy("nid")
+        .agg(F.max("cos").alias("m"))
+    )
+    mc = F.round(F.col("m") + F.signum("m") * 1e-9, 6)
+    return m.select(
+        F.col("nid").alias("vec_id"),
+        mc.alias("max_cos"),
+        (mc >= 0.35).alias("contaminated"),
     )
 
 
@@ -2052,6 +2119,65 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return sliding_chunks(docs, "text", "doc_id", size=5, stride=3)
+
+
+@query(
+    "text_chunk_stitch",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(text, '\\. ') AS s FROM documents
+    )
+    SELECT doc_id,
+           CAST((len(s) + 2) // 3 AS BIGINT) AS n_chunks,
+           CAST(len(s) AS BIGINT) AS n_sentences,
+           TRUE AS ok
+    FROM t
+    """,
+)
+def text_chunk_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking-integrity proof: reassemble every document from its
+    overlapping sliding chunks (text_chunk_sliding's 5/3 windows) by
+    global sentence index and compare byte-for-byte against the
+    original. The invariant a RAG pipeline depends on — the chunk store
+    alone can reconstruct the corpus (no stranded sentences, no
+    overlap corruption). The oracle STATES the invariant (ok = TRUE,
+    the exact chunk/sentence counts); the Spark side EARNS it by actual
+    reconstruction, so any chunking regression hash-fails. One shuffle
+    on doc_id; per-group state is bounded by document size."""
+    from n2khab_mhq_data_spark.llmdata.text import sliding_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    ch = sliding_chunks(docs, "text", "doc_id", size=5, stride=3)
+    sent = ch.select(
+        "doc_id",
+        "chunk_idx",
+        F.posexplode(F.split("chunk_text", r"\. ")).alias("pos", "sent"),
+    ).select(
+        "doc_id",
+        (F.col("chunk_idx") * 3 + F.col("pos")).alias("gidx"),
+        "sent",
+    ).distinct()
+    rec = sent.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gidx", "sent"))),
+                lambda x: x["sent"],
+            ),
+            ". ",
+        ).alias("rec"),
+        F.count("*").alias("n_sentences"),
+    )
+    n_chunks = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    return (
+        docs.join(rec, "doc_id")
+        .join(n_chunks, "doc_id")
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_sentences",
+            (F.col("rec") == F.col("text")).alias("ok"),
+        )
+    )
 
 
 @query(

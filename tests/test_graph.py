@@ -218,3 +218,21 @@ def test_pagerank_empty_edge_list_returns_empty(spark):
     out = pagerank(spark.createDataFrame([], "a long, b long"), iters=2)
     assert out.count() == 0
     assert out.columns == ["node", "pagerank"]
+
+
+def test_label_propagation_two_communities(spark):
+    from n2khab_mhq_data_spark.operators.graph import label_propagation
+
+    # two dense triangles joined by one bridge edge: connected
+    # components would merge them; LPA keeps two communities
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)],
+        "a long, b long",
+    )
+    got = {
+        r.node: r.community
+        for r in label_propagation(edges, iters=3).collect()
+    }
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11] == got[12]
+    assert got[1] != got[10]

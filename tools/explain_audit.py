@@ -88,6 +88,10 @@ EXPECTED: dict[str, set[str]] = {
     # filtered vector search: the sim_cosine_topk broadcast-query cross
     # over the label-pruned corpus slice (predicate pushed to the scan)
     "ann_filtered_topk": {"CARTESIAN"},
+    # eval embeddings broadcast against the corpus scan — quadratic side
+    # bounded by the (small) eval set; the banded-LSH route is the
+    # documented 100 TB path
+    "dedup_decontaminate_semantic": {"CARTESIAN"},
     # two 1-row scalar attaches (median, MAD) onto the norm stream —
     # the text_tfidf_topk global-stat pattern, twice
     "ann_embedding_outliers": {"CARTESIAN"},
