@@ -471,23 +471,28 @@ def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col).repartition(sc.defaultParallelism, id_col)
 
 
-def png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def png_payloads(
+    df: DataFrame, id_col: str = "doc_id", key_mod: int | None = None
+) -> DataFrame:
     """REAL image payloads for the decode queries: one 8-bit grayscale
-    PNG per row, pixel(r, c) = (id + 7r + 13c) mod 256 at
-    (8 + id%5) x (8 + id%3) — integer arithmetic, so a SQL oracle can
-    re-derive every decoded statistic without touching the bytes."""
+    PNG per row, pixel(r, c) = (k + 7r + 13c) mod 256 at
+    (8 + k%5) x (8 + k%3) — integer arithmetic, so a SQL oracle can
+    re-derive every decoded statistic without touching the bytes.
+    k = id by default; ``key_mod`` folds it to id % key_mod so rows
+    sharing a key carry byte-identical PNGs (planted duplicates for the
+    image-dedup queries)."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
-                did = int(did)
-                w, h = 8 + did % 5, 8 + did % 3
+                k = int(did) if key_mod is None else int(did) % key_mod
+                w, h = 8 + k % 5, 8 + k % 3
                 r = np.arange(h)[:, None]
                 c = np.arange(w)[None, :]
                 payloads.append(
-                    encode_png(((did + 7 * r + 13 * c) % 256))
+                    encode_png(((k + 7 * r + 13 * c) % 256))
                 )
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "payload": payloads}
@@ -496,6 +501,40 @@ def png_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _spread_ids(df, id_col).mapInPandas(
         op, "doc_id long, payload binary"
     )
+
+
+def image_dhash(binary_df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded rasters: decode the
+    PNG, nearest-neighbour-resize to 8x8, set bit (r, c) when
+    pixel(r, c) > pixel(r, c+1) — 8 rows x 7 comparisons = a 56-bit
+    signature (deliberately under 63 bits so the hash stays a plain
+    non-negative BIGINT in any engine; dedup quality is unaffected).
+    Identical images hash identically byte-for-byte; near-identical
+    images differ in few bits (Hamming-ball matching is the banded-LSH
+    extension). One Arrow pass, zero shuffle — the hash is computed
+    inside the scan like every other decode query."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rw = np.arange(8)
+        weights = 1 << (np.arange(8)[:, None] * 7 + np.arange(7)[None, :])
+        for pdf in batches:
+            hashes = []
+            for raw in pdf["payload"]:
+                g = decode_png(bytes(raw))
+                if g.ndim == 3:  # RGB -> integer-mean luma
+                    g = g.astype(np.int64).sum(axis=2) // 3
+                h, w = g.shape
+                small = g[
+                    np.ix_((rw * h) // 8, (rw * w) // 8)
+                ].astype(np.int64)
+                bits = (small[:, :-1] > small[:, 1:]).astype(np.int64)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "dhash": hashes}
+            )
+
+    return binary_df.mapInPandas(op, "doc_id long, dhash long")
 
 
 def image_stats(binary_df: DataFrame, fmt: str = "png") -> DataFrame:

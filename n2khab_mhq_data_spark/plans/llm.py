@@ -906,6 +906,68 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_dedup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id % 50 AS k,
+             8 + (doc_id % 50) % 5 AS w, 8 + (doc_id % 50) % 3 AS h
+      FROM documents
+    ), rr AS (SELECT unnest(range(0, 8)) AS r),
+    cc AS (SELECT unnest(range(0, 8)) AS c),
+    g AS (
+      SELECT d.doc_id, rr.r, cc.c,
+             (d.k + 7 * ((rr.r * d.h) // 8)
+                  + 13 * ((cc.c * d.w) // 8)) % 256 AS v
+      FROM dims d, rr, cc
+    ), bits AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM g a
+      JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 7
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << (r * 7 + c)))
+                  AS BIGINT) AS dhash
+      FROM bits GROUP BY 1
+    )
+    SELECT doc_id, dhash,
+           min(doc_id) OVER (PARTITION BY dhash) AS canonical,
+           CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT)
+             AS group_size
+    FROM h
+    """,
+)
+def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual difference-hash over REAL
+    decoded PNGs: payloads are planted with duplicates (image keyed on
+    doc_id % 50, so ~10 docs share each byte-identical image at
+    sf0.01), every raster is actually decoded + resized + dHashed
+    (llmdata/multimodal.py::image_dhash), and hash-equal groups get a
+    canonical representative — the image-dedup primitive of a
+    multimodal curation pipeline. The oracle re-derives the 56-bit
+    signature from the pixel arithmetic alone (integer-only, zero
+    drift), so a hash match proves the decode -> resize -> dHash
+    pipeline bit-exact. Grouping is one shuffle on the hash; Hamming-
+    ball near-matching is the banded extension (split the 56 bits into
+    bands, join on band equality — the SimHash path)."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        image_dhash,
+        png_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    h = image_dhash(png_payloads(docs, key_mod=50))
+    wd = W.partitionBy("dhash")
+    return h.select(
+        "doc_id",
+        "dhash",
+        F.min("doc_id").over(wd).alias("canonical"),
+        F.count("*").over(wd).alias("group_size"),
+    )
+
+
+@query(
     "multimodal_image_resize",
     oracle="""
     WITH dims AS (

@@ -297,6 +297,45 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"lex": lex, "dense": den}, k=5, c=60)
 
 
+@query(
+    "pipeline_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY (((doc_id * 131071 + 42 * 524287) % 1000003)
+                       + 1000003) % 1000003,
+                      doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def pipeline_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle: every document gets a
+    reproducible training-order position — rerunning data prep yields
+    byte-identical loader order (the reproducibility contract of a
+    training run), with no RNG state to carry. Order key is the repo's
+    portable integer hash (seed folded in), position assignment is the
+    distributed two-pass ranker (operators/rank.py::global_rank) — the
+    oracle's global row_number window is exactly the single-task shape
+    the Spark side avoids."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import HASH_PRIME
+    from n2khab_mhq_data_spark.operators.rank import global_rank
+
+    seed = 42
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    key = F.pmod(
+        F.pmod(
+            F.col("doc_id") * 131071 + seed * 524287, F.lit(HASH_PRIME)
+        ),
+        F.lit(HASH_PRIME),
+    )
+    ranked = global_rank(
+        docs.withColumn("__key", key),
+        [F.col("__key").asc(), F.col("doc_id").asc()],
+        rank_col="shuffle_pos",
+    )
+    return ranked.select("doc_id", "shuffle_pos")
+
+
 def _jsonl_store(spark: SparkSession, sf_dir: str) -> str:
     """Fingerprinted scratch JSONL export of the documents table —
     rebuilt only when the source parquet changes."""

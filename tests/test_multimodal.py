@@ -489,3 +489,46 @@ def test_gif_roundtrips_and_width_growth():
     # dispatch integration
     m = decode_image(encode_gif(big))
     assert (m["format"], m["width"], m["height"]) == ("gif", 7680, 80)
+
+
+def test_image_dhash_groups_planted_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        image_dhash,
+        png_payloads,
+    )
+
+    docs = spark.range(30).select(F.col("id").alias("doc_id"))
+    h = image_dhash(png_payloads(docs, key_mod=10))
+    rows = {r.doc_id: r.dhash for r in h.collect()}
+    # doc_id % 10 keys byte-identical images -> identical hashes
+    for i in range(30):
+        assert rows[i] == rows[i % 10]
+    # 10 distinct planted images -> hashes non-negative, under 2^56
+    assert all(0 <= v < (1 << 56) for v in rows.values())
+
+
+def test_image_dhash_flips_on_pixel_change(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        encode_png,
+        image_dhash,
+    )
+    import numpy as np
+
+    base = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3) % 256
+    tweaked = base.copy()
+    tweaked[0, :4] = 255  # strong local gradient flip
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "payload": [encode_png(base), encode_png(base),
+                         encode_png(tweaked)]}
+        )
+    )
+    got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
