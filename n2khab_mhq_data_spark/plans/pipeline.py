@@ -1273,7 +1273,7 @@ def _optimize_store(spark: SparkSession, sf_dir: str) -> str:
 @query(
     "s8_snapshot_optimize",
     oracle="""
-    SELECT v.version,
+    SELECT CAST(v.version AS INTEGER) AS version,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(c_custkey) AS BIGINT) AS sum_key,
            CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations

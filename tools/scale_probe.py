@@ -67,6 +67,10 @@ HEADLINE = [
     "sim_rrf_fusion",             # BM25 + cosine legs fused (r5)
     "text_char_entropy",          # zero-shuffle HOF fold (r5)
     "s11_jsonl_roundtrip",        # JSONL write + text/from_json read (r5)
+    "o3_global_rank",             # TeraSort two-pass global ranking (r5)
+    "graph_lpa_communities",      # 1 shuffle per LPA round (r5)
+    "multimodal_image_dedup",     # real decode + dHash + hash groupBy (r5)
+    "text_chunk_stitch",          # chunk fan-out + doc-grain stitch (r5)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
