@@ -1956,6 +1956,35 @@ def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_BIGRAM_LM: dict[tuple, DataFrame] = {}
+
+
+def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized RAW per-doc bigram-LM fluency table (doc_id, n_scored,
+    mean_logprob unrounded) — the shared intermediate of THREE consumers
+    (text_bigram_lm, the adaptive quality gate's percentile threshold,
+    curriculum binning). Same lifecycle as the near-dup pair memo: a
+    real pipeline scores the corpus with its LM once, not per consumer;
+    localCheckpoint'ed (doc-grain, far smaller than the bigram stream),
+    keyed by the documents parquet fingerprint, dead-session entries
+    evicted wholesale. bench.py times the build as a declared step."""
+    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
+
+    for k in [
+        k for k, v in _BIGRAM_LM.items() if v.sparkSession is not spark
+    ]:
+        del _BIGRAM_LM[k]
+    key = (sf_dir, _docs_fingerprint(sf_dir))
+    df = _BIGRAM_LM.get(key)
+    if df is None:
+        df = bigram_lm_logprob(
+            load(spark, sf_dir, "documents"), "text", "doc_id", 0.75,
+            rounded=False,
+        ).localCheckpoint()
+        _BIGRAM_LM[key] = df
+    return df
+
+
 def memo_warm(sf_dir: str) -> dict[str, bool]:
     """Which build-step memos are already populated for ``sf_dir`` —
     bench.py records this per query so per-query timings declare whether
@@ -1968,6 +1997,7 @@ def memo_warm(sf_dir: str) -> dict[str, bool]:
     ekey = (sf_dir, _embeddings_fingerprint(sf_dir))
     return {
         "near_pairs": dkey in _NEAR_PAIRS,
+        "bigram_lm": dkey in _BIGRAM_LM,
         "bpe_merges": dkey in _BPE_MERGES,
         "kmeans_cents": ekey in _KMEANS_CENTS,
         "copurchase_edges": (
@@ -2619,11 +2649,14 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc mean log-probability under a corpus-fit interpolated
     bigram LM (Jelinek-Mercer) — the bigram upgrade of the unigram
     fluency signal; counts attach as windows over one bigram stream, no
-    vocabulary-sized join."""
-    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
-
-    return bigram_lm_logprob(load(spark, sf_dir, "documents"), "text",
-                             "doc_id", 0.75)
+    vocabulary-sized join. Reads the memoized raw LM table (three
+    consumers share the one corpus scoring pass) and rounds on top."""
+    m = F.col("mean_logprob")
+    return _bigram_lm(spark, sf_dir).select(
+        "doc_id",
+        "n_scored",
+        F.round(m + F.signum(m) * 1e-9, 6).alias("mean_logprob"),
+    )
 
 
 @query(
@@ -2658,11 +2691,13 @@ def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-proven identical across engines) with doc_id tie-break, so
     assignments are engine-exact; bin = ((rank-1)*10) div n is integer
     arithmetic."""
-    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
     from n2khab_mhq_data_spark.operators.rank import quantile_bins
 
-    lm = bigram_lm_logprob(
-        load(spark, sf_dir, "documents"), "text", "doc_id", 0.75
+    m = F.col("mean_logprob")
+    lm = _bigram_lm(spark, sf_dir).select(
+        "doc_id",
+        "n_scored",
+        F.round(m + F.signum(m) * 1e-9, 6).alias("mean_logprob"),
     )
     binned = quantile_bins(
         lm, [F.col("mean_logprob").asc(), F.col("doc_id").asc()], 10
@@ -2814,11 +2849,10 @@ def pipeline_adaptive_quality_gate(spark: SparkSession, sf_dir: str) -> DataFram
     is #sources rows — broadcast back onto the doc scores."""
     from pyspark.sql.window import Window as W
 
-    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
-
     docs = load(spark, sf_dir, "documents")
-    lp = bigram_lm_logprob(docs, "text", "doc_id", 0.75, rounded=False)\
-        .select("doc_id", F.col("mean_logprob").alias("lp_r"))
+    lp = _bigram_lm(spark, sf_dir).select(
+        "doc_id", F.col("mean_logprob").alias("lp_r")
+    )
     ws_docs = docs.select("doc_id", "source")
     scored = ws_docs.join(lp, "doc_id")
     cut = scored.groupBy("source").agg(
