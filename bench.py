@@ -41,6 +41,12 @@ def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
     llm._bigram_lm(spark, sf_dir).count()
     steps["bigram_lm"] = round(time.time() - t0, 3)
     t0 = time.time()
+    from n2khab_mhq_data_spark.plans import pipeline as pl
+
+    tf, dl = pl._bm25_index(spark, sf_dir)
+    tf.count()
+    steps["bm25_index"] = round(time.time() - t0, 3)
+    t0 = time.time()
     llm._bpe_merges(spark, sf_dir)
     steps["bpe_merges"] = round(time.time() - t0, 3)
     t0 = time.time()

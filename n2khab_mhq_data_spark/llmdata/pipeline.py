@@ -139,6 +139,26 @@ def tfidf_topk(
     )
 
 
+def bm25_index(
+    df: DataFrame, text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """The corpus-side BM25 artifacts — the (doc, term, tf) postings
+    table and the (doc, dl) doc-length table. Query-independent, so a
+    retrieval pipeline materializes them ONCE per corpus version (this
+    is literally what building a search index means); bm25_topk accepts
+    them prebuilt via ``index=``."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    doclen = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    return tf, doclen
+
+
 def bm25_topk(
     df: DataFrame,
     queries_df: DataFrame,
@@ -147,6 +167,7 @@ def bm25_topk(
     k: int = 5,
     k1: float = 1.2,
     b: float = 0.75,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval: top-k documents per query (Robertson/
     Sparck-Jones idf as used by Lucene, always positive):
@@ -169,15 +190,9 @@ def bm25_topk(
     a bounded per-query window. Nothing is ever all-docs x all-queries.
     Scores eps-rounded for engine portability; ranking compares raw
     doubles (libm ln agrees to the ulp — the tfidf_topk precedent)."""
-    tf = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(tokens(F.col(text_col))).alias("term"),
-        )
-        .groupBy("doc", "term")
-        .agg(F.count("*").alias("tf"))
+    tf, doclen = index if index is not None else bm25_index(
+        df, text_col, id_col
     )
-    doclen = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     stats = doclen.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),

@@ -1995,9 +1995,12 @@ def memo_warm(sf_dir: str) -> dict[str, bool]:
 
     dkey = (sf_dir, _docs_fingerprint(sf_dir))
     ekey = (sf_dir, _embeddings_fingerprint(sf_dir))
+    from n2khab_mhq_data_spark.plans import pipeline as pl
+
     return {
         "near_pairs": dkey in _NEAR_PAIRS,
         "bigram_lm": dkey in _BIGRAM_LM,
+        "bm25_index": dkey in pl._BM25_IDX,
         "bpe_merges": dkey in _BPE_MERGES,
         "kmeans_cents": ekey in _KMEANS_CENTS,
         "copurchase_edges": (
