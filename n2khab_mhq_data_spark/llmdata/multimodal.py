@@ -472,28 +472,58 @@ def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
 
 
 def png_payloads(
-    df: DataFrame, id_col: str = "doc_id", key_mod: int | None = None
+    df: DataFrame,
+    id_col: str = "doc_id",
+    key_mod: int | None = None,
+    perturb: bool = False,
+    textured: bool = False,
+    key_div: int | None = None,
 ) -> DataFrame:
     """REAL image payloads for the decode queries: one 8-bit grayscale
     PNG per row, pixel(r, c) = (k + 7r + 13c) mod 256 at
     (8 + k%5) x (8 + k%3) — integer arithmetic, so a SQL oracle can
     re-derive every decoded statistic without touching the bytes.
-    k = id by default; ``key_mod`` folds it to id % key_mod so rows
-    sharing a key carry byte-identical PNGs (planted duplicates for the
-    image-dedup queries)."""
+    k = id by default; ``key_mod`` folds it to id % key_mod, and
+    ``key_div`` to id // key_div, so rows sharing a key carry
+    byte-identical PNGs (planted duplicates for the image-dedup
+    queries — key_div keeps GROUP SIZE constant as the corpus grows,
+    so planted pair counts stay linear in corpus size, key_mod grows
+    groups linearly); ``perturb`` additionally edits pixel (0, 0) on
+    every second replica (planted NEAR-duplicates for the
+    Hamming-banded matcher). ``textured`` switches to the quadratic
+    pattern (k + 37r^2 + 73c^2 + 11rc) mod 256 whose mod-wrap positions
+    depend on k — the smooth gradient's dHash collapses to ~0 for every
+    image (monotone rows have no sign changes), which is fine for
+    stats/resize but makes hash-dedup degenerate; the textured pattern
+    gives distinct keys distinct signatures."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
-                k = int(did) if key_mod is None else int(did) % key_mod
+                did = int(did)
+                if key_div is not None:
+                    k = did // key_div
+                elif key_mod is not None:
+                    k = did % key_mod
+                else:
+                    k = did
                 w, h = 8 + k % 5, 8 + k % 3
                 r = np.arange(h)[:, None]
                 c = np.arange(w)[None, :]
-                payloads.append(
-                    encode_png(((k + 7 * r + 13 * c) % 256))
-                )
+                if textured:
+                    img = (k + 37 * r * r + 73 * c * c + 11 * r * c) % 256
+                else:
+                    img = (k + 7 * r + 13 * c) % 256
+                grouped = key_mod is not None or key_div is not None
+                if perturb and grouped and did % 2:
+                    # near-duplicate: one strong pixel edit at (0, 0) —
+                    # flips at most ONE dHash bit (only resized cell
+                    # (0,0) samples source (0,0))
+                    img = img.copy()
+                    img[0, 0] = (img[0, 0] + 200) % 256
+                payloads.append(encode_png(img))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col], "payload": payloads}
             )
@@ -535,6 +565,55 @@ def image_dhash(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.mapInPandas(op, "doc_id long, dhash long")
+
+
+def dhash_near_pairs(
+    hashes: DataFrame, bands: int = 4, max_hamming: int = 2
+) -> DataFrame:
+    """Hamming-ball near-duplicate pairs over dHash signatures via
+    banded candidate generation — the SimHash scale path applied to
+    images: split the 56-bit hash into ``bands`` 14-bit bands; two
+    images whose Hamming distance is <= bands-1 MUST agree on at least
+    one whole band (pigeonhole), so the band-equality join captures
+    every pair within ``max_hamming`` < bands without ever comparing
+    all pairs. Candidates then verify by exact popcount of the XOR.
+    One shuffle per band on the band value; candidate volume tracks
+    duplicate density, not corpus size squared."""
+    width = 56 // bands
+    mask = (1 << width) - 1
+    b = F.explode(
+        F.array(*[F.lit(i) for i in range(bands)])
+    ).alias("b")
+    banded = hashes.select("doc_id", "dhash", b).select(
+        "doc_id",
+        "dhash",
+        "b",
+        F.expr(f"shiftright(dhash, {width} * b) & {mask}").alias("bv"),
+    )
+    left = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash").alias("ha"),
+        "b",
+        "bv",
+    )
+    right = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash").alias("hb"),
+        "b",
+        "bv",
+    )
+    cand = (
+        left.join(right, ["b", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr("bit_count(ha ^ hb)")
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
 
 
 def image_stats(binary_df: DataFrame, fmt: str = "png") -> DataFrame:

@@ -909,15 +909,17 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_image_dedup",
     oracle="""
     WITH dims AS (
-      SELECT doc_id, doc_id % 50 AS k,
-             8 + (doc_id % 50) % 5 AS w, 8 + (doc_id % 50) % 3 AS h
+      SELECT doc_id, doc_id // 10 AS k,
+             8 + (doc_id // 10) % 5 AS w, 8 + (doc_id // 10) % 3 AS h
       FROM documents
     ), rr AS (SELECT unnest(range(0, 8)) AS r),
     cc AS (SELECT unnest(range(0, 8)) AS c),
     g AS (
       SELECT d.doc_id, rr.r, cc.c,
-             (d.k + 7 * ((rr.r * d.h) // 8)
-                  + 13 * ((cc.c * d.w) // 8)) % 256 AS v
+             (d.k + 37 * ((rr.r * d.h) // 8) * ((rr.r * d.h) // 8)
+                  + 73 * ((cc.c * d.w) // 8) * ((cc.c * d.w) // 8)
+                  + 11 * ((rr.r * d.h) // 8) * ((cc.c * d.w) // 8))
+               % 256 AS v
       FROM dims d, rr, cc
     ), bits AS (
       SELECT a.doc_id, a.r, a.c,
@@ -941,8 +943,8 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection by perceptual difference-hash over REAL
     decoded PNGs: payloads are planted with duplicates (image keyed on
-    doc_id % 50, so ~10 docs share each byte-identical image at
-    sf0.01), every raster is actually decoded + resized + dHashed
+    doc_id // 10, so exactly 10 docs share each byte-identical image
+    at every sf — planted pair counts stay LINEAR in corpus size), every raster is actually decoded + resized + dHashed
     (llmdata/multimodal.py::image_dhash), and hash-equal groups get a
     canonical representative — the image-dedup primitive of a
     multimodal curation pipeline. The oracle re-derives the 56-bit
@@ -957,7 +959,7 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    h = image_dhash(png_payloads(docs, key_mod=50))
+    h = image_dhash(png_payloads(docs, key_div=10, textured=True))
     wd = W.partitionBy("dhash")
     return h.select(
         "doc_id",
@@ -965,6 +967,78 @@ def multimodal_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").over(wd).alias("canonical"),
         F.count("*").over(wd).alias("group_size"),
     )
+
+
+@query(
+    "multimodal_image_neardup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id // 10 AS k,
+             8 + (doc_id // 10) % 5 AS w, 8 + (doc_id // 10) % 3 AS h,
+             doc_id % 2 = 1 AS pert
+      FROM documents
+    ), rr AS (SELECT unnest(range(0, 8)) AS r),
+    cc AS (SELECT unnest(range(0, 8)) AS c),
+    g AS (
+      SELECT d.doc_id, rr.r, cc.c,
+             (d.k + 37 * ((rr.r * d.h) // 8) * ((rr.r * d.h) // 8)
+                  + 73 * ((cc.c * d.w) // 8) * ((cc.c * d.w) // 8)
+                  + 11 * ((rr.r * d.h) // 8) * ((cc.c * d.w) // 8)
+              + CASE WHEN d.pert AND ((rr.r * d.h) // 8) = 0
+                          AND ((cc.c * d.w) // 8) = 0
+                     THEN 200 ELSE 0 END) % 256 AS v
+      FROM dims d, rr, cc
+    ), bits AS (
+      SELECT a.doc_id, a.r, a.c,
+             CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS bit
+      FROM g a
+      JOIN g b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+      WHERE a.c < 7
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << (r * 7 + c)))
+                  AS BIGINT) AS dhash
+      FROM bits GROUP BY 1
+    ), kb AS (
+      SELECT doc_id, dhash, b.b,
+             (dhash >> CAST(14 * b.b AS INTEGER)) & 16383 AS bv
+      FROM h, (SELECT unnest(range(0, 4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, q.doc_id AS doc_b,
+                      a.dhash AS ha, q.dhash AS hb
+      FROM kb a
+      JOIN kb q ON q.b = a.b AND q.bv = a.bv AND a.doc_id < q.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 2
+    """,
+)
+def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image NEAR-duplicate pairs — the Hamming-banded scale path on
+    top of the dHash: payloads plant both exact duplicates (key =
+    doc_id // 10, constant group size at every sf) and near-duplicates (every second replica has one
+    strong pixel edit, flipping at most one hash bit), every raster is
+    REALLY decoded and hashed, and pairs within Hamming <= 2 surface
+    via 14-bit band-equality joins — pigeonhole-complete for the
+    radius, never all-pairs (llmdata/multimodal.py::dhash_near_pairs).
+    The oracle re-derives hashes and banding from the pixel arithmetic
+    (integer-only). Note the synthetic pattern family collides heavily
+    (few hundred distinct 8x8 rasters), so cross-key near-matches
+    dominate the pair count here; on real imagery dHashes spread over
+    the full 56-bit space and candidate volume tracks true duplicate
+    density — the banded join's cost model either way."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        dhash_near_pairs,
+        image_dhash,
+        png_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    h = image_dhash(
+        png_payloads(docs, key_div=10, perturb=True, textured=True)
+    )
+    return dhash_near_pairs(h, bands=4, max_hamming=2)
 
 
 @query(
@@ -2710,6 +2784,54 @@ def pipeline_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_scored").alias("n_bigrams"),
         F.min("mean_logprob").alias("lo_logprob"),
         F.max("mean_logprob").alias("hi_logprob"),
+    )
+
+
+@query(
+    "pipeline_quality_calibrate",
+    oracle=f"""
+    WITH lm AS (
+      SELECT * FROM ({_BIGRAM_LM_SQL})
+    )
+    SELECT d.doc_id, d.source, lm.mean_logprob,
+           round(percent_rank() OVER (
+                   PARTITION BY d.source
+                   ORDER BY lm.mean_logprob, d.doc_id)
+                 + 1e-9, 6) AS cal_pct,
+           round(percent_rank() OVER (
+                   PARTITION BY d.source
+                   ORDER BY lm.mean_logprob, d.doc_id)
+                 + 1e-9, 6) >= 0.1 AS keep
+    FROM documents d JOIN lm ON lm.doc_id = d.doc_id
+    """,
+)
+def pipeline_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: each document's LM fluency is
+    re-expressed as its percentile WITHIN its source, and the gate
+    drops the bottom decile per source — so a systematically
+    lower-scoring source (different register, boilerplate level) isn't
+    wholesale-dropped by one global threshold, the classic mistake of
+    naive corpus filtering. Rides the memoized LM table (4th consumer);
+    the percentile is a per-source window (partitioned — no global
+    sort), deterministic via the unique (score, doc_id) order. The
+    doc-grain join of scores to source labels is two corpus-grain
+    sides — SortMergeJoin is the correct 100 TB strategy."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    m = F.col("mean_logprob")
+    lm = _bigram_lm(spark, sf_dir).select(
+        "doc_id", F.round(m + F.signum(m) * 1e-9, 6).alias("mean_logprob")
+    )
+    j = docs.join(lm, "doc_id")
+    w = W.partitionBy("source").orderBy(
+        F.col("mean_logprob").asc(), F.col("doc_id").asc()
+    )
+    cal = F.round(F.percent_rank().over(w) + F.lit(1e-9), 6)
+    return j.select(
+        "doc_id",
+        "source",
+        "mean_logprob",
+        cal.alias("cal_pct"),
+        (cal >= 0.1).alias("keep"),
     )
 
 

@@ -532,3 +532,25 @@ def test_image_dhash_flips_on_pixel_change(spark):
     got = {r.doc_id: r.dhash for r in image_dhash(df).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_dhash_near_pairs_pigeonhole_complete(spark):
+    from n2khab_mhq_data_spark.llmdata.multimodal import dhash_near_pairs
+
+    base = 0x00FA_CADE_0B0E_55
+    rows = [
+        (1, base),
+        (2, base ^ 0b11),          # hamming 2 (one band touched)
+        (3, base ^ (1 << 55)),     # hamming 1 in the TOP band
+        (4, base ^ 0x5555),        # hamming 8 spread -> candidate via
+                                   # shared high bands, verify rejects
+        (5, 0),                    # far away entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in dhash_near_pairs(df, bands=4, max_hamming=2).collect()}
+    assert got[(1, 2)] == 2
+    assert got[(1, 3)] == 1
+    assert (2, 3) not in got        # hamming 3 > max_hamming
+    assert (1, 4) not in got        # verify rejects spread diff
+    assert all(5 not in pair for pair in got)
