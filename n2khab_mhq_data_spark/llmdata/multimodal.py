@@ -754,6 +754,63 @@ def wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def wav_payloads_grouped(
+    df: DataFrame, id_col: str = "doc_id", key_div: int = 10
+) -> DataFrame:
+    """REAL audio payloads with planted duplicates: clip keyed on
+    id // key_div (constant group size at any corpus scale, like the
+    image-dedup payloads), sample_i = ((k*31 + i*17) mod 4096) - 2048
+    over 64 + k%32 samples — integer arithmetic for the oracle, real
+    RIFF bytes for the decoder."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                k = int(did) // key_div
+                n = 64 + k % 32
+                i = np.arange(n, dtype=np.int64)
+                s = ((k * 31 + i * 17) % 4096) - 2048
+                payloads.append(encode_wav(s.astype(np.int16), 8000))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, "doc_id long, payload binary"
+    )
+
+
+def audio_fingerprint(binary_df: DataFrame, frames: int = 16) -> DataFrame:
+    """Acoustic fingerprint over REALLY decoded PCM: partition each
+    clip into ``frames`` equal-share frames (sample i -> frame
+    (i*frames)//n), take per-frame energy (sum of squares — exact
+    integer arithmetic on int16 samples), set bit f when
+    E_f > E_{f+1} — a 15-bit energy-envelope signature, the shape of
+    Shazam-class fingerprints reduced to its integer core so a SQL
+    oracle can re-derive it. One Arrow pass, zero shuffle."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fps = []
+            for raw in pdf["payload"]:
+                _rate, s = decode_wav(bytes(raw))
+                s = s.astype(np.int64)
+                n = len(s)
+                fidx = (np.arange(n) * frames) // n
+                e = np.zeros(frames, dtype=np.int64)
+                np.add.at(e, fidx, s * s)
+                bits = (e[:-1] > e[1:]).astype(np.int64)
+                fps.append(int((bits << np.arange(frames - 1)).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fingerprint": fps}
+            )
+
+    return binary_df.mapInPandas(op, "doc_id long, fingerprint long")
+
+
 def audio_stats(binary_df: DataFrame) -> DataFrame:
     """REAL WAV decode feature extraction: (sample_rate, n_samples,
     peak, rms) per payload — the audio-quality gate primitive."""

@@ -1042,6 +1042,66 @@ def multimodal_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_dedup",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, doc_id // 10 AS k,
+             64 + (doc_id // 10) % 32 AS n
+      FROM documents
+    ), idx AS (SELECT unnest(range(0, 96)) AS i),
+    sm AS (
+      SELECT d.doc_id, (idx.i * 16) // d.n AS f,
+             ((d.k * 31 + idx.i * 17) % 4096) - 2048 AS s
+      FROM dims d, idx WHERE idx.i < d.n
+    ), e AS (
+      SELECT doc_id, f, sum(s * s) AS e FROM sm GROUP BY 1, 2
+    ), bits AS (
+      SELECT a.doc_id, a.f,
+             CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+      WHERE a.f < 15
+    ), h AS (
+      SELECT doc_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(f AS INTEGER)))
+                  AS BIGINT) AS fingerprint
+      FROM bits GROUP BY 1
+    )
+    SELECT doc_id, fingerprint,
+           min(doc_id) OVER (PARTITION BY fingerprint) AS canonical,
+           CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT)
+             AS group_size
+    FROM h
+    """,
+)
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio duplicate detection by energy-envelope fingerprint over
+    REALLY decoded PCM16 clips — with this, every modality has a
+    first-class dedup path (text grams/minhash, embeddings cosine,
+    images dHash, audio fingerprint). Payloads plant byte-identical
+    clips (keyed doc_id // 10, constant group size at any sf), every
+    clip is RIFF-decoded and framed into 16 equal-share energy bins,
+    and the 15-bit envelope signature groups duplicates with a
+    canonical pick (llmdata/multimodal.py::audio_fingerprint). Exact
+    integer arithmetic end to end — the oracle re-derives the
+    fingerprint from the sample formula; one shuffle (the fingerprint
+    groupBy)."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        audio_fingerprint,
+        wav_payloads_grouped,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    h = audio_fingerprint(wav_payloads_grouped(docs, key_div=10))
+    wd = W.partitionBy("fingerprint")
+    return h.select(
+        "doc_id",
+        "fingerprint",
+        F.min("doc_id").over(wd).alias("canonical"),
+        F.count("*").over(wd).alias("group_size"),
+    )
+
+
+@query(
     "multimodal_image_resize",
     oracle="""
     WITH dims AS (

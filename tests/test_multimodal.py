@@ -554,3 +554,19 @@ def test_dhash_near_pairs_pigeonhole_complete(spark):
     assert (2, 3) not in got        # hamming 3 > max_hamming
     assert (1, 4) not in got        # verify rejects spread diff
     assert all(5 not in pair for pair in got)
+
+
+def test_audio_fingerprint_groups_planted_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        audio_fingerprint,
+        wav_payloads_grouped,
+    )
+
+    docs = spark.range(40).select(F.col("id").alias("doc_id"))
+    fp = audio_fingerprint(wav_payloads_grouped(docs, key_div=10))
+    got = {r.doc_id: r.fingerprint for r in fp.collect()}
+    for i in range(40):
+        assert got[i] == got[(i // 10) * 10]  # same clip -> same print
+    assert all(0 <= v < (1 << 15) for v in got.values())
