@@ -294,6 +294,63 @@ def w9_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ts_rolling_p95",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, event_id, value,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS s
+      FROM events
+    ), q AS (
+      SELECT user_id, event_id, value, len(s) AS k,
+             CAST(floor(0.95 * (len(s) - 1)) AS INTEGER) AS lo, s
+      FROM v
+    )
+    SELECT user_id, event_id,
+           CAST(k AS INTEGER) AS n_window,
+           round(s[lo + 1]
+                 + (s[least(lo + 2, k)] - s[lo + 1])
+                   * (0.95 * (k - 1) - lo) + 1e-9, 6) AS rolling_p95,
+           value > s[lo + 1]
+                   + (s[least(lo + 2, k)] - s[lo + 1])
+                     * (0.95 * (k - 1) - lo) AS above_p95
+    FROM q
+    """,
+)
+def ts_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact p95 over each user's last 5 events — the
+    telemetry anomaly-threshold primitive (flag events above their own
+    trailing percentile). The window frame is bounded (5 rows), so the
+    exact quantile is a tiny in-frame sort: collect_list over the frame
+    -> array_sort -> closed-form linear interpolation, all codegen'd
+    Column algebra — no UDF, one shuffle on the user key like every
+    W-family window. The oracle spells out the SAME interpolation
+    arithmetic (identical FP ops), so values hash-match; both sides
+    order the frame by the unique (ts, event_id)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    s = F.array_sort(F.collect_list("value").over(w))
+    k = F.size(s)
+    lo = F.floor(0.95 * (k - 1)).cast("int")
+    frac = 0.95 * (k - 1) - lo
+    p95 = F.element_at(s, lo + 1) + (
+        F.element_at(s, F.least(lo + 2, k)) - F.element_at(s, lo + 1)
+    ) * frac
+    return e.select(
+        "user_id",
+        "event_id",
+        k.cast("int").alias("n_window"),
+        F.round(p95 + F.lit(1e-9), 6).alias("rolling_p95"),
+        (F.col("value") > p95).alias("above_p95"),
+    )
+
+
+@query(
     "ts_gap_fill",
     oracle="""
     WITH daily AS (
