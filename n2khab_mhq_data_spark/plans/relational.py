@@ -1357,6 +1357,132 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audit_constraint_suite",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           round(count(DISTINCT o_orderkey) * 1.0 / count(*) + 1e-9, 6)
+             AS metric,
+           count(DISTINCT o_orderkey) = count(*) AS pass
+    FROM orders
+    UNION ALL
+    SELECT 'customer_name_complete',
+           round(count(c_name) * 1.0 / count(*) + 1e-9, 6),
+           count(c_name) = count(*)
+    FROM customer
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           round((SELECT count(*) FROM
+                   (SELECT DISTINCT l_orderkey FROM lineitem) lk
+                   JOIN orders o ON o.o_orderkey = lk.l_orderkey)
+                 * 1.0
+                 / (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+                 + 1e-9, 6),
+           NOT EXISTS (SELECT 1 FROM lineitem l
+                       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                         WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'quantity_in_range',
+           round(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                          THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 6),
+           sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                    THEN 1 ELSE 0 END) = count(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orderstatus_domain',
+           round(sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                          THEN 1 ELSE 0 END) * 1.0 / count(*) + 1e-9, 6),
+           sum(CASE WHEN o_orderstatus IN ('O','F','P')
+                    THEN 1 ELSE 0 END) = count(*)
+    FROM orders
+    """,
+)
+def audit_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/
+    Great-Expectations shape, SURVEY.md §5's audit family unified):
+    one result row per constraint — primary-key uniqueness,
+    completeness, referential integrity, range, and accepted-values —
+    each with its satisfaction metric and a hard pass flag. Every
+    constraint is a map-side-combinable aggregation over one scan of
+    its table; the FK check joins DISTINCT child keys (already
+    shrunken) to the parent — never row-grain anti-join fan-out. The
+    suite a pipeline runs as a publish gate."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+
+    def row(name: str, metric, ok):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            F.round(metric + F.lit(1e-9), 6).alias("metric"),
+            ok.alias("pass"),
+        )
+
+    pk = o.agg(
+        row(
+            "orders_pk_unique",
+            F.countDistinct("o_orderkey") / F.count("*"),
+            F.countDistinct("o_orderkey") == F.count("*"),
+        ).alias("r")
+    )
+    comp = c.agg(
+        row(
+            "customer_name_complete",
+            F.count("c_name") / F.count("*"),
+            F.count("c_name") == F.count("*"),
+        ).alias("r")
+    )
+    lk = li.select("l_orderkey").distinct()
+    fk = lk.join(
+        o.select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.lit(1).alias("__m"),
+        ),
+        "l_orderkey",
+        "left",
+    ).agg(
+        row(
+            "lineitem_fk_orders",
+            F.count("__m") / F.count("*"),
+            F.count("__m") == F.count("*"),
+        ).alias("r")
+    )
+    rng = li.agg(
+        row(
+            "quantity_in_range",
+            F.sum(
+                F.when(F.col("l_quantity").between(1, 50), 1).otherwise(0)
+            )
+            / F.count("*"),
+            F.sum(
+                F.when(F.col("l_quantity").between(1, 50), 1).otherwise(0)
+            )
+            == F.count("*"),
+        ).alias("r")
+    )
+    dom = o.agg(
+        row(
+            "orderstatus_domain",
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus").isin("O", "F", "P"), 1
+                ).otherwise(0)
+            )
+            / F.count("*"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus").isin("O", "F", "P"), 1
+                ).otherwise(0)
+            )
+            == F.count("*"),
+        ).alias("r")
+    )
+    out = pk
+    for part in (comp, fk, rng, dom):
+        out = out.unionByName(part)
+    return out.select("r.check_name", "r.metric", F.col("r.pass").alias("pass"))
+
+
+@query(
     "audit_benford_digits",
     oracle="""
     WITH d AS (
