@@ -92,6 +92,100 @@ def ngram_jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via AllPairs/PPJoin prefix
+    filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08) — the lossless
+    scale path for set-similarity, complementing the lossy df-cap
+    (``ngram_jaccard_pairs(max_doc_freq=...)``) and probabilistic LSH
+    (``minhash_dedup_pairs``) routes.
+
+    Order each document's shingle set by ascending global document
+    frequency (rarest first, gram string as tie-break — a total order).
+    Any pair with Jaccard >= t must share a gram inside BOTH documents'
+    first ``n - ceil(t*n) + 1`` grams under that order, so candidate
+    generation joins only the prefixes: stop-grams sit at the END of
+    every ordering and never generate candidates, killing the m^2/2
+    stop-gram fan-out WITHOUT changing the answer. A length filter
+    (min(n1,n2) >= t*max(n1,n2), from J <= |A|/|B|) prunes candidates
+    before verification; verification is two doc-keyed joins against the
+    per-doc sorted gram arrays and a codegen ``array_intersect`` — never
+    a second gram-grain shuffle.
+
+    Scale: freq table is vocabulary-grain (SMJ on gram); the per-doc
+    window shuffles on doc — bounded rows per doc; the prefix self-join's
+    fan-out per gram is its PREFIX document frequency, which the rarest-
+    first order drives toward 1. Output is provably identical to the
+    uncapped quadratic join, which is exactly what the registered oracle
+    computes."""
+    sh = shingle_table(df, text_col, id_col, k)
+    # document frequency as a gram-partitioned window instead of a
+    # groupBy+join: one shuffle on gram, no second scan of the shingle
+    # table. The doc-grain window right after re-shuffles on doc and both
+    # doc windows (count + row_number) share that single exchange.
+    sh = sh.withColumn("df_", F.count("*").over(W.partitionBy("gram")))
+    w_doc = W.partitionBy("doc")
+    ranked = sh.withColumn("n", F.count("*").over(w_doc)).withColumn(
+        "r", F.row_number().over(w_doc.orderBy("df_", "gram"))
+    )
+    pref = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc", "gram", "n")
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .filter(
+            F.least("n1", "n2") >= F.lit(threshold) * F.greatest("n1", "n2")
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    # verification sets grouped from the already-doc-partitioned window
+    # output: the groupBy collapses to a partial agg on the same exchange
+    # collect_list, not collect_set: shingle_table grams are already
+    # distinct per doc, and array_intersect is order-insensitive
+    sets = ranked.groupBy("doc").agg(
+        F.collect_list("gram").alias("grams"),
+        F.count("*").cast("long").alias("n"),
+    )
+    ver = cand.join(
+        sets.select(
+            F.col("doc").alias("d1"),
+            F.col("grams").alias("g1"),
+            F.col("n").alias("n1"),
+        ),
+        "d1",
+    ).join(
+        sets.select(
+            F.col("doc").alias("d2"),
+            F.col("grams").alias("g2"),
+            F.col("n").alias("n2"),
+        ),
+        "d2",
+    )
+    inter = F.size(F.array_intersect("g1", "g2")).cast("long")
+    jac = inter / (F.col("n1") + F.col("n2") - inter)
+    return (
+        ver.filter(jac > threshold)
+        .select("d1", "d2", F.round(jac + F.lit(1e-9), 6).alias("jaccard"))
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 64
 ) -> DataFrame:

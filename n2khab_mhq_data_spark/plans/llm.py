@@ -124,6 +124,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_prefix_filter", oracle=_JACCARD_SQL)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtered exact Jaccard self-join — the
+    LOSSLESS scale path for set-similarity (vs the lossy df-cap and the
+    probabilistic LSH routes): candidates come only from each document's
+    rarest ``n - ceil(0.8n) + 1`` grams under a global rarest-first
+    order, which provably cannot miss a pair at threshold 0.8. The
+    oracle is the UNCAPPED quadratic join, so the prefix pruning itself
+    is hash-checked end-to-end (three-way differential with
+    ``dedup_ngram_jaccard`` and ``dedup_minhash_lsh``, which share it)."""
+    from n2khab_mhq_data_spark.llmdata.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.8
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     sums = ",\n             ".join(
         f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"

@@ -436,6 +436,58 @@ def test_lsh_recall_audit_full_recall_on_planted_dups(spark):
         assert r["recall"] == 1.0
 
 
+def test_prefix_filter_pairs_hand_computed(spark):
+    from n2khab_mhq_data_spark.llmdata.dedup import prefix_filter_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                  # 8 3-gram shingles
+            (2, base + " lambda"),      # 9 shingles, 8 shared: J = 8/9
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = prefix_filter_pairs(docs, "text", "doc_id", k=3, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["d1"], r["d2"]) == (1, 2)
+    assert abs(r["jaccard"] - 8 / 9) < 1e-5
+
+
+def test_prefix_filter_matches_uncapped_exact_join(spark):
+    """The prefix-filter path is LOSSLESS by construction — its output
+    must equal the uncapped quadratic join exactly, including docs that
+    share heavy stop-grams the prefix never joins on."""
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    # stop-gram-heavy corpus: every doc shares 'the common filler' grams,
+    # planted near-dup groups differ by one trailing token
+    words = ["w%d" % i for i in range(12)]
+    rows = []
+    for i in range(30):
+        body = " ".join(words[(i % 5):(i % 5) + 7])
+        rows.append((i, "the common filler %s tail%d" % (body, i % 4)))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    for t in (0.6, 0.8):
+        exact = {
+            (r["d1"], r["d2"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, "text", "doc_id", k=3, threshold=t
+            ).collect()
+        }
+        pref = {
+            (r["d1"], r["d2"]): r["jaccard"]
+            for r in prefix_filter_pairs(
+                docs, "text", "doc_id", k=3, threshold=t
+            ).collect()
+        }
+        assert pref == exact and len(exact) > 0
+
+
 def test_leakage_safe_split_no_straddle(spark):
     from n2khab_mhq_data_spark.llmdata.pipeline import leakage_safe_split
 
