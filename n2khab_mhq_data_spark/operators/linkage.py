@@ -78,3 +78,66 @@ def sorted_neighborhood_pairs(
     for p in passes[1:]:
         out = out.unionAll(p)
     return out.filter(F.col("lev_dist") <= max_dist).distinct()
+
+
+def edit_distance_join_deletion(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+) -> DataFrame:
+    """EXACT edit-distance <= 1 self-join via the deletion-neighborhood
+    (FastSS / SymSpell family) — the LOSSLESS complement to
+    ``sorted_neighborhood_pairs``, which is a heuristic that can miss a
+    true match landing outside every block window.
+
+    Each key emits ``len + 1`` join keys: itself plus every
+    single-character deletion. Two strings at Levenshtein distance <= 1
+    MUST share one of these keys — a substitution at position i makes
+    both i-deletions equal; an insert/delete makes the longer string's
+    deletion equal the shorter string itself (present as its identity
+    key); equal strings share the identity key. So joining on the
+    variant key is a complete candidate generator, and the built-in JVM
+    ``levenshtein`` verification makes it exact: provably the same
+    output as the quadratic all-pairs join.
+
+    Scale: candidate volume is sum over variant keys of (docs sharing
+    that key choose 2) — driven by true near-match density, not corpus
+    size; the one shuffle is hash-partitioned on the variant string.
+    Variant generation is a codegen ``transform``/``explode`` (no
+    Python). Verification cost is |candidates| levenshteins, each on a
+    short key. Nothing is quadratic in the corpus.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    key = F.col("key")
+    variants = F.array_union(
+        F.array(key),
+        F.transform(
+            F.sequence(F.lit(1), F.length(key)),
+            lambda i: F.concat(
+                key.substr(F.lit(1), i - F.lit(1)),
+                key.substr(i + F.lit(1), F.length(key)),
+            ),
+        ),
+    )
+    v = base.select("id", "key", F.explode(variants).alias("var"))
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.var") == F.col("b.var"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.key").alias("key1"),
+            F.col("b.key").alias("key2"),
+        )
+        # a pair can share several variants (e.g. equal keys share all);
+        # collapse BEFORE the levenshtein so each pair is verified once
+        .distinct()
+    )
+    return cand.filter(F.levenshtein("key1", "key2") <= 1).select(
+        "id1", "id2", "key1", "key2",
+        F.levenshtein("key1", "key2").cast("int").alias("lev_dist"),
+    )

@@ -50,3 +50,62 @@ def range_join_bucketed(
         )
         .drop("_b")
     )
+
+
+def interval_overlap_join_binned(
+    a: DataFrame,
+    b: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Interval x interval OVERLAP join ([a_start,a_end] meets
+    [b_start,b_end], all bounds inclusive integers) as an EQUI-join —
+    the interval-interval counterpart to ``range_join_bucketed``'s
+    point-in-interval shape. Without this, Spark plans a pure-theta
+    overlap predicate as BroadcastNestedLoop/cartesian, which is
+    |a| x |b| at any scale.
+
+    Both sides explode to the fixed-width bins they cover; the join is
+    hash-partitioned on the bin. A pair overlapping across several
+    shared bins is emitted EXACTLY ONCE — by the bin that contains the
+    overlap's start (``greatest(a_start, b_start)``), which both
+    intervals necessarily cover — so no ``distinct`` re-shuffle is
+    needed afterwards. Pick ``bin_width`` near the typical interval
+    length: an interval spanning w bins costs w rows, and per-bin
+    fan-out is the number of intervals alive in that bin, not the
+    corpus size. Bin ids are integer ``div`` — no float bucketing.
+
+    Column names of ``a`` and ``b`` must be disjoint (callers alias)."""
+    ia = a.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{a_start} div {bin_width}"),
+                F.expr(f"{a_end} div {bin_width}"),
+            )
+        ),
+    )
+    ib = b.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"{b_start} div {bin_width}"),
+                F.expr(f"{b_end} div {bin_width}"),
+            )
+        ),
+    )
+    return (
+        ia.join(ib, ["_bin"])
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+            & (
+                F.col("_bin")
+                == F.expr(f"greatest({a_start}, {b_start}) div {bin_width}")
+            )
+        )
+        .drop("_bin")
+    )

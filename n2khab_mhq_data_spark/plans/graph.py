@@ -418,3 +418,34 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_coef").desc(), "u", "v")
         .limit(20)
     )
+
+
+@query(
+    "link_edit_distance_join",
+    """
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           a.c_name AS key1, b.c_name AS key2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def link_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Levenshtein <= 1 linkage self-join on customer names via the
+    deletion-neighborhood (FastSS/SymSpell) — the LOSSLESS scale path
+    next to the heuristic ``link_sorted_neighborhood`` (which can miss a
+    match that straddles every block window). The oracle is the
+    uncapped QUADRATIC all-pairs join, so the completeness of the
+    deletion-key candidate generator is hash-checked end-to-end, not
+    just argued. Reference analog: the K9 reconciliation cascade's
+    exact-key linkage (mhq_terr_inboveg_fieldmap.Rmd) hardened for
+    typo'd registry identifiers."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    return edit_distance_join_deletion(
+        load(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    )

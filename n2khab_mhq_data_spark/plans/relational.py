@@ -432,6 +432,77 @@ def j12_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "j13_interval_overlap_binned",
+    oracle="""
+    WITH a AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) AS s,
+             datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS DATE)) + 3 + o_orderkey % 4 AS e
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), b AS (
+      SELECT datediff('day', DATE '1992-01-01',
+                      CAST(l_shipdate AS DATE)) AS s,
+             datediff('day', DATE '1992-01-01',
+                      CAST(l_shipdate AS DATE)) + 2 + l_orderkey % 4 AS e
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT a.month AS month, CAST(count(*) AS BIGINT) AS pairs,
+           CAST(sum(least(a.e, b.e) - greatest(a.s, b.s) + 1)
+                AS BIGINT) AS overlap_days
+    FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+    GROUP BY 1
+    """,
+)
+def j13_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13 interval x interval overlap join WITHOUT an equi-key —
+    urgent-order handling windows vs returned-shipment transit windows,
+    rolled up to overlapping-pair counts and total overlap days per
+    order month. The reference's temporal logic is key-scoped as-of
+    matching (J12/K10); this is the remaining temporal shape: cross-key
+    interval algebra, which naive Spark plans as a cartesian. Runs
+    through ``interval_overlap_join_binned`` — both interval sets
+    explode to 8-day bins, the join is an equi-join on the bin, and the
+    overlap-start-ownership rule emits each pair exactly once with no
+    dedup re-shuffle. The oracle is DuckDB's native inequality join, so
+    the binned rewrite is hash-checked pair-for-pair."""
+    from n2khab_mhq_data_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+
+    epoch = F.lit("1992-01-01").cast("date")
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("a_s"),
+        (
+            F.datediff(F.to_date("o_orderdate"), epoch)
+            + 3
+            + F.col("o_orderkey") % 4
+        ).alias("a_e"),
+    )
+    li = load(spark, sf_dir, "lineitem")
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("b_s"),
+        (
+            F.datediff(F.to_date("l_shipdate"), epoch)
+            + 2
+            + F.col("l_orderkey") % 4
+        ).alias("b_e"),
+    )
+    pairs = interval_overlap_join_binned(a, b, "a_s", "a_e", "b_s", "b_e", 8)
+    return pairs.groupBy("month").agg(
+        F.count("*").cast("long").alias("pairs"),
+        F.sum(
+            F.least("a_e", "b_e") - F.greatest("a_s", "b_s") + F.lit(1)
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # A — aggregations
 # ---------------------------------------------------------------------------

@@ -236,3 +236,67 @@ def test_label_propagation_two_communities(spark):
     assert got[1] == got[2] == got[3]
     assert got[10] == got[11] == got[12]
     assert got[1] != got[10]
+
+
+def test_edit_distance_join_deletion_all_edit_kinds(spark):
+    """One planted pair per edit kind — substitution, deletion,
+    insertion, exact equality — plus a distance-2 pair that must NOT
+    appear and a lone far string."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "market"),   # 1-2 substitution (basket? no: marked)
+            (2, "marked"),   # sub at pos 5
+            (3, "marke"),    # deletion of 1's trailing t AND of 2's d
+            (4, "bridge"),
+            (5, "bridge"),   # exact duplicate of 4
+            (6, "bridges"),  # insertion on 4/5
+            (7, "brudges"),  # dist 2 from 4/5, dist 1 from 6
+            (8, "zzzzzz"),
+        ],
+        "id int, name string",
+    )
+    got = {
+        (r["id1"], r["id2"]): r["lev_dist"]
+        for r in edit_distance_join_deletion(df, "id", "name").collect()
+    }
+    assert got == {
+        (1, 2): 1,
+        (1, 3): 1,
+        (2, 3): 1,
+        (4, 5): 0,
+        (4, 6): 1,
+        (5, 6): 1,
+        (6, 7): 1,
+    }
+
+
+def test_edit_distance_join_matches_quadratic(spark):
+    """Lossless contract: deletion-neighborhood output == brute-force
+    all-pairs filter on a corpus dense with near-misses."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    rows = [(i, "id%04d" % (i * 7 % 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id int, name string")
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id1"], r["id2"]): r["d"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.name", "b.name").alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    got = {
+        (r["id1"], r["id2"]): r["lev_dist"]
+        for r in edit_distance_join_deletion(df, "id", "name").collect()
+    }
+    assert got == brute and len(brute) > 50

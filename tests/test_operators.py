@@ -298,3 +298,40 @@ def test_global_rank_matches_single_partition_window(spark):
     assert {byid[i] for i in range(97)} == set(range(10))
     for i in range(97):
         assert byid[i] == ((want[i] - 1) * 10) // 97
+
+
+def test_interval_overlap_join_binned_matches_brute_force(spark):
+    """Binned overlap join == brute-force theta join, each pair once —
+    fixture spans multi-bin intervals, point intervals, bin-boundary
+    touches, and disjoint pairs."""
+    import random
+
+    from n2khab_mhq_data_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+    )
+
+    rng = random.Random(7)
+    arows = [
+        (i, s := rng.randrange(0, 200), s + rng.randrange(0, 25))
+        for i in range(80)
+    ]
+    brows = [
+        (j, s := rng.randrange(0, 200), s + rng.randrange(0, 25))
+        for j in range(90)
+    ]
+    a = spark.createDataFrame(arows, "aid int, a_s long, a_e long")
+    b = spark.createDataFrame(brows, "bid int, b_s long, b_e long")
+    for width in (1, 8, 64):
+        got = sorted(
+            (r["aid"], r["bid"])
+            for r in interval_overlap_join_binned(
+                a, b, "a_s", "a_e", "b_s", "b_e", width
+            ).collect()
+        )
+        brute = sorted(
+            (ai, bi)
+            for ai, s1, e1 in arows
+            for bi, s2, e2 in brows
+            if s1 <= e2 and s2 <= e1
+        )
+        assert got == brute  # equality also proves exactly-once emission
