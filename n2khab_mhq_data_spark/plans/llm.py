@@ -1987,6 +1987,108 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# HLL estimator over the joined (true, s_total, v) frame — kept as ONE
+# SQL text evaluated verbatim by BOTH engines so every double operation
+# folds in the same order: raw estimate alpha_m * m^2 / Z with Z summed
+# EXACTLY as the scaled integer s_total (order-insensitive), and the
+# Flajolet small-range correction m*ln(m/V) when raw <= 2.5m and V > 0.
+# The 1e-9 shields round()'s half-way boundary from cross-engine ln ulps.
+_HLL_EST = """round(CASE
+      WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 * 16777216.0
+           / CAST(s_total AS DOUBLE) <= 1280.0 AND v > 0
+      THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
+      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 * 16777216.0
+           / CAST(s_total AS DOUBLE)
+    END + 1e-9, 4)"""
+
+
+@query(
+    "sketch_hll_distinct",
+    oracle="""
+    WITH hm AS (
+      SELECT o_orderpriority AS priority,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS mx
+      FROM orders
+    ), reg AS (
+      SELECT priority, mx // 8388608 AS idx,
+             max(CASE WHEN mx % 8388608 > 0
+                      THEN 24 - length(bin(mx % 8388608)) ELSE 24 END) AS m
+      FROM hm GROUP BY 1, 2
+    ), agg AS (
+      SELECT priority,
+             CAST(sum(1 << (24 - m)) AS BIGINT)
+               + (512 - CAST(count(*) AS BIGINT)) * 16777216 AS s_total,
+             512 - CAST(count(*) AS BIGINT) AS v
+      FROM reg GROUP BY 1
+    ), t AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT t.priority AS priority, t.true_distinct,
+           CAST(a.v AS INTEGER) AS registers_zero,
+           {est} AS hll_estimate
+    FROM t JOIN agg a ON a.priority = t.priority
+    """.format(est=_HLL_EST.replace("s_total", "a.s_total").replace(
+        "v >", "a.v >").replace("(v ", "(a.v ")),
+)
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-customer estimate per order priority, next
+    to the exact count — the mergeable-sketch companion to
+    ``sketch_count_min`` and the engine-reproducible sibling of
+    ``a14_approx_distinct_audit`` (whose approx_count_distinct is
+    Spark-internal and can only be range-checked). Registers use the
+    repo's portable poly hash: index = h mod 512, rank = leading-zero
+    count of the remaining bits + 1, so the SKETCH CONTENTS are
+    bit-identical in any engine and the oracle rebuilds them in SQL.
+    The indicator sum Z = sum 2^-M_j is carried as the SCALED INTEGER
+    sum(2^(12-M_j)) — exact and summation-order-independent, so no
+    cross-engine float-fold drift — and the estimator (with Flajolet's
+    small-range linear-counting correction) is one shared SQL text
+    evaluated by both engines. Scale: the map-side combine is
+    max-per-register (associative); state is 512 registers per group
+    regardless of corpus size — the canonical 100 TB COUNT DISTINCT."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    )
+    s = F.col("o_custkey").cast("string")
+    h = o.select(
+        "priority",
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("mx"),
+    )
+    r = F.col("mx") % 8388608
+    reg = (
+        h.select(
+            "priority",
+            F.expr("mx div 8388608").alias("idx"),
+            F.when(r > 0, F.lit(24) - F.length(F.bin(r)))
+            .otherwise(F.lit(24))
+            .alias("m"),
+        )
+        .groupBy("priority", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    agg = reg.groupBy("priority").agg(
+        (
+            F.sum(
+                F.expr("shiftleft(1, cast(24 - m as int))")
+            ).cast("long")
+            + (F.lit(512) - F.count("*").cast("long")) * 16777216
+        ).alias("s_total"),
+        (F.lit(512) - F.count("*").cast("long")).alias("v"),
+    )
+    truth = o.groupBy("priority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    return truth.join(F.broadcast(agg), "priority").select(
+        "priority",
+        "true_distinct",
+        F.col("v").cast("int").alias("registers_zero"),
+        F.expr(_HLL_EST).alias("hll_estimate"),
+    )
+
+
 # --- IVF with seeded Lloyd's k-means centroids --------------------------
 
 _KM_COS = """(list_sum(list_transform(range(1, 65),

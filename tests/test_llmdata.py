@@ -744,3 +744,20 @@ def test_embedding_outlier_audit_flags_planted_corruption(spark):
     # MAD = 0 (majority identical): the division-free form flags exactly
     # the two planted corruptions and cannot divide by zero
     assert r.n_out == 2
+
+
+def test_hll_sketch_accuracy_and_register_audit(spark, sf_dir):
+    """The md5-register HLL must land inside a generous multiple of its
+    theoretical standard error (1.04/sqrt(512) ~ 4.6%) on every group,
+    and the zero-register count must be consistent with an estimate on
+    the linear-counting branch at this cardinality (~130 per group)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["sketch_hll_distinct"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        rel = abs(r["hll_estimate"] / r["true_distinct"] - 1)
+        assert rel < 0.15, (r["priority"], r["hll_estimate"], rel)
+        # n ~ 130 << 2.5 * m: the small-range correction must be active,
+        # which requires surviving zero registers
+        assert r["registers_zero"] > 0
