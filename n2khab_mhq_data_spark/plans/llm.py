@@ -2038,54 +2038,167 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the exact count — the mergeable-sketch companion to
     ``sketch_count_min`` and the engine-reproducible sibling of
     ``a14_approx_distinct_audit`` (whose approx_count_distinct is
-    Spark-internal and can only be range-checked). Registers use the
-    repo's portable poly hash: index = h mod 512, rank = leading-zero
-    count of the remaining bits + 1, so the SKETCH CONTENTS are
-    bit-identical in any engine and the oracle rebuilds them in SQL.
+    Spark-internal and can only be range-checked). Registers hash with
+    the repo's md5-leading-bits portable hash (as in
+    ``operators/pinning.py``), NOT ``sketch_count_min``'s base-31 poly:
+    a digit-string polynomial has no avalanche and sequential ids leave
+    banded half-empty registers that bias the estimate ~2x. Index = top
+    9 hash bits, rank = leading-zero count of the low 23 + 1, so the
+    SKETCH CONTENTS are bit-identical in any engine and the oracle
+    rebuilds them in SQL.
     The indicator sum Z = sum 2^-M_j is carried as the SCALED INTEGER
-    sum(2^(12-M_j)) — exact and summation-order-independent, so no
+    sum(2^(24-M_j)) — exact and summation-order-independent, so no
     cross-engine float-fold drift — and the estimator (with Flajolet's
     small-range linear-counting correction) is one shared SQL text
     evaluated by both engines. Scale: the map-side combine is
     max-per-register (associative); state is 512 registers per group
     regardless of corpus size — the canonical 100 TB COUNT DISTINCT."""
     o = load(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("priority"), "o_custkey"
+        F.col("o_orderpriority").alias("g"), "o_custkey"
     )
-    s = F.col("o_custkey").cast("string")
-    h = o.select(
-        "priority",
+    reg = _hll_registers(o, "o_custkey")
+    truth = o.groupBy("g").agg(
+        F.count_distinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    return (
+        truth.join(F.broadcast(_hll_totals(reg)), "g")
+        .select(
+            F.col("g").alias("priority"),
+            "true_distinct",
+            F.col("v").cast("int").alias("registers_zero"),
+            F.expr(_HLL_EST).alias("hll_estimate"),
+        )
+    )
+
+
+def _hll_registers(df, key_col: str) -> DataFrame:
+    """(g, idx, m) HLL register table for the distinct ``key_col`` values
+    per group ``g`` — md5 leading 32 bits, top 9 = register index, rank =
+    leading-zero count of the low 23 + 1."""
+    s = F.col(key_col).cast("string")
+    h = df.select(
+        "g",
         F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("mx"),
     )
     r = F.col("mx") % 8388608
-    reg = (
+    return (
         h.select(
-            "priority",
+            "g",
             F.expr("mx div 8388608").alias("idx"),
             F.when(r > 0, F.lit(24) - F.length(F.bin(r)))
             .otherwise(F.lit(24))
             .alias("m"),
         )
-        .groupBy("priority", "idx")
+        .groupBy("g", "idx")
         .agg(F.max("m").alias("m"))
     )
-    agg = reg.groupBy("priority").agg(
+
+
+def _hll_totals(reg: DataFrame) -> DataFrame:
+    """(g, s_total, v) scaled-integer indicator sum + zero-register count
+    from a (g, idx, m) register table."""
+    return reg.groupBy("g").agg(
         (
-            F.sum(
-                F.expr("shiftleft(1, cast(24 - m as int))")
-            ).cast("long")
+            F.sum(F.expr("shiftleft(1, cast(24 - m as int))")).cast("long")
             + (F.lit(512) - F.count("*").cast("long")) * 16777216
         ).alias("s_total"),
         (F.lit(512) - F.count("*").cast("long")).alias("v"),
     )
-    truth = o.groupBy("priority").agg(
-        F.count_distinct("o_custkey").cast("long").alias("true_distinct")
+
+
+_HLL_REGM_SQL = """hm AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS mx
+      FROM orders
+    ), regm AS (
+      SELECT month, mx // 8388608 AS idx,
+             max(CASE WHEN mx % 8388608 > 0
+                      THEN 24 - length(bin(mx % 8388608)) ELSE 24 END) AS m
+      FROM hm GROUP BY 1, 2
+    )"""
+
+_Q_OF_MONTH = (
+    "substr({m}, 1, 4) || '-Q' || "
+    "CAST((CAST(substr({m}, 6, 2) AS INTEGER) + 2) // 3 AS VARCHAR)"
+)
+
+
+@query(
+    "sketch_hll_merge_rollup",
+    oracle="""
+    WITH {regm}, regq AS (
+      SELECT {qm} AS quarter, idx, max(m) AS m
+      FROM regm GROUP BY 1, 2
+    ), agg AS (
+      SELECT quarter,
+             CAST(sum(1 << (24 - m)) AS BIGINT)
+               + (512 - CAST(count(*) AS BIGINT)) * 16777216 AS s_total,
+             512 - CAST(count(*) AS BIGINT) AS v
+      FROM regq GROUP BY 1
+    ), t AS (
+      SELECT {qd} AS quarter,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+      FROM orders GROUP BY 1
     )
-    return truth.join(F.broadcast(agg), "priority").select(
-        "priority",
-        "true_distinct",
-        F.col("v").cast("int").alias("registers_zero"),
-        F.expr(_HLL_EST).alias("hll_estimate"),
+    SELECT t.quarter AS quarter, t.true_distinct,
+           CAST(a.v AS INTEGER) AS registers_zero,
+           {est} AS hll_estimate
+    FROM t JOIN agg a ON a.quarter = t.quarter
+    """.format(
+        regm=_HLL_REGM_SQL,
+        qm=_Q_OF_MONTH.format(m="month"),
+        qd=_Q_OF_MONTH.format(
+            m="strftime(CAST(o_orderdate AS DATE), '%Y-%m')"
+        ),
+        est=_HLL_EST.replace("s_total", "a.s_total").replace(
+            "v >", "a.v >"
+        ).replace("(v ", "(a.v "),
+    ),
+)
+def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL the 100 TB COUNT DISTINCT: registers
+    MERGE by element-wise max. Build per-MONTH register tables once,
+    then roll quarterly distinct-customer estimates up FROM THE
+    REGISTERS ALONE — the quarter pass never re-reads orders (the
+    hypertable-rollup shape of ``events_hypertable_rollup``, applied to
+    a distinct count, which plain partial sums cannot roll up). The
+    oracle replays the same month->quarter register merge in SQL, so
+    the merge itself — not just the final numbers — is hash-checked
+    against the exact per-quarter distinct counts computed from the raw
+    table."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("g"), "o_custkey"
+    )
+    regm = _hll_registers(o, "o_custkey")
+    q_of_g = F.expr(
+        "concat(substr(g, 1, 4), '-Q', "
+        "cast((cast(substr(g, 6, 2) as int) + 2) div 3 as string))"
+    )
+    regq = (
+        regm.select(q_of_g.alias("g"), "idx", "m")
+        .groupBy("g", "idx")
+        .agg(F.max("m").alias("m"))
+    )
+    truth = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("g"), "o_custkey"
+        )
+        .select(q_of_g.alias("g"), "o_custkey")
+        .groupBy("g")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("true_distinct")
+        )
+    )
+    return (
+        truth.join(F.broadcast(_hll_totals(regq)), "g")
+        .select(
+            F.col("g").alias("quarter"),
+            "true_distinct",
+            F.col("v").cast("int").alias("registers_zero"),
+            F.expr(_HLL_EST).alias("hll_estimate"),
+        )
     )
 
 

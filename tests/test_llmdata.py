@@ -761,3 +761,43 @@ def test_hll_sketch_accuracy_and_register_audit(spark, sf_dir):
         # n ~ 130 << 2.5 * m: the small-range correction must be active,
         # which requires surviving zero registers
         assert r["registers_zero"] > 0
+
+
+def test_hll_merge_rollup_equals_direct_quarter_sketch(spark, sf_dir):
+    """Merge soundness: max-merging month registers into quarters must
+    give the IDENTICAL estimate to sketching directly at quarter grain
+    (register max is associative), and stay within the error band."""
+    import pyspark.sql.functions as F
+
+    import __spark_entry__ as entrymod
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.llm import (
+        _HLL_EST,
+        _hll_registers,
+        _hll_totals,
+    )
+
+    merged = {
+        r["quarter"]: r
+        for r in entrymod.queries()["sketch_hll_merge_rollup"](
+            spark, sf_dir
+        ).collect()
+    }
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "concat(substr(date_format(o_orderdate, 'yyyy-MM'), 1, 4), '-Q',"
+            " cast((cast(substr(date_format(o_orderdate, 'yyyy-MM'), 6, 2)"
+            " as int) + 2) div 3 as string))"
+        ).alias("g"),
+        "o_custkey",
+    )
+    direct = {
+        r["g"]: r["est"]
+        for r in _hll_totals(_hll_registers(o, "o_custkey"))
+        .select("g", F.expr(_HLL_EST).alias("est"))
+        .collect()
+    }
+    assert set(direct) == set(merged) and len(merged) > 4
+    for q, row in merged.items():
+        assert direct[q] == row["hll_estimate"], q
+        assert abs(row["hll_estimate"] / row["true_distinct"] - 1) < 0.25, q
