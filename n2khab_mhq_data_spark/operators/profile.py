@@ -1,0 +1,75 @@
+"""One-pass table profiler — per-column completeness / cardinality /
+range summary (the Deequ/ydata "profile the table" primitive).
+
+The reference audits its inputs column by column before publishing
+(missingness checks in the Rmd pipelines, COVERAGE §5 audits); this is
+the generic form: ONE aggregation pass over the table computes every
+column's null count, exact distinct count, and normalized min/max, then
+a ``posexplode`` reshapes the single result row to one row per column.
+
+Scale notes: the whole profile is one ``df.agg(...)`` — partial
+aggregation map-side, a single 1-row exchange. The only scale caveat is
+EXACT multi-column count(DISTINCT), which Spark plans with an Expand
+(one duplicated stream per distinct column): cost is rows x columns. At
+100 TB profile with ``exact_distinct=False`` (approx_count_distinct,
+no Expand, one pass) — the exact default exists because the registered
+query is differentially checked against an exact-SQL oracle.
+
+Min/max are normalized to strings so heterogeneous columns fit one
+schema: integers verbatim, floats rounded to 2 via DECIMAL(18,2) (both
+engines print decimals identically; raw double->string formatting is
+NOT portable), timestamps as their DATE prefix, strings as-is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: column kind -> normalizer applied to the typed min/max aggregate
+_NORM = {
+    "int": lambda c: c.cast("string"),
+    "str": lambda c: c,
+    "float": lambda c: F.round(c, 2).cast("decimal(18,2)").cast("string"),
+    "ts": lambda c: c.cast("date").cast("string"),
+}
+
+
+def profile_table(
+    df: DataFrame,
+    spec: list[tuple[str, str]],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Profile the columns in ``spec`` (list of ``(name, kind)`` with
+    kind in int|str|float|ts) in one aggregation pass. Returns one row
+    per column: ``column_name, null_count, distinct_count, min_value,
+    max_value`` in ``spec`` order."""
+    aggs: list[Column] = []
+    for name, kind in spec:
+        norm = _NORM[kind]
+        c = F.col(name)
+        nd = (
+            F.count_distinct(c)
+            if exact_distinct
+            else F.approx_count_distinct(c)
+        )
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
+            nd.cast("long").alias(f"{name}__nd"),
+            norm(F.min(c)).alias(f"{name}__min"),
+            norm(F.max(c)).alias(f"{name}__max"),
+        ]
+    one = df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col(f"{name}__nulls").alias("null_count"),
+                F.col(f"{name}__nd").alias("distinct_count"),
+                F.col(f"{name}__min").alias("min_value"),
+                F.col(f"{name}__max").alias("max_value"),
+            )
+            for name, _ in spec
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")

@@ -1606,6 +1606,83 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "audit_table_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_count,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_count,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT),
+           CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(round(min(o_totalprice), 2) AS DECIMAL(18,2))
+                AS VARCHAR),
+           CAST(CAST(round(max(o_totalprice), 2) AS DECIMAL(18,2))
+                AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+           CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    """,
+)
+def audit_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile of ``orders`` — null count, exact
+    distinct count, normalized min/max per column, ONE aggregation pass
+    (the pre-publish "describe the inputs" audit the reference performs
+    per-Rmd, generalized; companion to ``audit_constraint_suite``,
+    which asserts thresholds where this one reports the measurements).
+    The oracle is the per-column UNION ALL a SQL engine would write —
+    same numbers, six scans; the Spark side is the one-pass shape with
+    the documented Expand caveat for exact multi-column distinct (at
+    100 TB flip ``exact_distinct=False`` for the no-Expand approx
+    plan)."""
+    from n2khab_mhq_data_spark.operators.profile import profile_table
+
+    return profile_table(
+        load(spark, sf_dir, "orders"),
+        [
+            ("o_orderkey", "int"),
+            ("o_custkey", "int"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "float"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ],
+    )
+
+
+@query(
     "a16_ols_regression",
     oracle="""
     SELECT l_returnflag,

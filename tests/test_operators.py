@@ -335,3 +335,37 @@ def test_interval_overlap_join_binned_matches_brute_force(spark):
             if s1 <= e2 and s2 <= e1
         )
         assert got == brute  # equality also proves exactly-once emission
+
+
+def test_profile_table_nulls_and_normalization(spark):
+    from n2khab_mhq_data_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.555, "2020-01-02 03:04:05"),
+            (2, None, 2.0, None),
+            (2, "b", None, "2021-12-31 23:59:59"),
+        ],
+        "k long, s string, x double, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    got = {
+        r["column_name"]: r
+        for r in profile_table(
+            df, [("k", "int"), ("s", "str"), ("x", "float"), ("t", "ts")]
+        ).collect()
+    }
+    assert got["k"]["null_count"] == 0 and got["k"]["distinct_count"] == 2
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "2")
+    assert got["s"]["null_count"] == 1 and got["s"]["max_value"] == "b"
+    assert got["x"]["null_count"] == 1
+    assert (got["x"]["min_value"], got["x"]["max_value"]) == ("1.56", "2.00")
+    assert got["t"]["min_value"] == "2020-01-02"
+    assert got["t"]["max_value"] == "2021-12-31"
+    # approx path keeps the same schema and exact null counts
+    approx = {
+        r["column_name"]: r
+        for r in profile_table(
+            df, [("k", "int")], exact_distinct=False
+        ).collect()
+    }
+    assert approx["k"]["null_count"] == 0 and approx["k"]["distinct_count"] >= 1
