@@ -881,3 +881,46 @@ def scalar_quantization_error(
             F.round(err + F.lit(1e-9), 6).alias("max_abs_err"),
         )
     )
+
+
+def jl_signs(k: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic Rademacher (+1/-1) Johnson-Lindenstrauss projection
+    matrix, derived from md5 so any engine (or auditor) can regenerate
+    it: sign[j][i] = +1 iff the first hex digit of md5("j_i") < 8. The
+    matrix is embedded as LITERALS in both the Spark expression and the
+    SQL oracle — at 100 TB this is exactly the "broadcast a seeded
+    matrix" pattern (the matrix is k x dim regardless of corpus size);
+    deriving it at plan-build time keeps runtime hashing out of the per-
+    row loop entirely."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}_{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(1, dim + 1)
+        ]
+        for j in range(k)
+    ]
+
+
+def jl_dist2_sql(diff: str, elem_fmt: str, k: int = 16, dim: int = 64) -> str:
+    """Squared L2 norm of the k-dim JL projection of vector ``diff``, as
+    ONE SQL string valid in BOTH Spark SQL and DuckDB (the caller picks
+    the element accessor via ``elem_fmt``, e.g.
+    ``"coalesce(CAST(try_element_at({v}, {i}) AS DOUBLE), 0D)"`` for
+    Spark or ``"CAST({v}[{i}] AS DOUBLE)"`` for DuckDB). Projection is
+    linear, so distance in projected space is the projection of the
+    difference — one pass, no per-side projections. Every sum is written
+    left-associative in index order, so both engines fold identically."""
+    signs = jl_signs(k, dim)
+    comps = []
+    for j in range(k):
+        terms = "".join(
+            (" + " if s > 0 else " - ") + elem_fmt.format(v=diff, i=i + 1)
+            for i, s in enumerate(signs[j])
+        )
+        comps.append(f"((0.0{terms}) / {float(k) ** 0.5!r})")
+    total = " + ".join(f"pow({c}, 2)" for c in comps)
+    return f"(0.0 + {total})"

@@ -2202,6 +2202,85 @@ def sketch_hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jl_oracle() -> str:
+    from n2khab_mhq_data_spark.llmdata.similarity import jl_dist2_sql
+
+    return """
+    WITH a AS (
+      SELECT vec_id AS vec_a, embedding AS va FROM embeddings
+      WHERE vec_id % 2 = 0
+    ), b AS (
+      SELECT vec_id - 1 AS vec_a, embedding AS vb FROM embeddings
+      WHERE vec_id % 2 = 1
+    ), p AS (
+      SELECT a.vec_a AS vec_a,
+             list_transform(range(1, 65),
+               i -> CAST(va[i] AS DOUBLE) - CAST(vb[i] AS DOUBLE)) AS diff
+      FROM a JOIN b ON b.vec_a = a.vec_a
+    ), d AS (
+      SELECT vec_a,
+             list_sum(list_transform(range(1, 65),
+               i -> diff[i] * diff[i])) AS d2_orig,
+             {jl} AS d2_proj
+      FROM p
+    )
+    SELECT vec_a, round(d2_orig + 1e-9, 6) AS d2_orig,
+           round(d2_proj + 1e-9, 6) AS d2_proj,
+           round(d2_proj / d2_orig + 1e-9, 4) AS distortion
+    FROM d
+    """.format(jl=jl_dist2_sql("diff", "CAST({v}[{i}] AS DOUBLE)"))
+
+
+@query("ann_jl_distortion", oracle=_jl_oracle())
+def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->16 random-projection distortion audit:
+    for consecutive-id embedding pairs, squared L2 distance in the
+    original space vs in the 16-dim Rademacher projection, plus the
+    ratio (JL predicts concentration near 1 with stddev ~ sqrt(2/k)).
+    This is the acceptance gate for projection-based embedding
+    compression — the cheap 100 TB alternative to trained PCA when all
+    you need is distance preservation (dedup thresholds, ANN routing).
+    The +-1 matrix is generated from md5 at plan-build time
+    (``jl_signs``) and embedded as LITERALS in both engines' expression
+    text — the broadcast-seeded-matrix pattern, with zero per-row
+    hashing. Projection is linear, so projected distance = projection
+    of the difference vector: ONE pass over the pair, no per-side
+    16-component materialization, no shuffle beyond the id join."""
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        _dot_sql,
+        jl_dist2_sql,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va")
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("vec_a"), F.col("embedding").alias("vb")
+    )
+    diff = F.zip_with(
+        F.transform("va", lambda x: x.cast("double")),
+        F.transform("vb", lambda x: x.cast("double")),
+        lambda x, y: x - y,
+    )
+    p = a.join(b, "vec_a").select("vec_a", diff.alias("diff"))
+    d = p.select(
+        "vec_a",
+        F.expr(_dot_sql("diff", "diff", 64)).alias("d2_orig"),
+        F.expr(
+            jl_dist2_sql("diff", "coalesce(try_element_at({v}, {i}), 0D)")
+        ).alias("d2_proj"),
+    )
+    return d.select(
+        "vec_a",
+        F.round(F.col("d2_orig") + 1e-9, 6).alias("d2_orig"),
+        F.round(F.col("d2_proj") + 1e-9, 6).alias("d2_proj"),
+        F.round(F.col("d2_proj") / F.col("d2_orig") + 1e-9, 4).alias(
+            "distortion"
+        ),
+    )
+
+
 # --- IVF with seeded Lloyd's k-means centroids --------------------------
 
 _KM_COS = """(list_sum(list_transform(range(1, 65),

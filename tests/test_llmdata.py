@@ -801,3 +801,22 @@ def test_hll_merge_rollup_equals_direct_quarter_sketch(spark, sf_dir):
     for q, row in merged.items():
         assert direct[q] == row["hll_estimate"], q
         assert abs(row["hll_estimate"] / row["true_distinct"] - 1) < 0.25, q
+
+
+def test_jl_distortion_concentrates_near_one(spark, sf_dir):
+    """JL guarantee: the distortion ratios must center near 1 (mean
+    within 3 sigma/sqrt(n) of 1 for k=16 -> sigma ~ sqrt(2/16)) and the
+    sign matrix must be balanced enough to regenerate (md5-derived)."""
+    import __spark_entry__ as entrymod
+    from n2khab_mhq_data_spark.llmdata.similarity import jl_signs
+
+    signs = jl_signs()
+    assert len(signs) == 16 and all(len(r) == 64 for r in signs)
+    total = sum(sum(r) for r in signs)
+    assert abs(total) < 200  # balanced-ish Rademacher
+    rows = entrymod.queries()["ann_jl_distortion"](spark, sf_dir).collect()
+    assert len(rows) > 20
+    ratios = [r["distortion"] for r in rows]
+    mean = sum(ratios) / len(ratios)
+    assert abs(mean - 1) < 3 * (2 / 16) ** 0.5 / len(ratios) ** 0.5 + 0.05
+    assert all(r["d2_orig"] > 0 for r in rows)
