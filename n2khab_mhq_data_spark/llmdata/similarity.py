@@ -924,3 +924,110 @@ def jl_dist2_sql(diff: str, elem_fmt: str, k: int = 16, dim: int = 64) -> str:
         comps.append(f"((0.0{terms}) / {float(k) ** 0.5!r})")
     total = " + ".join(f"pow({c}, 2)" for c in comps)
     return f"(0.0 + {total})"
+
+
+def pca_fit(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64, k: int = 8
+):
+    """Fit a k-component PCA over an embedding column the 100 TB way:
+    each partition emits ONE Gram partial (count, column sums, X^T X as
+    a dim^2 array) from a single Arrow/BLAS pass, the driver folds the
+    bounded partials (partition-id-sorted so the float fold is
+    deterministic) and eigendecomposes the dim x dim covariance —
+    O(dim^2) driver state, never O(rows). Eigenvectors are
+    sign-canonicalized (largest-|coordinate| entry positive) so the fit
+    is reproducible run to run. Returns ``(mu, W, evr)``: mean vector,
+    (k, dim) component rows, and the explained-variance ratios.
+
+    This is the TRAINED counterpart to the data-oblivious ``jl_signs``
+    projection: JL preserves distances without looking at the data; PCA
+    spends one corpus pass to pack the most variance into the fewest
+    components (lower reconstruction error at the same k)."""
+    import numpy as np
+
+    src = corpus.select(_as_double(F.col(vec_col)).alias("vec"))
+
+    def op(batches):
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            n += len(V)
+            s += V.sum(axis=0)
+            g += V.T @ V
+        if n:
+            yield pd.DataFrame(
+                {"pid": [pid], "n": [n], "s": [s.tolist()],
+                 "g": [g.ravel().tolist()]}
+            )
+
+    parts = src.mapInPandas(
+        op, "pid int, n long, s array<double>, g array<double>"
+    ).collect()
+    n = 0
+    s = np.zeros(dim)
+    g = np.zeros((dim, dim))
+    for r in sorted(parts, key=lambda r: r.pid):
+        n += r.n
+        s += np.array(r.s)
+        g += np.array(r.g).reshape(dim, dim)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals)[:k]
+    W = evecs[:, order].T.copy()
+    for row in W:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    evr = (evals[order] / evals.sum()).tolist()
+    return mu, W, evr
+
+
+def pca_project(
+    corpus: DataFrame,
+    mu,
+    W,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project each vector onto the fitted components and score the
+    squared reconstruction error — one Arrow/BLAS pass per batch, the
+    (k, dim) matrix rides the task closure (broadcast-sized), zero
+    shuffle. Output: id, pc1, pc2, recon_err."""
+    import numpy as np
+
+    mu = np.asarray(mu, dtype=np.float64)
+    Wm = np.asarray(W, dtype=np.float64)
+    src = corpus.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+
+    def op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["vec"].to_numpy()).astype(np.float64) - mu
+            P = V @ Wm.T
+            R = P @ Wm
+            err = ((V - R) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "pc1": P[:, 0],
+                    "pc2": P[:, 1],
+                    "recon_err": err,
+                }
+            )
+
+    return src.mapInPandas(
+        op, "id long, pc1 double, pc2 double, recon_err double"
+    )

@@ -2281,6 +2281,36 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_pca_compress")  # rows-only: eigendecomposition is not SQL-
+# expressible; full-output numpy differential in
+# tests/test_rows_only_differentials.py::test_pca_compress_differential
+def ann_pca_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained 64->8 PCA compression of the embedding corpus: fit via
+    per-partition Gram partials + bounded driver eigendecomposition
+    (O(dim^2) driver state — the same bounded-sync pattern as the
+    k-means partials), then one Arrow/BLAS projection pass scoring each
+    vector's top-2 components and squared reconstruction error. The
+    trained counterpart to ``ann_jl_distortion``'s data-oblivious
+    projection — PCA buys lower reconstruction error at equal k for one
+    extra corpus pass. No oracle: the driver records rows-only; the
+    compensating check is the full-output pure-numpy differential at
+    sf0.01 plus the variance-ordering invariants in tests."""
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    mu, w, _ = pca_fit(emb)
+    out = pca_project(emb, mu, w)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("pc1") + 1e-9, 6).alias("pc1"),
+        F.round(F.col("pc2") + 1e-9, 6).alias("pc2"),
+        F.round(F.col("recon_err") + 1e-9, 6).alias("recon_err"),
+    )
+
+
 # --- IVF with seeded Lloyd's k-means centroids --------------------------
 
 _KM_COS = """(list_sum(list_transform(range(1, 65),

