@@ -1040,6 +1040,32 @@ def a12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a18_cube",
+    oracle="""
+    SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — completes the multidimensional-total family
+    next to ``a12_rollup`` (hierarchy) and ``a13_grouping_sets``
+    (explicit sets): all 2^2 margins in ONE aggregation pass (the
+    Expand replicates rows per grouping set map-side; no 4-scan
+    self-union)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
     "w8_rank_family",
     oracle="""
     WITH r AS (

@@ -1010,3 +1010,81 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id, ts,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events
+    ), m AS (
+      SELECT event_type, CAST(floor(avg(v)) AS BIGINT) AS target
+      FROM x GROUP BY 1
+    ), c AS (
+      SELECT x.event_type, event_id, ts,
+             sum(v - target - 5) OVER w AS csum
+      FROM x JOIN m ON m.event_type = x.event_type
+      WINDOW w AS (PARTITION BY x.event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_type, ts,
+             csum - min(csum) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM c
+    )
+    SELECT event_type,
+           CAST(count(*) FILTER (WHERE cusum > 150000) AS BIGINT)
+             AS n_alarms,
+           min(ts) FILTER (WHERE cusum > 150000) AS first_alarm_ts,
+           CAST(max(cusum) AS BIGINT) AS max_cusum
+    FROM s GROUP BY 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point detection per event type — the
+    drift-monitoring companion to the point-in-time gates
+    (``ts_rolling_p95`` anomalies, ``audit_constraint_suite``): alarms
+    when the cumulative excess over the per-type mean (minus slack)
+    exceeds a threshold. The textbook recursion
+    S_i = max(0, S_{i-1} + e_i) is NOT window-expressible, but its
+    closed form S_i = C_i - min_{j<=i} C_j is: one running sum + one
+    running min over the same (type, time) window partitioning — two
+    frames, ONE shuffle, no recursion, no Python. All arithmetic is in
+    integer cents (floor(value*100)) so running-window accumulation
+    order — which engines are free to tree-reduce — cannot drift the
+    result. h = 1500.00, slack = 0.05 per observation."""
+    e = load(spark, sf_dir, "events")
+    x = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.floor(F.avg("v")).cast("long").alias("target")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = x.join(F.broadcast(m), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum(F.col("v") - F.col("target") - 5).over(w).alias("csum"),
+    )
+    s = c.select(
+        "event_type",
+        "ts",
+        (F.col("csum") - F.min("csum").over(w)).alias("cusum"),
+    )
+    alarm = F.col("cusum") > 150000
+    return s.groupBy("event_type").agg(
+        F.count(F.when(alarm, 1)).cast("long").alias("n_alarms"),
+        F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
+        F.max("cusum").cast("long").alias("max_cusum"),
+    )

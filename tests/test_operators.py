@@ -369,3 +369,39 @@ def test_profile_table_nulls_and_normalization(spark):
         ).collect()
     }
     assert approx["k"]["null_count"] == 0 and approx["k"]["distinct_count"] >= 1
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    """The window closed form S_i = C_i - min_{j<=i} C_j must equal the
+    textbook recursion S_i = max(0, S_{i-1} + e_i) on a series with a
+    planted level shift; the alarm must fire only after the shift."""
+    from pyspark.sql.window import Window as W
+
+    vals = [10, 11, 9, 10, 10, 11, 9, 10] + [15, 16, 15, 17, 16, 15]
+    target, slack, h = 10, 0, 8
+    # python recursion
+    s, ref = 0, []
+    for v in vals:
+        s = max(0, s + (v - target - slack))
+        ref.append(s)
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v long"
+    )
+    w = (
+        W.partitionBy(F.lit(1))
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = df.select("i", F.sum(F.col("v") - target - slack).over(w).alias("c"))
+    got = [
+        r["s"]
+        for r in c.select(
+            "i", (F.col("c") - F.min("c").over(w)).alias("s")
+        )
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == ref
+    first_alarm = next(i for i, v in enumerate(got) if v > h)
+    assert first_alarm >= 8  # no alarm before the planted shift

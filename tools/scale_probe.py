@@ -71,6 +71,13 @@ HEADLINE = [
     "graph_lpa_communities",      # 1 shuffle per LPA round (r5)
     "multimodal_image_dedup",     # real decode + dHash + hash groupBy (r5)
     "text_chunk_stitch",          # chunk fan-out + doc-grain stitch (r5)
+    "dedup_prefix_filter",        # AllPairs prefix self-join (r5)
+    "j13_interval_overlap_binned",  # binned interval-overlap join (r5)
+    "link_edit_distance_join",    # deletion-neighborhood variant join (r5)
+    "sketch_hll_merge_rollup",    # register build + max-merge rollup (r5)
+    "ann_jl_distortion",          # 28KB unrolled projection expr (r5)
+    "ann_pca_compress",           # Gram partials + Arrow projection (r5)
+    "audit_table_profile",        # one-pass profile (Expand distinct) (r5)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
