@@ -1339,3 +1339,56 @@ def s8_snapshot_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+def _orc_store(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprinted scratch ORC export of the documents table —
+    rebuilt only when the source parquet changes (same contract as
+    ``_jsonl_store``)."""
+    import hashlib
+    import os
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    files = sorted(
+        os.path.join(doc, f) for f in os.listdir(doc)
+    ) if os.path.isdir(doc) else [doc]
+    fp = hashlib.md5(
+        ";".join(
+            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/root/repo/.scale/orc/documents_{fp}"
+    if not os.path.isdir(path):
+        (
+            load(spark, sf_dir, "documents")
+            .repartition(8, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .option("compression", "zstd")
+            .orc(path)
+        )
+    return path
+
+
+@query(
+    "s12_orc_roundtrip",
+    oracle="SELECT doc_id, text, lang, source, n_chars FROM documents "
+           "WHERE n_chars >= 200",
+)
+def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC columnar export/import round-trip — the second columnar
+    interchange format next to parquet (JSONL covers the text side,
+    S11). The documents table is written as zstd ORC (8 hash shards,
+    sorted within shard so stripe min/max stats are tight) and read
+    back through Spark's vectorized ORC reader with a pushed
+    ``n_chars >= 200`` predicate — stripe-level skipping exercises the
+    same pruning contract the parquet scans rely on. The hash match
+    against the parquet-sourced oracle proves the round-trip is
+    lossless for longs and full UTF-8 text."""
+    path = _orc_store(spark, sf_dir)
+    return (
+        spark.read.orc(path)
+        .filter(F.col("n_chars") >= 200)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )

@@ -570,3 +570,21 @@ def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
     good2, bad2 = split_corrupt(back2)
     assert good2.count() == 4
     assert bad2.collect()[0]._corrupt_record.startswith("{not json")
+
+
+def test_orc_roundtrip_pushdown_and_exactness(spark, sf_dir):
+    """The ORC scan must show the pushed n_chars predicate in its plan
+    and reproduce the parquet rows exactly."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["s12_orc_roundtrip"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ORC" in plan or "orc" in plan
+    assert "n_chars" in plan  # predicate reached the scan
+    from n2khab_mhq_data_spark.catalog import load
+
+    src = load(spark, sf_dir, "documents").filter("n_chars >= 200")
+    assert df.count() == src.count()
+    got = {r["doc_id"]: r["text"] for r in df.collect()}
+    for r in src.collect():
+        assert got[r["doc_id"]] == r["text"]
