@@ -1392,3 +1392,78 @@ def s12_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") >= 200)
         .select("doc_id", "text", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "s8_snapshot_ivm",
+    oracle="""
+    SELECT CASE WHEN c_custkey % 6 = 0 THEN c_nationkey + 100
+                ELSE c_nationkey END AS nation,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_key
+    FROM customer WHERE c_custkey % 3 <= 1
+    GROUP BY 1
+    """,
+)
+def s8_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance from the snapshot change feed: a
+    per-nation (count, sum) view materialized at v1 is advanced to v2
+    by DELTA ALGEBRA over ``snapshot_changes`` — retract each changed
+    row's old contribution, add its new one — WITHOUT rescanning v2.
+    The merge delta's updates shift c_nationkey by +100, so maintained
+    rows MOVE BETWEEN groups: the retraction leg and the insertion leg
+    both carry weight, and groups emptied by the move must vanish
+    (count > 0 filter). The oracle recomputes the v2 view from scratch
+    arithmetically, so IVM == full recompute is hash-checked. At
+    100 TB this is the point of a change feed: maintenance cost scales
+    with |delta| (one key shuffle + one group shuffle over changed rows
+    only), not with the table."""
+    from n2khab_mhq_data_spark.sources.snapshots import snapshot_changes
+
+    from n2khab_mhq_data_spark.sources.snapshots import read_snapshot
+
+    path = _merge_store(spark, sf_dir)
+    # the materialized view as of v1, computed from the STORE (not from
+    # the source table) — maintenance must start from what was published
+    base = (
+        read_snapshot(spark, path, 1)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("c_custkey").cast("long").alias("s"),
+        )
+    )
+    ch = snapshot_changes(spark, path, 1, 2, ["c_custkey"])
+    minus = ch.filter(F.col("op").isin("update", "delete")).select(
+        F.col("old_c_nationkey").alias("nation"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("c_custkey")).cast("long").alias("ds"),
+    )
+    plus = ch.filter(F.col("op").isin("update", "insert")).select(
+        F.col("new_c_nationkey").alias("nation"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("c_custkey").cast("long").alias("ds"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy("nation")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    out = (
+        base.join(delta, "nation", "full_outer")
+        .select(
+            "nation",
+            (
+                F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n_rows"),
+            (
+                F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))
+            ).alias("s_key"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+    return out.select(
+        F.col("nation").cast("long").alias("nation"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("s_key").cast("long").alias("sum_key"),
+    )

@@ -210,6 +210,51 @@ def snapshot_diff(
     )
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Change feed WITH before/after images: one row per changed key
+    carrying ``op`` plus every non-key column twice (``old_*`` from the
+    parent version, ``new_*`` from the child; null on the missing side
+    of inserts/deletes). Same single key-shuffle full outer join as
+    ``snapshot_diff`` — this is the feed an incremental view maintainer
+    consumes, since delta algebra needs the retracted values, not just
+    the keys."""
+    a = read_snapshot(spark, path, from_version)
+    b = read_snapshot(spark, path, to_version)
+    val_cols = [c for c in b.columns if c not in keys]
+    ah = a.select(
+        *keys,
+        F.xxhash64(*[F.col(c) for c in val_cols]).alias("__ha"),
+        *[F.col(c).alias(f"old_{c}") for c in val_cols],
+    )
+    bh = b.select(
+        *keys,
+        F.xxhash64(*[F.col(c) for c in val_cols]).alias("__hb"),
+        *[F.col(c).alias(f"new_{c}") for c in val_cols],
+    )
+    j = ah.join(bh, keys, "full_outer")
+    op = (
+        F.when(F.col("__ha").isNull(), F.lit("insert"))
+        .when(F.col("__hb").isNull(), F.lit("delete"))
+        .when(F.col("__ha") != F.col("__hb"), F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[f"old_{c}" for c in val_cols],
+            *[f"new_{c}" for c in val_cols],
+        )
+    )
+
+
 def _seen_batch_ids(path: str) -> set[int]:
     out = set()
     for v in _versions(path):

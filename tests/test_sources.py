@@ -588,3 +588,35 @@ def test_orc_roundtrip_pushdown_and_exactness(spark, sf_dir):
     got = {r["doc_id"]: r["text"] for r in df.collect()}
     for r in src.collect():
         assert got[r["doc_id"]] == r["text"]
+
+
+def test_snapshot_changes_before_after_images(spark, tmp_path):
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        snapshot_changes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+            "k int, v string, w int",
+        ),
+        path,
+    )
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 25), (9, "z", 90)],
+            "k int, v string, w int",
+        ),
+        path,
+    )
+    got = {
+        r.k: (r.op, r.old_v, r.old_w, r.new_v, r.new_w)
+        for r in snapshot_changes(spark, path, 1, 2, ["k"]).collect()
+    }
+    assert got == {
+        2: ("update", "b", 20, "B", 25),
+        3: ("delete", "c", 30, None, None),
+        9: ("insert", None, None, "z", 90),
+    }

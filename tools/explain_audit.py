@@ -64,6 +64,11 @@ EXPECTED: dict[str, set[str]] = {
     # scans' key+hash projections — neither side is bounded at 100 TB
     # and full outer cannot broadcast (the j4_full_outer argument)
     "s8_snapshot_diff": {"SMJ"},
+    # IVM rides the same change feed (full outer of two version scans,
+    # the s8_snapshot_diff argument) and then full-outer-combines the
+    # materialized view with the delta — both view and delta are
+    # unbounded at 100 TB and full outer cannot broadcast
+    "s8_snapshot_ivm": {"SMJ"},
     # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
     # image gate, canonical assignment) joined on the id — every side
     # is corpus-sized at 100 TB so SortMergeJoin is the correct static
