@@ -84,6 +84,7 @@ def edit_distance_join_deletion(
     df: DataFrame,
     id_col: str,
     key_col: str,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """EXACT edit-distance <= 1 self-join via the deletion-neighborhood
     (FastSS / SymSpell family) — the LOSSLESS complement to
@@ -100,6 +101,11 @@ def edit_distance_join_deletion(
     ``levenshtein`` verification makes it exact: provably the same
     output as the quadratic all-pairs join.
 
+    ``block_cols`` adds composite blocking: variants only join within
+    equal block-attribute groups (ER practice — candidates must agree
+    on the hard keys before fuzzy-matching the soft one), which also
+    divides per-variant fan-out by the block cardinality.
+
     Scale: candidate volume is sum over variant keys of (docs sharing
     that key choose 2) — driven by true near-match density, not corpus
     size; the one shuffle is hash-partitioned on the variant string.
@@ -107,7 +113,15 @@ def edit_distance_join_deletion(
     Python). Verification cost is |candidates| levenshteins, each on a
     short key. Nothing is quadratic in the corpus.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    blk = (
+        F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
+        if block_cols
+        else F.lit("")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(key_col).alias("key"),
+        blk.alias("blk"),
+    )
     key = F.col("key")
     variants = F.array_union(
         F.array(key),
@@ -119,12 +133,13 @@ def edit_distance_join_deletion(
             ),
         ),
     )
-    v = base.select("id", "key", F.explode(variants).alias("var"))
+    v = base.select("id", "key", "blk", F.explode(variants).alias("var"))
     a, b = v.alias("a"), v.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.var") == F.col("b.var"))
+            & (F.col("a.blk") == F.col("b.blk"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

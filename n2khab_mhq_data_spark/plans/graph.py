@@ -449,3 +449,90 @@ def link_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_join_deletion(
         load(spark, sf_dir, "customer"), "c_custkey", "c_name"
     )
+
+
+@query(
+    "link_golden_record",
+    """
+    WITH RECURSIVE p AS (
+      SELECT a.c_custkey AS id1, b.c_custkey AS id2
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND a.c_nationkey = b.c_nationkey
+       AND a.c_mktsegment = b.c_mktsegment
+       AND levenshtein(a.c_name, b.c_name) <= 1
+    ), e AS (
+      SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p
+    ), reach AS (
+      SELECT a AS node, a AS r FROM e
+      UNION
+      SELECT rc.node, e.b FROM reach rc JOIN e ON rc.r = e.a
+    ), comp AS (
+      SELECT node, min(r) AS comp FROM reach GROUP BY 1
+    ), m AS (
+      SELECT c.comp, cu.c_custkey, cu.c_name, cu.c_acctbal
+      FROM comp c JOIN customer cu ON cu.c_custkey = c.node
+    ), best AS (
+      SELECT comp, c_name,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM m
+    )
+    SELECT CAST(m.comp AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(max(m.c_acctbal), 2) AS max_acctbal,
+           b.c_name AS rep_name
+    FROM m JOIN best b ON b.comp = m.comp AND b.rn = 1
+    GROUP BY m.comp, b.c_name
+    """,
+)
+def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: block-constrained exact fuzzy
+    linkage (deletion-neighborhood Levenshtein <= 1 within equal
+    nation x segment — the hard keys must agree before the soft key is
+    fuzzy-matched) -> exact connected components -> SURVIVORSHIP merge
+    per duplicate group (canonical id = min member, representative name
+    from the max-acctbal member, attributes merged by max). This is the
+    golden-record construction the reference's K9 cascade performs with
+    exact keys, completed for typo'd registries. Every stage is the
+    registered scale path: blocked variant join, one-shuffle-per-round
+    CC, windowed arg-max; the oracle replays linkage (quadratic),
+    closure (recursive CTE), and survivorship in SQL."""
+    from n2khab_mhq_data_spark.llmdata.dedup import connected_components
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+    from pyspark.sql.window import Window as W
+
+    cust = load(spark, sf_dir, "customer")
+    pairs = edit_distance_join_deletion(
+        cust, "c_custkey", "c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+    )
+    comps = connected_components(pairs, "id1", "id2")
+    m = comps.join(
+        cust, comps["doc"] == cust["c_custkey"]
+    ).select(
+        F.col("component_id").alias("comp"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+    )
+    w = W.partitionBy("comp").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    best = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col("c_name").alias("rep_name"))
+    )
+    agg = m.groupBy("comp").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+    return agg.join(best, "comp").select(
+        F.col("comp").cast("long").alias("canonical_id"),
+        "n_members",
+        "max_acctbal",
+        "rep_name",
+    )

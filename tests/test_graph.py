@@ -300,3 +300,40 @@ def test_edit_distance_join_matches_quadratic(spark):
         for r in edit_distance_join_deletion(df, "id", "name").collect()
     }
     assert got == brute and len(brute) > 50
+
+
+def test_golden_record_survivorship_hand_computed(spark):
+    """Two planted dup groups with distinct survivorship outcomes, plus
+    a cross-block near-name pair that must NOT link."""
+    from n2khab_mhq_data_spark.llmdata.dedup import connected_components
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    rows = [
+        # group A (block n1/s1): chain ann-anne-annl, rep = max bal (2)
+        (1, "ann", 1, "s1", 10.0),
+        (2, "anne", 1, "s1", 50.0),
+        (3, "annl", 1, "s1", 30.0),
+        # near-name but different block: must stay out
+        (4, "anne", 2, "s1", 99.0),
+        # group B: tie on bal -> min custkey wins rep
+        (5, "bob", 1, "s1", 20.0),
+        (6, "rob", 1, "s1", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey int,"
+        " c_mktsegment string, c_acctbal double"
+    )
+    pairs = edit_distance_join_deletion(
+        df, "c_custkey", "c_name", block_cols=["c_nationkey", "c_mktsegment"]
+    )
+    got = {(r["id1"], r["id2"]) for r in pairs.collect()}
+    assert (2, 4) not in got and (1, 2) in got and (5, 6) in got
+    comps = {
+        r["doc"]: r["component_id"]
+        for r in connected_components(pairs, "id1", "id2").collect()
+    }
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[5] == comps[6] == 5
+    assert 4 not in comps

@@ -69,6 +69,11 @@ EXPECTED: dict[str, set[str]] = {
     # materialized view with the delta — both view and delta are
     # unbounded at 100 TB and full outer cannot broadcast
     "s8_snapshot_ivm": {"SMJ"},
+    # golden record: component-membership x customer attribute attach,
+    # then group-grain aggregate x windowed-argmax rep — every side is
+    # corpus/dup-group-sized at 100 TB (the k7_lsvi_species argument);
+    # AQE downgrades to broadcast when the dup-group table is small
+    "link_golden_record": {"SMJ"},
     # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
     # image gate, canonical assignment) joined on the id — every side
     # is corpus-sized at 100 TB so SortMergeJoin is the correct static
