@@ -1088,3 +1088,119 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(alarm, F.col("ts"))).alias("first_alarm_ts"),
         F.max("cusum").cast("long").alias("max_cusum"),
     )
+
+
+@query(
+    "events_frequent_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), p AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM s WHERE e3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n, n_users FROM p
+    ORDER BY n DESC, path LIMIT 15
+    """,
+)
+def events_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 most frequent 3-step event paths (consecutive triples per
+    user timeline) — the sequence-mining companion to
+    ``events_markov_transitions`` (which sees only pairwise hops) and
+    ``events_funnel`` (which checks ONE fixed path): here the frequent
+    paths are DISCOVERED. Two lead() frames share one (user, time)
+    window partitioning — a single shuffle — then a path-grain count;
+    the top-k is a TakeOrderedAndProject, never a global sort. At
+    100 TB the path-count table is bounded by |event_type|^3, not by
+    rows."""
+    from pyspark.sql.window import Window as PW
+
+    e = load(spark, sf_dir, "events")
+    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    p = s.select(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path"),
+        "user_id",
+    ).groupBy("path").agg(
+        F.count("*").cast("long").alias("n"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    return p.orderBy(F.col("n").desc(), "path").limit(15)
+
+
+@query(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             avg(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN value END)
+               AS x,
+             avg(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value END)
+               AS y
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT user_id, user_id % 2 AS arm, x, y FROM u
+      WHERE x IS NOT NULL AND y IS NOT NULL
+    ), th AS (
+      SELECT covar_samp(x, y) / var_samp(x) AS theta, avg(x) AS mx
+      FROM c
+    )
+    SELECT CAST(c.arm AS INTEGER) AS arm,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(c.y) + 1e-9, 6) AS raw_mean,
+           round(avg(c.y - th.theta * (c.x - th.mx)) + 1e-9, 6)
+             AS cuped_mean,
+           round(var_samp(c.y - th.theta * (c.x - th.mx))
+                 / var_samp(c.y) + 1e-9, 6) AS var_ratio
+    FROM c, th
+    GROUP BY c.arm, th.theta, th.mx
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experiment readouts: per-user
+    pre-period covariate x (mean event value before the mid-month cutover) and
+    outcome y (mean after), theta = cov(x,y)/var(x) fitted on ALL
+    units, adjusted outcome y - theta (x - mean x), reported per
+    synthetic arm (user_id parity) with the achieved variance ratio.
+    The standard experimentation-analytics kernel (Deng et al.,
+    WSDM'13), expressed as two aggregation passes: a user-grain agg
+    (one shuffle) and a 1-row theta fit broadcast back — never a
+    per-row Python loop. var_ratio < 1 is the entire point of CUPED;
+    the pytest asserts it."""
+    e = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    u = e.groupBy("user_id").agg(
+        F.avg(F.when(F.col("ts") < cut, F.col("value"))).alias("x"),
+        F.avg(F.when(F.col("ts") >= cut, F.col("value"))).alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    c = u.select("user_id", (F.col("user_id") % 2).alias("arm"), "x", "y")
+    th = c.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
+        F.avg("x").alias("mx"),
+    )
+    adj = c.crossJoin(F.broadcast(th)).withColumn(
+        "ya", F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+    )
+    return adj.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.round(F.avg("y") + F.lit(1e-9), 6).alias("raw_mean"),
+        F.round(F.avg("ya") + F.lit(1e-9), 6).alias("cuped_mean"),
+        F.round(
+            F.var_samp("ya") / F.var_samp("y") + F.lit(1e-9), 6
+        ).alias("var_ratio"),
+    ).select(
+        F.col("arm").cast("int").alias("arm"),
+        "n_users", "raw_mean", "cuped_mean", "var_ratio",
+    )

@@ -405,3 +405,19 @@ def test_cusum_closed_form_matches_recursion(spark):
     assert got == ref
     first_alarm = next(i for i, v in enumerate(got) if v > h)
     assert first_alarm >= 8  # no alarm before the planted shift
+
+
+def test_cuped_reduces_variance_when_covariate_predicts(spark, sf_dir):
+    """CUPED must achieve var_ratio < 1 on the events data (pre-period
+    mean predicts post-period mean within user), and the adjusted arm
+    means must preserve the overall mean up to theta-weighted centering."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["events_cuped_adjustment"](
+        spark, sf_dir
+    ).collect()
+    assert {r["arm"] for r in rows} == {0, 1}
+    for r in rows:
+        assert r["n_users"] > 3
+        assert 0 < r["var_ratio"] < 1.5  # small-n arms can jitter high
+    assert any(r["var_ratio"] < 1.0 for r in rows)

@@ -74,6 +74,10 @@ EXPECTED: dict[str, set[str]] = {
     # corpus/dup-group-sized at 100 TB (the k7_lsvi_species argument);
     # AQE downgrades to broadcast when the dup-group table is small
     "link_golden_record": {"SMJ"},
+    # CUPED: the pooled (theta, mean-x) fit is a 1-ROW aggregate
+    # broadcast-crossed onto the user-grain frame — the text_tfidf_topk
+    # 1-row-global-stat pattern; the user table never replicates
+    "events_cuped_adjustment": {"CARTESIAN"},
     # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
     # image gate, canonical assignment) joined on the id — every side
     # is corpus-sized at 100 TB so SortMergeJoin is the correct static
