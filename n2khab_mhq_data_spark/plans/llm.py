@@ -4369,3 +4369,201 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (passes_text & passes_image & is_canon).alias("curated"),
         )
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch -------------------------------
+# Portable hash: md5 leading 32 bits (same spelling as the HLL sketch) so
+# both engines build bit-identical sketches; k = 64 so every group keeps a
+# full sketch even at sf0.001 (126+ distinct customers per priority).
+_KMV_K = 64
+_KMV_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+def _kmv_hashes(spark: SparkSession, sf_dir: str, priorities=None):
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"), "o_custkey"
+    )
+    if priorities is not None:
+        o = o.filter(F.col("g").isin(*priorities))
+    return o.select(
+        "g",
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8),
+               16, 10).cast("long").alias("hv"),
+    ).distinct()
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS g, {_KMV_HASH_SQL} AS hv
+      FROM orders
+    ), sk AS (
+      SELECT g, hv,
+             row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+      FROM h
+    ), agg AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_kept,
+             max(hv) AS kth_hash
+      FROM sk WHERE rn <= {_KMV_K} GROUP BY g
+    ), t AS (
+      SELECT o_orderpriority AS g,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+      FROM orders GROUP BY 1
+    )
+    SELECT t.g AS priority, t.true_distinct, a.kth_hash,
+           round(CASE WHEN a.n_kept < {_KMV_K}
+                      THEN CAST(a.n_kept AS DOUBLE)
+                      ELSE ({_KMV_K} - 1) * 4294967296.0
+                           / CAST(a.kth_hash AS DOUBLE) END
+                 + 1e-9, 4) AS kmv_estimate
+    FROM t JOIN agg a ON a.g = t.g
+    """,
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-customer estimate per order
+    priority next to the exact count — the ORDER-STATISTICS mergeable
+    sketch, complement of the register-based ``sketch_hll_distinct``:
+    keep the k smallest distinct hash values; the kth smallest h_(k)
+    estimates N as (k-1) * 2^32 / h_(k) (Bar-Yossef et al., uniform
+    order statistics). Hashes are the repo's portable md5-leading-32-bit
+    spelling, so both engines keep bit-identical sketches and the only
+    float op is the single final division. Undershooting groups (< k
+    distinct values) degrade to the EXACT count — the sketch is lossless
+    below k by construction. Scale: one map-side-combinable distinct on
+    (group, hash); the rank window sorts within each group's hash
+    partition only (no global sort); production refinement at extreme
+    cardinality is a bucket-histogram pre-prune that bounds the sorted
+    range to the bucket containing h_(k) — the estimator itself never
+    needs more than k survivors per group."""
+    k = _KMV_K
+    h = _kmv_hashes(spark, sf_dir)
+    w = W.partitionBy("g").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = sk.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("hv").alias("kth_hash"),
+    )
+    o = load(spark, sf_dir, "orders")
+    truth = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count_distinct("o_custkey").cast("long").alias("true_distinct")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(4294967296.0)
+        / F.col("kth_hash").cast("double")
+    )
+    return truth.join(F.broadcast(agg), "g").select(
+        F.col("g").alias("priority"),
+        "true_distinct",
+        "kth_hash",
+        F.round(est + F.lit(1e-9), 4).alias("kmv_estimate"),
+    )
+
+
+@query(
+    "sketch_kmv_jaccard",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority AS g, {_KMV_HASH_SQL} AS hv
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    ), sk AS (
+      SELECT g, hv,
+             row_number() OVER (PARTITION BY g ORDER BY hv) AS rn
+      FROM h
+    ), a AS (SELECT hv FROM sk WHERE g = '1-URGENT' AND rn <= {_KMV_K}),
+    b AS (SELECT hv FROM sk WHERE g = '2-HIGH' AND rn <= {_KMV_K}),
+    u AS (
+      SELECT hv FROM (SELECT hv FROM a UNION SELECT hv FROM b)
+      ORDER BY hv LIMIT {_KMV_K}
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS kmv_matches
+      FROM u
+      WHERE hv IN (SELECT hv FROM a) AND hv IN (SELECT hv FROM b)
+    ), f AS (
+      SELECT o_custkey,
+             bool_or(o_orderpriority = '1-URGENT') AS ina,
+             bool_or(o_orderpriority = '2-HIGH') AS inb
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      GROUP BY 1
+    ), t AS (
+      SELECT CAST(count(*) FILTER (WHERE ina AND inb) AS BIGINT)
+               AS true_inter,
+             CAST(count(*) AS BIGINT) AS true_union
+      FROM f
+    )
+    SELECT '1-URGENT' AS set_a, '2-HIGH' AS set_b,
+           CAST({_KMV_K} AS INTEGER) AS k, m.kmv_matches,
+           round(m.kmv_matches / CAST({_KMV_K} AS DOUBLE) + 1e-9, 4)
+             AS kmv_jaccard,
+           t.true_inter, t.true_union,
+           round(t.true_inter / CAST(t.true_union AS DOUBLE) + 1e-9, 4)
+             AS true_jaccard
+    FROM m, t
+    """,
+)
+def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity from MERGED KMV sketches — the estimator that makes
+    KMV more than a distinct counter: the k smallest hashes of A UNION B
+    are computable from the two per-set sketches alone (no re-scan), and
+    the fraction of that union sketch present in BOTH per-set sketches
+    is an unbiased Jaccard estimate (the min-hash argument applied to k
+    order statistics at once). Reported against the exact Jaccard of the
+    urgent/high customer sets. Everything after the per-set sketch build
+    operates on <= 2k rows — merge, membership flags, and the estimate
+    are sketch-sized no matter the corpus, which is exactly the 100 TB
+    contract: ship two 64-value sketches, not two customer sets."""
+    k = _KMV_K
+    pa, pb = "1-URGENT", "2-HIGH"
+    h = _kmv_hashes(spark, sf_dir, [pa, pb])
+    w = W.partitionBy("g").orderBy("hv")
+    sk = h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    a = sk.filter(F.col("g") == pa).select("hv")
+    b = sk.filter(F.col("g") == pb).select("hv")
+    u = a.unionByName(b).distinct().orderBy("hv").limit(k)
+    flagged = (
+        u.join(F.broadcast(a.withColumn("ina", F.lit(1))), "hv", "left")
+        .join(F.broadcast(b.withColumn("inb", F.lit(1))), "hv", "left")
+    )
+    m = flagged.agg(
+        F.sum(
+            F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("kmv_matches")
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin(pa, pb)
+    )
+    f = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderpriority") == pa).alias("ina"),
+        F.max(F.col("o_orderpriority") == pb).alias("inb"),
+    )
+    t = f.agg(
+        F.sum(F.when(F.col("ina") & F.col("inb"), 1).otherwise(0))
+        .cast("long").alias("true_inter"),
+        F.count("*").cast("long").alias("true_union"),
+    )
+    return m.crossJoin(F.broadcast(t)).select(
+        F.lit(pa).alias("set_a"),
+        F.lit(pb).alias("set_b"),
+        F.lit(k).cast("int").alias("k"),
+        "kmv_matches",
+        F.round(
+            F.col("kmv_matches") / F.lit(float(k)) + F.lit(1e-9), 4
+        ).alias("kmv_jaccard"),
+        "true_inter",
+        "true_union",
+        F.round(
+            F.col("true_inter") / F.col("true_union").cast("double")
+            + F.lit(1e-9), 4,
+        ).alias("true_jaccard"),
+    )

@@ -1204,3 +1204,203 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("arm").cast("int").alias("arm"),
         "n_users", "raw_mean", "cuped_mean", "var_ratio",
     )
+
+
+@query(
+    "ts_acf",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), lags AS (SELECT CAST(range AS INTEGER) AS lag FROM range(1, 8)),
+    p AS (
+      SELECT c1.event_type, l.lag, c1.x AS x, c2.x AS y
+      FROM d c1 CROSS JOIN lags l
+      JOIN d c2 ON c2.event_type = c1.event_type
+                AND c2.day = c1.day + l.lag
+    ), s AS (
+      SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM p GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n AS n_pairs,
+           round((n * sxy - sx * sy) /
+                 sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                      * (n * syy - sy * sy)) + 1e-9, 6) AS acf
+    FROM s WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series per
+    event_type at lags 1..7 (the seasonality probe a forecasting
+    pipeline runs before picking a model). Pearson r over lag-aligned
+    day pairs computed ENTIRELY in integer sums (n*Sxy - Sx*Sy form) so
+    the only float op is the final division — cross-engine exact, no
+    sum-order drift. Spark: one groupBy for the daily series (tiny: one
+    row per type-day), explode the lag list, one equi-join on the
+    shifted day, one partial-aggregable groupBy — the series table is
+    dim-sized at any corpus scale, so every join stays broadcastable."""
+    e = load(spark, sf_dir, "events")
+    d = (
+        e.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.count("*").cast("long").alias("x"))
+    )
+    lag_col = F.explode(
+        F.array([F.lit(i).cast("int") for i in range(1, 8)])
+    ).alias("lag")
+    shifted = (
+        d.select("event_type", "day", "x", lag_col)
+        .select(
+            "event_type",
+            F.expr("date_add(day, lag)").alias("day"),
+            F.col("lag"),
+            F.col("x"),
+        )
+    )
+    p = shifted.join(
+        d.select("event_type", "day", F.col("x").alias("y")),
+        ["event_type", "day"],
+    )
+    s = p.groupBy("event_type", "lag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        s.filter((varx > 0) & (vary > 0))
+        .select(
+            "event_type",
+            "lag",
+            F.col("n").alias("n_pairs"),
+            F.round(
+                num / F.sqrt(varx.cast("double") * vary) + F.lit(1e-9), 6
+            ).alias("acf"),
+        )
+    )
+
+
+@query(
+    "w11_running_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT event_type, user_id,
+             CAST(min(ts) AS DATE) AS first_day
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT event_type, first_day AS day,
+             CAST(count(*) AS BIGINT) AS new_users
+      FROM f GROUP BY 1, 2
+    )
+    SELECT event_type, day, new_users,
+           CAST(sum(new_users) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM daily
+    """,
+)
+def w11_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT user count per event_type by day — the classic
+    'cumulative uniques' curve, which no engine supports as a native
+    windowed count(DISTINCT). Scalable shape: distinct collapses to a
+    first-touch row per (type, user) via min(ts) (one map-side-combinable
+    agg on the full data), then the window runs over the TINY type x day
+    series — the unbounded running sum never sees corpus-grain rows."""
+    e = load(spark, sf_dir, "events")
+    f = e.groupBy("event_type", "user_id").agg(
+        F.min("ts").cast("date").alias("first_day")
+    )
+    daily = f.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count("*").cast("long").alias("new_users"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@query(
+    "j14_scd2_point_in_time",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ), dim AS (
+      SELECT user_id, event_type AS status, ts AS valid_from,
+             lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      FROM m WHERE prev IS DISTINCT FROM event_type
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    )
+    SELECT c.click_id, c.user_id, c.ts, d.status,
+           d.valid_from AS status_since
+    FROM clicks c LEFT JOIN dim d
+      ON d.user_id = c.user_id
+     AND c.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR c.ts < d.valid_to)
+    """,
+)
+def j14_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join — the feature-store correctness
+    primitive: attach to every click the user's milestone status
+    (signup/purchase SCD2 interval) that was valid AT click time, never
+    a leaked future value. The dimension is built by the same
+    operators/scd.py::scd2_history engine as scd2_user_status; the
+    fact-to-interval attach is an equi-join on user_id with the
+    half-open [valid_from, valid_to) predicate applied INSIDE the join —
+    intervals partition each user's timeline, so at most one dim row
+    survives per fact and the per-user interval count is bounded by the
+    user's change count, keeping the equi-join fan-out linear. Facts
+    before the first milestone keep a NULL status via the left join."""
+    from n2khab_mhq_data_spark.operators.scd import scd2_history
+
+    e = load(spark, sf_dir, "events")
+    m = e.filter(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    dim = scd2_history(
+        m, ["user_id"], ["event_type"], "ts", tiebreak_cols=["event_id"]
+    ).select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        "valid_from",
+        "valid_to",
+    )
+    dim = dim.alias("d")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), "user_id", "ts")
+        .alias("c")
+    )
+    cond = (
+        (F.col("c.user_id") == F.col("d.user_id"))
+        & (F.col("c.ts") >= F.col("d.valid_from"))
+        & (F.col("d.valid_to").isNull() | (F.col("c.ts") < F.col("d.valid_to")))
+    )
+    out = clicks.join(dim, cond, "left")
+    return out.select(
+        "click_id",
+        F.col("c.user_id").alias("user_id"),
+        "ts",
+        "status",
+        F.col("d.valid_from").alias("status_since"),
+    )

@@ -820,3 +820,54 @@ def test_jl_distortion_concentrates_near_one(spark, sf_dir):
     mean = sum(ratios) / len(ratios)
     assert abs(mean - 1) < 3 * (2 / 16) ** 0.5 / len(ratios) ** 0.5 + 0.05
     assert all(r["d2_orig"] > 0 for r in rows)
+
+
+def test_kmv_distinct_undershoot_is_exact_and_estimator_tracks(spark, sf_dir):
+    """A group with fewer than k distinct keys degrades to the EXACT
+    count; groups above k estimate within the order-statistics error
+    envelope (k=64 -> sigma ~ 12.5%, assert a loose 3-sigma band on the
+    deterministic test data)."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.llm as lmod
+    from n2khab_mhq_data_spark.plans.llm import sketch_kmv_distinct
+
+    # undershoot: 10 distinct custkeys in one priority
+    rows = [
+        (i, i % 10, "P", 1.0, dt.datetime(2024, 1, 1), "x")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    lload = lmod.load
+    lmod.load = lambda s, d, t: df
+    try:
+        out = sketch_kmv_distinct(spark, "unused").collect()
+    finally:
+        lmod.load = lload
+    assert len(out) == 1
+    assert out[0]["true_distinct"] == 10
+    assert out[0]["kmv_estimate"] == 10.0
+
+    # real data: every priority exceeds k -> estimator path
+    got = {
+        r["priority"]: r for r in sketch_kmv_distinct(spark, sf_dir).collect()
+    }
+    assert len(got) == 5
+    for r in got.values():
+        rel = abs(r["kmv_estimate"] - r["true_distinct"]) / r["true_distinct"]
+        assert rel < 0.5, (r, rel)
+
+
+def test_kmv_jaccard_bounds_and_truth(spark, sf_dir):
+    from n2khab_mhq_data_spark.plans.llm import sketch_kmv_jaccard
+
+    r = sketch_kmv_jaccard(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["kmv_jaccard"] <= 1.0
+    assert r["kmv_matches"] <= r["k"]
+    assert r["true_inter"] <= r["true_union"]
+    # estimator should land within +-0.35 of truth at k=64 (3 sigma of
+    # the hypergeometric match count on this deterministic data)
+    assert abs(r["kmv_jaccard"] - r["true_jaccard"]) < 0.35

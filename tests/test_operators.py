@@ -421,3 +421,123 @@ def test_cuped_reduces_variance_when_covariate_predicts(spark, sf_dir):
         assert r["n_users"] > 3
         assert 0 < r["var_ratio"] < 1.5  # small-n arms can jitter high
     assert any(r["var_ratio"] < 1.0 for r in rows)
+
+
+def test_acf_alternating_series_lag1_is_minus_one(spark):
+    """A perfectly alternating daily series has ACF(1) == -1 and
+    ACF(2) == +1 (exact, because the query's Pearson form is integer
+    until the last division)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for i in range(10):
+        day = dt.datetime(2024, 1, 1 + i)
+        # alternate 1 event / 3 events per day
+        for _ in range(1 if i % 2 == 0 else 3):
+            rows.append((eid, day, 1, "tick", 0.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("__acf_events")
+
+    from n2khab_mhq_data_spark.plans.windows import ts_acf
+    import n2khab_mhq_data_spark.catalog as catalog
+
+    orig = catalog.load
+    try:
+        catalog.load = lambda s, d, t: (
+            spark.table("__acf_events") if t == "events" else orig(s, d, t)
+        )
+        import n2khab_mhq_data_spark.plans.windows as wmod
+        wload = wmod.load
+        wmod.load = catalog.load
+        try:
+            out = {
+                (r["lag"]): r["acf"]
+                for r in ts_acf(spark, "unused").collect()
+            }
+        finally:
+            wmod.load = wload
+    finally:
+        catalog.load = orig
+    assert out[1] == -1.0
+    assert out[2] == 1.0
+
+
+def test_running_distinct_hand_case(spark):
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.windows as wmod
+    from n2khab_mhq_data_spark.plans.windows import w11_running_distinct
+
+    rows = [
+        # (event_id, ts, user_id, type): u1 day1, u1 day2 (repeat),
+        # u2 day2, u3 day3 -> new: d1=1, d2=1, d3=1; cum: 1,2,3
+        (1, dt.datetime(2024, 1, 1), 1, "a", None, None),
+        (2, dt.datetime(2024, 1, 2), 1, "a", None, None),
+        (3, dt.datetime(2024, 1, 2), 2, "a", None, None),
+        (4, dt.datetime(2024, 1, 3), 3, "a", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    wload = wmod.load
+    wmod.load = lambda s, d, t: df
+    try:
+        out = {
+            str(r["day"]): (r["new_users"], r["cum_users"])
+            for r in w11_running_distinct(spark, "unused").collect()
+        }
+    finally:
+        wmod.load = wload
+    assert out == {
+        "2024-01-01": (1, 1),
+        "2024-01-02": (1, 2),
+        "2024-01-03": (1, 3),
+    }
+
+
+def test_scd2_point_in_time_boundaries(spark):
+    """Clicks before the first milestone get NULL status; a click at
+    exactly valid_from lands in the NEW interval (half-open)."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.windows as wmod
+    from n2khab_mhq_data_spark.plans.windows import j14_scd2_point_in_time
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        (1, t(0), 7, "click", None, None),     # before any milestone
+        (2, t(1), 7, "signup", None, None),    # status: signup from 01:00
+        (3, t(1), 7, "click", None, None),     # exactly at valid_from
+        (4, t(2), 7, "click", None, None),     # inside signup interval
+        (5, t(3), 7, "purchase", None, None),  # status flips at 03:00
+        (6, t(3), 7, "click", None, None),     # exactly at the flip
+        (7, t(4), 7, "click", None, None),     # current interval
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    wload = wmod.load
+    wmod.load = lambda s, d, t_: df
+    try:
+        out = {
+            r["click_id"]: r["status"]
+            for r in j14_scd2_point_in_time(spark, "unused").collect()
+        }
+    finally:
+        wmod.load = wload
+    assert out == {
+        1: None,
+        3: "signup",
+        4: "signup",
+        6: "purchase",
+        7: "purchase",
+    }

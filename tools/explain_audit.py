@@ -78,6 +78,11 @@ EXPECTED: dict[str, set[str]] = {
     # broadcast-crossed onto the user-grain frame — the text_tfidf_topk
     # 1-row-global-stat pattern; the user table never replicates
     "events_cuped_adjustment": {"CARTESIAN"},
+    # KMV jaccard: the final combine is a 1-ROW sketch-estimate frame
+    # broadcast-crossed with a 1-ROW exact-truth frame — both sides are
+    # sketch-sized (<= k = 64 inputs) regardless of corpus scale, the
+    # events_cuped_adjustment 1-row-global-stat pattern
+    "sketch_kmv_jaccard": {"CARTESIAN"},
     # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
     # image gate, canonical assignment) joined on the id — every side
     # is corpus-sized at 100 TB so SortMergeJoin is the correct static
