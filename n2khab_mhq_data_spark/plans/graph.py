@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from n2khab_mhq_data_spark.catalog import load
 from n2khab_mhq_data_spark.operators.graph import (
@@ -535,4 +536,193 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         "max_acctbal",
         "rep_name",
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
+    """Unrolled k-core peeling: s_{i+1} = nodes of s_i with >= k
+    neighbours inside s_i. Integer-only — zero drift possible."""
+    # every s_i is referenced twice by s_{i+1}; DuckDB inlines CTEs by
+    # default, so un-materialized rounds would inline 2^rounds scans
+    body = _EDGES_SQL + """
+    , de AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e
+      UNION ALL SELECT b, a FROM e
+    ), s0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM de)
+    """
+    for i in range(rounds):
+        body += f""", s{i + 1} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT de.src AS node, count(*) AS c
+        FROM de
+        JOIN s{i} x ON x.node = de.src
+        JOIN s{i} y ON y.node = de.dst
+        GROUP BY de.src
+      ) WHERE c >= {k}
+    )
+    """
+    return body + f"""
+    , fd AS (
+      SELECT de.src AS node, CAST(count(*) AS BIGINT) AS c
+      FROM de
+      JOIN s{rounds} x ON x.node = de.src
+      JOIN s{rounds} y ON y.node = de.dst
+      GROUP BY de.src
+    )
+    SELECT s.node, coalesce(fd.c, 0) AS core_degree,
+           coalesce(fd.c, 0) >= {k} AS settled
+    FROM s{rounds} s LEFT JOIN fd ON fd.node = s.node
+    """
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph via 12 fixed peel rounds — the
+    density filter a curation pipeline runs before trusting co-occurrence
+    structure (nodes outside the k-core are noise-grade). Each round
+    drops nodes with < k surviving neighbours; 12 rounds converge on the
+    bench tiers (10 needed at sf0.01) and the ``settled`` column proves
+    it IN-BAND: a row with core_degree < k means the peel had not
+    reached fixpoint, so correctness is never silently data-dependent.
+    Scale: one degree-count shuffle per round over the (already
+    support-pruned) edge list; the survivor set is localCheckpoint'ed
+    every 4 rounds so the plan stays shallow — the same bounded-rounds
+    contract as the two-phase connected components (O(log n) rounds,
+    never a driver-side edge materialization)."""
+    kk, rounds = 3, 12
+    edges = _copurchase_edges(spark, sf_dir).select("a", "b")
+    de = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint()
+    s = de.select(F.col("src").alias("node")).distinct()
+    for i in range(rounds):
+        # shuffle-hash semi-joins (the pagerank hint): the survivor set
+        # only ever shrinks, and hashing it avoids re-sorting the edge
+        # list twice per peel round under SortMergeJoin
+        alive = de.join(
+            s.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src", "leftsemi",
+        ).join(
+            s.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+            "dst", "leftsemi",
+        )
+        s = (
+            alive.groupBy("src")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= kk)
+            .select(F.col("src").alias("node"))
+        )
+        if i % 4 == 3:
+            s = s.localCheckpoint()
+    fd = (
+        de.join(
+            s.withColumnRenamed("node", "src").hint("shuffle_hash"),
+            "src", "leftsemi",
+        )
+        .join(
+            s.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+            "dst", "leftsemi",
+        )
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("c"))
+        .withColumnRenamed("src", "node")
+    )
+    return s.join(fd.hint("shuffle_hash"), "node", "left").select(
+        "node",
+        F.coalesce(F.col("c"), F.lit(0)).alias("core_degree"),
+        (F.coalesce(F.col("c"), F.lit(0)) >= kk).alias("settled"),
+    )
+
+
+@query(
+    "graph_item_cf_topk",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+    ), sup AS (
+      SELECT a AS item, CAST(count(*) AS BIGINT) AS s FROM items
+      GROUP BY a
+    ), pairs AS (
+      SELECT i1.a AS a, i2.a AS b, CAST(count(*) AS BIGINT) AS s_ab
+      FROM items i1 JOIN items i2 ON i1.g = i2.g AND i1.a < i2.a
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), dir AS (
+      SELECT a AS item, b AS nb, s_ab FROM pairs
+      UNION ALL SELECT b, a, s_ab FROM pairs
+    ), sc AS (
+      SELECT d.item, d.nb, d.s_ab,
+             d.s_ab / sqrt(CAST(sa.s * sb.s AS DOUBLE)) AS cos
+      FROM dir d
+      JOIN sup sa ON sa.item = d.item
+      JOIN sup sb ON sb.item = d.nb
+    ), rk AS (
+      SELECT item, nb, s_ab, cos,
+             row_number() OVER (
+               PARTITION BY item ORDER BY cos DESC, nb) AS rn
+      FROM sc
+    )
+    SELECT item, nb AS neighbour, s_ab AS co_orders,
+           round(cos + 1e-9, 6) AS cosine,
+           CAST(rn AS INTEGER) AS rank
+    FROM rk WHERE rn <= 3
+    """,
+)
+def graph_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for every part, the top-3
+    most-similar parts by co-occurrence cosine co(a,b)/sqrt(n_a*n_b) —
+    the classic 'customers also bought' recommender built entirely from
+    the memoized support-pruned pair list. The cosine is ONE division of
+    integers (IEEE sqrt/div, bit-identical cross-engine) and ranking
+    ties break on the neighbour id, so the per-item top-3 is
+    deterministic. Scale: candidate pairs are the support-pruned edge
+    list (never all-pairs), supports attach via two equi-joins on the
+    item key, and the per-item window sorts only each item's own
+    candidates — the shape Amazon-style item CF ships at catalog
+    scale."""
+    items = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("g"), F.col("l_partkey").alias("a")
+        )
+        .distinct()
+    )
+    sup = items.groupBy("a").agg(F.count("*").cast("long").alias("s"))
+    pairs = _copurchase_edges(spark, sf_dir).withColumnRenamed(
+        "support", "s_ab"
+    )
+    dirs = pairs.select(
+        F.col("a").alias("item"), F.col("b").alias("nb"), "s_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("item"), F.col("a").alias("nb"), "s_ab"
+        )
+    )
+    sc = (
+        dirs.join(
+            sup.select(F.col("a").alias("item"), F.col("s").alias("sa")),
+            "item",
+        )
+        .join(
+            sup.select(F.col("a").alias("nb"), F.col("s").alias("sb")),
+            "nb",
+        )
+        .withColumn(
+            "cos",
+            F.col("s_ab")
+            / F.sqrt((F.col("sa") * F.col("sb")).cast("double")),
+        )
+    )
+    w = W.partitionBy("item").orderBy(F.col("cos").desc(), F.col("nb"))
+    return (
+        sc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "item",
+            F.col("nb").alias("neighbour"),
+            F.col("s_ab").cast("long").alias("co_orders"),
+            F.round(F.col("cos") + F.lit(1e-9), 6).alias("cosine"),
+            F.col("rn").cast("int").alias("rank"),
+        )
     )

@@ -337,3 +337,82 @@ def test_golden_record_survivorship_hand_computed(spark):
     assert comps[1] == comps[2] == comps[3] == 1
     assert comps[5] == comps[6] == 5
     assert 4 not in comps
+
+
+def test_kcore_matches_brute_force_peel(spark, sf_dir):
+    """The 12-round peel must equal the exact 3-core fixpoint computed
+    by an independent in-memory peel at sf0.001, and every row must be
+    settled (core_degree >= 3) — the in-band convergence proof."""
+    import collections
+
+    from n2khab_mhq_data_spark.plans.graph import (
+        _copurchase_edges,
+        graph_kcore,
+    )
+
+    edges = [
+        (r["a"], r["b"])
+        for r in _copurchase_edges(spark, sf_dir).select("a", "b").collect()
+    ]
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:
+        dead = {n for n in alive if sum(m in alive for m in adj[n]) < 3}
+        if not dead:
+            break
+        alive -= dead
+    got = {
+        r["node"]: (r["core_degree"], r["settled"])
+        for r in graph_kcore(spark, sf_dir).collect()
+    }
+    assert set(got) == alive
+    for node, (deg, settled) in got.items():
+        assert settled, (node, deg)
+        assert deg == sum(m in alive for m in adj[node])
+
+
+def test_item_cf_topk_matches_brute_force(spark, sf_dir):
+    """Per-item top-3 cosine neighbours equal an independent pandas
+    computation from the raw lineitem table at sf0.001."""
+    import collections
+    import math
+
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.graph import graph_item_cf_topk
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets = collections.defaultdict(set)
+    n = collections.Counter()
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+        n[r["l_partkey"]] += 1
+    co = collections.Counter()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                co[(a, b)] += 1
+    nbrs = collections.defaultdict(list)
+    for (a, b), c in co.items():
+        if c >= 2:
+            cos = c / math.sqrt(n[a] * n[b])
+            nbrs[a].append((-cos, b, c))
+            nbrs[b].append((-cos, a, c))
+    expected = {}
+    for item, cand in nbrs.items():
+        cand.sort()
+        for rank, (negcos, nb, c) in enumerate(cand[:3], 1):
+            expected[(item, rank)] = (nb, c, round(-negcos + 1e-9, 6))
+    got = {
+        (r["item"], r["rank"]): (r["neighbour"], r["co_orders"], r["cosine"])
+        for r in graph_item_cf_topk(spark, sf_dir).collect()
+    }
+    assert got == expected
