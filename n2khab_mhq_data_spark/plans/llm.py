@@ -4567,3 +4567,151 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1e-9), 4,
         ).alias("true_jaccard"),
     )
+
+
+@query(
+    "dedup_overlap_fraction",
+    oracle=_SHINGLES_SQL
+    + """
+    , bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc % 97 = 0
+    ), corpus AS (
+      SELECT doc, g FROM sh WHERE doc % 97 != 0
+    ), per AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (
+               WHERE g IN (SELECT g FROM bench)) AS BIGINT)
+               AS n_contaminated
+      FROM corpus GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_grams, n_contaminated,
+           round(n_contaminated / CAST(n_grams AS DOUBLE) + 1e-9, 6)
+             AS overlap_frac,
+           CASE WHEN n_contaminated * 10 < n_grams THEN 'clean'
+                WHEN n_contaminated * 2 < n_grams THEN 'partial'
+                ELSE 'heavy' END AS tier
+    FROM per
+    """,
+)
+def dedup_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: instead of dedup_decontaminate's binary
+    any-hit flag, report each corpus document's FRACTION of distinct
+    word 3-grams that appear in the benchmark (every 97th doc), tiered
+    clean (< 10%) / partial (< 50%) / heavy — the signal used to decide
+    between dropping a document and surgically removing the overlapping
+    span. Tier thresholds compare INTEGERS (hits*10 < total), so the
+    boundary is exact in both engines; the fraction is one final
+    division. Scale: same shape as decontaminate — benchmark gram set
+    broadcasts, corpus grams stream through one projection and aggregate
+    by doc with map-side combine; nothing shuffles by gram."""
+    from n2khab_mhq_data_spark.llmdata.dedup import shingle_table
+
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    cg = shingle_table(corpus, "text", "doc_id", 3)
+    bg = shingle_table(benchmark, "text", "doc_id", 3).select(
+        "gram"
+    ).distinct()
+    flagged = cg.join(
+        F.broadcast(bg.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    per = flagged.groupBy("doc").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_contaminated"),
+    )
+    return per.select(
+        F.col("doc").alias("doc_id"),
+        "n_grams",
+        "n_contaminated",
+        F.round(
+            F.col("n_contaminated") / F.col("n_grams").cast("double")
+            + F.lit(1e-9),
+            6,
+        ).alias("overlap_frac"),
+        F.when(
+            F.col("n_contaminated") * 10 < F.col("n_grams"), "clean"
+        )
+        .when(F.col("n_contaminated") * 2 < F.col("n_grams"), "partial")
+        .otherwise("heavy")
+        .alias("tier"),
+    )
+
+
+# char-class regexes shared by both engines (Java regex and RE2 agree on
+# these ASCII classes and on the \x80-and-above complement)
+_SCRIPT_CLASSES = [
+    ("letters", "[A-Za-z]"),
+    ("digits", "[0-9]"),
+    ("whitespace", "[ \\t\\n\\r]"),
+    ("non_ascii", "[^\\x00-\\x7F]"),
+]
+
+
+@query(
+    "text_script_histogram",
+    oracle="""
+    WITH per AS (
+      SELECT lang, length(text) AS n,
+    """
+    + ",\n".join(
+        # SQL string literals are escape-free in DuckDB: pass the regex
+        # with SINGLE backslashes, exactly as the Java-regex side sees it
+        "length(text) - length(regexp_replace(text, '{rx}', '', 'g'))"
+        " AS {name}".format(rx=rx, name=name)
+        for name, rx in _SCRIPT_CLASSES
+    )
+    + """
+      FROM documents
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_chars,
+           CAST(sum(letters) AS BIGINT) AS letters,
+           CAST(sum(digits) AS BIGINT) AS digits,
+           CAST(sum(whitespace) AS BIGINT) AS whitespace,
+           CAST(sum(n - letters - digits - whitespace - non_ascii)
+                AS BIGINT) AS punct_other,
+           CAST(sum(non_ascii) AS BIGINT) AS non_ascii,
+           round(sum(non_ascii) / CAST(sum(n) AS DOUBLE) + 1e-9, 6)
+             AS non_ascii_ratio
+    FROM per GROUP BY lang
+    """,
+)
+def text_script_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per language — the script-mix audit a
+    multilingual corpus runs to catch mislabelled languages, mojibake,
+    and markup-heavy shards (a 'en' shard with 30% non-ASCII is a red
+    flag). Per-class counts are length-minus-stripped-length pure Column
+    expressions (counting CHARACTERS, identical in both engines; the
+    ASCII classes and the \\x00-\\x7F complement mean Java regex and RE2
+    agree), so scoring runs inside whole-stage codegen with ZERO
+    shuffles before the final tiny per-language aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    counts = {
+        name: n - F.length(F.regexp_replace("text", rx, ""))
+        for name, rx in _SCRIPT_CLASSES
+    }
+    per = docs.select(
+        "lang",
+        n.alias("n"),
+        *[c.alias(name) for name, c in counts.items()],
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_chars"),
+        F.sum("letters").cast("long").alias("letters"),
+        F.sum("digits").cast("long").alias("digits"),
+        F.sum("whitespace").cast("long").alias("whitespace"),
+        F.sum(
+            F.col("n") - F.col("letters") - F.col("digits")
+            - F.col("whitespace") - F.col("non_ascii")
+        ).cast("long").alias("punct_other"),
+        F.sum("non_ascii").cast("long").alias("non_ascii"),
+        F.round(
+            F.sum("non_ascii") / F.sum("n").cast("double") + F.lit(1e-9),
+            6,
+        ).alias("non_ascii_ratio"),
+    )

@@ -1736,3 +1736,49 @@ def a16_ols_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_r2(y, x) + F.lit(1e-9), 6).alias("r2"),
         F.regr_count(y, x).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "audit_equidepth_histogram",
+    oracle="""
+    WITH r AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk
+      FROM orders
+    ), nn AS (SELECT count(*) AS n FROM orders)
+    SELECT CAST((rnk - 1) * 10 // (SELECT n FROM nn) AS INTEGER) + 1
+             AS bin,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(v) AS lo, max(v) AS hi
+    FROM r GROUP BY 1
+    """,
+)
+def audit_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (10-bucket) histogram of order totals — the
+    ANALYZE-style statistic that feeds range partitioning, skew
+    detection and approximate-quantile audits. Bin assignment is the
+    closed integer form floor((rank-1)*10 / n) + 1 on a TOTAL order
+    (price, key) rather than ntile(), so both engines bin identically
+    with no remainder-distribution ambiguity. Scale: the rank comes from
+    operators/rank.py::global_rank (TeraSort two-pass range shuffle,
+    bounded P-row offset collect) — never a single-partition global
+    window; n is one bounded driver scalar; bin boundaries then
+    aggregate map-side."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), "o_orderkey"
+    )
+    n = o.count()  # bounded driver scalar (one integer)
+    ranked = global_rank(
+        o, [F.col("v"), F.col("o_orderkey")], rank_col="rnk"
+    )
+    binned = ranked.withColumn(
+        "bin",
+        F.expr(f"CAST((rnk - 1) * 10 DIV {n} AS INT) + 1"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )

@@ -359,3 +359,32 @@ def test_kmeans_assign_nprobe_exceeds_centroid_count(spark):
     )
     assert got == want
     assert len(got) == 6 * len(cents)
+
+
+def test_equidepth_histogram_matches_python(spark, sf_dir):
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.relational import (
+        audit_equidepth_histogram,
+    )
+
+    vals = sorted(
+        (r["o_totalprice"], r["o_orderkey"])
+        for r in load(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .collect()
+    )
+    n = len(vals)
+    import collections
+
+    exp = collections.defaultdict(list)
+    for i, (v, _) in enumerate(vals):
+        exp[(i * 10) // n + 1].append(v)
+    expected = {
+        b: (len(vs), min(vs), max(vs)) for b, vs in exp.items()
+    }
+    got = {
+        r["bin"]: (r["n_rows"], r["lo"], r["hi"])
+        for r in audit_equidepth_histogram(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert sum(v[0] for v in got.values()) == n

@@ -871,3 +871,58 @@ def test_kmv_jaccard_bounds_and_truth(spark, sf_dir):
     # estimator should land within +-0.35 of truth at k=64 (3 sigma of
     # the hypergeometric match count on this deterministic data)
     assert abs(r["kmv_jaccard"] - r["true_jaccard"]) < 0.35
+
+
+def test_overlap_fraction_hand_case(spark):
+    """doc 97 is the benchmark (id % 97 == 0 and != 0... id 0 IS bench);
+    corpus doc sharing 1 of 4 grams -> 0.25/partial, fully-contained doc
+    -> 1.0/heavy."""
+    import n2khab_mhq_data_spark.plans.llm as lmod
+    from n2khab_mhq_data_spark.plans.llm import dedup_overlap_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d", "en", "s", 7),        # benchmark (0 % 97 == 0)
+            (1, "a b c x y z", "en", "s", 11),   # 1 of 4 grams hit
+            (2, "a b c d", "en", "s", 7),        # 2 of 2 grams hit
+            (3, "p q r s t", "en", "s", 9),      # 0 of 3 grams hit
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lload = lmod.load
+    lmod.load = lambda s, d, t: docs
+    try:
+        out = {
+            r["doc_id"]: (
+                r["n_grams"], r["n_contaminated"], r["overlap_frac"],
+                r["tier"],
+            )
+            for r in dedup_overlap_fraction(spark, "unused").collect()
+        }
+    finally:
+        lmod.load = lload
+    assert out == {
+        1: (4, 1, 0.25, "partial"),
+        2: (2, 2, 1.0, "heavy"),
+        3: (3, 0, 0.0, "clean"),
+    }
+
+
+def test_script_histogram_hand_case(spark):
+    import n2khab_mhq_data_spark.plans.llm as lmod
+    from n2khab_mhq_data_spark.plans.llm import text_script_histogram
+
+    docs = spark.createDataFrame(
+        [(1, "Ab1 é!", "xx", "s", 6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lload = lmod.load
+    lmod.load = lambda s, d, t: docs
+    try:
+        r = text_script_histogram(spark, "unused").collect()[0]
+    finally:
+        lmod.load = lload
+    assert (
+        r["n_chars"], r["letters"], r["digits"], r["whitespace"],
+        r["punct_other"], r["non_ascii"],
+    ) == (6, 2, 1, 1, 1, 1)
