@@ -1782,3 +1782,98 @@ def audit_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("v").alias("lo"),
         F.max("v").alias("hi"),
     )
+
+
+@query(
+    "audit_psi_drift",
+    oracle="""
+    WITH st AS (
+      SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ), binned AS (
+      SELECT o_orderpriority AS priority,
+             CAST(least(9.0, floor((o_totalprice - st.mn) * 10.0
+                                   / (st.mx - st.mn))) AS INTEGER) AS bin
+      FROM orders, st
+    ), q AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS cq FROM binned GROUP BY 1
+    ), nq AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM binned),
+    p AS (
+      SELECT priority, bin, CAST(count(*) AS BIGINT) AS cp
+      FROM binned GROUP BY 1, 2
+    ), np AS (
+      SELECT priority, CAST(count(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1
+    ), scaffold AS (
+      SELECT np.priority, np.n, CAST(r.range AS INTEGER) AS bin
+      FROM np, range(0, 10) r
+    ), terms AS (
+      SELECT s.priority, s.n,
+             (coalesce(p.cp, 0) + 1) / CAST(s.n + 10 AS DOUBLE) AS pp,
+             (coalesce(q.cq, 0) + 1)
+               / CAST((SELECT nt FROM nq) + 10 AS DOUBLE) AS qq
+      FROM scaffold s
+      LEFT JOIN p ON p.priority = s.priority AND p.bin = s.bin
+      LEFT JOIN q ON q.bin = s.bin
+    )
+    SELECT priority, n AS n_orders,
+           round(sum((pp - qq) * ln(pp / qq)) + 1e-9, 6) AS psi
+    FROM terms GROUP BY 1, 2
+    """,
+)
+def audit_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of each priority's order-value
+    distribution against the whole corpus — the drift metric ML monitoring
+    runs between a training snapshot and serving traffic. 10 fixed-width
+    bins over the global [min, max] (bin edges are a 1-row broadcast
+    stat, never a sort); Laplace-smoothed shares so empty bins stay
+    finite; a full priority x bin scaffold guarantees every bin
+    contributes on both sides. The only cross-engine risk is the 10-term
+    float sum order, absorbed by the repo's +1e-9 round shield."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("v"),
+    )
+    st = o.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    binned = o.crossJoin(F.broadcast(st)).select(
+        "priority",
+        F.least(
+            F.lit(9.0),
+            F.floor((F.col("v") - F.col("mn")) * 10.0
+                    / (F.col("mx") - F.col("mn"))),
+        ).cast("int").alias("bin"),
+    )
+    q = binned.groupBy("bin").agg(F.count("*").cast("long").alias("cq"))
+    nt = binned.count()  # bounded driver scalar (one integer)
+    p = binned.groupBy("priority", "bin").agg(
+        F.count("*").cast("long").alias("cp")
+    )
+    np_ = binned.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    scaffold = np_.select(
+        "priority",
+        "n",
+        F.explode(
+            F.array([F.lit(i).cast("int") for i in range(10)])
+        ).alias("bin"),
+    )
+    terms = (
+        scaffold.join(F.broadcast(p), ["priority", "bin"], "left")
+        .join(F.broadcast(q), "bin", "left")
+        .select(
+            "priority",
+            "n",
+            ((F.coalesce(F.col("cp"), F.lit(0)) + 1)
+             / (F.col("n") + 10).cast("double")).alias("pp"),
+            ((F.coalesce(F.col("cq"), F.lit(0)) + 1)
+             / F.lit(float(nt + 10))).alias("qq"),
+        )
+    )
+    return terms.groupBy("priority", F.col("n").alias("n_orders")).agg(
+        F.round(
+            F.sum((F.col("pp") - F.col("qq"))
+                  * F.log(F.col("pp") / F.col("qq")))
+            + F.lit(1e-9),
+            6,
+        ).alias("psi")
+    )

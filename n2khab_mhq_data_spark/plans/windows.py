@@ -1404,3 +1404,193 @@ def j14_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         F.col("d.valid_from").alias("status_since"),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), p AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY 1
+    ), nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ), ties AS (
+      SELECT event_type,
+             CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT event_type, x, count(*) AS t FROM d GROUP BY 1, 2)
+      WHERE t > 1 GROUP BY 1
+    )
+    SELECT nn.event_type, nn.n AS n_days, p.s_stat,
+           nn.n * (nn.n - 1) * (2 * nn.n + 5)
+             - coalesce(t.tie_term, 0) AS var18,
+           round(CASE
+             WHEN p.s_stat > 0 THEN (p.s_stat - 1)
+               / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                       - coalesce(t.tie_term, 0)) / 18.0)
+             WHEN p.s_stat < 0 THEN (p.s_stat + 1)
+               / sqrt((nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                       - coalesce(t.tie_term, 0)) / 18.0)
+             ELSE 0.0 END + 1e-9, 6) AS z
+    FROM nn
+    JOIN p ON p.event_type = nn.event_type
+    LEFT JOIN ties t ON t.event_type = nn.event_type
+    """,
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily event-count
+    series per type — the non-parametric is-this-metric-drifting test
+    (no normality assumption, robust to outliers). The S statistic and
+    the tie-corrected variance numerator are PURE INTEGERS (var18 is
+    exposed so the exactness is checkable); the normal-approximation z
+    is the only float, computed by one shared formula. Scale: the
+    pairwise sign sum runs over the DAY-GRAIN series (bounded by the
+    calendar, not the corpus), with the series side broadcast — corpus
+    rows are touched exactly once by the first groupBy."""
+    e = load(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("long").alias("x"))
+    a = d.alias("a")
+    b = d.alias("b")
+    p = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") > F.col("a.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    nn = d.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    ties = (
+        d.groupBy("event_type", "x")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    j = (
+        nn.join(F.broadcast(p), "event_type")
+        .join(F.broadcast(ties), "event_type", "left")
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    )
+    denom = F.sqrt(var18 / F.lit(18.0))
+    z = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / denom)
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / denom)
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s_stat",
+        var18.cast("long").alias("var18"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )
+
+
+@query(
+    "events_ab_readout",
+    oracle="""
+    WITH u AS (
+      SELECT o_custkey, CAST(o_custkey % 2 AS INTEGER) AS arm,
+             max(CASE WHEN o_totalprice > 450000 THEN 1 ELSE 0 END)
+               AS conv
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT
+      CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+      CAST(sum(conv) FILTER (WHERE arm = 0) AS BIGINT) AS conv_a,
+      round(sum(conv) FILTER (WHERE arm = 0)
+            / CAST(count(*) FILTER (WHERE arm = 0) AS DOUBLE)
+            + 1e-9, 6) AS rate_a,
+      CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+      CAST(sum(conv) FILTER (WHERE arm = 1) AS BIGINT) AS conv_b,
+      round(sum(conv) FILTER (WHERE arm = 1)
+            / CAST(count(*) FILTER (WHERE arm = 1) AS DOUBLE)
+            + 1e-9, 6) AS rate_b,
+      round((sum(conv) FILTER (WHERE arm = 0)
+               / CAST(count(*) FILTER (WHERE arm = 0) AS DOUBLE)
+             - sum(conv) FILTER (WHERE arm = 1)
+               / CAST(count(*) FILTER (WHERE arm = 1) AS DOUBLE))
+            / sqrt((sum(conv) / CAST(count(*) AS DOUBLE))
+                   * (1.0 - sum(conv) / CAST(count(*) AS DOUBLE))
+                   * (1.0 / count(*) FILTER (WHERE arm = 0)
+                      + 1.0 / count(*) FILTER (WHERE arm = 1)))
+            + 1e-9, 6) AS z
+    FROM u
+    """,
+)
+def events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B experiment readout: per-arm user counts,
+    purchase-conversion rates, and the pooled two-proportion z statistic
+    — the frequentist companion to events_cuped_adjustment (which
+    variance-reduces a continuous metric; this tests a binary one).
+    Conversion = customer placed at least one > 450k order; the events
+    table is degenerate for this (all 150 users fire every event type,
+    collapsing the pooled variance to zero). One customer-grain
+    aggregate (map-side combinable) then ONE global 1-row aggregate with
+    conditional sums — no join anywhere, so the readout costs a single
+    shuffle regardless of corpus size. Integer counts feed one fixed
+    float expression tree, identical in both engines."""
+    o = load(spark, sf_dir, "orders")
+    u = o.groupBy(
+        "o_custkey", (F.col("o_custkey") % 2).cast("int").alias("arm")
+    ).agg(
+        F.max(
+            F.when(F.col("o_totalprice") > 450000, 1).otherwise(0)
+        ).alias("conv")
+    )
+    is_a = F.col("arm") == 0
+    is_b = F.col("arm") == 1
+    n_a = F.count(F.when(is_a, 1))
+    n_b = F.count(F.when(is_b, 1))
+    c_a = F.sum(F.when(is_a, F.col("conv")))
+    c_b = F.sum(F.when(is_b, F.col("conv")))
+    n = F.count("*")
+    c = F.sum("conv")
+    p_pool = c / n.cast("double")
+    rate_a = c_a / n_a.cast("double")
+    rate_b = c_b / n_b.cast("double")
+    z = (rate_a - rate_b) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (F.lit(1.0) / n_a + F.lit(1.0) / n_b)
+    )
+    return u.agg(
+        n_a.cast("long").alias("n_a"),
+        c_a.cast("long").alias("conv_a"),
+        F.round(rate_a + F.lit(1e-9), 6).alias("rate_a"),
+        n_b.cast("long").alias("n_b"),
+        c_b.cast("long").alias("conv_b"),
+        F.round(rate_b + F.lit(1e-9), 6).alias("rate_b"),
+        F.round(z + F.lit(1e-9), 6).alias("z"),
+    )

@@ -541,3 +541,96 @@ def test_scd2_point_in_time_boundaries(spark):
         6: "purchase",
         7: "purchase",
     }
+
+
+def test_mann_kendall_monotone_series(spark):
+    """Strictly increasing daily counts: S = n(n-1)/2, tie term 0,
+    z = (S-1)/sqrt(n(n-1)(2n+5)/18)."""
+    import datetime as dt
+    import math
+
+    import n2khab_mhq_data_spark.plans.windows as wmod
+    from n2khab_mhq_data_spark.plans.windows import ts_mann_kendall
+
+    rows = []
+    eid = 0
+    n = 8
+    for i in range(n):
+        for _ in range(i + 1):  # day i has i+1 events: strictly rising
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + i), 1, "t", 0.0, "")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    wload = wmod.load
+    wmod.load = lambda s, d, t: df
+    try:
+        r = ts_mann_kendall(spark, "unused").collect()[0]
+    finally:
+        wmod.load = wload
+    s_exp = n * (n - 1) // 2
+    var18 = n * (n - 1) * (2 * n + 5)
+    assert (r["n_days"], r["s_stat"], r["var18"]) == (n, s_exp, var18)
+    assert r["z"] == round((s_exp - 1) / math.sqrt(var18 / 18.0) + 1e-9, 6)
+
+
+def test_ab_readout_hand_case(spark):
+    """4 customers, arms by key parity, conversion by one big order."""
+    import datetime as dt
+    import math
+
+    import n2khab_mhq_data_spark.plans.windows as wmod
+    from n2khab_mhq_data_spark.plans.windows import events_ab_readout
+
+    rows = [
+        # custkey, price: arm0 = {2: conv, 4: no}, arm1 = {1: conv, 3: conv}
+        (1, 2, "O", 500000.0, dt.datetime(2024, 1, 1), "x"),
+        (2, 4, "O", 100000.0, dt.datetime(2024, 1, 1), "x"),
+        (3, 1, "O", 460000.0, dt.datetime(2024, 1, 1), "x"),
+        (4, 3, "O", 470000.0, dt.datetime(2024, 1, 1), "x"),
+        (5, 3, "O", 100.0, dt.datetime(2024, 1, 1), "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    wload = wmod.load
+    wmod.load = lambda s, d, t: df
+    try:
+        r = events_ab_readout(spark, "unused").collect()[0]
+    finally:
+        wmod.load = wload
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) == (2, 1, 2, 2)
+    p_pool = 3 / 4
+    z = (0.5 - 1.0) / math.sqrt(p_pool * (1 - p_pool) * (1 / 2 + 1 / 2))
+    assert r["z"] == round(z + 1e-9, 6)
+
+
+def test_psi_drift_single_group_is_zero(spark):
+    """With ONE priority the per-group distribution IS the global one,
+    so smoothed shares cancel exactly and PSI == 0."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import audit_psi_drift
+
+    rows = [
+        (i, i, "O", 1000.0 * (i + 1), dt.datetime(2024, 1, 1), "P")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    rload = rmod.load
+    rmod.load = lambda s, d, t: df
+    try:
+        out = audit_psi_drift(spark, "unused").collect()
+    finally:
+        rmod.load = rload
+    assert len(out) == 1
+    assert out[0]["n_orders"] == 50
+    assert out[0]["psi"] == 0.0

@@ -83,6 +83,11 @@ EXPECTED: dict[str, set[str]] = {
     # sketch-sized (<= k = 64 inputs) regardless of corpus scale, the
     # events_cuped_adjustment 1-row-global-stat pattern
     "sketch_kmv_jaccard": {"CARTESIAN"},
+    # PSI drift: the global (min, max) bin-edge pair is a 1-ROW
+    # aggregate broadcast-crossed onto the order scan — the
+    # events_cuped_adjustment 1-row-global-stat pattern; the scan is
+    # touched once and never replicates
+    "audit_psi_drift": {"CARTESIAN"},
     # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
     # image gate, canonical assignment) joined on the id — every side
     # is corpus-sized at 100 TB so SortMergeJoin is the correct static
