@@ -95,3 +95,54 @@ def quantile_bins(
         )
         .drop("__rank", "__n")
     )
+
+
+def global_running_max(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "running_max",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach the running max of ``value_col`` over all STRICTLY EARLIER
+    rows in the total order ``order_by`` (exclusive prefix max; NULL for
+    the global first row) — distributed, never a single-partition window.
+
+    Same TeraSort shape as ``global_rank``: range-shuffle on the order
+    key (pinned with localCheckpoint), per-partition exclusive running
+    max inside each range, then one bounded <= P-row collect of the
+    per-partition value maxima whose exclusive prefix combines back in
+    via a broadcast join on ``spark_partition_id()``. This is the
+    streaming-watermark simulation primitive: the watermark a row sees
+    is the max event time of everything that ARRIVED before it."""
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    part = df.repartitionByRange(p, *order_by).localCheckpoint()
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    pmax = sorted(
+        (r["__pid"], r["m"])
+        for r in with_pid.groupBy("__pid")
+        .agg(F.max(value_col).alias("m"))
+        .collect()
+    )
+    rows, run = [], None
+    for pid, m in pmax:
+        rows.append((pid, run))
+        run = m if run is None or (m is not None and m > run) else run
+    field = df.schema[value_col].dataType.simpleString()
+    off_dim = spark.createDataFrame(
+        rows, f"__pid int, __prefix {field}"
+    )
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(*order_by)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = F.max(value_col).over(w)
+    return (
+        with_pid.join(F.broadcast(off_dim), "__pid")
+        .withColumn(out_col, F.greatest(local, F.col("__prefix")))
+        .drop("__pid", "__prefix")
+    )

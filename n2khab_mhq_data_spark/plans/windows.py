@@ -1594,3 +1594,72 @@ def events_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rate_b + F.lit(1e-9), 6).alias("rate_b"),
         F.round(z + F.lit(1e-9), 6).alias("z"),
     )
+
+
+@query(
+    "streaming_late_data_audit",
+    oracle="""
+    WITH a AS (
+      SELECT event_id, ts,
+             event_id + CAST(('0x' || substr(
+               md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 12
+               AS ak
+      FROM events
+    ), o AS (
+      SELECT event_id, ts,
+             max(ts) OVER (ORDER BY ak, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm_src
+      FROM a
+    )
+    SELECT CAST(date_trunc('hour', ts) AS DATE) AS window_day,
+           CAST(extract(hour FROM ts) AS INTEGER) AS window_hour,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ts < wm_src - INTERVAL 30 MINUTE
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(sum(CASE WHEN ts < wm_src - INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)
+                 + 1e-9, 6) AS late_ratio
+    FROM o GROUP BY 1, 2
+    """,
+)
+def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting — the observability query an
+    operator runs BEFORE picking ``withWatermark``'s delay: replay the
+    stream in arrival order and count, per event-time hour, the rows a
+    30-minute watermark would have dropped. Arrival order is a
+    deterministic md5-jittered permutation of the ingest id (the raw
+    feed is perfectly time-ordered, which would make every delay
+    look safe); the watermark each row sees is the EXCLUSIVE prefix max
+    of event time in arrival order — Spark's actual semantics, where a
+    batch's watermark comes from previous batches only. Scale: the
+    prefix max is operators/rank.py::global_running_max (TeraSort range
+    shuffle + bounded P-row prefix combine), never a single-partition
+    global window."""
+    from n2khab_mhq_data_spark.operators.rank import global_running_max
+
+    e = load(spark, sf_dir, "events").select("event_id", "ts")
+    a = e.withColumn(
+        "ak",
+        F.col("event_id")
+        + F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long") % 12,
+    )
+    o = global_running_max(
+        a, [F.col("ak"), F.col("event_id")], "ts", out_col="wm_src"
+    )
+    late = F.when(
+        F.col("ts") < F.col("wm_src") - F.expr("INTERVAL 30 MINUTES"), 1
+    ).otherwise(0)
+    return o.groupBy(
+        F.col("ts").cast("date").alias("window_day"),
+        F.hour("ts").alias("window_hour"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(late).cast("long").alias("n_late"),
+        F.round(
+            F.sum(late) / F.count("*").cast("double") + F.lit(1e-9), 6
+        ).alias("late_ratio"),
+    )

@@ -634,3 +634,32 @@ def test_psi_drift_single_group_is_zero(spark):
     assert len(out) == 1
     assert out[0]["n_orders"] == 50
     assert out[0]["psi"] == 0.0
+
+
+def test_global_running_max_matches_single_window(spark):
+    """The distributed exclusive prefix max must equal the naive global
+    window, including across range-partition boundaries (force 4
+    partitions over 40 rows) and the NULL for the global first row."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from n2khab_mhq_data_spark.operators.rank import global_running_max
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 1000)) for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["running_max"]
+        for r in global_running_max(
+            df, [F.col("k")], "v", num_partitions=4
+        ).collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    exp = {
+        r["k"]: r["e"]
+        for r in df.withColumn("e", F.max("v").over(w)).collect()
+    }
+    assert got == exp
+    assert got[0] is None
