@@ -1877,3 +1877,204 @@ def audit_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi")
     )
+
+
+# TPC-H flagship adaptations. All money arithmetic is EXACT: prices,
+# discounts, and taxes are 2-decimal by construction, so sums are
+# carried as scaled BIGINTs (cents, 1e-4 and 1e-6 units) and only the
+# final display columns divide back to dollars — zero cross-engine
+# float-fold drift, the memory rule that fixed pipeline_pack_sequences.
+# At true 100 TB the scaled sums belong in DECIMAL(38,0); BIGINT holds
+# to ~1e18 (1e6 units x 5e7 cents x ~2e4 rows/group at the bench tiers).
+_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DISC = "CAST(round(l_discount * 100) AS BIGINT)"
+_TAX = "CAST(round(l_tax * 100) AS BIGINT)"
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             AS sum_qty,
+           round(CAST(sum({_CENTS}) AS BIGINT) / 100.0 + 1e-9, 2)
+             AS sum_base_price,
+           round(CAST(sum({_CENTS} * (100 - {_DISC})) AS BIGINT)
+                 / 10000.0 + 1e-9, 2) AS sum_disc_price,
+           round(CAST(sum({_CENTS} * (100 - {_DISC}) * (100 + {_TAX}))
+                      AS BIGINT) / 1000000.0 + 1e-9, 2) AS sum_charge,
+           round(CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 2) AS avg_qty,
+           round(CAST(sum({_CENTS}) AS BIGINT)
+                 / (count(*) * 100.0) + 1e-9, 2) AS avg_price,
+           round(CAST(sum({_DISC}) AS BIGINT)
+                 / (count(*) * 100.0) + 1e-9, 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) adapted to the test tables —
+    the canonical scan-heavy single-pass aggregate every engine is
+    measured by. One map-side-combinable groupBy over a pruned 7-column
+    scan with the shipdate predicate pushed to parquet; all eight
+    aggregates ride the same shuffle. Money math in scaled integers
+    (see module note) so both engines agree bit-for-bit."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    tax = F.round(F.col("l_tax") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("long").alias("sum_qty"),
+        F.round(F.sum(cents).cast("long") / 100.0 + F.lit(1e-9), 2)
+        .alias("sum_base_price"),
+        F.round(
+            F.sum(cents * (100 - disc)).cast("long") / 10000.0
+            + F.lit(1e-9), 2,
+        ).alias("sum_disc_price"),
+        F.round(
+            F.sum(cents * (100 - disc) * (100 + tax)).cast("long")
+            / 1000000.0 + F.lit(1e-9), 2,
+        ).alias("sum_charge"),
+        F.round(
+            F.sum(qty).cast("long") / F.count("*").cast("double")
+            + F.lit(1e-9), 2,
+        ).alias("avg_qty"),
+        F.round(
+            F.sum(cents).cast("long") / (F.count("*") * 100.0)
+            + F.lit(1e-9), 2,
+        ).alias("avg_price"),
+        F.round(
+            F.sum(disc).cast("long") / (F.count("*") * 100.0)
+            + F.lit(1e-9), 4,
+        ).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(sum({_CENTS} * (100 - {_DISC})) AS BIGINT) AS rev_i
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < DATE '1997-06-01'
+        AND l_shipdate > DATE '1997-06-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT l_orderkey, round(rev_i / 10000.0 + 1e-9, 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM r ORDER BY rev_i DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): top-10 unshipped BUILDING-segment
+    orders by revenue. The segment filter prunes customers BEFORE the
+    join (broadcast — the dimension is customer-scale), the date
+    predicates push into both scans, and the top-10 is a
+    TakeOrderedAndProject ranked on the EXACT integer revenue (ties then
+    date, key) so both engines pick identical rows."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    r = (
+        li.join(
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(cents * (100 - disc)).cast("long").alias("rev_i"))
+    )
+    return (
+        r.orderBy(
+            F.col("rev_i").desc(), "o_orderdate", "l_orderkey"
+        )
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round(F.col("rev_i") / 10000.0 + F.lit(1e-9), 2)
+            .alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           round(CAST(sum({_CENTS} * (100 - {_DISC})) AS BIGINT)
+                 / 10000.0 + 1e-9, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey AND r_name = 'ASIA'
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue by nation where the
+    supplier and customer share the nation, ASIA only, one order year.
+    The join ORDER is the scale story: region -> nation broadcasts
+    (bounded dims), supplier joins the lineitem scan on suppkey,
+    orders are date-pruned at the scan, and the same-nation predicate
+    rides the customer join instead of a post-filter — Catalyst/AQE
+    sees every dimension small enough to broadcast, so the fact table
+    shuffles only for the final nation aggregate."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(cents * (100 - disc)).cast("long") / 10000.0
+            + F.lit(1e-9), 2,
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
