@@ -2078,3 +2078,59 @@ def tpch_q5_local_supplier_volume(
         ).alias("revenue"),
         F.count("*").cast("long").alias("n_items"),
     )
+
+
+@query(
+    "tpch_q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 10
+    """,
+)
+def tpch_q18_large_volume_customer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): top-10 orders whose total
+    quantity exceeds 300, with their customers. The shape that matters
+    at 100 TB: aggregate lineitem FIRST (map-side combinable, integer
+    quantities), so the HAVING gate shrinks the fact side to a sliver
+    BEFORE any join — orders then attaches on the already-tiny key set
+    (AQE broadcasts it at runtime) and customer via its key. Top-10 is a
+    TakeOrderedAndProject on (price desc, date, key) — a total order, so
+    both engines emit identical rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.round("l_quantity").cast("long").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").cast("long").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = big.join(o, big.l_orderkey == o.o_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    return (
+        j.orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(10)
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )

@@ -676,3 +676,91 @@ def s7_gpkg_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_points",
         F.round(F.col("area") + F.lit(1e-9), 3).alias("area"),
     )
+
+
+_GEOHASH_ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_oracle() -> str:
+    from n2khab_mhq_data_spark.spatial.zorder import zvalue_sql
+
+    # 30-bit geohash code: lon bits sit at the ODD LSB positions (the
+    # even positions counted from the MSB of a 30-bit code), lat at the
+    # even LSB positions — i.e. morton(cx=lat, cy=lon)
+    chars = " || ".join(
+        f"substr('{_GEOHASH_ALPHA}',"
+        f" CAST(((g >> {25 - 5 * j}) & 31) AS INTEGER) + 1, 1)"
+        for j in range(6)
+    )
+    return f"""
+    WITH p AS (
+      SELECT c_custkey AS point_id,
+             ((c_custkey * 7919 % 1000) / 10.0 + 0.05) * 3.6 - 180.0
+               AS lon,
+             ((c_custkey * 104729 % 1000) / 10.0 + 0.05) * 1.8 - 90.0
+               AS lat
+      FROM customer
+    ), cells AS (
+      SELECT point_id, lon, lat,
+             CAST(floor((lon + 180.0) * 32768.0 / 360.0) AS BIGINT)
+               AS clon,
+             CAST(floor((lat + 90.0) * 32768.0 / 180.0) AS BIGINT)
+               AS clat
+      FROM p
+    ), coded AS (
+      SELECT point_id, lon, lat,
+             ({zvalue_sql('clat', 'clon', 15)}) AS g
+      FROM cells
+    )
+    SELECT point_id, round(lon + 1e-9, 6) AS lon,
+           round(lat + 1e-9, 6) AS lat,
+           {chars} AS geohash
+    FROM coded
+    """
+
+
+@query("spatial_geohash_encode", oracle=_geohash_oracle())
+def spatial_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-6 encoding of the customer point cloud — the
+    interoperable cousin of spatial_zorder_layout: the SAME Morton
+    interleave (spatial/zorder.py::zvalue with (lat, lon) argument
+    order, which puts longitude on the even positions of the 30-bit
+    code exactly as Niemeyer's geohash does) followed by base32
+    grouping, so the output strings are real geohashes any external GIS
+    stack can consume for equality joins, prefix-range pruning, or tile
+    sharding. Pure Column bit arithmetic + 6 substr lookups — zero
+    shuffle, whole-stage codegen end to end."""
+    from n2khab_mhq_data_spark.spatial.zorder import zvalue
+
+    c = load(spark, sf_dir, "customer")
+    p = c.select(
+        F.col("c_custkey").alias("point_id"),
+        (((F.col("c_custkey") * 7919 % 1000) / 10.0 + 0.05) * 3.6
+         - 180.0).alias("lon"),
+        (((F.col("c_custkey") * 104729 % 1000) / 10.0 + 0.05) * 1.8
+         - 90.0).alias("lat"),
+    )
+    cells = p.select(
+        "point_id",
+        "lon",
+        "lat",
+        F.floor((F.col("lon") + 180.0) * 32768.0 / 360.0)
+        .cast("long").alias("clon"),
+        F.floor((F.col("lat") + 90.0) * 32768.0 / 180.0)
+        .cast("long").alias("clat"),
+    )
+    g = zvalue(F.col("clat"), F.col("clon"), bits=15)
+    coded = cells.select("point_id", "lon", "lat", g.alias("g"))
+    chars = [
+        F.expr(
+            f"substr('{_GEOHASH_ALPHA}',"
+            f" CAST(((g >> {25 - 5 * j}) & 31) AS INT) + 1, 1)"
+        )
+        for j in range(6)
+    ]
+    return coded.select(
+        "point_id",
+        F.round(F.col("lon") + F.lit(1e-9), 6).alias("lon"),
+        F.round(F.col("lat") + F.lit(1e-9), 6).alias("lat"),
+        F.concat(*chars).alias("geohash"),
+    )

@@ -654,3 +654,49 @@ def test_geopackage_write_read_roundtrip(spark, tmp_path):
     assert drv == dist
     # WKT strings round-trip exactly (integer coords -> %.10g is exact)
     assert drv == want
+
+
+def test_geohash_matches_reference_encoder(spark, sf_dir):
+    """The Morton-based geohash must equal the textbook bit-by-bit
+    interval-halving encoder for every point."""
+    from n2khab_mhq_data_spark.plans.spatial import spatial_geohash_encode
+
+    alpha = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def reference(lon, lat, precision=6):
+        lo = [-180.0, 180.0]
+        la = [-90.0, 90.0]
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < precision:
+            if even:
+                mid = (lo[0] + lo[1]) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lo[0] = mid
+                else:
+                    ch = ch * 2
+                    lo[1] = mid
+            else:
+                mid = (la[0] + la[1]) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    la[0] = mid
+                else:
+                    ch = ch * 2
+                    la[1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(alpha[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rows = spatial_geohash_encode(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # recompute from the UNROUNDED coordinates (rebuild from id)
+        k = r["point_id"]
+        lon = ((k * 7919 % 1000) / 10.0 + 0.05) * 3.6 - 180.0
+        lat = ((k * 104729 % 1000) / 10.0 + 0.05) * 1.8 - 90.0
+        assert r["geohash"] == reference(lon, lat), (k, r["geohash"])
