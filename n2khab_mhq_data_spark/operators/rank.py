@@ -146,3 +146,68 @@ def global_running_max(
         .withColumn(out_col, F.greatest(local, F.col("__prefix")))
         .drop("__pid", "__prefix")
     )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """INCLUSIVE running sum of ``value_col`` within each group under
+    the total order ``order_by`` — distributed across partitions even
+    when one group dwarfs a partition (the regime where the plain
+    ``Window.partitionBy(group)`` cumsum becomes a single-task sort).
+
+    Range-shuffle on (group, order) so each partition holds a
+    contiguous slice of one-or-more groups, per-partition cumsum inside
+    the slice, then a bounded collect of per-(partition, group) totals
+    whose exclusive prefix (earlier partitions, same group) is
+    broadcast back. The collect is P x (groups-per-partition) rows —
+    use this operator for FEW-LARGE-GROUPS data (its contract); for
+    many small groups the plain partitioned window is already parallel
+    and this machinery is unnecessary."""
+    spark = df.sparkSession
+    p = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    gcols = [F.col(c) for c in group_cols]
+    part = df.repartitionByRange(p, *gcols, *order_by).localCheckpoint()
+    with_pid = part.withColumn("__pid", F.spark_partition_id())
+    totals = (
+        with_pid.groupBy("__pid", *group_cols)
+        .agg(F.sum(value_col).alias("t"))
+        .collect()
+    )
+    # exclusive prefix per group across ascending pid
+    by_group: dict[tuple, list] = {}
+    for r in totals:
+        key = tuple(r[c] for c in group_cols)
+        by_group.setdefault(key, []).append((r["__pid"], r["t"]))
+    rows = []
+    for key, lst in by_group.items():
+        acc = 0
+        for pid, t in sorted(lst):
+            rows.append((pid, *key, acc))
+            acc += t
+    field = df.schema[value_col].dataType.simpleString()
+    gschema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
+    )
+    off_dim = spark.createDataFrame(
+        rows, f"__pid int, {gschema}, __prefix {field}"
+    )
+    w = (
+        W.partitionBy("__pid", *group_cols)
+        .orderBy(*order_by)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        with_pid.join(F.broadcast(off_dim), ["__pid", *group_cols])
+        .withColumn(
+            out_col, F.sum(value_col).over(w) + F.col("__prefix")
+        )
+        .drop("__pid", "__prefix")
+    )

@@ -2134,3 +2134,67 @@ def tpch_q18_large_volume_customer(
             "o_totalprice", "sum_qty",
         )
     )
+
+
+@query(
+    "a19_weighted_median",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             sum(CAST(round(l_quantity) AS BIGINT)) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT),
+                        l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(CAST(round(l_quantity) AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(CASE WHEN 2 * cw >= tot THEN pc END) / 100.0
+                 + 1e-9, 2) AS weighted_median,
+           CAST(max(tot) AS BIGINT) AS total_qty
+    FROM r GROUP BY l_returnflag
+    """,
+)
+def a19_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag — the order
+    statistic percentile_approx cannot give exactly and no engine has
+    as a builtin. Definition: smallest price whose inclusive cumulative
+    weight reaches half the group total (lower weighted median, exact
+    integer comparison 2*cw >= tot). Scale: with only 3 groups the
+    plain partitioned-window cumsum would sort each THIRD of the corpus
+    in one task; the cumulative weight instead comes from
+    operators/rank.py::grouped_running_sum (range shuffle on
+    (group, price, key), per-partition cumsum, bounded per-(partition,
+    group) prefix combine) — parallel within groups, the few-large-
+    groups regime that operator exists for. Prices/quantities ride as
+    scaled integers end to end."""
+    from n2khab_mhq_data_spark.operators.rank import grouped_running_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round("l_quantity").cast("long").alias("q"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = grouped_running_sum(
+        li,
+        ["l_returnflag"],
+        [F.col("pc"), F.col("l_orderkey"), F.col("l_linenumber")],
+        "q",
+        out_col="cw",
+    )
+    tot = li.groupBy("l_returnflag").agg(
+        F.sum("q").cast("long").alias("tot")
+    )
+    j = cum.join(F.broadcast(tot), "l_returnflag")
+    return j.groupBy("l_returnflag").agg(
+        F.round(
+            F.min(F.when(2 * F.col("cw") >= F.col("tot"), F.col("pc")))
+            / 100.0 + F.lit(1e-9), 2,
+        ).alias("weighted_median"),
+        F.max("tot").cast("long").alias("total_qty"),
+    )

@@ -1663,3 +1663,63 @@ def streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(late) / F.count("*").cast("double") + F.lit(1e-9), 6
         ).alias("late_ratio"),
     )
+
+
+@query(
+    "w12_longest_streak",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'click'
+    ), g AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM d
+    ), s AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             min(day) AS streak_start
+      FROM g GROUP BY 1, 2
+    ), r AS (
+      SELECT user_id, len, streak_start,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM s
+    )
+    SELECT user_id, len AS longest_streak, streak_start
+    FROM r WHERE rn = 1
+    """,
+)
+def w12_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (clicks) — the
+    engagement metric, solved with the gaps-and-islands identity:
+    day - row_number(day) is constant exactly on consecutive runs, so
+    one distinct + two user-partitioned windows + one group count find
+    every streak with no self-join and no recursion. Earliest streak
+    wins length ties (deterministic). All date/integer arithmetic.
+    Scale: everything after the first-touch distinct runs at
+    user x active-day grain; windows partition by user — never global."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    )
+    d = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    g = d.withColumn(
+        "grp",
+        F.expr("date_sub(day, CAST(row_number() OVER (PARTITION BY "
+               "user_id ORDER BY day) AS INT))"),
+    )
+    s = g.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    wr = W.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"),
+                "streak_start")
+    )

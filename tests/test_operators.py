@@ -663,3 +663,105 @@ def test_global_running_max_matches_single_window(spark):
     }
     assert got == exp
     assert got[0] is None
+
+
+def test_grouped_running_sum_matches_plain_window(spark):
+    """The distributed grouped cumsum must equal the naive partitioned
+    window across forced partition boundaries (4 partitions, 2 groups,
+    60 rows)."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from n2khab_mhq_data_spark.operators.rank import grouped_running_sum
+
+    rng = random.Random(11)
+    rows = [(i % 2, i, rng.randint(1, 9)) for i in range(60)]
+    df = spark.createDataFrame(rows, "g int, k long, v long")
+    got = {
+        (r["g"], r["k"]): r["running_sum"]
+        for r in grouped_running_sum(
+            df, ["g"], [F.col("k")], "v", num_partitions=4
+        ).collect()
+    }
+    w = (
+        W.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    exp = {
+        (r["g"], r["k"]): r["e"]
+        for r in df.withColumn("e", F.sum("v").over(w)).collect()
+    }
+    assert got == exp
+
+
+def test_longest_streak_hand_case(spark):
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.windows as wmod
+    from n2khab_mhq_data_spark.plans.windows import w12_longest_streak
+
+    def ev(eid, day, uid):
+        return (eid, dt.datetime(2024, 1, day), uid, "click", None, None)
+
+    rows = [
+        # user 1: days 1,2,3 then 5,6 -> longest 3 starting day 1
+        ev(1, 1, 1), ev(2, 2, 1), ev(3, 3, 1), ev(4, 5, 1), ev(5, 6, 1),
+        # user 2: days 2 then 4,5 -> longest 2 starting day 4
+        ev(6, 2, 2), ev(7, 4, 2), ev(8, 5, 2),
+        # user 3: tie of two 2-streaks (1,2) and (4,5) -> earliest wins
+        ev(9, 1, 3), ev(10, 2, 3), ev(11, 4, 3), ev(12, 5, 3),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    wload = wmod.load
+    wmod.load = lambda s, d, t: df
+    try:
+        out = {
+            r["user_id"]: (r["longest_streak"], str(r["streak_start"]))
+            for r in w12_longest_streak(spark, "unused").collect()
+        }
+    finally:
+        wmod.load = wload
+    assert out == {
+        1: (3, "2024-01-01"),
+        2: (2, "2024-01-04"),
+        3: (2, "2024-01-01"),
+    }
+
+
+def test_weighted_median_hand_case(spark):
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import a19_weighted_median
+
+    # flag A: prices 10(w1), 20(w2), 30(w1): tot=4, half=2 ->
+    #   cum at 10 is 1, at 20 is 3 -> 2*3 >= 4 -> median 20
+    rows = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "A", "O",
+         dt.datetime(2024, 1, 1)),
+        (2, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "A", "O",
+         dt.datetime(2024, 1, 1)),
+        (3, 1, 1, 1, 1.0, 30.0, 0.0, 0.0, "A", "O",
+         dt.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    rload = rmod.load
+    rmod.load = lambda s, d, t: df
+    try:
+        r = a19_weighted_median(spark, "unused").collect()[0]
+    finally:
+        rmod.load = rload
+    assert (r["l_returnflag"], r["weighted_median"], r["total_qty"]) == (
+        "A", 20.0, 4,
+    )

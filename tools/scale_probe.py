@@ -78,6 +78,17 @@ HEADLINE = [
     "ann_jl_distortion",          # 28KB unrolled projection expr (r5)
     "ann_pca_compress",           # Gram partials + Arrow projection (r5)
     "audit_table_profile",        # one-pass profile (Expand distinct) (r5)
+    # r5 part-2 additions
+    "graph_kcore",                # 12 bounded peel rounds (r5)
+    "graph_item_cf_topk",         # pair-list CF + per-item window (r5)
+    "sketch_kmv_distinct",        # distinct + per-group k-min window (r5)
+    "streaming_late_data_audit",  # distributed exclusive prefix max (r5)
+    "audit_equidepth_histogram",  # TeraSort rank + closed-form bins (r5)
+    "dedup_overlap_fraction",     # broadcast-bench gram ratio (r5)
+    "tpch_q1_pricing_summary",    # pruned-scan single-pass agg (r5)
+    "tpch_q18_large_volume_customer",  # aggregate-then-join (r5)
+    "j14_scd2_point_in_time",     # interval-predicate PIT equi-join (r5)
+    "ts_mann_kendall",            # day-grain pair stats (r5)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
