@@ -4715,3 +4715,63 @@ def text_script_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("non_ascii_ratio"),
     )
+
+
+@query(
+    "text_boilerplate_ratio",
+    oracle="""
+    WITH sent AS (
+      SELECT doc_id, trim(s) AS sentence
+      FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS s
+        FROM documents
+      ) WHERE trim(s) != ''
+    ), freq AS (
+      SELECT sentence,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS ndocs
+      FROM sent GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_sentences,
+           CAST(sum(CASE WHEN f.ndocs >= 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           round(sum(CASE WHEN f.ndocs >= 5 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) + 1e-9, 6)
+             AS boilerplate_ratio
+    FROM sent s JOIN freq f ON f.sentence = s.sentence
+    GROUP BY s.doc_id
+    """,
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level boilerplate detection — the curation op that
+    catches cookie banners, nav bars, and license footers that
+    char-gram near-dup misses (dedup_substring_spans finds long shared
+    RUNS; this finds short sentences shared ACROSS many documents):
+    a sentence appearing in >= 5 distinct docs is boilerplate, and each
+    doc reports its boilerplate-sentence ratio — the C4/RefinedWeb
+    line-dedup signal. Scale: one explode projection, ONE shuffle on
+    the sentence hash for the distinct-doc count (map-side combinable),
+    one shuffle back on doc_id. At 100 TB the join key would be
+    md5(sentence), not the raw string — same plan shape, smaller
+    shuffle; the raw string is kept here so the oracle stays readable."""
+    docs = load(spark, sf_dir, "documents")
+    sent = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", "\\. ")).alias("s"),
+        )
+        .select("doc_id", F.trim("s").alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    freq = sent.groupBy("sentence").agg(
+        F.count_distinct("doc_id").cast("long").alias("ndocs")
+    )
+    j = sent.join(freq, "sentence")
+    hit = F.when(F.col("ndocs") >= 5, 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sentences"),
+        F.sum(hit).cast("long").alias("n_boilerplate"),
+        F.round(
+            F.sum(hit) / F.count("*").cast("double") + F.lit(1e-9), 6
+        ).alias("boilerplate_ratio"),
+    )

@@ -2198,3 +2198,82 @@ def a19_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median"),
         F.max("tot").cast("long").alias("total_qty"),
     )
+
+
+def _rfm_bin_sql(metric_rank: str, n: str) -> str:
+    # closed-form quintile: floor((rank-1)*5/n)+1 on a TOTAL order —
+    # no ntile remainder ambiguity (the audit_equidepth_histogram rule)
+    return f"CAST(({metric_rank} - 1) * 5 // {n} AS INTEGER) + 1"
+
+
+@query(
+    "events_rfm_segments",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(max(o_orderdate) AS DATE) AS last_day,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS monet
+      FROM orders GROUP BY 1
+    ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+    ranked AS (
+      SELECT o_custkey,
+             row_number() OVER (ORDER BY last_day, o_custkey) AS rr,
+             row_number() OVER (ORDER BY freq, o_custkey) AS rf,
+             row_number() OVER (ORDER BY monet, o_custkey) AS rm
+      FROM cust
+    ), seg AS (
+      SELECT {_rfm_bin_sql('rr', '(SELECT n FROM nn)')} AS r_bin,
+             {_rfm_bin_sql('rf', '(SELECT n FROM nn)')} AS f_bin,
+             {_rfm_bin_sql('rm', '(SELECT n FROM nn)')} AS m_bin
+      FROM ranked
+    )
+    SELECT r_bin, f_bin, m_bin,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    marketing-analytics workhorse: quintile-bin each customer on last
+    order date, order count, and lifetime spend (integer cents), then
+    count the 5x5x5 segment grid. Each metric's quintile uses the
+    closed-form floor((rank-1)*5/n)+1 on a TOTAL order (value, custkey),
+    so both engines bin identically; ranks come from THREE passes of
+    operators/rank.py::global_rank (TeraSort two-pass range shuffle) —
+    customer-grain, never a single-partition window. The 125-cell grid
+    aggregate is map-side combinable."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").cast("date").alias("last_day"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("monet"),
+    ).localCheckpoint()  # 3 rank passes reuse one computed base
+    n = cust.count()  # bounded driver scalar
+
+    def quintile(metric: str, rank_name: str) -> DataFrame:
+        ranked = global_rank(
+            cust.select("o_custkey", metric),
+            [F.col(metric), F.col("o_custkey")],
+            rank_col="r",
+        )
+        return ranked.select(
+            "o_custkey",
+            F.expr(f"CAST((r - 1) * 5 DIV {n} AS INT) + 1")
+            .alias(rank_name),
+        )
+
+    # shuffle-hash: three customer-grain key joins — hashing skips the
+    # per-join sort SMJ would pay (the graph_kcore hint rationale)
+    seg = (
+        quintile("last_day", "r_bin")
+        .join(quintile("freq", "f_bin").hint("shuffle_hash"), "o_custkey")
+        .join(quintile("monet", "m_bin").hint("shuffle_hash"), "o_custkey")
+    )
+    return seg.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count("*").cast("long").alias("n_customers")
+    )

@@ -422,3 +422,28 @@ def test_tpch_q1_scan_prunes_and_pushes(spark, sf_dir):
         assert abs(
             r["avg_qty"] - round(r["sum_qty"] / r["count_order"] + 1e-9, 2)
         ) < 1e-9
+
+
+def test_rfm_segments_consistency(spark, sf_dir):
+    """Quintile bins are 1..5, the grid count sums to the customer
+    count, and each bin holds ~n/5 customers (exact closed form)."""
+    import collections
+
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.relational import events_rfm_segments
+
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    rows = events_rfm_segments(spark, sf_dir).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    per_axis = collections.Counter()
+    for r in rows:
+        for axis in ("r_bin", "f_bin", "m_bin"):
+            assert 1 <= r[axis] <= 5
+            per_axis[(axis, r[axis])] += r["n_customers"]
+    # closed-form bin sizes: floor((i*n)/5) - floor(((i-1)*n)/5)
+    for axis in ("r_bin", "f_bin", "m_bin"):
+        for b in range(1, 6):
+            expect = (b * n_cust) // 5 - ((b - 1) * n_cust) // 5
+            assert per_axis[(axis, b)] == expect, (axis, b)

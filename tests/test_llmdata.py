@@ -926,3 +926,32 @@ def test_script_histogram_hand_case(spark):
         r["n_chars"], r["letters"], r["digits"], r["whitespace"],
         r["punct_other"], r["non_ascii"],
     ) == (6, 2, 1, 1, 1, 1)
+
+
+def test_boilerplate_ratio_hand_case(spark):
+    """A sentence repeated across >= 5 docs is boilerplate; unique
+    sentences are not; ratio is per-doc."""
+    import n2khab_mhq_data_spark.plans.llm as lmod
+    from n2khab_mhq_data_spark.plans.llm import text_boilerplate_ratio
+
+    banner = "accept all cookies"
+    rows = [
+        (i, f"{banner}. unique sentence {i}", "en", "s", 0)
+        for i in range(5)
+    ] + [(99, "totally original. also original", "en", "s", 0)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    lload = lmod.load
+    lmod.load = lambda s, d, t: docs
+    try:
+        out = {
+            r["doc_id"]: (r["n_sentences"], r["n_boilerplate"])
+            for r in text_boilerplate_ratio(spark, "unused").collect()
+        }
+    finally:
+        lmod.load = lload
+    for i in range(5):
+        assert out[i] == (2, 1)
+    assert out[99] == (2, 0)
