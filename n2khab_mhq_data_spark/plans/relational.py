@@ -2277,3 +2277,182 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("r_bin", "f_bin", "m_bin").agg(
         F.count("*").cast("long").alias("n_customers")
     )
+
+
+# static rate-card tiers for the range-lookup join: (tier, lo, hi, fee_bp)
+_PRICE_TIERS = [
+    ("T1", 0, 100000, 500),
+    ("T2", 100000, 200000, 375),
+    ("T3", 200000, 300000, 250),
+    ("T4", 300000, 400000, 125),
+    ("T5", 400000, 600000, 50),
+]
+
+
+@query(
+    "j15_tiered_rate_join",
+    oracle="""
+    WITH tiers(tier, lo, hi, fee_bp) AS (
+      VALUES {vals}
+    )
+    SELECT o_orderkey, t.tier, t.fee_bp,
+           round(CAST(round(o_totalprice * 100) AS BIGINT) * t.fee_bp
+                 / 1000000.0 + 1e-9, 2) AS fee
+    FROM orders o
+    JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    """.format(
+        vals=", ".join(
+            f"('{t}', {lo}, {hi}, {bp})" for t, lo, hi, bp in _PRICE_TIERS
+        )
+    ),
+)
+def j15_tiered_rate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-lookup join against a static rate card (tiered fee
+    schedule) — the pricing/billing pattern. The oracle runs the NAIVE
+    range join (fact x tiers with a BETWEEN predicate); the Spark side
+    runs the plan you actually want at 100 TB: because tier boundaries
+    are static and uniform-width here, the tier KEY is computed
+    closed-form in the scan (one floor division) and the rate card
+    attaches by broadcast EQUI-join — no BroadcastNestedLoopJoin, no
+    per-row predicate fan-out. The differential proves the closed form
+    implements the range semantics exactly. Fee math in integer cents x
+    basis points, one final division."""
+    # one dim row per 100k bucket a tier covers (T5 spans two), so the
+    # closed-form bucket key equi-joins exactly the BETWEEN semantics
+    bucket_rows = [
+        (t, b, bp)
+        for t, lo, hi, bp in _PRICE_TIERS
+        for b in range(lo // 100000, hi // 100000)
+    ]
+    tiers = spark.createDataFrame(
+        bucket_rows, "tier string, tid long, fee_bp long"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    keyed = o.withColumn(
+        "tid", F.floor(F.col("o_totalprice") / 100000).cast("long")
+    )
+    j = keyed.join(F.broadcast(tiers), "tid")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return j.select(
+        "o_orderkey",
+        "tier",
+        "fee_bp",
+        F.round(
+            cents * F.col("fee_bp") / 1000000.0 + F.lit(1e-9), 2
+        ).alias("fee"),
+    )
+
+
+@query(
+    "a20_mode_exact",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS q,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1, 2
+    ), r AS (
+      SELECT l_returnflag, q, n,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, q) AS rn
+      FROM c
+    )
+    SELECT l_returnflag, q AS mode_qty, n AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def a20_mode_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group (most frequent quantity per return flag,
+    ties to the smallest value) — the aggregate Spark only ships as an
+    approximate sketch elsewhere. Two map-side-combinable shuffles:
+    value-count groupBy, then a windowed argmax over the tiny
+    (group, distinct-value) table. Deterministic tie-break makes the
+    result engine-independent."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round("l_quantity").cast("long").alias("q")
+    )
+    c = li.groupBy("l_returnflag", "q").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "q")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("q").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(extract(year FROM l_shipdate) AS INTEGER) AS ship_year,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                      AS BIGINT) / 10000.0 + 1e-9, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1998-01-01'
+      AND ((sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_2')
+           OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_7'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    nations by ship year. The nation filter REACHES the supplier and
+    customer dims before the fact joins (each shrinks to one nation's
+    keys and broadcasts), the shipdate range prunes the scan, and the
+    pair predicate is enforced by construction (union of the two
+    directed combinations via the filtered dims) — lineitem shuffles
+    once, for the final year aggregate. Integer-exact revenue."""
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    s = load(spark, sf_dir, "supplier").join(
+        F.broadcast(n.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    c = load(spark, sf_dir, "customer").join(
+        F.broadcast(n.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             "l_shipdate")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    j = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_7")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_7"))
+        )
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").alias("ship_year"),
+    ).agg(
+        F.round(
+            F.sum(cents * (100 - disc)).cast("long") / 10000.0
+            + F.lit(1e-9), 2,
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )

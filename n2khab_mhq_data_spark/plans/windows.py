@@ -1723,3 +1723,65 @@ def w12_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("len").alias("longest_streak"),
                 "streak_start")
     )
+
+
+@query(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ), gg AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+    r AS (
+      SELECT event_type, gap_us,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap_us, event_type) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM gg
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(min(CASE WHEN rn * 2 >= n THEN gap_us END) AS BIGINT)
+             AS median_gap_us,
+           CAST(min(CASE WHEN rn * 20 >= n * 19 THEN gap_us END)
+                AS BIGINT) AS p95_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM r GROUP BY event_type
+    """,
+)
+def events_inter_arrival_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Inter-arrival-time distribution per event type (median / p95 /
+    max gap in exact microseconds) — the ops-health query behind
+    staleness alerts ('this feed's p95 gap doubled'). Quantiles are
+    LOWER order statistics selected by integer rank arithmetic
+    (rn*2 >= n, rn*20 >= 19n), not interpolated percentiles, so there
+    is no cross-engine interpolation formula to drift. One shuffle:
+    everything — the lag, the rank, and the aggregate — shares the
+    single (event_type) partitioning."""
+    e = load(spark, sf_dir, "events")
+    wl = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = (
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wl))
+    ).alias("gap_us")
+    g = e.select("event_type", gap).filter(F.col("gap_us").isNotNull())
+    wr = W.partitionBy("event_type").orderBy("gap_us")
+    wn = W.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n"), F.col("gap_us"))
+        ).cast("long").alias("median_gap_us"),
+        F.min(
+            F.when(F.col("rn") * 20 >= F.col("n") * 19, F.col("gap_us"))
+        ).cast("long").alias("p95_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )

@@ -765,3 +765,72 @@ def test_weighted_median_hand_case(spark):
     assert (r["l_returnflag"], r["weighted_median"], r["total_qty"]) == (
         "A", 20.0, 4,
     )
+
+
+def test_tiered_rate_join_boundaries(spark):
+    """Closed-form tier keying must implement half-open [lo, hi) range
+    semantics at exact boundary values."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import j15_tiered_rate_join
+
+    rows = [
+        (1, 1, "O", 0.0, dt.datetime(2024, 1, 1), "P"),        # T1 lo edge
+        (2, 1, "O", 99999.99, dt.datetime(2024, 1, 1), "P"),   # T1 hi-eps
+        (3, 1, "O", 100000.0, dt.datetime(2024, 1, 1), "P"),   # T2 lo edge
+        (4, 1, "O", 599999.0, dt.datetime(2024, 1, 1), "P"),   # T5
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    rload = rmod.load
+    rmod.load = lambda s, d, t: df
+    try:
+        out = {
+            r["o_orderkey"]: (r["tier"], r["fee"])
+            for r in j15_tiered_rate_join(spark, "unused").collect()
+        }
+    finally:
+        rmod.load = rload
+    assert out[1][0] == "T1"
+    assert out[2][0] == "T1"
+    assert out[3][0] == "T2"
+    assert out[4][0] == "T5"
+    # fee = cents * bp / 1e6: order 3 -> 10000000 * 375 / 1e6 = 3750.00
+    assert out[3][1] == 3750.0
+
+
+def test_inter_arrival_lower_quantiles(spark):
+    """Median/p95 are LOWER order statistics: for gaps [1..10]s the
+    median is the 5th (rn*2>=10), p95 the 10th (rn*20>=190)."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.windows as wmod
+    from n2khab_mhq_data_spark.plans.windows import (
+        events_inter_arrival_stats,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    times, t = [base], base
+    for k in range(1, 11):  # gaps of 1,2,...,10 seconds
+        t = t + dt.timedelta(seconds=k)
+        times.append(t)
+    rows = [
+        (i, ts, 1, "t", None, None) for i, ts in enumerate(times)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    wload = wmod.load
+    wmod.load = lambda s, d, t_: df
+    try:
+        r = events_inter_arrival_stats(spark, "unused").collect()[0]
+    finally:
+        wmod.load = wload
+    assert r["n_gaps"] == 10
+    assert r["median_gap_us"] == 5_000_000
+    assert r["p95_gap_us"] == 10_000_000
+    assert r["max_gap_us"] == 10_000_000
