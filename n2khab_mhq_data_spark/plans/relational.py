@@ -2456,3 +2456,69 @@ def tpch_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").cast("long").alias("n_items"),
     )
+
+
+@query(
+    "w13_pareto_abc",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot FROM p),
+    r AS (
+      SELECT l_partkey, rev_c,
+             CAST(sum(rev_c) OVER (
+               ORDER BY rev_c DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c
+      FROM p
+    )
+    SELECT CASE WHEN cum_c * 100 <= (SELECT tot FROM t) * 80 THEN 'A'
+                WHEN cum_c * 100 <= (SELECT tot FROM t) * 95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(CAST(sum(rev_c) AS BIGINT) / 100.0 + 1e-9, 2)
+             AS class_revenue
+    FROM r GROUP BY 1
+    """,
+)
+def w13_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC inventory analysis: rank parts by revenue, classify
+    by cumulative share (A <= 80%, B <= 95%, C rest), report class
+    sizes — the classic long-tail cut. Cumulative revenue uses
+    operators/rank.py::grouped_running_sum with a single constant group
+    (the few-large-groups regime at its extreme: ONE group spanning
+    every partition), so the global running sum is range-partitioned
+    and parallel — never a single-task window. Class boundaries compare
+    INTEGER cents (cum*100 <= tot*80): no ratio rounding at the knife
+    edge."""
+    from n2khab_mhq_data_spark.operators.rank import grouped_running_sum
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+    )
+    p = li.groupBy("l_partkey").agg(
+        F.sum("c").cast("long").alias("rev_c")
+    ).withColumn("__one", F.lit(1))
+    tot = p.agg(F.sum("rev_c").cast("long").alias("tot"))
+    r = grouped_running_sum(
+        p,
+        ["__one"],
+        [F.col("rev_c").desc(), F.col("l_partkey")],
+        "rev_c",
+        out_col="cum_c",
+    )
+    j = r.crossJoin(F.broadcast(tot))
+    cls = (
+        F.when(F.col("cum_c") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return j.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.round(
+            F.sum("rev_c").cast("long") / 100.0 + F.lit(1e-9), 2
+        ).alias("class_revenue"),
+    )

@@ -1785,3 +1785,59 @@ def events_inter_arrival_stats(
         ).cast("long").alias("p95_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
     )
+
+
+@query(
+    "events_dau_wau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ), cover AS (
+      SELECT user_id, day + CAST(o.range AS INTEGER) AS obs_day
+      FROM ud, range(0, 7) o
+    ), wau AS (
+      SELECT obs_day AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM cover GROUP BY 1
+    )
+    SELECT d.day, d.dau, w.wau,
+           round(d.dau / CAST(w.wau AS DOUBLE) + 1e-9, 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day
+    """,
+)
+def events_dau_wau_stickiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the engagement
+    ratio every product dashboard tracks, and a genuinely hard shape:
+    WAU is a DISTINCT count over a SLIDING window, which no engine's
+    window frame supports. The exact scalable trick: collapse to
+    user-days (first distinct), then EXPLODE each user-day onto the 7
+    observation days it covers (bounded fan-out = window length) and
+    run a plain distinct-count groupBy — sliding-distinct becomes
+    tumbling-distinct. Days with no activity simply have no DAU row
+    (inner join keeps observed days only)."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count("*").cast("long").alias("dau"))
+    offs = F.explode(
+        F.array([F.lit(i).cast("int") for i in range(7)])
+    ).alias("off")
+    cover = ud.select("user_id", "day", offs).select(
+        "user_id", F.expr("date_add(day, off)").alias("day")
+    )
+    wau = cover.groupBy("day").agg(
+        F.count_distinct("user_id").cast("long").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau") / F.col("wau").cast("double") + F.lit(1e-9), 6
+        ).alias("stickiness"),
+    )

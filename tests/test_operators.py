@@ -834,3 +834,55 @@ def test_inter_arrival_lower_quantiles(spark):
     assert r["median_gap_us"] == 5_000_000
     assert r["p95_gap_us"] == 10_000_000
     assert r["max_gap_us"] == 10_000_000
+
+
+def test_pareto_abc_partition_sums(spark, sf_dir):
+    """ABC classes partition all parts and all revenue; A holds at most
+    80% + one straddling part."""
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.relational import w13_pareto_abc
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    n_parts = li.select("l_partkey").distinct().count()
+    tot = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+        ).agg(F.sum("c")).collect()[0][0]
+    )
+    rows = {r["abc_class"]: r for r in w13_pareto_abc(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    assert sum(r["n_parts"] for r in rows.values()) == n_parts
+    assert abs(sum(r["class_revenue"] for r in rows.values()) - tot / 100.0) < 0.05
+    assert rows["A"]["class_revenue"] <= tot / 100.0 * 0.80 + 1  # straddle
+
+
+def test_dau_wau_hand_case(spark):
+    """user 1 active day1+day3, user 2 active day3: day3 has DAU 2 and
+    trailing-7 WAU 2 (stickiness 1.0); day1 DAU 1 WAU 1."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.windows as wmod
+    from n2khab_mhq_data_spark.plans.windows import (
+        events_dau_wau_stickiness,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "a", None, None),
+        (2, dt.datetime(2024, 1, 3), 1, "a", None, None),
+        (3, dt.datetime(2024, 1, 3), 2, "a", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    wload = wmod.load
+    wmod.load = lambda s, d, t: df
+    try:
+        out = {
+            str(r["day"]): (r["dau"], r["wau"])
+            for r in events_dau_wau_stickiness(spark, "unused").collect()
+        }
+    finally:
+        wmod.load = wload
+    assert out == {"2024-01-01": (1, 1), "2024-01-03": (2, 2)}

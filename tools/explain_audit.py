@@ -88,6 +88,10 @@ EXPECTED: dict[str, set[str]] = {
     # events_cuped_adjustment 1-row-global-stat pattern; the scan is
     # touched once and never replicates
     "audit_psi_drift": {"CARTESIAN"},
+    # Pareto/ABC: the 1-ROW total-revenue aggregate broadcast-crossed
+    # onto the part-grain ranked frame — the CUPED 1-row-global-stat
+    # pattern; the part table never replicates
+    "w13_pareto_abc": {"CARTESIAN"},
     # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
     # image gate, canonical assignment) joined on the id — every side
     # is corpus-sized at 100 TB so SortMergeJoin is the correct static
