@@ -4775,3 +4775,95 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(hit) / F.count("*").cast("double") + F.lit(1e-9), 6
         ).alias("boilerplate_ratio"),
     )
+
+
+@query(
+    "pipeline_contrastive_triplets",
+    oracle=f"""
+    WITH near AS ({_JACCARD_SQL}),
+    ids AS (SELECT doc_id FROM documents),
+    mx AS (SELECT max(doc_id) AS m FROM documents),
+    cand AS (
+      SELECT d1 AS anchor, d2 AS positive, jaccard,
+             CAST(('0x' || substr(md5(CAST(d1 AS VARCHAR) || '_'
+                                      || CAST(d2 AS VARCHAR)), 1, 8))
+                  AS BIGINT) % ((SELECT m FROM mx) + 1) AS negative
+      FROM near
+    )
+    SELECT anchor, positive, negative, jaccard AS pos_jaccard
+    FROM cand c
+    WHERE negative != anchor AND negative != positive
+      AND negative IN (SELECT doc_id FROM ids)
+      AND NOT EXISTS (
+        SELECT 1 FROM near n
+        WHERE n.d1 = least(c.anchor, c.negative)
+          AND n.d2 = greatest(c.anchor, c.negative))
+      AND NOT EXISTS (
+        SELECT 1 FROM near n
+        WHERE n.d1 = least(c.positive, c.negative)
+          AND n.d2 = greatest(c.positive, c.negative))
+    """,
+)
+def pipeline_contrastive_triplets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(anchor, positive, negative) training triplets for contrastive
+    embedding fine-tuning, mined from the corpus itself: positives are
+    the verified near-dup pairs (memoized pair table), negatives a
+    DETERMINISTIC md5-derived candidate id, kept only when it exists,
+    differs from both members, and is provably NOT a near-dup of either
+    (two anti-joins against the pair table) — the standard in-batch-
+    negatives-with-collision-filter recipe made reproducible. Scale:
+    rides the shared pair memo; the filters are one broadcast-able
+    semi-join on the id universe plus two anti-joins on the
+    (already-small) pair table. Triplets whose candidate fails a gate
+    drop identically in both engines, so the sample stays deterministic
+    end to end."""
+    docs = load(spark, sf_dir, "documents")
+    near = _near_pairs(spark, sf_dir).select("d1", "d2", "jaccard")
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+    cand = near.select(
+        F.col("d1").alias("anchor"),
+        F.col("d2").alias("positive"),
+        F.col("jaccard").alias("pos_jaccard"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("d1").cast("string"),
+                            F.col("d2").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % F.lit(int(mx) + 1)
+        ).alias("negative"),
+    ).filter(
+        (F.col("negative") != F.col("anchor"))
+        & (F.col("negative") != F.col("positive"))
+    )
+    ids = docs.select(F.col("doc_id").alias("negative"))
+    cand = cand.join(F.broadcast(ids), "negative", "leftsemi")
+    pair_keys = near.select(
+        F.col("d1").alias("pk1"), F.col("d2").alias("pk2")
+    )
+    a_key = cand.select(
+        "*",
+        F.least("anchor", "negative").alias("pk1"),
+        F.greatest("anchor", "negative").alias("pk2"),
+    )
+    cand = a_key.join(
+        F.broadcast(pair_keys), ["pk1", "pk2"], "left_anti"
+    ).drop("pk1", "pk2")
+    p_key = cand.select(
+        "*",
+        F.least("positive", "negative").alias("pk1"),
+        F.greatest("positive", "negative").alias("pk2"),
+    )
+    cand = p_key.join(
+        F.broadcast(pair_keys), ["pk1", "pk2"], "left_anti"
+    ).drop("pk1", "pk2")
+    return cand.select("anchor", "positive", "negative", "pos_jaccard")

@@ -955,3 +955,30 @@ def test_boilerplate_ratio_hand_case(spark):
     for i in range(5):
         assert out[i] == (2, 1)
     assert out[99] == (2, 0)
+
+
+def test_contrastive_triplets_contract(spark, sf_dir):
+    """Every triplet: anchor<positive is a verified near-dup pair, the
+    negative exists, differs from both, and shares NO pair with either."""
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.llm import (
+        _near_pairs,
+        pipeline_contrastive_triplets,
+    )
+
+    pairs = {
+        (r["d1"], r["d2"])
+        for r in _near_pairs(spark, sf_dir).select("d1", "d2").collect()
+    }
+    ids = {
+        r["doc_id"]
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    }
+    rows = pipeline_contrastive_triplets(spark, sf_dir).collect()
+    assert rows, "no triplets emitted at sf0.001"
+    for r in rows:
+        a, p, n = r["anchor"], r["positive"], r["negative"]
+        assert (a, p) in pairs
+        assert n in ids and n != a and n != p
+        assert (min(a, n), max(a, n)) not in pairs
+        assert (min(p, n), max(p, n)) not in pairs
