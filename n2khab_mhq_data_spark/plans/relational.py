@@ -2522,3 +2522,164 @@ def w13_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_c").cast("long") / 100.0 + F.lit(1e-9), 2
         ).alias("class_revenue"),
     )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * (100 - CAST(round(l_discount * 100)
+                                        AS BIGINT))) AS BIGINT)
+                 / 10000.0 + 1e-9, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-07-01'
+    GROUP BY 1, 2, 3
+    ORDER BY sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+             c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in one half-year. Scan-level pruning does the work:
+    the returnflag predicate pushes into the lineitem scan and the date
+    range into orders BEFORE the joins; nation broadcasts; the top-20 is
+    a TakeOrderedAndProject keyed on the EXACT integer revenue with the
+    customer key as tie-break."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    r = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(cents * (100 - disc)).cast("long").alias("rev_i"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+    return (
+        r.orderBy(F.col("rev_i").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round(F.col("rev_i") / 10000.0 + F.lit(1e-9), 2)
+            .alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+@query(
+    "a21_corr_matrix",
+    oracle="""
+    WITH s0 AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sq,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS sp,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                  AS DOUBLE) AS sd,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+               AS sqq,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS spp,
+             CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  AS DOUBLE) AS sdd,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE) AS sqp,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  AS DOUBLE) AS sqd,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  AS DOUBLE) AS spd
+      FROM lineitem
+    )
+    SELECT pair, round(r + 1e-9, 6) AS pearson_r FROM (
+      SELECT 'quantity~price' AS pair,
+             (n * sqp - sq * sp)
+             / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS r
+      FROM s0
+      UNION ALL
+      SELECT 'quantity~discount',
+             (n * sqd - sq * sd)
+             / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd)) FROM s0
+      UNION ALL
+      SELECT 'price~discount',
+             (n * spd - sp * sd)
+             / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd)) FROM s0
+    )
+    """,
+)
+def a21_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of (quantity, price,
+    discount) in ONE pass: all nine moment sums ride a single map-side-
+    combinable aggregate over scaled-integer columns (the ts_acf rule:
+    integer sums, one float division per cell at the end — bit-exact
+    across engines and partition orders, unlike F.corr whose float
+    accumulation is fold-order-dependent). The 3x3 matrix unpivots to
+    one row per pair."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("long")
+    p = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d = F.round(F.col("l_discount") * 100).cast("long")
+    # price^2 sums overflow BIGINT (~1.5e20 at sf0.01): accumulate the
+    # moments EXACTLY in DECIMAL(38,0) (DuckDB: HUGEINT), convert each
+    # exact sum to double once, and run one identical float expression
+    # tree on both engines — the exact-integer -> single-rounding rule
+    dec = "decimal(38,0)"
+    prods = {
+        "sq": q.cast(dec), "sp": p.cast(dec), "sd": d.cast(dec),
+        "sqq": (q * q).cast(dec), "spp": p.cast(dec) * p.cast(dec),
+        "sdd": (d * d).cast(dec), "sqp": q.cast(dec) * p.cast(dec),
+        "sqd": (q * d).cast(dec), "spd": p.cast(dec) * d.cast(dec),
+    }
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        *[F.sum(c).cast("double").alias(k) for k, c in prods.items()],
+    )
+
+    def cell(name, sxy, sx, sy, sxx, syy):
+        num = F.col("n") * F.col(sxy) - F.col(sx) * F.col(sy)
+        vx = F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx)
+        vy = F.col("n") * F.col(syy) - F.col(sy) * F.col(sy)
+        return s.select(
+            F.lit(name).alias("pair"),
+            F.round(
+                num / F.sqrt(vx * vy) + F.lit(1e-9), 6
+            ).alias("pearson_r"),
+        )
+
+    return (
+        cell("quantity~price", "sqp", "sq", "sp", "sqq", "spp")
+        .unionByName(
+            cell("quantity~discount", "sqd", "sq", "sd", "sqq", "sdd")
+        )
+        .unionByName(cell("price~discount", "spd", "sp", "sd", "spp", "sdd"))
+    )

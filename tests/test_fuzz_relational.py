@@ -447,3 +447,33 @@ def test_rfm_segments_consistency(spark, sf_dir):
         for b in range(1, 6):
             expect = (b * n_cust) // 5 - ((b - 1) * n_cust) // 5
             assert per_axis[(axis, b)] == expect, (axis, b)
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """The integer-moment Pearson must match numpy.corrcoef on the
+    scaled columns to float precision."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.relational import a21_corr_matrix
+
+    pdf = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice", "l_discount")
+        .toPandas()
+    )
+    q = np.round(pdf["l_quantity"]).astype("int64")
+    p = np.round(pdf["l_extendedprice"] * 100).astype("int64")
+    d = np.round(pdf["l_discount"] * 100).astype("int64")
+    m = np.corrcoef(np.vstack([q, p, d]))
+    exp = {
+        "quantity~price": m[0, 1],
+        "quantity~discount": m[0, 2],
+        "price~discount": m[1, 2],
+    }
+    got = {
+        r["pair"]: r["pearson_r"]
+        for r in a21_corr_matrix(spark, sf_dir).collect()
+    }
+    for k, v in exp.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
