@@ -89,6 +89,11 @@ HEADLINE = [
     "tpch_q18_large_volume_customer",  # aggregate-then-join (r5)
     "j14_scd2_point_in_time",     # interval-predicate PIT equi-join (r5)
     "ts_mann_kendall",            # day-grain pair stats (r5)
+    "a19_weighted_median",        # grouped distributed cumsum (r5)
+    "w13_pareto_abc",             # single-group global cumsum (r5)
+    "events_dau_wau_stickiness",  # cover-explode sliding distinct (r5)
+    "pipeline_contrastive_triplets",  # pair memo + anti-join gates (r5)
+    "a21_corr_matrix",            # one-pass DECIMAL(38) moments (r5)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
