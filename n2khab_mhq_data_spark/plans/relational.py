@@ -2683,3 +2683,104 @@ def a21_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(cell("price~discount", "spd", "sp", "sd", "spp", "sdd"))
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT))
+                      AS BIGINT) / 1000000.0 + 1e-9, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-predicate
+    aggregate — one year, a discount band, small quantities. Every
+    predicate lands in PushedFilters; the aggregate is a single
+    map-side-combinable 1-row sum of integer cents x discount basis
+    points. The simplest query an engine runs and the purest
+    pushdown-throughput measurement."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return li.agg(
+        F.round(
+            F.sum(cents * disc).cast("long") / 1000000.0 + F.lit(1e-9), 2
+        ).alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )
+
+
+@query(
+    "a22_gini_spend",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS spend_c
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT spend_c,
+             row_number() OVER (ORDER BY spend_c, o_custkey) AS rnk
+      FROM cust
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(spend_c) AS DOUBLE) AS tot,
+             CAST(sum(spend_c * rnk) AS DOUBLE) AS wsum
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           round(tot / 100.0 + 1e-9, 2) AS total_spend,
+           round(2.0 * wsum / (n * tot) - (n + 1.0) / n + 1e-9, 6)
+             AS gini
+    FROM s
+    """,
+)
+def a22_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime spend — the inequality /
+    concentration statistic (the scalar twin of w13_pareto_abc's curve),
+    via the rank formula G = 2*sum(rank_i * x_i)/(n*sum x) - (n+1)/n on
+    the ascending total order (spend, custkey). The rank comes from
+    operators/rank.py::global_rank (TeraSort two-pass, customer grain,
+    no single-partition window); rank-weighted sums accumulate exactly
+    as DECIMAL(38,0) (rank x cents products pass 1e18) and convert to
+    double once for the closed-form — both engines evaluate one
+    identical expression tree."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank
+
+    o = load(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long").alias("spend_c")
+    )
+    r = global_rank(
+        cust, [F.col("spend_c"), F.col("o_custkey")], rank_col="rnk"
+    )
+    dec = "decimal(38,0)"
+    s = r.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("spend_c").cast("double").alias("tot"),
+        F.sum(F.col("spend_c").cast(dec) * F.col("rnk").cast(dec))
+        .cast("double").alias("wsum"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(F.col("tot") / 100.0 + F.lit(1e-9), 2)
+        .alias("total_spend"),
+        F.round(
+            2.0 * F.col("wsum") / (F.col("n") * F.col("tot"))
+            - (F.col("n") + 1.0) / F.col("n") + F.lit(1e-9), 6,
+        ).alias("gini"),
+    )

@@ -477,3 +477,33 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
     }
     for k, v in exp.items():
         assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
+def test_gini_hand_cases(spark):
+    """Perfect equality -> G = 0; extreme concentration -> G -> 1."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import a22_gini_spend
+
+    def run(prices):
+        rows = [
+            (i, i, "O", p, dt.datetime(2024, 1, 1), "P")
+            for i, p in enumerate(prices)
+        ]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string"
+        )
+        rload = rmod.load
+        rmod.load = lambda s, d, t: df
+        try:
+            return a22_gini_spend(spark, "unused").collect()[0]["gini"]
+        finally:
+            rmod.load = rload
+
+    assert run([100.0] * 10) == 0.0
+    # one customer holds nearly everything: G approaches (n-1)/n = 0.9
+    g = run([0.01] * 9 + [1000000.0])
+    assert 0.89 < g <= 0.9
