@@ -726,3 +726,81 @@ def graph_item_cf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rank"),
         )
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS g, l_partkey AS a FROM lineitem
+    ), e AS (
+      SELECT i1.a AS a, i2.a AS b
+      FROM items i1 JOIN items i2 ON i1.g = i2.g AND i1.a < i2.a
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ), d AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    ), de AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+      UNION ALL
+      SELECT db.deg, da.deg
+      FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM de
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           round((n * sxy - sx * sy)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * (n * syy - sy * sy)) + 1e-9, 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the co-purchase graph (Newman's r):
+    Pearson correlation of endpoint degrees over both edge directions —
+    negative means hubs attach to leaves (the typical retail
+    co-purchase shape). Integer degree sums only (the ts_acf rule);
+    degrees attach to the memoized pruned edge list with two
+    broadcast-able joins; the moment aggregate is 1-row."""
+    from n2khab_mhq_data_spark.operators.graph import degrees
+
+    edges = _copurchase_edges(spark, sf_dir).select("a", "b")
+    d = degrees(edges).select(
+        F.col("node"), F.col("degree").cast("long").alias("deg")
+    )
+    withdeg = (
+        edges.join(
+            F.broadcast(d.select(F.col("node").alias("a"),
+                                 F.col("deg").alias("xa"))), "a")
+        .join(
+            F.broadcast(d.select(F.col("node").alias("b"),
+                                 F.col("deg").alias("xb"))), "b")
+    )
+    de = withdeg.select(
+        F.col("xa").alias("x"), F.col("xb").alias("y")
+    ).unionByName(
+        withdeg.select(F.col("xb").alias("x"), F.col("xa").alias("y"))
+    )
+    s = de.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.expr("CAST(n DIV 2 AS BIGINT)").alias("n_edges"),
+        F.round(
+            num / F.sqrt(vx.cast("double") * vy) + F.lit(1e-9), 6
+        ).alias("assortativity"),
+    )

@@ -2784,3 +2784,49 @@ def a22_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("n") + 1.0) / F.col("n") + F.lit(1e-9), 6,
         ).alias("gini"),
     )
+
+
+@query(
+    "tpch_q14_promo_effect",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END)
+                 / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 + 1e-9, 6) AS promo_share_pct,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) by ship month: the percentage of
+    revenue from PROMO-type parts. The part dimension broadcasts onto
+    the date-pruned lineitem scan; promo and total revenue ride the
+    SAME integer-unit aggregate (conditional sum), so the share is one
+    exact-integer ratio per month."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = cents * (100 - disc)
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date")
+        .alias("ship_month")
+    ).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0))
+            / F.sum(rev) + F.lit(1e-9), 6,
+        ).alias("promo_share_pct"),
+        F.count("*").cast("long").alias("n_items"),
+    )

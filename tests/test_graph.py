@@ -416,3 +416,40 @@ def test_item_cf_topk_matches_brute_force(spark, sf_dir):
         for r in graph_item_cf_topk(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_assortativity_matches_networkx_style_formula(spark, sf_dir):
+    """Newman's r recomputed independently in python over the collected
+    edge list must equal the Spark value."""
+    import math
+
+    from n2khab_mhq_data_spark.plans.graph import (
+        _copurchase_edges,
+        graph_degree_assortativity,
+    )
+
+    edges = [
+        (r["a"], r["b"])
+        for r in _copurchase_edges(spark, sf_dir).select("a", "b").collect()
+    ]
+    import collections
+
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    r_exp = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    row = graph_degree_assortativity(spark, sf_dir).collect()[0]
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - r_exp) < 1e-6
