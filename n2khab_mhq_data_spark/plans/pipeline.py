@@ -1467,3 +1467,73 @@ def s8_snapshot_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("s_key").cast("long").alias("sum_key"),
     )
+
+
+def _hive_partitioned_store(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprinted scratch copy of orders hive-partitioned by order
+    month — rebuilt only when the source parquet changes (the
+    _jsonl_store lifecycle)."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    files = sorted(
+        os.path.join(src, f) for f in os.listdir(src)
+    ) if os.path.isdir(src) else [src]
+    fp = hashlib.md5(
+        ";".join(
+            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
+            for f in files
+        ).encode()
+    ).hexdigest()[:16]
+    path = f"/root/repo/.scale/hive/orders_{fp}"
+    if not os.path.isdir(path):
+        o = load(spark, sf_dir, "orders").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        (
+            o.repartition("o_month")
+            .write.partitionBy("o_month")
+            .mode("overwrite")
+            .parquet(path)
+        )
+    return path
+
+
+@query(
+    "s13_hive_partition_prune",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) / 100.0 + 1e-9, 2) AS month_revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-03-01'
+      AND o_orderdate < DATE '1996-06-01'
+    GROUP BY 1
+    """,
+)
+def s13_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned store write + partition-PRUNED read: orders are
+    laid out by o_month (one directory per month — the storage layout a
+    100 TB fact table ships with), and the 3-month query filters ON THE
+    PARTITION COLUMN so the scan opens only 3 directories
+    (PartitionFilters, asserted with inputFiles in pytest). A loud
+    in-plan guard raises if any row outside the window survives, so a
+    mislaid partition can never pass silently. The oracle recomputes
+    from the unpartitioned source — layout must not change results."""
+    path = _hive_partitioned_store(spark, sf_dir)
+    df = spark.read.parquet(path).filter(
+        (F.col("o_month") >= "1996-03") & (F.col("o_month") < "1996-06")
+    )
+    guard = F.when(
+        (F.col("o_month") < "1996-03") | (F.col("o_month") >= "1996-06"),
+        F.raise_error(F.lit("partition outside the pruned window"))
+    ).otherwise(F.col("o_month"))
+    return df.groupBy(guard.alias("o_month")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long") / 100.0 + F.lit(1e-9), 2,
+        ).alias("month_revenue"),
+    )

@@ -1841,3 +1841,82 @@ def events_dau_wau_stickiness(
             F.col("dau") / F.col("wau").cast("double") + F.lit(1e-9), 6
         ).alias("stickiness"),
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), pu AS (
+      SELECT s.user_id, s.signup_ts, min(e.ts) AS purchase_ts
+      FROM su s JOIN events e
+        ON e.user_id = s.user_id AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY 1, 2
+    ), lat AS (
+      SELECT strftime(signup_ts, '%Y-%m') AS cohort_month,
+             epoch_us(purchase_ts) - epoch_us(signup_ts) AS lat_us
+      FROM pu
+    ), r AS (
+      SELECT cohort_month, lat_us,
+             row_number() OVER (PARTITION BY cohort_month
+                                ORDER BY lat_us) AS rn,
+             count(*) OVER (PARTITION BY cohort_month) AS n
+      FROM lat
+    )
+    SELECT cohort_month, CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(min(CASE WHEN rn * 2 >= n THEN lat_us END) AS BIGINT)
+             AS median_latency_us,
+           CAST(min(CASE WHEN rn * 20 >= n * 19 THEN lat_us END)
+                AS BIGINT) AS p95_latency_us
+    FROM r GROUP BY cohort_month
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert funnel latency: for each user, first signup to
+    first AT-OR-AFTER purchase; per signup-cohort month the exact
+    lower-median and lower-p95 latency in microseconds (the integer
+    rank selection of events_inter_arrival_stats — no interpolation to
+    drift). The signup side collapses to one row per user first
+    (map-side combinable), the purchase attach is an equi-join on
+    user_id with the at-or-after predicate inside the join, then one
+    min-aggregate — fan-out bounded by the user's purchase count."""
+    e = load(spark, sf_dir, "events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    pe = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts")
+    )
+    pu = (
+        su.join(pe, "user_id")
+        .filter(F.col("pts") >= F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("pts").alias("purchase_ts"))
+    )
+    lat = pu.select(
+        F.date_format("signup_ts", "yyyy-MM").alias("cohort_month"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("signup_ts"))
+        .alias("lat_us"),
+    )
+    wr = W.partitionBy("cohort_month").orderBy("lat_us")
+    wn = W.partitionBy("cohort_month")
+    r = lat.select(
+        "cohort_month",
+        "lat_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy("cohort_month").agg(
+        F.max("n").cast("long").alias("n_converted"),
+        F.min(
+            F.when(F.col("rn") * 2 >= F.col("n"), F.col("lat_us"))
+        ).cast("long").alias("median_latency_us"),
+        F.min(
+            F.when(F.col("rn") * 20 >= F.col("n") * 19, F.col("lat_us"))
+        ).cast("long").alias("p95_latency_us"),
+    )

@@ -59,3 +59,32 @@ def test_dynamic_partition_pruning_through_join(spark, tmp_path):
     # only dim-surviving partitions are read at runtime
     assert "dynamicpruning" in plan.lower(), plan[-2000:]
     assert joined.count() == 200
+
+
+def test_s13_store_prunes_month_partitions(spark):
+    """The registered s13 query's scan must carry the month bounds as
+    PartitionFilters (directory pruning), not as a post-scan data
+    Filter — same evidence contract as the static test above.
+    (inputFiles() is NOT usable here: it lists the base relation's
+    files before pruning.)"""
+    from n2khab_mhq_data_spark.plans.pipeline import (
+        _hive_partitioned_store,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    path = _hive_partitioned_store(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path).filter(
+        (F.col("o_month") >= "1996-03") & (F.col("o_month") < "1996-06")
+    )
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "o_month" in pf and "1996-03" in pf
+    # and pruning is real: the filtered count equals the three months
+    full = spark.read.parquet(path)
+    expect = full.filter(
+        (F.col("o_month") >= "1996-03") & (F.col("o_month") < "1996-06")
+    ).count()
+    assert df.count() == expect and expect > 0
