@@ -4867,3 +4867,141 @@ def pipeline_contrastive_triplets(
         F.broadcast(pair_keys), ["pk1", "pk2"], "left_anti"
     ).drop("pk1", "pk2")
     return cand.select("anchor", "positive", "negative", "pos_jaccard")
+
+
+@query(
+    "pipeline_curation_v2",
+    oracle=_SHINGLES_SQL
+    + """
+    , bench AS (SELECT DISTINCT g FROM sh WHERE doc % 97 = 0),
+    corpus AS (SELECT doc, g FROM sh WHERE doc % 97 != 0),
+    contam AS (
+      SELECT doc, CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(count(*) FILTER (
+               WHERE g IN (SELECT g FROM bench)) AS BIGINT) AS n_hit
+      FROM corpus GROUP BY doc
+    ), sent AS (
+      SELECT doc_id, trim(s) AS sentence
+      FROM (SELECT doc_id, unnest(string_split_regex(text, '\\. ')) AS s
+            FROM documents WHERE doc_id % 97 != 0)
+      WHERE trim(s) != ''
+    ), sfreq AS (
+      SELECT sentence, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM sent GROUP BY 1
+    ), boiler AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sent,
+             CAST(sum(CASE WHEN f.nd >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler
+      FROM sent s JOIN sfreq f ON f.sentence = s.sentence
+      GROUP BY 1
+    ), gates AS (
+      SELECT d.doc_id, d.lang, d.source,
+             c.n_hit * 2 >= c.n_grams AS g_contam,
+             b.n_boiler * 2 >= b.n_sent AS g_boiler,
+             (length(d.text) - length(regexp_replace(
+                d.text, '[^\\x00-\\x7F]', '', 'g'))) * 10
+               >= length(d.text) AS g_script
+      FROM documents d
+      JOIN contam c ON c.doc = d.doc_id
+      JOIN boiler b ON b.doc_id = d.doc_id
+      WHERE d.doc_id % 97 != 0
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT g_contam AND NOT g_boiler
+                          AND NOT g_script THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN g_contam THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_contam,
+           CAST(sum(CASE WHEN NOT g_contam AND g_boiler
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_boiler,
+           CAST(sum(CASE WHEN NOT g_contam AND NOT g_boiler
+                          AND g_script THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_drop_script
+    FROM gates GROUP BY 1, 2
+    """,
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation gate composing this round's three new per-doc
+    signals — benchmark-overlap fraction (drop when >= 50% of grams are
+    contaminated), sentence boilerplate ratio (drop when >= 50% of
+    sentences are cross-doc boilerplate), and script mix (drop when >=
+    10% non-ASCII) — into one per-(lang, source) funnel report with
+    first-failing-gate attribution (contamination > boilerplate >
+    script), the order a production pipeline logs drops in. All gate
+    thresholds compare INTEGERS. Scale: the three signal legs are the
+    already-verified shapes (broadcast bench grams, one sentence
+    shuffle, zero-shuffle codegen scoring) joined at doc grain, then
+    one tiny funnel aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0)
+    from n2khab_mhq_data_spark.llmdata.dedup import shingle_table
+
+    cg = shingle_table(corpus, "text", "doc_id", 3)
+    bg = shingle_table(benchmark, "text", "doc_id", 3).select(
+        "gram"
+    ).distinct()
+    contam = (
+        cg.join(F.broadcast(bg.withColumn("__h", F.lit(1))), "gram",
+                "left")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__h").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_hit"),
+        )
+        .withColumnRenamed("doc", "doc_id")
+    )
+    sent = (
+        corpus.select(
+            "doc_id", F.explode(F.split("text", "\\. ")).alias("s")
+        )
+        .select("doc_id", F.trim("s").alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+    sfreq = sent.groupBy("sentence").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    boiler = (
+        sent.join(sfreq, "sentence")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sent"),
+            F.sum(F.when(F.col("nd") >= 5, 1).otherwise(0))
+            .cast("long").alias("n_boiler"),
+        )
+    )
+    non_ascii = F.length("text") - F.length(
+        F.regexp_replace("text", "[^\\x00-\\x7F]", "")
+    )
+    gates = (
+        corpus.select(
+            "doc_id", "lang", "source",
+            (non_ascii * 10 >= F.length("text")).alias("g_script"),
+        )
+        .join(contam, "doc_id")
+        .join(boiler, "doc_id")
+        .select(
+            "lang", "source",
+            (F.col("n_hit") * 2 >= F.col("n_grams")).alias("g_contam"),
+            (F.col("n_boiler") * 2 >= F.col("n_sent")).alias("g_boiler"),
+            "g_script",
+        )
+    )
+    keep = ~F.col("g_contam") & ~F.col("g_boiler") & ~F.col("g_script")
+    return gates.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("g_contam"), 1).otherwise(0))
+        .cast("long").alias("n_drop_contam"),
+        F.sum(
+            F.when(~F.col("g_contam") & F.col("g_boiler"), 1).otherwise(0)
+        ).cast("long").alias("n_drop_boiler"),
+        F.sum(
+            F.when(
+                ~F.col("g_contam") & ~F.col("g_boiler")
+                & F.col("g_script"), 1,
+            ).otherwise(0)
+        ).cast("long").alias("n_drop_script"),
+    )

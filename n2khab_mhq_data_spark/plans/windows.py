@@ -1920,3 +1920,104 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") * 20 >= F.col("n") * 19, F.col("lat_us"))
         ).cast("long").alias("p95_latency_us"),
     )
+
+
+@query(
+    "j16_nearest_event_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts AS view_ts, max(event_id) AS view_id
+      FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ), m AS (
+      SELECT c.click_id, c.user_id, c.ts, v.view_ts, v.view_id,
+             CASE WHEN v.view_ts IS NULL THEN NULL
+                  ELSE abs(epoch_us(c.ts) - epoch_us(v.view_ts)) END
+               AS dist_us,
+             row_number() OVER (
+               PARTITION BY c.click_id
+               ORDER BY abs(epoch_us(c.ts) - epoch_us(v.view_ts)),
+                        v.view_ts, v.view_id) AS rn
+      FROM clicks c LEFT JOIN views v ON v.user_id = c.user_id
+    )
+    SELECT click_id, user_id, view_id, CAST(dist_us AS BIGINT) AS dist_us
+    FROM m WHERE rn = 1
+    """,
+)
+def j16_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event join — the bidirectional sibling of the backward
+    as-of (events_asof_attribution): each click gets the user's view
+    CLOSEST in time, before OR after (sensor alignment / nearest-tick
+    semantics). The oracle brute-forces all (click, view) pairs per
+    user; the Spark side is the scalable union-stream shape: one
+    interleave sort per user picks the previous and next view with
+    lag-style windows, then one comparison chooses the closer — never a
+    per-click fan-out over all views. Ties break earlier-view-first,
+    then id, in both engines."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    # interleave: views carry their id, clicks carry theirs
+    u = views.select(
+        "user_id", "ts", F.lit(0).alias("is_click"),
+        F.col("view_id").alias("vid"), F.lit(None).cast("long")
+        .alias("cid"),
+    ).unionByName(
+        clicks.select(
+            "user_id", "ts", F.lit(1).alias("is_click"),
+            F.lit(None).cast("long").alias("vid"),
+            F.col("click_id").alias("cid"),
+        )
+    )
+    # views sort BEFORE clicks at the same timestamp (is_click asc), so
+    # "prev" includes a view at the exact click time — matching the
+    # oracle's abs() = 0 preference for the earlier/equal view
+    w = W.partitionBy("user_id").orderBy("ts", "is_click", "vid")
+    pv_ts = F.last(
+        F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True
+    ).over(w.rowsBetween(W.unboundedPreceding, -1))
+    pv_id = F.last(
+        F.when(F.col("is_click") == 0, F.col("vid")), ignorenulls=True
+    ).over(w.rowsBetween(W.unboundedPreceding, -1))
+    nxt = w.rowsBetween(1, W.unboundedFollowing)
+    nv_ts = F.first(
+        F.when(F.col("is_click") == 0, F.col("ts")), ignorenulls=True
+    ).over(nxt)
+    nv_id = F.first(
+        F.when(F.col("is_click") == 0, F.col("vid")), ignorenulls=True
+    ).over(nxt)
+    # materialize the window columns BEFORE dropping the view rows — a
+    # filter first would remove the very rows the windows must see
+    scanned = u.select(
+        "*",
+        pv_ts.alias("pts"), pv_id.alias("pid"),
+        nv_ts.alias("nts"), nv_id.alias("nid"),
+    )
+    m = scanned.filter(F.col("is_click") == 1).select(
+        F.col("cid").alias("click_id"),
+        "user_id",
+        "ts",
+        "pts", "pid", "nts", "nid",
+    )
+    pd_ = F.unix_micros("ts") - F.unix_micros("pts")
+    nd = F.unix_micros("nts") - F.unix_micros("ts")
+    # prefer the earlier view on equal distance (oracle tie-break)
+    take_prev = F.col("pts").isNotNull() & (
+        F.col("nts").isNull() | (pd_ <= nd)
+    )
+    return m.select(
+        "click_id",
+        "user_id",
+        F.when(take_prev, F.col("pid"))
+        .otherwise(F.col("nid")).alias("view_id"),
+        F.when(take_prev, pd_)
+        .otherwise(nd).cast("long").alias("dist_us"),
+    )

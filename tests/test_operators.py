@@ -886,3 +886,44 @@ def test_dau_wau_hand_case(spark):
     finally:
         wmod.load = wload
     assert out == {"2024-01-01": (1, 1), "2024-01-03": (2, 2)}
+
+
+def test_nearest_event_join_brute_force(spark, sf_dir):
+    """The union-stream nearest pick must equal a brute-force python
+    nearest (abs distance, earlier-view tie-break) for every click."""
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.plans.windows import j16_nearest_event_join
+
+    e = load(spark, sf_dir, "events")
+    rows = e.select("event_id", "ts", "user_id", "event_type").collect()
+    views, clicks = {}, []
+    for r in rows:
+        if r["event_type"] == "view":
+            key = (r["user_id"], r["ts"])
+            views[key] = max(views.get(key, 0), r["event_id"])
+        elif r["event_type"] == "click":
+            clicks.append(r)
+    byuser = {}
+    for (u, ts), vid in views.items():
+        byuser.setdefault(u, []).append((ts, vid))
+    expected = {}
+    for c in clicks:
+        best = None
+        for vts, vid in byuser.get(c["user_id"], []):
+            d = abs((c["ts"] - vts).total_seconds() * 1e6)
+            k = (d, vts, vid)
+            if best is None or k < best:
+                best = k
+        expected[c["event_id"]] = (
+            None if best is None else (best[2], int(round(best[0])))
+        )
+    got = {
+        r["click_id"]: (r["view_id"], r["dist_us"])
+        for r in j16_nearest_event_join(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for cid, exp in expected.items():
+        if exp is None:
+            assert got[cid] == (None, None)
+        else:
+            assert got[cid] == exp, (cid, got[cid], exp)
