@@ -94,6 +94,10 @@ HEADLINE = [
     "events_dau_wau_stickiness",  # cover-explode sliding distinct (r5)
     "pipeline_contrastive_triplets",  # pair memo + anti-join gates (r5)
     "a21_corr_matrix",            # one-pass DECIMAL(38) moments (r5)
+    "j16_nearest_event_join",     # union-stream nearest pick (r5)
+    "pipeline_curation_v2",       # composed 3-signal funnel (r5)
+    "s13_hive_partition_prune",   # partition-pruned store read (r5)
+    "a22_gini_spend",             # TeraSort rank + DECIMAL sums (r5)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
