@@ -5005,3 +5005,75 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("n_drop_script"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents), unnest(w) AS t(tok)
+    ), lexicon AS (
+      SELECT * FROM (VALUES
+        ('en','the'),('en','and'),('en','of'),('en','is'),('en','a'),
+        ('fr','le'),('fr','la'),('fr','et'),('fr','les'),('fr','de'),
+        ('es','el'),('es','y'),('es','los'),('es','que'),('es','de'),
+        ('de','der'),('de','und'),('de','die'),('de','das'),('de','ist'))
+        AS l(lang, token)
+    ), hits AS (
+      SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n
+      FROM tok JOIN lexicon ON tok = token GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, lang, n,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY n DESC, lang) AS rn
+      FROM hits
+    ), pred AS (
+      SELECT d.doc_id, d.lang AS lang_true,
+             coalesce(b.lang, 'und') AS lang_pred
+      FROM documents d LEFT JOIN best b
+        ON d.doc_id = b.doc_id AND b.rn = 1
+    )
+    SELECT lang_true, lang_pred,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           lang_true = lang_pred AS correct
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the EVALUATION leg of text_langid:
+    the lexicon-voting prediction crossed with the labeled lang column,
+    one row per (true, predicted) cell with a correctness flag (the
+    accuracy/per-language-recall report a curation pipeline publishes
+    before trusting the classifier as a routing gate). Same scalable
+    shape as the scorer: broadcast lexicon join, per-doc argmax window,
+    then a tiny cell aggregate."""
+    from n2khab_mhq_data_spark.llmdata.text import lexicon_dim, tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    hits = (
+        tok.join(
+            F.broadcast(lexicon_dim(spark)), tok.tok == F.col("token")
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("lang"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred"))
+    )
+    cells = docs.join(best, "doc_id", "left").select(
+        F.col("lang").alias("lang_true"),
+        F.coalesce(F.col("pred"), F.lit("und")).alias("lang_pred"),
+    )
+    return cells.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("long").alias("n_docs"),
+    ).withColumn(
+        "correct", F.col("lang_true") == F.col("lang_pred")
+    )

@@ -2830,3 +2830,43 @@ def tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_share_pct"),
         F.count("*").cast("long").alias("n_items"),
     )
+
+
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking, adapted to the test schema's
+    dates): orders from one quarter with AT LEAST ONE line shipped more
+    than 60 days after ordering, counted by priority — the canonical
+    EXISTS / LEFT SEMI shape. The date range prunes the orders scan;
+    the semi-join's compound condition (key equality + the late-ship
+    comparison) is evaluated INSIDE the join so each order emits at
+    most once — no post-join distinct, no fan-out."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate")
+        > F.expr("timestampadd(DAY, 60, o_orderdate)")
+    )
+    late = o.join(li, cond, "left_semi")
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_late_orders")
+    )

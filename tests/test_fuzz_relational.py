@@ -507,3 +507,50 @@ def test_gini_hand_cases(spark):
     # one customer holds nearly everything: G approaches (n-1)/n = 0.9
     g = run([0.01] * 9 + [1000000.0])
     assert 0.89 < g <= 0.9
+
+
+def test_tpch_q4_semi_join_hand_case(spark):
+    """An order counts once no matter how many late lines it has; an
+    on-time-only order never counts; 60-day boundary is strict."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q4_order_priority,
+    )
+
+    od = dt.datetime(1996, 2, 1)
+    orders = [
+        (1, 1, "O", 1.0, od, "1-URGENT"),   # two late lines -> counts once
+        (2, 1, "O", 1.0, od, "1-URGENT"),   # exactly +60 days -> NOT late
+        (3, 1, "O", 1.0, od, "5-LOW"),      # one late line
+        (4, 1, "O", 1.0, dt.datetime(1995, 1, 1), "5-LOW"),  # out of range
+    ]
+    li = [
+        (1, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", od + dt.timedelta(61)),
+        (1, 2, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", od + dt.timedelta(90)),
+        (2, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", od + dt.timedelta(60)),
+        (3, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", od + dt.timedelta(61)),
+        (4, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         dt.datetime(1995, 6, 1)),
+    ]
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    ldf = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    rload = rmod.load
+    rmod.load = lambda s, d, t: odf if t == "orders" else ldf
+    try:
+        out = {
+            r["o_orderpriority"]: r["n_late_orders"]
+            for r in tpch_q4_order_priority(spark, "unused").collect()
+        }
+    finally:
+        rmod.load = rload
+    assert out == {"1-URGENT": 1, "5-LOW": 1}
