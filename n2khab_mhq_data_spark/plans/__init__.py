@@ -51,12 +51,70 @@ def _load_modules() -> None:
 # driver-re-confirmed green in CORRECTNESS_r04.json.
 _DRIVER_FAILED: frozenset[str] = frozenset()
 
-# queries the driver has already sampled in CORRECTNESS_r01..r04 —
+# Round in which each not-yet-driver-sampled query was first registered.
+# The never-sampled tier is ordered OLDEST-FIRST by this age (r5 VERDICT
+# item 1: within-module source order let newly-inserted queries jump the
+# queue twice, so the 9 r4 additions below waited two rounds).  Queries
+# absent from this map are treated as registered "now" (current round) and
+# queue after the whole backlog.  Entries are removed once the driver
+# samples the query (it moves to ``_DRIVER_SAMPLED``).
+_REGISTERED_ROUND: dict[str, int] = {
+    # r4 additions — never sampled, waiting since round 4 (oldest)
+    "ann_pq_adc_topk": 4, "ann_pq_recall_at_10": 4,
+    "dedup_lsh_recall_audit": 4, "pipeline_leakage_safe_split": 4,
+    "text_banned_lexicon_gate": 4, "text_bpe_pairs": 4,
+    "text_bpe_merges": 4, "text_bpe_encode": 4, "text_zipf_slope": 4,
+    # r5 additions — never sampled, waiting since round 5
+    "multimodal_audio_dedup": 5, "s13_hive_partition_prune": 5,
+    "a19_weighted_median": 5, "events_inter_arrival_stats": 5,
+    "multimodal_image_resize": 5, "events_rfm_segments": 5,
+    "events_dau_wau_stickiness": 5, "multimodal_gif_stats": 5,
+    "j15_tiered_rate_join": 5, "events_time_to_convert": 5,
+    "multimodal_format_dispatch": 5, "a20_mode_exact": 5,
+    "j16_nearest_event_join": 5, "multimodal_jpeg_stats": 5,
+    "tpch_q7_nation_volume": 5, "multimodal_video_frames": 5,
+    "w13_pareto_abc": 5, "multimodal_audio_stats": 5,
+    "tpch_q10_returned_items": 5, "sketch_hll_distinct": 5,
+    "a21_corr_matrix": 5, "sketch_hll_merge_rollup": 5,
+    "tpch_q6_forecast_revenue": 5, "ann_jl_distortion": 5,
+    "a22_gini_spend": 5, "ann_pca_compress": 5,
+    "tpch_q14_promo_effect": 5, "text_chunk_stitch": 5,
+    "tpch_q4_order_priority": 5, "pipeline_curriculum_bins": 5,
+    "pipeline_quality_calibrate": 5, "text_bpe_merges_strict": 5,
+    "pipeline_multimodal_curation": 5, "sketch_kmv_distinct": 5,
+    "sketch_kmv_jaccard": 5, "dedup_overlap_fraction": 5,
+    "text_script_histogram": 5, "text_boilerplate_ratio": 5,
+    "pipeline_contrastive_triplets": 5, "pipeline_curation_v2": 5,
+    "text_langid_confusion": 5,
+}
+
+# queries the driver has already sampled in CORRECTNESS_r01..r05 —
 # rotated to the BACK of the registration order so a prefix-sampling driver
 # drains the never-checked tail first (refresh per round from the union of
 # the CORRECTNESS_r*.json files)
 _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "a10_max_value_dedupe", "a11_percentile_corr", "a12_rollup",
+    "a18_cube", "ann_embedding_outliers", "ann_filtered_topk",
+    "audit_constraint_suite", "audit_equidepth_histogram",
+    "audit_psi_drift", "audit_table_profile",
+    "dedup_decontaminate_semantic", "dedup_prefix_filter",
+    "eval_retrieval_metrics", "events_ab_readout",
+    "events_cuped_adjustment", "events_frequent_paths",
+    "graph_degree_assortativity", "graph_item_cf_topk", "graph_kcore",
+    "graph_lpa_communities", "j13_interval_overlap_binned",
+    "j14_scd2_point_in_time", "link_edit_distance_join",
+    "link_golden_record", "multimodal_image_dedup",
+    "multimodal_image_neardup", "multimodal_image_stats",
+    "o3_global_rank", "pipeline_corpus_shuffle", "s11_jsonl_roundtrip",
+    "s12_orc_roundtrip", "s7_gpkg_distributed", "s8_snapshot_asof",
+    "s8_snapshot_diff", "s8_snapshot_ivm", "s8_snapshot_merge",
+    "s8_snapshot_optimize", "sim_mmr_rerank", "sim_rrf_fusion",
+    "spatial_geohash_encode", "streaming_late_data_audit",
+    "text_bm25_topk", "text_char_entropy",
+    "tpch_q18_large_volume_customer", "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+    "ts_acf", "ts_cusum_changepoint", "ts_mann_kendall",
+    "ts_rolling_p95", "w11_running_distinct", "w12_longest_streak",
     "a13_grouping_sets", "a14_approx_distinct_audit",
     "a15_approx_quantile_audit", "a16_ols_regression",
     "a17_approx_topk_audit", "a1_count_distinct", "a2_min_max_sum",
@@ -138,8 +196,15 @@ def _interleave_families() -> None:
     (``_DRIVER_SAMPLED``) are queued ahead of already-green ones so each
     round drains the unchecked tail, and any query that ever FAILED a
     driver row (``_DRIVER_FAILED``) jumps the whole queue so the fix gets
-    re-confirmed first thing. Within a tier, module registration order is
-    kept (modules register basic shapes first)."""
+    re-confirmed first thing.
+
+    The never-sampled tier is further split OLDEST-FIRST by
+    ``_REGISTERED_ROUND`` (r5 VERDICT item 1): within-module source order
+    let queries inserted near the top of a module jump ones that had
+    already waited two rounds.  Queries with no ``_REGISTERED_ROUND``
+    entry are this round's additions and queue after the whole backlog,
+    so a 50-row driver sample covers exactly the 50 outstanding.  Within
+    each age bucket, module round-robin keeps family diversity."""
     fams: dict[str, list[str]] = {}
     for name, fn in QUERIES.items():
         fams.setdefault(fn.__module__, []).append(name)
@@ -158,11 +223,21 @@ def _interleave_families() -> None:
             [[n for n in names if pred(n)] for names in fams.values()]
         )
 
-    order = (
-        tier(lambda n: n in _DRIVER_FAILED)
-        + tier(lambda n: n not in _DRIVER_SAMPLED and n not in _DRIVER_FAILED)
-        + tier(lambda n: n in _DRIVER_SAMPLED and n not in _DRIVER_FAILED)
+    never_rounds = sorted(
+        {
+            _REGISTERED_ROUND.get(n, 99)
+            for n in QUERIES
+            if n not in _DRIVER_SAMPLED and n not in _DRIVER_FAILED
+        }
     )
+    order = tier(lambda n: n in _DRIVER_FAILED)
+    for rnd in never_rounds:  # oldest backlog first, this round's new last
+        order += tier(
+            lambda n, rnd=rnd: n not in _DRIVER_SAMPLED
+            and n not in _DRIVER_FAILED
+            and _REGISTERED_ROUND.get(n, 99) == rnd
+        )
+    order += tier(lambda n: n in _DRIVER_SAMPLED and n not in _DRIVER_FAILED)
     snap_q, snap_o = dict(QUERIES), dict(ORACLES)
     QUERIES.clear()
     ORACLES.clear()
