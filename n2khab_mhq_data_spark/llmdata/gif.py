@@ -49,9 +49,14 @@ def encode_gif(img) -> bytes:
             cur = cand
             continue
         codes.append(table[cur])
-        table[cand] = next_code
-        next_code += 1
-        if next_code >= (1 << 12) - 1:
+        if next_code <= (1 << 12) - 1:
+            # room left: assign the next 12-bit code (4095 inclusive —
+            # common encoders use the full table before clearing)
+            table[cand] = next_code
+            next_code += 1
+        else:
+            # table full (4096 entries): emit CLEAR on the next miss so
+            # every assigned code, including 4095, had a chance to match
             codes.append(_CLEAR)
             table = {(i,): i for i in range(256)}
             next_code = _EOI + 1

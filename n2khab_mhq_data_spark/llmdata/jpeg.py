@@ -412,7 +412,9 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int = 10,
         width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vidsmjpg"
+        # fccHandler uppercase b"MJPG" to match strf biCompression —
+        # third-party demuxers conventionally match on the uppercase form
+        b"vidsMJPG"
         + struct.pack("<IHH8I", 0, 0, 0, 0, 1, fps, 0, n, maxb, 0, 0)
         + struct.pack("<4H", 0, 0, 0, 0)
     )

@@ -15,7 +15,21 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
+
+
+def _sum_result_type(dt: T.DataType) -> str:
+    """DDL string of ``F.sum(col)``'s result type for an input type ``dt``
+    (Spark widens sums: integral -> bigint, float -> double,
+    decimal(p,s) -> decimal(min(38, p+10), s))."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "bigint"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "double"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({min(38, dt.precision + 10)},{dt.scale})"
+    return dt.simpleString()
 
 
 def global_rank(
@@ -131,6 +145,8 @@ def global_running_max(
     for pid, m in pmax:
         rows.append((pid, run))
         run = m if run is None or (m is not None and m > run) else run
+    # unlike sums, F.max never widens the type, so the raw value column's
+    # type is exactly the prefix type (see _sum_result_type for the sum case)
     field = df.schema[value_col].dataType.simpleString()
     off_dim = spark.createDataFrame(
         rows, f"__pid int, __prefix {field}"
@@ -192,7 +208,11 @@ def grouped_running_sum(
         for pid, t in sorted(lst):
             rows.append((pid, *key, acc))
             acc += t
-    field = df.schema[value_col].dataType.simpleString()
+    # the prefix carries F.sum results, which Spark WIDENS past the input
+    # type (int -> bigint, float -> double, decimal(p,s) -> decimal(p+10,s));
+    # typing it as the raw value column would overflow createDataFrame for
+    # large accumulated int prefixes
+    field = _sum_result_type(df.schema[value_col].dataType)
     gschema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
     )

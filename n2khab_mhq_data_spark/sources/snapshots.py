@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +75,12 @@ def write_snapshot(df: DataFrame, path: str) -> int:
     versions = _versions(path)
     v = (versions[-1] + 1) if versions else 1
     data_dir = os.path.join(path, f"v={v}")
+    # A torn publish (crash between the parquet write and the manifest
+    # rename) leaves an orphaned UNMANIFESTED v=<n> dir; readers never
+    # trust it, so it is garbage — clear it rather than letting the
+    # mode("errorifexists") write brick the store permanently.
+    if os.path.isdir(data_dir):
+        shutil.rmtree(data_dir)
     df.write.mode("errorifexists").parquet(data_dir)
     n, h = _content_stats(df.sparkSession.read.parquet(data_dir))
     os.makedirs(_manifest_dir(path), exist_ok=True)
@@ -144,8 +151,6 @@ def prune_snapshots(path: str, keep_last: int) -> list[int]:
     removed FIRST (the version disappears from the readable log before
     its data does), then the data directories — whole-directory
     deletes, never a rewrite of surviving versions."""
-    import shutil
-
     versions = _versions(path)
     expired = versions[:-keep_last] if keep_last > 0 else versions
     for v in expired:
@@ -357,8 +362,11 @@ def optimize_snapshot(
     with open(os.path.join(mdir, f"{v}.json")) as fh:
         nm = _json.load(fh)
     if nm["content_hash"] != pm["content_hash"] or nm["n_rows"] != pm["n_rows"]:
-        # roll the bad version back before anyone can read it
+        # roll the bad version back before anyone can read it — manifest
+        # first (visibility), then the data dir so no orphan is left to
+        # collide with the next write_snapshot
         os.remove(os.path.join(mdir, f"{v}.json"))
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
         raise ValueError(
             "optimize_snapshot produced content drift vs parent"
             f" (v{parent} -> v{v}); version rolled back"

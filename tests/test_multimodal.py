@@ -491,6 +491,24 @@ def test_gif_roundtrips_and_width_growth():
     assert (m["format"], m["width"], m["height"]) == ("gif", 7680, 80)
 
 
+def test_gif_lzw_full_table_boundary():
+    # noise fills the string table ~1 entry/pixel: 128x128 forces the
+    # 4096-entry table to fill and CLEAR multiple times, so the encoder's
+    # delayed-reset path (code 4095 assignable AND emittable before the
+    # CLEAR) round-trips against the decoder's lagged table
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import decode_gif, encode_gif
+
+    rng = np.random.RandomState(4095)
+    noise = rng.randint(0, 256, (128, 128)).astype(np.uint8)
+    assert (decode_gif(encode_gif(noise)) == noise).all()
+    # repeating block right as the table refills targets the KwKwK case
+    # near the 12-bit boundary
+    mix = np.vstack([noise[:96], np.tile(noise[0], (32, 1))])
+    assert (decode_gif(encode_gif(mix)) == mix).all()
+
+
 def test_image_dhash_groups_planted_duplicates(spark):
     from pyspark.sql import functions as F
 

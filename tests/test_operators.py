@@ -697,6 +697,26 @@ def test_grouped_running_sum_matches_plain_window(spark):
     assert got == exp
 
 
+def test_grouped_running_sum_int_overflowing_prefix(spark):
+    """An INT value column whose accumulated prefix exceeds int32 range:
+    the broadcast __prefix carries F.sum results (long-valued), so typing
+    it as the raw int column would fail createDataFrame at runtime."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.operators.rank import grouped_running_sum
+
+    big = 1_500_000_000  # 2 of these overflow int32
+    df = spark.createDataFrame(
+        [(0, i, big) for i in range(8)], "g int, k long, v int"
+    )
+    out = grouped_running_sum(
+        df, ["g"], [F.col("k")], "v", num_partitions=4
+    )
+    assert dict(out.dtypes)["running_sum"] == "bigint"
+    got = {r["k"]: r["running_sum"] for r in out.collect()}
+    assert got == {i: big * (i + 1) for i in range(8)}
+
+
 def test_longest_streak_hand_case(spark):
     import datetime as dt
 

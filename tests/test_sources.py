@@ -412,6 +412,47 @@ def test_snapshot_torn_write_invisible_and_drift_detected(spark, tmp_path):
         verify_snapshot(spark, path, 1)
 
 
+def test_snapshot_store_recovers_from_torn_publish(spark, tmp_path):
+    """An orphaned UNMANIFESTED v=<n> dir (crash between parquet write
+    and manifest rename) must not brick the store: the next
+    write_snapshot clears the garbage and publishes v=<n> cleanly."""
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        read_snapshot,
+        verify_snapshot,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    write_snapshot(spark.range(5), path)
+    spark.range(99).write.parquet(os.path.join(path, "v=2"))  # torn
+    assert write_snapshot(spark.range(7), path) == 2
+    assert read_snapshot(spark, path, 2).count() == 7  # not the orphan's 99
+    verify_snapshot(spark, path, 2)
+
+
+def test_snapshot_optimize_rollback_leaves_no_orphan(
+    spark, tmp_path, monkeypatch
+):
+    """optimize_snapshot's drift rollback must remove BOTH the manifest
+    and the data dir, so the store stays writable afterwards."""
+    import pytest
+
+    from n2khab_mhq_data_spark.sources import snapshots as S
+
+    path = str(tmp_path / "store")
+    S.write_snapshot(spark.range(10), path)
+    real = S._content_stats
+    monkeypatch.setattr(
+        S, "_content_stats", lambda df: tuple(x + 1 for x in real(df))
+    )
+    with pytest.raises(ValueError, match="content drift"):
+        S.optimize_snapshot(spark, path, n_files=1)
+    monkeypatch.setattr(S, "_content_stats", real)
+    assert not os.path.isdir(os.path.join(path, "v=2"))  # no orphan
+    assert S.write_snapshot(spark.range(3), path) == 2  # still writable
+    assert S.read_snapshot(spark, path).count() == 3
+
+
 def test_snapshot_prune_keeps_newest(spark, tmp_path):
     import pytest
 
