@@ -38,6 +38,9 @@ def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
     llm._near_pairs(spark, sf_dir).count()
     steps["near_pairs"] = round(time.time() - t0, 3)
     t0 = time.time()
+    llm._components(spark, sf_dir).count()
+    steps["components"] = round(time.time() - t0, 3)
+    t0 = time.time()
     llm._bigram_lm(spark, sf_dir).count()
     steps["bigram_lm"] = round(time.time() - t0, 3)
     t0 = time.time()

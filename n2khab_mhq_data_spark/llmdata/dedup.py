@@ -455,15 +455,19 @@ def connected_components(
     graph: chains, stars, bridges).
 
     The driver loop controls CONVERGENCE only — each round is fully
-    distributed (two hash joins + one groupBy, all on the node key, so
-    one partitioning is reused) and the rounds needed track the
-    component diameter (near-dup components are near-cliques: 2-3).
-    ``localCheckpoint`` truncates lineage so the per-round plan stays
-    constant-size instead of growing with iterations; the EDGE LIST is
-    checkpointed once up front — every round joins it twice, and without
+    distributed (ONE hash join of the pre-built bidirectional edge list
+    against the labels plus one groupBy, both on the node key) and the
+    rounds needed track the component diameter (near-dup components are
+    near-cliques: 2-3). ``localCheckpoint`` truncates lineage so the
+    per-round plan stays constant-size instead of growing with
+    iterations; the EDGE LIST is checkpointed once up front — without
     materialization the (often expensive) pair pipeline feeding it would
-    re-run 2x per round (measured 7s -> 2s at sf0.1 on the near-dup
-    graph).
+    re-run every round (measured 7s -> 2s at sf0.1 on the near-dup
+    graph). Convergence is detected the same way as the twophase
+    sibling: an order-insensitive label-set fingerprint (count +
+    bit_xor of a portable row hash) — one tiny aggregate over the
+    just-checkpointed labels per round instead of a join-and-count diff
+    against the previous round.
 
     ``reliable=True`` switches to reliable ``checkpoint()`` against the
     session's configured checkpoint dir (``sparkContext.setCheckpointDir``
@@ -475,34 +479,47 @@ def connected_components(
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable else df.localCheckpoint()
 
-    e = ckpt(edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b")))
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b")))
-        .distinct()
+    raw = edges.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    # both directions once up front: each round then needs a SINGLE
+    # edges-to-labels join to propagate labels across every edge both
+    # ways, and the node universe is just e's distinct left endpoints
+    e = ckpt(
+        raw.union(raw.select(F.col("b").alias("a"), F.col("a").alias("b")))
     )
-    labels = ckpt(nodes.select("node", F.col("node").alias("comp")))
+    nodes = e.select(F.col("a").alias("node")).distinct()
+
+    from n2khab_mhq_data_spark.operators.pinning import row_hash
+
+    def lazy_ckpt(df: DataFrame) -> DataFrame:
+        # lazy: the fingerprint collect right after is the materializing
+        # action, so each round costs ONE job instead of an eager-
+        # checkpoint job plus a fingerprint job
+        return df.checkpoint(False) if reliable else df.localCheckpoint(False)
+
+    def fingerprint(df: DataFrame) -> tuple:
+        h = row_hash("node", "comp")
+        (row,) = (
+            df.select(h.alias("h"))
+            .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
+            .collect()
+        )
+        return (row.n, row.x)
+
+    labels = lazy_ckpt(nodes.select("node", F.col("node").alias("comp")))
+    fp = fingerprint(labels)
     for _ in range(max_iter):
-        m1 = e.join(labels, e["a"] == labels["node"]).select(
+        prop = e.join(labels, e["a"] == labels["node"]).select(
             F.col("b").alias("node"), "comp"
         )
-        m2 = e.join(labels, e["b"] == labels["node"]).select(
-            F.col("a").alias("node"), "comp"
-        )
-        new = ckpt(
-            labels.unionByName(m1)
-            .unionByName(m2)
+        new = lazy_ckpt(
+            labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        new_fp = fingerprint(new)
+        converged = new_fp == fp
+        labels, fp = new, new_fp
+        if converged:
             break
     return labels.select(
         F.col("node").alias("doc"), F.col("comp").alias("component_id")

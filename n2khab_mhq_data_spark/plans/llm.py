@@ -1877,11 +1877,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-round dedup_canonicalize is exact only for cliques. The oracle is
     a recursive-CTE reachability closure, so the distributed iterative
     algorithm is differentially pinned."""
-    from n2khab_mhq_data_spark.llmdata.dedup import connected_components
-
-    docs = load(spark, sf_dir, "documents")
-    near = _near_pairs(spark, sf_dir)
-    return connected_components(near, "d1", "d2")
+    return _components(spark, sf_dir)
 
 
 @query(
@@ -2428,6 +2424,36 @@ def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             docs, "text", "doc_id", k=3, threshold=0.8
         ).localCheckpoint()
         _NEAR_PAIRS[key] = df
+    return df
+
+
+_COMPONENTS: dict[tuple, DataFrame] = {}
+
+
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized exact component labels over the near-dup pair graph —
+    the shared intermediate of dedup_components, dedup_component_sizes
+    and dedup_canonicalize-style survivorship: a real pipeline labels
+    the corpus once and derives every dedup/observability table from
+    the labels, not one label propagation per consumer. Same lifecycle
+    as the near-pairs memo (checkpointed, keyed by the documents
+    parquet fingerprint, dead-session entries evicted wholesale);
+    bench.py times the build as a declared step. NOTE:
+    dedup_components_twophase intentionally does NOT use this memo —
+    it exists to differentially audit the two-phase ALGORITHM, so it
+    must run its own propagation every time."""
+    from n2khab_mhq_data_spark.llmdata.dedup import connected_components
+
+    for k in [
+        k for k, v in _COMPONENTS.items() if v.sparkSession is not spark
+    ]:
+        del _COMPONENTS[k]
+    key = (sf_dir, _docs_fingerprint(sf_dir))
+    df = _COMPONENTS.get(key)
+    if df is None:
+        near = _near_pairs(spark, sf_dir)
+        df = connected_components(near, "d1", "d2").localCheckpoint()
+        _COMPONENTS[key] = df
     return df
 
 
@@ -3480,14 +3506,7 @@ def dedup_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     run on the verified-LSH pair path instead — provably identical
     labels at threshold 0.8, see dedup_minhash_lsh; the testbed keeps
     the exact join, which is faster at these scales)."""
-    from n2khab_mhq_data_spark.llmdata.dedup import (
-        connected_components,
-        ngram_jaccard_pairs,
-    )
-
-    docs = load(spark, sf_dir, "documents")
-    near = _near_pairs(spark, sf_dir)
-    comp = connected_components(near, "d1", "d2")
+    comp = _components(spark, sf_dir)
     sizes = comp.groupBy("component_id").agg(F.count("*").alias("size"))
     return sizes.groupBy("size").agg(
         F.count("*").alias("n_components")
