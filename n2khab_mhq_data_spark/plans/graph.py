@@ -453,6 +453,49 @@ def link_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "link_edit_distance_join_blocked",
+    """
+    SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+           a.c_name AS key1, b.c_name AS key2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev_dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND a.c_nationkey = b.c_nationkey
+     AND a.c_mktsegment = b.c_mktsegment
+     AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def link_edit_distance_join_blocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The HEADLINE ER linkage: deletion-neighborhood Levenshtein <= 1
+    with composite blocking on (c_nationkey, c_mktsegment) — candidates
+    must agree on the hard keys before the soft key is fuzzy-matched,
+    which is both standard ER practice (the reference's K9
+    reconciliation cascade blocks on exact keys before its fuzzy stage,
+    check_observed_habitat_type.Rmd:130-310) and the scale fix for
+    adversarially dense deletion buckets: TPC-H customer names differ
+    only in digits, so UNBLOCKED buckets are huge (82 s at sf1.0, r5
+    bench) while blocking divides per-variant fan-out by the ~125
+    nation x segment block count. The unblocked sibling
+    ``link_edit_distance_join`` stays registered as the completeness
+    audit. Oracle: the quadratic all-pairs join restricted to equal
+    blocks, so the blocked candidate generator is hash-checked
+    lossless WITHIN blocks end-to-end."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    return edit_distance_join_deletion(
+        load(spark, sf_dir, "customer"),
+        "c_custkey",
+        "c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+    )
+
+
+@query(
     "link_golden_record",
     """
     WITH RECURSIVE p AS (

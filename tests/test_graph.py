@@ -302,6 +302,46 @@ def test_edit_distance_join_matches_quadratic(spark):
     assert got == brute and len(brute) > 50
 
 
+def test_edit_distance_join_blocked_matches_blocked_quadratic(spark):
+    """Blocked contract: with block_cols, output == brute-force
+    all-pairs restricted to equal blocks — near-name pairs straddling
+    blocks are excluded, in-block pairs are complete."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    rows = [
+        (i, "id%04d" % (i * 7 % 500), i % 3, "SEG%d" % (i % 2))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id int, name string, nat int, seg string")
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id1"], r["id2"]): r["d"]
+        for r in a.join(
+            b,
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.nat") == F.col("b.nat"))
+            & (F.col("a.seg") == F.col("b.seg")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.name", "b.name").alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    got = {
+        (r["id1"], r["id2"]): r["lev_dist"]
+        for r in edit_distance_join_deletion(
+            df, "id", "name", block_cols=["nat", "seg"]
+        ).collect()
+    }
+    unblocked = edit_distance_join_deletion(df, "id", "name").count()
+    assert got == brute and 0 < len(brute) < unblocked
+
+
 def test_golden_record_survivorship_hand_computed(spark):
     """Two planted dup groups with distinct survivorship outcomes, plus
     a cross-block near-name pair that must NOT link."""
