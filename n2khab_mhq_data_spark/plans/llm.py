@@ -3843,6 +3843,104 @@ def text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- DuckDB oracles for the sequential BPE ops (r5 VERDICT item 5) ---
+# The greedy merge loop is deterministic (max count, lexicographic
+# tie-break), so 8 iterations UNROLL into a chain of materialized CTEs:
+# p{k} is iteration k's argmax pair, v{k+1} applies it to the capped
+# word-frequency symbolization. Left-to-right non-overlapping merge
+# application is a list_reduce whose accumulator is the token list
+# joined on chr(31): merging appends the right symbol to the last
+# token, otherwise the element starts a new token — provably the same
+# greedy scan as bpe_train/bpe_encode's while-loop (a freshly merged
+# token can never equal the rule's LEFT symbol, since left || right !=
+# left for nonempty right). AS MATERIALIZED everywhere a CTE is
+# referenced twice (portability memory: DuckDB inlines by default ->
+# exponential rescans).
+
+
+def _bpe_merge_apply_cte(src: str, dst: str, pk: str, carry: str) -> str:
+    return f""", {dst} AS MATERIALIZED (
+      SELECT string_split(
+        list_reduce(syms, (acc, x) -> CASE
+          WHEN string_split(acc, chr(31))[-1] = {pk}.a AND x = {pk}.b
+          THEN acc || x ELSE acc || chr(31) || x END),
+        chr(31)) AS syms, {carry}
+      FROM {src}, {pk}
+    )"""
+
+
+def _bpe_train_ctes(num_merges: int, max_vocab: int, with_counts: bool) -> str:
+    parts = [f"""
+    WITH docw AS MATERIALIZED (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS w
+        FROM documents
+      ) WHERE length(w) > 0
+    ), wf AS MATERIALIZED (
+      SELECT w, count(*) AS wc FROM docw
+      GROUP BY w ORDER BY wc DESC, w LIMIT {max_vocab}
+    ), v0 AS MATERIALIZED (
+      SELECT list_transform(range(1, length(w) + 1),
+                            i -> substr(w, CAST(i AS INTEGER), 1)) AS syms,
+             wc
+      FROM wf
+    )"""]
+    n_sel = ", CAST(sum(wc) AS BIGINT) AS n" if with_counts else ""
+    for k in range(num_merges):
+        parts.append(f""", p{k} AS MATERIALIZED (
+      SELECT s1 AS a, s2 AS b{n_sel} FROM (
+        SELECT syms[CAST(t.i AS INTEGER)] AS s1,
+               syms[CAST(t.i AS INTEGER) + 1] AS s2, wc
+        FROM v{k}, unnest(range(1, len(syms))) AS t(i)
+      ) GROUP BY 1, 2 ORDER BY CAST(sum(wc) AS BIGINT) DESC, a, b LIMIT 1
+    )""")
+        if k < num_merges - 1:
+            parts.append(_bpe_merge_apply_cte(f"v{k}", f"v{k+1}", f"p{k}", "wc"))
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(num_merges: int = 8, max_vocab: int = 10000,
+                       strict_flag: bool = False) -> str:
+    flag = ", TRUE AS corpus_exact" if strict_flag else ""
+    sel = "\n    UNION ALL ".join(
+        f'SELECT CAST({k} AS INTEGER) AS rank, a AS "left",'
+        f' b AS "right", n{flag} FROM p{k}'
+        for k in range(num_merges)
+    )
+    return (
+        _bpe_train_ctes(num_merges, max_vocab, with_counts=True)
+        + f"\n    {sel}\n    ORDER BY rank"
+    )
+
+
+def _bpe_encode_oracle(num_merges: int = 8, max_vocab: int = 10000) -> str:
+    parts = [_bpe_train_ctes(num_merges, max_vocab, with_counts=False)]
+    # encode chain over ALL distinct corpus words (training is capped,
+    # application is corpus-wide — mirrors bpe_encode)
+    parts.append(""", e0 AS MATERIALIZED (
+      SELECT list_transform(range(1, length(w) + 1),
+                            i -> substr(w, CAST(i AS INTEGER), 1)) AS syms,
+             w
+      FROM (SELECT DISTINCT w FROM docw)
+    )""")
+    for k in range(num_merges):
+        parts.append(_bpe_merge_apply_cte(f"e{k}", f"e{k+1}", f"p{k}", "w"))
+    parts.append(f""", enc AS MATERIALIZED (
+      SELECT w, CAST(len(syms) AS BIGINT) AS n_tok FROM e{num_merges}
+    )
+    SELECT d.doc_id,
+           CAST(count(x.w) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(length(x.w)), 0) AS BIGINT) AS n_symbols_raw,
+           CAST(coalesce(sum(x.n_tok), 0) AS BIGINT) AS n_tokens_bpe
+    FROM documents d
+    LEFT JOIN (SELECT dw.doc_id, dw.w, enc.n_tok
+               FROM docw dw JOIN enc ON enc.w = dw.w) x
+      ON x.doc_id = d.doc_id
+    GROUP BY d.doc_id""")
+    return "".join(parts)
+
+
 # tokenizer-training memo — the same lifecycle argument as the k-means
 # and near-pair memos: training the merge table is a build step its two
 # consumers (the merge-table query and corpus-wide encode) share; the
@@ -3864,10 +3962,11 @@ def _bpe_merges(spark: SparkSession, sf_dir: str):
     return _BPE_MERGES[key]
 
 
-@query("text_bpe_merges")  # iterative greedy merges: no SQL oracle —
-# rows-only driver check; the merge loop is hand-verified in
-# tests/test_llmdata.py::test_bpe_train_hand_computed and the full
-# sf0.01 table in tests/test_rows_only_differentials.py
+@query("text_bpe_merges", oracle=_bpe_merges_oracle())
+# hash-checked since r6: the greedy loop unrolls into 8 materialized
+# CTE iterations (argmax pair + list_reduce merge application); the
+# hand-verified pytest and the full-table Python differential in
+# tests/test_rows_only_differentials.py stay as belt-and-braces
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 8 BPE merges over the documents corpus (llmdata/text.py::
     bpe_train): cluster aggregates the word-frequency table, the driver
@@ -3880,10 +3979,11 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_merges_strict")  # iterative greedy merges: no SQL
-# oracle — rows-only driver check (same class as text_bpe_merges); the
-# strict path raising on truncation is pinned by
-# tests/test_llmdata.py and the table equality below by check.py rows
+@query("text_bpe_merges_strict", oracle=_bpe_merges_oracle(strict_flag=True))
+# hash-checked since r6 (same unrolled-CTE oracle as text_bpe_merges
+# plus the constant corpus_exact flag); the strict path RAISING on
+# truncation stays pinned by tests/test_llmdata.py — that behavior is
+# not SQL-expressible, the merge values are
 def text_bpe_merges_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CORPUS-EXACT BPE merge training, driver-visible: trains with
     ``strict_vocab=True`` so the job FAILS LOUDLY if the corpus
@@ -3950,8 +4050,11 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(docs, near, "doc_id")
 
 
-@query("text_bpe_encode")  # sequential merge application: no SQL oracle —
-# rows-only driver check; hand-verified in tests/test_llmdata.py
+@query("text_bpe_encode", oracle=_bpe_encode_oracle())
+# hash-checked since r6: the oracle re-trains the 8 merges (unrolled
+# CTEs) and re-applies them to EVERY distinct corpus word via the same
+# list_reduce scan, then aggregates per doc — training capped,
+# application corpus-wide, exactly bpe_encode's contract
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenization: train 8 merges on the corpus
     (bounded-vocab driver loop, see text_bpe_merges), then apply them

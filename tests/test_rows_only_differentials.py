@@ -1,6 +1,9 @@
 """Value-level differentials for the queries with rows-only driver
-checks (no SQL oracle): ``text_bpe_merges``, ``text_bpe_encode``,
-``multimodal_cdc_dedup``, ``ann_pca_compress``.
+checks (no SQL oracle): ``multimodal_cdc_dedup``, ``ann_pca_compress``.
+``text_bpe_merges`` / ``text_bpe_encode`` gained unrolled-CTE DuckDB
+oracles in r6 and are now hash-checked at the driver; their
+differentials here stay as belt-and-braces (an INDEPENDENT Python
+reference, not the DuckDB re-expression).
 
 The driver can only count their rows, so each gets an INDEPENDENT pure-
 Python reference here — different algorithmic shape from the Spark path
