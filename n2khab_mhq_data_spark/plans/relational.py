@@ -2137,6 +2137,84 @@ def tpch_q18_large_volume_customer(
 
 
 @query(
+    "tpch_q9_product_type_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INTEGER)
+             AS o_year,
+           round(CAST(sum(
+             5 * {_CENTS} * (100 - {_DISC})
+             - 3 * CAST(round(p_retailprice * 100) AS BIGINT)
+                 * CAST(round(l_quantity * 100) AS BIGINT)
+           ) AS BIGINT) / 50000.0 + 1e-9, 2) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q9_product_type_profit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted to the testdata schema:
+    profit per supplier nation per order year over '%widget%' parts,
+    with supply cost proxied as 0.6 x retail price x quantity (the
+    testdata carries no partsupp table, so the ps_supplycost term is
+    derived from part — the join TOPOLOGY, which is what Q9 stresses,
+    is unchanged: a multi-fact star where lineitem joins two
+    independent dimension chains, part via l_partkey and
+    supplier -> nation via l_suppkey, plus orders via l_orderkey).
+    This is the r5 VERDICT's join-ordering stressor: the selective
+    part filter must reach the scan and shrink the fact side FIRST
+    (AQE/CBO pick broadcast for part and supplier+nation; orders is
+    the only other shuffle). Money math follows the repo's
+    integer-cents convention — profit is summed as one BIGINT in the
+    5x-scaled 1e4 grid (5*rev - 3*cost avoids the 0.6 float), divided
+    once at the end."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("long")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (
+                F.lit(5) * cents * (100 - disc)
+                - F.lit(3) * retail_c * qty_c
+            ).alias("profit_scaled"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(
+                F.sum("profit_scaled").cast("long") / 50000.0 + F.lit(1e-9),
+                2,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@query(
     "a19_weighted_median",
     oracle="""
     WITH r AS (
