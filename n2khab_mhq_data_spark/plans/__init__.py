@@ -86,6 +86,8 @@ _REGISTERED_ROUND: dict[str, int] = {
     "text_script_histogram": 5, "text_boilerplate_ratio": 5,
     "pipeline_contrastive_triplets": 5, "pipeline_curation_v2": 5,
     "text_langid_confusion": 5,
+    # r6 additions — queue after the whole r4/r5 backlog
+    "link_edit_distance_join_blocked": 6, "tpch_q9_product_type_profit": 6,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —
