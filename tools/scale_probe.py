@@ -98,6 +98,9 @@ HEADLINE = [
     "pipeline_curation_v2",       # composed 3-signal funnel (r5)
     "s13_hive_partition_prune",   # partition-pruned store read (r5)
     "a22_gini_spend",             # TeraSort rank + DECIMAL sums (r5)
+    # r6 additions
+    "link_edit_distance_join_blocked",  # blocked deletion-join headline (r6)
+    "tpch_q9_product_type_profit",      # multi-fact star, AQE broadcast (r6)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
