@@ -629,9 +629,15 @@ def connected_components_twophase(
             .distinct()
         )
 
+    def lazy_ckpt(df: DataFrame) -> DataFrame:
+        # lazy: the fingerprint collect right after is the materializing
+        # action — one Spark job per round instead of an eager-checkpoint
+        # job plus a fingerprint job (same trick as connected_components)
+        return df.checkpoint(False) if reliable else df.localCheckpoint(False)
+
     fp = fingerprint(e)
     for _ in range(max_iter):
-        e = ckpt(small_star(large_star(e)))
+        e = lazy_ckpt(small_star(large_star(e)))
         nfp = fingerprint(e)
         if nfp == fp:
             break
