@@ -24,7 +24,16 @@ computed in the same job that counts rows — one extra map-side
 expression, no extra pass, independent of partitioning. The manifest
 directory is O(versions) tiny JSON files; history pruning is
 whole-directory deletes of expired ``v=<n>`` dirs (same shape as the
-trending store's retention)."""
+trending store's retention).
+
+Writer contract: SINGLE WRITER at a time (the reference's publishing
+model is one batch pipeline committing sequentially; Iceberg/Delta
+solve multi-writer with a commit service or atomic log swap, out of
+scope here). Under that contract an unmanifested ``v=<n>`` dir can
+only be an ABANDONED torn publish, which is why ``write_snapshot``
+clears it instead of failing forever — with concurrent writers that
+same cleanup could delete a peer's in-flight write, so don't run two
+publishers against one store path."""
 
 from __future__ import annotations
 
