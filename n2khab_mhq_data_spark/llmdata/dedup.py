@@ -441,6 +441,31 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     return src.mapInPandas(_sig, schema=out_schema)
 
 
+def _iter_ckpt(df: DataFrame, reliable: bool) -> DataFrame:
+    """LAZY checkpoint for iterative-loop state: the caller's very next
+    action (the convergence fingerprint collect) is the materializing
+    job, so each round costs ONE Spark job instead of an eager-
+    checkpoint job plus a fingerprint job. ``reliable=True`` switches to
+    durable ``checkpoint()`` (executor-loss-safe for long 100 TB runs;
+    requires ``setCheckpointDir``)."""
+    return df.checkpoint(False) if reliable else df.localCheckpoint(False)
+
+
+def _convergence_fingerprint(df: DataFrame, *cols: str) -> tuple:
+    """Order-insensitive (count, bit_xor of portable row hash) over
+    ``cols`` — equal fingerprints across rounds mean the iterative state
+    stopped changing. One tiny aggregate; no join against the previous
+    round's state."""
+    from n2khab_mhq_data_spark.operators.pinning import row_hash
+
+    (row,) = (
+        df.select(row_hash(*cols).alias("h"))
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
+        .collect()
+    )
+    return (row.n, row.x)
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "d1",
@@ -488,35 +513,21 @@ def connected_components(
     )
     nodes = e.select(F.col("a").alias("node")).distinct()
 
-    from n2khab_mhq_data_spark.operators.pinning import row_hash
-
-    def lazy_ckpt(df: DataFrame) -> DataFrame:
-        # lazy: the fingerprint collect right after is the materializing
-        # action, so each round costs ONE job instead of an eager-
-        # checkpoint job plus a fingerprint job
-        return df.checkpoint(False) if reliable else df.localCheckpoint(False)
-
-    def fingerprint(df: DataFrame) -> tuple:
-        h = row_hash("node", "comp")
-        (row,) = (
-            df.select(h.alias("h"))
-            .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
-            .collect()
-        )
-        return (row.n, row.x)
-
-    labels = lazy_ckpt(nodes.select("node", F.col("node").alias("comp")))
-    fp = fingerprint(labels)
+    labels = _iter_ckpt(
+        nodes.select("node", F.col("node").alias("comp")), reliable
+    )
+    fp = _convergence_fingerprint(labels, "node", "comp")
     for _ in range(max_iter):
         prop = e.join(labels, e["a"] == labels["node"]).select(
             F.col("b").alias("node"), "comp"
         )
-        new = lazy_ckpt(
+        new = _iter_ckpt(
             labels.unionByName(prop)
             .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp")),
+            reliable,
         )
-        new_fp = fingerprint(new)
+        new_fp = _convergence_fingerprint(new, "node", "comp")
         converged = new_fp == fp
         labels, fp = new, new_fp
         if converged:
@@ -577,17 +588,6 @@ def connected_components_twophase(
     )
     e = ckpt(e0)
 
-    from n2khab_mhq_data_spark.operators.pinning import row_hash
-
-    def fingerprint(df: DataFrame) -> tuple:
-        h = row_hash("a", "b")
-        (row,) = (
-            df.select(h.alias("h"))
-            .agg(F.count("*").alias("n"), F.expr("bit_xor(h)").alias("x"))
-            .collect()
-        )
-        return (row.n, row.x)
-
     from pyspark.sql.window import Window as W
 
     # Each phase computes its per-center minimum with a WINDOW over the
@@ -629,16 +629,10 @@ def connected_components_twophase(
             .distinct()
         )
 
-    def lazy_ckpt(df: DataFrame) -> DataFrame:
-        # lazy: the fingerprint collect right after is the materializing
-        # action — one Spark job per round instead of an eager-checkpoint
-        # job plus a fingerprint job (same trick as connected_components)
-        return df.checkpoint(False) if reliable else df.localCheckpoint(False)
-
-    fp = fingerprint(e)
+    fp = _convergence_fingerprint(e, "a", "b")
     for _ in range(max_iter):
-        e = lazy_ckpt(small_star(large_star(e)))
-        nfp = fingerprint(e)
+        e = _iter_ckpt(small_star(large_star(e)), reliable)
+        nfp = _convergence_fingerprint(e, "a", "b")
         if nfp == fp:
             break
         fp = nfp

@@ -202,17 +202,30 @@ def grouped_running_sum(
     for r in totals:
         key = tuple(r[c] for c in group_cols)
         by_group.setdefault(key, []).append((r["__pid"], r["t"]))
-    rows = []
-    for key, lst in by_group.items():
-        acc = 0
-        for pid, t in sorted(lst):
-            rows.append((pid, *key, acc))
-            acc += t
     # the prefix carries F.sum results, which Spark WIDENS past the input
     # type (int -> bigint, float -> double, decimal(p,s) -> decimal(p+10,s));
     # typing it as the raw value column would overflow createDataFrame for
-    # large accumulated int prefixes
-    field = _sum_result_type(df.schema[value_col].dataType)
+    # large accumulated int prefixes. The Python accumulator must seed
+    # with a matching zero (createDataFrame rejects int 0 for a double/
+    # decimal field), and an all-null (partition, group) slice collects
+    # t = None — skip it, it contributes nothing to the prefix.
+    vtype = df.schema[value_col].dataType
+    if isinstance(vtype, (T.FloatType, T.DoubleType)):
+        zero = 0.0
+    elif isinstance(vtype, T.DecimalType):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0
+    rows = []
+    for key, lst in by_group.items():
+        acc = zero
+        for pid, t in sorted(lst):
+            rows.append((pid, *key, acc))
+            if t is not None:
+                acc += t
+    field = _sum_result_type(vtype)
     gschema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
     )

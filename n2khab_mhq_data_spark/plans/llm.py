@@ -3869,7 +3869,19 @@ def _bpe_merge_apply_cte(src: str, dst: str, pk: str, carry: str) -> str:
     )"""
 
 
-def _bpe_train_ctes(num_merges: int, max_vocab: int, with_counts: bool) -> str:
+def _bpe_train_ctes(
+    num_merges: int,
+    max_vocab: int,
+    with_counts: bool,
+    sentinel: bool = False,
+) -> str:
+    """``sentinel=True`` (encode oracle) keeps every p{k} exactly one
+    row even when pair counts run dry before ``num_merges``: a chr(1)
+    no-op pair (no corpus word contains chr(1)) is appended at lower
+    priority, so later apply-CTEs become no-ops — matching bpe_encode,
+    which simply applies the shorter trained merge list. The merges
+    oracle keeps ``sentinel=False``: there both sides lose rows
+    symmetrically (bpe_train breaks out of its loop)."""
     parts = [f"""
     WITH docw AS MATERIALIZED (
       SELECT doc_id, w FROM (
@@ -3888,7 +3900,20 @@ def _bpe_train_ctes(num_merges: int, max_vocab: int, with_counts: bool) -> str:
     )"""]
     n_sel = ", CAST(sum(wc) AS BIGINT) AS n" if with_counts else ""
     for k in range(num_merges):
-        parts.append(f""", p{k} AS MATERIALIZED (
+        if sentinel:
+            parts.append(f""", p{k} AS MATERIALIZED (
+      SELECT a, b FROM (
+        SELECT s1 AS a, s2 AS b, 0 AS pri, CAST(sum(wc) AS BIGINT) AS n
+        FROM (
+          SELECT syms[CAST(t.i AS INTEGER)] AS s1,
+                 syms[CAST(t.i AS INTEGER) + 1] AS s2, wc
+          FROM v{k}, unnest(range(1, len(syms))) AS t(i)
+        ) GROUP BY 1, 2
+        UNION ALL SELECT chr(1), chr(1), 1, CAST(0 AS BIGINT)
+      ) ORDER BY pri, n DESC, a, b LIMIT 1
+    )""")
+        else:
+            parts.append(f""", p{k} AS MATERIALIZED (
       SELECT s1 AS a, s2 AS b{n_sel} FROM (
         SELECT syms[CAST(t.i AS INTEGER)] AS s1,
                syms[CAST(t.i AS INTEGER) + 1] AS s2, wc
@@ -3915,7 +3940,11 @@ def _bpe_merges_oracle(num_merges: int = 8, max_vocab: int = 10000,
 
 
 def _bpe_encode_oracle(num_merges: int = 8, max_vocab: int = 10000) -> str:
-    parts = [_bpe_train_ctes(num_merges, max_vocab, with_counts=False)]
+    parts = [
+        _bpe_train_ctes(
+            num_merges, max_vocab, with_counts=False, sentinel=True
+        )
+    ]
     # encode chain over ALL distinct corpus words (training is capped,
     # application is corpus-wide — mirrors bpe_encode)
     parts.append(""", e0 AS MATERIALIZED (

@@ -717,6 +717,49 @@ def test_grouped_running_sum_int_overflowing_prefix(spark):
     assert got == {i: big * (i + 1) for i in range(8)}
 
 
+def test_grouped_running_sum_double_and_decimal_and_nulls(spark):
+    """Non-integral value columns must work too (the prefix seed has to
+    match the widened type), and an all-null partition slice (None group
+    sum) must contribute nothing instead of crashing."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.operators.rank import grouped_running_sum
+
+    dbl = spark.createDataFrame(
+        [(0, i, float(i) if i % 3 else None) for i in range(12)],
+        "g int, k long, v double",
+    )
+    got = {
+        r["k"]: r["running_sum"]
+        for r in grouped_running_sum(
+            dbl, ["g"], [F.col("k")], "v", num_partitions=4
+        ).collect()
+    }
+    acc, exp = 0.0, {}
+    for i in range(12):
+        if i % 3:
+            acc += float(i)
+        exp[i] = None if i % 3 == 0 else acc
+    # rows with v NULL have a NULL window sum only when no earlier
+    # non-null value exists in their frame; compare non-null positions
+    for i in range(12):
+        if i % 3:
+            assert abs(got[i] - exp[i]) < 1e-9
+
+    dec = spark.createDataFrame(
+        [(0, i, Decimal("1.50")) for i in range(4)],
+        "g int, k long, v decimal(10,2)",
+    )
+    out = grouped_running_sum(
+        dec, ["g"], [F.col("k")], "v", num_partitions=2
+    )
+    assert dict(out.dtypes)["running_sum"].startswith("decimal")
+    got_dec = {r["k"]: r["running_sum"] for r in out.collect()}
+    assert got_dec == {i: Decimal("1.50") * (i + 1) for i in range(4)}
+
+
 def test_longest_streak_hand_case(spark):
     import datetime as dt
 
