@@ -88,6 +88,9 @@ _REGISTERED_ROUND: dict[str, int] = {
     "text_langid_confusion": 5,
     # r6 additions — queue after the whole r4/r5 backlog
     "link_edit_distance_join_blocked": 6, "tpch_q9_product_type_profit": 6,
+    # r6 oracle upgrade: its only driver row (r4) was rows-only; re-queue
+    # for a fresh HASH-CHECKED row once the backlog drains
+    "multimodal_cdc_dedup": 6,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —
@@ -152,7 +155,10 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "k7_lsvi_detail", "k7_lsvi_globaal", "k7_lsvi_indicator",
     "k7_lsvi_species", "k7_lsvi_versions", "k8_tariff_volume",
     "k9_reconciliation_cascade", "link_sorted_neighborhood",
-    "mhq_publish_pipeline", "multimodal_cdc_dedup", "multimodal_chunk",
+    # multimodal_cdc_dedup deliberately NOT listed despite its r4 row:
+    # that row was rows-only (no_oracle); it re-queues via
+    # _REGISTERED_ROUND for a hash-checked row now that it has an oracle
+    "mhq_publish_pipeline", "multimodal_chunk",
     "multimodal_frame_meta", "multimodal_frame_sample", "o1_multikey_sort",
     "o2_top_desc", "p1_select_rename", "p2_lowercase_conform",
     "p3_null_domain_filter", "p4_regex_predicate", "p5_row_patch",

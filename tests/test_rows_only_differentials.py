@@ -1,9 +1,11 @@
 """Value-level differentials for the queries with rows-only driver
-checks (no SQL oracle): ``multimodal_cdc_dedup``, ``ann_pca_compress``.
-``text_bpe_merges`` / ``text_bpe_encode`` gained unrolled-CTE DuckDB
-oracles in r6 and are now hash-checked at the driver; their
-differentials here stay as belt-and-braces (an INDEPENDENT Python
-reference, not the DuckDB re-expression).
+checks (no SQL oracle): ``ann_pca_compress`` (the O(dim^3) eigh is the
+one genuinely non-SQL step left). ``text_bpe_merges`` /
+``text_bpe_encode`` (unrolled-CTE) and ``multimodal_cdc_dedup``
+(low-bit mask + recursive-CTE clamp walk) gained DuckDB oracles in r6
+and are now hash-checked at the driver; their differentials here stay
+as belt-and-braces (an INDEPENDENT Python reference, not the DuckDB
+re-expression).
 
 The driver can only count their rows, so each gets an INDEPENDENT pure-
 Python reference here — different algorithmic shape from the Spark path
