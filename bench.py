@@ -172,7 +172,14 @@ def main() -> None:
     # Full per-query timings go to a sidecar file; the stdout JSON line
     # stays small (the driver's round-1 capture truncated a ~4 KB line to
     # "parsed: null") — it carries the totals plus only the 10 slowest.
-    queries_file = str(Path(__file__).resolve().parent / "BENCH_QUERIES.json")
+    # The unsuffixed BENCH_QUERIES.json is the CANONICAL sf0.1 table the
+    # judge diffs round-to-round; a run at any other sf writes a
+    # suffixed sidecar instead of clobbering it (an sf0.001 smoke run
+    # once overwrote the sf0.1 table mid-round).
+    suffix = "" if sf == "0.1" else f"_sf{sf}"
+    queries_file = str(
+        Path(__file__).resolve().parent / f"BENCH_QUERIES{suffix}.json"
+    )
     with open(queries_file, "w") as fh:
         json.dump(timings, fh, indent=1, sort_keys=True)
     slowest = dict(
