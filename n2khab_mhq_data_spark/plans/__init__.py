@@ -88,6 +88,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "text_langid_confusion": 5,
     # r6 additions — queue after the whole r4/r5 backlog
     "link_edit_distance_join_blocked": 6, "tpch_q9_product_type_profit": 6,
+    "tpch_q2_min_cost_supplier": 6,
     # r6 oracle upgrade: its only driver row (r4) was rows-only; re-queue
     # for a fresh HASH-CHECKED row once the backlog drains
     "multimodal_cdc_dedup": 6,

@@ -101,6 +101,8 @@ HEADLINE = [
     # r6 additions
     "link_edit_distance_join_blocked",  # blocked deletion-join headline (r6)
     "tpch_q9_product_type_profit",      # multi-fact star, AQE broadcast (r6)
+    "tpch_q2_min_cost_supplier",        # decorrelated window-min vs
+                                        # correlated-subquery oracle (r6)
 ]
 
 SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
