@@ -63,7 +63,12 @@ def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    # scale label from the LAST path component only (a parent dir that
+    # happens to contain 'sf' must not leak separators into the sidecar
+    # filename), sanitized to filename-safe chars
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = base[2:] if base.startswith("sf") else base
+    sf = "".join(ch for ch in sf if ch.isalnum() or ch in "._-")
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()

@@ -194,14 +194,17 @@ def grouped_running_sum(
     with_pid = part.withColumn("__pid", F.spark_partition_id())
     totals = (
         with_pid.groupBy("__pid", *group_cols)
-        .agg(F.sum(value_col).alias("t"))
+        .agg(
+            F.sum(value_col).alias("t"),
+            F.count(value_col).alias("c"),  # non-null rows in the slice
+        )
         .collect()
     )
     # exclusive prefix per group across ascending pid
     by_group: dict[tuple, list] = {}
     for r in totals:
         key = tuple(r[c] for c in group_cols)
-        by_group.setdefault(key, []).append((r["__pid"], r["t"]))
+        by_group.setdefault(key, []).append((r["__pid"], r["t"], r["c"]))
     # the prefix carries F.sum results, which Spark WIDENS past the input
     # type (int -> bigint, float -> double, decimal(p,s) -> decimal(p+10,s));
     # typing it as the raw value column would overflow createDataFrame for
@@ -220,27 +223,39 @@ def grouped_running_sum(
         zero = 0
     rows = []
     for key, lst in by_group.items():
-        acc = zero
-        for pid, t in sorted(lst):
-            rows.append((pid, *key, acc))
+        acc, cnt = zero, 0
+        for pid, t, c in sorted(lst):
+            rows.append((pid, *key, acc, cnt))
             if t is not None:
                 acc += t
+            cnt += int(c)
     field = _sum_result_type(vtype)
     gschema = ", ".join(
         f"{c} {df.schema[c].dataType.simpleString()}" for c in group_cols
     )
     off_dim = spark.createDataFrame(
-        rows, f"__pid int, {gschema}, __prefix {field}"
+        rows, f"__pid int, {gschema}, __prefix {field}, __pcnt long"
     )
     w = (
         W.partitionBy("__pid", *group_cols)
         .orderBy(*order_by)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # NULL semantics must match the plain partitioned window exactly
+    # (partition-placement-independent): the cumsum at a row is NULL iff
+    # the GROUP has no non-null value up to and including that row.
+    # local NULL only says the current SLICE has none so far — earlier
+    # partitions of the same group may have contributed (__pcnt > 0),
+    # in which case the running sum is exactly the prefix.
+    local = F.sum(value_col).over(w)
     return (
         with_pid.join(F.broadcast(off_dim), ["__pid", *group_cols])
         .withColumn(
-            out_col, F.sum(value_col).over(w) + F.col("__prefix")
+            out_col,
+            F.when(
+                local.isNull(),
+                F.when(F.col("__pcnt") > 0, F.col("__prefix")),
+            ).otherwise(local + F.col("__prefix")),
         )
-        .drop("__pid", "__prefix")
+        .drop("__pid", "__prefix", "__pcnt")
     )

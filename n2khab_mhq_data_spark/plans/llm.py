@@ -3110,6 +3110,12 @@ def _cdc_oracle(mask: int = 0x1F, min_len: int = 8, max_len: int = 256) -> str:
     from n2khab_mhq_data_spark.llmdata.multimodal import _gear
 
     k = (mask + 1).bit_length() - 1  # mask = 2^k - 1
+    # the k-term window sum indexes g[i-s] for s < k; candidates start
+    # at cut position min_len, so i >= min_len keeps every index >= 1
+    # only when min_len >= k (DuckDB NEGATIVE list indices wrap to the
+    # END of the list — coalesce catches index 0 but not the wraps,
+    # which would mix the document's LAST bytes into early candidates)
+    assert min_len >= k, f"min_len ({min_len}) must be >= mask bits ({k})"
     m = mask + 1
     gl = "[" + ", ".join(str(_gear(b) & mask) for b in range(256)) + "]"
     terms = " + ".join(

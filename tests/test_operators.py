@@ -727,26 +727,33 @@ def test_grouped_running_sum_double_and_decimal_and_nulls(spark):
 
     from n2khab_mhq_data_spark.operators.rank import grouped_running_sum
 
+    from pyspark.sql.window import Window as W
+
+    # leading NULLs force the no-prior-non-null case; interior NULLs at
+    # partition starts force the prefix-carries-the-sum case
     dbl = spark.createDataFrame(
-        [(0, i, float(i) if i % 3 else None) for i in range(12)],
+        [(0, i, float(i) if i % 3 and i > 1 else None) for i in range(12)],
         "g int, k long, v double",
     )
-    got = {
-        r["k"]: r["running_sum"]
-        for r in grouped_running_sum(
-            dbl, ["g"], [F.col("k")], "v", num_partitions=4
-        ).collect()
+    w = (
+        W.partitionBy("g")
+        .orderBy("k")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    exp = {
+        r["k"]: r["e"]
+        for r in dbl.withColumn("e", F.sum("v").over(w)).collect()
     }
-    acc, exp = 0.0, {}
-    for i in range(12):
-        if i % 3:
-            acc += float(i)
-        exp[i] = None if i % 3 == 0 else acc
-    # rows with v NULL have a NULL window sum only when no earlier
-    # non-null value exists in their frame; compare non-null positions
-    for i in range(12):
-        if i % 3:
-            assert abs(got[i] - exp[i]) < 1e-9
+    # ALL positions (including NULL semantics) must match the plain
+    # window regardless of partition placement
+    for np_ in (1, 4, 7):
+        got = {
+            r["k"]: r["running_sum"]
+            for r in grouped_running_sum(
+                dbl, ["g"], [F.col("k")], "v", num_partitions=np_
+            ).collect()
+        }
+        assert got == exp, (np_, got, exp)
 
     dec = spark.createDataFrame(
         [(0, i, Decimal("1.50")) for i in range(4)],
