@@ -66,7 +66,11 @@ def read_csv2(
     (query_fieldmap.Rmd:80; query_inboveg.Rmd:78). Numeric columns are
     declared in ``schema``; they are read as strings and locale-parsed,
     everything else is cast directly."""
-    raw = spark.read.csv(path, sep=";", header=True, inferSchema=False)
+    # escape='"' parses RFC 4180 / R qmethod="double" DOUBLED quotes
+    # (the write_csv2/write_vc convention), not backslash escapes
+    raw = spark.read.csv(
+        path, sep=";", header=True, inferSchema=False, escape='"'
+    )
     if schema is None:
         return raw
     cols = []
@@ -95,7 +99,8 @@ def read_vc(
 
         spec = read_vc_meta(path[: -len(".tsv")] + ".yml")
     raw = spark.read.csv(
-        path, sep="\t", header=True, inferSchema=False, nullValue="NA"
+        path, sep="\t", header=True, inferSchema=False, nullValue="NA",
+        escape='"',  # doubled-quote escaping, matching write_vc
     )
     cols = []
     for c in spec.columns:

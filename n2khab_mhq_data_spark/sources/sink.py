@@ -96,7 +96,14 @@ def _merge_parts(
     and stream-concatenate them (filename order == global order) into one
     ``root/name.ext``; returns the md5 of the merged bytes."""
     tmp = os.path.join(root, f"_tmp_{name}")
+    # Embedded quotes are DOUBLED (R qmethod="double" / RFC 4180), not
+    # Spark's default backslash-escape; an empty non-NULL string keeps
+    # Spark's quoted "" form — unambiguous against the unquoted NA null
+    # marker, and read_vc/read_csv2 (escape='"') round-trip both
+    # losslessly.
     ordered.write.mode("overwrite").option("sep", sep).option(
+        "escape", '"'
+    ).option(
         "header", False
     ).csv(tmp)
     out_path = os.path.join(root, f"{name}.{ext}")
@@ -153,7 +160,11 @@ def write_vc(
                 bad = [
                     lv
                     for lv in c.levels
-                    if any(ch in lv for ch in ",:[]{}#\n\t")
+                    # empty labels are also unsafe: read_vc_meta's
+                    # comma-split drops blanks, silently shifting every
+                    # level index on round-trip
+                    if not lv
+                    or any(ch in lv for ch in ",:[]{}#\n\t")
                     or lv != lv.strip()
                 ]
                 if bad:
@@ -170,6 +181,21 @@ def write_vc(
         )
         for f in schema.fields
     ]
+    # enforce the documented total-order contract instead of assuming
+    # it: with duplicate sort keys the tie order follows the incoming
+    # partition layout, so a rerun could emit different bytes and a
+    # different data_hash — the exact failure this sink exists to
+    # prevent. One count-distinct aggregate, same fail-fast posture as
+    # the factor-domain check.
+    dup = (
+        df.groupBy(*sorting).count().filter(F.col("count") > 1).limit(1)
+    )
+    if dup.count() > 0:
+        raise ValueError(
+            f"write_vc({name!r}): sorting {sorting} is not a total order"
+            " — duplicate sort keys would make the TSV bytes and"
+            " data_hash nondeterministic across reruns"
+        )
     ordered = _range_ordered(df, sorting, partitions).select(out_cols)
     header = "\t".join(f.name for f in schema.fields) + "\n"
     data_hash = _merge_parts(ordered, root, name, header, "\t", "tsv")
@@ -330,53 +356,62 @@ def compact_published(
     collapse to one file — a single global bucket count would fragment
     every small partition by the fattest one's count), restores the
     in-file sort (row-group min/max pruning survives compaction), and
-    swaps the directory (write to sibling tmp, two renames — crash-safe
-    to re-run: stale tmp/old dirs from an interrupted run are cleaned up
-    front, and a crash between the renames leaves the old dir intact
-    for manual restore). Returns before/after file counts so operators
-    can alert on ineffective runs."""
+    swaps the directory (write to sibling tmp, two renames).
+
+    Crash-safe to RE-RUN, including from a crash BETWEEN the two
+    renames: on entry, if the live path is missing but the ``.old``
+    sibling exists, the old store is RESTORED (renamed back) before
+    anything else — never deleted — and only then are stale tmp/old
+    dirs cleared. All directory walking and swapping goes through the
+    Hadoop FileSystem API (same as streaming's publish_state), so the
+    op works against HDFS/S3A stores, not just the driver's local
+    disk. Returns before/after file counts so operators can alert on
+    ineffective runs."""
     import math
-    import shutil
     import urllib.parse
 
     from pyspark.sql import functions as F  # noqa: F811
 
-    tmp = path.rstrip("/") + ".__compact_tmp__"
-    old = path.rstrip("/") + ".__compact_old__"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    hpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    live_p = hpath(path.rstrip("/"))
+    tmp_p = hpath(path.rstrip("/") + ".__compact_tmp__")
+    old_p = hpath(path.rstrip("/") + ".__compact_old__")
+    # recover a crash between the renames FIRST: old holds the only
+    # surviving copy of the data — restore it, never delete it
+    if not fs.exists(live_p) and fs.exists(old_p):
+        fs.rename(old_p, live_p)
+    for stale in (tmp_p, old_p):
+        if fs.exists(stale):
+            fs.delete(stale, True)
 
-    def count_files(p: str) -> int:
-        n = 0
-        for root_, _dirs, files in os.walk(p):
-            n += sum(
-                1 for f in files
-                if f.endswith(".parquet") and not f.startswith(".")
-            )
-        return n
+    base = fs.makeQualified(live_p).toString().rstrip("/")
 
-    def partition_bytes(p: str) -> dict[str, int]:
-        sizes: dict[str, int] = {}
-        for root_, _dirs, files in os.walk(p):
-            rel = os.path.relpath(root_, p)
-            for f in files:
-                if f.endswith(".parquet"):
-                    sizes[rel] = sizes.get(rel, 0) + os.path.getsize(
-                        os.path.join(root_, f)
-                    )
-        return sizes
+    def parquet_files() -> list[tuple[str, int]]:
+        # (parent dir relative to the store root, bytes) per data file
+        out = []
+        it = fs.listFiles(live_p, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith("."):
+                parent = st.getPath().getParent().toString()
+                rel = parent[len(base):].strip("/")
+                out.append((rel, int(st.getLen())))
+        return out
 
-    before = count_files(path)
+    files = parquet_files()
+    before = len(files)
     df = spark.read.parquet(path)
     # per-partition bucket counts from the hive dir sizes (keys parsed
     # from the "col=value" path segments; hive-escaped values unquoted)
+    sizes: dict[str, int] = {}
+    for rel, b in files:
+        sizes[rel] = sizes.get(rel, 0) + b
     dim_rows = []
-    for rel, b in partition_bytes(path).items():
+    for rel, b in sizes.items():
         kv = dict(
-            seg.split("=", 1)
-            for seg in rel.split(os.sep)
-            if "=" in seg
+            seg.split("=", 1) for seg in rel.split("/") if "=" in seg
         )
         if len(kv) != len(partition_by):
             continue
@@ -389,8 +424,12 @@ def compact_published(
         dim_rows or [tuple("" for _ in partition_by) + (1,)],
         ", ".join(f"{k} string" for k in key_cols) + ", __nb int",
     )
+    # NULL partition values land on disk as __HIVE_DEFAULT_PARTITION__;
+    # match them explicitly or a fat null partition silently falls back
+    # to 1 bucket (one giant file / straggler task)
     cond = [
-        df[c].cast("string") == bdf[k]
+        F.coalesce(df[c].cast("string"),
+                   F.lit("__HIVE_DEFAULT_PARTITION__")) == bdf[k]
         for c, k in zip(partition_by, key_cols)
     ]
     joined = df.join(F.broadcast(bdf), cond, "left")
@@ -412,11 +451,11 @@ def compact_published(
     try:
         out.drop("__b").write.mode("overwrite").partitionBy(
             *partition_by
-        ).parquet(tmp)
+        ).parquet(tmp_p.toString())
     finally:
         spark.conf.set(coalesce_conf, prev)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    after = count_files(path)
+    fs.rename(live_p, old_p)
+    fs.rename(tmp_p, live_p)
+    fs.delete(old_p, True)
+    after = len(parquet_files())
     return {"files_before": before, "files_after": after}

@@ -65,7 +65,15 @@ def _wkb_geometry(buf: bytes, off: int):
     (little,) = struct.unpack_from("B", buf, off)
     little = bool(little)
     ((gtype,), off) = _rd(buf, off + 1, "I", little)
-    gtype &= 0xFFFF  # strip any Z/M/SRID high bits
+    # EWKB (PostGIS-style) Z/M/SRID flag bits change the per-point
+    # byte layout — silently masking them would misalign the coordinate
+    # parse and emit garbage WKT; fail fast instead (ISO Z/M types
+    # 1001+ already fall through to the unsupported-type raise below)
+    if gtype & 0xE0000000:
+        raise ValueError(
+            f"EWKB Z/M/SRID flags not supported (type 0x{gtype:08x})"
+        )
+    gtype &= 0xFFFF
     if gtype == 1:  # Point
         ((x, y), off) = _rd(buf, off, "2d", little)
         return f"POINT ({x:.10g} {y:.10g})", off
@@ -252,6 +260,15 @@ def read_geopackage(
     """st_read(dsn, layer): load one feature layer (default: the only
     one) with its attributes; geometry decoded GPB->WKB->WKT into a
     ``wkt`` column."""
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     layer = _resolve_layer(path, layer)
     with sqlite3.connect(path) as con:
         (geom_col,) = con.execute(
@@ -259,15 +276,33 @@ def read_geopackage(
             " WHERE table_name = ?",
             (layer,),
         ).fetchone()
+        info = con.execute(f'PRAGMA table_info("{layer}")').fetchall()
         cur = con.execute(f'SELECT * FROM "{layer}"')
         names = [d[0] for d in cur.description]
         gi = names.index(geom_col)
-        out_names = [n for i, n in enumerate(names) if i != gi] + ["wkt"]
         data = []
         for row in cur.fetchall():
             attrs = [v for i, v in enumerate(row) if i != gi]
             data.append(tuple(attrs + [gpb_to_wkt(row[gi])]))
-    return spark.createDataFrame(data, out_names)
+    # type from the SQLite column DECLARATIONS, not from the collected
+    # rows: schema inference crashes on an empty layer (legal, e.g. a
+    # filtered export) and on any all-NULL attribute column — parity
+    # with read_geopackage_distributed, which already types this way
+    spark_t = {
+        "bigint": LongType(),
+        "double": DoubleType(),
+        "binary": BinaryType(),
+        "string": StringType(),
+    }
+    schema = StructType(
+        [
+            StructField(r[1], spark_t[_decl_to_spark(r[2])], True)
+            for r in info
+            if r[1] != geom_col
+        ]
+        + [StructField("wkt", StringType(), True)]
+    )
+    return spark.createDataFrame(data, schema)
 
 
 def _wkt_to_wkb(wkt: str) -> bytes:

@@ -78,23 +78,33 @@ def jsonl_ingest_stream(
 
     def ingest_batch(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
-        bad = batch.filter(F.col(CORRUPT_COL).isNotNull())
-        good = batch.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-        (
-            bad.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(quarantine_path)
-        )
-        published = read_state(s, state_path)
-        if published is None:
-            published = good.limit(0)
-        merged = incremental_merge(
-            published,
-            good,
-            keys,
-            [F.col(c).desc() for c in order_cols],
-        )
-        publish_state(s, state_path, merged)
+        # two actions consume this micro-batch (quarantine write, merge
+        # publish) — persist so the text read + from_json parse runs
+        # once per trigger, not once per action (same multi-action
+        # shape scd2_stream and the neardup sink persist for)
+        batch = batch.persist()
+        try:
+            bad = batch.filter(F.col(CORRUPT_COL).isNotNull())
+            good = batch.filter(F.col(CORRUPT_COL).isNull()).drop(
+                CORRUPT_COL
+            )
+            (
+                bad.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(quarantine_path)
+            )
+            published = read_state(s, state_path)
+            if published is None:
+                published = good.limit(0)
+            merged = incremental_merge(
+                published,
+                good,
+                keys,
+                [F.col(c).desc() for c in order_cols],
+            )
+            publish_state(s, state_path, merged)
+        finally:
+            batch.unpersist()
 
     return (
         parsed.writeStream.foreachBatch(ingest_batch)

@@ -76,8 +76,20 @@ class SessionProcessor(StatefulProcessor):
             elif ts - last > self._gap:
                 closed.append((key[0], start, last, n))
                 start, last, n = ts, ts, 1
+            elif ts < start - self._gap:
+                # too-late cross-batch straggler: older than the open
+                # session's reach — merging would corrupt session_start,
+                # and emitting a singleton now could split a session a
+                # later replay would have joined. Watermark semantics:
+                # drop it.
+                continue
             else:
-                last, n = ts, n + 1
+                # in-order events extend the tail; a LATE event inside
+                # the session's span must never move `last` BACKWARD
+                # (that prematurely closed the session on the next
+                # event and could even emit session_end < session_start)
+                start = min(start, ts)
+                last, n = max(last, ts), n + 1
         if start is not None:
             self._open.update((start, last, n))
         if closed:

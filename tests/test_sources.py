@@ -244,7 +244,7 @@ def test_write_vc_factor_yaml_unsafe_label_fails(spark, tmp_path):
     import pytest
 
     df = spark.createDataFrame([("x",)], "s string")
-    for bad in ("a,b", "a:b", "[a]", " a", "a "):
+    for bad in ("a,b", "a:b", "[a]", " a", "a ", ""):
         spec = TableSpec(
             "t",
             [ColumnSpec("s", "factor", levels=("x", bad))],
@@ -252,6 +252,45 @@ def test_write_vc_factor_yaml_unsafe_label_fails(spark, tmp_path):
         )
         with pytest.raises(ValueError, match="not yml-safe"):
             write_vc(df, "t", str(tmp_path), ["s"], spec=spec)
+
+
+def test_write_vc_string_edge_cases_round_trip(spark, tmp_path):
+    """Empty strings, embedded quotes/tabs/separators, and NULLs must
+    survive write_vc -> read_vc byte-exactly: quotes are DOUBLED
+    (RFC 4180 / R qmethod=double, not backslash-escaped), empty keeps
+    the quoted "" form (unambiguous vs the unquoted NA null marker)."""
+    from n2khab_mhq_data_spark.sources.readers import read_vc
+    from n2khab_mhq_data_spark.sources.sink import write_vc as wvc
+
+    vals = [
+        (1, ""), (2, 'a"b'), (3, "with\ttab"), (4, None),
+        (5, "x,y;z"), (6, "plain"),
+    ]
+    df = spark.createDataFrame(vals, "k int, s string")
+    wvc(df, "edge", str(tmp_path), ["k"])
+    tsv = (tmp_path / "edge.tsv").read_text()
+    assert '"a""b"' in tsv and "\\" not in tsv  # doubled, not escaped
+    back = {
+        int(r.k): r.s
+        for r in read_vc(spark, str(tmp_path / "edge.tsv")).collect()
+    }
+    assert back == dict(vals)
+
+
+def test_write_vc_duplicate_sort_keys_fail(spark, tmp_path):
+    """`sorting` must be a TOTAL order (documented contract): duplicate
+    sort keys would make the tie order — hence the TSV bytes and the
+    data_hash — depend on the incoming partition layout."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, v string"
+    )
+    with pytest.raises(ValueError, match="not a total order"):
+        write_vc(df, "t", str(tmp_path), ["k"])
+    # the same rows ARE writable under a genuinely total order
+    out = write_vc(df, "t", str(tmp_path), ["k", "v"])
+    assert out["data_hash"]
 
 
 def test_write_csv2_parallel_deterministic(spark, tmp_path):
@@ -343,6 +382,67 @@ def test_compact_published_reduces_files(spark, tmp_path):
     with redirect_stdout(buf):
         after.filter(F.col("mon_cycle") == 1).explain()
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_compact_published_recovers_crash_between_renames(
+    spark, tmp_path
+):
+    """A crash after `path -> .old` but before `.tmp -> path` leaves the
+    ONLY copy of the data in .old; a documented re-run must RESTORE it,
+    not delete it (the old cleanup-up-front rmtree'd both copies)."""
+    import shutil
+
+    from n2khab_mhq_data_spark.sources.sink import (
+        compact_published,
+        write_published,
+    )
+
+    store = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(c, i, float(i)) for c in (1, 2) for i in range(20)],
+        "mon_cycle int, plot_id int, v double",
+    )
+    write_published(df, store, ["mon_cycle"], sort_keys=["plot_id"])
+    # simulate the crash window: live dir moved aside, tmp half-written
+    os.rename(store, store + ".__compact_old__")
+    os.makedirs(store + ".__compact_tmp__")
+    stats = compact_published(spark, store, ["mon_cycle"])
+    assert spark.read.parquet(store).count() == 40  # data survived
+    assert stats["files_after"] >= 1
+    assert not os.path.exists(store + ".__compact_old__")
+    assert not os.path.exists(store + ".__compact_tmp__")
+    shutil.rmtree(store)
+
+
+def test_compact_published_null_partition_buckets(spark, tmp_path):
+    """NULL partition values land as __HIVE_DEFAULT_PARTITION__ on disk;
+    the bucket-count join must match them so the null partition is
+    sized from its own footprint (split when fat), not defaulted to
+    one bucket."""
+    from n2khab_mhq_data_spark.sources.sink import compact_published
+
+    store = str(tmp_path / "store")
+    rows = [(None, i, "x" * 200) for i in range(4000)] + [
+        (2, i, "y") for i in range(5)
+    ]
+    spark.createDataFrame(
+        rows, "mon_cycle int, plot_id int, v string"
+    ).repartition(8).write.partitionBy("mon_cycle").parquet(store)
+    null_dir = os.path.join(store, "mon_cycle=__HIVE_DEFAULT_PARTITION__")
+    null_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(null_dir)
+        for f in fs if f.endswith(".parquet")
+    )
+    compact_published(
+        spark, store, ["mon_cycle"], target_file_bytes=null_bytes // 3
+    )
+    n = sum(
+        1 for _r, _d, fs in os.walk(null_dir)
+        for f in fs if f.endswith(".parquet")
+    )
+    assert n >= 2, f"null partition collapsed to {n} file(s)"
+    assert spark.read.parquet(store).count() == 4005
 
 
 def test_snapshot_store_time_travel_and_isolation(spark, tmp_path):

@@ -346,6 +346,54 @@ def test_geopackage_layer_read(spark, tmp_path):
     assert stats[2] == 4.0 - 1.0
 
 
+def test_geopackage_empty_layer_and_ewkb_flags(spark, tmp_path):
+    """The driver-side reader must type from the SQLite declarations:
+    an EMPTY feature layer (legal — e.g. a filtered export) returns an
+    empty typed frame instead of crashing schema inference; and EWKB
+    Z/M/SRID flag bits (which change the point byte layout) raise
+    instead of silently decoding garbage coordinates."""
+    import sqlite3
+    import struct
+
+    import pytest
+
+    from n2khab_mhq_data_spark.spatial.geopackage import (
+        read_geopackage,
+        wkb_to_wkt,
+    )
+
+    gpkg = str(tmp_path / "empty.gpkg")
+    con = sqlite3.connect(gpkg)
+    con.execute(
+        "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns"
+        " (table_name TEXT, column_name TEXT)"
+    )
+    con.execute(
+        "CREATE TABLE habitat (fid INTEGER PRIMARY KEY, naam TEXT,"
+        " geom BLOB)"
+    )
+    con.execute("INSERT INTO gpkg_contents VALUES ('habitat', 'features')")
+    con.execute(
+        "INSERT INTO gpkg_geometry_columns VALUES ('habitat', 'geom')"
+    )
+    con.commit()
+    con.close()
+
+    df = read_geopackage(spark, gpkg)
+    assert df.columns == ["fid", "naam", "wkt"]
+    assert dict(df.dtypes)["fid"] == "bigint"
+    assert df.count() == 0
+
+    # EWKB PolygonZ: high bit set; a masked parse would misalign on the
+    # 3-double points and emit syntactically valid but WRONG WKT
+    ewkb = struct.pack("<BI", 1, 0x80000003) + struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="EWKB"):
+        wkb_to_wkt(ewkb)
+
+
 def test_geopackage_distributed_matches_driver_path(spark, tmp_path):
     """The ranged-rowid distributed GPKG read must return exactly the
     driver-side reader's rows on a 10k-feature layer (many rowid

@@ -235,6 +235,21 @@ def test_session_processor_semantics():
     assert feed([210, 500, 505]) == [(1, 200, 210, 2)]
     assert p._open.get() == (500, 505, 2)
 
+    # out-of-order CROSS-BATCH events must never move `last` backward
+    # (that prematurely closed the session and could emit
+    # session_end < session_start): a late in-span event only bumps the
+    # count; a late event within gap of start extends start backward;
+    # a too-late straggler (older than start - gap) is dropped
+    assert feed([502]) == []                   # late, inside the span
+    assert p._open.get() == (500, 505, 3)
+    assert feed([520]) == []                   # in-order extension still works
+    assert p._open.get() == (500, 520, 4)
+    assert feed([480]) == []                   # within gap of start
+    assert p._open.get() == (480, 520, 5)
+    assert feed([400]) == []                   # too late: dropped
+    assert p._open.get() == (480, 520, 5)
+    assert feed([600]) == [(1, 480, 520, 5)]   # gap closes the true span
+
 
 def test_stream_drop_duplicates_equals_batch_distinct(spark, tmp_path):
     """Streaming dropDuplicates (state-backed) must converge to the batch
