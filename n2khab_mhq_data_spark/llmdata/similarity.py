@@ -174,11 +174,15 @@ def ivf_centroids(
     n_centroids: int = 8,
     dim: int | None = 64,
 ) -> DataFrame:
-    """IVF coarse quantizer: the first ``n_centroids`` corpus vectors — the
-    deterministic stand-in for a k-means pass (the assignment/probe
-    machinery is identical either way, and determinism keeps the operator
-    oracle-checkable)."""
-    return corpus.filter(F.col(id_col) < n_centroids).select(
+    """IVF coarse quantizer: the ``n_centroids`` LOWEST-id corpus vectors
+    — the deterministic stand-in for a k-means pass (the assignment/
+    probe machinery is identical either way, and determinism keeps the
+    operator oracle-checkable). orderBy + limit (a TakeOrdered) instead
+    of ``id < K``: identical rows on dense 0-based ids (the testdata and
+    every oracle), but still K real centroids when ids are sparse,
+    1-based, or offset — a bare range filter silently under-selects
+    there and downstream BLAS kernels crash on an empty closure."""
+    return corpus.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cvec"),
         norm(vec_col, dim).alias("cnrm"),
@@ -443,6 +447,10 @@ def ivf_topk(
                 key=lambda r: r.cent_id,
             )
         ]
+        if not cents:
+            raise ValueError(
+                "ivf_topk: empty corpus — no centroids to seed the index"
+            )
     if kmeans_iters > 0 or cents is not None:
         assert dim is not None
         if cents is None:
@@ -573,6 +581,11 @@ def cosine_pairs_bucketed(
         ids = pdf["vid"].to_numpy()
         V = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
         nrm = np.sqrt((V * V).sum(axis=1))
+        # zero-vector guard (same as kmeans_assign/semdedup): 0/0 would
+        # emit NaN cosines, and NaN > threshold silently DROPS every
+        # pair touching the zero vector; clamping the norm to 1 yields
+        # cosine 0, which the threshold filter excludes deterministically
+        nrm[nrm == 0] = 1.0
         m = ids.size
         d1s, d2s, cs = [], [], []
         block = 4096
@@ -733,15 +746,21 @@ def mmr_rerank(
             out_scores.append(float(sc[pick]))
         return pd.DataFrame(
             {
-                "query_id": [int(pdf["query_id"].iloc[0])] * len(chosen),
+                # no int() cast: id columns keep their source type
+                "query_id": [pdf["query_id"].iloc[0]] * len(chosen),
                 "doc": pdf["doc"].iloc[chosen].to_numpy(),
                 "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
                 "mmr_score": out_scores,
             }
         )
 
+    # id types PROPAGATE from the inputs (cosine_pairs_bucketed pattern)
+    # instead of hardcoding long — string/decimal ids must work too
+    qid_t = cand.schema["query_id"].dataType.simpleString()
+    doc_t = cand.schema["doc"].dataType.simpleString()
     out = cand.groupBy("query_id").applyInPandas(
-        _greedy, "query_id long, doc long, mmr_rank int, mmr_score double"
+        _greedy,
+        f"query_id {qid_t}, doc {doc_t}, mmr_rank int, mmr_score double",
     )
     return out.select(
         "query_id",
@@ -781,14 +800,18 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
+    # id type propagates from the input (see mmr_rerank), not a
+    # hardcoded long
+    id_t = df.schema[id_col].dataType.simpleString()
     assigned = kmeans_assign(
         df.select(id_col, vec_col),
         vec_col,
         cents,
-        f"{id_col} long, {vec_col} array<float>",
+        f"{id_col} {id_t}, {vec_col} array<float>",
     )
     schema = (
-        f"{id_col} long, cent_id int, max_sim_smaller double, keep boolean"
+        f"{id_col} {id_t}, cent_id int, max_sim_smaller double,"
+        " keep boolean"
     )
 
     def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1028,6 +1051,7 @@ def pca_project(
                 }
             )
 
+    id_t = corpus.schema[id_col].dataType.simpleString()
     return src.mapInPandas(
-        op, "id long, pc1 double, pc2 double, recon_err double"
+        op, f"id {id_t}, pc1 double, pc2 double, recon_err double"
     )

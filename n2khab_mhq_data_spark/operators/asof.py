@@ -48,6 +48,14 @@ def asof_join(
             f"right_cols collide with left columns: {sorted(overlap)}; "
             "rename before joining"
         )
+    # the internal tag/payload columns would silently shadow (or
+    # ambiguously collide with) same-named input columns
+    reserved = {"_side", "_r"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"asof_join reserves column names {sorted(reserved)};"
+            " rename them before joining"
+        )
     lt = left.select(
         "*",
         F.lit(1).alias("_side"),

@@ -50,6 +50,16 @@ def sorted_neighborhood_pairs(
     Pairs are canonicalized ``id1 < id2`` so multi-pass duplicates
     collapse in the final ``distinct``.
     """
+    if window < 2:
+        raise ValueError(
+            f"window={window} generates no comparisons (each record is"
+            " compared to its window - 1 successors; need window >= 2)"
+        )
+    if not block_exprs:
+        raise ValueError(
+            "block_exprs is empty — pass at least one blocking pass"
+            " (use F.lit(0) for a single global sort)"
+        )
     passes = []
     for block in block_exprs:
         base = df.select(

@@ -248,8 +248,17 @@ def grouped_running_sum(
     # partitions of the same group may have contributed (__pcnt > 0),
     # in which case the running sum is exactly the prefix.
     local = F.sum(value_col).over(w)
+    # NULL-SAFE equality on the group keys: the plain partitioned
+    # window treats NULL as an ordinary group, so the prefix join must
+    # match it too (a name-list join would silently drop every
+    # NULL-group row)
+    cond = with_pid["__pid"] == off_dim["__pid"]
+    for c in group_cols:
+        cond = cond & with_pid[c].eqNullSafe(off_dim[c])
     return (
-        with_pid.join(F.broadcast(off_dim), ["__pid", *group_cols])
+        with_pid.join(F.broadcast(off_dim), cond)
+        .drop(off_dim["__pid"])
+        .drop(*[off_dim[c] for c in group_cols])
         .withColumn(
             out_col,
             F.when(

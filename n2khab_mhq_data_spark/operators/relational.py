@@ -92,7 +92,16 @@ def audit_missing(
 
 def patch_rows(df: DataFrame, predicates: list[Column]) -> DataFrame:
     """Surgical row removal by composite predicates (P5,
-    query_fieldmap.Rmd:1589-1595)."""
+    query_fieldmap.Rmd:1589-1595).
+
+    NULL semantics are deliberately SQL's (and R filter's, which the
+    reference uses): ``filter(~p)`` keeps only rows where ``~p`` is
+    TRUE, so a row where the predicate evaluates to NULL (a nullable
+    column compared against a literal) is ALSO removed — exactly what
+    ``WHERE NOT (...)`` does in the DuckDB oracle and what
+    ``filter(!(...))`` does in R on NA. Callers who want NULL-keyed
+    rows kept must say so in the predicate (``eqNullSafe`` /
+    ``isNotNull`` guards), not rely on the operator."""
     for p in predicates:
         df = df.filter(~p)
     return df

@@ -30,9 +30,14 @@ def melt(
     """
     out = df.unpivot(ids, values, var_name, value_name)
     if strip_prefix:
+        import re
+
+        # the prefix is a LITERAL, not a pattern — escape it or a '.'
+        # in 'cov.1_' strips unrelated labels and '(' crashes the regex
+        # compile (split_column escapes its separator the same way)
         out = out.withColumn(
             var_name,
-            F.regexp_replace(var_name, f"^{strip_prefix}", ""),
+            F.regexp_replace(var_name, f"^{re.escape(strip_prefix)}", ""),
         )
     return out
 

@@ -75,7 +75,19 @@ def salted_join(
     deterministic layout, or AQE unavailable mid-stream). The salt is
     the row hash, not rand(): speculative retries must salt
     identically.
+
+    Only joins that never emit UNMATCHED DIM rows are supported: the
+    dim replication means a dim key with no fact match would surface
+    ``buckets`` duplicate null-extended rows under right/full outer —
+    reject those up front rather than silently multiplying rows.
     """
+    if how in ("right", "rightouter", "right_outer", "full", "outer",
+               "fullouter", "full_outer"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salted dim"
+            " side is replicated, so unmatched dim keys would emit"
+            " one null-extended row PER BUCKET instead of one"
+        )
     fact_s = with_salt(fact, buckets)
     dim_s = dim.withColumn(
         "__salt",

@@ -156,6 +156,11 @@ def read_shapefile(
     st_read -> st_join / st_intersection pipelines."""
     shx_path = os.path.splitext(shp_path)[0] + ".shx"
     offsets = read_shx_offsets(shx_path)
+    if not offsets:
+        # a zero-record shapefile is legal (empty layer): return the
+        # typed empty frame — pandas-frame schema inference would crash
+        # on the all-object empty columns
+        return spark.createDataFrame([], "feature_id long, wkt string")
     n_part = partitions or min(max(len(offsets) // 1024, 1), 64)
     ranges = [
         (i, off, ln)

@@ -755,6 +755,20 @@ def test_grouped_running_sum_double_and_decimal_and_nulls(spark):
         }
         assert got == exp, (np_, got, exp)
 
+    # NULL group keys are an ordinary group for the plain window — the
+    # prefix join must be null-safe or those rows silently vanish
+    ng = spark.createDataFrame(
+        [(None, 0, 5.0), (None, 1, 7.0), (1, 0, 1.0)],
+        "g int, k long, v double",
+    )
+    got_ng = {
+        (r["g"], r["k"]): r["running_sum"]
+        for r in grouped_running_sum(
+            ng, ["g"], [F.col("k")], "v", num_partitions=3
+        ).collect()
+    }
+    assert got_ng == {(None, 0): 5.0, (None, 1): 12.0, (1, 0): 1.0}
+
     dec = spark.createDataFrame(
         [(0, i, Decimal("1.50")) for i in range(4)],
         "g int, k long, v decimal(10,2)",
