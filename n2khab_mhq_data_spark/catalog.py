@@ -65,12 +65,20 @@ class TableSpec:
         """Cast/reorder ``df`` to this spec (schema-drift unions: the
         reference unions 4 DB generations with differing column sets/types,
         query_fieldmap.Rmd:1363-1366,607-611 — missing columns become null,
-        mistyped columns are cast)."""
+        mistyped columns are cast). ``try_cast``, not ``cast``: this
+        project runs Spark 4 with ANSI on, where a plain cast THROWS on
+        the first malformed value — but drift tolerance is this
+        method's whole purpose, and R's coercion (the reference
+        behavior) yields NA for unparseable values, not an abort."""
         cols = []
         have = {c.lower(): c for c in df.columns}
         for c in self.columns:
             if c.name.lower() in have:
-                cols.append(F.col(have[c.name.lower()]).cast(c.spark_type).alias(c.name))
+                cols.append(
+                    F.col(have[c.name.lower()])
+                    .try_cast(c.spark_type)
+                    .alias(c.name)
+                )
             else:
                 cols.append(F.lit(None).cast(c.spark_type).alias(c.name))
         return df.select(*cols)
@@ -78,14 +86,23 @@ class TableSpec:
     def validate_factors(self, df: DataFrame) -> dict[str, int]:
         """CHECK-style domain validation for factor columns: returns the
         number of out-of-domain, non-null values per factor column."""
-        out: dict[str, int] = {}
-        for c in self.columns:
-            if c.yml_class == "factor" and c.levels:
-                bad = df.filter(
-                    F.col(c.name).isNotNull() & ~F.col(c.name).isin(*c.levels)
-                ).count()
-                out[c.name] = bad
-        return out
+        checks = {
+            c.name: F.sum(
+                (
+                    F.col(c.name).isNotNull()
+                    & ~F.col(c.name).isin(*c.levels)
+                ).cast("long")
+            ).alias(c.name)
+            for c in self.columns
+            if c.yml_class == "factor" and c.levels
+        }
+        if not checks:
+            return {}
+        # ONE aggregation pass over the table, not one count() job per
+        # factor column — at the 100 TB scale this module targets the
+        # per-column rescans are pure repeated I/O
+        (row,) = df.agg(*checks.values()).collect()
+        return {name: int(row[name] or 0) for name in checks}
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +211,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
-    except Exception:
+    except Exception as e:
+        # retry with the legacy conf ONLY for the nanos-timestamp
+        # rejection it exists for — a bare retry would swallow the real
+        # error (missing/corrupt file) AND leak the conf session-wide,
+        # silently reading every later NANOS column as bigint
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        # the conf must stay set: the returned DataFrame's SCAN reads it
+        # at execution time, not just at schema resolution
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
     if name == "events":
@@ -227,6 +252,11 @@ def local_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
     dimensions use (string/int/double/boolean + NULL).
     """
     fields = [f.strip().rsplit(None, 1) for f in schema.split(",")]
+    if not rows:
+        # "VALUES" with zero tuples is a parse trap (Spark reports a
+        # misleading TABLE_OR_VIEW_NOT_FOUND on `VALUES`); an empty
+        # typed relation is the correct value
+        return spark.createDataFrame([], schema)
 
     def lit(v: object, typ: str) -> str:
         if v is None:
@@ -234,7 +264,12 @@ def local_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
-            return "'" + v.replace("'", "''") + "'"
+            # backslash FIRST: Spark SQL string literals interpret
+            # C-style escapes, so an unescaped backslash silently
+            # corrupts the value ('C:\\temp' -> 'C:<TAB>emp') or breaks
+            # the generated SQL outright
+            v = v.replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{v}'"
         return repr(v)
 
     rows_sql = ",\n".join(

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from n2khab_mhq_data_spark.catalog import local_dim
+from n2khab_mhq_data_spark.functions.scalars import eps_round
 
 RULES_SCHEMA = (
     "versie string, habitat_type string, criterium string, indicator string,"
@@ -96,11 +97,23 @@ def species_measurements(
         F.max("cover").alias("cover")
     )
     j = dedup.join(lst, ["habitat_type", "name_sc"], "inner")
+    # strict-null: a RECORDED listed species whose cover is NULL
+    # (present, unmeasured) makes the statistic UNKNOWN — sum()'s
+    # native NULL-skip (and the cover > 0 count filter) would instead
+    # fabricate a smaller measured value, certifying thresholds on
+    # made-up data (R's sum(c(NA, ...)) = NA)
+    has_null = F.max(F.col("cover").isNull().cast("int")) == 1
     per = j.groupBy("plot_id", "habitat_type", "voorwaarde", "stat").agg(
-        F.count_distinct(
-            F.when(F.col("cover") > 0, F.col("name_sc"))
+        F.when(
+            has_null, F.lit(None).cast("long")
+        ).otherwise(
+            F.count_distinct(
+                F.when(F.col("cover") > 0, F.col("name_sc"))
+            )
         ).alias("n_sp"),
-        F.sum("cover").alias("sum_cov"),
+        F.when(has_null, F.lit(None).cast("double"))
+        .otherwise(F.sum("cover"))
+        .alias("sum_cov"),
     )
     matched = per.select(
         "plot_id",
@@ -109,6 +122,7 @@ def species_measurements(
         F.when(F.col("stat") == "n_species", F.col("n_sp").cast("double"))
         .otherwise(F.col("sum_cov").cast("double"))
         .alias("value"),
+        F.lit(True).alias("__measured"),
     )
     # absent-species plots: every plot x every voorwaarde of this version
     # must yield a row (value 0) or the rule engine would silently skip it
@@ -117,13 +131,18 @@ def species_measurements(
         "habitat_type", "voorwaarde"
     ).distinct()
     full = plots.join(F.broadcast(voorw), "habitat_type", "inner")
+    # absent (no listed species recorded at all) -> 0; MEASURED but
+    # unknown (a NULL-cover row poisoned the statistic) -> stays NULL —
+    # a bare coalesce would turn unknown back into a confident 0
     return full.join(
         matched, ["plot_id", "habitat_type", "voorwaarde"], "left"
     ).select(
         "plot_id",
         "habitat_type",
         "voorwaarde",
-        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        F.when(F.col("__measured").isNull(), F.lit(0.0))
+        .otherwise(F.col("value"))
+        .alias("value"),
     )
 
 
@@ -142,8 +161,20 @@ def evaluate_conditions(
     """
     if versie is not None:
         rules = rules.filter(F.col("versie") == versie)
-    j = measurements.join(
-        F.broadcast(rules), on=["habitat_type", "voorwaarde"], how="inner"
+    # COMPLETE the detail against the rule set: a mandatory voorwaarde
+    # with no measurement row at all must surface as a NULL-status row,
+    # or the strict-null roll-up never sees it and the plot is
+    # certified on partial measurements (the species branch 0-fills
+    # against its voorwaarden for the same reason). Universe = every
+    # measured (plot, habitat) x that habitat's rules; unmeasured
+    # voorwaarden get value NULL, which the operator ladder naturally
+    # propagates to a NULL status.
+    plots = measurements.select("plot_id", "habitat_type").distinct()
+    universe = plots.join(F.broadcast(rules), on=["habitat_type"])
+    j = universe.join(
+        measurements,
+        on=["plot_id", "habitat_type", "voorwaarde"],
+        how="left",
     )
     v, t = F.col("value"), F.col("threshold")
     status = (
@@ -167,7 +198,7 @@ def evaluate_conditions(
         "criterium",
         "indicator",
         "voorwaarde",
-        F.round(v + F.signum(v) * 1e-9, 6).alias("value"),
+        eps_round(v, 6).alias("value"),
         "operator",
         "threshold",
         "optional",
@@ -179,6 +210,14 @@ def aggregate_levels(
     detail: DataFrame, by_version: bool = False
 ) -> dict[str, DataFrame]:
     """Roll the detail up through the reference's 4 result levels.
+
+    ``by_version=True`` is REQUIRED whenever the detail spans multiple
+    rule versions (``evaluate_conditions(..., versie=None)``): the
+    default version-less grouping would AND together statuses from
+    different LSVI versions into a roll-up that corresponds to no real
+    version — and the output drops ``versie``, so the mixing would be
+    invisible. Single-version callers (versie pinned upstream) may keep
+    the default.
 
     Strict-null roll-up: an unmeasured (null-status) *mandatory* voorwaarde
     nulls its indicator; a null indicator nulls its criterium; a null

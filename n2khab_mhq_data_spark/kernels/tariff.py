@@ -38,17 +38,43 @@ def compute_volume(
     """
     j = trees.join(F.broadcast(params), on=group_col, how="left")
     dd = F.col(dbh_col).cast("double")
-    h = F.col(height_col).cast("double") if height_col else F.lit(None)
     ft = F.col("formule_type")
-    vol = (
-        F.when(ft == 1, F.col("a") + F.col("b") * dd + F.col("c") * dd * dd)
-        .when(
-            ft == 2,
-            F.col("a")
-            + F.col("b") * dd
-            + F.col("c") * dd * dd
-            + F.col("d") * dd * dd * dd,
-        )
-        .when(ft == 3, F.col("a") + F.col("b") * dd * dd + F.col("c") * dd * dd * h)
+    vol = F.when(
+        ft == 1, F.col("a") + F.col("b") * dd + F.col("c") * dd * dd
+    ).when(
+        ft == 2,
+        F.col("a")
+        + F.col("b") * dd
+        + F.col("c") * dd * dd
+        + F.col("d") * dd * dd * dd,
     )
-    return j.withColumn("vol_m3", F.round(vol + F.signum(vol) * 1e-9, 6))
+    if height_col:
+        h = F.col(height_col).cast("double")
+        vol = vol.when(
+            ft == 3,
+            F.col("a") + F.col("b") * dd * dd + F.col("c") * dd * dd * h,
+        )
+    # fail FAST on rows no formula matched: unknown formule_type, a
+    # species group absent from the tariff table, or a 2-input (type 3)
+    # tariff when no height column was supplied — the bare when-ladder
+    # yielded silent NULL vol_m3 that downstream sums then skipped,
+    # under-reporting stand volume (same posture as the LSVI engine's
+    # unknown-operator raise).
+    vol = vol.otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("compute_volume: no tariff formula for formule_type="),
+                F.coalesce(
+                    ft.cast("string"),
+                    F.lit(f"NULL (unmatched {group_col})"),
+                ),
+                F.lit(
+                    "" if height_col
+                    else " (type-3 tariffs need height_col)"
+                ),
+            )
+        ).cast("double")
+    )
+    from n2khab_mhq_data_spark.functions.scalars import eps_round
+
+    return j.withColumn("vol_m3", eps_round(vol, 6))

@@ -450,6 +450,7 @@ _LSVI_MEASUREMENTS_SQL = _LSVI_PREFIX_SQL + """, detail AS (
       FROM m JOIN {rules}
         ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
        AND r.versie = '3.0'
+       AND r.voorwaarde IN ('sum_qty', 'avg_disc', 'n_items')
     )
 """
 
@@ -478,9 +479,18 @@ def _lsvi_levels(spark: SparkSession, sf_dir: str):
             "value",
         )
     )
-    detail = evaluate_conditions(
-        measurements, rules_dim(spark, _LSVI_RULES), versie="3.0"
+    # scope pin: evaluate_conditions is STRICT since r6 (it completes
+    # the detail against the rule set, so an unmeasured mandatory
+    # voorwaarde NULLs its roll-up). These queries measure only the
+    # three direct voorwaarden — the vegetatie pair is assessed by the
+    # species branch (k7_lsvi_species) and jointly in
+    # inboveg_lsvi_pipeline — so the rules in scope must be pinned to
+    # the measured families or every plot would (correctly!) refuse to
+    # certify.
+    rules = rules_dim(spark, _LSVI_RULES).filter(
+        F.col("voorwaarde").isin("sum_qty", "avg_disc", "n_items")
     )
+    detail = evaluate_conditions(measurements, rules, versie="3.0")
     return aggregate_levels(detail)
 
 
@@ -1038,6 +1048,7 @@ _LSVI_SPECIES_LIST = [
       FROM meas m JOIN {rules}
         ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
        AND r.versie = '3.0'
+       AND r.voorwaarde IN ('n_key_species', 'cover_key_species')
     )
     SELECT versie, plot_id, habitat_type, criterium, indicator,
            bool_and(sv) AS status_indicator
@@ -1074,9 +1085,12 @@ def k7_lsvi_species(spark: SparkSession, sf_dir: str) -> DataFrame:
     meas = species_measurements(
         cover, species_list_dim(spark, _LSVI_SPECIES_LIST), versie="3.0"
     )
-    detail = evaluate_conditions(
-        meas, rules_dim(spark, _LSVI_RULES), versie="3.0"
+    # scope pin (see _lsvi_levels): this branch measures only the
+    # species-characteristics voorwaarden
+    rules = rules_dim(spark, _LSVI_RULES).filter(
+        F.col("voorwaarde").isin("n_key_species", "cover_key_species")
     )
+    detail = evaluate_conditions(meas, rules, versie="3.0")
     return aggregate_levels(detail, by_version=True)["lsvi_indicator"]
 
 
@@ -1094,6 +1108,7 @@ def k7_lsvi_species(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS sv
       FROM m JOIN {rules}
         ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
+       AND r.voorwaarde IN ('sum_qty', 'avg_disc', 'n_items')
     ), ind AS (
       SELECT versie, plot_id, habitat_type, criterium, indicator,
              bool_and(sv) AS si
@@ -1134,9 +1149,13 @@ def k7_lsvi_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "voorwaarde",
         "value",
     )
-    detail = evaluate_conditions(
-        measurements, rules_dim(spark, _LSVI_RULES)
+    # scope pin (see _lsvi_levels): both versions' direct voorwaarden
+    # only — the strict engine would otherwise NULL v3.0's roll-up for
+    # its unmeasured species pair
+    rules = rules_dim(spark, _LSVI_RULES).filter(
+        F.col("voorwaarde").isin("sum_qty", "avg_disc", "n_items")
     )
+    detail = evaluate_conditions(measurements, rules)
     return aggregate_levels(detail, by_version=True)["lsvi_globaal"]
 
 
@@ -1304,28 +1323,39 @@ _E2_RULES_SQL = """
       SELECT plot_id, habitat_type, voorwaarde,
              round(avg(v) + sign(avg(v)) * 1e-9, 6) AS value
       FROM m GROUP BY 1, 2, 3
+    ), plots AS (
+      SELECT DISTINCT plot_id, habitat_type FROM meas
     ), detail AS (
-      SELECT m.plot_id, m.habitat_type, r.criterium, r.indicator,
+      SELECT p.plot_id, p.habitat_type, r.criterium, r.indicator,
              CASE r.op WHEN '>=' THEN m.value >= r.threshold
                        WHEN '>'  THEN m.value >  r.threshold
                        WHEN '<=' THEN m.value <= r.threshold
                        WHEN '<'  THEN m.value <  r.threshold
                        WHEN '='  THEN m.value =  r.threshold
              END AS sv
-      FROM meas m JOIN {rules}
-        ON m.habitat_type = r.habitat_type AND m.voorwaarde = r.voorwaarde
-       AND r.versie = '1.0'
+      FROM plots p
+      JOIN {rules}
+        ON p.habitat_type = r.habitat_type AND r.versie = '1.0'
+      LEFT JOIN meas m
+        ON m.plot_id = p.plot_id AND m.habitat_type = p.habitat_type
+       AND m.voorwaarde = r.voorwaarde
     ), ind AS (
       SELECT plot_id, habitat_type, criterium, indicator,
-             bool_and(sv) AS si
+             CASE WHEN bool_or(sv IS NULL) THEN NULL
+                  ELSE bool_and(sv) END AS si
       FROM detail GROUP BY 1, 2, 3, 4
     ), crit AS (
-      SELECT plot_id, habitat_type, criterium, bool_and(si) AS sc
+      SELECT plot_id, habitat_type, criterium,
+             CASE WHEN bool_or(si IS NULL) THEN NULL
+                  ELSE bool_and(si) END AS sc
       FROM ind GROUP BY 1, 2, 3
     )
-    SELECT plot_id, habitat_type, bool_and(sc) AS status_global,
-           round(avg(CASE WHEN sc THEN 1 ELSE 0 END) + 1e-9, 6)
-             AS share_favourable
+    SELECT plot_id, habitat_type,
+           CASE WHEN bool_or(sc IS NULL) THEN NULL
+                ELSE bool_and(sc) END AS status_global,
+           CASE WHEN bool_or(sc IS NULL) THEN NULL
+                ELSE round(avg(CASE WHEN sc THEN 1 ELSE 0 END) + 1e-9, 6)
+           END AS share_favourable
     FROM crit GROUP BY 1, 2
     """.format(rules=_E2_RULES_SQL),
 )

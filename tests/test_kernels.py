@@ -76,6 +76,64 @@ def test_lsvi_levels_hand_computed(spark):
     assert glob[3] == (None, None)
 
 
+def test_lsvi_unmeasured_mandatory_voorwaarde_blocks_certification(spark):
+    """A mandatory voorwaarde with NO measurement row at all (not even a
+    null-valued one) must surface as an unknown and refuse to certify —
+    the pre-r6 inner join silently dropped it and certified plots on
+    partial measurements."""
+    rules = rules_dim(
+        spark,
+        [
+            ("3.0", "ht1", "structuur", "omvang", "area", ">=", 10.0, False),
+            ("3.0", "ht1", "structuur", "omvang", "n", ">=", 2.0, False),
+        ],
+    )
+    meas = spark.createDataFrame(
+        [(1, "ht1", "area", 12.0)],  # 'n' entirely unmeasured
+        "plot_id int, habitat_type string, voorwaarde string, value double",
+    )
+    detail = evaluate_conditions(meas, rules, versie="3.0")
+    rows = {r.voorwaarde: r.status_voorwaarde for r in detail.collect()}
+    assert rows == {"area": True, "n": None}  # completion row present
+    glob = aggregate_levels(detail)["lsvi_globaal"].collect()
+    assert glob[0].status_global is None  # refuses to certify
+
+
+def test_lsvi_species_null_cover_is_unknown_not_zero(spark):
+    """A recorded listed species whose cover is NULL (present,
+    unmeasured) makes the plot's species statistics UNKNOWN — sum()'s
+    native null-skip would fabricate a smaller measured value and could
+    certify a '<' threshold on made-up data. Plots with NO listed
+    species at all still read 0 (absent is a real measurement)."""
+    from n2khab_mhq_data_spark.kernels.lsvi import (
+        species_list_dim,
+        species_measurements,
+    )
+
+    lst = species_list_dim(
+        spark,
+        [
+            ("3.0", "ht1", "veg", "sleutel", "cover_key_species",
+             "sum_cover", "sp_a"),
+            ("3.0", "ht1", "veg", "sleutel", "cover_key_species",
+             "sum_cover", "sp_b"),
+        ],
+    )
+    cover = spark.createDataFrame(
+        [
+            (1, "ht1", "sp_a", 40.0), (1, "ht1", "sp_b", None),  # unknown
+            (2, "ht1", "sp_a", 40.0), (2, "ht1", "sp_b", 10.0),  # 50
+            (3, "ht1", "sp_zz", 99.0),  # no LISTED species -> 0
+        ],
+        "plot_id int, habitat_type string, name_sc string, cover double",
+    )
+    got = {
+        r.plot_id: r.value
+        for r in species_measurements(cover, lst, versie="3.0").collect()
+    }
+    assert got[1] is None and got[2] == 50.0 and got[3] == 0.0
+
+
 def test_tariff_polynomials(spark):
     params = tariff_dim(
         spark,

@@ -62,6 +62,26 @@ def test_write_vc_read_vc_round_trip(spark, tmp_path):
     assert rows == orig
 
 
+def test_conform_drift_tolerance_under_ansi(spark):
+    """conform must yield NULL for malformed values (R coercion / NA),
+    not throw — this project runs Spark 4 with ANSI on, where a plain
+    cast aborts on the first bad value; drift tolerance is the method's
+    entire purpose."""
+    spec = TableSpec(
+        "t",
+        [
+            ColumnSpec("plot_id", "integer"),
+            ColumnSpec("v", "numeric"),
+            ColumnSpec("extra", "character"),
+        ],
+    )
+    df = spark.createDataFrame(
+        [("12x", "1.5"), ("7", "oops")], "PLOT_ID string, v string"
+    )
+    got = {tuple(r) for r in spec.conform(df).collect()}
+    assert got == {(None, 1.5, None), (7, None, None)}
+
+
 def test_read_csv2_locale(spark, tmp_path):
     p = tmp_path / "in.csv"
     p.write_text("id;val;name\n1;1,5;x\n2;2,25;y\n")
