@@ -59,38 +59,13 @@ _DRIVER_FAILED: frozenset[str] = frozenset()
 # queue after the whole backlog.  Entries are removed once the driver
 # samples the query (it moves to ``_DRIVER_SAMPLED``).
 _REGISTERED_ROUND: dict[str, int] = {
-    # r4 additions — never sampled, waiting since round 4 (oldest)
-    "ann_pq_adc_topk": 4, "ann_pq_recall_at_10": 4,
-    "dedup_lsh_recall_audit": 4, "pipeline_leakage_safe_split": 4,
-    "text_banned_lexicon_gate": 4, "text_bpe_pairs": 4,
-    "text_bpe_merges": 4, "text_bpe_encode": 4, "text_zipf_slope": 4,
-    # r5 additions — never sampled, waiting since round 5
-    "multimodal_audio_dedup": 5, "s13_hive_partition_prune": 5,
-    "a19_weighted_median": 5, "events_inter_arrival_stats": 5,
-    "multimodal_image_resize": 5, "events_rfm_segments": 5,
-    "events_dau_wau_stickiness": 5, "multimodal_gif_stats": 5,
-    "j15_tiered_rate_join": 5, "events_time_to_convert": 5,
-    "multimodal_format_dispatch": 5, "a20_mode_exact": 5,
-    "j16_nearest_event_join": 5, "multimodal_jpeg_stats": 5,
-    "tpch_q7_nation_volume": 5, "multimodal_video_frames": 5,
-    "w13_pareto_abc": 5, "multimodal_audio_stats": 5,
-    "tpch_q10_returned_items": 5, "sketch_hll_distinct": 5,
-    "a21_corr_matrix": 5, "sketch_hll_merge_rollup": 5,
-    "tpch_q6_forecast_revenue": 5, "ann_jl_distortion": 5,
-    "a22_gini_spend": 5, "ann_pca_compress": 5,
-    "tpch_q14_promo_effect": 5, "text_chunk_stitch": 5,
-    "tpch_q4_order_priority": 5, "pipeline_curriculum_bins": 5,
-    "pipeline_quality_calibrate": 5, "text_bpe_merges_strict": 5,
-    "pipeline_multimodal_curation": 5, "sketch_kmv_distinct": 5,
-    "sketch_kmv_jaccard": 5, "dedup_overlap_fraction": 5,
-    "text_script_histogram": 5, "text_boilerplate_ratio": 5,
-    "pipeline_contrastive_triplets": 5, "pipeline_curation_v2": 5,
-    "text_langid_confusion": 5,
-    # r6 additions — queue after the whole r4/r5 backlog
+    # (r4/r5 backlog fully drained by CORRECTNESS_r06 — all 50 sampled
+    # hash-green; entries moved to _DRIVER_SAMPLED)
+    # r6 additions — the only never-sampled queries going into round 7
     "link_edit_distance_join_blocked": 6, "tpch_q9_product_type_profit": 6,
     "tpch_q2_min_cost_supplier": 6,
     # r6 oracle upgrade: its only driver row (r4) was rows-only; re-queue
-    # for a fresh HASH-CHECKED row once the backlog drains
+    # for a fresh HASH-CHECKED row now that it has a DuckDB oracle
     "multimodal_cdc_dedup": 6,
 }
 
@@ -189,6 +164,29 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "w3_top1_per_group", "w4_window_string_concat", "w5_window_sums_flags",
     "w6_distinct_count_filter", "w7_session_window", "w8_rank_family",
     "w9_lead_lag_gaps",
+    # CORRECTNESS_r06: all 50 sampled, 49 hash-green + ann_pca_compress
+    # rows-only by design (declared no-oracle; numpy differential in tests)
+    "a19_weighted_median", "a20_mode_exact", "a21_corr_matrix",
+    "a22_gini_spend", "ann_jl_distortion", "ann_pca_compress",
+    "ann_pq_adc_topk", "ann_pq_recall_at_10", "dedup_lsh_recall_audit",
+    "dedup_overlap_fraction", "events_dau_wau_stickiness",
+    "events_inter_arrival_stats", "events_rfm_segments",
+    "events_time_to_convert", "j15_tiered_rate_join",
+    "j16_nearest_event_join", "multimodal_audio_dedup",
+    "multimodal_audio_stats", "multimodal_format_dispatch",
+    "multimodal_gif_stats", "multimodal_image_resize",
+    "multimodal_jpeg_stats", "multimodal_video_frames",
+    "pipeline_contrastive_triplets", "pipeline_curation_v2",
+    "pipeline_curriculum_bins", "pipeline_leakage_safe_split",
+    "pipeline_multimodal_curation", "pipeline_quality_calibrate",
+    "s13_hive_partition_prune", "sketch_hll_distinct",
+    "sketch_hll_merge_rollup", "sketch_kmv_distinct", "sketch_kmv_jaccard",
+    "text_banned_lexicon_gate", "text_boilerplate_ratio",
+    "text_bpe_encode", "text_bpe_merges", "text_bpe_merges_strict",
+    "text_bpe_pairs", "text_chunk_stitch", "text_langid_confusion",
+    "text_script_histogram", "text_zipf_slope", "tpch_q10_returned_items",
+    "tpch_q14_promo_effect", "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue", "tpch_q7_nation_volume", "w13_pareto_abc",
 })
 
 
