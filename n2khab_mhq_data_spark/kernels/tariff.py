@@ -59,21 +59,36 @@ def compute_volume(
     # tariff when no height column was supplied — the bare when-ladder
     # yielded silent NULL vol_m3 that downstream sums then skipped,
     # under-reporting stand volume (same posture as the LSVI engine's
-    # unknown-operator raise).
-    vol = vol.otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("compute_volume: no tariff formula for formule_type="),
-                F.coalesce(
-                    ft.cast("string"),
-                    F.lit(f"NULL (unmatched {group_col})"),
-                ),
-                F.lit(
-                    "" if height_col
-                    else " (type-3 tariffs need height_col)"
-                ),
-            )
-        ).cast("double")
+    # unknown-operator raise).  ALSO fail when a formula DID match but the
+    # polynomial still came out NULL (NULL dbh, NULL height on a type-3
+    # tariff, or NULL a/b/c/d coefficients) — the exact same silent
+    # under-reporting through a different hole.
+    no_formula = F.raise_error(
+        F.concat(
+            F.lit("compute_volume: no tariff formula for formule_type="),
+            F.coalesce(
+                ft.cast("string"),
+                F.lit(f"NULL (unmatched {group_col})"),
+            ),
+            F.lit(
+                "" if height_col
+                else " (type-3 tariffs need height_col)"
+            ),
+        )
+    ).cast("double")
+    null_input = F.raise_error(
+        F.concat(
+            F.lit("compute_volume: NULL volume despite matched"
+                  " formule_type="),
+            ft.cast("string"),
+            F.lit(" — NULL dbh/height or NULL tariff coefficient"),
+        )
+    ).cast("double")
+    matched = ft.isin([1, 2, 3] if height_col else [1, 2])
+    vol = (
+        F.when(~F.coalesce(matched, F.lit(False)), no_formula)
+        .when(vol.isNull(), null_input)
+        .otherwise(vol)
     )
     from n2khab_mhq_data_spark.functions.scalars import eps_round
 

@@ -466,6 +466,20 @@ def _convergence_fingerprint(df: DataFrame, *cols: str) -> tuple:
     return (row.n, row.x)
 
 
+def _confirm_unchanged(old: DataFrame, new: DataFrame, cols: list[str]) -> bool:
+    """Exact set-equality confirmation for the round that FIRST reports
+    fingerprint convergence: a 64-bit (count, bit_xor) fingerprint can in
+    principle collide (or xor-cancel between rounds) and terminate an
+    iterative algorithm early with silently wrong state.  Both callers
+    iterate over duplicate-free states (labels keyed by unique node;
+    ``small_star`` output is ``.distinct()``), so with counts already
+    equal (part of the fingerprint) a one-directional anti-join proving
+    ``new ⊆ old`` proves set equality.  Runs once per algorithm, only on
+    the apparent convergence round — one extra bounded join, not a
+    per-round diff."""
+    return new.join(old, cols, "left_anti").limit(1).count() == 0
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "d1",
@@ -528,7 +542,9 @@ def connected_components(
             reliable,
         )
         new_fp = _convergence_fingerprint(new, "node", "comp")
-        converged = new_fp == fp
+        converged = new_fp == fp and _confirm_unchanged(
+            labels, new, ["node", "comp"]
+        )
         labels, fp = new, new_fp
         if converged:
             break
@@ -631,9 +647,10 @@ def connected_components_twophase(
 
     fp = _convergence_fingerprint(e, "a", "b")
     for _ in range(max_iter):
+        prev = e
         e = _iter_ckpt(small_star(large_star(e)), reliable)
         nfp = _convergence_fingerprint(e, "a", "b")
-        if nfp == fp:
+        if nfp == fp and _confirm_unchanged(prev, e, ["a", "b"]):
             break
         fp = nfp
     # converged: stars rooted at component minima; roots label themselves

@@ -454,8 +454,17 @@ def compact_published(
         ).parquet(tmp_p.toString())
     finally:
         spark.conf.set(coalesce_conf, prev)
-    fs.rename(live_p, old_p)
-    fs.rename(tmp_p, live_p)
-    fs.delete(old_p, True)
+    # Hadoop FileSystem.rename signals failure by returning False (unlike
+    # os.rename) — check each step and never delete old_p unless the new
+    # live directory verifiably exists, or a failed swap would destroy the
+    # only surviving copy of the published data.
+    if not fs.rename(live_p, old_p):
+        raise IOError(f"compact_published: rename {live_p} -> {old_p} failed")
+    if not fs.rename(tmp_p, live_p):
+        # roll back so the table stays readable at its published path
+        fs.rename(old_p, live_p)
+        raise IOError(f"compact_published: rename {tmp_p} -> {live_p} failed")
+    if fs.exists(live_p):
+        fs.delete(old_p, True)
     after = len(parquet_files())
     return {"files_before": before, "files_after": after}

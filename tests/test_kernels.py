@@ -153,6 +153,31 @@ def test_tariff_polynomials(spark):
     assert abs(out["g2"] - 1.76) < 1e-6
 
 
+def test_tariff_null_input_raises(spark):
+    # a MATCHED formula whose polynomial still comes out NULL (type-3 row
+    # with NULL height / NULL coefficient / NULL dbh) must raise, not emit
+    # a silent NULL vol_m3 that downstream sums skip
+    import pytest
+
+    params = tariff_dim(spark, [("g2", 3, 0.5, 0.1, 0.01, 0.0)])
+    for trees_rows in (
+        [("g2", 3.0, None)],  # NULL height on a 2-input tariff
+        [("g2", None, 4.0)],  # NULL dbh
+    ):
+        trees = spark.createDataFrame(
+            trees_rows, "species_group string, dbh double, height double"
+        )
+        with pytest.raises(Exception, match="NULL volume despite matched"):
+            compute_volume(trees, params, height_col="height").collect()
+    # NULL coefficient on a matched type-1 formula
+    params_nc = tariff_dim(spark, [("g1", 1, 1.0, None, 3.0, 0.0)])
+    trees = spark.createDataFrame(
+        [("g1", 2.0, None)], "species_group string, dbh double, height double"
+    )
+    with pytest.raises(Exception, match="NULL volume despite matched"):
+        compute_volume(trees, params_nc, height_col="height").collect()
+
+
 def test_cover_decode_and_rollup(spark):
     df = spark.createDataFrame(
         [
