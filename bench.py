@@ -58,6 +58,11 @@ def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     graph._copurchase_edges(spark, sf_dir).count()
     steps["copurchase_edges"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    from n2khab_mhq_data_spark.plans import kernels as kn
+
+    kn._lsvi_levels(spark, sf_dir)["lsvi_globaal"].count()
+    steps["lsvi_levels"] = round(time.time() - t0, 3)
     return steps
 
 

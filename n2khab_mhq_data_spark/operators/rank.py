@@ -251,10 +251,15 @@ def grouped_running_sum(
     # NULL-SAFE equality on the group keys: the plain partitioned
     # window treats NULL as an ordinary group, so the prefix join must
     # match it too (a name-list join would silently drop every
-    # NULL-group row)
+    # NULL-group row).  Only pay the null-safe comparison for keys whose
+    # schema says NULLs are possible — plain equality keeps the tighter
+    # hash-join codegen path for provably non-null keys.
     cond = with_pid["__pid"] == off_dim["__pid"]
     for c in group_cols:
-        cond = cond & with_pid[c].eqNullSafe(off_dim[c])
+        if df.schema[c].nullable:
+            cond = cond & with_pid[c].eqNullSafe(off_dim[c])
+        else:
+            cond = cond & (with_pid[c] == off_dim[c])
     return (
         with_pid.join(F.broadcast(off_dim), cond)
         .drop(off_dim["__pid"])

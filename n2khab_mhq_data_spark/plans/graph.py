@@ -424,11 +424,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "link_edit_distance_join",
     """
+    WITH s AS (
+      SELECT * FROM customer
+      WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 4 = 0
+    )
     SELECT a.c_custkey AS id1, b.c_custkey AS id2,
            a.c_name AS key1, b.c_name AS key2,
            CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev_dist
-    FROM customer a
-    JOIN customer b
+    FROM s a
+    JOIN s b
       ON a.c_custkey < b.c_custkey
      AND levenshtein(a.c_name, b.c_name) <= 1
     """,
@@ -442,14 +447,30 @@ def link_edit_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletion-key candidate generator is hash-checked end-to-end, not
     just argued. Reference analog: the K9 reconciliation cascade's
     exact-key linkage (mhq_terr_inboveg_fieldmap.Rmd) hardened for
-    typo'd registry identifiers."""
+    typo'd registry identifiers.
+
+    Since this query's registered purpose is the COMPLETENESS AUDIT of
+    the blocked headline (``link_edit_distance_join_blocked``), it runs
+    on a deterministic 25% hash-sample slice (portable md5 prefix of
+    c_custkey mod 4 — identical rows both engines): TPC-H names differ
+    only in digits, so unblocked deletion buckets grow quadratically
+    and the full-corpus audit was 8.7 s of a 181 s bench board / 87 s
+    of the sf1.0 probe (r6 VERDICT item 5). The slice keeps the
+    generator-vs-quadratic-oracle guarantee intact on every code path
+    (bucket grouping, pair verify, dedup) while shrinking pair
+    cardinality ~16x; the blocked sibling remains the full-corpus
+    scale path."""
     from n2khab_mhq_data_spark.operators.linkage import (
         edit_distance_join_deletion,
     )
 
-    return edit_distance_join_deletion(
-        load(spark, sf_dir, "customer"), "c_custkey", "c_name"
+    cust = load(spark, sf_dir, "customer").filter(
+        F.expr(
+            "conv(substring(md5(cast(c_custkey as string)), 1, 8), 16, 10)"
+            " % 4 = 0"
+        )
     )
+    return edit_distance_join_deletion(cust, "c_custkey", "c_name")
 
 
 @query(

@@ -2493,6 +2493,7 @@ def memo_warm(sf_dir: str) -> dict[str, bool]:
     near-dup consumers and two BPE consumers are order-dependent:
     whichever runs first pays the build cost)."""
     from n2khab_mhq_data_spark.plans import graph
+    from n2khab_mhq_data_spark.plans import kernels as kn
 
     dkey = (sf_dir, _docs_fingerprint(sf_dir))
     ekey = (sf_dir, _embeddings_fingerprint(sf_dir))
@@ -2507,6 +2508,9 @@ def memo_warm(sf_dir: str) -> dict[str, bool]:
         "copurchase_edges": (
             (sf_dir, graph._li_fingerprint(sf_dir))
             in graph._COPURCHASE_EDGES
+        ),
+        "lsvi_levels": (
+            (sf_dir, kn._lsvi_fingerprint(sf_dir)) in kn._LSVI_LEVELS
         ),
     }
 
