@@ -67,6 +67,9 @@ _REGISTERED_ROUND: dict[str, int] = {
     # r6 oracle upgrade: its only driver row (r4) was rows-only; re-queue
     # for a fresh HASH-CHECKED row now that it has a DuckDB oracle
     "multimodal_cdc_dedup": 6,
+    # r7 additions — queue after the r6 backlog
+    "tpch_q21_suppliers_kept_waiting": 7,
+    "tpch_q17_small_quantity_revenue": 7,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —

@@ -2295,6 +2295,162 @@ def tpch_q9_product_type_profit(
 
 
 @query(
+    "tpch_q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_0', 'NATION_1', 'NATION_2',
+                     'NATION_3', 'NATION_4')
+    GROUP BY s_name
+    """,
+)
+def tpch_q21_suppliers_kept_waiting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted to the
+    testdata schema: per supplier in five nations, count late lines of
+    finalized multi-supplier orders where theirs was the ONLY late
+    supplier. 'Late' = shipped > 60 days after ordering (the schema
+    carries l_shipdate only — same adaptation as Q4; the textbook's
+    l_receiptdate > l_commitdate is line-local, ours is line-vs-its-
+    order, preserving the correlated shape). The canonical multi-
+    EXISTS / NOT-EXISTS self-join stressor: the ORACLE keeps both
+    correlated subqueries verbatim so DuckDB exercises its
+    decorrelation, while the Spark side runs the 100 TB plan — the
+    EXISTS pair decorrelates into per-order supplier statistics
+    (distinct suppliers, distinct LATE suppliers) computed by ONE
+    orderkey-partitioned window over the orders-joined scan, then a
+    residual filter (late AND n_supp > 1 AND n_late_supp = 1): one
+    fact shuffle total, no self-join, no cartesian, and nothing for a
+    suppkey hot key to skew (the only suppkey-keyed step is the final
+    100-row broadcast decode + 100-group aggregate with map-side
+    partials). Window, not groupBy-plus-join-back: same shuffle key,
+    one pass."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).withColumn(
+        "late",
+        F.col("l_shipdate") > F.expr("timestampadd(DAY, 60, o_orderdate)"),
+    )
+    w = W.partitionBy("l_orderkey")
+    stats = lo.withColumn(
+        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supp",
+        F.size(
+            F.collect_set(
+                F.when(F.col("late"), F.col("l_suppkey"))
+            ).over(w)
+        ),
+    )
+    cand = stats.filter(
+        F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_0", "NATION_1", "NATION_2", "NATION_3", "NATION_4"
+        )
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        cand.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#4' AND p_size <= 10
+    ), agg AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s100,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                      AS DOUBLE) / 700.0 + 1e-9, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN pp ON pp.p_partkey = l.l_partkey
+    JOIN agg ON agg.l_partkey = l.l_partkey
+    WHERE 5 * CAST(round(l.l_quantity * 100) AS BIGINT) * agg.n < agg.s100
+    """,
+)
+def tpch_q17_small_quantity_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue) adapted to the testdata
+    schema: yearly-average revenue lost if orders below 20% of a
+    part's average quantity were no longer taken, over one brand's
+    small parts (p_container doesn't exist here; p_brand + p_size
+    stand in). The classic correlated-aggregate stressor: the
+    correlated ``l_quantity < 0.2 * avg(l_quantity per part)`` becomes
+    a per-part window aggregate on the Spark side — and the comparison
+    is carried as EXACT INTEGERS both engines (q < s/(5n) <=>
+    5*q100*n < s100 with 2-decimal quantities scaled to cents), so no
+    float-average knife edge can flip a row's membership. Scale shape:
+    the broadcast part filter semi-prunes lineitem BEFORE the window
+    (per-part stats only for surviving parts — the textbook subquery
+    over all of lineitem is algebraically per-part, so pruning first
+    is lossless), one partkey shuffle, integer-cents revenue summed
+    exactly and converted to float once."""
+    pp = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity") * 100).cast("long").alias("q100"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price100"),
+    )
+    pruned = li.join(
+        F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    stats = pruned.withColumn("s100", F.sum("q100").over(w)).withColumn(
+        "n", F.count("*").over(w)
+    )
+    sel = stats.filter(
+        F.lit(5) * F.col("q100") * F.col("n") < F.col("s100")
+    )
+    return sel.agg(
+        F.round(
+            F.sum("price100").cast("double") / 700.0 + F.lit(1e-9), 2
+        ).alias("avg_yearly")
+    )
+
+
+@query(
     "a19_weighted_median",
     oracle="""
     WITH r AS (

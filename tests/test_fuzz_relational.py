@@ -554,3 +554,115 @@ def test_tpch_q4_semi_join_hand_case(spark):
     finally:
         rmod.load = rload
     assert out == {"1-URGENT": 1, "5-LOW": 1}
+
+
+def test_tpch_q21_exists_semantics_hand_case(spark):
+    """The decorrelated window plan must reproduce the EXISTS /
+    NOT-EXISTS semantics row-for-row: multi-supplier orders only, only
+    the sole-late supplier counts, and each late LINE counts (two late
+    lines by one supplier in one order = numwait 2)."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q21_suppliers_kept_waiting,
+    )
+
+    od = dt.datetime(1996, 2, 1)
+    late, ontime = od + dt.timedelta(61), od + dt.timedelta(10)
+    orders = [
+        (10, 1, "F", 1.0, od, "5-LOW"),  # s1 late, s2 on-time -> s1 +1
+        (11, 1, "F", 1.0, od, "5-LOW"),  # both late -> nobody
+        (12, 1, "F", 1.0, od, "5-LOW"),  # single-supplier -> nobody
+        (13, 1, "O", 1.0, od, "5-LOW"),  # not finalized -> nobody
+        (14, 1, "F", 1.0, od, "5-LOW"),  # s1 late TWICE -> s1 +2
+    ]
+    li = [
+        (10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (10, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ontime),
+        (11, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (11, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (12, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (13, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (13, 1, 2, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ontime),
+        (14, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (14, 1, 1, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", late),
+        (14, 1, 2, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", ontime),
+    ]
+    odf = spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string"
+    )
+    ldf = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    sdf = spark.createDataFrame(
+        [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    ndf = spark.createDataFrame(
+        [(0, "NATION_0", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    tables = {"orders": odf, "lineitem": ldf, "supplier": sdf,
+              "nation": ndf}
+    rload = rmod.load
+    rmod.load = lambda s, d, t: tables[t]
+    try:
+        out = {
+            r["s_name"]: r["numwait"]
+            for r in tpch_q21_suppliers_kept_waiting(
+                spark, "unused"
+            ).collect()
+        }
+    finally:
+        rmod.load = rload
+    assert out == {"S1": 3}
+
+
+def test_tpch_q17_integer_threshold_boundary(spark):
+    """The scaled-integer rewrite of l_quantity < 0.2*avg must be
+    STRICT at the boundary: q == 0.2*avg is excluded, q just below is
+    included; parts failing the brand/size filter never contribute."""
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q17_small_quantity_revenue,
+    )
+
+    # part 1: avg qty = 5.0 -> threshold 1.0; the 0.99 line qualifies,
+    # the 1.00 line (exactly at the threshold) must NOT
+    li = [
+        (1, 1, 1, 1, 0.99, 7.0, 0.0, 0.0, "N", "O", None),
+        (1, 1, 1, 2, 1.00, 9.0, 0.0, 0.0, "N", "O", None),
+        (1, 1, 1, 3, 13.01, 9.0, 0.0, 0.0, "N", "O", None),
+        # part 2: wrong brand; part 3: size too large
+        (2, 2, 1, 1, 0.01, 999.0, 0.0, 0.0, "N", "O", None),
+        (3, 3, 1, 1, 0.01, 999.0, 0.0, 0.0, "N", "O", None),
+    ]
+    ldf = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    pdf = spark.createDataFrame(
+        [
+            (1, "p1", "Brand#4", "t", 5, 1.0),
+            (2, "p2", "Brand#1", "t", 5, 1.0),
+            (3, "p3", "Brand#4", "t", 20, 1.0),
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    tables = {"lineitem": ldf, "part": pdf}
+    rload = rmod.load
+    rmod.load = lambda s, d, t: tables[t]
+    try:
+        (row,) = tpch_q17_small_quantity_revenue(spark, "unused").collect()
+    finally:
+        rmod.load = rload
+    # only the 0.99-qty line of part 1 survives: 7.00 / 7.0 = 1.0
+    assert abs(row["avg_yearly"] - 1.0) < 1e-9
