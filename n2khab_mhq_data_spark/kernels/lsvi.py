@@ -93,8 +93,17 @@ def species_measurements(
     version's voorwaarden with coalesce.
     """
     lst = F.broadcast(species_list.filter(F.col("versie") == versie))
+    # growth-form dedup must PROPAGATE NULL, not skip it (R's
+    # max(c(NA, 5)) is NA): covers [NULL, 5.0] for one species mean
+    # "present, partially unmeasured" — a bare F.max would yield 5.0
+    # and bypass the strict-null guard below
     dedup = cover_species.groupBy("plot_id", "habitat_type", "name_sc").agg(
-        F.max("cover").alias("cover")
+        F.when(
+            F.max(F.col("cover").isNull().cast("int")) == 1,
+            F.lit(None).cast("double"),
+        )
+        .otherwise(F.max("cover"))
+        .alias("cover")
     )
     j = dedup.join(lst, ["habitat_type", "name_sc"], "inner")
     # strict-null: a RECORDED listed species whose cover is NULL
@@ -119,8 +128,19 @@ def species_measurements(
         "plot_id",
         "habitat_type",
         "voorwaarde",
+        # fail FAST on an unrecognized stat code — the bare otherwise
+        # silently evaluated any typo/new vocabulary as sum_cover,
+        # certifying thresholds on the wrong statistic (same posture as
+        # evaluate_conditions' unknown-operator raise)
         F.when(F.col("stat") == "n_species", F.col("n_sp").cast("double"))
-        .otherwise(F.col("sum_cov").cast("double"))
+        .when(F.col("stat") == "sum_cover", F.col("sum_cov").cast("double"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unknown species-list stat: "), F.col("stat")
+                )
+            ).cast("double")
+        )
         .alias("value"),
         F.lit(True).alias("__measured"),
     )

@@ -84,13 +84,22 @@ def r2_pivot_long_to_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     "r3_split_column",
     oracle="""
     SELECT o_orderkey AS orderkey,
-           split_part(o_orderpriority, '-', 1) AS priority_rank,
-           split_part(o_orderpriority, '-', 2) AS priority_label
+           string_split(o_orderpriority, '-')[1] AS priority_rank,
+           CASE WHEN len(string_split(o_orderpriority, '-')) >= 2
+                THEN array_to_string(
+                       string_split(o_orderpriority, '-')[2:], '-')
+                END AS priority_label
     FROM orders
     """,
 )
 def r3_split_column(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3 split column (separate(col, into, sep), query_fieldmap.Rmd:410)."""
+    """R3 split column (separate(col, into, sep), query_fieldmap.Rmd:410).
+
+    The operator keeps the REMAINDER in the last piece (F.split with
+    limit=len(into) — tidyr's extra="merge") and yields NULL for pieces
+    past the split count; the oracle spells out the same semantics
+    (split_part would silently truncate a multi-separator value to its
+    second token and NULL-vs-'' diverge on a separatorless one)."""
     o = load(spark, sf_dir, "orders")
     return split_column(
         o.select(F.col("o_orderkey").alias("orderkey"), "o_orderpriority"),
@@ -173,8 +182,9 @@ def f2_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f3_math_functions",
     oracle="""
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
-           round(sqrt(l_quantity), 6) AS qty_sqrt,
-           round(100 * l_quantity / (pi() * 18 * 18), 6) AS pct_of_circle,
+           round(sqrt(l_quantity) + 1e-9, 6) AS qty_sqrt,
+           round(100 * l_quantity / (pi() * 18 * 18) + 1e-9, 6)
+             AS pct_of_circle,
            round(l_extendedprice * (1 - l_discount) * (1 + l_tax) + 1e-9, 2)
              AS charged
     FROM lineitem
@@ -187,9 +197,15 @@ def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("linenumber"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
-        F.round(100 * F.col("l_quantity") / (F.lit(3.141592653589793) * 18 * 18), 6)
-        .alias("pct_of_circle"),
+        # computed irrationals carry the repo-wide +1e-9 epsilon (the
+        # eps_round convention) — bare round leaves the Spark-HALF_UP vs
+        # DuckDB-half-even knife edge open at the 6th decimal
+        F.round(F.sqrt("l_quantity") + F.lit(1e-9), 6).alias("qty_sqrt"),
+        F.round(
+            100 * F.col("l_quantity") / (F.lit(3.141592653589793) * 18 * 18)
+            + F.lit(1e-9),
+            6,
+        ).alias("pct_of_circle"),
         F.round(
             F.col("l_extendedprice")
             * (1 - F.col("l_discount"))

@@ -301,7 +301,7 @@ def w9_lead_lag_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sort(list(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS s
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ), q AS (
       SELECT user_id, event_id, value, len(s) AS k,
              CAST(floor(0.95 * (len(s) - 1)) AS INTEGER) AS lo, s
@@ -327,8 +327,13 @@ def ts_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     Column algebra — no UDF, one shuffle on the user key like every
     W-family window. The oracle spells out the SAME interpolation
     arithmetic (identical FP ops), so values hash-match; both sides
-    order the frame by the unique (ts, event_id)."""
-    e = load(spark, sf_dir, "events")
+    order the frame by the unique (ts, event_id). NULL values are
+    filtered BEFORE the window on both sides (the ts_ewma /
+    events_ohlc_bars convention): Spark's collect_list drops NULLs from
+    the frame while DuckDB's list() keeps them (sorted first), so an
+    unfiltered NULL would silently desynchronize k, the quantile index,
+    and the interpolation between the engines."""
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         W.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1120,10 +1125,8 @@ def events_frequent_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is a TakeOrderedAndProject, never a global sort. At
     100 TB the path-count table is bounded by |event_type|^3, not by
     rows."""
-    from pyspark.sql.window import Window as PW
-
     e = load(spark, sf_dir, "events")
-    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
     s = e.select(
         "user_id",
         "event_type",

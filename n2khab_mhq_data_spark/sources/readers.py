@@ -73,13 +73,21 @@ def read_csv2(
     )
     if schema is None:
         return raw
+    from n2khab_mhq_data_spark.functions.parsing import parse_locale_number
+
     cols = []
     for f in schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
-            c = F.regexp_replace(c, ",", ".").cast(f.dataType)
+            # full locale parse (digit-group dots, comma decimal) with
+            # R as.numeric semantics: non-numeric -> NULL. A bare
+            # comma->dot replace + cast crashed the whole scan under
+            # Spark 4 ANSI on '1.234,5' or any stray token.
+            c = parse_locale_number(c).cast(f.dataType)
         else:
-            c = c.cast(f.dataType)
+            # try_cast: a malformed cell yields NA (R read_csv2
+            # contract) instead of an ANSI CAST_INVALID_INPUT abort
+            c = c.try_cast(f.dataType)
         cols.append(c.alias(f.name))
     return raw.select(*cols)
 
@@ -98,6 +106,11 @@ def read_vc(
         from n2khab_mhq_data_spark.sources.sink import read_vc_meta
 
         spec = read_vc_meta(path[: -len(".tsv")] + ".yml")
+    # nullValue='NA' makes a literal character value "NA" read back as
+    # NULL — faithful PARITY, not a defect: R's read.table matches
+    # na.strings against the UNQUOTED token too, so git2rdata has the
+    # same ambiguity (and write_vc on both sides emits the string and
+    # the missing marker identically)
     raw = spark.read.csv(
         path, sep="\t", header=True, inferSchema=False, nullValue="NA",
         escape='"',  # doubled-quote escaping, matching write_vc
@@ -107,7 +120,7 @@ def read_vc(
         col = F.col(c.name)
         if c.yml_class == "Date":
             col = F.date_add(
-                F.lit("1970-01-01").cast("date"), col.cast("int")
+                F.lit("1970-01-01").cast("date"), col.try_cast("int")
             )
         elif c.yml_class == "logical":
             col = F.when(F.lower(col) == "true", True).when(
@@ -116,12 +129,15 @@ def read_vc(
         elif c.yml_class == "factor" and c.levels:
             # explicit null guard: this Spark build resolves
             # element_at(arr, NULL) to the LAST element, not NULL
-            idx = col.cast("int")
+            idx = col.try_cast("int")
             col = F.when(
                 idx.isNotNull(),
                 F.element_at(F.array(*[F.lit(x) for x in c.levels]), idx),
             )
         else:
-            col = col.cast(c.spark_type)
+            # try_cast: hand-edited versioned TSVs live in git; one
+            # malformed token must restore as NA (git2rdata read_vc
+            # behavior), not abort the job under ANSI mode
+            col = col.try_cast(c.spark_type)
         cols.append(col.alias(c.name))
     return raw.select(*cols)

@@ -134,6 +134,41 @@ def test_lsvi_species_null_cover_is_unknown_not_zero(spark):
     assert got[1] is None and got[2] == 50.0 and got[3] == 0.0
 
 
+def test_lsvi_species_growth_form_null_and_unknown_stat(spark):
+    """Two guards around species_measurements: (1) the growth-form dedup
+    must PROPAGATE a NULL cover (R's max(c(NA, 5)) is NA), not let one
+    measured growth form mask the unmeasured one past the strict-null
+    guard; (2) an unrecognized stat code fails fast instead of being
+    silently evaluated as sum_cover."""
+    import pytest
+
+    from n2khab_mhq_data_spark.kernels.lsvi import (
+        species_list_dim,
+        species_measurements,
+    )
+
+    lst = species_list_dim(
+        spark,
+        [("3.0", "ht1", "veg", "sleutel", "cover_key_species",
+          "sum_cover", "sp_a")],
+    )
+    # sp_a recorded twice (two growth forms): one measured, one NULL
+    cover = spark.createDataFrame(
+        [(1, "ht1", "sp_a", 5.0), (1, "ht1", "sp_a", None)],
+        "plot_id int, habitat_type string, name_sc string, cover double",
+    )
+    (row,) = species_measurements(cover, lst, versie="3.0").collect()
+    assert row.value is None  # NOT 5.0 — partially unmeasured is unknown
+
+    bad = species_list_dim(
+        spark,
+        [("3.0", "ht1", "veg", "sleutel", "n_key_species",
+          "mean_cover", "sp_a")],  # unknown stat vocabulary
+    )
+    with pytest.raises(Exception, match="unknown species-list stat"):
+        species_measurements(cover, bad, versie="3.0").collect()
+
+
 def test_tariff_polynomials(spark):
     params = tariff_dim(
         spark,

@@ -96,6 +96,26 @@ def test_read_csv2_locale(spark, tmp_path):
     assert {(r.id, r.val, r.name) for r in out} == {(1, 1.5, "x"), (2, 2.25, "y")}
 
 
+def test_read_csv2_malformed_yields_na(spark, tmp_path):
+    """R read_csv2 contract: digit-grouped locale numbers parse, and a
+    malformed token restores NA — never an ANSI cast abort of the scan."""
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id;val;name\n1;1.234,5;x\n2;oops;y\nzz;3,5;z\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("val", T.DoubleType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    out = {r.name: (r.id, r.val) for r in read_csv2(spark, str(p), schema).collect()}
+    assert out["x"] == (1, 1234.5)      # grouping dot + comma decimal
+    assert out["y"] == (2, None)        # malformed numeric -> NA
+    assert out["z"] == (None, 3.5)      # malformed int -> NA
+
+
 def test_write_published_partition_pruning(spark, tmp_path):
     """The partitioned store must let Catalyst prune partitions at plan
     time — asserted on the scan's PartitionFilters, not just the result."""
