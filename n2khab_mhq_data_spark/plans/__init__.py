@@ -70,6 +70,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     # r7 additions — queue after the r6 backlog
     "tpch_q21_suppliers_kept_waiting": 7,
     "tpch_q17_small_quantity_revenue": 7,
+    "tpch_q22_dormant_rich_customers": 7,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —

@@ -2451,6 +2451,76 @@ def tpch_q17_small_quantity_revenue(
 
 
 @query(
+    "tpch_q22_dormant_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                      AS DOUBLE) / 100.0 + 1e-9, 2) AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT')
+    GROUP BY 1
+    """,
+)
+def tpch_q22_dormant_rich_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) adapted to the testdata
+    schema: above-average-balance customers with no URGENT order,
+    counted and totalled per nation (no c_phone column — c_nationkey
+    stands in for the country code; every customer has SOME order in
+    the synthetic data, so the anti-join predicate narrows to urgent
+    orders to keep the result non-degenerate). The two classic Q22
+    shapes survive intact: the GLOBAL-AVERAGE scalar subquery and the
+    NOT-EXISTS anti join. Portability: the average-balance threshold is
+    compared as EXACT INTEGERS (bal > s/n <=> bal100 * n > s100 on
+    cent-scaled balances, positive n), so no cross-engine float-average
+    knife edge; money totals ride integer cents. Scale shape: the
+    1-row positive-balance aggregate broadcast-crosses onto the
+    customer scan (the events_cuped_adjustment 1-row-global-stat
+    pattern), and the anti join is a shuffled join on o_custkey — at
+    100 TB the urgent-order key set is unbounded, so never broadcast;
+    the orders scan carries the priority filter down."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal100"),
+    )
+    pos = cust.filter(F.col("bal100") > 0).agg(
+        F.sum("bal100").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    )
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    rich = cust.join(F.broadcast(pos)).filter(
+        F.col("bal100") * F.col("n") > F.col("s")
+    )
+    dormant = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return dormant.groupBy(
+        F.col("c_nationkey").alias("cntrycode")
+    ).agg(
+        F.count("*").cast("long").alias("numcust"),
+        F.round(
+            F.sum("bal100").cast("double") / 100.0 + F.lit(1e-9), 2
+        ).alias("totacctbal"),
+    )
+
+
+@query(
     "a19_weighted_median",
     oracle="""
     WITH r AS (

@@ -666,3 +666,47 @@ def test_tpch_q17_integer_threshold_boundary(spark):
         rmod.load = rload
     # only the 0.99-qty line of part 1 survives: 7.00 / 7.0 = 1.0
     assert abs(row["avg_yearly"] - 1.0) < 1e-9
+
+
+def test_tpch_q22_average_boundary_and_anti_join(spark):
+    """The exact-integer average threshold is STRICT (a balance exactly
+    at the positive-balance average is excluded), negative balances are
+    excluded from the average but eligible rows, and the anti join
+    removes any customer with an urgent order."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q22_dormant_rich_customers,
+    )
+
+    # positive balances: 10.00, 20.00, 30.00 -> avg 20.00
+    cdf = spark.createDataFrame(
+        [
+            (1, "c1", 0, 10.00, "A"),   # below avg
+            (2, "c2", 0, 20.00, "A"),   # exactly avg -> excluded (strict)
+            (3, "c3", 0, 30.00, "A"),   # above avg, no urgent -> counts
+            (4, "c4", 1, 30.00, "A"),   # above avg but urgent -> anti'd
+            (5, "c5", 1, -5.00, "A"),   # negative: not in avg, below
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    odf = spark.createDataFrame(
+        [
+            (100, 4, "O", 1.0, dt.datetime(1996, 1, 1), "1-URGENT"),
+            (101, 3, "O", 1.0, dt.datetime(1996, 1, 1), "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    tables = {"customer": cdf, "orders": odf}
+    rload = rmod.load
+    rmod.load = lambda s, d, t: tables[t]
+    try:
+        rows = tpch_q22_dormant_rich_customers(spark, "unused").collect()
+    finally:
+        rmod.load = rload
+    assert [(r.cntrycode, r.numcust, r.totacctbal) for r in rows] == [
+        (0, 1, 30.0)
+    ]

@@ -78,6 +78,11 @@ EXPECTED: dict[str, set[str]] = {
     # broadcast-crossed onto the user-grain frame — the text_tfidf_topk
     # 1-row-global-stat pattern; the user table never replicates
     "events_cuped_adjustment": {"CARTESIAN"},
+    # Q22: the positive-balance (sum, count) pair is a 1-ROW aggregate
+    # broadcast-crossed onto the customer scan — the
+    # events_cuped_adjustment 1-row-global-stat pattern; the anti join
+    # on o_custkey is the query's real (shuffled) join
+    "tpch_q22_dormant_rich_customers": {"CARTESIAN"},
     # KMV jaccard: the final combine is a 1-ROW sketch-estimate frame
     # broadcast-crossed with a 1-ROW exact-truth frame — both sides are
     # sketch-sized (<= k = 64 inputs) regardless of corpus scale, the
