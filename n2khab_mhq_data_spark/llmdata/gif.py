@@ -195,7 +195,12 @@ def decode_gif(raw: bytes):
         else:
             raise ValueError("invalid GIF LZW code")
         out += entry
-        if prev is not None:
+        # freeze the table at 4096 entries (spec: 12-bit max code):
+        # encoders may legally DEFER the clear and keep emitting codes
+        # from the full table — appending past 4095 would grow one
+        # phantom entry per code, unbounded memory on large conforming
+        # streams (real decoders stop growing and keep decoding)
+        if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
             if len(table) - 1 == (1 << width) - 1 and width < 12:
                 width += 1

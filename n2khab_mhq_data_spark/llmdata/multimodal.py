@@ -172,10 +172,7 @@ def _gear(b: int) -> int:
     return z ^ (z >> 31)
 
 
-CDC_SCHEMA = (
-    "doc_id long, chunk_idx long, offset long, n_bytes long,"
-    " chunk_md5 string"
-)
+
 
 
 def cdc_chunks(
@@ -204,20 +201,29 @@ def cdc_chunks(
     """
     import pandas as pd
 
+    # id name AND type propagate from the input (the bpe_encode /
+    # mmr_rerank convention) — the old hardcoded "doc_id long" schema
+    # crashed on string ids and silently renamed every other id column
+    idt = binary_df.schema[id_col].dataType.simpleString()
+    schema = (
+        f"{id_col} {idt}, chunk_idx long, offset long, n_bytes long,"
+        " chunk_md5 string"
+    )
+
     def op(batches):
         for pdf in batches:
             ids, idxs, offs, lens, digs = [], [], [], [], []
             for did, raw in zip(pdf[id_col], pdf[payload_col]):
                 chunks = cdc_chunk_one(bytes(raw), mask, min_len, max_len)
                 for i, (off, ln, dig) in enumerate(chunks):
-                    ids.append(int(did))
+                    ids.append(did)
                     idxs.append(i)
                     offs.append(off)
                     lens.append(ln)
                     digs.append(dig)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="object"),
                     "chunk_idx": pd.Series(idxs, dtype="int64"),
                     "offset": pd.Series(offs, dtype="int64"),
                     "n_bytes": pd.Series(lens, dtype="int64"),
@@ -225,7 +231,7 @@ def cdc_chunks(
                 }
             )
 
-    return binary_df.mapInPandas(op, CDC_SCHEMA)
+    return binary_df.mapInPandas(op, schema)
 
 
 _GEAR_TABLE = None

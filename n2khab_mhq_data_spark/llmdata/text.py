@@ -93,6 +93,17 @@ def winnow_fingerprints(
     hash one gram padded with code-0 chars (the oracle's
     ascii(substr-past-end) = 0). Returns distinct (doc, fingerprint)
     rows."""
+    # the single-residue proof above holds only while the un-reduced
+    # fold stays under 2^63; with full-unicode code points (up to
+    # 0x10FFFF — the kernel reads raw UTF-32 code units) the int64 fold
+    # silently wraps (numpy) from k = 10, diverging from the per-step
+    # oracle fold; fail loudly instead of corrupting near-dup detection
+    if k > 9:
+        raise ValueError(
+            f"winnow_fingerprints: k={k} can overflow the int64 single-"
+            "residue fold on non-ASCII text (max supported k is 9); "
+            "apply the residue per step if larger grams are ever needed"
+        )
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
@@ -543,8 +554,13 @@ def bpe_encode(
                 }
             )
 
+    # id type PROPAGATES from the input (the unicode_normalize_corpus /
+    # winnow_fingerprints convention) — a hardcoded long broke string ids
+    idt = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
-        op, f"{id_col} long, n_words long, n_symbols_raw long, n_tokens_bpe long"
+        op,
+        f"{id_col} {idt}, n_words long, n_symbols_raw long,"
+        " n_tokens_bpe long",
     )
 
 
@@ -568,26 +584,35 @@ def banned_lexicon_gate(
     banned = local_dim(spark, BANNED_LEXICON, "btok string").withColumn(
         "hit", F.lit(1)
     )
+    # explode_outer: a NULL/empty text still yields its one gate row
+    # (n_tokens 0) — a plain explode would silently DROP the doc from
+    # the verdict, letting it bypass the gate entirely
     tok = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        F.col(id_col),
+        F.explode_outer(tokens(F.col(text_col))).alias("tok"),
     )
     per_doc = (
         tok.join(F.broadcast(banned), tok["tok"] == banned["btok"], "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").cast("bigint").alias("n_tokens"),
+            F.count("tok").cast("bigint").alias("n_tokens"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0)))
             .cast("bigint")
             .alias("n_banned"),
         )
     )
-    ratio = F.col("n_banned").cast("double") / F.col("n_tokens")
+    # guard the zero-token doc (NULL/empty text): ANSI division by zero
+    # would abort the job; semantically nothing banned -> keep
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.col("n_banned").cast("double") / F.col("n_tokens"),
+    )
     return per_doc.select(
         id_col,
         "n_tokens",
         "n_banned",
         F.round(ratio + F.lit(1e-9), 6).alias("banned_ratio"),
-        (ratio <= max_ratio).alias("keep"),
+        F.coalesce(ratio <= max_ratio, F.lit(True)).alias("keep"),
     )
 
 

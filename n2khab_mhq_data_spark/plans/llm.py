@@ -4365,10 +4365,16 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok LEFT JOIN banned ON tok = btok
       GROUP BY 1
     )
-    SELECT doc_id, n_tokens, n_banned,
-           round(n_banned * 1.0 / n_tokens + 1e-9, 6) AS banned_ratio,
-           n_banned * 1.0 / n_tokens <= 0.05 AS keep
-    FROM per_doc
+    SELECT d.doc_id,
+           coalesce(n_tokens, 0) AS n_tokens,
+           coalesce(n_banned, 0) AS n_banned,
+           CASE WHEN coalesce(n_tokens, 0) > 0
+                THEN round(n_banned * 1.0 / n_tokens + 1e-9, 6)
+           END AS banned_ratio,
+           CASE WHEN coalesce(n_tokens, 0) > 0
+                THEN n_banned * 1.0 / n_tokens <= 0.05
+                ELSE TRUE END AS keep
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
     """,
 )
 def text_banned_lexicon_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

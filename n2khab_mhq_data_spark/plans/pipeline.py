@@ -366,33 +366,65 @@ def pipeline_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("doc_id", "shuffle_pos")
 
 
-def _jsonl_store(spark: SparkSession, sf_dir: str) -> str:
-    """Fingerprinted scratch JSONL export of the documents table —
-    rebuilt only when the source parquet changes."""
+def _table_fingerprint(sf_dir: str, table: str) -> str:
+    """md5 prefix over (path, mtime_ns, size) of a source table's parquet
+    file(s) — the shared cache key of every fingerprinted scratch store
+    (was inlined six times; regenerated source data invalidates)."""
     import hashlib
     import os
 
-    doc = os.path.join(sf_dir, "documents.parquet")
-    files = sorted(
-        os.path.join(doc, f) for f in os.listdir(doc)
-    ) if os.path.isdir(doc) else [doc]
-    fp = hashlib.md5(
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(os.path.join(p, f) for f in os.listdir(p))
+        if os.path.isdir(p)
+        else [p]
+    )
+    return hashlib.md5(
         ";".join(
             f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
             for f in files
         ).encode()
     ).hexdigest()[:16]
-    path = f"/root/repo/.scale/jsonl/documents_{fp}"
-    if not os.path.isdir(path):
+
+
+def _scratch_build(path: str, build) -> str:
+    """Crash-safe completion semantics for fingerprinted scratch stores:
+    ``build(tmp)`` writes into a sibling tmp dir which is RENAMED into
+    place only when the build function returns — the final directory's
+    existence IS the completion marker. Building directly into ``path``
+    let a mid-build crash (between a snapshot store's two publishes, or
+    mid-Spark-write) cache a half-built store forever under an unchanged
+    fingerprint."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        return path
+    tmp = f"{path}.__building__"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover torn build: rebuild from scratch
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    build(tmp)
+    os.rename(tmp, path)
+    return path
+
+
+def _jsonl_store(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprinted scratch JSONL export of the documents table —
+    rebuilt only when the source parquet changes."""
+    fp = _table_fingerprint(sf_dir, "documents")
+
+    def build(tmp: str) -> None:
         from n2khab_mhq_data_spark.sources.jsonl import write_jsonl
 
         write_jsonl(
             load(spark, sf_dir, "documents"),
-            path,
+            tmp,
             order_by=["doc_id"],
             n_shards=8,
         )
-    return path
+
+    return _scratch_build(f"/root/repo/.scale/jsonl/documents_{fp}", build)
 
 
 @query(
@@ -1075,30 +1107,20 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
     snapshot store so the AS-OF query has deterministic history:
     v1 = customers with c_custkey % 3 = 0; v2 = c_custkey % 3 <= 1 —
     both derivable arithmetically by the oracle."""
-    import hashlib
-    import os
-
     from n2khab_mhq_data_spark.sources.snapshots import write_snapshot
 
-    cust = os.path.join(sf_dir, "customer.parquet")
-    files = sorted(
-        os.path.join(cust, f) for f in os.listdir(cust)
-    ) if os.path.isdir(cust) else [cust]
-    fp = hashlib.md5(
-        ";".join(
-            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
-            for f in files
-        ).encode()
-    ).hexdigest()[:16]
-    path = f"/root/repo/.scale/snapshots/customers_{fp}"
-    if os.path.isdir(os.path.join(path, "_manifests")):
-        return path
-    base = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
+    fp = _table_fingerprint(sf_dir, "customer")
+
+    def build(tmp: str) -> None:
+        base = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        write_snapshot(base.filter(F.col("c_custkey") % 3 == 0), tmp)
+        write_snapshot(base.filter(F.col("c_custkey") % 3 <= 1), tmp)
+
+    return _scratch_build(
+        f"/root/repo/.scale/snapshots/customers_{fp}", build
     )
-    write_snapshot(base.filter(F.col("c_custkey") % 3 == 0), path)
-    write_snapshot(base.filter(F.col("c_custkey") % 3 <= 1), path)
-    return path
 
 
 @query(
@@ -1153,49 +1175,39 @@ def _merge_store(spark: SparkSession, sf_dir: str) -> str:
     c_custkey % 3 = 0 (rev 1); v2 = v1 upserted with a delta that
     UPDATES the % 6 = 0 keys (c_nationkey + 100, rev 2) and INSERTS the
     % 3 = 1 keys — all arithmetic, so the oracle replays the merge."""
-    import hashlib
-    import os
-
     from n2khab_mhq_data_spark.sources.snapshots import (
         merge_snapshot,
         write_snapshot,
     )
 
-    cust = os.path.join(sf_dir, "customer.parquet")
-    files = sorted(
-        os.path.join(cust, f) for f in os.listdir(cust)
-    ) if os.path.isdir(cust) else [cust]
-    fp = hashlib.md5(
-        ";".join(
-            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
-            for f in files
-        ).encode()
-    ).hexdigest()[:16]
-    path = f"/root/repo/.scale/snapshots/customers_merge_{fp}"
-    if os.path.isdir(os.path.join(path, "_manifests")):
-        return path
-    base = load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
+    fp = _table_fingerprint(sf_dir, "customer")
+
+    def build(tmp: str) -> None:
+        base = load(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        v1 = base.filter(F.col("c_custkey") % 3 == 0).withColumn(
+            "rev", F.lit(1)
+        )
+        write_snapshot(v1, tmp)
+        updates = base.filter(F.col("c_custkey") % 6 == 0).select(
+            "c_custkey",
+            (F.col("c_nationkey") + 100).alias("c_nationkey"),
+            F.lit(2).alias("rev"),
+        )
+        inserts = base.filter(F.col("c_custkey") % 3 == 1).withColumn(
+            "rev", F.lit(2)
+        )
+        merge_snapshot(
+            tmp,
+            updates.unionByName(inserts),
+            ["c_custkey"],
+            [F.col("rev").desc()],
+        )
+
+    return _scratch_build(
+        f"/root/repo/.scale/snapshots/customers_merge_{fp}", build
     )
-    v1 = base.filter(F.col("c_custkey") % 3 == 0).withColumn(
-        "rev", F.lit(1)
-    )
-    write_snapshot(v1, path)
-    updates = base.filter(F.col("c_custkey") % 6 == 0).select(
-        "c_custkey",
-        (F.col("c_nationkey") + 100).alias("c_nationkey"),
-        F.lit(2).alias("rev"),
-    )
-    inserts = base.filter(F.col("c_custkey") % 3 == 1).withColumn(
-        "rev", F.lit(2)
-    )
-    merge_snapshot(
-        path,
-        updates.unionByName(inserts),
-        ["c_custkey"],
-        [F.col("rev").desc()],
-    )
-    return path
 
 
 @query(
@@ -1266,38 +1278,28 @@ def _optimize_store(spark: SparkSession, sf_dir: str) -> str:
     """One-version store (customers with c_custkey % 4 = 0 over many
     small files) plus its OPTIMIZE/ZORDER-compacted child — built once
     per customer fingerprint so the version log stays deterministic."""
-    import hashlib
-    import os
-
     from n2khab_mhq_data_spark.sources.snapshots import (
         optimize_snapshot,
         write_snapshot,
     )
 
-    cust = os.path.join(sf_dir, "customer.parquet")
-    files = sorted(
-        os.path.join(cust, f) for f in os.listdir(cust)
-    ) if os.path.isdir(cust) else [cust]
-    fp = hashlib.md5(
-        ";".join(
-            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
-            for f in files
-        ).encode()
-    ).hexdigest()[:16]
-    path = f"/root/repo/.scale/snapshots/customers_opt_{fp}"
-    if os.path.isdir(os.path.join(path, "_manifests")):
-        return path
-    base = (
-        load(spark, sf_dir, "customer")
-        .filter(F.col("c_custkey") % 4 == 0)
-        .select("c_custkey", "c_nationkey", "c_acctbal")
-        .repartition(16)  # deliberately fragmented pre-compaction
+    fp = _table_fingerprint(sf_dir, "customer")
+
+    def build(tmp: str) -> None:
+        base = (
+            load(spark, sf_dir, "customer")
+            .filter(F.col("c_custkey") % 4 == 0)
+            .select("c_custkey", "c_nationkey", "c_acctbal")
+            .repartition(16)  # deliberately fragmented pre-compaction
+        )
+        write_snapshot(base, tmp)
+        optimize_snapshot(
+            spark, tmp, n_files=2, zorder_cols=["c_nationkey", "c_custkey"]
+        )
+
+    return _scratch_build(
+        f"/root/repo/.scale/snapshots/customers_opt_{fp}", build
     )
-    write_snapshot(base, path)
-    optimize_snapshot(
-        spark, path, n_files=2, zorder_cols=["c_nationkey", "c_custkey"]
-    )
-    return path
 
 
 @query(
@@ -1345,30 +1347,19 @@ def _orc_store(spark: SparkSession, sf_dir: str) -> str:
     """Fingerprinted scratch ORC export of the documents table —
     rebuilt only when the source parquet changes (same contract as
     ``_jsonl_store``)."""
-    import hashlib
-    import os
+    fp = _table_fingerprint(sf_dir, "documents")
 
-    doc = os.path.join(sf_dir, "documents.parquet")
-    files = sorted(
-        os.path.join(doc, f) for f in os.listdir(doc)
-    ) if os.path.isdir(doc) else [doc]
-    fp = hashlib.md5(
-        ";".join(
-            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
-            for f in files
-        ).encode()
-    ).hexdigest()[:16]
-    path = f"/root/repo/.scale/orc/documents_{fp}"
-    if not os.path.isdir(path):
+    def build(tmp: str) -> None:
         (
             load(spark, sf_dir, "documents")
             .repartition(8, "doc_id")
             .sortWithinPartitions("doc_id")
             .write.mode("overwrite")
             .option("compression", "zstd")
-            .orc(path)
+            .orc(tmp)
         )
-    return path
+
+    return _scratch_build(f"/root/repo/.scale/orc/documents_{fp}", build)
 
 
 @query(
@@ -1473,21 +1464,9 @@ def _hive_partitioned_store(spark: SparkSession, sf_dir: str) -> str:
     """Fingerprinted scratch copy of orders hive-partitioned by order
     month — rebuilt only when the source parquet changes (the
     _jsonl_store lifecycle)."""
-    import hashlib
-    import os
+    fp = _table_fingerprint(sf_dir, "orders")
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    files = sorted(
-        os.path.join(src, f) for f in os.listdir(src)
-    ) if os.path.isdir(src) else [src]
-    fp = hashlib.md5(
-        ";".join(
-            f"{f}:{os.stat(f).st_mtime_ns}:{os.stat(f).st_size}"
-            for f in files
-        ).encode()
-    ).hexdigest()[:16]
-    path = f"/root/repo/.scale/hive/orders_{fp}"
-    if not os.path.isdir(path):
+    def build(tmp: str) -> None:
         o = load(spark, sf_dir, "orders").withColumn(
             "o_month", F.date_format("o_orderdate", "yyyy-MM")
         )
@@ -1495,9 +1474,10 @@ def _hive_partitioned_store(spark: SparkSession, sf_dir: str) -> str:
             o.repartition("o_month")
             .write.partitionBy("o_month")
             .mode("overwrite")
-            .parquet(path)
+            .parquet(tmp)
         )
-    return path
+
+    return _scratch_build(f"/root/repo/.scale/hive/orders_{fp}", build)
 
 
 @query(

@@ -78,9 +78,21 @@ def _content_stats(df: DataFrame) -> tuple[int, int]:
     return n, h
 
 
-def write_snapshot(df: DataFrame, path: str) -> int:
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    extra_manifest: dict | None = None,
+    validate=None,
+) -> int:
     """Publish ``df`` as the next snapshot version; returns the version
-    number. Append-only: never touches existing version directories."""
+    number. Append-only: never touches existing version directories.
+
+    ``extra_manifest`` entries are merged into the manifest BEFORE it is
+    renamed into place (e.g. the streaming ``batch_id`` — stamping after
+    publish would leave a crash window where a replayed batch publishes a
+    duplicate version). ``validate(manifest)`` likewise runs before the
+    rename: if it raises, the unmanifested data dir is removed and
+    nothing ever became reader-visible (the OPTIMIZE drift check)."""
     versions = _versions(path)
     v = (versions[-1] + 1) if versions else 1
     data_dir = os.path.join(path, f"v={v}")
@@ -100,9 +112,18 @@ def write_snapshot(df: DataFrame, path: str) -> int:
         "schema": df.schema.jsonValue(),
         "parent": versions[-1] if versions else None,
     }
+    if extra_manifest:
+        manifest.update(extra_manifest)
     tmp = os.path.join(_manifest_dir(path), f".{v}.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
+    if validate is not None:
+        try:
+            validate(manifest)
+        except BaseException:
+            os.remove(tmp)
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
     # rename LAST: the version becomes visible atomically
     os.replace(tmp, os.path.join(_manifest_dir(path), f"{v}.json"))
     return v
@@ -173,6 +194,7 @@ def merge_snapshot(
     delta: DataFrame,
     keys: list,
     order_by: list,
+    extra_manifest: dict | None = None,
 ) -> int:
     """MERGE-publish: read the latest snapshot, upsert ``delta`` into
     it (latest-wins on ``keys`` per ``order_by`` — the K10
@@ -185,7 +207,11 @@ def merge_snapshot(
 
     spark = delta.sparkSession
     base = read_snapshot(spark, path)
-    return write_snapshot(incremental_merge(base, delta, keys, order_by), path)
+    return write_snapshot(
+        incremental_merge(base, delta, keys, order_by),
+        path,
+        extra_manifest=extra_manifest,
+    )
 
 
 def snapshot_diff(
@@ -302,25 +328,23 @@ def snapshot_stream(
         if int(batch_id) in _seen_batch_ids(path):
             return  # replayed batch: its version is already manifested
         order_by = [F.col(c).desc() for c in order_by_cols]
+        # batch_id rides INSIDE the manifest that write_snapshot renames
+        # into place — stamping it afterwards left a crash window where
+        # the version was already visible but not yet marked, so a
+        # checkpoint replay of the same batch published a duplicate
+        stamp = {"batch_id": int(batch_id)}
         if _versions(path):
-            v = merge_snapshot(path, batch, keys, order_by)
+            merge_snapshot(path, batch, keys, order_by, extra_manifest=stamp)
         else:
             from n2khab_mhq_data_spark.operators.relational import (
                 dedup_keep_latest,
             )
 
-            v = write_snapshot(
-                dedup_keep_latest(batch, keys, order_by), path
+            write_snapshot(
+                dedup_keep_latest(batch, keys, order_by),
+                path,
+                extra_manifest=stamp,
             )
-        # stamp the publishing batch into the (just-written) manifest
-        mf = os.path.join(_manifest_dir(path), f"{v}.json")
-        with open(mf) as fh:
-            m = json.load(fh)
-        m["batch_id"] = int(batch_id)
-        tmp = mf + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(m, fh)
-        os.replace(tmp, mf)
 
     return (
         source.writeStream.foreachBatch(publish)
@@ -364,20 +388,22 @@ def optimize_snapshot(
         df = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
     else:
         df = df.coalesce(n_files)
-    v = write_snapshot(df, path)
     mdir = _manifest_dir(path)
     with open(os.path.join(mdir, f"{parent}.json")) as fh:
         pm = _json.load(fh)
-    with open(os.path.join(mdir, f"{v}.json")) as fh:
-        nm = _json.load(fh)
-    if nm["content_hash"] != pm["content_hash"] or nm["n_rows"] != pm["n_rows"]:
-        # roll the bad version back before anyone can read it — manifest
-        # first (visibility), then the data dir so no orphan is left to
-        # collide with the next write_snapshot
-        os.remove(os.path.join(mdir, f"{v}.json"))
-        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
-        raise ValueError(
-            "optimize_snapshot produced content drift vs parent"
-            f" (v{parent} -> v{v}); version rolled back"
-        )
-    return v
+
+    def check_no_drift(nm: dict) -> None:
+        if (
+            nm["content_hash"] != pm["content_hash"]
+            or nm["n_rows"] != pm["n_rows"]
+        ):
+            raise ValueError(
+                "optimize_snapshot produced content drift vs parent"
+                f" (v{parent} -> v{nm['version']}); nothing published"
+            )
+
+    # validate BEFORE the manifest rename: a drifted rewrite must never
+    # become reader-visible, even transiently (the old publish-then-
+    # rollback left both a concurrent-reader window and a crash window
+    # where the drifted version stayed permanently manifested)
+    return write_snapshot(df, path, validate=check_no_drift)
