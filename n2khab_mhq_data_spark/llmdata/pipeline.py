@@ -18,6 +18,15 @@ from n2khab_mhq_data_spark.llmdata.text import tokens
 HASH_PRIME = 1_000_003
 
 
+def _id_hash(id_col: Column) -> Column:
+    """Portable integer id hash in [0, HASH_PRIME) — the ONE home of the
+    ``(id * 131071 + 524287) mod p`` recipe every sampler and splitter
+    shares (was inlined four times; changing the constants in one site
+    and not the others would silently break the cross-engine
+    stability contract). ``pmod`` keeps negative ids in range."""
+    return F.pmod(id_col * 131071 + 524287, F.lit(HASH_PRIME))
+
+
 def split_hash(id_col: Column) -> Column:
     """Deterministic 0..99 percentile bucket from an integer id — plain
     integer arithmetic reproducible in any engine (same recipe as the
@@ -27,8 +36,18 @@ def split_hash(id_col: Column) -> Column:
     ``pmod`` (not ``%``, which keeps the dividend's sign) so NEGATIVE ids
     still land in 0..99 — with ``%`` every negative id hashed to a
     negative pct and fell into 'train', silently skewing the 80/10/10
-    contract. Same convention as operators/skew.with_salt."""
-    return F.pmod(F.pmod(id_col * 131071 + 524287, HASH_PRIME), 100)
+    contract. Same convention as operators/skew.with_salt.
+
+    A NULL id fails FAST: the when-ladder consumers build on this
+    (``pct < 80``) is never true for NULL, so a null id silently fell
+    through to the 'test' bucket — every corrupt/outer-joined row
+    concentrated in the evaluation split."""
+    return F.when(
+        id_col.isNull(),
+        F.raise_error(
+            F.lit("split_hash: NULL id — splits need a non-null key")
+        ).cast("bigint"),
+    ).otherwise(F.pmod(_id_hash(id_col), 100))
 
 
 def hash_split(
@@ -387,7 +406,7 @@ def hash_sample(df: DataFrame, id_col: str, k: int = 100) -> DataFrame:
     the full table is never shuffled (a global row_number window would
     move every row to one partition). ``pmod`` keeps negative ids in
     [0, p) — the module-wide convention set by ``split_hash``."""
-    h = F.pmod(F.col(id_col) * 131071 + 524287, F.lit(HASH_PRIME))
+    h = _id_hash(F.col(id_col))
     return (
         df.select(F.col(id_col), h.alias("h"))
         .orderBy(F.col("h").asc(), F.col(id_col))
@@ -464,7 +483,7 @@ def stratified_hash_sample(
     (same contract as ``hash_sample``, per group). The window partitions
     by stratum, so it parallelizes across strata and never globally
     sorts."""
-    h = F.pmod(F.col(id_col) * 131071 + 524287, F.lit(HASH_PRIME))
+    h = _id_hash(F.col(id_col))
     w = W.partitionBy("stratum").orderBy(F.col("h").asc(), F.col(id_col))
     return (
         df.select(
@@ -491,9 +510,21 @@ def weighted_hash_sample(
     engines derive from identical integers via pow — the repo's float
     recipe (eps-rounded output, integer tie-break) applies."""
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    u = (F.pmod(F.col(id_col) * 131071 + 524287, F.lit(HASH_PRIME)) + 1.0) / (
-        HASH_PRIME + 1.0
-    )
+    # Efraimidis-Spirakis requires w > 0: a NEGATIVE weight makes
+    # u^(1/w) > 1, beating every legitimate key (in (0,1]) — the
+    # worst-weighted rows would fill the whole sample; w = 0 NULLs the
+    # key and silently drops the row. Fail fast; callers with
+    # log-weights (dsir_logweights) exp() them first.
+    w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.lit(
+                "weighted_hash_sample: weights must be > 0"
+                " (exp() log-weights before sampling)"
+            )
+        ).cast("double"),
+    ).otherwise(w)
+    u = (_id_hash(F.col(id_col)) + 1.0) / (HASH_PRIME + 1.0)
     key = F.pow(u, 1.0 / w)
     return (
         df.select(F.col(id_col), key.alias("key"))

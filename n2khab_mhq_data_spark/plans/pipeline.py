@@ -1042,8 +1042,10 @@ def pipeline_stratified_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-runs pick identical rows."""
     from pyspark.sql.window import Window as W
 
+    from n2khab_mhq_data_spark.llmdata.pipeline import _id_hash
+
     docs = load(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * 131071 + 524287, F.lit(1000003))
+    h = _id_hash(F.col("doc_id"))
     w = W.partitionBy("source").orderBy(h, "doc_id")
     return (
         docs.select("doc_id", "source", F.row_number().over(w).alias("rn"))

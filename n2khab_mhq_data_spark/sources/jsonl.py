@@ -50,19 +50,29 @@ def read_jsonl(
     line-splittable and ``from_json`` is JVM-side codegen, so nothing
     is lost at scale; Catalyst still prunes parsed struct fields."""
     full = f"{schema}, {CORRUPT_COL} string"
-    return (
-        spark.read.text(path)
-        .select(
-            F.from_json(
-                "value",
-                full,
-                {
-                    "mode": "PERMISSIVE",
-                    "columnNameOfCorruptRecord": CORRUPT_COL,
-                },
-            ).alias("r")
-        )
-        .select("r.*")
+    data_cols = spark.createDataFrame([], schema).columns
+    parsed = spark.read.text(path).select(
+        "value",
+        F.from_json(
+            "value",
+            full,
+            {
+                "mode": "PERMISSIVE",
+                "columnNameOfCorruptRecord": CORRUPT_COL,
+            },
+        ).alias("r"),
+    )
+    # from_json yields a NULL struct — NOT a populated corrupt column —
+    # for blank/whitespace-only lines and the bare JSON literal `null`;
+    # without this override such phantom lines land in the GOOD leg as
+    # all-null rows (confirmed empirically), silently inflating the
+    # corpus instead of hitting the quarantine sink
+    return parsed.select(
+        *[F.col(f"r.{c}").alias(c) for c in data_cols],
+        F.coalesce(
+            F.col(f"r.{CORRUPT_COL}"),
+            F.when(F.col("r").isNull(), F.coalesce("value", F.lit(""))),
+        ).alias(CORRUPT_COL),
     )
 
 

@@ -174,7 +174,7 @@ def wkt_circle_intersection_areas(
     from pyspark.sql import functions as F  # noqa: F401
 
     from n2khab_mhq_data_spark.spatial.geometry import circle_polygon_area
-    from n2khab_mhq_data_spark.spatial.wkt import shell_vertex_arrays
+    from n2khab_mhq_data_spark.spatial.wkt import ring_vertex_arrays
 
     total = math.pi * radius * radius
     ida, idb = id_cols
@@ -191,14 +191,22 @@ def wkt_circle_intersection_areas(
                     }
                 )
                 continue
-            X, Y, _ = shell_vertex_arrays(pdf[wkt_col].tolist())
-            area = circle_polygon_area(
+            # flatten EVERY ring (+1 shells, -1 holes) so geometries
+            # with holes and MULTIPOLYGON parts get exact areas — the
+            # shell-only batching silently overstated seg_area on holes
+            # and dropped all parts after the first
+            X, Y, row_idx, sign = ring_vertex_arrays(
+                pdf[wkt_col].tolist()
+            )
+            ring_area = circle_polygon_area(
                 X,
                 Y,
-                pdf[cx_col].to_numpy(dtype=float),
-                pdf[cy_col].to_numpy(dtype=float),
+                pdf[cx_col].to_numpy(dtype=float)[row_idx],
+                pdf[cy_col].to_numpy(dtype=float)[row_idx],
                 radius,
             )
+            area = np.zeros(len(pdf), dtype=float)
+            np.add.at(area, row_idx, sign * ring_area)
             yield pd.DataFrame(
                 {
                     ida: pdf[ida].to_numpy(),

@@ -117,3 +117,39 @@ def shell_vertex_arrays(
         X[i, len(r) :] = r[-1, 0]
         Y[i, len(r) :] = r[-1, 1]
     return X, Y, n
+
+
+def ring_vertex_arrays(
+    wkts: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Batch EVERY ring of N POLYGON/MULTIPOLYGON WKTs into padded
+    (R, M) coordinate matrices plus, per ring, the source row index and
+    a +1/-1 sign (+1 shells, -1 holes) — the flattening that lets one
+    vectorized circle∩ring kernel pass compute exact areas for
+    geometries with holes and multiple parts: for valid geometry
+    (holes inside shells, disjoint parts)
+    area(circle ∩ polygon) = Σ shells - Σ holes.
+    Returns (X, Y, row_idx, sign)."""
+    flat: list[Ring] = []
+    row_idx: list[int] = []
+    sign: list[float] = []
+    for i, w in enumerate(wkts):
+        for rings in parse_wkt_polygon(w):
+            for j, r in enumerate(rings):
+                flat.append(r)
+                row_idx.append(i)
+                sign.append(1.0 if j == 0 else -1.0)
+    m = max((len(r) for r in flat), default=0)
+    X = np.zeros((len(flat), m), dtype=float)
+    Y = np.zeros((len(flat), m), dtype=float)
+    for i, r in enumerate(flat):
+        X[i, : len(r)] = r[:, 0]
+        Y[i, : len(r)] = r[:, 1]
+        X[i, len(r) :] = r[-1, 0]
+        Y[i, len(r) :] = r[-1, 1]
+    return (
+        X,
+        Y,
+        np.array(row_idx, dtype=np.int64),
+        np.array(sign, dtype=float),
+    )

@@ -57,8 +57,33 @@ def zorder_layout_stats(
     box. A tight per-bucket bbox is the measurable payoff: range
     predicates prune on it (this is exactly the min/max file statistic
     a parquet writer records after a z-order sort)."""
+    # the bit-interleave reads only the low `bits` bits of each cell
+    # coordinate: anything outside [0, 2^bits) — negatives included —
+    # would silently ALIAS onto a far-away cell and merge unrelated
+    # regions into one bucket (the bbox stat then spans the whole
+    # domain, defeating the pruning this layout exists for). Fail
+    # loudly; callers rescale/offset their CRS into the grid first.
+    lim = 1 << bits
+    guard = F.when(
+        (F.floor(F.col(x_col)) < 0)
+        | (F.floor(F.col(x_col)) >= lim)
+        | (F.floor(F.col(y_col)) < 0)
+        | (F.floor(F.col(y_col)) >= lim),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"zorder_layout_stats: coordinate outside [0, {lim})"
+                    " grid (rescale/offset before layout): ("
+                ),
+                F.col(x_col).cast("string"),
+                F.lit(", "),
+                F.col(y_col).cast("string"),
+                F.lit(")"),
+            )
+        ).cast("long"),
+    )
     cells = points.select(
-        F.floor(F.col(x_col)).cast("long").alias("cx"),
+        F.coalesce(guard, F.floor(F.col(x_col)).cast("long")).alias("cx"),
         F.floor(F.col(y_col)).cast("long").alias("cy"),
         F.col(x_col).alias("x"),
         F.col(y_col).alias("y"),

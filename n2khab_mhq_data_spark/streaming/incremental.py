@@ -38,7 +38,14 @@ def read_state(s: SparkSession, state_path: str) -> DataFrame | None:
     state = hpath(state_path)
     bak = hpath(state_path + ".bak")
     if not fs.exists(state) and fs.exists(bak):
-        fs.rename(bak, state)
+        # Hadoop rename reports failure by RETURNING FALSE, not raising
+        # — an unchecked failed restore would fall through to None
+        # ("first batch") and the next publish would delete the .bak
+        # holding the only real state
+        if not fs.rename(bak, state):
+            raise IOError(
+                f"read_state: restoring {bak} -> {state} failed"
+            )
     if fs.exists(state):
         return s.read.parquet(state_path)
     return None
@@ -59,12 +66,19 @@ def publish_state(s: SparkSession, state_path: str, df: DataFrame) -> None:
     if fs.exists(tmp):
         fs.delete(tmp, True)
     df.write.mode("overwrite").parquet(tmp.toString())
+    # Hadoop FileSystem.rename signals failure by returning False (not
+    # raising): check each swap step, roll back on a failed promote, and
+    # only drop the backup once the new state verifiably exists —
+    # unchecked, a failed promote fell through to the bak delete and
+    # destroyed the only surviving copy of the published state
     if fs.exists(bak):
         fs.delete(bak, True)
-    if fs.exists(state):
-        fs.rename(state, bak)
-    fs.rename(tmp, state)
-    if fs.exists(bak):
+    if fs.exists(state) and not fs.rename(state, bak):
+        raise IOError(f"publish_state: rename {state} -> {bak} failed")
+    if not fs.rename(tmp, state):
+        fs.rename(bak, state)  # restore so the table stays readable
+        raise IOError(f"publish_state: rename {tmp} -> {state} failed")
+    if fs.exists(state) and fs.exists(bak):
         fs.delete(bak, True)
 
 

@@ -213,3 +213,28 @@ def test_retrieval_metrics_zero_hit_query(spark):
     assert (r[0].query_id, r[0].n_hits, r[0].mrr, r[0].ndcg, r[0].recall) == (
         "q2", 0, 0.0, 0.0, 0.0,
     )
+
+
+def test_weighted_sample_rejects_nonpositive_weights(spark):
+    """Efraimidis-Spirakis requires w > 0: a negative weight makes
+    u^(1/w) > 1 and the worst rows would fill the sample; zero NULLs the
+    key and drops the row — both must raise."""
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import weighted_hash_sample
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, -1.0)], "doc_id long, w double"
+    )
+    with pytest.raises(Exception, match="must be > 0"):
+        weighted_hash_sample(df, "doc_id", "w", k=2).collect()
+
+
+def test_hash_split_rejects_null_id(spark):
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import hash_split
+
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    with pytest.raises(Exception, match="NULL id"):
+        hash_split(df, "doc_id").collect()

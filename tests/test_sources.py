@@ -801,3 +801,15 @@ def test_snapshot_changes_before_after_images(spark, tmp_path):
         3: ("delete", "c", 30, None, None),
         9: ("insert", None, None, "z", 90),
     }
+
+
+def test_jsonl_blank_lines_quarantined(spark, tmp_path):
+    """Blank/whitespace-only lines and the bare JSON literal `null` must
+    land in the corrupt leg, not as phantom all-null GOOD rows."""
+    from n2khab_mhq_data_spark.sources.jsonl import read_jsonl, split_corrupt
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"a":1}\n\n{"a":2}\nnull\n   \n{bad\n')
+    good, bad = split_corrupt(read_jsonl(spark, str(p), "a long"))
+    assert sorted(r.a for r in good.collect()) == [1, 2]
+    assert bad.count() == 4

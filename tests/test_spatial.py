@@ -748,3 +748,54 @@ def test_geohash_matches_reference_encoder(spark, sf_dir):
         lon = ((k * 7919 % 1000) / 10.0 + 0.05) * 3.6 - 180.0
         lat = ((k * 104729 % 1000) / 10.0 + 0.05) * 1.8 - 90.0
         assert r["geohash"] == reference(lon, lat), (k, r["geohash"])
+
+
+def test_wkt_circle_areas_holes_and_multipolygon(spark):
+    """The ring-flattened kernel subtracts holes and sums MULTIPOLYGON
+    parts — the shell-only batching overstated seg_area on holes and
+    dropped every part after the first."""
+    from n2khab_mhq_data_spark.spatial.join import (
+        wkt_circle_intersection_areas,
+    )
+
+    rows = [
+        # 2x2 square with a 1x1 hole, fully inside the circle: 4-1=3
+        (1, 1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0),"
+               " (0.5 0.5, 1.5 0.5, 1.5 1.5, 0.5 1.5, 0.5 0.5))",
+         1.0, 1.0),
+        # two unit squares, both inside: 2
+        (1, 2, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)),"
+               " ((3 3, 4 3, 4 4, 3 4, 3 3)))", 2.0, 2.0),
+        (1, 3, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))", 0.5, 0.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "plot_id long, segment_id long, wkt string,"
+        " cx double, cy double"
+    )
+    out = {
+        r.segment_id: r.seg_area
+        for r in wkt_circle_intersection_areas(df).collect()
+    }
+    assert abs(out[1] - 3.0) < 1e-9
+    assert abs(out[2] - 2.0) < 1e-9
+    assert abs(out[3] - 1.0) < 1e-9
+
+
+def test_zorder_layout_rejects_out_of_grid(spark):
+    """Coordinates outside [0, 2^bits) must fail loudly — the
+    bit-interleave would silently alias them onto far-away cells and
+    merge unrelated regions into one bucket."""
+    import pytest
+
+    from n2khab_mhq_data_spark.spatial.zorder import zorder_layout_stats
+
+    df = spark.createDataFrame(
+        [(-1.5, 10.0), (5.0, 5.0)], "x double, y double"
+    )
+    with pytest.raises(Exception, match="outside"):
+        zorder_layout_stats(df).collect()
+    df2 = spark.createDataFrame(
+        [(140.0, 10.0)], "x double, y double"  # 140 & 127 would alias to 12
+    )
+    with pytest.raises(Exception, match="outside"):
+        zorder_layout_stats(df2).collect()
