@@ -186,18 +186,6 @@ def prefix_filter_pairs(
     )
 
 
-def minhash_signatures(
-    sh: DataFrame, num_hashes: int = 64
-) -> DataFrame:
-    """MinHash signature per doc: one groupBy with ``num_hashes`` min-agg
-    expressions over seeded xxhash64 — NO row explosion (the naive
-    explode-by-seed plan multiplies the shingle table by num_hashes)."""
-    aggs = [
-        F.expr(f"min(xxhash64(gram, {j})) AS h{j}") for j in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
-
-
 def minhash_lsh_candidates(
     sig: DataFrame, num_hashes: int = 64, bands: int = 32
 ) -> DataFrame:
@@ -548,6 +536,17 @@ def connected_components(
         labels, fp = new, new_fp
         if converged:
             break
+    else:
+        # exhausting max_iter means labels are STILL PROPAGATING —
+        # returning them would silently under-merge components
+        # (splitting a near-dup chain across train/test is the exact
+        # leakage the consumers guard against). Fail loudly; min-label
+        # needs O(component diameter) rounds — raise max_iter or use
+        # connected_components_twophase (O(log^2 n)) for deep chains.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter}"
+            " rounds (component diameter exceeds max_iter)"
+        )
     return labels.select(
         F.col("node").alias("doc"), F.col("comp").alias("component_id")
     )
@@ -653,6 +652,13 @@ def connected_components_twophase(
         if nfp == fp and _confirm_unchanged(prev, e, ["a", "b"]):
             break
         fp = nfp
+    else:
+        # same posture as connected_components: unconverged star edges
+        # mean labels are still moving — never return them silently
+        raise RuntimeError(
+            f"connected_components_twophase did not converge in"
+            f" {max_iter} rounds"
+        )
     # converged: stars rooted at component minima; roots label themselves
     return (
         nodes.join(e, nodes["node"] == e["b"], "left")

@@ -90,7 +90,7 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_stats(edges: DataFrame) -> DataFrame:
+def triangle_stats(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     """Single-row global graph statistics: nodes, edges, wedges (open
     2-paths), triangles, and the global clustering coefficient
     ``3*triangles / wedges``.
@@ -106,9 +106,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     joins, the path join, the closing join); without materialization
     Spark re-executes the upstream pair pipeline per consumer, so the
     (pruned, small) edge list is localCheckpoint'ed once — the same
-    pattern as the connected-components loop in llmdata/dedup.py.
+    pattern as the connected-components loop in llmdata/dedup.py —
+    UNLESS the caller passes ``checkpoint=False`` because it already
+    hands in a materialized frame (the memoized co-purchase edges) — a
+    second materialization would just duplicate the edge blocks in
+    executor storage.
     """
-    edges = edges.localCheckpoint()
+    if checkpoint:
+        edges = edges.localCheckpoint()
     deg = degrees(edges).localCheckpoint()
     da = deg.select(
         F.col("node").alias("a"), F.col("degree").alias("deg_a")
@@ -152,10 +157,14 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         "n_edges",
         "n_wedges",
         "n_triangles",
+        # +1e-9 knife-edge shield (repo-wide convention): 3T/W can land
+        # on an exactly-representable 7-decimal midpoint where Spark
+        # HALF_UP and DuckDB half-even disagree (e.g. 3/384 = 0.0078125)
         F.round(
             F.lit(3.0)
             * F.col("n_triangles")
-            / F.when(F.col("n_wedges") > 0, F.col("n_wedges")),
+            / F.when(F.col("n_wedges") > 0, F.col("n_wedges"))
+            + F.lit(1e-9),
             6,
         ).alias("global_cc"),
     )
@@ -245,9 +254,12 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
     n = deg.count()  # bounded driver scalar (one long), like k-means K*dim
     if n == 0:
         # empty edge list (everything support-pruned, or a pair graph
-        # with no pairs): zero rows, same schema as the SQL oracle shape
+        # with no pairs): zero rows — node keeps the EDGE KEY TYPE so
+        # empty and non-empty outputs union/join cleanly (a hardcoded
+        # long diverged for string-keyed graphs)
+        node_t = edges.schema[edges.columns[0]].dataType.simpleString()
         return edges.sparkSession.createDataFrame(
-            [], "node long, pagerank double"
+            [], f"node {node_t}, pagerank double"
         )
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(1.0 / n).alias("r")

@@ -62,28 +62,18 @@ _COPURCHASE_EDGES: dict[tuple, DataFrame] = {}
 
 
 def _li_fingerprint(sf_dir: str) -> tuple:
-    import glob
-    import os
+    from n2khab_mhq_data_spark.plans import parquet_fingerprint
 
-    path = os.path.join(sf_dir, "lineitem.parquet")
-    files = sorted(glob.glob(os.path.join(path, "*"))) or [path]
-    return tuple(
-        (f, int(os.stat(f).st_mtime_ns), os.stat(f).st_size)
-        for f in files
-        if os.path.exists(f)
-    )
+    return parquet_fingerprint(sf_dir, "lineitem")
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The memoized (a, b, support) co-purchase edge list; consumers
     that need plain edges select ("a", "b") — identical to the unkept
     path."""
-    for k in [
-        k
-        for k, v in _COPURCHASE_EDGES.items()
-        if v.sparkSession is not spark
-    ]:
-        del _COPURCHASE_EDGES[k]
+    from n2khab_mhq_data_spark.plans import evict_dead_sessions
+
+    evict_dead_sessions(_COPURCHASE_EDGES, spark)
     key = (sf_dir, _li_fingerprint(sf_dir))
     df = _COPURCHASE_EDGES.get(key)
     if df is None:
@@ -133,7 +123,8 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
     )
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           round(3.0 * n_triangles / nullif(n_wedges, 0), 6) AS global_cc
+           round(3.0 * n_triangles / nullif(n_wedges, 0) + 1e-9, 6)
+             AS global_cc
     FROM n, m, t
     """,
 )
@@ -143,7 +134,8 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale); the oracle runs the naive canonical a<b<c enumeration —
     the counts are provably identical."""
     edges = _copurchase_edges(spark, sf_dir).select("a", "b")
-    return triangle_stats(edges)
+    # the memo already holds a localCheckpoint'ed edge list
+    return triangle_stats(edges, checkpoint=False)
 
 
 @query(
@@ -156,7 +148,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
       SELECT id, key, sfx // 256 AS blk FROM c
       UNION ALL
-      SELECT id, key, (sfx + 128) // 256 + 1000000 AS blk FROM c
+      SELECT id, key, -((sfx + 128) // 256 + 1) AS blk FROM c
     ), n AS (
       SELECT id, key,
              lead(id, 1) OVER w AS nid1, lead(key, 1) OVER w AS nk1,
@@ -181,12 +173,19 @@ def link_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy customer linkage: multi-pass blocked sorted-neighborhood
     (blocks of 256 on the name's numeric suffix, second pass shifted by
     half a block) + levenshtein <= 2 scoring. Linear pair count, every
-    window partitioned by block — no global-sort bottleneck."""
+    window partitioned by block — no global-sort bottleneck. The
+    oracle's union disambiguates pass-2 block ids by NEGATION, disjoint
+    from the non-negative pass-1 ids at any scale (its old fixed
+    +1000000 offset collided once sfx // 256 reached 1e6, merging
+    unrelated windows into degenerate self-pairs)."""
     c = load(spark, sf_dir, "customer")
     sfx = F.substring("c_name", 10, 9).cast("bigint")
+    # the operator windows each pass separately, so these ids need not
+    # be globally unique — the negation just mirrors the oracle's
+    # collision-proof union spelling
     blocks = [
         F.floor(sfx / 256),
-        F.floor((sfx + 128) / 256) + 1000000,
+        -(F.floor((sfx + 128) / 256) + 1),
     ]
     out = sorted_neighborhood_pairs(
         c, "c_custkey", "c_name", blocks, window=3, max_dist=2

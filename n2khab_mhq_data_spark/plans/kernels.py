@@ -472,28 +472,17 @@ _LSVI_LEVELS: dict[tuple, dict[str, DataFrame]] = {}
 
 
 def _lsvi_fingerprint(sf_dir: str) -> tuple:
-    import glob
-    import os
+    from n2khab_mhq_data_spark.plans import parquet_fingerprint
 
-    out = []
-    for table in ("orders", "lineitem"):
-        path = os.path.join(sf_dir, f"{table}.parquet")
-        files = sorted(glob.glob(os.path.join(path, "*"))) or [path]
-        out.extend(
-            (f, int(os.stat(f).st_mtime_ns), os.stat(f).st_size)
-            for f in files
-            if os.path.exists(f)
-        )
-    return tuple(out)
+    return parquet_fingerprint(sf_dir, "orders") + parquet_fingerprint(
+        sf_dir, "lineitem"
+    )
 
 
 def _lsvi_levels(spark: SparkSession, sf_dir: str):
-    for k in [
-        k
-        for k, v in _LSVI_LEVELS.items()
-        if next(iter(v.values())).sparkSession is not spark
-    ]:
-        del _LSVI_LEVELS[k]
+    from n2khab_mhq_data_spark.plans import evict_dead_sessions
+
+    evict_dead_sessions(_LSVI_LEVELS, spark)
     key = (sf_dir, _lsvi_fingerprint(sf_dir))
     got = _LSVI_LEVELS.get(key)
     if got is None:

@@ -209,29 +209,9 @@ def _cosine_topk_sql(corpus_where: str = "", k: int = 10) -> str:
     """
 
 
-_COSINE_SQL = """
-    WITH q AS (
-      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
-    ), c AS (
-      SELECT vec_id AS nid, embedding AS cv FROM embeddings
-    ), scored AS (
-      SELECT qid AS query_id, nid AS neighbour_id,
-        list_sum(list_transform(range(1, 65),
-          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(range(1, 65),
-             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, 65),
-             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
-      FROM q, c WHERE nid != qid
-    )
-    SELECT query_id, neighbour_id, rank,
-           round(cos + sign(cos) * 1e-9, 6) AS cosine
-    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-                                            ORDER BY cos DESC, neighbour_id)
-                         AS INTEGER) AS rank
-          FROM scored)
-    WHERE rank <= 10
-    """
+# the default-argument instance of the generated oracle (was a verbatim
+# 23-line copy that had to be edited in lockstep with the generator)
+_COSINE_SQL = _cosine_topk_sql()
 
 
 @query("sim_cosine_topk", oracle=_COSINE_SQL)
@@ -240,7 +220,8 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN baseline. Queries broadcast; corpus never shuffles; windowed top-k."""
     emb = load(spark, sf_dir, "embeddings")
     return cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=10, dim=64,
     )
 
 
@@ -457,7 +438,8 @@ def eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(1)).alias("rel"),
     )
     run = cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding", k=10
+        emb, emb.filter(F.col("vec_id") < 3), "vec_id", "embedding",
+        k=10, dim=64,
     ).select("query_id", F.col("neighbour_id").alias("doc"), "rank")
     return retrieval_metrics(run, qrels, k=10)
 
@@ -1651,20 +1633,23 @@ def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_canonicalize",
-    oracle=_JACCARD_SQL.replace(
-        "SELECT d1, d2,",
-        "SELECT d1, d2, NULL AS _ignore,",
-    )
-    .replace(
-        """    SELECT d1, d2, NULL AS _ignore,
+# canonical-assignment oracle, derived from _JACCARD_SQL by string
+# surgery — defined ONCE (dedup_canonicalize's oracle AND embedded in
+# pipeline_multimodal_curation's), with needles asserted to have matched:
+# str.replace silently no-ops on a stale needle, which would leave the
+# oracle emitting jaccard pairs instead of canonical ids
+_CANON_NEEDLE = """    SELECT d1, d2, NULL AS _ignore,
            round(inter * 1.0 / (s1.n + s2.n - inter) + 1e-9, 6) AS jaccard
     FROM pairs
     JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
     WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
-    """,
-        """, near AS (
+    """
+_CANON_SQL = _JACCARD_SQL.replace(
+    "SELECT d1, d2,",
+    "SELECT d1, d2, NULL AS _ignore,",
+).replace(
+    _CANON_NEEDLE,
+    """, near AS (
       SELECT d1, d2 FROM pairs
       JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
       WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
@@ -1676,8 +1661,13 @@ def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc, min(nb) AS canonical_id FROM edges GROUP BY doc
     """,
-    ),
 )
+assert _CANON_SQL != _JACCARD_SQL and _CANON_NEEDLE not in _CANON_SQL, (
+    "_CANON_SQL surgery no longer matches _JACCARD_SQL"
+)
+
+
+@query("dedup_canonicalize", oracle=_CANON_SQL)
 def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-document assignment over the near-dup pair graph:
     canonical = min doc id among {self} + neighbours (one star-contraction
@@ -1747,7 +1737,9 @@ def ann_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes both in SQL."""
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3)
-    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=10).select(
+    exact = cosine_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, dim=64
+    ).select(
         "query_id", "neighbour_id"
     )
     lsh = ann_topk_bucketed(
@@ -1791,7 +1783,9 @@ def ann_ivf_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine's own operators; the oracle recomputes both in SQL."""
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3)
-    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=10).select(
+    exact = cosine_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, dim=64
+    ).select(
         "query_id", "neighbour_id"
     )
     ivf = ivf_topk(
@@ -2395,27 +2389,15 @@ _NEAR_PAIRS: dict[tuple, DataFrame] = {}
 
 
 def _docs_fingerprint(sf_dir: str) -> tuple:
-    import glob
-    import os
+    from n2khab_mhq_data_spark.plans import parquet_fingerprint
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    files = sorted(glob.glob(os.path.join(path, "*"))) or [path]
-    return tuple(
-        (f, int(os.stat(f).st_mtime_ns), os.stat(f).st_size)
-        for f in files
-        if os.path.exists(f)
-    )
+    return parquet_fingerprint(sf_dir, "documents")
 
 
 def _near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # a cached checkpoint dies with its SparkContext — evict EVERY entry
-    # from another session, not just the one about to be rebuilt, so
-    # checkpoints of dead sessions don't accumulate across the dict
-    # (tests spin up multiple sessions per process; ADVICE r4)
-    for k in [
-        k for k, v in _NEAR_PAIRS.items() if v.sparkSession is not spark
-    ]:
-        del _NEAR_PAIRS[k]
+    from n2khab_mhq_data_spark.plans import evict_dead_sessions
+
+    evict_dead_sessions(_NEAR_PAIRS, spark)
     key = (sf_dir, _docs_fingerprint(sf_dir))
     df = _NEAR_PAIRS.get(key)
     if df is None:
@@ -2444,10 +2426,9 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     must run its own propagation every time."""
     from n2khab_mhq_data_spark.llmdata.dedup import connected_components
 
-    for k in [
-        k for k, v in _COMPONENTS.items() if v.sparkSession is not spark
-    ]:
-        del _COMPONENTS[k]
+    from n2khab_mhq_data_spark.plans import evict_dead_sessions
+
+    evict_dead_sessions(_COMPONENTS, spark)
     key = (sf_dir, _docs_fingerprint(sf_dir))
     df = _COMPONENTS.get(key)
     if df is None:
@@ -2471,10 +2452,9 @@ def _bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted wholesale. bench.py times the build as a declared step."""
     from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
 
-    for k in [
-        k for k, v in _BIGRAM_LM.items() if v.sparkSession is not spark
-    ]:
-        del _BIGRAM_LM[k]
+    from n2khab_mhq_data_spark.plans import evict_dead_sessions
+
+    evict_dead_sessions(_BIGRAM_LM, spark)
     key = (sf_dir, _docs_fingerprint(sf_dir))
     df = _BIGRAM_LM.get(key)
     if df is None:
@@ -2516,16 +2496,9 @@ def memo_warm(sf_dir: str) -> dict[str, bool]:
 
 
 def _embeddings_fingerprint(sf_dir: str) -> tuple:
-    import glob
-    import os
+    from n2khab_mhq_data_spark.plans import parquet_fingerprint
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    files = sorted(glob.glob(os.path.join(path, "*"))) or [path]
-    return tuple(
-        (f, int(os.stat(f).st_mtime_ns), os.stat(f).st_size)
-        for f in files
-        if os.path.exists(f)
-    )
+    return parquet_fingerprint(sf_dir, "embeddings")
 
 
 def _kmeans_cents(spark: SparkSession, sf_dir: str):
@@ -2600,7 +2573,9 @@ def ann_ivf_kmeans_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the engine's own operators; the oracle recomputes both in SQL."""
     emb = load(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 3)
-    exact = cosine_topk(emb, queries_df, "vec_id", "embedding", k=10).select(
+    exact = cosine_topk(
+        emb, queries_df, "vec_id", "embedding", k=10, dim=64
+    ).select(
         "query_id", "neighbour_id"
     )
     ivf = ivf_topk(
@@ -4501,33 +4476,6 @@ def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("inb").alias("hits"),
         F.round(F.count("inb") / 10.0 + F.lit(1e-9), 3).alias("recall_at_10"),
     )
-
-
-_CANON_SQL = (
-    _JACCARD_SQL.replace(
-        "SELECT d1, d2,",
-        "SELECT d1, d2, NULL AS _ignore,",
-    ).replace(
-        """    SELECT d1, d2, NULL AS _ignore,
-           round(inter * 1.0 / (s1.n + s2.n - inter) + 1e-9, 6) AS jaccard
-    FROM pairs
-    JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
-    WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
-    """,
-        """, near AS (
-      SELECT d1, d2 FROM pairs
-      JOIN sizes s1 ON d1 = s1.doc JOIN sizes s2 ON d2 = s2.doc
-      WHERE inter * 1.0 / (s1.n + s2.n - inter) > 0.8
-    ), edges AS (
-      SELECT d1 AS doc, d2 AS nb FROM near
-      UNION ALL SELECT d2, d1 FROM near
-      UNION ALL SELECT DISTINCT d1, d1 FROM near
-      UNION ALL SELECT DISTINCT d2, d2 FROM near
-    )
-    SELECT doc, min(nb) AS canonical_id FROM edges GROUP BY doc
-    """,
-    )
-)
 
 
 @query(
