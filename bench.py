@@ -154,7 +154,13 @@ def main() -> None:
     # been generated or is explicitly disabled.
     sf1: dict | None = None
     run_sf1 = os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
-    if run_sf1 and os.path.isdir(SF1_DIR) and sf_dir.rstrip("/") != SF1_DIR:
+    if (
+        run_sf1
+        and os.path.isdir(SF1_DIR)
+        # realpath compare: a symlink/relative/trailing-dot spelling of
+        # the sf1 dir must not double-run the tier against itself
+        and os.path.realpath(sf_dir) != os.path.realpath(SF1_DIR)
+    ):
         top = [
             n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
         ][:SF1_TOP_N]

@@ -270,6 +270,13 @@ def local_dim(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
             # the generated SQL outright
             v = v.replace("\\", "\\\\").replace("'", "\\'")
             return f"'{v}'"
+        if isinstance(v, float) and (v != v or v in (
+            float("inf"), float("-inf")
+        )):
+            # repr gives 'nan'/'inf', which Spark SQL parses as COLUMN
+            # REFERENCES; the string forms cast correctly
+            s = "NaN" if v != v else ("Infinity" if v > 0 else "-Infinity")
+            return f"'{s}'"
         return repr(v)
 
     rows_sql = ",\n".join(

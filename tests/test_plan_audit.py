@@ -14,7 +14,12 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tools.explain_audit import EXPECTED, audit, plan_text  # noqa: E402
+from tools.explain_audit import (  # noqa: E402
+    EXPECTED,
+    _expected,
+    audit,
+    plan_text,
+)
 
 from tests.conftest import SF_DIR  # single source of the testdata path
 
@@ -46,6 +51,7 @@ def test_plan_has_no_unreviewed_flags(spark, name):
         df.collect()
         plan = plan_text(df)
     flags = audit(plan)
-    allowed = EXPECTED.get(name, set())
-    unexpected = [f for f in flags if f.split("(")[0] not in allowed]
-    assert not unexpected, (name, unexpected)
+    # use the tool's own matcher: CARTESIAN counts are pinned exactly
+    # (r7), so a bare base-name comparison would let an ADDITIONAL
+    # unintended cross slip past the whitelist
+    assert _expected(name, flags), (name, flags, EXPECTED.get(name, set()))

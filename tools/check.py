@@ -48,7 +48,10 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
         if isinstance(v, float):
             if v != v:
                 return "NaN"
-            if v == int(v) and abs(v) < 1e15:
+            # magnitude gate FIRST: int(inf) raises OverflowError, which
+            # would abort the whole checker run instead of failing one
+            # query's comparison
+            if abs(v) < 1e15 and v == int(v):
                 return str(int(v)) + ".0"
             return repr(v)
         if isinstance(v, bool):

@@ -168,9 +168,20 @@ def main() -> int:
             + f"   {tail} {flag}"
         )
 
+    n_flag = sum(1 for r in rows if r["flag"])
+    if sys.argv[1:]:
+        # subset run (explicit query args): never clobber the canonical
+        # full-run artifact with a partial table — the same guard
+        # bench.py applies to BENCH_QUERIES.json
+        out = Path(__file__).resolve().parent.parent / "SCALE_PROBE_subset.json"
+        out.write_text(json.dumps(rows, indent=1))
+        print(
+            f"\n{len(rows)} queries probed, {n_flag} flagged;"
+            f" subset run -> {out} (canonical SCALE_PROBE.json untouched)"
+        )
+        return 1 if n_flag else 0
     out = Path(__file__).resolve().parent.parent / "SCALE_PROBE.json"
     out.write_text(json.dumps(rows, indent=1))
-    n_flag = sum(1 for r in rows if r["flag"])
     print(f"\n{len(rows)} queries probed, {n_flag} flagged; -> {out}")
     return 1 if n_flag else 0
 
