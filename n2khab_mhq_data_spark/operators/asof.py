@@ -63,7 +63,11 @@ def asof_join(
         .cast(StructType([right.schema[c] for c in right_cols]))
         .alias("_r"),
     )
-    rt = right.select(
+    # DuckDB ASOF semantics: a NULL right timestamp NEVER matches
+    # (l.t >= NULL is never true). Unfiltered, NULLs sort FIRST in the
+    # ascending window and a NULL-time row would masquerade as the
+    # "earliest" payload for every left row before the first real one.
+    rt = right.filter(F.col(time_col).isNotNull()).select(
         key, time_col, F.lit(0).alias("_side"), F.struct(*right_cols).alias("_r")
     )
     u = lt.unionByName(rt, allowMissingColumns=True)

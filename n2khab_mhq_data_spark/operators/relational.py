@@ -45,10 +45,13 @@ def assert_grain(df: DataFrame, keys: list[str], max_show: int = 20) -> DataFram
 def dedup_keep_latest(
     df: DataFrame, keys: list[str], order_by: list[Column]
 ) -> DataFrame:
-    """Keyed dedup with ordering — most-recent-wins
-    (filter(date_status == max(date_status)) + unique(),
-    query_fieldmap.Rmd:1376-1379) collapsed to exactly one row per key.
-    ``order_by`` must be a total order (add a unique id as final tiebreak)."""
+    """Keyed dedup with ordering: keeps the FIRST row per key under
+    ``order_by`` — for most-recent-wins (filter(date_status ==
+    max(date_status)) + unique(), query_fieldmap.Rmd:1376-1379) pass
+    DESCENDING columns, e.g. ``[F.col("updated_at").desc(), ...]`` (as
+    incremental_merge does); plain ascending columns keep the OLDEST.
+    ``order_by`` must be a total order (add a unique id as final
+    tiebreak)."""
     w = W.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -67,6 +70,14 @@ def membership_flag(
     """mutate(flag = id %in% other$id) (query_fieldmap.Rmd:1655-1662):
     broadcast the DISTINCT key set of ``other`` and left-join — a map-side
     lookup, not a shuffle, as long as the key set fits the broadcast cap."""
+    # the internal lookup columns would ambiguously collide with (or
+    # silently drop) same-named input columns — same guard as asof_join
+    reserved = {"__mk", "__hit"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"membership_flag reserves column names {sorted(reserved)};"
+            " rename them before flagging"
+        )
     keys = (
         other.select(F.col(right_key).alias("__mk")).distinct().withColumn(
             "__hit", F.lit(True)

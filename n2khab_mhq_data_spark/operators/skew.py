@@ -24,10 +24,20 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt in [0, buckets): xxhash64 of the full row. Using
-    the row hash (not rand()) keeps retried tasks bit-identical."""
+    """Deterministic salt in [0, buckets): xxhash64 of the full row MIXED
+    with the row's position (monotonically_increasing_id). Using hashes
+    (not rand()) keeps retried tasks bit-identical for a fixed input
+    split; the position term spreads BYTE-IDENTICAL duplicate rows —
+    a hot key made of duplicates would otherwise hash every row into
+    ONE bucket and stay pinned on a single reducer, silently defeating
+    the salting. Any salt assignment is semantics-preserving (stage 2
+    re-merges by key), so position-dependence never changes results."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*df.columns), F.lit(buckets))
+        salt_col,
+        F.pmod(
+            F.xxhash64(*df.columns, F.monotonically_increasing_id()),
+            F.lit(buckets),
+        ),
     )
 
 

@@ -37,6 +37,13 @@ def ewma(
     then the recurrence above — matching the textbook online form."""
     import pandas as pd
 
+    if out_col in df.columns:
+        # appending blindly would declare a duplicate field to Arrow and
+        # die with an opaque runtime AnalysisException
+        raise ValueError(
+            f"ewma: out_col {out_col!r} already exists in the input;"
+            " pass a different name"
+        )
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, DoubleType())]
     )

@@ -123,12 +123,21 @@ def p4_regex_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def p5_row_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5 surgical row patches — remove specific bad rows by composite key
-    (query_fieldmap.Rmd:1589-1595)."""
+    (query_fieldmap.Rmd:1589-1595), via the shared
+    operators/relational.py::patch_rows (which also documents the
+    R-filter NULL semantics the oracle's WHERE NOT shares)."""
+    from n2khab_mhq_data_spark.operators.relational import patch_rows
+
     li = load(spark, sf_dir, "lineitem")
+    patched = patch_rows(
+        li,
+        [
+            (F.col("l_orderkey") == 42) & (F.col("l_linenumber") == 1),
+            (F.col("l_orderkey") == 7) & (F.col("l_linenumber") == 2),
+        ],
+    )
     return (
-        li.filter(~((F.col("l_orderkey") == 42) & (F.col("l_linenumber") == 1)))
-        .filter(~((F.col("l_orderkey") == 7) & (F.col("l_linenumber") == 2)))
-        .select(
+        patched.select(
             F.col("l_orderkey").alias("orderkey"),
             F.col("l_linenumber").alias("linenumber"),
             F.round("l_quantity", 2).alias("quantity"),
@@ -347,21 +356,22 @@ def j7_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j8_membership_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8 membership flag (mutate(flag = id %in% other$id) — semi-join as a
-    boolean column, query_fieldmap.Rmd:1350-1351,1655-1662). Implemented as a
-    left join against the DISTINCT key set, never a collect to the driver."""
+    boolean column, query_fieldmap.Rmd:1350-1351,1655-1662). Rides the
+    shared operators/relational.py::membership_flag (broadcast DISTINCT
+    key set + left join — never a collect to the driver), the same
+    library form audit_missing composes."""
+    from n2khab_mhq_data_spark.operators.relational import membership_flag
+
     c = load(spark, sf_dir, "customer")
-    open_keys = (
-        load(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "O")
-        .select(F.col("o_custkey").alias("_k"))
-        .distinct()
-        .withColumn("_hit", F.lit(True))
+    open_orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "O"
     )
     return (
-        c.join(F.broadcast(open_keys), c.c_custkey == open_keys._k, "left")
+        membership_flag(
+            c, open_orders, "c_custkey", "o_custkey", "has_open_order"
+        )
         .select(
-            F.col("c_mktsegment").alias("mktsegment"),
-            F.coalesce(F.col("_hit"), F.lit(False)).alias("has_open_order"),
+            F.col("c_mktsegment").alias("mktsegment"), "has_open_order"
         )
         .groupBy("mktsegment", "has_open_order")
         .agg(F.count("*").alias("n"))
@@ -1307,10 +1317,13 @@ def a17_approx_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically TRUE and the oracle asserts it; at production
     scale you keep only the sketch column — same plan shape. Ties
     re-ranked (count desc, item) so the emitted top-5 is deterministic
-    where the sketch's internal tie order is not."""
+    where the sketch's internal tie order is not; the sketch is asked
+    for a 20x OVER-FETCH (top-100) so a count tie at the rank-5
+    boundary can never make sketch-internal ordering decide top-5
+    MEMBERSHIP — the deterministic re-rank does."""
     e = load(spark, sf_dir, "events")
     sk = e.agg(
-        F.expr("approx_top_k(event_type, 5, 10000)").alias("tk")
+        F.expr("approx_top_k(event_type, 100, 10000)").alias("tk")
     ).select(F.explode("tk").alias("s")).select(
         F.col("s.item").alias("event_type"),
         F.col("s.count").alias("approx_n"),
@@ -1422,7 +1435,9 @@ def u4_cycle_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand AS brand,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+           round(sum(l.l_extendedprice * (1 - l.l_discount))
+                 + sign(sum(l.l_extendedprice * (1 - l.l_discount)))
+                   * 1e-9, 2)
              AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
@@ -1445,11 +1460,11 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumnRenamed("l_partkey", "p_partkey"), p,
         ["p_partkey"], buckets=8,
     )
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return j.groupBy(F.col("p_brand").alias("brand")).agg(
         F.count("*").cast("long").alias("n"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        # repo-wide knife-edge shield (the j1_broadcast_decode spelling)
+        F.round(rev + F.signum(rev) * 1e-9, 2).alias("revenue"),
     )
 
 
