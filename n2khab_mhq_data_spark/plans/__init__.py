@@ -113,6 +113,7 @@ _REGISTERED_ROUND: dict[str, int] = {
     "tpch_q21_suppliers_kept_waiting": 7,
     "tpch_q17_small_quantity_revenue": 7,
     "tpch_q22_dormant_rich_customers": 7,
+    "tpch_q8_national_market_share": 7,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —

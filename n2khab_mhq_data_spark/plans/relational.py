@@ -2466,6 +2466,110 @@ def tpch_q17_small_quantity_revenue(
 
 
 @query(
+    "tpch_q8_national_market_share",
+    oracle=f"""
+    WITH vol AS (
+      SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INTEGER)
+               AS o_year,
+             {_CENTS} * (100 - {_DISC}) AS v,
+             n2.n_name AS supp_nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA'
+        AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+                               THEN v ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(v) AS DOUBLE) + 1e-9, 6) AS mkt_share,
+           round(CAST(sum(v) AS BIGINT) / 10000.0 + 1e-9, 2)
+             AS market_volume
+    FROM vol GROUP BY o_year
+    """,
+)
+def tpch_q8_national_market_share(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_7 suppliers' share of
+    the AMERICA market's ECONOMY-part revenue, per order year — the
+    two-nation-ROLE star (the customer's nation defines the market, the
+    supplier's nation the share) that stresses join aliasing and
+    ordering. Scale shape: the selective part filter broadcasts onto
+    the lineitem scan FIRST (the q9 rule: prune the biggest fact before
+    anything shuffles), supplier+nation broadcast for the share role,
+    region->nation->customer broadcast-chains into the customer dim,
+    and the two fact shuffles are lineitem⋈orders (orderkey) and
+    orders⋈customer (custkey) — exactly the pair a 100 TB Q8 cannot
+    avoid (AQE downgrades them to broadcast at bench scale). Volumes
+    ride the integer-cents grid; the share divides two exact BIGINTs
+    once."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    )
+    om = o.join(cust, o.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_year"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s2 = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (cents * (100 - disc)).alias("v"),
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
+        .join(om, li.l_orderkey == om.o_orderkey)
+    )
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_7", F.col("v")).otherwise(
+            F.lit(0)
+        )
+    ).cast("long")
+    den = F.sum("v").cast("long")
+    return j.groupBy("o_year").agg(
+        F.round(
+            num.cast("double") / den.cast("double") + F.lit(1e-9), 6
+        ).alias("mkt_share"),
+        F.round(den / 10000.0 + F.lit(1e-9), 2).alias("market_volume"),
+    )
+
+
+@query(
     "tpch_q22_dormant_rich_customers",
     oracle="""
     WITH pos AS (

@@ -710,3 +710,70 @@ def test_tpch_q22_average_boundary_and_anti_join(spark):
     assert [(r.cntrycode, r.numcust, r.totacctbal) for r in rows] == [
         (0, 1, 30.0)
     ]
+
+
+def test_tpch_q8_two_nation_roles(spark):
+    """The market is defined by the CUSTOMER's nation (region filter),
+    the share by the SUPPLIER's nation — crossing the two roles is the
+    classic Q8 aliasing bug this pins."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q8_national_market_share,
+    )
+
+    region = spark.createDataFrame(
+        [(1, "AMERICA"), (2, "ASIA")], "r_regionkey int, r_name string"
+    )
+    nation = spark.createDataFrame(
+        [(7, "NATION_7", 2), (1, "NATION_1", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    # customer 1 is in NATION_1 (AMERICA: in-market); customer 2 in
+    # NATION_7 (ASIA: out of market even though it's the share nation)
+    cust = spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "A"), (2, "c2", 7, 0.0, "A")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    )
+    od = dt.datetime(1996, 2, 1)
+    orders = spark.createDataFrame(
+        [(10, 1, "O", 1.0, od, "5-LOW"), (11, 2, "O", 1.0, od, "5-LOW")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    supp = spark.createDataFrame(
+        [(100, "s7", 7, 0.0), (101, "s1", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    part = spark.createDataFrame(
+        [(1000, "p", "B", "ECONOMY", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # order 10 (in-market): 30.00 from NATION_7 supplier, 10.00 from
+    # NATION_1 -> share 0.75; order 11's customer is out of market
+    li = spark.createDataFrame(
+        [
+            (10, 1000, 100, 1, 1.0, 30.0, 0.0, 0.0, "N", "O", od),
+            (10, 1000, 101, 2, 1.0, 10.0, 0.0, 0.0, "N", "O", od),
+            (11, 1000, 100, 1, 1.0, 99.0, 0.0, 0.0, "N", "O", od),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    tables = {"region": region, "nation": nation, "customer": cust,
+              "orders": orders, "supplier": supp, "part": part,
+              "lineitem": li}
+    rload = rmod.load
+    rmod.load = lambda s, d, t: tables[t]
+    try:
+        (row,) = tpch_q8_national_market_share(spark, "unused").collect()
+    finally:
+        rmod.load = rload
+    assert row.o_year == 1996
+    assert abs(row.mkt_share - 0.75) < 1e-9
+    assert abs(row.market_volume - 40.0) < 1e-9

@@ -98,6 +98,11 @@ EXPECTED: dict[str, set[str]] = {
     # broadcast-crossed onto the user-grain frame — the text_tfidf_topk
     # 1-row-global-stat pattern; the user table never replicates
     "events_cuped_adjustment": {"CARTESIAN(x2)"},
+    # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
+    # Q8 cannot avoid (both sides unbounded; the customer leg carries a
+    # join-derived projection so the static planner lacks stats to
+    # broadcast — AQE downgrades at runtime when it is actually small)
+    "tpch_q8_national_market_share": {"SMJ"},
     # Q22: the positive-balance (sum, count) pair is a 1-ROW aggregate
     # broadcast-crossed onto the customer scan — the
     # events_cuped_adjustment 1-row-global-stat pattern; the anti join
