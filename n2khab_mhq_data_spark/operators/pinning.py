@@ -86,8 +86,13 @@ def row_hash(*cols: Column | str) -> Column:
     ``CAST(('0x' || substr(md5(coalesce(CAST(x AS VARCHAR),
     chr(0) || 'NULL') || chr(31) || ...), 1, 15)) AS BIGINT)``), which
     is the point — a recorded fingerprint must be re-computable
-    anywhere. Caveat: a real string equal to the sentinel collides with
-    NULL."""
+    anywhere. Caveats (both accepted for cross-engine re-computability):
+    a real string equal to the sentinel collides with NULL, and a data
+    value CONTAINING the ``\\x1f`` separator makes the flattened text
+    ambiguous across column boundaries (('x\\x1fy', 'z') hashes like
+    ('x', 'y\\x1fz')) — callers fingerprinting untrusted text columns
+    that may carry control characters should hash such columns
+    separately and combine."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
     joined = F.concat_ws(
         "\x1f",

@@ -54,7 +54,10 @@ def profile_table(
             else F.approx_count_distinct(c)
         )
         aggs += [
-            F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
+            # count(when), not sum(cast): sum over ZERO rows is NULL,
+            # which made an empty-but-valid table profile null_count
+            # NULL instead of 0
+            F.count(F.when(c.isNull(), 1)).alias(f"{name}__nulls"),
             nd.cast("long").alias(f"{name}__nd"),
             norm(F.min(c)).alias(f"{name}__min"),
             norm(F.max(c)).alias(f"{name}__max"),

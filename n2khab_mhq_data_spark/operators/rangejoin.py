@@ -15,8 +15,32 @@ is integer division on epoch integers: epoch micros exceed double's
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _bucket_seq(start_col: str, end_col: str, width: int) -> Column:
+    """The bucket-range explode for one interval, failing FAST on a
+    REVERSED interval (end < start): Spark's sequence() would silently
+    step -1 and emit a DESCENDING bucket range — a pair can then be
+    emitted for a mathematically empty interval, and one corrupt row
+    with a huge start and end=0 asks sequence() for a ~1e12-element
+    array that kills the whole job opaquely."""
+    lo = F.expr(f"{start_col} div {width}")
+    guarded = F.when(
+        F.col(end_col) < F.col(start_col),
+        F.raise_error(
+            F.concat(
+                F.lit(f"reversed interval: {end_col}="),
+                F.col(end_col).cast("string"),
+                F.lit(f" < {start_col}="),
+                F.col(start_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(lo)
+    return F.explode(
+        F.sequence(guarded, F.expr(f"{end_col} div {width}"))
+    )
 
 
 def range_join_bucketed(
@@ -33,13 +57,7 @@ def range_join_bucketed(
     ``start_col``, ``end_col`` are INTEGER time columns (e.g. epoch
     micros) in the same unit as ``bucket_width``."""
     iv = intervals.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                F.expr(f"{start_col} div {bucket_width}"),
-                F.expr(f"{end_col} div {bucket_width}"),
-            )
-        ),
+        "_b", _bucket_seq(start_col, end_col, bucket_width)
     )
     pt = points.withColumn("_b", F.expr(f"{t_col} div {bucket_width}"))
     return (
@@ -79,24 +97,8 @@ def interval_overlap_join_binned(
     corpus size. Bin ids are integer ``div`` — no float bucketing.
 
     Column names of ``a`` and ``b`` must be disjoint (callers alias)."""
-    ia = a.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"{a_start} div {bin_width}"),
-                F.expr(f"{a_end} div {bin_width}"),
-            )
-        ),
-    )
-    ib = b.withColumn(
-        "_bin",
-        F.explode(
-            F.sequence(
-                F.expr(f"{b_start} div {bin_width}"),
-                F.expr(f"{b_end} div {bin_width}"),
-            )
-        ),
-    )
+    ia = a.withColumn("_bin", _bucket_seq(a_start, a_end, bin_width))
+    ib = b.withColumn("_bin", _bucket_seq(b_start, b_end, bin_width))
     return (
         ia.join(ib, ["_bin"])
         .filter(

@@ -49,9 +49,22 @@ def read_jsonl(
     query of all — ``bad.count()``. The text scan is equally
     line-splittable and ``from_json`` is JVM-side codegen, so nothing
     is lost at scale; Catalyst still prunes parsed struct fields."""
-    full = f"{schema}, {CORRUPT_COL} string"
-    data_cols = spark.createDataFrame([], schema).columns
-    parsed = spark.read.text(path).select(
+    return parse_jsonl_lines(spark.read.text(path), schema)
+
+
+def parse_jsonl_lines(lines: DataFrame, text_schema: str) -> DataFrame:
+    """The ONE line->row parse projection, shared by the batch reader
+    above and streaming/ingest.py's readStream path so batch and stream
+    agree line for line. ``lines`` carries a ``value`` string column.
+
+    from_json yields a NULL struct — NOT a populated corrupt column —
+    for blank/whitespace-only lines and the bare JSON literal ``null``;
+    the coalesce override routes such phantom lines to the corrupt leg
+    (confirmed empirically) instead of the GOOD corpus as all-null
+    rows."""
+    full = f"{text_schema}, {CORRUPT_COL} string"
+    data_cols = lines.sparkSession.createDataFrame([], text_schema).columns
+    parsed = lines.select(
         "value",
         F.from_json(
             "value",
@@ -62,11 +75,6 @@ def read_jsonl(
             },
         ).alias("r"),
     )
-    # from_json yields a NULL struct — NOT a populated corrupt column —
-    # for blank/whitespace-only lines and the bare JSON literal `null`;
-    # without this override such phantom lines land in the GOOD leg as
-    # all-null rows (confirmed empirically), silently inflating the
-    # corpus instead of hitting the quarantine sink
     return parsed.select(
         *[F.col(f"r.{c}").alias(c) for c in data_cols],
         F.coalesce(

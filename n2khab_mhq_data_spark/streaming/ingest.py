@@ -32,24 +32,16 @@ from n2khab_mhq_data_spark.streaming.incremental import (
 def parse_jsonl_stream(
     spark: SparkSession, path: str, schema: str
 ) -> DataFrame:
-    """Streaming analog of sources.jsonl.read_jsonl: readStream.text +
-    from_json with the corrupt column captured (same parse expression,
-    so batch and stream agree line for line)."""
-    full = f"{schema}, {CORRUPT_COL} string"
-    return (
-        spark.readStream.text(path)
-        .select(
-            F.from_json(
-                "value",
-                full,
-                {
-                    "mode": "PERMISSIVE",
-                    "columnNameOfCorruptRecord": CORRUPT_COL,
-                },
-            ).alias("r")
-        )
-        .select("r.*")
-    )
+    """Streaming analog of sources.jsonl.read_jsonl — literally the SAME
+    parse projection (sources/jsonl.py::parse_jsonl_lines) over a
+    readStream.text source, so batch and stream agree line for line,
+    including the NULL-struct override that quarantines blank lines and
+    bare ``null`` literals (an earlier inlined copy dropped it and the
+    stream PUBLISHED phantom all-null rows a batch re-run would have
+    quarantined)."""
+    from n2khab_mhq_data_spark.sources.jsonl import parse_jsonl_lines
+
+    return parse_jsonl_lines(spark.readStream.text(path), schema)
 
 
 def jsonl_ingest_stream(

@@ -85,122 +85,130 @@ def neardup_gate_stream(
         bsig = minhash_combined(
             shingle_table(batch, text_col, id_col, k), num_hashes
         ).persist()
-        store = read_state(s, sig_path)
-        if store is not None:
-            # enforce the monotonic-id contract: the candidate prune
-            # below keys on "larger side is a batch doc", so a NEW batch
-            # id below the store's max would silently drop its pairs and
-            # admit a near-dup — fail loudly instead. Replays are exempt:
-            # a re-delivered doc already has a verdict row, and the gate's
-            # state transitions are idempotent for it. The guard costs a
-            # 2-scalar agg (parquet min/max stats) and, only when the
-            # ranges overlap, one anti-join against the verdict state.
-            lo = bsig.agg(F.min("doc")).first()[0]
-            hi = store.agg(F.max("doc")).first()[0]
-            if lo is not None and hi is not None and lo <= hi:
-                prev_v = read_state(s, verdict_path)
-                offending = bsig.select("doc").filter(F.col("doc") <= hi)
-                if prev_v is not None:
-                    offending = offending.join(
-                        prev_v.select(F.col(id_col).alias("doc")),
-                        "doc",
-                        "anti",
-                    )
-                bad = [r.doc for r in offending.limit(3).collect()]
-                if bad:
-                    raise ValueError(
-                        f"neardup gate id contract breach: never-seen"
-                        f" batch doc ids {bad} <= store max doc id {hi};"
-                        " ingest ids must be monotonically increasing"
-                        " across batches"
-                    )
-        pool = bsig if store is None else store.unionByName(bsig)
-        batch_ids = bsig.select(F.col("doc").alias("bid"))
-        # prune to candidates whose LARGER side is a batch doc BEFORE the
-        # expensive gram verification: sub-threshold store-store pairs
-        # collide in >=1 band with high probability and would otherwise
-        # be re-verified every batch — per-batch cost must scale with
-        # the batch, not the accepted corpus
-        cand = minhash_lsh_candidates(pool, num_hashes, bands).join(
-            batch_ids, F.col("d2") == F.col("bid"), "semi"
-        )
-        g1 = pool.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
-        g2 = pool.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
-        inter = F.size(F.array_intersect("g1", "g2"))
-        union = F.size("g1") + F.size("g2") - inter
-        # a batch doc is a dup of any matched SMALLER doc id (store ids
-        # precede batch ids under the monotonic-id contract; within-batch
-        # ties resolve to the smaller id, which stays canonical) — d1 < d2
-        # by construction
-        dup_of = (
-            cand.join(g1, "d1")
-            .join(g2, "d2")
-            .filter(inter.cast("double") / union > threshold)
-            .groupBy(F.col("d2").alias("doc"))
-            .agg(F.min("d1").alias("dup_of"))
-            .persist()
-        )
-        # resolve transitive chains (A<B<C where C matched only B and B
-        # matched A): a dup_of target flagged in the SAME batch is not
-        # stored, so pointer-jump the tiny per-batch dup map until every
-        # target is an accepted doc — each pass at least halves chain
-        # length, and dup_of strictly decreases so the loop terminates
-        while True:
-            parent = dup_of.select(
-                F.col("doc").alias("dup_of"), F.col("dup_of").alias("next")
+        dup_of = None
+        # unpersist on EVERY exit (the ingest.py try/finally
+        # shape): the id-contract guard and publish_state raise,
+        # and a restarting query replaying the batch would pin
+        # leaked cache entries on executors each restart
+        try:
+            store = read_state(s, sig_path)
+            if store is not None:
+                # enforce the monotonic-id contract: the candidate prune
+                # below keys on "larger side is a batch doc", so a NEW batch
+                # id below the store's max would silently drop its pairs and
+                # admit a near-dup — fail loudly instead. Replays are exempt:
+                # a re-delivered doc already has a verdict row, and the gate's
+                # state transitions are idempotent for it. The guard costs a
+                # 2-scalar agg (parquet min/max stats) and, only when the
+                # ranges overlap, one anti-join against the verdict state.
+                lo = bsig.agg(F.min("doc")).first()[0]
+                hi = store.agg(F.max("doc")).first()[0]
+                if lo is not None and hi is not None and lo <= hi:
+                    prev_v = read_state(s, verdict_path)
+                    offending = bsig.select("doc").filter(F.col("doc") <= hi)
+                    if prev_v is not None:
+                        offending = offending.join(
+                            prev_v.select(F.col(id_col).alias("doc")),
+                            "doc",
+                            "anti",
+                        )
+                    bad = [r.doc for r in offending.limit(3).collect()]
+                    if bad:
+                        raise ValueError(
+                            f"neardup gate id contract breach: never-seen"
+                            f" batch doc ids {bad} <= store max doc id {hi};"
+                            " ingest ids must be monotonically increasing"
+                            " across batches"
+                        )
+            pool = bsig if store is None else store.unionByName(bsig)
+            batch_ids = bsig.select(F.col("doc").alias("bid"))
+            # prune to candidates whose LARGER side is a batch doc BEFORE the
+            # expensive gram verification: sub-threshold store-store pairs
+            # collide in >=1 band with high probability and would otherwise
+            # be re-verified every batch — per-batch cost must scale with
+            # the batch, not the accepted corpus
+            cand = minhash_lsh_candidates(pool, num_hashes, bands).join(
+                batch_ids, F.col("d2") == F.col("bid"), "semi"
             )
-            jumped = (
-                dup_of.join(parent, "dup_of", "left")
-                .select(
-                    "doc", F.coalesce("next", "dup_of").alias("dup_of")
-                )
+            g1 = pool.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
+            g2 = pool.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
+            inter = F.size(F.array_intersect("g1", "g2"))
+            union = F.size("g1") + F.size("g2") - inter
+            # a batch doc is a dup of any matched SMALLER doc id (store ids
+            # precede batch ids under the monotonic-id contract; within-batch
+            # ties resolve to the smaller id, which stays canonical) — d1 < d2
+            # by construction
+            dup_of = (
+                cand.join(g1, "d1")
+                .join(g2, "d2")
+                .filter(inter.cast("double") / union > threshold)
+                .groupBy(F.col("d2").alias("doc"))
+                .agg(F.min("d1").alias("dup_of"))
                 .persist()
             )
-            unresolved = (
-                jumped.join(
-                    jumped.select(F.col("doc").alias("dup_of")),
-                    "dup_of",
-                    "semi",
+            # resolve transitive chains (A<B<C where C matched only B and B
+            # matched A): a dup_of target flagged in the SAME batch is not
+            # stored, so pointer-jump the tiny per-batch dup map until every
+            # target is an accepted doc — each pass at least halves chain
+            # length, and dup_of strictly decreases so the loop terminates
+            while True:
+                parent = dup_of.select(
+                    F.col("doc").alias("dup_of"), F.col("dup_of").alias("next")
                 )
-                .limit(1)
-                .count()
+                jumped = (
+                    dup_of.join(parent, "dup_of", "left")
+                    .select(
+                        "doc", F.coalesce("next", "dup_of").alias("dup_of")
+                    )
+                    .persist()
+                )
+                unresolved = (
+                    jumped.join(
+                        jumped.select(F.col("doc").alias("dup_of")),
+                        "dup_of",
+                        "semi",
+                    )
+                    .limit(1)
+                    .count()
+                )
+                dup_of.unpersist()
+                dup_of = jumped
+                if unresolved == 0:
+                    break
+            batch_verdicts = (
+                bsig.select("doc")
+                .join(dup_of, "doc", "left")
+                .select(
+                    F.col("doc").alias(id_col),
+                    F.col("dup_of").isNotNull().alias("is_dup"),
+                    "dup_of",
+                )
             )
-            dup_of.unpersist()
-            dup_of = jumped
-            if unresolved == 0:
-                break
-        batch_verdicts = (
-            bsig.select("doc")
-            .join(dup_of, "doc", "left")
-            .select(
-                F.col("doc").alias(id_col),
-                F.col("dup_of").isNotNull().alias("is_dup"),
-                "dup_of",
+            prev_verdicts = read_state(s, verdict_path)
+            # total-order tiebreak (dedup_keep_latest contract): replays are
+            # identical rows, and a contract-breaching re-ingest resolves
+            # DETERMINISTICALLY to the dup-flagged / smallest-dup_of row
+            # instead of flip-flopping per run
+            all_verdicts = (
+                batch_verdicts if prev_verdicts is None
+                else incremental_merge(
+                    prev_verdicts,
+                    batch_verdicts,
+                    [id_col],
+                    [F.col("is_dup").desc(), F.col("dup_of").asc_nulls_last()],
+                )
             )
-        )
-        prev_verdicts = read_state(s, verdict_path)
-        # total-order tiebreak (dedup_keep_latest contract): replays are
-        # identical rows, and a contract-breaching re-ingest resolves
-        # DETERMINISTICALLY to the dup-flagged / smallest-dup_of row
-        # instead of flip-flopping per run
-        all_verdicts = (
-            batch_verdicts if prev_verdicts is None
-            else incremental_merge(
-                prev_verdicts,
-                batch_verdicts,
-                [id_col],
-                [F.col("is_dup").desc(), F.col("dup_of").asc_nulls_last()],
+            publish_state(s, verdict_path, all_verdicts)
+            # canonical store = pool minus dups, deduped per doc so a replay
+            # (store already containing this batch's canon rows) converges
+            canon_all = pool.join(dup_of.select("doc"), "doc", "anti").dropDuplicates(
+                ["doc"]
             )
-        )
-        publish_state(s, verdict_path, all_verdicts)
-        # canonical store = pool minus dups, deduped per doc so a replay
-        # (store already containing this batch's canon rows) converges
-        canon_all = pool.join(dup_of.select("doc"), "doc", "anti").dropDuplicates(
-            ["doc"]
-        )
-        publish_state(s, sig_path, canon_all)
-        bsig.unpersist()
-        dup_of.unpersist()
+            publish_state(s, sig_path, canon_all)
+        finally:
+            bsig.unpersist()
+            if dup_of is not None:
+                dup_of.unpersist()
 
     return (
         source.writeStream.foreachBatch(gate)

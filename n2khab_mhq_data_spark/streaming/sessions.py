@@ -69,7 +69,10 @@ class SessionProcessor(StatefulProcessor):
         closed: list[tuple[int, int, int, int]] = []
         ts_all: list[int] = []
         for pdf in rows:
-            ts_all.extend(int(t) for t in pdf["ts"])
+            # skip null timestamps: through Arrow they surface as NaN
+            # and int(NaN) raises — a single poison event would crash
+            # the stream on every checkpointed replay
+            ts_all.extend(int(t) for t in pdf["ts"].dropna())
         for ts in sorted(ts_all):
             if start is None:
                 start, last, n = ts, ts, 1

@@ -39,8 +39,12 @@ def _update(
     for pdf in pdfs:
         n += len(pdf)
         total += float(pdf["value"].fillna(0.0).sum())
-        if len(pdf):
-            last_ts = max(last_ts, int(pdf["ts"].max()))
+        # drop null timestamps BEFORE max(): a nullable ts materializes
+        # as NaN through Arrow, and int(NaN) is a stream-killing poison
+        # pill (the checkpointed replay re-raises forever)
+        ts_valid = pdf["ts"].dropna()
+        if len(ts_valid):
+            last_ts = max(last_ts, int(ts_valid.max()))
     state.update((n, total, last_ts))
     yield pd.DataFrame(
         {

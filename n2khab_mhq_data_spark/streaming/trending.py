@@ -126,68 +126,70 @@ def trending_topk_stream(
         # the isin below would then prune away the very partitions just
         # written (ADVICE r4)
         batch = batch.persist()
-        meta = (
-            batch.select(
-                F.date_format("window_start", _PART_FMT_SQL).alias(
-                    "win_part"
-                ),
-                F.date_format(
-                    F.col("window_start")
-                    - F.make_interval(
-                        secs=F.lit(retention.total_seconds())
+        # unpersist on EVERY exit (the ingest.py try/finally shape)
+        try:
+            meta = (
+                batch.select(
+                    F.date_format("window_start", _PART_FMT_SQL).alias(
+                        "win_part"
                     ),
-                    _PART_FMT_SQL,
-                ).alias("h_part"),
+                    F.date_format(
+                        F.col("window_start")
+                        - F.make_interval(
+                            secs=F.lit(retention.total_seconds())
+                        ),
+                        _PART_FMT_SQL,
+                    ).alias("h_part"),
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
-        if not meta:
+            if not meta:
+                return  # the finally unpersists
+            touched_parts = sorted({r["win_part"] for r in meta})
+            # retention horizon: windows older than the newest touched
+            # window minus `retention` are final (the engine's watermark
+            # stopped updating them long ago; the retention >= watermark +
+            # window guard above means no admitted update can precede it) —
+            # their partitions are dropped from BOTH states as directory
+            # deletes, never a rewrite of surviving data. The zero-padded
+            # format is lexicographically chronological, so every horizon
+            # comparison below is a plain string compare on win_part.
+            horizon_part = max(r["h_part"] for r in meta)
+            # merge ONLY the touched partitions of the count state (the
+            # isin on the partition column prunes every other directory
+            # from the scan); dynamic overwrite then writes back exactly
+            # those partitions — untouched windows are never opened
+            prev = read_state(s, counts_path)
+            prev_touched = (
+                None if prev is None
+                else prev.filter(F.col("win_part").isin(touched_parts))
+                .drop("win_part")
+            )
+            merged = (
+                batch if prev_touched is None
+                else incremental_merge(
+                    prev_touched, batch, ["window_start", "event_type"],
+                    [F.col("n").desc()],
+                )
+            )
+            merged = _with_part(merged).filter(
+                F.col("win_part") >= horizon_part
+            )
+            publish_state_partitioned(s, counts_path, merged, "win_part")
+            prune_state_partitions(s, counts_path, "win_part", horizon_part)
+            counts = (
+                s.read.parquet(counts_path)
+                .filter(F.col("win_part").isin(touched_parts))
+                .drop("win_part")
+            )
+            fresh = trending_topk(counts, k)
+            publish_state_partitioned(
+                s, topk_path, _with_part(fresh), "win_part"
+            )
+            prune_state_partitions(s, topk_path, "win_part", horizon_part)
+        finally:
             batch.unpersist()
-            return
-        touched_parts = sorted({r["win_part"] for r in meta})
-        # retention horizon: windows older than the newest touched
-        # window minus `retention` are final (the engine's watermark
-        # stopped updating them long ago; the retention >= watermark +
-        # window guard above means no admitted update can precede it) —
-        # their partitions are dropped from BOTH states as directory
-        # deletes, never a rewrite of surviving data. The zero-padded
-        # format is lexicographically chronological, so every horizon
-        # comparison below is a plain string compare on win_part.
-        horizon_part = max(r["h_part"] for r in meta)
-        # merge ONLY the touched partitions of the count state (the
-        # isin on the partition column prunes every other directory
-        # from the scan); dynamic overwrite then writes back exactly
-        # those partitions — untouched windows are never opened
-        prev = read_state(s, counts_path)
-        prev_touched = (
-            None if prev is None
-            else prev.filter(F.col("win_part").isin(touched_parts))
-            .drop("win_part")
-        )
-        merged = (
-            batch if prev_touched is None
-            else incremental_merge(
-                prev_touched, batch, ["window_start", "event_type"],
-                [F.col("n").desc()],
-            )
-        )
-        merged = _with_part(merged).filter(
-            F.col("win_part") >= horizon_part
-        )
-        publish_state_partitioned(s, counts_path, merged, "win_part")
-        prune_state_partitions(s, counts_path, "win_part", horizon_part)
-        counts = (
-            s.read.parquet(counts_path)
-            .filter(F.col("win_part").isin(touched_parts))
-            .drop("win_part")
-        )
-        fresh = trending_topk(counts, k)
-        publish_state_partitioned(
-            s, topk_path, _with_part(fresh), "win_part"
-        )
-        prune_state_partitions(s, topk_path, "win_part", horizon_part)
-        batch.unpersist()
 
     return (
         agg.writeStream.foreachBatch(rerank)
