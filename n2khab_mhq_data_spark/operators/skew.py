@@ -23,21 +23,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, buckets: int, salt_col: str = "__salt") -> DataFrame:
-    """Deterministic salt in [0, buckets): xxhash64 of the full row MIXED
-    with the row's position (monotonically_increasing_id). Using hashes
-    (not rand()) keeps retried tasks bit-identical for a fixed input
-    split; the position term spreads BYTE-IDENTICAL duplicate rows —
-    a hot key made of duplicates would otherwise hash every row into
-    ONE bucket and stay pinned on a single reducer, silently defeating
-    the salting. Any salt assignment is semantics-preserving (stage 2
-    re-merges by key), so position-dependence never changes results."""
+def with_salt(
+    df: DataFrame,
+    buckets: int,
+    salt_col: str = "__salt",
+    spread_duplicates: bool = False,
+) -> DataFrame:
+    """Deterministic salt in [0, buckets): xxhash64 of the full row.
+
+    The salt is a pure function of row CONTENT — never of row position.
+    A recomputed map task (speculative execution, fetch-failure retry)
+    re-emits byte-identical rows, so every retry salts identically and
+    the (key, salt) shuffle stays exactly-once.  Position-derived salts
+    (monotonically_increasing_id, row_number without a total order)
+    are the SPARK-23207 bug class: within-partition order after a
+    shuffle is not stable across re-executions, so a retried task can
+    route the same row to a different reducer — duplicating or losing
+    it downstream.
+
+    Known limitation of the content salt: BYTE-IDENTICAL duplicate rows
+    all hash to one bucket, so a hot key composed mostly of exact
+    duplicates stays pinned on a single reducer.  ``spread_duplicates=
+    True`` additionally mixes ``spark_partition_id()`` into the hash,
+    spreading duplicates that sit in different input partitions.  That
+    is retry-safe ONLY when upstream partition MEMBERSHIP is
+    deterministic — a file scan (splits are fixed) or a hash shuffle
+    (membership is a pure function of content) — because a retried
+    task re-reads the same partition id.  It is NOT safe downstream of
+    round-robin/``repartition(n)`` or ``rand()``-derived layouts, where
+    membership itself is order-dependent; leave it off there.
+    """
+    parts: list = list(df.columns)
+    if spread_duplicates:
+        parts.append(F.spark_partition_id())
     return df.withColumn(
-        salt_col,
-        F.pmod(
-            F.xxhash64(*df.columns, F.monotonically_increasing_id()),
-            F.lit(buckets),
-        ),
+        salt_col, F.pmod(F.xxhash64(*parts), F.lit(buckets))
     )
 
 

@@ -101,19 +101,12 @@ _DRIVER_FAILED: frozenset[str] = frozenset()
 # queue after the whole backlog.  Entries are removed once the driver
 # samples the query (it moves to ``_DRIVER_SAMPLED``).
 _REGISTERED_ROUND: dict[str, int] = {
-    # (r4/r5 backlog fully drained by CORRECTNESS_r06 — all 50 sampled
+    # (r6/r7 backlog fully drained by CORRECTNESS_r07 — all 8 sampled
     # hash-green; entries moved to _DRIVER_SAMPLED)
-    # r6 additions — the only never-sampled queries going into round 7
-    "link_edit_distance_join_blocked": 6, "tpch_q9_product_type_profit": 6,
-    "tpch_q2_min_cost_supplier": 6,
-    # r6 oracle upgrade: its only driver row (r4) was rows-only; re-queue
-    # for a fresh HASH-CHECKED row now that it has a DuckDB oracle
-    "multimodal_cdc_dedup": 6,
-    # r7 additions — queue after the r6 backlog
-    "tpch_q21_suppliers_kept_waiting": 7,
-    "tpch_q17_small_quantity_revenue": 7,
-    "tpch_q22_dormant_rich_customers": 7,
-    "tpch_q8_national_market_share": 7,
+    # r8 oracle upgrade: ann_pca_compress's only driver rows (r6) were
+    # rows-only (no_oracle); re-queue for a hash-checked row now that the
+    # projection leg has a pinned-eigenbasis DuckDB oracle
+    "ann_pca_compress": 8,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —
@@ -213,8 +206,11 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "w9_lead_lag_gaps",
     # CORRECTNESS_r06: all 50 sampled, 49 hash-green + ann_pca_compress
     # rows-only by design (declared no-oracle; numpy differential in tests)
+    # ann_pca_compress deliberately NOT listed despite its r6 row: that
+    # row was rows-only (no_oracle); it re-queues via _REGISTERED_ROUND
+    # for a hash-checked row now that the projection leg has an oracle
     "a19_weighted_median", "a20_mode_exact", "a21_corr_matrix",
-    "a22_gini_spend", "ann_jl_distortion", "ann_pca_compress",
+    "a22_gini_spend", "ann_jl_distortion",
     "ann_pq_adc_topk", "ann_pq_recall_at_10", "dedup_lsh_recall_audit",
     "dedup_overlap_fraction", "events_dau_wau_stickiness",
     "events_inter_arrival_stats", "events_rfm_segments",
@@ -234,6 +230,12 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "text_script_histogram", "text_zipf_slope", "tpch_q10_returned_items",
     "tpch_q14_promo_effect", "tpch_q4_order_priority",
     "tpch_q6_forecast_revenue", "tpch_q7_nation_volume", "w13_pareto_abc",
+    # CORRECTNESS_r07: all 50 sampled hash-green — the 8 below were the
+    # whole r6/r7 never-sampled backlog (now drained)
+    "link_edit_distance_join_blocked", "multimodal_cdc_dedup",
+    "tpch_q17_small_quantity_revenue", "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_dormant_rich_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q8_national_market_share", "tpch_q9_product_type_profit",
 })
 
 

@@ -387,25 +387,53 @@ def _table_fingerprint(sf_dir: str, table: str) -> str:
     ).hexdigest()[:16]
 
 
-def _scratch_build(path: str, build) -> str:
+def _scratch_build(path: str, build, require: str | None = None) -> str:
     """Crash-safe completion semantics for fingerprinted scratch stores:
     ``build(tmp)`` writes into a sibling tmp dir which is RENAMED into
     place only when the build function returns — the final directory's
     existence IS the completion marker. Building directly into ``path``
     let a mid-build crash (between a snapshot store's two publishes, or
     mid-Spark-write) cache a half-built store forever under an unchanged
-    fingerprint."""
+    fingerprint.
+
+    ``require`` names a relative path that must exist inside a COMPLETE
+    store (snapshot stores pass ``"_manifests"``): a torn directory left
+    by the pre-rename era of this helper — dir exists, no manifest —
+    is detected and rebuilt instead of being treated as complete
+    forever under an unchanged fingerprint.
+
+    Concurrency: the tmp dir carries the builder's pid, so two
+    concurrent builders never rmtree each other's half-built tree, and
+    a lost rename race (``path`` appeared between our check and our
+    rename) is tolerated — the loser discards its tmp and returns the
+    winner's store, which is equivalent by construction (same
+    fingerprint => same deterministic build).
+    """
     import os
     import shutil
 
-    if os.path.isdir(path):
+    def complete(p: str) -> bool:
+        return os.path.isdir(p) and (
+            require is None or os.path.exists(os.path.join(p, require))
+        )
+
+    if complete(path):
         return path
-    tmp = f"{path}.__building__"
+    if os.path.isdir(path):
+        shutil.rmtree(path)  # torn legacy dir (pre-rename builds): redo
+    tmp = f"{path}.__building__.{os.getpid()}"
     if os.path.isdir(tmp):
-        shutil.rmtree(tmp)  # leftover torn build: rebuild from scratch
+        shutil.rmtree(tmp)  # our own leftover (pid reuse): rebuild
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    build(tmp)
-    os.rename(tmp, path)
+    try:
+        build(tmp)
+        os.rename(tmp, path)
+    except OSError:
+        if not complete(path):  # not a lost race: surface the failure
+            raise
+    finally:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
@@ -1121,7 +1149,8 @@ def _snapshot_store(spark: SparkSession, sf_dir: str) -> str:
         write_snapshot(base.filter(F.col("c_custkey") % 3 <= 1), tmp)
 
     return _scratch_build(
-        f"/root/repo/.scale/snapshots/customers_{fp}", build
+        f"/root/repo/.scale/snapshots/customers_{fp}", build,
+        require="_manifests",
     )
 
 
@@ -1208,7 +1237,8 @@ def _merge_store(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return _scratch_build(
-        f"/root/repo/.scale/snapshots/customers_merge_{fp}", build
+        f"/root/repo/.scale/snapshots/customers_merge_{fp}", build,
+        require="_manifests",
     )
 
 
@@ -1300,7 +1330,8 @@ def _optimize_store(spark: SparkSession, sf_dir: str) -> str:
         )
 
     return _scratch_build(
-        f"/root/repo/.scale/snapshots/customers_opt_{fp}", build
+        f"/root/repo/.scale/snapshots/customers_opt_{fp}", build,
+        require="_manifests",
     )
 
 

@@ -2575,7 +2575,7 @@ def tpch_q8_national_market_share(
     WITH pos AS (
       SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
              CAST(count(*) AS BIGINT) AS n
-      FROM customer WHERE c_acctbal > 0.0
+      FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
     )
     SELECT c_nationkey AS cntrycode,
            CAST(count(*) AS BIGINT) AS numcust,

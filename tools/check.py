@@ -64,7 +64,7 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    if args and "/" in args[0]:
+    if args and os.path.isdir(args[0]):
         sf_dir = args.pop(0)
     import __spark_entry__ as entrymod
 

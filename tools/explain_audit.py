@@ -40,19 +40,29 @@ def audit(plan: str) -> list[str]:
     # counted, not boolean: a query whitelisted for its ONE deliberate
     # broadcast cross must still flag when a SECOND unintended cartesian
     # appears — the exact quadratic regression this tool exists to catch.
-    # Count the formatted-mode "(N) NodeName" detail headers (each
-    # physical node appears once there; raw substring counts multiply by
-    # the tree/details duplication), falling back to presence for other
-    # explain shapes.
-    n_cart = len(
-        re.findall(
-            r"\(\d+\) (?:CartesianProduct|BroadcastNestedLoopJoin)", plan
-        )
-    )
-    if n_cart == 0 and (
-        "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan
-    ):
-        n_cart = 1
+    # Count cartesian nodes from the plan TREE lines only, skipping (a)
+    # "(N) NodeName" detail-header lines (they re-list every tree node,
+    # so counting them doubles) and (b) "== Initial Plan ==" subtrees
+    # (AQE appends the pre-execution tree, which re-lists the same nodes
+    # under different ids and would double the count again — and would
+    # HALVE every pin if AQE were off).  A subtree ends at the blank
+    # line that closes its plan block, so subquery sections further down
+    # still count.  One physical node = exactly 1, with or without AQE.
+    n_cart = 0
+    in_initial = False
+    for line in plan.splitlines():
+        if "== Initial Plan ==" in line:
+            in_initial = True
+            continue
+        if not line.strip():
+            in_initial = False
+            continue
+        if re.match(r"\(\d+\) ", line.strip()):
+            continue  # detail header: node already counted in its tree
+        if not in_initial and re.search(
+            r"CartesianProduct|BroadcastNestedLoopJoin", line
+        ):
+            n_cart += 1
     if n_cart:
         flags.append(f"CARTESIAN(x{n_cart})")
     if "BatchEvalPython" in plan:
@@ -73,9 +83,11 @@ def audit(plan: str) -> list[str]:
 # Deliberate plan shapes — reviewed, with the reasoning recorded here.
 # The audit prints them as "ok (expected: ...)"; anything NOT listed fails.
 # CARTESIAN counts are pinned EXACTLY (prefix match on the full flag
-# string): one physical node = 2 detail-header occurrences under AQE
-# (initial + final plan), so e.g. one deliberate broadcast cross pins as
-# CARTESIAN(x2) and an ADDITIONAL unintended cross (+2) fails the audit.
+# string) and count PHYSICAL NODES in the final plan section only, so
+# the pin is the number of deliberate cross-join nodes regardless of
+# whether AQE appends an "== Initial Plan ==" duplicate: one deliberate
+# broadcast cross pins as CARTESIAN(x1) and an ADDITIONAL unintended
+# cross (x2) fails the audit.
 EXPECTED: dict[str, set[str]] = {
     # full outer join of two large sides: broadcast cannot produce full
     # outer semantics, SortMergeJoin is the correct strategy at any scale
@@ -97,7 +109,7 @@ EXPECTED: dict[str, set[str]] = {
     # CUPED: the pooled (theta, mean-x) fit is a 1-ROW aggregate
     # broadcast-crossed onto the user-grain frame — the text_tfidf_topk
     # 1-row-global-stat pattern; the user table never replicates
-    "events_cuped_adjustment": {"CARTESIAN(x2)"},
+    "events_cuped_adjustment": {"CARTESIAN(x1)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
@@ -107,21 +119,21 @@ EXPECTED: dict[str, set[str]] = {
     # broadcast-crossed onto the customer scan — the
     # events_cuped_adjustment 1-row-global-stat pattern; the anti join
     # on o_custkey is the query's real (shuffled) join
-    "tpch_q22_dormant_rich_customers": {"CARTESIAN(x2)"},
+    "tpch_q22_dormant_rich_customers": {"CARTESIAN(x1)"},
     # KMV jaccard: the final combine is a 1-ROW sketch-estimate frame
     # broadcast-crossed with a 1-ROW exact-truth frame — both sides are
     # sketch-sized (<= k = 64 inputs) regardless of corpus scale, the
     # events_cuped_adjustment 1-row-global-stat pattern
-    "sketch_kmv_jaccard": {"CARTESIAN(x2)"},
+    "sketch_kmv_jaccard": {"CARTESIAN(x1)"},
     # PSI drift: the global (min, max) bin-edge pair is a 1-ROW
     # aggregate broadcast-crossed onto the order scan — the
     # events_cuped_adjustment 1-row-global-stat pattern; the scan is
     # touched once and never replicates
-    "audit_psi_drift": {"CARTESIAN(x6)"},
+    "audit_psi_drift": {"CARTESIAN(x3)"},
     # Pareto/ABC: the 1-ROW total-revenue aggregate broadcast-crossed
     # onto the part-grain ranked frame — the CUPED 1-row-global-stat
     # pattern; the part table never replicates
-    "w13_pareto_abc": {"CARTESIAN(x2)"},
+    "w13_pareto_abc": {"CARTESIAN(x1)"},
     # multimodal curation: three DOC-GRAIN legs (text gate, real-decode
     # image gate, canonical assignment) joined on the id — every side
     # is corpus-sized at 100 TB so SortMergeJoin is the correct static
@@ -132,27 +144,27 @@ EXPECTED: dict[str, set[str]] = {
     # brute-force ANN baseline: BroadcastNestedLoopJoin of a tiny broadcast
     # query set against one partition-local corpus scan — the quadratic
     # side is bounded by len(queries), which is the operator's contract
-    "sim_cosine_topk": {"CARTESIAN(x2)"},
+    "sim_cosine_topk": {"CARTESIAN(x1)"},
     # MMR candidate generation IS the sim_cosine_topk broadcast cross;
     # the greedy itself is a bounded per-query grouped map (no join)
-    "sim_mmr_rerank": {"CARTESIAN(x2)"},
+    "sim_mmr_rerank": {"CARTESIAN(x1)"},
     # RRF's dense leg is the sim_cosine_topk broadcast-query cross and
     # its lexical leg attaches BM25's 1-row corpus stats (the
     # text_bm25_topk pattern); the fusion itself is a bounded union+agg
-    "sim_rrf_fusion": {"CARTESIAN(x4)"},
+    "sim_rrf_fusion": {"CARTESIAN(x2)"},
     # the eval run IS sim_cosine_topk (deliberate broadcast-query
     # cross); metrics join only bounded per-query aggregates
-    "eval_retrieval_metrics": {"CARTESIAN(x2)"},
+    "eval_retrieval_metrics": {"CARTESIAN(x1)"},
     # filtered vector search: the sim_cosine_topk broadcast-query cross
     # over the label-pruned corpus slice (predicate pushed to the scan)
-    "ann_filtered_topk": {"CARTESIAN(x2)"},
+    "ann_filtered_topk": {"CARTESIAN(x1)"},
     # eval embeddings broadcast against the corpus scan — quadratic side
     # bounded by the (small) eval set; the banded-LSH route is the
     # documented 100 TB path
-    "dedup_decontaminate_semantic": {"CARTESIAN(x2)"},
+    "dedup_decontaminate_semantic": {"CARTESIAN(x1)"},
     # two 1-row scalar attaches (median, MAD) onto the norm stream —
     # the text_tfidf_topk global-stat pattern, twice
-    "ann_embedding_outliers": {"CARTESIAN(x6)"},
+    "ann_embedding_outliers": {"CARTESIAN(x3)"},
     # circle (x) square observation merge is a full outer join of two
     # large fact sides — SortMergeJoin is the correct strategy (see
     # j4_full_outer)
@@ -162,26 +174,26 @@ EXPECTED: dict[str, set[str]] = {
     # zero-shuffle Arrow/BLAS closure pass, so their plans are flag-free
     # recall@10 recomputes the brute-force baseline, inheriting
     # sim_cosine_topk's deliberate broadcast cross join
-    "ann_recall_at_10": {"CARTESIAN(x2)"},
+    "ann_recall_at_10": {"CARTESIAN(x1)"},
     # same brute-force baseline recomputation (the IVF leg itself is
     # closure-based and flag-free since r4)
-    "ann_ivf_recall_at_10": {"CARTESIAN(x2)"},
+    "ann_ivf_recall_at_10": {"CARTESIAN(x1)"},
     # the corpus-size scalar (one row) broadcasts onto every (doc, token)
     # row — a deliberate 1-row BroadcastNestedLoopJoin, the standard way
     # to attach a global statistic without a single-partition window
-    "text_tfidf_topk": {"CARTESIAN(x2)"},
+    "text_tfidf_topk": {"CARTESIAN(x1)"},
     # same 1-row global-stat attach (corpus n_docs/avgdl scalars onto the
     # query-term postings — the text_tfidf_topk pattern)
-    "text_bm25_topk": {"CARTESIAN(x2)"},
+    "text_bm25_topk": {"CARTESIAN(x1)"},
     # quantile_bins attaches the 1-row total row count to compute
     # bin = ((rank-1)*k) div n — the text_tfidf_topk 1-row-stat pattern;
     # the ranking itself is the distributed two-pass (no global window)
-    "pipeline_curriculum_bins": {"CARTESIAN(x2)"},
+    "pipeline_curriculum_bins": {"CARTESIAN(x1)"},
     # recall@10 of the k-means IVF path recomputes the brute-force
     # baseline (sim_cosine_topk's deliberate broadcast cross join); the
     # IVF side itself has NO cartesian — literal-centroid assignment is a
     # pure projection (ann_ivf_kmeans_topk is unflagged)
-    "ann_ivf_kmeans_recall_at_10": {"CARTESIAN(x2)"},
+    "ann_ivf_kmeans_recall_at_10": {"CARTESIAN(x1)"},
     # two keyed equi-joins of same-grain fact sides: cover facts x plot
     # habitat (both corpus-sized), and the absent-species scaffold LEFT
     # JOIN matched per-plot stats (both plot x voorwaarde grain) —
@@ -193,12 +205,12 @@ EXPECTED: dict[str, set[str]] = {
     # two corpus-grain sides (docs x per-doc sums) where SortMergeJoin is
     # the correct strategy; the bucket-model join itself is a
     # BroadcastHashJoin (the model is `buckets` rows by construction)
-    "pipeline_dsir_weights": {"CARTESIAN(x10)", "SMJ"},
+    "pipeline_dsir_weights": {"CARTESIAN(x5)", "SMJ"},
     # 1-row scalar broadcast (the poisoned-manifest min(lang) pin); the
     # manifest comparison is a FULL OUTER join (fail-closed on vanished
     # pinned groups), which cannot broadcast — SortMergeJoin of two
     # group-grain sides is the correct strategy
-    "audit_input_pinning": {"CARTESIAN(x2)", "SMJ"},
+    "audit_input_pinning": {"CARTESIAN(x1)", "SMJ"},
     # large-star/small-star rounds join the edge list with per-center
     # minima — both corpus-grain, same node key both phases, so
     # SortMergeJoin is the correct strategy (AQE downgrades to broadcast
@@ -214,44 +226,44 @@ EXPECTED: dict[str, set[str]] = {
     # downgrades to broadcast at runtime when the query set is small.
     # The self-match count join itself IS a BroadcastHashJoin (query-id
     # set broadcasts into the corpus scan).
-    "spatial_knn_join": {"CARTESIAN(x2)", "SMJ"},
+    "spatial_knn_join": {"CARTESIAN(x1)", "SMJ"},
     # the trained 1-row quantizer range table (2 x dim scalars)
     # broadcasts onto every vector — the standard global-statistic
     # attach (see text_tfidf_topk)
-    "ann_scalar_quant_error": {"CARTESIAN(x2)"},
+    "ann_scalar_quant_error": {"CARTESIAN(x1)"},
     # the 1-row corpus bigram total broadcasts onto the scored stream
     # (see text_tfidf_topk)
-    "text_bigram_lm": {"CARTESIAN(x2)"},
+    "text_bigram_lm": {"CARTESIAN(x1)"},
     # the 1-row global order count broadcasts onto the pruned pair list
     # for the lift denominator (see text_tfidf_topk)
-    "graph_copurchase_lift": {"CARTESIAN(x2)"},
+    "graph_copurchase_lift": {"CARTESIAN(x1)"},
     # the 1-row partition-function scalar (sum of c^tau) broadcasts onto
     # the per-source table (see text_tfidf_topk)
-    "pipeline_temperature_mix": {"CARTESIAN(x2)"},
+    "pipeline_temperature_mix": {"CARTESIAN(x1)"},
     # the 4-row PQ codebook broadcasts onto corpus + query sides for the
     # subspace-distance tables — deliberate n x K scoring bounded by the
     # codebook size (see ann_ivf_topk)
-    "ann_pq_adc_topk": {"CARTESIAN(x4)"},
+    "ann_pq_adc_topk": {"CARTESIAN(x2)"},
     # recall measurement recomputes the brute-force exact leg (tiny
     # broadcast query set, the sim_cosine_topk contract) plus the ADC
     # leg's codebook broadcast
-    "ann_pq_recall_at_10": {"CARTESIAN(x6)"},
+    "ann_pq_recall_at_10": {"CARTESIAN(x3)"},
     # the 1-row corpus token total broadcasts onto the vocab table —
     # deliberately replaces a sum() OVER () empty-partition window
-    "text_domain_shift_kl": {"CARTESIAN(x2)"},
+    "text_domain_shift_kl": {"CARTESIAN(x1)"},
     # inherits text_bigram_lm's 1-row corpus-total broadcast; the
     # per-source cutoff dim is also a deliberate tiny broadcast
-    "pipeline_adaptive_quality_gate": {"CARTESIAN(x2)"},
+    "pipeline_adaptive_quality_gate": {"CARTESIAN(x1)"},
     # the 4-row PQ codebook broadcasts onto every vector — an n x K
     # map-side cross join bounded by K (the ann_ivf_topk pattern)
-    "ann_pq_codes": {"CARTESIAN(x2)"},
+    "ann_pq_codes": {"CARTESIAN(x1)"},
     # the three 1-row stat frames (nodes/edges/triangles) combine via
     # trivially-safe cross joins; edges x degrees and the path/closing
     # joins are corpus-grain x node-grain equi-joins where SortMergeJoin
     # is the correct static strategy at scale (neither side is bounded
     # on a 100 TB graph) — AQE downgrades to broadcast at runtime here
     # because the min-support-pruned edge list is small
-    "graph_triangle_stats": {"CARTESIAN(x4)", "SMJ"},
+    "graph_triangle_stats": {"CARTESIAN(x2)", "SMJ"},
     # link prediction inherits the triangle wedge-join shape: every join
     # (wedge self-join, existing-edge anti join, degree attaches) is a
     # corpus-grain x node-grain equi-join where SortMergeJoin is the
@@ -260,7 +272,7 @@ EXPECTED: dict[str, set[str]] = {
     "graph_link_prediction": {"SMJ"},
     # the 1-row water level broadcasts onto the per-source planning
     # table — the standard global-statistic attach (see text_tfidf_topk)
-    "pipeline_budget_waterfill": {"CARTESIAN(x2)"},
+    "pipeline_budget_waterfill": {"CARTESIAN(x1)"},
 }
 
 
@@ -270,11 +282,14 @@ def _expected(name: str, flags: list[str]) -> bool:
 
 
 def main() -> int:
+    import os
+
     args = sys.argv[1:]
-    # first arg is the sf_dir only if it looks like a path (the
-    # tools/check.py heuristic): `explain_audit.py some_query` must not
-    # audit 290 queries against a directory named "some_query"
-    if args and "/" in args[0]:
+    # first arg is the sf_dir only if it IS a directory: `explain_audit.py
+    # some_query` must not audit 290 queries against a directory named
+    # "some_query", and a RELATIVE dir like "testdata" or "." must not be
+    # misparsed as a query name (the old "/" heuristic did both wrong)
+    if args and os.path.isdir(args[0]):
         sf_dir, only = args[0], set(args[1:])
     else:
         sf_dir, only = "/root/testdata/sf0.01", set(args)

@@ -16,6 +16,7 @@ Usage: python tools/type_audit.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -57,7 +58,7 @@ def risky(duck_type: str, spark_type: str) -> bool:
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.001"
-    if args and "/" in args[0]:
+    if args and os.path.isdir(args[0]):
         sf_dir = args.pop(0)
     import __spark_entry__ as entrymod
 
