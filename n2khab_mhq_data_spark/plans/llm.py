@@ -2271,33 +2271,70 @@ def ann_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pca_compress")  # rows-only: eigendecomposition is not SQL-
-# expressible; full-output numpy differential in
-# tests/test_rows_only_differentials.py::test_pca_compress_differential
-def ann_pca_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trained 64->8 PCA compression of the embedding corpus: fit via
-    per-partition Gram partials + bounded driver eigendecomposition
-    (O(dim^2) driver state — the same bounded-sync pattern as the
-    k-means partials), then one Arrow/BLAS projection pass scoring each
-    vector's top-2 components and squared reconstruction error. The
-    trained counterpart to ``ann_jl_distortion``'s data-oblivious
-    projection — PCA buys lower reconstruction error at equal k for one
-    extra corpus pass. No oracle: the driver records rows-only; the
-    compensating check is the full-output pure-numpy differential at
-    sf0.01 plus the variance-ordering invariants in tests."""
-    from n2khab_mhq_data_spark.llmdata.similarity import (
-        pca_fit,
-        pca_project,
+def _pca_oracle() -> str:
+    from n2khab_mhq_data_spark.llmdata.pca_pinned import (
+        pca_err_sql,
+        pca_pc_sql,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    mu, w, _ = pca_fit(emb)
-    out = pca_project(emb, mu, w)
-    return out.select(
-        F.col("id").alias("vec_id"),
+    elem = "CAST(embedding[{i}] AS DOUBLE)"
+    pcs = ",\n             ".join(
+        f"{pca_pc_sql(elem, k)} AS pc{k + 1}" for k in range(8)
+    )
+    err = pca_err_sql(elem, [f"pc{k + 1}" for k in range(8)])
+    return f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             {pcs}
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(pc1 + 1e-9, 6) AS pc1,
+           round(pc2 + 1e-9, 6) AS pc2,
+           round({err} + 1e-9, 6) AS recon_err
+    FROM c
+    """
+
+
+@query("ann_pca_compress", oracle=_pca_oracle())
+def ann_pca_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64->8 PCA compression of the embedding corpus with the PINNED
+    production basis (``llmdata/pca_pinned.py``): per-vector top-2
+    component scores and squared reconstruction error against the
+    frozen mean/eigenbasis. The trained counterpart to
+    ``ann_jl_distortion``'s data-oblivious projection — PCA buys lower
+    reconstruction error at equal k, and at 100 TB the basis is fitted
+    ONCE on a bounded sample (``similarity.pca_fit``: per-partition
+    Gram partials + O(dim^2) driver eigh) and applied frozen, exactly
+    as pinned here; re-fitting per batch would silently re-index the
+    compressed corpus. The projection is the unrolled left-associative
+    expression tree shared TEXT-IDENTICALLY with the DuckDB oracle
+    (the ``_dot_sql`` convention), so the whole query is hash-checked
+    cross-engine — no UDF, no shuffle, whole-stage codegen, and the
+    scan reads only (vec_id, embedding). Fit correctness rides the
+    live-refit + numpy differentials in
+    ``tests/test_rows_only_differentials.py``."""
+    from n2khab_mhq_data_spark.llmdata.pca_pinned import (
+        pca_err_sql,
+        pca_pc_sql,
+    )
+
+    elem = "CAST(try_element_at(embedding, {i}) AS DOUBLE)"
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    pcs = emb.select(
+        "vec_id",
+        "embedding",
+        *[
+            F.expr(pca_pc_sql(elem, k)).alias(f"pc{k + 1}")
+            for k in range(8)
+        ],
+    )
+    err = pca_err_sql(elem, [f"pc{k + 1}" for k in range(8)])
+    return pcs.select(
+        "vec_id",
         F.round(F.col("pc1") + 1e-9, 6).alias("pc1"),
         F.round(F.col("pc2") + 1e-9, 6).alias("pc2"),
-        F.round(F.col("recon_err") + 1e-9, 6).alias("recon_err"),
+        F.round(F.expr(err) + 1e-9, 6).alias("recon_err"),
     )
 
 

@@ -1,11 +1,12 @@
-"""Value-level differentials for the queries with rows-only driver
-checks (no SQL oracle): ``ann_pca_compress`` (the O(dim^3) eigh is the
-one genuinely non-SQL step left). ``text_bpe_merges`` /
-``text_bpe_encode`` (unrolled-CTE) and ``multimodal_cdc_dedup``
-(low-bit mask + recursive-CTE clamp walk) gained DuckDB oracles in r6
-and are now hash-checked at the driver; their differentials here stay
-as belt-and-braces (an INDEPENDENT Python reference, not the DuckDB
-re-expression).
+"""Value-level differentials that are INDEPENDENT Python references,
+not DuckDB re-expressions. Since r8 every registered query has a DuckDB
+oracle — ``ann_pca_compress`` (the last rows-only row) now applies the
+pinned production basis (``llmdata/pca_pinned.py``), whose projection is
+SQL; the non-SQL eigh lives in the offline fit, which THIS file checks
+by live refit. ``text_bpe_merges`` / ``text_bpe_encode`` (unrolled-CTE)
+and ``multimodal_cdc_dedup`` (low-bit mask + recursive-CTE clamp walk)
+gained DuckDB oracles in r6; all differentials here stay as
+belt-and-braces.
 
 The driver can only count their rows, so each gets an INDEPENDENT pure-
 Python reference here — different algorithmic shape from the Spark path
@@ -194,11 +195,15 @@ def test_bpe_merges_strict_differential_sf001(spark):
 def test_pca_compress_differential_sf001(spark):
     """Full-output numpy differential for ann_pca_compress at sf0.01:
     an independent single-machine PCA (np.cov + eigh over the raw
-    table, no partials) must reproduce every row, and the fit must
-    satisfy the variance invariants."""
+    table, no partials) must reproduce every row of the pinned-basis
+    query (the frozen basis was trained on THIS corpus, so a live
+    refit agrees to ~1e-8 — far under the 1e-4 gate), the frozen
+    ``pca_pinned`` artifact must match a live distributed ``pca_fit``,
+    and the fit must satisfy the variance invariants."""
     import numpy as np
 
     import __spark_entry__ as entrymod
+    from n2khab_mhq_data_spark.llmdata.pca_pinned import PCA_MU, PCA_W
     from n2khab_mhq_data_spark.llmdata.similarity import pca_fit
 
     t = pq.read_table(SF001 + "/embeddings.parquet",
@@ -239,3 +244,35 @@ def test_pca_compress_differential_sf001(spark):
     assert np.allclose(G, np.eye(8), atol=1e-9)
     assert all(a >= b for a, b in zip(evr, evr[1:]))
     assert 0 < sum(evr) <= 1 + 1e-9
+    # the frozen production basis is still THE fit of this corpus: a
+    # drifted pin (stale regeneration, wrong sf) fails here, so the
+    # oracle-checked projection can never silently apply a wrong model
+    assert np.allclose(np.asarray(PCA_MU), np.asarray(mu2), atol=1e-6)
+    assert np.allclose(np.asarray(PCA_W), np.asarray(W2), atol=1e-6)
+
+
+def test_pca_project_matches_pinned_sql(spark):
+    """The Arrow/BLAS batch apply path (``pca_project``, the production
+    projector for corpora where the closure-matrix pass beats 70 KB of
+    codegen SQL) and the unrolled-SQL path of the registered query must
+    agree on the pinned basis — an independent-implementation
+    differential (numpy matmul vs whole-stage-codegen arithmetic)."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from n2khab_mhq_data_spark.catalog import load
+    from n2khab_mhq_data_spark.llmdata.pca_pinned import PCA_MU, PCA_W
+    from n2khab_mhq_data_spark.llmdata.similarity import pca_project
+
+    emb = load(spark, SF001, "embeddings")
+    arrow = {
+        r["id"]: (r["pc1"], r["pc2"], r["recon_err"])
+        for r in pca_project(emb, PCA_MU, PCA_W).collect()
+    }
+    sql = entrymod.queries()["ann_pca_compress"](spark, SF001).collect()
+    assert len(sql) == len(arrow)
+    for r in sql:
+        p1, p2, e = arrow[r["vec_id"]]
+        assert abs(r["pc1"] - p1) < 1e-6
+        assert abs(r["pc2"] - p2) < 1e-6
+        assert abs(r["recon_err"] - e) < 1e-6
