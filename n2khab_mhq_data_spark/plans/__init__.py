@@ -107,6 +107,10 @@ _REGISTERED_ROUND: dict[str, int] = {
     # rows-only (no_oracle); re-queue for a hash-checked row now that the
     # projection leg has a pinned-eigenbasis DuckDB oracle
     "ann_pca_compress": 8,
+    # r8 additions (VERDICT r7 item 5): the outer-join-grain histogram
+    # and the nested-semi-join-chain + correlated-threshold stressors
+    "tpch_q13_customer_distribution": 8,
+    "tpch_q20_dominant_part_suppliers": 8,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —

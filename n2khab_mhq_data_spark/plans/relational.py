@@ -2640,6 +2640,134 @@ def tpch_q22_dormant_rich_customers(
 
 
 @query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON o.o_custkey = c.c_custkey
+        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    ) c_orders GROUP BY 1
+    """,
+)
+def tpch_q13_customer_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q13 (customer distribution) adapted to the testdata schema:
+    histogram of per-customer order counts INCLUDING the zero bucket —
+    the outer-join-grain stressor no other registered query covers
+    (no o_comment column, so the NOT LIKE exclusion becomes the
+    priority exclusion; the join is still predicated, still outer).
+    Spark shape: the order counts are pre-aggregated per custkey BEFORE
+    the outer join — semantically identical to the classic join-then-
+    count (count(o_orderkey) counts ONLY match rows, so an unmatched
+    customer's 0 equals the coalesced missing count), but the outer
+    join's probe side shrinks from |orders| to |custkeys| and the
+    map-side partial aggregation does the heavy lifting. At 100 TB both
+    sides stay unbounded (never broadcast); the join and the pre-agg
+    share the custkey hash partitioning, so the fact pays ONE shuffle,
+    and the final histogram agg shuffles ~max(c_count) rows."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    counts = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    per_cust = cust.join(
+        counts, cust.c_custkey == counts.o_custkey, "left_outer"
+    ).select(F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@query(
+    "tpch_q20_dominant_part_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_7'
+      AND s.s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(round(l_quantity * 100) AS BIGINT)) AS pair_q
+          FROM lineitem GROUP BY 1, 2
+        ) ps
+        WHERE ps.l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          AND 2 * ps.pair_q > (
+            SELECT sum(CAST(round(l2.l_quantity * 100) AS BIGINT))
+            FROM lineitem l2
+            WHERE l2.l_partkey = ps.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+    """,
+)
+def tpch_q20_dominant_part_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted to the testdata
+    schema: no partsupp table, so the supply relation is DERIVED from
+    lineitem — a supplier's all-time shipped quantity of a part stands
+    in for ps_availqty, and the classic shape survives intact: the
+    nested semi-join chain (part -> supply pairs -> supplier) plus the
+    CORRELATED half-of-total threshold (here: more than half of the
+    part's 1996 shipped volume; parts with no 1996 shipments drop,
+    matching the original's NULL-comparison exclusion). Portability:
+    quantities ride integer cents and the 0.5 factor becomes
+    2*pair > total on the integer grid (no float knife edge). Spark
+    shape: both aggregates are map-side-partial groupBys sharing the
+    l_partkey hash partitioning (the pair grain (partkey, suppkey)
+    co-partitions with the window total's partkey under AQE), the part
+    name filter broadcasts into the pair stream, and the final
+    supplier attach is a LEFT SEMI on the distinct candidate suppkeys
+    — at 100 TB nothing here is all-pairs and only lineitem pays real
+    shuffles (2: pair grain + window grain)."""
+    li = load(spark, sf_dir, "lineitem")
+    q100 = F.round(F.col("l_quantity") * 100).cast("long")
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(q100).alias("pair_q")
+    )
+    win = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_partkey").alias("w_partkey"))
+        .agg(F.sum(q100).alias("win_q"))
+    )
+    small = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    cand = (
+        pairs.join(
+            F.broadcast(small), pairs.l_partkey == small.p_partkey, "left_semi"
+        )
+        .join(win, pairs.l_partkey == win.w_partkey)
+        .filter(2 * F.col("pair_q") > F.col("win_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_7")
+        .select("n_nationkey")
+    )
+    sup = load(spark, sf_dir, "supplier").join(
+        F.broadcast(nat),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    return sup.join(
+        cand, sup.s_suppkey == cand.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@query(
     "a19_weighted_median",
     oracle="""
     WITH r AS (

@@ -777,3 +777,118 @@ def test_tpch_q8_two_nation_roles(spark):
     assert row.o_year == 1996
     assert abs(row.mkt_share - 0.75) < 1e-9
     assert abs(row.market_volume - 40.0) < 1e-9
+
+
+def test_tpch_q13_zero_bucket_and_join_predicate(spark):
+    """The zero bucket must include BOTH customers with no orders at all
+    AND customers whose only orders fail the join predicate (urgent) —
+    the semantic difference between filtering inside the outer join and
+    filtering after it."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q13_customer_distribution,
+    )
+
+    cdf = spark.createDataFrame(
+        [(1, "c1", 0, 1.0, "A"), (2, "c2", 0, 1.0, "A"),
+         (3, "c3", 0, 1.0, "A"), (4, "c4", 0, 1.0, "A")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    od = dt.datetime(1996, 1, 1)
+    odf = spark.createDataFrame(
+        [
+            (100, 1, "O", 1.0, od, "5-LOW"),    # c1: 2 counted orders
+            (101, 1, "O", 1.0, od, "5-LOW"),
+            (102, 2, "O", 1.0, od, "1-URGENT"), # c2: only urgent -> 0
+            # c3: no orders at all -> 0
+            (103, 4, "O", 1.0, od, "2-HIGH"),   # c4: 1 counted order
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    tables = {"customer": cdf, "orders": odf}
+    rload = rmod.load
+    rmod.load = lambda s, d, t: tables[t]
+    try:
+        rows = tpch_q13_customer_distribution(spark, "unused").collect()
+    finally:
+        rmod.load = rload
+    assert sorted((r.c_count, r.custdist) for r in rows) == [
+        (0, 2), (1, 1), (2, 1)
+    ]
+
+
+def test_tpch_q20_dominance_threshold_semantics(spark):
+    """The half-of-window threshold is STRICT (exactly half is
+    excluded), a part with NO in-window shipments never qualifies a
+    supplier (the original's NULL-comparison exclusion), the part name
+    prefix gates eligibility, and the nation filter gates the final
+    supplier list."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q20_dominant_part_suppliers,
+    )
+
+    inside = dt.datetime(1996, 6, 1)
+    outside = dt.datetime(1999, 6, 1)
+    li = spark.createDataFrame(
+        [
+            # part 1 ("small"): window total 10; s1's pair qty 6 clears
+            # half of it; s2 ships 4 in window + 90 outside — pair qty
+            # is ALL-TIME (the availqty/stock analog), so 94 also
+            # clears the threshold: both dominate
+            (1, 1, 1, 1, 6.0, 1.0, 0.0, 0.0, "N", "O", inside),
+            (2, 1, 2, 1, 4.0, 1.0, 0.0, 0.0, "N", "O", inside),
+            (3, 1, 2, 2, 90.0, 1.0, 0.0, 0.0, "N", "O", outside),
+            # part 2 ("small"): window total 10, s3 ships exactly 5 ->
+            # 2*5 == 10 is NOT > 10 -> excluded (strict)
+            (4, 2, 3, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", inside),
+            (5, 2, 4, 1, 5.0, 1.0, 0.0, 0.0, "N", "O", inside),
+            # part 3 ("small"): NO window shipments -> s5 never
+            # qualifies through it
+            (6, 3, 5, 1, 50.0, 1.0, 0.0, 0.0, "N", "O", outside),
+            # part 4 (NOT small): s6 dominates but part ineligible
+            (7, 4, 6, 1, 9.0, 1.0, 0.0, 0.0, "N", "O", inside),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    )
+    part = spark.createDataFrame(
+        [(1, "small ring", "B", "T", 1, 1.0),
+         (2, "small bolt", "B", "T", 1, 1.0),
+         (3, "small gear", "B", "T", 1, 1.0),
+         (4, "red widget", "B", "T", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    # s1, s2, s3 in NATION_7; s4..s6 elsewhere: nation gates the output
+    supp = spark.createDataFrame(
+        [(1, "s1", 7, 0.0), (2, "s2", 7, 0.0), (3, "s3", 7, 0.0),
+         (4, "s4", 8, 0.0), (5, "s5", 8, 0.0), (6, "s6", 8, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(7, "NATION_7", 0), (8, "NATION_8", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    tables = {"lineitem": li, "part": part, "supplier": supp,
+              "nation": nation}
+    rload = rmod.load
+    rmod.load = lambda s, d, t: tables[t]
+    try:
+        rows = tpch_q20_dominant_part_suppliers(spark, "unused").collect()
+    finally:
+        rmod.load = rload
+    # s1 dominates part 1 in-window; s2's ALL-TIME pair qty (94) also
+    # clears part 1's window total (the availqty analog is stock, not
+    # window sales); s3 is knife-edge-excluded; s5/s6 gated out.
+    assert sorted((r.s_suppkey, r.s_name) for r in rows) == [
+        (1, "s1"), (2, "s2")
+    ]
