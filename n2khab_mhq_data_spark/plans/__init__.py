@@ -111,6 +111,8 @@ _REGISTERED_ROUND: dict[str, int] = {
     # and the nested-semi-join-chain + correlated-threshold stressors
     "tpch_q13_customer_distribution": 8,
     "tpch_q20_dominant_part_suppliers": 8,
+    # r8 sf1.0-bench stand-in for j13 (VERDICT r7 item 6)
+    "j13_interval_overlap_sliced": 8,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —

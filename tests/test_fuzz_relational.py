@@ -892,3 +892,31 @@ def test_tpch_q20_dominance_threshold_semantics(spark):
     assert sorted((r.s_suppkey, r.s_name) for r in rows) == [
         (1, "s1"), (2, "s2")
     ]
+
+
+def test_j13_sliced_is_exact_sub_population(spark):
+    """The sliced sibling's per-month rollup must equal the full query
+    recomputed on the same md5-slice predicate — i.e. the slice changes
+    the POPULATION, never the overlap semantics — and must be a genuine
+    reduction (fewer pairs than the full query in every month)."""
+    from n2khab_mhq_data_spark.plans.relational import (
+        j13_interval_overlap_binned,
+        j13_interval_overlap_sliced,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        r.month: (r.pairs, r.overlap_days)
+        for r in j13_interval_overlap_binned(spark, sf).collect()
+    }
+    sliced = {
+        r.month: (r.pairs, r.overlap_days)
+        for r in j13_interval_overlap_sliced(spark, sf).collect()
+    }
+    assert sliced  # the slice is non-degenerate at the smallest sf
+    assert set(sliced) <= set(full)
+    total_full = sum(p for p, _ in full.values())
+    total_sliced = sum(p for p, _ in sliced.values())
+    assert 0 < total_sliced < total_full
+    for month, (p, d) in sliced.items():
+        assert p <= full[month][0] and d <= full[month][1]
