@@ -113,6 +113,14 @@ _REGISTERED_ROUND: dict[str, int] = {
     "tpch_q20_dominant_part_suppliers": 8,
     # r8 sf1.0-bench stand-in for j13 (VERDICT r7 item 6)
     "j13_interval_overlap_sliced": 8,
+    # r8: the last five TPC-H shapes — the suite is now complete (22/22
+    # of the queries expressible on the testdata schema, partsupp-free
+    # adaptations documented per query)
+    "tpch_q11_important_stock": 8,
+    "tpch_q12_shipmode_priority": 8,
+    "tpch_q15_top_supplier": 8,
+    "tpch_q16_supplier_part_counts": 8,
+    "tpch_q19_discounted_revenue": 8,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —

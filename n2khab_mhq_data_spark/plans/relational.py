@@ -3585,3 +3585,333 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").cast("long").alias("n_late_orders")
     )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY 1
+    ), t AS (
+      SELECT CAST(sum(value_c) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM v
+    )
+    SELECT v.l_partkey AS partkey,
+           round(v.value_c / 100.0 + 1e-9, 2) AS supply_value
+    FROM v, t
+    WHERE v.value_c * t.n > 2 * t.tot
+    """,
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification) adapted to the
+    testdata schema: no partsupp, so a part's "stock value" held by one
+    nation's suppliers is DERIVED from lineitem (summed shipped
+    extended price, in cents), and the classic shape survives — a
+    grouped value rollup filtered against a SCALAR fraction of the
+    global total. The original's fixed FRACTION (0.0001/SF) bakes the
+    scale factor into the constant; this adaptation uses the
+    sf-invariant equivalent "more than twice the mean part value",
+    expressed on the integer grid as value*n > 2*total (no float
+    knife edge, no per-sf constant). Spark shape: ONE map-side-partial
+    groupBy on l_partkey (suppliers of the nation broadcast into the
+    scan as a semi filter), then the 1-row (total, count) aggregate
+    broadcast-crosses back onto the part-grain frame — the
+    text_tfidf_topk global-stat pattern. At 100 TB lineitem pays one
+    shuffle; nothing else is unbounded."""
+    nat = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    sup = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    v = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("value_c"))
+    )
+    t = v.agg(
+        F.sum("value_c").cast("long").alias("tot"),
+        F.count("*").cast("long").alias("n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(t))
+        .filter(F.col("value_c") * F.col("n") > 2 * F.col("tot"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value_c") / 100.0 + F.lit(1e-9), 2)
+            .alias("supply_value"),
+        )
+    )
+
+
+@query(
+    "tpch_q12_shipmode_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_mode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l_returnflag IN ('A', 'N')
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def tpch_q12_shipmode_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority) adapted to the
+    testdata schema: no l_shipmode / commit / receipt columns, so the
+    mode becomes the return flag (IN-list of 2 of its 3 values, like
+    the original's ('MAIL','SHIP')) and "received later than
+    committed" becomes "shipped 30+ days after ordering" (the Q4
+    lateness convention). The classic shape survives exactly: a
+    fact-fact join with a cross-table inequality predicate, then
+    conditional counts splitting a priority IN-list. Spark shape: the
+    year filter prunes the lineitem scan BEFORE the join; orders and
+    lineitem are both unbounded at 100 TB so the orderkey equi-join is
+    a shuffled join (never broadcast; AQE downgrades when a side is
+    actually small), with the lateness inequality evaluated INSIDE the
+    join condition so no fan-out survives it; the two counts ride one
+    conditional-sum aggregate over 2 groups."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_returnflag").isin("A", "N")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_returnflag")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.expr("timestampadd(DAY, 30, o_orderdate)")),
+    )
+    return j.groupBy(F.col("l_returnflag").alias("ship_mode")).agg(
+        F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+        .alias("high_line_count"),
+        F.sum(F.when(hi, 0).otherwise(1)).cast("long")
+        .alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS rev_u
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name,
+           round(rev.rev_u / 10000.0 + 1e-9, 2) AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_u = (SELECT max(rev_u) FROM rev)
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue-view + max-of-aggregate
+    shape — a per-supplier quarter-revenue rollup, then ONLY the
+    supplier(s) achieving the global maximum (ties all kept, per spec).
+    Revenue rides the exact integer grid (cents x discount basis
+    points) so the max-equality never hits a float knife edge — the
+    original's revenue = max(revenue) predicate is exactly this
+    integer comparison. Spark shape: one map-side-partial groupBy on
+    l_suppkey over the date-pruned scan (the "view"), its 1-row max
+    broadcast-crossed back onto itself (text_tfidf_topk global-stat
+    pattern), and the surviving (usually single) row broadcast into
+    the supplier dimension join. At 100 TB lineitem pays the only
+    real shuffle; the winner set is bounded by the tie count."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            (
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_unit"),
+        )
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_unit").alias("rev_u"))
+    mx = rev.agg(F.max("rev_u").alias("max_u"))
+    top = (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_u") == F.col("max_u"))
+        .select("l_suppkey", "rev_u")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return sup.join(
+        F.broadcast(top), sup.s_suppkey == top.l_suppkey
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.round(F.col("rev_u") / 10000.0 + F.lit(1e-9), 2)
+        .alias("total_revenue"),
+    )
+
+
+@query(
+    "tpch_q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q16_supplier_part_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted to the testdata
+    schema: the supplier-part relation is the DISTINCT (partkey,
+    suppkey) pair set derived from lineitem (no partsupp), the
+    "complaints" exclusion becomes the negative-balance supplier set
+    (same NOT IN anti-join shape), and the brand/type/size predicate
+    trio keeps the original's mixed <>/NOT-LIKE/IN structure. Spark
+    shape: the pair distinct is ONE shuffle on the compound key with
+    map-side partial dedup; the part filter broadcasts into it (semi),
+    the complaint set broadcasts as an ANTI join (it is bounded by the
+    supplier dimension at any scale), and the final count-distinct
+    groups on (brand, type, size) — low cardinality, so the
+    distinct-expand stays cheap. Nothing unbounded is ever broadcast."""
+    pairs = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#5")
+            & ~F.col("p_type").isin("PROMO", "ECONOMY")
+            & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    kept = pairs.join(
+        F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+    ).join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+    return kept.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+@query(
+    "tpch_q19_discounted_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 / 10000.0 + 1e-9, 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19_discounted_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, the disjunctive-predicate
+    stressor): revenue from lines matching ANY of three
+    brand/size/quantity conjunct blocks. The schema keeps the
+    original's structure minus the container/shipmode columns the
+    testdata lacks. The classic planner trap is treating the OR as
+    part of the JOIN condition (forcing a nested-loop); the standard
+    rewrite — hoist the common p_partkey = l_partkey equality into an
+    equi-join and leave the OR as a post-join filter — is what both
+    sides express, so Spark plans a hash join with the disjunction
+    evaluated inside codegen. The part side additionally carries the
+    IMPLIED union-of-brands pre-filter (brand IN the three constants,
+    size <= 15), pruning the build side before the broadcast; each
+    conjunct block re-checks its own bounds so semantics are
+    unchanged. At 100 TB: lineitem streams through one broadcast hash
+    join — zero shuffles before the final 1-row aggregate."""
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+            & (F.col("p_size") >= 1)
+            & (F.col("p_size") <= 15)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+            * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_unit"),
+    )
+    q = F.col("l_quantity")
+    block = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & (q >= 1) & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & (q >= 10) & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & (q >= 20) & (q <= 30)
+        )
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).filter(block)
+    return j.agg(
+        F.round(F.sum("rev_unit") / 10000.0 + F.lit(1e-9), 2)
+        .alias("revenue"),
+        F.count("*").cast("long").alias("n_items"),
+    )

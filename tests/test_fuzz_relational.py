@@ -920,3 +920,103 @@ def test_j13_sliced_is_exact_sub_population(spark):
     assert 0 < total_sliced < total_full
     for month, (p, d) in sliced.items():
         assert p <= full[month][0] and d <= full[month][1]
+
+
+def test_tpch_q15_tie_semantics_hand_case(spark):
+    """Q15's spec keeps EVERY supplier tied at the max revenue; the
+    integer-grid equality must treat two float paths to the same cent
+    value as equal (10.17+9.84 vs 20.01 — neither addend is exactly
+    representable in binary), and out-of-quarter revenue must not
+    count."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import tpch_q15_top_supplier
+
+    q = dt.datetime(1996, 2, 1)
+    li = [
+        # supplier 1: 10.17 + 9.84 -> 1017 + 984 = 2001 cents total
+        (1, 1, 1, 1, 1.0, 10.17, 0.0, 0.0, "N", "O", q),
+        (2, 1, 1, 1, 1.0, 9.84, 0.0, 0.0, "N", "O", q),
+        # supplier 2: one line of 20.01 -> 2001 cents (exact tie)
+        (3, 1, 2, 1, 1.0, 20.01, 0.0, 0.0, "N", "O", q),
+        # supplier 3: less in-quarter, huge OUT-of-quarter line
+        (4, 1, 3, 1, 1.0, 5.0, 0.0, 0.0, "N", "O", q),
+        (5, 1, 3, 1, 1.0, 9999.0, 0.0, 0.0, "N", "O",
+         dt.datetime(1996, 6, 1)),
+    ]
+    sup = [(1, "alpha", 1, 0.0), (2, "beta", 1, 0.0), (3, "gamma", 1, 0.0)]
+    ldf = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    sdf = spark.createDataFrame(
+        sup, "s_suppkey long, s_name string, s_nationkey int, "
+        "s_acctbal double"
+    )
+    rload = rmod.load
+    rmod.load = lambda s, d, t: ldf if t == "lineitem" else sdf
+    try:
+        rows = sorted(
+            (r["s_suppkey"], r["s_name"], r["total_revenue"])
+            for r in tpch_q15_top_supplier(spark, "unused").collect()
+        )
+    finally:
+        rmod.load = rload
+    assert rows == [(1, "alpha", 20.01), (2, "beta", 20.01)]
+
+
+def test_tpch_q11_threshold_boundary_hand_case(spark):
+    """value*n > 2*total is STRICT: a part holding exactly twice the
+    mean must NOT pass; only suppliers of the filtered nation count."""
+    import datetime as dt
+
+    import n2khab_mhq_data_spark.plans.relational as rmod
+    from n2khab_mhq_data_spark.plans.relational import (
+        tpch_q11_important_stock,
+    )
+
+    ts = dt.datetime(1996, 2, 1)
+    # nation-3 supplier values per part: p1=10.00, p2=40.00, p3=10.00,
+    # p4=4.00 -> total=64.00, n=4, mean=16.00; 2*mean=32.00.
+    # p2 (40.00) passes; nothing else. A part with value EXACTLY 2*mean
+    # would need 32.00 -- pin strictness with p5 below using a 3-part
+    # frame? keep single frame: add p5=32.00 -> total=96, n=5,
+    # mean=19.2, 2*mean=38.4: p2 (40) passes, p5 (32) does not.
+    li = [
+        (1, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts),
+        (2, 2, 1, 1, 1.0, 40.0, 0.0, 0.0, "N", "O", ts),
+        (3, 3, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", ts),
+        (4, 4, 1, 1, 1.0, 4.0, 0.0, 0.0, "N", "O", ts),
+        (5, 5, 1, 1, 1.0, 32.0, 0.0, 0.0, "N", "O", ts),
+        # supplier 2 is in another nation: its 1000.00 on part 9 must
+        # not create a row or move the total
+        (6, 9, 2, 1, 1.0, 1000.0, 0.0, 0.0, "N", "O", ts),
+    ]
+    ldf = spark.createDataFrame(
+        li, "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp"
+    )
+    sdf = spark.createDataFrame(
+        [(1, "s1", 3, 0.0), (2, "s2", 7, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    ndf = spark.createDataFrame(
+        [(3, "NATION_3"), (7, "NATION_7")],
+        "n_nationkey int, n_name string",
+    )
+    tables = {"lineitem": ldf, "supplier": sdf, "nation": ndf}
+    rload = rmod.load
+    rmod.load = lambda s, d, t: tables[t]
+    try:
+        rows = sorted(
+            (r["partkey"], r["supply_value"])
+            for r in tpch_q11_important_stock(spark, "unused").collect()
+        )
+    finally:
+        rmod.load = rload
+    assert rows == [(2, 40.0)]

@@ -120,6 +120,12 @@ EXPECTED: dict[str, set[str]] = {
     # events_cuped_adjustment 1-row-global-stat pattern; the anti join
     # on o_custkey is the query's real (shuffled) join
     "tpch_q22_dormant_rich_customers": {"CARTESIAN(x1)"},
+    # Q11: the 1-ROW (total, count) aggregate broadcast-crosses back
+    # onto the part-grain value frame for the 2x-mean threshold — the
+    # tpch_q22 1-row-global-stat pattern (the comparison is an
+    # inequality, so Catalyst cannot rewrite it into a hash join the
+    # way Q15's max-EQUALITY is); lineitem pays the only real shuffle
+    "tpch_q11_important_stock": {"CARTESIAN(x1)"},
     # KMV jaccard: the final combine is a 1-ROW sketch-estimate frame
     # broadcast-crossed with a 1-ROW exact-truth frame — both sides are
     # sketch-sized (<= k = 64 inputs) regardless of corpus scale, the
