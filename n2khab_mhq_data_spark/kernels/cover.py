@@ -49,6 +49,13 @@ def decode_cover(
     """K1: broadcast multi-key left join to the cover-scale dimension
     (query_fieldmap.Rmd:354,419 — dplyr left_join on
     (coverscale_name, class_id)). The dim is tiny -> always broadcast."""
+    overlap = (set(dim.columns) - {scale_col, class_col}) & set(df.columns)
+    if overlap:
+        raise ValueError(
+            f"decode_cover: df already carries dim payload columns"
+            f" {sorted(overlap)} — the join would produce ambiguous"
+            " duplicates; rename or drop them first"
+        )
     return df.join(
         F.broadcast(dim),
         on=[scale_col, class_col],
@@ -63,20 +70,37 @@ def layer_cover_rollup(
     (export_from_vbidwh.Rmd:88-92), computed as exp-sum-log so it stays a
     single partial-aggregable expression (map-side combine at scale).
 
-    Boundary semantics match R's prod():
+    Boundary semantics match R's prod() ON THE VALID DOMAIN [0, 100]:
     - any NULL cover -> NULL layer cover (NA * x = NA; checked FIRST because
       prod(c(NA, 1)) is NA in R even when another factor is 0 -> NA*0 = NA);
-    - else any cover >= 100 -> exactly 100 (the product hits 0; Spark's
-      log(<=0) is NULL and sum() would silently skip it, under-reporting);
-    - else the exp-sum-log closed form. All three branches are plain
-      partial-aggregable aggregates (count/max/sum), so map-side combine
-      still applies.
+    - a cover OUTSIDE [0, 100] (or NaN — which Spark's max/comparison
+      semantics rank above every number) RAISES: the complement formula
+      is only meaningful for percentages, and silently clamping 150 to
+      100 (or letting a negative cover inflate the product past 1) would
+      diverge from R's prod() while looking plausible — the K8-tariff
+      fail-fast convention;
+    - else cover == 100 -> exactly 100 (the product hits 0; Spark's
+      log(0) is NULL and sum() would silently skip it, under-reporting);
+    - else the exp-sum-log closed form. All branches are plain
+      partial-aggregable aggregates (count/min/max/sum), so map-side
+      combine still applies.
     """
     cover = F.col(cover_col)
     frac = 1 - cover / 100.0
     has_null = F.count(F.lit(1)) != F.count(cover)
+    bad = (F.max(cover) > 100.0) | (F.min(cover) < 0.0)
     return df.groupBy(*keys).agg(
         F.when(has_null, F.lit(None).cast("double"))
+        .when(
+            bad,
+            F.raise_error(
+                F.format_string(
+                    "layer_cover_rollup: cover outside [0, 100] "
+                    "(min=%s, max=%s) — percentages only",
+                    F.min(cover), F.max(cover),
+                )
+            ).cast("double"),
+        )
         .when(F.max(cover) >= 100.0, F.lit(100.0))
         .otherwise(
             F.round((1 - F.exp(F.sum(F.log(frac)))) * 100 + F.lit(1e-9), 6)

@@ -67,7 +67,15 @@ def asof_join(
     # (l.t >= NULL is never true). Unfiltered, NULLs sort FIRST in the
     # ascending window and a NULL-time row would masquerade as the
     # "earliest" payload for every left row before the first real one.
-    rt = right.filter(F.col(time_col).isNotNull()).select(
+    # A NULL right KEY likewise never matches under join equality
+    # (l.key = NULL is never true) — but Window.partitionBy groups NULL
+    # keys into ONE partition, so unfiltered, a NULL-key right row would
+    # attach to NULL-key LEFT rows. Filter both null dimensions out of
+    # the right side; NULL-key left rows then sit alone in the NULL
+    # partition and correctly surface a NULL payload.
+    rt = right.filter(
+        F.col(time_col).isNotNull() & F.col(key).isNotNull()
+    ).select(
         key, time_col, F.lit(0).alias("_side"), F.struct(*right_cols).alias("_r")
     )
     u = lt.unionByName(rt, allowMissingColumns=True)

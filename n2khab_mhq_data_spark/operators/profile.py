@@ -16,9 +16,12 @@ no Expand, one pass) — the exact default exists because the registered
 query is differentially checked against an exact-SQL oracle.
 
 Min/max are normalized to strings so heterogeneous columns fit one
-schema: integers verbatim, floats rounded to 2 via DECIMAL(18,2) (both
+schema: integers verbatim, floats rounded to 2 via DECIMAL(38,2) (both
 engines print decimals identically; raw double->string formatting is
-NOT portable), timestamps as their DATE prefix, strings as-is.
+NOT portable), timestamps as their DATE prefix, strings as-is. A float
+whose magnitude exceeds even DECIMAL(38,2) (or is NaN) falls back to
+the engine's raw string — not portable, but never a silent NULL that
+would masquerade as an all-null column.
 """
 
 from __future__ import annotations
@@ -30,7 +33,13 @@ from pyspark.sql import functions as F
 _NORM = {
     "int": lambda c: c.cast("string"),
     "str": lambda c: c,
-    "float": lambda c: F.round(c, 2).cast("decimal(18,2)").cast("string"),
+    # try_cast: decimal overflow / NaN yields NULL (never an ANSI
+    # throw), and the coalesce falls back to the raw string — so a
+    # huge-but-present extremum is never reported as NULL
+    "float": lambda c: F.coalesce(
+        F.round(c, 2).try_cast("decimal(38,2)").cast("string"),
+        c.cast("string"),
+    ),
     "ts": lambda c: c.cast("date").cast("string"),
 }
 
@@ -42,8 +51,9 @@ def profile_table(
 ) -> DataFrame:
     """Profile the columns in ``spec`` (list of ``(name, kind)`` with
     kind in int|str|float|ts) in one aggregation pass. Returns one row
-    per column: ``column_name, null_count, distinct_count, min_value,
-    max_value`` in ``spec`` order."""
+    per column: ``pos`` (the column's index in ``spec`` — the explicit
+    ordering key; row order itself is not a DataFrame contract),
+    ``column_name, null_count, distinct_count, min_value, max_value``."""
     aggs: list[Column] = []
     for name, kind in spec:
         norm = _NORM[kind]
@@ -75,4 +85,6 @@ def profile_table(
             for name, _ in spec
         ]
     )
-    return one.select(F.explode(rows).alias("p")).select("p.*")
+    return one.select(F.posexplode(rows).alias("pos", "p")).select(
+        F.col("pos").cast("int"), "p.*"
+    )

@@ -35,10 +35,20 @@ def scd2_history(
 ) -> DataFrame:
     """Collapse a change-event stream into SCD2 validity intervals.
 
-    Output: key cols + state cols + ``valid_from`` (first ts at which
-    the state held), ``valid_to`` (ts of the next different state, null
-    while current), ``is_current``.
+    Output: ALL input columns pass through (each surviving change-row's
+    values — select explicitly if you need only key + state), plus
+    ``valid_from`` (first ts at which the state held), ``valid_to``
+    (ts of the next different state, null while current),
+    ``is_current``.
     """
+    reserved = {"__prev", "valid_from", "valid_to", "is_current"} & set(
+        df.columns
+    )
+    if reserved:
+        raise ValueError(
+            f"scd2_history reserves column names {sorted(reserved)};"
+            " rename them before deriving history"
+        )
     order = [ts_col] + (tiebreak_cols or [])
     w = W.partitionBy(*key_cols).orderBy(*order)
     state = F.struct(*[F.col(c) for c in state_cols])

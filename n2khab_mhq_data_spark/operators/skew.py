@@ -53,6 +53,11 @@ def with_salt(
     round-robin/``repartition(n)`` or ``rand()``-derived layouts, where
     membership itself is order-dependent; leave it off there.
     """
+    if salt_col in df.columns:
+        raise ValueError(
+            f"with_salt would overwrite existing column {salt_col!r};"
+            " rename it (or pass a different salt_col) first"
+        )
     parts: list = list(df.columns)
     if spread_duplicates:
         parts.append(F.spark_partition_id())
@@ -75,6 +80,11 @@ def salted_agg(
               "total": (F.sum("x"), F.sum("total")),
               "mx": (F.max("x"), F.max("mx"))}.
     """
+    if "__salt" in keys:
+        raise ValueError(
+            "salted_agg reserves '__salt' as the internal salt column;"
+            " it cannot also be a grouping key"
+        )
     salted = with_salt(df, buckets)
     stage1 = salted.groupBy(*keys, "__salt").agg(
         *[a1.alias(name) for name, (a1, _) in aggs.items()]
@@ -111,12 +121,21 @@ def salted_join(
     ``buckets`` duplicate null-extended rows under right/full outer —
     reject those up front rather than silently multiplying rows.
     """
-    if how in ("right", "rightouter", "right_outer", "full", "outer",
-               "fullouter", "full_outer"):
+    # normalize the way Spark itself does (JoinTypes accepts any case
+    # and optional underscores) so "FULL" / "Right_Outer" can't slip
+    # past the guard
+    if how.lower().replace("_", "") in (
+        "right", "rightouter", "full", "outer", "fullouter"
+    ):
         raise ValueError(
             f"salted_join does not support how={how!r}: the salted dim"
             " side is replicated, so unmatched dim keys would emit"
             " one null-extended row PER BUCKET instead of one"
+        )
+    if "__salt" in dim.columns:
+        raise ValueError(
+            "salted_join would overwrite the dim side's existing"
+            " '__salt' column; rename it first"
         )
     fact_s = with_salt(fact, buckets)
     dim_s = dim.withColumn(

@@ -1733,7 +1733,7 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "audit_table_profile",
     oracle="""
-    SELECT 'o_orderkey' AS column_name,
+    SELECT CAST(0 AS INTEGER) AS pos, 'o_orderkey' AS column_name,
            CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS null_count,
            CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_count,
@@ -1741,21 +1741,21 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(o_orderkey) AS VARCHAR) AS max_value
     FROM orders
     UNION ALL
-    SELECT 'o_custkey',
+    SELECT CAST(1 AS INTEGER), 'o_custkey',
            CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
            CAST(count(DISTINCT o_custkey) AS BIGINT),
            CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
     FROM orders
     UNION ALL
-    SELECT 'o_orderstatus',
+    SELECT CAST(2 AS INTEGER), 'o_orderstatus',
            CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
            CAST(count(DISTINCT o_orderstatus) AS BIGINT),
            min(o_orderstatus), max(o_orderstatus)
     FROM orders
     UNION ALL
-    SELECT 'o_totalprice',
+    SELECT CAST(3 AS INTEGER), 'o_totalprice',
            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
            CAST(count(DISTINCT o_totalprice) AS BIGINT),
@@ -1765,7 +1765,7 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS VARCHAR)
     FROM orders
     UNION ALL
-    SELECT 'o_orderdate',
+    SELECT CAST(4 AS INTEGER), 'o_orderdate',
            CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
            CAST(count(DISTINCT o_orderdate) AS BIGINT),
@@ -1773,7 +1773,7 @@ def audit_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR)
     FROM orders
     UNION ALL
-    SELECT 'o_orderpriority',
+    SELECT CAST(5 AS INTEGER), 'o_orderpriority',
            CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
                 AS BIGINT),
            CAST(count(DISTINCT o_orderpriority) AS BIGINT),

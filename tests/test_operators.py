@@ -1011,3 +1011,146 @@ def test_nearest_event_join_brute_force(spark, sf_dir):
             assert got[cid] == (None, None)
         else:
             assert got[cid] == exp, (cid, got[cid], exp)
+
+
+def test_profile_table_pos_and_overflow_fallback(spark):
+    """pos is the spec index (explicit ordering key); a float extremum
+    too large for DECIMAL(38,2) (or NaN) falls back to a raw string
+    instead of a silent NULL masquerading as an all-null column."""
+    from n2khab_mhq_data_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 1e300), (2, float("nan"))], "k long, x double"
+    )
+    rows = profile_table(df, [("x", "float"), ("k", "int")]).collect()
+    assert [(r["pos"], r["column_name"]) for r in rows] == [
+        (0, "x"), (1, "k"),
+    ]
+    x = rows[0]
+    assert x["null_count"] == 0
+    assert x["min_value"] is not None and x["max_value"] is not None
+    # NaN ranks greatest in Spark aggregation -> it is the max
+    assert x["max_value"] == "NaN"
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """Join-equality semantics: a NULL key matches nothing. NULL-key
+    right rows must not attach to NULL-key left rows (partitionBy
+    groups NULLs together, unlike join equality)."""
+    from n2khab_mhq_data_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 10), (1, 10)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "null-key"), (1, 5, "real")], "k int, t int, v string"
+    )
+    got = {
+        (r["k"], r["t"]): r["v"]
+        for r in asof_join(left, right, "k", "t", ["v"]).collect()
+    }
+    assert got[(1, 10)] == "real"
+    assert got[(None, 10)] is None
+
+
+def test_scd2_history_rejects_reserved_columns(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.operators.scd import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, "a", 1, True)], "k int, s string, ts int, is_current boolean"
+    )
+    with _pytest.raises(ValueError, match="is_current"):
+        scd2_history(df, ["k"], ["s"], "ts")
+
+
+def test_salted_join_guard_catches_case_variants(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.operators.skew import salted_join, with_salt
+
+    fact = spark.createDataFrame([(1, "x")], "k int, v string")
+    dim = spark.createDataFrame([(1, "d")], "k int, d string")
+    for how in ("FULL", "Full_Outer", "RIGHT", "right_outer"):
+        with _pytest.raises(ValueError, match="does not support"):
+            salted_join(fact, dim, ["k"], buckets=4, how=how)
+    # reserved-name guards
+    with _pytest.raises(ValueError, match="__salt"):
+        with_salt(with_salt(fact, 4), 4)
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(fact, dim.withColumn("__salt", F.lit(0)), ["k"])
+
+
+def test_incremental_merge_delta_beats_published_on_ties(spark):
+    """A delta row with IDENTICAL order_by values must deterministically
+    replace the published row it corrects (CDC same-timestamp
+    correction) — not win or lose by partition order."""
+    from n2khab_mhq_data_spark.operators.merge import incremental_merge
+
+    pub = spark.createDataFrame(
+        [(1, 100, "stale"), (2, 100, "keep")], "k int, ts int, v string"
+    )
+    delta = spark.createDataFrame(
+        [(1, 100, "fixed")], "k int, ts int, v string"
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in incremental_merge(
+            pub, delta, ["k"], [F.col("ts").desc()]
+        ).collect()
+    }
+    assert out == {1: "fixed", 2: "keep"}
+    # a LATER published ts still beats an older delta (tag is only the
+    # final tiebreak)
+    pub2 = spark.createDataFrame([(1, 200, "newer")], "k int, ts int, v string")
+    out2 = incremental_merge(
+        pub2, delta, ["k"], [F.col("ts").desc()]
+    ).collect()
+    assert [(r["k"], r["v"]) for r in out2] == [(1, "newer")]
+
+
+def test_decode_cover_rejects_payload_overlap(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.kernels.cover import (
+        cover_scale_dim,
+        decode_cover,
+    )
+
+    df = spark.createDataFrame(
+        [("londo", "1", 9.9)],
+        "coverscale_name string, class_id string, cover_mean double",
+    )
+    with _pytest.raises(ValueError, match="cover_mean"):
+        decode_cover(df, cover_scale_dim(spark))
+
+
+def test_layer_cover_rollup_raises_out_of_domain(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from n2khab_mhq_data_spark.kernels.cover import layer_cover_rollup
+
+    bad = spark.createDataFrame(
+        [(1, 150.0), (1, 50.0)], "plot_id int, cover_mean double"
+    )
+    with _pytest.raises(SparkRuntimeException, match="outside"):
+        layer_cover_rollup(bad, ["plot_id"]).collect()
+    neg = spark.createDataFrame(
+        [(1, -5.0), (1, 50.0)], "plot_id int, cover_mean double"
+    )
+    with _pytest.raises(SparkRuntimeException, match="outside"):
+        layer_cover_rollup(neg, ["plot_id"]).collect()
+    nan = spark.createDataFrame(
+        [(1, float("nan"))], "plot_id int, cover_mean double"
+    )
+    with _pytest.raises(SparkRuntimeException, match="outside"):
+        layer_cover_rollup(nan, ["plot_id"]).collect()
+    # NULL-first still wins over out-of-domain (R: prod(c(NA, 1.5)) is NA)
+    mixed = spark.createDataFrame(
+        [(1, None), (1, 150.0)], "plot_id int, cover_mean double"
+    )
+    assert layer_cover_rollup(mixed, ["plot_id"]).collect()[0][
+        "cover_layer"
+    ] is None
