@@ -56,6 +56,12 @@ def range_join_bucketed(
     with ``start_col <= t_col <= end_col`` (inclusive). ``t_col``,
     ``start_col``, ``end_col`` are INTEGER time columns (e.g. epoch
     micros) in the same unit as ``bucket_width``."""
+    taken = {"_b"} & (set(points.columns) | set(intervals.columns))
+    if taken:
+        raise ValueError(
+            "range_join_bucketed reserves the '_b' column name;"
+            " rename it on the input before joining"
+        )
     iv = intervals.withColumn(
         "_b", _bucket_seq(start_col, end_col, bucket_width)
     )
@@ -97,6 +103,12 @@ def interval_overlap_join_binned(
     corpus size. Bin ids are integer ``div`` — no float bucketing.
 
     Column names of ``a`` and ``b`` must be disjoint (callers alias)."""
+    taken = {"_bin"} & (set(a.columns) | set(b.columns))
+    if taken:
+        raise ValueError(
+            "interval_overlap_join_binned reserves the '_bin' column"
+            " name; rename it on the input before joining"
+        )
     ia = a.withColumn("_bin", _bucket_seq(a_start, a_end, bin_width))
     ib = b.withColumn("_bin", _bucket_seq(b_start, b_end, bin_width))
     return (

@@ -34,7 +34,16 @@ def ewma(
     """Exponentially-weighted moving average per key group, ordered by
     ``order`` (ties must be broken by the caller's order columns —
     include a unique id). ``adjust=False`` semantics: ``s_1 = v_1``,
-    then the recurrence above — matching the textbook online form."""
+    then the recurrence above — matching the textbook online form.
+
+    NULL values are REJECTED (raise): the recurrence is undefined at a
+    missing observation, and pandas' ewm would neither skip nor
+    propagate it — it fabricates a carried value at the NULL row and
+    gap-adjusts subsequent weights (ignore_na=False), so the output
+    would match NO SQL recomputation of the documented recurrence (and
+    a leading NULL would leak NaN, not SQL NULL, into the column).
+    Callers filter or impute first (plans/windows.py::ts_ewma
+    pre-filters)."""
     import pandas as pd
 
     if out_col in df.columns:
@@ -49,6 +58,12 @@ def ewma(
     )
 
     def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if pdf[value_col].isna().any():
+            raise ValueError(
+                f"ewma: NULL/NaN in {value_col!r} — the recurrence is"
+                " undefined at missing observations; filter or impute"
+                " before calling"
+            )
         pdf = pdf.sort_values(order, kind="mergesort")
         pdf[out_col] = (
             pdf[value_col].ewm(alpha=alpha, adjust=False).mean()

@@ -62,8 +62,10 @@ def parse_jsonl_lines(lines: DataFrame, text_schema: str) -> DataFrame:
     the coalesce override routes such phantom lines to the corrupt leg
     (confirmed empirically) instead of the GOOD corpus as all-null
     rows."""
+    from pyspark.sql.types import StructType
+
     full = f"{text_schema}, {CORRUPT_COL} string"
-    data_cols = lines.sparkSession.createDataFrame([], text_schema).columns
+    data_cols = StructType.fromDDL(text_schema).names
     parsed = lines.select(
         "value",
         F.from_json(
@@ -101,10 +103,28 @@ def read_jsonl_strict(
     spark: SparkSession, path: str, schema: str
 ) -> DataFrame:
     """FAILFAST read for publish-grade inputs: any malformed line aborts
-    the job (the JSONL analog of the versioned-TSV hash check)."""
-    return (
-        spark.read.schema(schema).option("mode", "FAILFAST").json(path)
-    )
+    the job at action time (the JSONL analog of the versioned-TSV hash
+    check).
+
+    Built on the SAME text-scan + parse pipeline as ``read_jsonl``
+    rather than the JSON datasource's FAILFAST mode: the datasource
+    silently SKIPS blank/whitespace-only lines (they never reach the
+    parser), so a publish-grade file with stray blank lines would pass
+    the "strict" gate while failing any line-count reconciliation
+    against the permissive reader. Here every physical line is
+    accounted for — a blank line is malformed and raises like any other
+    corruption."""
+    parsed = parse_jsonl_lines(spark.read.text(path), schema)
+    guard = F.when(
+        F.col(CORRUPT_COL).isNotNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("read_jsonl_strict: malformed JSONL line: "),
+                F.col(CORRUPT_COL),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return parsed.filter(guard).drop(CORRUPT_COL)
 
 
 def write_jsonl(
@@ -123,13 +143,54 @@ def write_jsonl(
 
     ``to_json(struct(*))`` keeps serialization JVM-side (codegen), and
     each shard writes in parallel — the merge step CSV needs for a
-    single file is unnecessary here because JSONL consumers glob."""
+    single file is unnecessary here because JSONL consumers glob.
+
+    Shard routing detail: ``repartition(n, "__shard")`` re-HASHES the
+    shard id, so distinct ids collide onto few partitions (n_shards=2
+    puts both shards in ONE task — the coalesce(1) funnel this sink
+    exists to avoid). The ids are instead remapped through a probe-built
+    token table: for each target partition we find (once, driver-side,
+    via the same Murmur3 ``F.hash`` repartition uses) an integer token
+    that hash-routes to it, giving an exact one-shard-per-partition
+    bijection at any n_shards."""
     keys = shard_by or order_by
-    shard = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), n_shards)
+    # write_vc's fail-fast total-order posture: duplicate sort keys
+    # would leave tie order to shuffle arrival, so a rerun could emit
+    # different bytes — the opposite of this sink's contract
+    dup = df.groupBy(*order_by).count().filter(F.col("count") > 1).limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            f"write_jsonl: order_by {order_by} is not a total order —"
+            " duplicate sort keys would make shard bytes"
+            " nondeterministic across reruns"
+        )
+    spark = df.sparkSession
+    # token probe: pmod(F.hash(id), n) IS repartition's partition id
+    # (both are Murmur3 seed 42 mod n), so the first id seen per
+    # partition is a token that routes there deterministically
+    probe = (
+        spark.range(0, max(4096, 64 * n_shards))
+        .select("id", F.pmod(F.hash("id"), F.lit(n_shards)).alias("p"))
+        .collect()
+    )
+    token: dict[int, int] = {}
+    for r in probe:
+        token.setdefault(r["p"], r["id"])
+    if len(token) < n_shards:  # pragma: no cover — P(miss) < 1e-27
+        raise RuntimeError(
+            f"write_jsonl: probe found only {len(token)}/{n_shards}"
+            " shard tokens; widen the probe range"
+        )
+    tok_map = F.create_map(
+        *[F.lit(v) for s in range(n_shards) for v in (s, token[s])]
+    )
+    shard = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), n_shards).cast(
+        "int"
+    )
     (
-        df.withColumn("__shard", shard)
-        .repartition(n_shards, "__shard")
-        .sortWithinPartitions("__shard", *order_by)
+        df.withColumn("__tok", tok_map[shard])
+        .repartition(n_shards, "__tok")
+        .sortWithinPartitions(*order_by)
         .select(F.to_json(F.struct(*df.columns)).alias("value"))
         .write.mode("overwrite")
         .text(path)

@@ -380,12 +380,51 @@ def optimize_snapshot(
     df = read_snapshot(spark, path, parent)
     if zorder_cols:
         if len(zorder_cols) == 2:
-            key = zvalue(F.col(zorder_cols[0]), F.col(zorder_cols[1]))
+            # zvalue reads only the low 7 bits of each cell id, so raw
+            # user domains (epoch micros, surrogate keys) must be
+            # min/max-rescaled into the [0, 128) grid first — otherwise
+            # the interleave keys on `value mod 128` and the layout is
+            # near-random while every check still passes (content is
+            # unchanged). One 1-row stats aggregate, broadcast-crossed
+            # (the 1-row global-stat pattern); constant columns land in
+            # cell 0.
+            bits = 7
+            lim = (1 << bits) - 1
+            a, b = zorder_cols
+            stats = df.agg(
+                F.min(F.col(a).cast("double")).alias("__min_a"),
+                F.max(F.col(a).cast("double")).alias("__max_a"),
+                F.min(F.col(b).cast("double")).alias("__min_b"),
+                F.max(F.col(b).cast("double")).alias("__max_b"),
+            )
+
+            def cell(col, lo, hi):
+                span = F.col(hi) - F.col(lo)
+                frac = F.when(span > 0, (
+                    F.col(col).cast("double") - F.col(lo)
+                ) / span).otherwise(F.lit(0.0))
+                return F.least(
+                    F.floor(frac * (lim + 1)).cast("long"), F.lit(lim)
+                )
+
+            df = df.crossJoin(F.broadcast(stats))
+            key = zvalue(
+                cell(a, "__min_a", "__max_a"),
+                cell(b, "__min_b", "__max_b"),
+                bits,
+            )
+            df = (
+                df.repartitionByRange(n_files, key)
+                .sortWithinPartitions(key)
+                .drop("__min_a", "__max_a", "__min_b", "__max_b")
+            )
         elif len(zorder_cols) == 1:
             key = F.col(zorder_cols[0])
+            df = df.repartitionByRange(n_files, key).sortWithinPartitions(
+                key
+            )
         else:
             raise ValueError("zorder_cols supports 1 or 2 columns")
-        df = df.repartitionByRange(n_files, key).sortWithinPartitions(key)
     else:
         df = df.coalesce(n_files)
     mdir = _manifest_dir(path)

@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 def zvalue(cx: Column, cy: Column, bits: int = 7) -> Column:
     """Morton interleave of two ``bits``-bit non-negative cell ids:
-    x occupies the even bit positions, y the odd ones."""
+    x occupies the even bit positions, y the odd ones.
+
+    CONTRACT: inputs must already lie in ``[0, 2**bits)`` — the
+    interleave reads only the low ``bits`` bits, so anything larger
+    silently aliases onto ``value mod 2**bits`` (a far-away cell).
+    Normalize raw domains into the grid first (``zorder_layout_stats``
+    fail-fasts on out-of-grid cells; ``optimize_snapshot`` min/max-
+    rescales raw columns before calling this)."""
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
@@ -64,8 +71,13 @@ def zorder_layout_stats(
     # domain, defeating the pruning this layout exists for). Fail
     # loudly; callers rescale/offset their CRS into the grid first.
     lim = 1 << bits
+    # NULL coordinates must hit the guard too: floor(NULL) < 0 is NULL,
+    # which when() treats as false — without the isNull legs a NULL-
+    # coordinate corpus would silently pool into a zbucket=NULL group
     guard = F.when(
-        (F.floor(F.col(x_col)) < 0)
+        F.col(x_col).isNull()
+        | F.col(y_col).isNull()
+        | (F.floor(F.col(x_col)) < 0)
         | (F.floor(F.col(x_col)) >= lim)
         | (F.floor(F.col(y_col)) < 0)
         | (F.floor(F.col(y_col)) >= lim),
@@ -75,9 +87,9 @@ def zorder_layout_stats(
                     f"zorder_layout_stats: coordinate outside [0, {lim})"
                     " grid (rescale/offset before layout): ("
                 ),
-                F.col(x_col).cast("string"),
+                F.coalesce(F.col(x_col).cast("string"), F.lit("NULL")),
                 F.lit(", "),
-                F.col(y_col).cast("string"),
+                F.coalesce(F.col(y_col).cast("string"), F.lit("NULL")),
                 F.lit(")"),
             )
         ).cast("long"),

@@ -813,3 +813,151 @@ def test_jsonl_blank_lines_quarantined(spark, tmp_path):
     good, bad = split_corrupt(read_jsonl(spark, str(p), "a long"))
     assert sorted(r.a for r in good.collect()) == [1, 2]
     assert bad.count() == 4
+
+
+def test_write_jsonl_shard_parallelism_and_total_order(spark, tmp_path):
+    """Each shard id must land in its OWN partition (one part file per
+    shard, none empty when every shard has rows) — repartition(n, col)
+    alone re-hashes the id and collides shards onto few tasks. And the
+    write_vc total-order posture: duplicate sort keys fail fast."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    path = str(tmp_path / "sharded")
+    write_jsonl(df, path, order_by=["id"], n_shards=2)
+    parts = sorted(glob.glob(os.path.join(path, "part-*")))
+    sizes = [os.path.getsize(p) for p in parts]
+    assert len([s for s in sizes if s > 0]) == 2, sizes
+    # same bytes on rewrite from a different partitioning
+    import hashlib
+
+    def digest():
+        h = hashlib.sha256()
+        for p in sorted(glob.glob(os.path.join(path, "part-*"))):
+            h.update(open(p, "rb").read())
+        return h.hexdigest()
+
+    d1 = digest()
+    write_jsonl(df.repartition(13), path, order_by=["id"], n_shards=2)
+    assert digest() == d1
+    back = read_jsonl(spark, path, "id long, grp long")
+    assert back.count() == 1000
+    with _pytest.raises(ValueError, match="total order"):
+        write_jsonl(df, path, order_by=["grp"], n_shards=2)
+
+
+def test_read_jsonl_strict_rejects_blank_lines(spark, tmp_path):
+    """The JSON datasource silently skips blank lines; the strict reader
+    must account for every physical line and abort instead."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from n2khab_mhq_data_spark.sources.jsonl import read_jsonl_strict
+
+    p = tmp_path / "strict.jsonl"
+    p.write_text('{"a": 1}\n\n   \n{"a": 2}\n')
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        read_jsonl_strict(spark, str(p), "a long").collect()
+    ok = tmp_path / "ok.jsonl"
+    ok.write_text('{"a": 1}\n{"a": 2}\n')
+    got = sorted(
+        r["a"] for r in read_jsonl_strict(spark, str(ok), "a long").collect()
+    )
+    assert got == [1, 2]
+
+
+def test_optimize_snapshot_zorder_normalizes_raw_domains(spark, tmp_path):
+    """Raw wide-domain columns (epoch micros, surrogate ids) must be
+    rescaled into the z-order grid: without normalization the
+    interleave keys on value mod 128 and every output file spans the
+    whole domain (no pruning). With it, at least the edge files cover
+    a fraction of the x-domain."""
+    import glob
+    import os
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        optimize_snapshot,
+        read_snapshot,
+        snapshot_log,
+        write_snapshot,
+    )
+
+    df = spark.range(4096).select(
+        (F.col("id") * 244140625).alias("ts_us"),  # ~1e12 domain
+        F.pmod(F.col("id") * 2654435761, F.lit(10**12)).alias("key"),
+        F.col("id").alias("payload"),
+    ).repartition(8)
+    path = str(tmp_path / "store")
+    write_snapshot(df, path)
+    v = optimize_snapshot(
+        spark, path, n_files=4, zorder_cols=["ts_us", "key"]
+    )
+    assert v == 2
+    log = {r.version: r.content_hash
+           for r in snapshot_log(spark, path).collect()}
+    assert log[1] == log[2]
+    # per-file x spans: with mod-128 aliasing every file spans ~the full
+    # domain; with normalization the range partition on z confines at
+    # least half the files to < 80% of it
+    spans = []
+    for f in sorted(glob.glob(os.path.join(path, "v=2", "part-*"))):
+        pf = spark.read.parquet(f)
+        lo, hi = pf.agg(F.min("ts_us"), F.max("ts_us")).first()
+        spans.append(hi - lo)
+    domain = 4095 * 244140625
+    assert len(spans) >= 2
+    assert sum(1 for s in spans if s < 0.8 * domain) >= len(spans) // 2, (
+        spans, domain,
+    )
+
+
+def test_zorder_layout_stats_null_coordinates_raise(spark):
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from n2khab_mhq_data_spark.spatial.zorder import zorder_layout_stats
+
+    pts = spark.createDataFrame(
+        [(None, 5.0), (1.0, 1.0)], "x double, y double"
+    )
+    with _pytest.raises(SparkRuntimeException, match="outside"):
+        zorder_layout_stats(pts).collect()
+
+
+def test_rangejoin_reserved_bucket_columns_raise(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.operators.rangejoin import (
+        interval_overlap_join_binned,
+        range_join_bucketed,
+    )
+
+    pts = spark.createDataFrame([(1, 5, 0)], "k int, t long, _b int")
+    iv = spark.createDataFrame([(1, 0, 9)], "k int, s long, e long")
+    with _pytest.raises(ValueError, match="_b"):
+        range_join_bucketed(pts, iv, "k", "t", "s", "e", 10)
+    a = spark.createDataFrame([(0, 9, 1)], "s1 long, e1 long, _bin int")
+    b = spark.createDataFrame([(5, 14,)], "s2 long, e2 long")
+    with _pytest.raises(ValueError, match="_bin"):
+        interval_overlap_join_binned(a, b, "s1", "e1", "s2", "e2", 10)
+
+
+def test_ewma_rejects_null_values(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, None), (1, 3, 2.0)],
+        "k int, t int, v double",
+    )
+    with _pytest.raises(Exception, match="undefined at missing"):
+        ewma(df, ["k"], ["t"], "v").collect()
