@@ -39,12 +39,22 @@ def is_above_loq(raw: Column) -> Column:
 def parse_locale_number(raw: Column) -> Column:
     """Comma-decimal string -> double; non-numeric -> null (R as.numeric
     semantics). Strips digit-group dots ONLY when a comma decimal follows
-    (``"1.234,5"``), else treats dot as decimal point."""
+    (``"1.234,5"``), else treats dot as decimal point. Matches R's
+    accepted lexicon: optional +/- sign, ``5.`` / ``.5`` partial-decimal
+    forms, and exponent notation (``1,5e3`` -> 1500.0) all parse;
+    anything else (ranges, times, space-grouped digits) is NULL, never
+    a fabricated prefix value."""
     s = F.trim(raw)
     # "1.234,5" -> "1234,5"
-    s = F.when(s.rlike(r"^-?\d{1,3}(\.\d{3})+,\d+$"), F.regexp_replace(s, r"\.", "")).otherwise(s)
+    s = F.when(
+        s.rlike(r"^[+-]?\d{1,3}(\.\d{3})+,\d+$"),
+        F.regexp_replace(s, r"\.", ""),
+    ).otherwise(s)
     s = F.regexp_replace(s, ",", ".")
-    return F.when(s.rlike(r"^-?\d+(\.\d+)?$"), s.cast("double"))
+    return F.when(
+        s.rlike(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"),
+        s.cast("double"),
+    )
 
 
 def parse_measurement(
@@ -59,8 +69,16 @@ def parse_measurement(
     sentinels = DEFAULT_SENTINELS if sentinels is None else sentinels
     below, above = is_below_loq(raw), is_above_loq(raw)
     stripped = strip_loq(raw)
-    # strip trailing unit glued to the number: "10m²", "5g" -> numeric head
-    head = F.regexp_extract(stripped, r"^(-?[\d.,]+)", 1)
+    # strip a trailing unit glued to the number ("10m²", "5g"): take the
+    # numeric head ONLY when the remainder is digit-free — otherwise
+    # "1 234,5" / "1-2" / "12:30" would silently parse as 1.0 / 1.0 /
+    # 12.0 (a confident wrong value where R's as.numeric says NA). A
+    # digit-bearing tail falls through to the full-string parse, which
+    # NULLs it.
+    unit_tailed = stripped.rlike(r"^[+-]?[\d.,]+\D*$")
+    head = F.when(
+        unit_tailed, F.regexp_extract(stripped, r"^([+-]?[\d.,]+)", 1)
+    ).otherwise(F.lit(""))
     numeric = parse_locale_number(F.when(head != "", head).otherwise(stripped))
 
     sentinel_value = F.lit(None).cast("double")

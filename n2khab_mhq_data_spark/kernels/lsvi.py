@@ -248,7 +248,24 @@ def aggregate_levels(
     """
     keys = ["versie"] if by_version else []
     s = F.col("status_voorwaarde")
-    unknown = F.bool_or(s.isNull() & ~F.col("optional"))
+    # a NULL 'optional' flag must not slip through the strict-null
+    # guard: isNull() & ~NULL is NULL, which bool_or SKIPS — an
+    # unmeasured voorwaarde with an undeclared flag would then be
+    # silently treated as optional and the indicator certified from the
+    # remaining rules (exactly the unmeasured-mandatory certification
+    # this engine exists to prevent). Same fail-fast posture as the
+    # unknown-operator/unknown-stat raises.
+    opt = F.when(
+        F.col("optional").isNull(),
+        F.raise_error(
+            F.lit(
+                "aggregate_levels: NULL 'optional' flag on a voorwaarde"
+                " — declare every rule mandatory (false) or optional"
+                " (true) in the rules dimension"
+            )
+        ).cast("boolean"),
+    ).otherwise(F.col("optional"))
+    unknown = F.bool_or(s.isNull() & ~opt)
     indicator = detail.groupBy(
         *keys, "plot_id", "habitat_type", "criterium", "indicator"
     ).agg(
@@ -266,7 +283,7 @@ def aggregate_levels(
         .otherwise(F.bool_and(si))
         .alias("status_criterium"),
         F.when(ind_unknown, F.lit(None).cast("double"))
-        .otherwise(F.round(F.avg(si.cast("int")) + F.lit(1e-9), 6))
+        .otherwise(eps_round(F.avg(si.cast("int")), 6))
         .alias("share_favourable_ind"),
     )
 
@@ -277,7 +294,7 @@ def aggregate_levels(
         .otherwise(F.bool_and(sc))
         .alias("status_global"),
         F.when(crit_unknown, F.lit(None).cast("double"))
-        .otherwise(F.round(F.avg(sc.cast("int")) + F.lit(1e-9), 6))
+        .otherwise(eps_round(F.avg(sc.cast("int")), 6))
         .alias("share_favourable"),
     )
     return {

@@ -67,23 +67,40 @@ def sorted_neighborhood_pairs(
             block.alias("blk"),
         )
         w = W.partitionBy("blk").orderBy("key", "id")
-        for step in range(1, window):
-            nxt = base.select(
-                "id", "key",
-                F.lead("id", step).over(w).alias("nid"),
-                F.lead("key", step).over(w).alias("nkey"),
-            ).filter(F.col("nid").isNotNull())
-            passes.append(
-                nxt.select(
-                    F.least("id", "nid").alias("id1"),
-                    F.greatest("id", "nid").alias("id2"),
-                    F.when(F.col("id") < F.col("nid"), F.col("key"))
-                    .otherwise(F.col("nkey")).alias("key1"),
-                    F.when(F.col("id") < F.col("nid"), F.col("nkey"))
-                    .otherwise(F.col("key")).alias("key2"),
-                    F.levenshtein("key", "nkey").alias("lev_dist"),
+        # ALL lead steps ride ONE window spec in ONE select: Spark plans
+        # a single Exchange + Sort shared by every lead(, step), where a
+        # select-per-step would re-shuffle and re-sort the corpus
+        # (window - 1) times per blocking pass — the dominant cost at
+        # scale. The (nid, nkey) pairs then unpack via explode.
+        neighbors = F.array(
+            *[
+                F.struct(
+                    F.lead("id", step).over(w).alias("nid"),
+                    F.lead("key", step).over(w).alias("nkey"),
                 )
+                for step in range(1, window)
+            ]
+        )
+        # two steps: window functions may not appear inside a generator,
+        # so materialize the lead array in a projection first, then
+        # explode the plain column
+        nxt = (
+            base.select("id", "key", neighbors.alias("nbs"))
+            .select("id", "key", F.explode("nbs").alias("nb"))
+            .select("id", "key", "nb.nid", "nb.nkey")
+            .filter(F.col("nid").isNotNull())
+        )
+        passes.append(
+            nxt.select(
+                F.least("id", "nid").alias("id1"),
+                F.greatest("id", "nid").alias("id2"),
+                F.when(F.col("id") < F.col("nid"), F.col("key"))
+                .otherwise(F.col("nkey")).alias("key1"),
+                F.when(F.col("id") < F.col("nid"), F.col("nkey"))
+                .otherwise(F.col("key")).alias("key2"),
+                F.levenshtein("key", "nkey").alias("lev_dist"),
             )
+        )
     out = passes[0]
     for p in passes[1:]:
         out = out.unionAll(p)
@@ -123,12 +140,23 @@ def edit_distance_join_deletion(
     Python). Verification cost is |candidates| levenshteins, each on a
     short key. Nothing is quadratic in the corpus.
     """
-    blk = (
-        F.concat_ws("\x1f", *[F.col(c) for c in block_cols])
-        if block_cols
-        else F.lit("")
-    )
-    base = df.select(
+    # join-equality semantics for the hard keys: a record with a NULL
+    # block attribute can never agree with anything (NULL = x is never
+    # true), so it generates NO candidates. concat_ws would instead
+    # SKIP the NULL element, colliding (a, NULL) with (NULL, a) and
+    # with ("a",) — emitting pairs the equality contract (and the SQL
+    # oracle's plain-equality join) forbids. Filter them out, then the
+    # sentinel-joined key is collision-free for the survivors.
+    src = df
+    if block_cols:
+        for c in block_cols:
+            src = src.filter(F.col(c).isNotNull())
+        blk = F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in block_cols]
+        )
+    else:
+        blk = F.lit("")
+    base = src.select(
         F.col(id_col).alias("id"), F.col(key_col).alias("key"),
         blk.alias("blk"),
     )

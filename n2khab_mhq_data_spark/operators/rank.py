@@ -38,6 +38,17 @@ def global_rank(
     rank_col: str = "rank",
     num_partitions: int | None = None,
 ) -> DataFrame:
+    """See :func:`_global_rank_n`; public form without the row count."""
+    ranked, _ = _global_rank_n(df, order_by, rank_col, num_partitions)
+    return ranked
+
+
+def _global_rank_n(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
     """Attach a global 1-based ``row_number`` under the total order
     ``order_by`` — distributed (no single-partition window).
 
@@ -72,7 +83,7 @@ def global_rank(
         acc += c
     off_dim = spark.createDataFrame(offsets, "__pid int, __offset long")
     w = W.partitionBy("__pid").orderBy(*order_by)
-    return (
+    ranked = (
         with_pid.join(F.broadcast(off_dim), "__pid")
         .withColumn(
             rank_col,
@@ -80,6 +91,10 @@ def global_rank(
         )
         .drop("__pid", "__offset")
     )
+    # acc is now the exact total row count — already paid for by the
+    # size-count pass; callers that need n (quantile_bins) reuse it
+    # instead of re-executing the ranked plan for a count
+    return ranked, acc
 
 
 def quantile_bins(
@@ -97,18 +112,18 @@ def quantile_bins(
     while this formula spreads them — the formula is reproducible from
     (rank, n) alone, which keeps oracles trivial.) Rides
     :func:`global_rank`, so no single-partition window; the total row
-    count reuses the rank pass's partition sizes via one more bounded
-    aggregation."""
-    ranked = global_rank(df, order_by, rank_col="__rank")
-    n = ranked.agg(F.count("*").alias("__n"))
-    return (
-        ranked.join(F.broadcast(n))
-        .withColumn(
-            bin_col,
-            F.expr(f"CAST(((__rank - 1) * {n_bins}) DIV __n AS INT)"),
+    count is the SUM of the rank pass's already-collected partition
+    sizes — a driver-side integer, folded in as a literal, not a second
+    execution of the ranked plan."""
+    ranked, n = _global_rank_n(df, order_by, rank_col="__rank")
+    if n == 0:
+        return ranked.withColumn(bin_col, F.lit(None).cast("int")).drop(
+            "__rank"
         )
-        .drop("__rank", "__n")
-    )
+    return ranked.withColumn(
+        bin_col,
+        F.expr(f"CAST(((__rank - 1) * {n_bins}) DIV {n} AS INT)"),
+    ).drop("__rank")
 
 
 def global_running_max(
@@ -141,10 +156,24 @@ def global_running_max(
         .agg(F.max(value_col).alias("m"))
         .collect()
     )
+    # Spark orders NaN ABOVE every number (so F.max of a partition with
+    # a NaN is NaN, and greatest() below propagates it); Python's `>`
+    # says NaN > x is False, which would silently DROP a NaN partition
+    # maximum from the prefix and hand later partitions a finite
+    # running max where the window semantics (and the DuckDB oracle)
+    # say NaN. Mirror the engine's ordering here.
+    def _spark_gt(a, b) -> bool:
+        if a != a:  # a is NaN -> greatest
+            return True
+        if b != b:  # b is NaN, a is not
+            return False
+        return a > b
+
     rows, run = [], None
     for pid, m in pmax:
         rows.append((pid, run))
-        run = m if run is None or (m is not None and m > run) else run
+        if m is not None and (run is None or _spark_gt(m, run)):
+            run = m
     # unlike sums, F.max never widens the type, so the raw value column's
     # type is exactly the prefix type (see _sum_result_type for the sum case)
     field = df.schema[value_col].dataType.simpleString()

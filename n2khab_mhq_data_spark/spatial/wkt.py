@@ -46,7 +46,12 @@ def parse_wkt_polygon(wkt: str) -> list[PolygonGeom]:
     s = wkt.strip()
     head = s.split("(", 1)[0].strip().upper()
     if head == "POLYGON":
-        return [[_parse_ring(r.group(1)) for r in _RING_RE.finditer(s)]]
+        rings = [_parse_ring(r.group(1)) for r in _RING_RE.finditer(s)]
+        if not rings:
+            # same fail-loudly contract as the empty-MULTIPOLYGON raise:
+            # [[]] would defer the failure to an IndexError in wkt_area
+            raise ValueError(f"empty POLYGON: {wkt[:80]}")
+        return [rings]
     if head == "MULTIPOLYGON":
         # split polygons on ((...)...(...)) groups: find top-level groups by
         # scanning depth; rings themselves stay innermost parens

@@ -230,3 +230,27 @@ def test_cover_decode_and_rollup(spark):
     # plot 1: 1 - (1-0.15)(1-0.375) = 0.46875 -> 46.875%
     assert abs(rolled[1] - 46.875) < 1e-3
     assert abs(rolled[2] - 87.5) < 1e-3
+
+
+def test_aggregate_levels_null_optional_flag_raises(spark):
+    """optional=NULL must not be silently treated as optional:
+    isNull() & ~NULL is NULL, which bool_or skips — without the guard
+    an unmeasured voorwaarde with an undeclared flag certifies the
+    indicator from the remaining rules."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rules = rules_dim(
+        spark,
+        [
+            ("3.0", "ht1", "structuur", "omvang", "area", ">=", 10.0, False),
+            ("3.0", "ht1", "structuur", "omvang", "n", ">=", 2.0, None),
+        ],
+    )
+    meas = spark.createDataFrame(
+        [(1, "ht1", "area", 12.0)],  # 'n' unmeasured AND flag undeclared
+        "plot_id int, habitat_type string, voorwaarde string, value double",
+    )
+    detail = evaluate_conditions(meas, rules, versie="3.0")
+    with _pytest.raises(SparkRuntimeException, match="optional"):
+        aggregate_levels(detail)["lsvi_globaal"].collect()

@@ -1154,3 +1154,104 @@ def test_layer_cover_rollup_raises_out_of_domain(spark):
     assert layer_cover_rollup(mixed, ["plot_id"]).collect()[0][
         "cover_layer"
     ] is None
+
+
+def test_edit_distance_join_null_blocks_generate_no_pairs(spark):
+    """Equality semantics for the hard keys: a NULL block attribute can
+    never agree with anything, so such records emit no candidates —
+    concat_ws would have collided (a, NULL) with (NULL, a)."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith", "BRU", None),
+            (2, "smyth", None, "BRU"),
+            (3, "smith", "GNT", "m1"),
+            (4, "smyth", "GNT", "m1"),
+        ],
+        "id long, name string, region string, segment string",
+    )
+    pairs = edit_distance_join_deletion(
+        df, "id", "name", block_cols=["region", "segment"]
+    ).collect()
+    assert sorted((r["id1"], r["id2"]) for r in pairs) == [(3, 4)]
+
+
+def test_global_running_max_nan_propagates(spark):
+    """Spark orders NaN above every number; the driver-side prefix
+    combine must not drop a NaN partition maximum (Python NaN > x is
+    False)."""
+    import math
+
+    from n2khab_mhq_data_spark.operators.rank import global_running_max
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 1.0), (4, 2.0)],
+        "t int, v double",
+    )
+    out = {
+        r["t"]: r["running_max"]
+        for r in global_running_max(
+            df, [F.col("t")], "v", num_partitions=4
+        ).collect()
+    }
+    assert out[1] is None
+    assert out[2] == 5.0
+    # rows strictly after the NaN must see NaN, not 5.0
+    assert math.isnan(out[3]) and math.isnan(out[4])
+
+
+def test_sorted_neighborhood_single_window_same_pairs(spark):
+    """The one-window lead rewrite must emit exactly the per-step pair
+    set of the naive formulation."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [(i, k) for i, k in enumerate(
+        ["alpha", "alphb", "beta", "betb", "gamma", "gamm", "delta"]
+    )]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = sorted(
+        (r["id1"], r["id2"], r["lev_dist"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", "key", [F.lit(0)], window=3, max_dist=2
+        ).collect()
+    )
+    # brute-force expected: within the global key-sorted order, each
+    # record pairs with its next 2 neighbors; keep lev <= 2
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1,
+                               prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = set()
+    for a, b in itertools.combinations(range(len(order)), 2):
+        if b - a < 3:
+            i1, k1 = order[a]
+            i2, k2 = order[b]
+            d = lev(k1, k2)
+            if d <= 2:
+                want.add((min(i1, i2), max(i1, i2), d))
+    assert got == sorted(want)
+
+
+def test_wkt_empty_polygon_raises(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.spatial.wkt import parse_wkt_polygon
+
+    with _pytest.raises(ValueError, match="empty POLYGON"):
+        parse_wkt_polygon("POLYGON ()")

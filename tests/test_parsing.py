@@ -81,3 +81,41 @@ def test_parse_measurement_roundtrip(spark, cases):
         v, below, above = expected[r.raw]
         assert r.v is not None and abs(r.v - v) < 1e-9, (r.raw, r.v, v)
         assert (r.below, r.above) == (below, above), r.raw
+
+
+def test_parse_measurement_never_fabricates_prefix_values(spark):
+    """Digit-bearing tails (space-grouped numbers, ranges, times) must
+    be NULL — not the confident numeric prefix; genuine unit suffixes
+    and R-lexicon forms (exponent, +sign, trailing dot) still parse."""
+    from pyspark.sql import functions as F
+
+    cases = {
+        "1 234,5": None,
+        "1-2": None,
+        "12:30": None,
+        "10m²": 10.0,
+        "5g": 5.0,
+        "1,5e3": 1500.0,
+        "+0,5": 0.5,
+        "5.": 5.0,
+        ".5": 0.5,
+        "1.234,5": 1234.5,
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "raw string")
+    parsed = parse_measurement(F.col("raw"))
+    out = {
+        r["raw"]: (r["value_numeric"], r["is_numeric"])
+        for r in df.select(
+            "raw",
+            parsed["value_numeric"].alias("value_numeric"),
+            parsed["is_numeric"].alias("is_numeric"),
+        ).collect()
+    }
+    for raw, want in cases.items():
+        got, flag = out[raw]
+        if want is None:
+            assert got is None and not flag, (raw, got)
+        else:
+            assert got is not None and abs(got - want) < 1e-9 and flag, (
+                raw, got,
+            )

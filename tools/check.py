@@ -84,7 +84,14 @@ def main() -> int:
             .getOrCreate()
         )
     else:
-        spark = get_spark("check")
+        # the checker COLLECTS full results for value comparison; at the
+        # sf1.0 tier a single wide-output query can serialize >1 GiB
+        # (dedup_simhash_pairs: 1.4 GiB), so the default 1g
+        # maxResultSize is a checker limit, not a query defect — raise
+        # it for check sessions only
+        spark = get_spark(
+            "check", extra_conf={"spark.driver.maxResultSize": "8g"}
+        )
     con = duck_connect(sf_dir)
     failures = []
     for name in names:
