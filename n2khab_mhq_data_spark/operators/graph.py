@@ -143,9 +143,11 @@ def triangle_stats(edges: DataFrame, checkpoint: bool = True) -> DataFrame:
     )
     node_stats = deg.agg(
         F.count("*").cast("bigint").alias("n_nodes"),
-        F.sum(
-            (F.col("degree") * (F.col("degree") - F.lit(1))) / F.lit(2)
-        )
+        # integer DIV, not /: bigint / 2 is a DOUBLE quotient in Spark,
+        # so the summed wedge count would silently lose low-order bits
+        # past 2^53 (a hub of degree ~1.35e8 alone crosses it);
+        # d*(d-1) is always even, so DIV 2 is exact
+        F.sum(F.expr("degree * (degree - 1) DIV 2"))
         .cast("bigint")
         .alias("n_wedges"),
     )
@@ -240,7 +242,11 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85) -> DataFra
         .unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint()
     )
-    deg = de.groupBy("src").agg(F.count("*").alias("d"))
+    # checkpointed: deg feeds THREE materializations (the adj
+    # checkpoint, n = deg.count(), the ranks init) — without the pin
+    # each one re-runs the full-edge-list shuffle (triangle_stats
+    # checkpoints its deg for the same multi-consumer reason)
+    deg = de.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint()
     # edge list + out-degree, hash-partitioned on the join key ONCE and
     # checkpointed: every iteration's ranks join then reshuffles only the
     # (small) ranks side onto adj's existing partitioning, and the

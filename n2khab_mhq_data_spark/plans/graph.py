@@ -113,7 +113,7 @@ def graph_copurchase_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     , n AS (
       SELECT CAST(count(*) AS BIGINT) AS n_nodes,
-             CAST(sum(degree * (degree - 1) / 2) AS BIGINT) AS n_wedges
+             CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
       FROM d
     ), m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
     t AS (

@@ -1983,12 +1983,18 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
 # EXACTLY as the scaled integer s_total (order-insensitive), and the
 # Flajolet small-range correction m*ln(m/V) when raw <= 2.5m and V > 0.
 # The 1e-9 shields round()'s half-way boundary from cross-engine ln ulps.
-_HLL_EST = """round(CASE
-      WHEN (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 * 16777216.0
-           / CAST(s_total AS DOUBLE) <= 1280.0 AND v > 0
+# alpha_512 * 512^2 * 2^24, pre-folded in Python and embedded as ONE
+# double literal (the e0 suffix forces DOUBLE in Spark SQL, which would
+# otherwise parse 0.7213 as DECIMAL(4,4) and fold the constant chain in
+# decimal arithmetic — ~2e-9 relative off DuckDB's double fold, enough
+# to flip the 4th decimal of a ~1.3e5 estimate at sf1.0). Both engines'
+# strtod parse the repr'd shortest-round-trip digits to the same bits,
+# so the estimator is one division of two identical doubles.
+_HLL_K = repr((0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 * 16777216.0) + "e0"
+_HLL_EST = f"""round(CASE
+      WHEN {_HLL_K} / CAST(s_total AS DOUBLE) <= 1280.0 AND v > 0
       THEN 512.0 * ln(512.0 / CAST(v AS DOUBLE))
-      ELSE (0.7213 / (1.0 + 1.079 / 512.0)) * 262144.0 * 16777216.0
-           / CAST(s_total AS DOUBLE)
+      ELSE {_HLL_K} / CAST(s_total AS DOUBLE)
     END + 1e-9, 4)"""
 
 

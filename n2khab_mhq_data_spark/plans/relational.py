@@ -2321,11 +2321,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name AS nation,
            CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INTEGER)
              AS o_year,
-           round(CAST(sum(
+           CAST(floor((CAST(sum(
              5 * {_CENTS} * (100 - {_DISC})
              - 3 * CAST(round(p_retailprice * 100) AS BIGINT)
                  * CAST(round(l_quantity * 100) AS BIGINT)
-           ) AS BIGINT) / 50000.0 + 1e-9, 2) AS sum_profit
+           ) AS BIGINT) + 250) / 500.0) AS BIGINT) / 100.0 AS sum_profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
     JOIN supplier ON s_suppkey = l_suppkey
@@ -2385,9 +2385,18 @@ def tpch_q9_product_type_profit(
         )
         .groupBy("nation", "o_year")
         .agg(
-            F.round(
-                F.sum("profit_scaled").cast("long") / 50000.0 + F.lit(1e-9),
-                2,
+            # half-up to cents in EXACT integer arithmetic, then one
+            # exact-integer-to-double division for display: round(S /
+            # 50000.0, 2) hit a genuine half-cent tie at sf1.0 (S mod
+            # 500 == 250), where Spark's BigDecimal HALF_UP and
+            # DuckDB's scaled-double-multiply rounding disagree by one
+            # cent — the integer (S + 250) div-500 form cannot tie
+            (
+                F.floor(
+                    (F.sum("profit_scaled").cast("long") + F.lit(250))
+                    / F.lit(500.0)
+                ).cast("long")
+                / 100.0
             ).alias("sum_profit")
         )
     )

@@ -67,9 +67,16 @@ def read_csv2(
     declared in ``schema``; they are read as strings and locale-parsed,
     everything else is cast directly."""
     # escape='"' parses RFC 4180 / R qmethod="double" DOUBLED quotes
-    # (the write_csv2/write_vc convention), not backslash escapes
+    # (the write_csv2/write_vc convention), not backslash escapes.
+    # multiLine: quoted fields may legitimately contain embedded
+    # newlines (write.csv2 and this repo's own sink quote them) —
+    # without it the scan splits such records mid-field into corrupt
+    # rows with no error. Cost: multiLine reads one task per FILE, not
+    # per block — acceptable for the dimension/registry tables this
+    # locale reader exists for (the 100 TB fact path is parquet).
     raw = spark.read.csv(
-        path, sep=";", header=True, inferSchema=False, escape='"'
+        path, sep=";", header=True, inferSchema=False, escape='"',
+        multiLine=True,
     )
     if schema is None:
         return raw
@@ -105,6 +112,14 @@ def read_vc(
     if spec is None:
         from n2khab_mhq_data_spark.sources.sink import read_vc_meta
 
+        if not path.endswith(".tsv"):
+            # blind suffix slicing would truncate 4 chars from any
+            # other path and point the sidecar error at a stem the
+            # caller never wrote
+            raise ValueError(
+                f"read_vc expects a .tsv path (got {path!r}); pass the"
+                " data file, the .yml sidecar is derived from it"
+            )
         spec = read_vc_meta(path[: -len(".tsv")] + ".yml")
     # nullValue='NA' makes a literal character value "NA" read back as
     # NULL — faithful PARITY, not a defect: R's read.table matches
@@ -114,6 +129,7 @@ def read_vc(
     raw = spark.read.csv(
         path, sep="\t", header=True, inferSchema=False, nullValue="NA",
         escape='"',  # doubled-quote escaping, matching write_vc
+        multiLine=True,  # quoted embedded newlines (see read_csv2 note)
     )
     cols = []
     for c in spec.columns:
@@ -123,16 +139,30 @@ def read_vc(
                 F.lit("1970-01-01").cast("date"), col.try_cast("int")
             )
         elif c.yml_class == "logical":
-            col = F.when(F.lower(col) == "true", True).when(
-                F.lower(col) == "false", False
+            # both spellings: this repo's sink writes verbose
+            # TRUE/FALSE, but genuine git2rdata OPTIMIZED storage
+            # encodes logicals as 0/1 integers (same convention as its
+            # Date-as-int and factor-as-index, both already handled
+            # here) — without the numeric legs every logical column in
+            # a real git2rdata file read back all-NULL
+            low = F.lower(col)
+            col = (
+                F.when(low.isin("true", "1"), True)
+                .when(low.isin("false", "0"), False)
             )
         elif c.yml_class == "factor" and c.levels:
-            # explicit null guard: this Spark build resolves
-            # element_at(arr, NULL) to the LAST element, not NULL
+            # try_element_at + 1-based bounds guard: a hand-edited
+            # token of '0' or past-the-end would ABORT under ANSI
+            # (INVALID_INDEX_OF_ZERO / INVALID_ARRAY_INDEX), and a
+            # negative index would silently decode from the END of the
+            # level list — all three must restore as NA like any other
+            # malformed token
             idx = col.try_cast("int")
             col = F.when(
-                idx.isNotNull(),
-                F.element_at(F.array(*[F.lit(x) for x in c.levels]), idx),
+                idx >= 1,
+                F.try_element_at(
+                    F.array(*[F.lit(x) for x in c.levels]), idx
+                ),
             )
         else:
             # try_cast: hand-edited versioned TSVs live in git; one

@@ -51,7 +51,13 @@ def _update(
             "user_id": [key[0]],
             "n_events": [n],
             "value_sum": [total],
-            "last_ts": [last_ts],
+            # -1 is the internal never-seen sentinel (state tuples must
+            # stay non-null); it must NOT leak into output as a real
+            # 1969-epoch timestamp for a key whose events were all
+            # null-ts — emit SQL NULL instead
+            "last_ts": pd.array(
+                [None if last_ts == -1 else last_ts], dtype="Int64"
+            ),
         }
     )
 

@@ -961,3 +961,91 @@ def test_ewma_rejects_null_values(spark):
     )
     with _pytest.raises(Exception, match="undefined at missing"):
         ewma(df, ["k"], ["t"], "v").collect()
+
+
+def test_read_csv2_and_vc_embedded_newlines_round_trip(spark, tmp_path):
+    """Quoted fields containing newlines (which write_csv2/write_vc
+    legitimately emit per RFC 4180) must read back as ONE record —
+    without multiLine the scan splits them into corrupt rows."""
+    from n2khab_mhq_data_spark.sources.readers import read_csv2, read_vc
+    from n2khab_mhq_data_spark.sources.sink import write_csv2, write_vc
+
+    df = spark.createDataFrame(
+        [(1, "a\nb", 1.5), (2, "plain", 2.5)],
+        "id long, remark string, x double",
+    )
+    root = str(tmp_path)
+    write_csv2(df, "t_csv", root, sorting=["id"])
+    back = read_csv2(spark, f"{root}/t_csv.csv", df.schema)
+    rows = {r.id: (r.remark, r.x) for r in back.collect()}
+    assert rows == {1: ("a\nb", 1.5), 2: ("plain", 2.5)}
+    write_vc(df, "t_vc", root, ["id"])
+    backv = read_vc(spark, f"{root}/t_vc.tsv")
+    rowsv = {r.id: (r.remark, r.x) for r in backv.collect()}
+    assert rowsv == {1: ("a\nb", 1.5), 2: ("plain", 2.5)}
+
+
+def test_read_vc_factor_malformed_indices_restore_na(spark, tmp_path):
+    """Hand-edited factor tokens '0', past-the-end, and negatives must
+    restore as NA — not abort under ANSI ('0', '7') or silently decode
+    from the END of the level list ('-1')."""
+    from n2khab_mhq_data_spark.sources.readers import read_vc
+    from n2khab_mhq_data_spark.sources.sink import write_vc
+
+    df = spark.createDataFrame(
+        [(1, "lo"), (2, "hi"), (3, "mid")], "id long, grade string"
+    )
+    root = str(tmp_path)
+    spec = TableSpec(
+        "t",
+        [
+            ColumnSpec("id", "integer"),
+            ColumnSpec("grade", "factor", levels=("lo", "mid", "hi")),
+        ],
+        sorting=("id",),
+    )
+    write_vc(df, "t", root, ["id"], spec=spec)
+    tsv = f"{root}/t.tsv"
+    lines = open(tsv).read().splitlines()
+    # corrupt the three factor index tokens in place
+    body = [lines[0]]
+    for tok, line in zip(["0", "7", "-1"], lines[1:]):
+        rid, _ = line.split("\t")
+        body.append(f"{rid}\t{tok}")
+    open(tsv, "w").write("\n".join(body) + "\n")
+    back = {r.id: r.grade for r in read_vc(spark, tsv).collect()}
+    assert back == {1: None, 2: None, 3: None}
+
+
+def test_read_vc_logical_optimized_storage(spark, tmp_path):
+    """Genuine git2rdata OPTIMIZED storage encodes logicals as 0/1
+    integers (like its Date-as-int and factor-as-index); the reader
+    must decode both spellings, not just this sink's verbose
+    TRUE/FALSE."""
+    from n2khab_mhq_data_spark.sources.readers import read_vc
+    from n2khab_mhq_data_spark.sources.sink import write_vc
+
+    df = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "id long, flag boolean"
+    )
+    root = str(tmp_path)
+    write_vc(df, "t", root, ["id"])
+    tsv = f"{root}/t.tsv"
+    lines = open(tsv).read().splitlines()
+    remap = {"TRUE": "1", "FALSE": "0"}
+    body = [lines[0]] + [
+        "\t".join(remap.get(tok, tok) for tok in line.split("\t"))
+        for line in lines[1:]
+    ]
+    open(tsv, "w").write("\n".join(body) + "\n")
+    back = {r.id: r.flag for r in read_vc(spark, tsv).collect()}
+    assert back == {1: True, 2: False, 3: None}
+
+
+def test_read_vc_rejects_non_tsv_path(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.sources.readers import read_vc
+
+    with _pytest.raises(ValueError, match="expects a .tsv path"):
+        read_vc(spark, "/tmp/whatever.TSV")
