@@ -194,18 +194,54 @@ TESTDATA_TABLES = (
 )
 
 
+def _nanos_cols(path: str) -> list[str]:
+    """Column names stored as TIMESTAMP(NANOS) in the parquet footer —
+    a driver-side pyarrow peek at ONE file's schema (cheap: footer
+    only). Empty list when the footer can't be read; the try/except
+    fallback in load() still covers that case."""
+    try:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        f = path
+        if _os.path.isdir(path):
+            parts = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            if not parts:
+                return []
+            f = parts[0]
+        schema = pq.read_schema(f)
+        return [
+            name
+            for name, typ in zip(schema.names, schema.types)
+            if str(typ) == "timestamp[ns]"
+        ]
+    except Exception:
+        return []
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one synthetic table. Parquet scan => Catalyst gets column
     pruning + predicate pushdown for free; never cache here.
 
-    ``events.parquet`` is written with TIMESTAMP(NANOS), which vanilla Spark
-    rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long (legacy conf) and
-    rebuild a microsecond timestamp with integer division — ``ts div 1000``,
-    not ``/1000.0``, because nano-epoch values (~1.7e18) overflow double's
-    53-bit mantissa and would corrupt the microseconds.
-    """
+    TIMESTAMP(NANOS) columns (the driver writes events.parquet this
+    way) are rejected by vanilla Spark (PARQUET_TYPE_ILLEGAL). We read
+    nanos as long (legacy conf) and rebuild a microsecond timestamp
+    with integer division — ``ts div 1000``, not ``/1000.0``, because
+    nano-epoch values (~1.7e18) overflow double's 53-bit mantissa and
+    would corrupt the microseconds.
+
+    The legacy conf is session-wide and must STAY set while the
+    returned scan executes, so it cannot be save/restored around the
+    read. To keep that from silently turning some OTHER table's nanos
+    column into a bare bigint later in the session, load() detects
+    nanos columns per table from the parquet FOOTER (driver-side
+    pyarrow peek) and rebuilds every one — the conf leak is then
+    harmless by construction for anything read through this catalog."""
     path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
+    nanos = _nanos_cols(path)
+    if nanos:
         # Proactive, not try/except: the lazy schema merge would otherwise
         # fail a whole Spark job before we could retry with the conf set.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -214,21 +250,23 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception as e:
         # retry with the legacy conf ONLY for the nanos-timestamp
         # rejection it exists for — a bare retry would swallow the real
-        # error (missing/corrupt file) AND leak the conf session-wide,
-        # silently reading every later NANOS column as bigint
+        # error (missing/corrupt file)
         if "PARQUET_TYPE_ILLEGAL" not in str(e):
             raise
-        # the conf must stay set: the returned DataFrame's SCAN reads it
-        # at execution time, not just at schema resolution
+        # footer peek missed (unreadable footer); the conf must stay
+        # set: the returned DataFrame's SCAN reads it at execution
+        # time, not just at schema resolution
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-    if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
+        nanos = [c for c, t in df.dtypes if t == "bigint" and c == "ts"]
+    dtypes = dict(df.dtypes)
+    for c in nanos:
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                c, F.timestamp_micros(F.expr(f"{c} div 1000"))
             )
-        elif ts_type == "timestamp_ntz":
+    if name == "events":
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
             # driver may write plain TIMESTAMP(MICROS) without UTC
             # adjustment, which Spark 4 infers as TIMESTAMP_NTZ; session
             # timezone is pinned to UTC so this cast is value-preserving

@@ -164,11 +164,25 @@ def quality_metrics(text: Column) -> dict[str, Column]:
     n_stop = F.size(
         F.filter(toks, lambda t: t.isin("the", "a", "and", "of", "is"))
     )
-    mean_token_len = (n_chars - n_tokens + 1).cast("double") / n_tokens
+    # NULL-divisor guard: one empty-string document would otherwise
+    # abort the whole job under ANSI (DIVIDE_BY_ZERO) — empty docs get
+    # NULL ratios, which downstream threshold comparisons treat as
+    # not-passing (same as DuckDB's nullif spelling in the oracles)
+    n_chars_dz = F.when(n_chars > 0, n_chars.cast("double"))
+    # true mean token length: sum of token lengths / token count. The
+    # old (n_chars - n_tokens + 1) / n_tokens form assumed exactly one
+    # separator space, overstating the mean for padded or double-spaced
+    # text (' a ' scored 3.0 instead of 1.0)
+    mean_token_len = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+        ).cast("double")
+        / n_tokens
+    )
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "punct_ratio": n_punct.cast("double") / n_chars,
+        "punct_ratio": n_punct.cast("double") / n_chars_dz,
         "stopword_ratio": n_stop.cast("double") / n_tokens,
         "mean_token_len": mean_token_len,
     }
@@ -301,12 +315,27 @@ def bigram_lm_logprob(
         lam * F.col("c12") / F.col("c1")
         + (1 - lam) * F.col("c2") / F.col("n_bigrams")
     )
-    out = (
+    agg = (
         scored.crossJoin(F.broadcast(total))
         .groupBy("doc")
         .agg(
             F.count("*").cast("long").alias("n_scored"),
             F.avg(logp).alias("m"),
+        )
+    )
+    # every doc appears in the output: a doc with < 2 tokens yields no
+    # bigrams, and a plain explode would silently DROP it — bypassing
+    # any downstream fluency gate built on this table. Unscored docs
+    # carry n_scored = 0 and a NULL mean, which threshold comparisons
+    # treat as not-passing (fail closed).
+    out = (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(agg, "doc", "left_outer")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_scored"), F.lit(0)).cast("long")
+            .alias("n_scored"),
+            "m",
         )
     )
     m = F.col("m")
@@ -645,6 +674,12 @@ def unicode_normalize_corpus(
         for pdf in batches:
             out_txt = []
             for t in pdf[text_col]:
+                # NULL text must pass through as NULL: normalize(form,
+                # None) raises TypeError and kills the task (the
+                # sibling mapInPandas ops guard this the same way)
+                if t is None:
+                    out_txt.append(None)
+                    continue
                 n = _norm(form, t)
                 if lower:
                     n = n.lower()
@@ -654,10 +689,11 @@ def unicode_normalize_corpus(
                     id_col: pdf[id_col],
                     "text_norm": out_txt,
                     "changed": [
-                        n != t for n, t in zip(out_txt, pdf[text_col])
+                        None if t is None else n != t
+                        for n, t in zip(out_txt, pdf[text_col])
                     ],
                     "len_delta": [
-                        len(n) - len(t)
+                        None if t is None else len(n) - len(t)
                         for n, t in zip(out_txt, pdf[text_col])
                     ],
                 }

@@ -675,11 +675,12 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(length(text) AS BIGINT) AS n_chars,
            CAST(len(w) AS BIGINT) AS n_tokens,
            round((length(text) - length(regexp_replace(text, '[.!?,;:]', '',
-                 'g'))) * 1.0 / length(text) + 1e-9, 6) AS punct_ratio,
+                 'g'))) * 1.0 / nullif(length(text), 0) + 1e-9, 6)
+             AS punct_ratio,
            round(len(list_filter(w, x -> x IN ('the','a','and','of','is')))
                  * 1.0 / len(w) + 1e-9, 6) AS stopword_ratio,
-           round((length(text) - len(w) + 1) * 1.0 / len(w) + 1e-9, 6)
-             AS mean_token_len
+           round(list_sum(list_transform(w, x -> length(x)))
+                 * 1.0 / len(w) + 1e-9, 6) AS mean_token_len
     FROM t
     """,
 )
@@ -3241,14 +3242,19 @@ _BIGRAM_LM_SQL = """
       FROM pairs
     ), tot AS (
       SELECT CAST(count(*) AS DOUBLE) AS n_bigrams FROM scored
+    ), lm AS (
+      SELECT doc AS doc_id,
+             CAST(count(*) AS BIGINT) AS n_scored,
+             round(avg(ln(0.75 * c12 / c1 + 0.25 * c2 / n_bigrams))
+                   + sign(avg(ln(0.75 * c12 / c1 + 0.25 * c2 / n_bigrams)))
+                     * 1e-9, 6) AS mean_logprob
+      FROM scored, tot
+      GROUP BY 1
     )
-    SELECT doc AS doc_id,
-           CAST(count(*) AS BIGINT) AS n_scored,
-           round(avg(ln(0.75 * c12 / c1 + 0.25 * c2 / n_bigrams))
-                 + sign(avg(ln(0.75 * c12 / c1 + 0.25 * c2 / n_bigrams)))
-                   * 1e-9, 6) AS mean_logprob
-    FROM scored, tot
-    GROUP BY 1
+    SELECT d.doc_id,
+           CAST(coalesce(lm.n_scored, 0) AS BIGINT) AS n_scored,
+           lm.mean_logprob
+    FROM documents d LEFT JOIN lm USING (doc_id)
     """
 
 
@@ -3274,7 +3280,8 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT * FROM ({_BIGRAM_LM_SQL})
     ), ranked AS (
       SELECT *,
-             row_number() OVER (ORDER BY mean_logprob, doc_id) AS r,
+             row_number() OVER (ORDER BY mean_logprob NULLS FIRST, doc_id)
+               AS r,
              count(*) OVER () AS n
       FROM lm
     ), binned AS (

@@ -506,7 +506,7 @@ def s11_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              len(w) AS n_tokens,
              (length(text) - length(regexp_replace(text, '[.!?,;:]', '',
-               'g'))) * 1.0 / length(text) AS punct_ratio,
+               'g'))) * 1.0 / nullif(length(text), 0) AS punct_ratio,
              len(list_filter(w, x -> x IN ('the','a','and','of','is')))
                * 1.0 / len(w) AS stopword_ratio
       FROM t
@@ -669,7 +669,7 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT doc_id, text, len(w) AS n_tokens,
              (length(text) - length(regexp_replace(text, '[.!?,;:]', '',
-               'g'))) * 1.0 / length(text) AS punct_ratio,
+               'g'))) * 1.0 / nullif(length(text), 0) AS punct_ratio,
              len(list_filter(w, x -> x IN ('the','a','and','of','is')))
                * 1.0 / len(w) AS stopword_ratio
       FROM t

@@ -1519,10 +1519,10 @@ def u4_cycle_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_brand AS brand,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(l.l_extendedprice * (1 - l.l_discount))
-                 + sign(sum(l.l_extendedprice * (1 - l.l_discount)))
-                   * 1e-9, 2)
-             AS revenue
+           CAST(floor((CAST(sum(
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+           ) AS BIGINT) + 50) / 100.0) AS BIGINT) / 100.0 AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY 1
     """,
@@ -1544,11 +1544,21 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.withColumnRenamed("l_partkey", "p_partkey"), p,
         ["p_partkey"], buckets=8,
     )
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # integer-cents grid (the q9 convention): sum(price*(1-disc)) as a
+    # FLOAT fold drifted one cent across engines at sf1.0 magnitudes
+    # (~1.1e10 revenue per brand — parallel summation-order ulp), so
+    # revenue rides cents x discount basis points as one exact BIGINT,
+    # half-up to cents in integer arithmetic, one final display divide
+    rev_u = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (100 - F.round(F.col("l_discount") * 100).cast("long"))
+    ).cast("long")
     return j.groupBy(F.col("p_brand").alias("brand")).agg(
         F.count("*").cast("long").alias("n"),
-        # repo-wide knife-edge shield (the j1_broadcast_decode spelling)
-        F.round(rev + F.signum(rev) * 1e-9, 2).alias("revenue"),
+        (
+            F.floor((rev_u + F.lit(50)) / F.lit(100.0)).cast("long")
+            / 100.0
+        ).alias("revenue"),
     )
 
 

@@ -70,6 +70,11 @@ def point_in_polygon_join(
     on the driver, shipped in the UDF closure) — see _build_grid_index."""
     polys = [(pid, poly, bbox(poly)) for pid, poly in polygons.items()]
     gx0, gy0, gx1, gy1, dx, dy, n, cells = _build_grid_index(polys)
+    # output id column mirrors the INPUT id type (the id_col parameter
+    # is honored for type, not just name) — hardcoding long crashed the
+    # Arrow conversion for string-keyed layers
+    id_type = points.schema[id_col].dataType.simpleString()
+    id_np = object if id_type == "string" else np.int64
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,19 +113,22 @@ def point_in_polygon_join(
             if out_ids:
                 yield pd.DataFrame(
                     {
-                        "point_id": np.concatenate(out_ids),
+                        id_col: np.concatenate(out_ids),
                         "polygon_id": np.concatenate(out_pids),
                     }
                 )
             else:
                 yield pd.DataFrame(
                     {
-                        "point_id": pd.Series([], dtype="int64"),
+                        id_col: pd.Series(
+                            [],
+                            dtype="object" if id_np is object else "int64",
+                        ),
                         "polygon_id": pd.Series([], dtype="int64"),
                     }
                 )
 
-    return points.mapInPandas(op, "point_id long, polygon_id long")
+    return points.mapInPandas(op, f"{id_col} {id_type}, polygon_id long")
 
 
 def strip_segment_areas(
@@ -243,6 +251,11 @@ def parse_wkt_layer(
     )
 
     carry_names = [c for c, _ in carry]
+    # the id column keeps the CALLER's name and type — hardcoding
+    # 'feature_id'/'int64' crashed string-keyed layers (gml ids) and
+    # silently renamed the join key out from under downstream plans
+    id_type = df.schema[id_col].dataType.simpleString()
+    id_dtype = "object" if id_type == "string" else "int64"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -263,7 +276,7 @@ def parse_wkt_layer(
                 n_points.append(pts)
                 areas.append(area)
             out = {
-                "feature_id": pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids, dtype=id_dtype),
                 "n_polys": pd.Series(n_polys, dtype="int64"),
                 "n_rings": pd.Series(n_rings, dtype="int64"),
                 "n_points": pd.Series(n_points, dtype="int64"),
@@ -274,7 +287,7 @@ def parse_wkt_layer(
             yield pd.DataFrame(out)
 
     schema = (
-        "feature_id long, n_polys long, n_rings long, n_points long,"
+        f"{id_col} {id_type}, n_polys long, n_rings long, n_points long,"
         " area double"
         + "".join(f", {c} {t}" for c, t in carry)
     )
@@ -307,6 +320,13 @@ def _knn_probe(
     Scale: one shuffle each side on the cell key; the per-query
     metadata (corpus count + self-match count) is two broadcast joins
     of aggregate tables bounded by 1 row and |queries| rows."""
+    # the query id is THE key of this operator: a duplicated query row
+    # would fan out the probe ring (each candidate appears twice in the
+    # top-k window, so only k/2 distinct neighbours survive) and double
+    # its kcnt through the qmeta right join — defeating the exactness
+    # breach detector. Dedup up front so every downstream frame is
+    # id-unique.
+    queries = queries.dropDuplicates(["point_id"])
     p = points.select(
         F.col("point_id").alias("nid"),
         F.col("x").alias("px"),

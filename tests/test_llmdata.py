@@ -982,3 +982,63 @@ def test_contrastive_triplets_contract(spark, sf_dir):
         assert n in ids and n != a and n != p
         assert (min(a, n), max(a, n)) not in pairs
         assert (min(p, n), max(p, n)) not in pairs
+
+
+def test_quality_metrics_empty_text_no_ansi_abort(spark):
+    """One empty doc must not DIVIDE_BY_ZERO the whole job under ANSI;
+    empty docs get NULL punct_ratio. mean_token_len is the true mean of
+    token lengths, not the one-space-separator estimate."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.text import quality_metrics
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, " a "), (3, "a  b"), (4, "ab cd")],
+        "doc_id long, text string",
+    )
+    m = quality_metrics(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            m["punct_ratio"].alias("pr"),
+            m["mean_token_len"].alias("mtl"),
+        ).collect()
+    }
+    assert rows[1]["pr"] is None
+    assert rows[2]["mtl"] == 1.0
+    assert rows[3]["mtl"] == 1.0
+    assert rows[4]["mtl"] == 2.0
+
+
+def test_bigram_lm_includes_unscorable_docs(spark):
+    """Docs with < 2 tokens must appear with n_scored=0 and NULL mean —
+    a plain explode dropped them, letting them bypass fluency gates."""
+    from n2khab_mhq_data_spark.llmdata.text import bigram_lm_logprob
+
+    df = spark.createDataFrame(
+        [(1, "one"), (2, "two words here"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_scored"], r["mean_logprob"])
+        for r in bigram_lm_logprob(df, "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1] == (0, None)
+    assert out[3] == (0, None)
+    assert out[2][0] == 2 and out[2][1] is not None
+
+
+def test_unicode_normalize_null_text_passthrough(spark):
+    from n2khab_mhq_data_spark.llmdata.text import unicode_normalize_corpus
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "Café")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["text_norm"], r["changed"])
+        for r in unicode_normalize_corpus(df).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2][0] is not None and out[2][1]

@@ -799,3 +799,47 @@ def test_zorder_layout_rejects_out_of_grid(spark):
     )
     with pytest.raises(Exception, match="outside"):
         zorder_layout_stats(df2).collect()
+
+
+def test_point_in_polygon_join_string_ids(spark):
+    """id_col is honored for TYPE, not just name — string point ids
+    previously crashed the Arrow conversion against a hardcoded long."""
+    from n2khab_mhq_data_spark.spatial.join import point_in_polygon_join
+
+    pts = spark.createDataFrame(
+        [("a", 0.5, 0.5), ("b", 5.0, 5.0)],
+        "point_id string, x double, y double",
+    )
+    square = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    out = point_in_polygon_join(pts, {7: square}).collect()
+    assert [(r["point_id"], r["polygon_id"]) for r in out] == [("a", 7)]
+
+
+def test_parse_wkt_layer_honors_id_col(spark):
+    from n2khab_mhq_data_spark.spatial.join import parse_wkt_layer
+
+    df = spark.createDataFrame(
+        [("g1", "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")],
+        "gml_id string, wkt string",
+    )
+    out = parse_wkt_layer(df, id_col="gml_id").collect()
+    assert out[0]["gml_id"] == "g1"
+    assert abs(out[0]["area"] - 4.0) < 1e-9
+
+
+def test_knn_join_duplicate_queries_deduped(spark):
+    """A duplicated query row must not halve the neighbour list or
+    defeat the exactness detector via an inflated kcnt."""
+    from n2khab_mhq_data_spark.spatial.join import knn_join_gridded
+
+    pts = spark.createDataFrame(
+        [(i, float(i), 0.0) for i in range(10)],
+        "point_id long, x double, y double",
+    )
+    q = spark.createDataFrame(
+        [(100, 4.5, 0.0), (100, 4.5, 0.0)],
+        "point_id long, x double, y double",
+    )
+    out = knn_join_gridded(pts, q, k=3, cell=2.0).collect()
+    assert len(out) == 3
+    assert len({r["neighbour_id"] for r in out}) == 3
