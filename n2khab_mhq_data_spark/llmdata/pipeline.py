@@ -23,8 +23,12 @@ def _id_hash(id_col: Column) -> Column:
     ``(id * 131071 + 524287) mod p`` recipe every sampler and splitter
     shares (was inlined four times; changing the constants in one site
     and not the others would silently break the cross-engine
-    stability contract). ``pmod`` keeps negative ids in range."""
-    return F.pmod(id_col * 131071 + 524287, F.lit(HASH_PRIME))
+    stability contract). ``pmod`` keeps negative ids in range. The id
+    is widened to LONG first: an IntegerType id would overflow int32 at
+    id >= 16384 — wrapping negative (a different pct than any 64-bit
+    re-computation of the documented recipe) in non-ANSI mode, aborting
+    under ANSI."""
+    return F.pmod(id_col.cast("long") * 131071 + 524287, F.lit(HASH_PRIME))
 
 
 def split_hash(id_col: Column) -> Column:
@@ -384,6 +388,11 @@ def quality_filter(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     m = quality_metrics(F.col(text_col))
     reasons = F.concat_ws(
         ",",
+        # NULL text first: every metric comparison below is NULL for it
+        # and concat_ws SKIPS NULLs, so without an explicit reason a
+        # NULL-text doc would score reasons='' and keep=true — the
+        # worst document passing the final gate
+        F.when(F.col(text_col).isNull(), "null_text"),
         F.when(m["n_tokens"] < 20, "too_short"),
         F.when(m["n_tokens"] > 1000, "too_long"),
         F.when(m["punct_ratio"] > 0.10, "puncty"),

@@ -69,6 +69,19 @@ def norm(a: Column | str, dim: int | None = None) -> Column:
     return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
 
 
+def safe_norm(a: Column | str, dim: int | None = None) -> Column:
+    """Norm for COSINE DENOMINATORS: a zero vector's norm clamps to 1,
+    so its cosine against anything is 0 — ranked last, never NaN. Raw
+    ``norm`` in a denominator turns one all-zero embedding (padding /
+    failed-encoder row) into 0/0 = NaN, and NaN sorts as the LARGEST
+    double under desc ordering — the zero vector would become the
+    rank-1 neighbour of every query. Same clamp the bucketed-pair /
+    semdedup / kmeans kernels apply (nrm == 0 -> 1); oracles spell it
+    coalesce(nullif(sqrt(..), 0), 1)."""
+    n = norm(a, dim)
+    return F.when(n == 0, F.lit(1.0)).otherwise(n)
+
+
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     if dim is None:
         return dot(a, b) / (norm(a) * norm(b))
@@ -96,12 +109,12 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm(vec_col, dim).alias("qnrm"),
+        safe_norm(vec_col, dim).alias("qnrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbour_id"),
         F.col(vec_col).alias("cvec"),
-        norm(vec_col, dim).alias("cnrm"),
+        safe_norm(vec_col, dim).alias("cnrm"),
     )
     joined = c.join(F.broadcast(q), F.col("neighbour_id") != F.col("query_id"))
     scored = joined.select(
@@ -185,7 +198,7 @@ def ivf_centroids(
     return corpus.orderBy(id_col).limit(n_centroids).select(
         F.col(id_col).alias("cent_id"),
         F.col(vec_col).alias("cvec"),
-        norm(vec_col, dim).alias("cnrm"),
+        safe_norm(vec_col, dim).alias("cnrm"),
     )
 
 
@@ -293,8 +306,13 @@ def ivf_kmeans_centroids(
     the classic Spark k-means shape; the corpus never shuffles."""
     import numpy as np
 
+    # orderBy + limit, NOT `id < K` (the ivf_centroids fix): identical
+    # rows on dense 0-based ids, but still K real seeds when ids are
+    # sparse/1-based/offset — the bare range filter silently trained
+    # fewer centroids there (or zero, crashing _cent_matrices)
     init_rows = (
-        corpus.filter(F.col(id_col) < n_centroids)
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
         .select(
             F.col(id_col).cast("int").alias("cent_id"),
             _as_double(F.col(vec_col)).alias("cvec"),
@@ -457,8 +475,14 @@ def ivf_topk(
             cents = ivf_kmeans_centroids(
                 corpus, id_col, vec_col, n_centroids, dim, iters=kmeans_iters
             )
+        # each side's kernel schema derives from ITS OWN frame: typing
+        # the query rows with the corpus's id/vector types would make
+        # Arrow fail (or silently truncate double query vectors to
+        # float32) whenever the two frames differ
         idt = corpus.schema[id_col].dataType.simpleString()
         vt = corpus.schema[vec_col].dataType.simpleString()
+        q_idt = queries.schema[id_col].dataType.simpleString()
+        q_vt = queries.schema[vec_col].dataType.simpleString()
         corpus_lists = kmeans_assign(
             corpus.select(
                 F.col(id_col).alias("neighbour_id"),
@@ -467,7 +491,7 @@ def ivf_topk(
             "cvec",
             cents,
             f"neighbour_id {idt}, cvec {vt}",
-        ).withColumn("cnrm", norm("cvec", dim))
+        ).withColumn("cnrm", safe_norm("cvec", dim))
         q = kmeans_assign(
             queries.select(
                 F.col(id_col).alias("query_id"),
@@ -475,9 +499,9 @@ def ivf_topk(
             ),
             "qvec",
             cents,
-            f"query_id {idt}, qvec {vt}",
+            f"query_id {q_idt}, qvec {q_vt}",
             nprobe=nprobe,
-        ).withColumn("qnrm", norm("qvec", dim))
+        ).withColumn("qnrm", safe_norm("qvec", dim))
     else:
         cent = ivf_centroids(corpus, id_col, vec_col, n_centroids, dim)
         c_assign = ivf_assign(
@@ -629,13 +653,13 @@ def ann_topk_bucketed(
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm(vec_col, dim).alias("qnrm"),
+        safe_norm(vec_col, dim).alias("qnrm"),
         lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
     cb = corpus.select(
         F.col(id_col).alias("neighbour_id"),
         F.col(vec_col).alias("cvec"),
-        norm(vec_col, dim).alias("cnrm"),
+        safe_norm(vec_col, dim).alias("cnrm"),
         lsh_bucket(vec_col, planes, dim).alias("bucket"),
     )
     j = cb.join(F.broadcast(qb), on="bucket").filter(
@@ -700,12 +724,12 @@ def mmr_rerank(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        norm(vec_col, dim).alias("qnrm"),
+        safe_norm(vec_col, dim).alias("qnrm"),
     )
     c = corpus.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("cvec"),
-        norm(vec_col, dim).alias("cnrm"),
+        safe_norm(vec_col, dim).alias("cnrm"),
     )
     joined = c.join(F.broadcast(q), F.col("doc") != F.col("query_id"))
     scored = joined.select(
@@ -729,6 +753,10 @@ def mmr_rerank(
         prods = V[:, None, :] * V[None, :, :]
         dots = np.cumsum(prods, axis=-1)[..., -1]
         nrm = np.sqrt(np.cumsum(V * V, axis=-1)[..., -1])
+        # zero-norm clamp (the safe_norm convention): one zero-vector
+        # candidate would put NaN rows in S and poison every later
+        # argmax step into arbitrary picks
+        nrm[nrm == 0] = 1.0
         S = dots / (nrm[:, None] * nrm[None, :])
         rel = pdf["rel"].to_numpy()
         n = len(pdf)
@@ -800,14 +828,17 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
-    # id type propagates from the input (see mmr_rerank), not a
-    # hardcoded long
+    # id AND vector types propagate from the input (see mmr_rerank):
+    # hardcoding array<float> would silently truncate a double
+    # embedding column to float32 before the pair cosines, flipping
+    # threshold-edge keep verdicts vs the double-precision oracle
     id_t = df.schema[id_col].dataType.simpleString()
+    vec_t = df.schema[vec_col].dataType.simpleString()
     assigned = kmeans_assign(
         df.select(id_col, vec_col),
         vec_col,
         cents,
-        f"{id_col} {id_t}, {vec_col} array<float>",
+        f"{id_col} {id_t}, {vec_col} {vec_t}",
     )
     schema = (
         f"{id_col} {id_t}, cent_id int, max_sim_smaller double,"
@@ -876,13 +907,16 @@ def scalar_quantization_error(
                 " pass dim explicitly"
             )
         dim = len(row[0])
+    # try_element_at (the _dot_sql convention): a ragged vector shorter
+    # than dim must contribute NULL to the min/max — raw element_at
+    # aborts the whole stats aggregation under ANSI
     stats = df.select(
         *[
-            F.min(F.element_at(v, i + 1)).alias(f"mn{i}")
+            F.min(F.try_element_at(v, F.lit(i + 1))).alias(f"mn{i}")
             for i in range(dim)
         ],
         *[
-            F.max(F.element_at(v, i + 1)).alias(f"mx{i}")
+            F.max(F.try_element_at(v, F.lit(i + 1))).alias(f"mx{i}")
             for i in range(dim)
         ],
     ).select(

@@ -193,10 +193,11 @@ def _cosine_topk_sql(corpus_where: str = "", k: int = 10) -> str:
       SELECT qid AS query_id, nid AS neighbour_id,
         list_sum(list_transform(range(1, 65),
           i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
-        / (sqrt(list_sum(list_transform(range(1, 65),
-             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))))
-           * sqrt(list_sum(list_transform(range(1, 65),
-             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))))) AS cos
+        / (coalesce(nullif(sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 0), 1)
+           * coalesce(nullif(sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0), 1))
+          AS cos
       FROM q, c WHERE nid != qid
     )
     SELECT query_id, neighbour_id, rank,
@@ -2366,7 +2367,7 @@ def _kmeans_cent_sql(iters: int) -> str:
         """cent0 AS (
       SELECT vec_id AS cent_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings ORDER BY vec_id LIMIT 8
     )"""
     ]
     for t in range(1, iters + 1):

@@ -159,6 +159,35 @@ def _decl_to_spark(decl: str | None) -> str:
     return "string"
 
 
+def _attr_schema(info: list, geom_col: str) -> "StructType":
+    """Non-geometry attribute schema from sqlite table_info rows plus
+    the decoded ``wkt`` column — the ONE decl->StructField mapping both
+    readers share (was two hand-kept copies)."""
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    spark_t = {
+        "bigint": LongType(),
+        "double": DoubleType(),
+        "binary": BinaryType(),
+        "string": StringType(),
+    }
+    return StructType(
+        [
+            StructField(r[1], spark_t[_decl_to_spark(r[2])], True)
+            for r in info
+            if r[1] != geom_col
+        ]
+        + [StructField("wkt", StringType(), True)]
+    )
+
+
 def read_geopackage_distributed(
     spark: SparkSession,
     path: str,
@@ -205,23 +234,17 @@ def read_geopackage_distributed(
                 bounds.append(int(rid))
             last = int(rid)
     attrs = [(r[1], _decl_to_spark(r[2])) for r in info if r[1] != geom_col]
-    spark_t = {
-        "bigint": LongType(),
-        "double": DoubleType(),
-        "binary": BinaryType(),
-        "string": StringType(),
-    }
-    schema = StructType(
-        [StructField(n, spark_t[t], True) for n, t in attrs]
-        + [StructField("wkt", StringType(), True)]
-    )
+    schema = _attr_schema(info, geom_col)
     if last is None:  # empty layer
         return spark.createDataFrame([], schema)
     ranges = [
         (bounds[j], bounds[j + 1] - 1 if j + 1 < len(bounds) else last)
         for j in range(len(bounds))
     ]
-    sel = ", ".join(f'"{n}"' for n, _ in attrs) + f', "{geom_col}"'
+    # join geom INTO the list: the old '+ ", geom"' spelling emitted a
+    # leading-comma SQL syntax error for a geometry-only layer (legal
+    # GPKG: rowid + geom, zero attribute columns)
+    sel = ", ".join([f'"{n}"' for n, _ in attrs] + [f'"{geom_col}"'])
     names = [n for n, _ in attrs]
 
     def op(batches):
@@ -286,23 +309,9 @@ def read_geopackage(
             data.append(tuple(attrs + [gpb_to_wkt(row[gi])]))
     # type from the SQLite column DECLARATIONS, not from the collected
     # rows: schema inference crashes on an empty layer (legal, e.g. a
-    # filtered export) and on any all-NULL attribute column — parity
-    # with read_geopackage_distributed, which already types this way
-    spark_t = {
-        "bigint": LongType(),
-        "double": DoubleType(),
-        "binary": BinaryType(),
-        "string": StringType(),
-    }
-    schema = StructType(
-        [
-            StructField(r[1], spark_t[_decl_to_spark(r[2])], True)
-            for r in info
-            if r[1] != geom_col
-        ]
-        + [StructField("wkt", StringType(), True)]
-    )
-    return spark.createDataFrame(data, schema)
+    # filtered export) and on any all-NULL attribute column — shared
+    # mapping with read_geopackage_distributed (_attr_schema)
+    return spark.createDataFrame(data, _attr_schema(info, geom_col))
 
 
 def _wkt_to_wkb(wkt: str) -> bytes:

@@ -1042,3 +1042,67 @@ def test_unicode_normalize_null_text_passthrough(spark):
     }
     assert out[1] == (None, None)
     assert out[2][0] is not None and out[2][1]
+
+
+def test_cosine_topk_zero_vector_ranks_last(spark):
+    """A zero embedding must score cosine 0 (safe_norm clamp), never
+    NaN — NaN sorts greatest under desc and would make the zero vector
+    the rank-1 neighbour of every query."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0]), (3, [0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=3, dim=2
+    ).collect()
+    ranked = {r["rank"]: (r["neighbour_id"], r["cosine"]) for r in out}
+    assert ranked[1][0] == 1
+    assert ranked[3][0] == 2 and abs(ranked[3][1]) < 1e-9
+
+
+def test_ivf_kmeans_centroids_offset_ids(spark):
+    """orderBy+limit seeding: 1-based / offset ids must still train
+    n_centroids real centroids (the bare `id < K` filter selected
+    fewer, or zero and crashed the BLAS closure)."""
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        ivf_kmeans_centroids,
+    )
+
+    rows = [(1000 + i, [float(i), float(i % 3)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_kmeans_centroids(emb, n_centroids=4, dim=2, iters=1)
+    assert len(cents) == 4
+
+
+def test_quality_filter_null_text_not_kept(spark):
+    from n2khab_mhq_data_spark.llmdata.pipeline import quality_filter
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the a and of is " * 10)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["reasons"])
+        for r in quality_filter(df, "text", "doc_id").collect()
+    }
+    assert out[1][0] is False and "null_text" in out[1][1]
+    assert out[2][0] is True
+
+
+def test_split_hash_int32_ids_no_overflow(spark):
+    """An IntegerType id must hash identically to its 64-bit widening —
+    id*131071 overflows int32 at id >= 16384 (ANSI abort or silent
+    negative wrap)."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.pipeline import split_hash
+
+    df32 = spark.createDataFrame([(20000,)], "id int")
+    df64 = spark.createDataFrame([(20000,)], "id long")
+    p32 = df32.select(split_hash(F.col("id")).alias("p")).first()["p"]
+    p64 = df64.select(split_hash(F.col("id")).alias("p")).first()["p"]
+    assert p32 == p64
