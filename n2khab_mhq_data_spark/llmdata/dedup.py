@@ -24,9 +24,17 @@ HASH_PRIME = 1_000_003
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup: md5-hash groupBy, canonical = lowest id. One shuffle on
-    the digest (uniform 128-bit key — no skew by construction)."""
+    the digest (uniform 128-bit key — no skew by construction).
+
+    NULL text is EXCLUDED up front: md5(NULL) is NULL and groupBy treats
+    NULLs as equal, so a corpus with N missing-text docs would report
+    them as one N-copy duplicate cluster under a NULL hash — and a
+    downstream canonicalization would drop N-1 documents that were
+    never byte-identical, only absent. Missing text is a quality
+    problem, not duplication."""
     return (
-        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
         .groupBy("content_hash")
         .agg(
             F.min(id_col).alias("canonical_id"),
@@ -186,13 +194,13 @@ def prefix_filter_pairs(
     )
 
 
-def minhash_lsh_candidates(
+def lsh_band_buckets(
     sig: DataFrame, num_hashes: int = 64, bands: int = 32
 ) -> DataFrame:
-    """Banded LSH: hash each band of the signature, join docs landing in the
-    same (band, band_hash) bucket. rows-per-band r = num_hashes/bands; with
-    r=2, b=32 a pair at Jaccard 0.8 is missed with prob (1-0.64)^32 ~ 6e-15.
-    Candidates MUST be verified (exact Jaccard) downstream."""
+    """(doc, band, bh) banded-bucket rows — the shared projection of
+    ``minhash_lsh_candidates`` and the streaming gate's asymmetric
+    store probe (which joins BATCH buckets against STORE buckets
+    instead of re-aggregating the whole store's buckets per trigger)."""
     r = num_hashes // bands
     structs = ", ".join(
         "named_struct('band', {b}, 'bh', xxhash64({cols}))".format(
@@ -200,9 +208,19 @@ def minhash_lsh_candidates(
         )
         for b in range(bands)
     )
-    buckets = sig.select(
+    return sig.select(
         "doc", F.explode(F.expr(f"array({structs})")).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 32
+) -> DataFrame:
+    """Banded LSH: hash each band of the signature, join docs landing in the
+    same (band, band_hash) bucket. rows-per-band r = num_hashes/bands; with
+    r=2, b=32 a pair at Jaccard 0.8 is missed with prob (1-0.64)^32 ~ 6e-15.
+    Candidates MUST be verified (exact Jaccard) downstream."""
+    buckets = lsh_band_buckets(sig, num_hashes, bands)
     # Pairs by exploding each bucket's doc list instead of a bucket
     # self-join: the signature pipeline feeding ``sig`` is then evaluated
     # once, not twice (Spark materializes no CTEs — every extra plan
@@ -603,7 +621,6 @@ def connected_components_twophase(
     )
     e = ckpt(e0)
 
-    from pyspark.sql.window import Window as W
 
     # Each phase computes its per-center minimum with a WINDOW over the
     # center partition instead of a groupBy + self-join: one shuffle per
@@ -995,7 +1012,6 @@ def remove_duplicated_runs(
     the interval array + ``array_join``): no UDF, no extra shuffle.
     Output keeps before/after token counts and the run count per doc —
     the removal-rate observability a curation run reports."""
-    from n2khab_mhq_data_spark.llmdata.text import tokens
 
     runs = duplicated_runs(docs, text_col, id_col, span, min_docs)
     ivs = runs.groupBy("doc").agg(

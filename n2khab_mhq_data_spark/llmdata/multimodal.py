@@ -531,11 +531,12 @@ def png_payloads(
                     img[0, 0] = (img[0, 0] + 200) % 256
                 payloads.append(encode_png(img))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads}
+                {id_col: pdf[id_col], "payload": payloads}
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
-        op, "doc_id long, payload binary"
+        op, f"{id_col} {idt}, payload binary"
     )
 
 
@@ -688,11 +689,12 @@ def gif_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     )
                 )
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads}
+                {id_col: pdf[id_col], "payload": payloads}
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
-        op, "doc_id long, payload binary"
+        op, f"{id_col} {idt}, payload binary"
     )
 
 
@@ -752,11 +754,12 @@ def wav_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 s = ((did * 31 + i * 17) % 4096) - 2048
                 payloads.append(encode_wav(s.astype(np.int16), 8000))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads}
+                {id_col: pdf[id_col], "payload": payloads}
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
-        op, "doc_id long, payload binary"
+        op, f"{id_col} {idt}, payload binary"
     )
 
 
@@ -780,11 +783,12 @@ def wav_payloads_grouped(
                 s = ((k * 31 + i * 17) % 4096) - 2048
                 payloads.append(encode_wav(s.astype(np.int16), 8000))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads}
+                {id_col: pdf[id_col], "payload": payloads}
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
-        op, "doc_id long, payload binary"
+        op, f"{id_col} {idt}, payload binary"
     )
 
 
@@ -875,11 +879,12 @@ def jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 img = np.kron(vals, np.ones((8, 8), dtype=np.int64))
                 payloads.append(encode_jpeg(img.astype(np.uint8)))
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads}
+                {id_col: pdf[id_col], "payload": payloads}
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
-        op, "doc_id long, payload binary"
+        op, f"{id_col} {idt}, payload binary"
     )
 
 
@@ -949,11 +954,12 @@ def video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     encode_avi_mjpeg(frames, fps=10, width=16, height=16)
                 )
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "payload": payloads}
+                {id_col: pdf[id_col], "payload": payloads}
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
-        op, "doc_id long, payload binary"
+        op, f"{id_col} {idt}, payload binary"
     )
 
 
@@ -1054,13 +1060,14 @@ def mixed_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "payload": [build(int(d)) for d in pdf[id_col]],
                 }
             )
 
+    idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
-        op, "doc_id long, payload binary"
+        op, f"{id_col} {idt}, payload binary"
     )
 
 

@@ -84,7 +84,7 @@ _JACCARD_SQL = (
     SELECT md5(text) AS content_hash,
            CAST(min(doc_id) AS BIGINT) AS canonical_id,
            CAST(count(*) AS BIGINT) AS n_copies
-    FROM documents GROUP BY 1
+    FROM documents WHERE text IS NOT NULL GROUP BY 1
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

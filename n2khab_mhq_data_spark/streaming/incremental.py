@@ -51,21 +51,35 @@ def read_state(s: SparkSession, state_path: str) -> DataFrame | None:
     return None
 
 
-def publish_state(s: SparkSession, state_path: str, df: DataFrame) -> None:
+def publish_state(
+    s: SparkSession,
+    state_path: str,
+    df: DataFrame,
+    partition_by: str | None = None,
+) -> None:
     """Atomically replace a published parquet state dir with ``df``.
 
     Write NEXT TO the live state (so any scan of the old state feeding
     ``df`` still has its input), then swap via atomic renames
     (state -> .bak, .tmp -> state, drop .bak) — never
     ``mode("overwrite")`` of the directory being read, which deletes
-    existing state before the new write is known-good."""
+    existing state before the new write is known-good.
+
+    ``partition_by`` lays the NEW state out hive-partitioned — the
+    one-time bootstrap/migration companion of
+    ``publish_state_partitioned`` (whose dynamic overwrite requires the
+    dir to already be partition-dirs-only; mixing flat part files and
+    partition dirs would double-read)."""
     fs, hpath = _fs_path(s, state_path)
     state = hpath(state_path)
     bak = hpath(state_path + ".bak")
     tmp = hpath(state_path + ".tmp")
     if fs.exists(tmp):
         fs.delete(tmp, True)
-    df.write.mode("overwrite").parquet(tmp.toString())
+    w = df.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp.toString())
     # Hadoop FileSystem.rename signals failure by returning False (not
     # raising): check each swap step, roll back on a failed promote, and
     # only drop the backup once the new state verifiably exists —

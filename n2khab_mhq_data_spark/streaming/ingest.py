@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from n2khab_mhq_data_spark.sources.jsonl import CORRUPT_COL
+from n2khab_mhq_data_spark.sources.jsonl import CORRUPT_COL, split_corrupt
 from n2khab_mhq_data_spark.streaming.incremental import (
     publish_state,
     read_state,
@@ -76,10 +76,10 @@ def jsonl_ingest_stream(
         # shape scd2_stream and the neardup sink persist for)
         batch = batch.persist()
         try:
-            bad = batch.filter(F.col(CORRUPT_COL).isNotNull())
-            good = batch.filter(F.col(CORRUPT_COL).isNull()).drop(
-                CORRUPT_COL
-            )
+            # the ONE quarantine split (sources/jsonl.py) — inlining it
+            # here would let the batch and streaming paths silently
+            # diverge on what counts as corrupt
+            good, bad = split_corrupt(batch)
             (
                 bad.withColumn("batch_id", F.lit(batch_id))
                 .write.mode("append")

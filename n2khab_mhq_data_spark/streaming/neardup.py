@@ -32,15 +32,43 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from n2khab_mhq_data_spark.llmdata.dedup import (
+    lsh_band_buckets,
     minhash_combined,
     minhash_lsh_candidates,
     shingle_table,
 )
 from n2khab_mhq_data_spark.operators.merge import incremental_merge
 from n2khab_mhq_data_spark.streaming.incremental import (
+    _fs_path,
     publish_state,
+    publish_state_partitioned,
     read_state,
 )
+
+#: width of the store's doc-id range partitions: under the monotonic-id
+#: contract a micro-batch's canonical docs land in the TOP range
+#: partition(s), so the partitioned publish rewrites a bounded number of
+#: partitions per trigger instead of the whole accumulated store
+SIG_PART_WIDTH = 1_000_000
+
+
+def _range_part(col: str):
+    return F.floor(F.col(col) / SIG_PART_WIDTH).cast("long")
+
+
+def _has_partition_dirs(s: SparkSession, path: str, col: str) -> bool:
+    """True when ``path`` is laid out as hive partition dirs on ``col``
+    — the precondition for a dynamic partition overwrite (a flat-file
+    dir must take the full-swap publish instead, or the untouched flat
+    files would be double-read next to the new partition dirs)."""
+    fs, hpath = _fs_path(s, path)
+    p = hpath(path)
+    if not fs.exists(p):
+        return False
+    for st in fs.listStatus(p):
+        if st.getPath().getName().startswith(col + "="):
+            return True
+    return False
 
 
 def neardup_gate_stream(
@@ -77,6 +105,24 @@ def neardup_gate_stream(
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         s = batch.sparkSession
+        # intra-batch duplicate-id guard: minhash_combined groups by
+        # doc, so two same-id rows with DIFFERENT text would silently
+        # sign a chimera gram set matching neither document — the id
+        # contract says ids are unique, so enforce it loudly (one
+        # batch-sized aggregation)
+        dup_ids = [
+            r[0]
+            for r in batch.groupBy(F.col(id_col))
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .limit(3)
+            .collect()
+        ]
+        if dup_ids:
+            raise ValueError(
+                f"neardup gate id contract breach: duplicate ids within"
+                f" one micro-batch {dup_ids} — each id must appear once"
+            )
         # the gate runs TWO publish actions (verdicts, store) over the
         # same signature/verification pipeline; persist the batch
         # signatures and the (small) dup map so the 64-min-agg shingle
@@ -120,16 +166,40 @@ def neardup_gate_stream(
                             " ingest ids must be monotonically increasing"
                             " across batches"
                         )
-            pool = bsig if store is None else store.unionByName(bsig)
-            batch_ids = bsig.select(F.col("doc").alias("bid"))
-            # prune to candidates whose LARGER side is a batch doc BEFORE the
-            # expensive gram verification: sub-threshold store-store pairs
-            # collide in >=1 band with high probability and would otherwise
-            # be re-verified every batch — per-batch cost must scale with
-            # the batch, not the accepted corpus
-            cand = minhash_lsh_candidates(pool, num_hashes, bands).join(
-                batch_ids, F.col("d2") == F.col("bid"), "semi"
+            sig_cols = [c for c in bsig.columns]
+            pool = (
+                bsig
+                if store is None
+                else store.select(*sig_cols).unionByName(bsig)
             )
+            # ASYMMETRIC candidate generation — per-batch shuffle cost
+            # must scale with the BATCH, not the accumulated store:
+            # within-batch pairs via the normal banded self-join of the
+            # (small) batch signatures, and store x batch pairs by
+            # joining the batch's band buckets (broadcast) against the
+            # store's band-bucket PROJECTION — no groupBy/collect_list
+            # over the store's 32-bands-per-doc rows per trigger, and
+            # store-store buckets are never materialized at all. The
+            # monotonic-id contract makes every store id < every batch
+            # id, so d1 < d2 holds by construction on the store leg.
+            bb = minhash_lsh_candidates(bsig, num_hashes, bands).select(
+                "d1", "d2"
+            )
+            if store is None:
+                cand = bb
+            else:
+                qbk = lsh_band_buckets(bsig, num_hashes, bands).select(
+                    F.col("doc").alias("d2"), "band", "bh"
+                )
+                sbk = lsh_band_buckets(
+                    store.select(*sig_cols), num_hashes, bands
+                )
+                bs = (
+                    sbk.join(F.broadcast(qbk), ["band", "bh"])
+                    .select(F.col("doc").alias("d1"), "d2")
+                    .distinct()
+                )
+                cand = bs.unionByName(bb).distinct()
             g1 = pool.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
             g2 = pool.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
             inter = F.size(F.array_intersect("g1", "g2"))
@@ -184,27 +254,82 @@ def neardup_gate_stream(
                     "dup_of",
                 )
             )
+            # BOTH states publish PARTITIONED by doc-id range, rewriting
+            # only the partitions the batch touches: under the
+            # monotonic-id contract those are the top range partition(s),
+            # so per-trigger write IO is bounded by the batch + one
+            # partition's residents — a full-store rewrite per batch
+            # would make lifetime IO quadratic in the accepted corpus.
             prev_verdicts = read_state(s, verdict_path)
+            if prev_verdicts is not None and "vpart" in prev_verdicts.columns:
+                prev_verdicts = prev_verdicts.drop("vpart")
+            v_incr = prev_verdicts is not None and _has_partition_dirs(
+                s, verdict_path, "vpart"
+            )
             # total-order tiebreak (dedup_keep_latest contract): replays are
             # identical rows, and a contract-breaching re-ingest resolves
             # DETERMINISTICALLY to the dup-flagged / smallest-dup_of row
-            # instead of flip-flopping per run
-            all_verdicts = (
-                batch_verdicts if prev_verdicts is None
-                else incremental_merge(
-                    prev_verdicts,
+            # instead of flip-flopping per run. In the incremental
+            # (partitioned) path the merge only needs the prev rows of
+            # the TOUCHED id-range partitions — everything else is
+            # untouched on disk.
+            if prev_verdicts is None:
+                new_verdicts = batch_verdicts
+            else:
+                prev_side = prev_verdicts
+                if v_incr:
+                    prev_side = prev_verdicts.join(
+                        batch_verdicts.select(
+                            _range_part(id_col).alias("__p")
+                        ).distinct(),
+                        _range_part(id_col) == F.col("__p"),
+                        "semi",
+                    )
+                new_verdicts = incremental_merge(
+                    prev_side,
                     batch_verdicts,
                     [id_col],
                     [F.col("is_dup").desc(), F.col("dup_of").asc_nulls_last()],
                 )
+            new_verdicts = new_verdicts.withColumn(
+                "vpart", _range_part(id_col)
             )
-            publish_state(s, verdict_path, all_verdicts)
-            # canonical store = pool minus dups, deduped per doc so a replay
-            # (store already containing this batch's canon rows) converges
-            canon_all = pool.join(dup_of.select("doc"), "doc", "anti").dropDuplicates(
-                ["doc"]
+            if v_incr:
+                publish_state_partitioned(
+                    s, verdict_path, new_verdicts, "vpart"
+                )
+            else:  # bootstrap / one-time flat->partitioned migration
+                publish_state(s, verdict_path, new_verdicts, "vpart")
+            # canonical store: the batch's canon rows merge into their
+            # touched partitions only (replay: the partition already
+            # holds this batch's rows — dropDuplicates converges)
+            s_incr = store is not None and _has_partition_dirs(
+                s, sig_path, "sig_part"
             )
-            publish_state(s, sig_path, canon_all)
+            batch_canon = bsig.join(
+                dup_of.select("doc"), "doc", "anti"
+            ).withColumn("sig_part", _range_part("doc"))
+            if store is None:
+                keep = batch_canon
+            else:
+                store_p = store
+                if "sig_part" not in store_p.columns:
+                    store_p = store_p.withColumn(
+                        "sig_part", _range_part("doc")
+                    )
+                if s_incr:
+                    store_p = store_p.join(
+                        batch_canon.select("sig_part").distinct(),
+                        "sig_part",
+                        "semi",
+                    )
+                keep = store_p.unionByName(batch_canon).dropDuplicates(
+                    ["doc"]
+                )
+            if s_incr:
+                publish_state_partitioned(s, sig_path, keep, "sig_part")
+            else:  # bootstrap / one-time flat->partitioned migration
+                publish_state(s, sig_path, keep, "sig_part")
         finally:
             bsig.unpersist()
             if dup_of is not None:

@@ -1106,3 +1106,17 @@ def test_split_hash_int32_ids_no_overflow(spark):
     p32 = df32.select(split_hash(F.col("id")).alias("p")).first()["p"]
     p64 = df64.select(split_hash(F.col("id")).alias("p")).first()["p"]
     assert p32 == p64
+
+
+def test_exact_dedup_excludes_null_text(spark):
+    """N missing-text docs must not collapse into one N-copy duplicate
+    cluster under a NULL hash."""
+    from n2khab_mhq_data_spark.llmdata.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    rows = exact_dedup(df, "text", "doc_id").collect()
+    assert len(rows) == 1
+    assert rows[0]["canonical_id"] == 3 and rows[0]["n_copies"] == 2

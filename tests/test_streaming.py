@@ -706,7 +706,10 @@ def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
 
     run()
     v1 = sorted(
-        tuple(r) for r in spark.read.parquet(str(verdicts)).collect()
+        tuple(r)
+        for r in spark.read.parquet(str(verdicts))
+        .select("doc_id", "is_dup", "dup_of")
+        .collect()
     )
     s1 = sorted(r.doc for r in spark.read.parquet(str(sig)).collect())
     assert v1 == [(1, False, None), (2, True, 1), (3, False, None)]
@@ -716,7 +719,10 @@ def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     v2 = sorted(
-        tuple(r) for r in spark.read.parquet(str(verdicts)).collect()
+        tuple(r)
+        for r in spark.read.parquet(str(verdicts))
+        .select("doc_id", "is_dup", "dup_of")
+        .collect()
     )
     s2 = sorted(r.doc for r in spark.read.parquet(str(sig)).collect())
     assert v2 == v1
@@ -1075,3 +1081,64 @@ def test_jsonl_ingest_stream_quarantine_and_merge(spark, tmp_path):
           for r in spark.read.parquet(str(state)).collect()}
     assert s3 == s2
     assert spark.read.parquet(str(quar)).count() == 1
+
+
+def test_neardup_gate_rejects_intra_batch_duplicate_ids(spark, tmp_path):
+    """Two same-id rows with different text in ONE micro-batch would
+    sign a chimera gram set matching neither document — the gate must
+    fail loudly instead."""
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.streaming.neardup import neardup_gate_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "b1.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha beta gamma delta"}\n'
+        '{"doc_id": 1, "text": "completely different text here"}\n'
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src_dir))
+    )
+    q = neardup_gate_stream(
+        spark,
+        stream,
+        str(tmp_path / "sig"),
+        str(tmp_path / "verdicts"),
+        "text",
+        "doc_id",
+        str(tmp_path / "ckpt"),
+    )
+    with _pytest.raises(Exception, match="duplicate ids within"):
+        q.awaitTermination()
+
+
+def test_neardup_store_layout_is_partitioned(spark, tmp_path):
+    """The signature store persists hive-partitioned by doc-id range so
+    a trigger rewrites only touched partitions, and verdicts likewise —
+    the per-batch IO contract at scale."""
+    import glob
+
+    from n2khab_mhq_data_spark.streaming.neardup import neardup_gate_stream
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    (src_dir / "b1.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha beta gamma delta epsilon"}\n'
+        '{"doc_id": 2, "text": "one two three four five six"}\n'
+    )
+    q = neardup_gate_stream(
+        spark,
+        spark.readStream.schema("doc_id long, text string").json(
+            str(src_dir)
+        ),
+        str(tmp_path / "sig"),
+        str(tmp_path / "verdicts"),
+        "text",
+        "doc_id",
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+    assert glob.glob(str(tmp_path / "sig" / "sig_part=*"))
+    assert glob.glob(str(tmp_path / "verdicts" / "vpart=*"))
