@@ -20,6 +20,13 @@ def duplicates(df: DataFrame, keys: list[str]) -> DataFrame:
     """The reference's duplicate detector: group_by(keys) |> mutate(n=n()) |>
     filter(n > 1) (query_fieldmap.Rmd:1370-1385, ~20 sites). Returns the
     offending rows with an ``n`` column."""
+    if "n" in df.columns:
+        # withColumn would silently replace the caller's data with the
+        # group count — same reserved-name posture as dedup_keep_latest
+        raise ValueError(
+            "duplicates reserves the 'n' output column; rename the"
+            " input's 'n' before checking"
+        )
     w = W.partitionBy(*keys)
     return df.withColumn("n", F.count("*").over(w)).filter(F.col("n") > 1)
 
@@ -52,6 +59,13 @@ def dedup_keep_latest(
     incremental_merge does); plain ascending columns keep the OLDEST.
     ``order_by`` must be a total order (add a unique id as final
     tiebreak)."""
+    if "__rn" in df.columns:
+        # withColumn would silently replace it and drop() then delete
+        # the caller's data — same guard as membership_flag/asof_join
+        raise ValueError(
+            "dedup_keep_latest reserves the '__rn' column name;"
+            " rename it before deduping"
+        )
     w = W.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))
@@ -77,6 +91,13 @@ def membership_flag(
         raise ValueError(
             f"membership_flag reserves column names {sorted(reserved)};"
             " rename them before flagging"
+        )
+    if flag_name in ("__mk", "__hit"):
+        # the final drop would delete the just-computed flag and
+        # silently return the input unchanged
+        raise ValueError(
+            f"membership_flag: flag_name {flag_name!r} collides with an"
+            " internal column; pick another name"
         )
     keys = (
         other.select(F.col(right_key).alias("__mk")).distinct().withColumn(

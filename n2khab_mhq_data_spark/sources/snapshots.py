@@ -214,6 +214,47 @@ def merge_snapshot(
     )
 
 
+def _aligned_val_cols(
+    a: DataFrame, b: DataFrame, keys: list[str]
+) -> tuple[list[str], dict]:
+    """Union of both versions' non-key columns (b's order, then
+    a-only appended) + a name->DataType map. The write path explicitly
+    tolerates schema drift (merge_snapshot unions with
+    allowMissingColumns), so the diff must too: deriving val_cols from
+    one side alone either crashed on a column the other side lacks or
+    silently excluded a DROPPED column from the compare (a version
+    dropping a column reported zero updates)."""
+    types = {f.name: f.dataType for f in a.schema.fields}
+    types.update({f.name: f.dataType for f in b.schema.fields})
+    val_cols = [c for c in b.columns if c not in keys] + [
+        c for c in a.columns if c not in keys and c not in b.columns
+    ]
+    return val_cols, types
+
+
+def _side_vals(df: DataFrame, val_cols: list[str], types: dict) -> list:
+    return [
+        F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+        for c in val_cols
+    ]
+
+
+def _row_hash(val_exprs: list):
+    """Content hash that is NULL-POSITION sensitive: Spark's xxhash64
+    SKIPS null children (xxhash64(5, NULL) == xxhash64(NULL, 5) ==
+    xxhash64(5)), so a value moving between columns across NULLs would
+    hash identically and the update would be silently missed.
+    Interleaving each column's isNull flag (a never-null boolean) folds
+    a distinct bit per position. A keys-only table hashes to a constant
+    — insert/delete diffs still work, and no update leg exists."""
+    if not val_exprs:
+        return F.lit(0).cast("long")
+    parts = []
+    for e in val_exprs:
+        parts += [e.isNull(), e]
+    return F.xxhash64(*parts)
+
+
 def snapshot_diff(
     spark: SparkSession,
     path: str,
@@ -223,20 +264,17 @@ def snapshot_diff(
 ) -> DataFrame:
     """Change-data feed between two snapshot versions: one row per
     changed key with ``op`` in (insert, delete, update). Computed as a
-    full outer join on ``keys`` with an xxhash64 compare over the
-    non-key columns — one shuffle on the key, no row-level history
-    needed because versions are immutable. This is the read-side
-    complement of merge_snapshot: downstream consumers subscribe to
-    version-pair diffs instead of rescanning full snapshots."""
+    full outer join on ``keys`` with a null-position-sensitive xxhash64
+    compare over the UNION of both versions' non-key columns — one
+    shuffle on the key, no row-level history needed because versions
+    are immutable. This is the read-side complement of merge_snapshot:
+    downstream consumers subscribe to version-pair diffs instead of
+    rescanning full snapshots."""
     a = read_snapshot(spark, path, from_version)
     b = read_snapshot(spark, path, to_version)
-    val_cols = [c for c in b.columns if c not in keys]
-    ah = a.select(
-        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("__ha")
-    )
-    bh = b.select(
-        *keys, F.xxhash64(*[F.col(c) for c in val_cols]).alias("__hb")
-    )
+    val_cols, types = _aligned_val_cols(a, b, keys)
+    ah = a.select(*keys, _row_hash(_side_vals(a, val_cols, types)).alias("__ha"))
+    bh = b.select(*keys, _row_hash(_side_vals(b, val_cols, types)).alias("__hb"))
     j = ah.join(bh, keys, "full_outer")
     op = (
         F.when(F.col("__ha").isNull(), F.lit("insert"))
@@ -266,16 +304,18 @@ def snapshot_changes(
     the keys."""
     a = read_snapshot(spark, path, from_version)
     b = read_snapshot(spark, path, to_version)
-    val_cols = [c for c in b.columns if c not in keys]
+    val_cols, types = _aligned_val_cols(a, b, keys)
+    a_vals = _side_vals(a, val_cols, types)
+    b_vals = _side_vals(b, val_cols, types)
     ah = a.select(
         *keys,
-        F.xxhash64(*[F.col(c) for c in val_cols]).alias("__ha"),
-        *[F.col(c).alias(f"old_{c}") for c in val_cols],
+        _row_hash(a_vals).alias("__ha"),
+        *[e.alias(f"old_{c}") for c, e in zip(val_cols, a_vals)],
     )
     bh = b.select(
         *keys,
-        F.xxhash64(*[F.col(c) for c in val_cols]).alias("__hb"),
-        *[F.col(c).alias(f"new_{c}") for c in val_cols],
+        _row_hash(b_vals).alias("__hb"),
+        *[e.alias(f"new_{c}") for c, e in zip(val_cols, b_vals)],
     )
     j = ah.join(bh, keys, "full_outer")
     op = (
@@ -295,14 +335,20 @@ def snapshot_changes(
     )
 
 
-def _seen_batch_ids(path: str) -> set[int]:
-    out = set()
-    for v in _versions(path):
+def _max_batch_id(path: str) -> int | None:
+    """Largest stream batch_id already manifested — read NEWEST-first
+    and stop at the first stamped manifest. The engine's batch ids are
+    monotonic and each published batch stamps one version, so the
+    newest stamped manifest carries the max; scanning EVERY manifest
+    per trigger (the old _seen_batch_ids) was O(versions) driver IO per
+    batch — quadratic over a stream's lifetime — and broke when
+    prune_snapshots dropped an old manifest holding a replayed id."""
+    for v in reversed(_versions(path)):
         with open(os.path.join(_manifest_dir(path), f"{v}.json")) as fh:
             m = json.load(fh)
         if m.get("batch_id") is not None:
-            out.add(int(m["batch_id"]))
-    return out
+            return int(m["batch_id"])
+    return None
 
 
 def snapshot_stream(
@@ -322,10 +368,10 @@ def snapshot_stream(
 
     ``order_by_cols`` are column NAMES (descending) rather than Column
     objects so the closure stays picklable."""
-    from pyspark.sql import functions as F
 
     def publish(batch: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in _seen_batch_ids(path):
+        seen = _max_batch_id(path)
+        if seen is not None and int(batch_id) <= seen:
             return  # replayed batch: its version is already manifested
         order_by = [F.col(c).desc() for c in order_by_cols]
         # batch_id rides INSIDE the manifest that write_snapshot renames
@@ -369,7 +415,6 @@ def optimize_snapshot(
     order-insensitive content hash of the optimized version EQUALS its
     parent's, which ``verify`` asserts before the new version becomes
     visible; old readers are untouched (append-only log)."""
-    import json as _json
 
     from n2khab_mhq_data_spark.spatial.zorder import zvalue
 
@@ -429,7 +474,7 @@ def optimize_snapshot(
         df = df.coalesce(n_files)
     mdir = _manifest_dir(path)
     with open(os.path.join(mdir, f"{parent}.json")) as fh:
-        pm = _json.load(fh)
+        pm = json.load(fh)
 
     def check_no_drift(nm: dict) -> None:
         if (

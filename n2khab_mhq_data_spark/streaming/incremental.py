@@ -263,11 +263,12 @@ def dedup_stream(
         return events.withWatermark(
             ts_col, watermark
         ).dropDuplicatesWithinWatermark(list(keys))
-    w = W.partitionBy(*keys).orderBy(ts_col, *tiebreak)
-    return (
-        events.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    from n2khab_mhq_data_spark.operators.relational import dedup_keep_latest
+
+    # the ONE keyed-dedup implementation (guards included) — an inline
+    # window copy here could drift from the batch contract
+    return dedup_keep_latest(
+        events, list(keys), [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     )
 
 
@@ -306,6 +307,15 @@ def scd2_stream(
         # batch feeds three actions (log publish, affected-keys semi and
         # anti joins) — persist so the micro-batch source is read once
         batch = batch.persist()
+        try:
+            _scd2_upsert_body(s, batch)
+        finally:
+            # without the finally a publish/rename failure would leak
+            # the cached micro-batch; retried batches then accumulate
+            # pinned cache entries for the stream's life
+            batch.unpersist()
+
+    def _scd2_upsert_body(s, batch: DataFrame) -> None:
         log = read_state(s, events_path)
         # event identity is (key, ts); replays are exact duplicates, and a
         # same-timestamp correction resolves deterministically by state.
@@ -334,7 +344,6 @@ def scd2_stream(
             kept = prev.join(F.broadcast(affected), key_cols, "anti")
             fragment = kept.unionByName(fragment)
         publish_state(s, scd2_path, fragment)
-        batch.unpersist()
 
     return (
         source.writeStream.foreachBatch(upsert)

@@ -10,11 +10,15 @@ session — closed sessions are emitted as final facts (append mode, never
 retracted), the open session stays in state across micro-batches until a
 later event closes it.
 
-Scale notes: state is one fixed-size row per active user, partitioned by
-key across executors and persisted in the RocksDB state store
+Scale notes: state is one fixed-size row per user, partitioned by key
+across executors and persisted in the RocksDB state store
 (``transformWithStateInPandas`` requires the RocksDB provider — see
 ``ROCKSDB_CONF``); quiet keys cost nothing per batch. The per-key Python
-loop touches only the current micro-batch's rows for that key.
+loop touches only the current micro-batch's rows for that key. On an
+UNBOUNDED key universe pass ``idle_timeout_ms``: a processing-time
+timer closes and CLEARS an idle key's session, bounding state to the
+recently-active set (without it, state holds every ever-seen key
+forever and a churned user's last session is never emitted).
 
 Runtime requirement: the transformWithState state protocol is
 protobuf-based — the ``protobuf`` Python package must be installed on
@@ -49,15 +53,31 @@ ROCKSDB_CONF = (
 class SessionProcessor(StatefulProcessor):
     """Gap-based sessionizer: emits (user, start, end, n_events) for every
     session CLOSED by a later event arriving more than ``gap`` after the
-    session's last event."""
+    session's last event.
 
-    def __init__(self, gap: int) -> None:
+    ``idle_timeout_ms`` (processing-time) additionally closes-and-clears
+    a session whose KEY goes quiet: without it, state holds one row per
+    EVER-SEEN user forever (the key universe, not the active set) and a
+    churned user's final session is never emitted by any amount of
+    stream progress. Each batch for a key registers a timer at
+    now + timeout; on expiry the handler re-checks genuine idleness
+    against the key's last activity (stale timers from earlier batches
+    fire and pass through), then emits the open session and CLEARS the
+    state — bounding state to keys active within the timeout window."""
+
+    def __init__(self, gap: int, idle_timeout_ms: int | None = None) -> None:
         self._gap = gap
+        self._idle = idle_timeout_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
         self._open = handle.getValueState(
             "open_session", "start long, last long, n long"
         )
+        if self._idle is not None:
+            # processing-time of the key's last activity — the idleness
+            # reference the expiry handler checks stale timers against
+            self._seen = handle.getValueState("last_seen_pt", "pt long")
 
     def handleInputRows(
         self, key: Any, rows: Iterator[pd.DataFrame], timerValues: Any
@@ -95,27 +115,55 @@ class SessionProcessor(StatefulProcessor):
                 last, n = max(last, ts), n + 1
         if start is not None:
             self._open.update((start, last, n))
+        if self._idle is not None and timerValues is not None:
+            now = timerValues.getCurrentProcessingTimeInMs()
+            self._seen.update((now,))
+            self._handle.registerTimer(now + self._idle)
         if closed:
             yield pd.DataFrame(
                 closed,
                 columns=["user_id", "session_start", "session_end", "n_events"],
             )
 
+    def handleExpiredTimer(
+        self, key: Any, timerValues: Any, expiredTimerInfo: Any
+    ) -> Iterator[pd.DataFrame]:
+        if self._idle is None or not self._open.exists():
+            return
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        seen = self._seen.get()[0] if self._seen.exists() else None
+        # stale timer: the key was active again after this timer was
+        # registered — a NEWER timer covers it, ignore this one
+        if seen is not None and expiry < seen + self._idle:
+            return
+        start, last, n = self._open.get()
+        self._open.clear()
+        if self._seen.exists():
+            self._seen.clear()
+        yield pd.DataFrame(
+            [(key[0], start, last, n)],
+            columns=["user_id", "session_start", "session_end", "n_events"],
+        )
+
     def close(self) -> None:
         pass
 
 
-def sessionize(events: DataFrame, gap: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap: int = 30, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """events (streaming): user_id long, ts long -> closed sessions.
 
     Append output mode: a closed session is immutable, so every sink type
-    (parquet included) works downstream. Sessions still open when the
-    stream stops are intentionally NOT emitted — they are not facts yet;
-    they surface once a later event (in any future run over the same
-    checkpoint) closes them."""
+    (parquet included) works downstream. Without ``idle_timeout_ms``,
+    sessions still open when a key goes quiet are NOT emitted (and their
+    state rows live forever — fine for bounded key universes, wrong for
+    unbounded ingest); with it, an idle key's open session closes via a
+    processing-time timer and its state clears, bounding state to the
+    recently-active key set."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        SessionProcessor(gap),
+        SessionProcessor(gap, idle_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         outputMode="append",
-        timeMode="none",
+        timeMode="none" if idle_timeout_ms is None else "processingTime",
     )

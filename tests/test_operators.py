@@ -1255,3 +1255,23 @@ def test_wkt_empty_polygon_raises(spark):
 
     with _pytest.raises(ValueError, match="empty POLYGON"):
         parse_wkt_polygon("POLYGON ()")
+
+
+def test_reserved_name_guards_relational(spark):
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.operators.relational import (
+        dedup_keep_latest,
+        duplicates,
+        membership_flag,
+    )
+
+    df_rn = spark.createDataFrame([(1, 2, 0)], "k int, v int, __rn int")
+    with _pytest.raises(ValueError, match="__rn"):
+        dedup_keep_latest(df_rn, ["k"], [F.col("v").desc()])
+    df_n = spark.createDataFrame([(1, 5)], "k int, n int")
+    with _pytest.raises(ValueError, match="'n'"):
+        duplicates(df_n, ["k"])
+    df = spark.createDataFrame([(1,)], "k int")
+    with _pytest.raises(ValueError, match="internal column"):
+        membership_flag(df, df, "k", "k", "__hit")

@@ -1049,3 +1049,61 @@ def test_read_vc_rejects_non_tsv_path(spark):
 
     with _pytest.raises(ValueError, match="expects a .tsv path"):
         read_vc(spark, "/tmp/whatever.TSV")
+
+
+def test_snapshot_diff_null_position_shift_detected(spark, tmp_path):
+    """xxhash64 skips NULL children, so (5, NULL) -> (NULL, 5) hashed
+    identically and the update was silently missed; the
+    null-position-sensitive hash must report it."""
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame([(1, 5, None)], "k long, x int, y int")
+    v2 = spark.createDataFrame([(1, None, 5)], "k long, x int, y int")
+    write_snapshot(v1, path)
+    write_snapshot(v2, path)
+    ops = snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+    assert [(r["k"], r["op"]) for r in ops] == [(1, "update")]
+
+
+def test_snapshot_diff_schema_evolution(spark, tmp_path):
+    """The write path tolerates schema drift, so the diff must too:
+    added and dropped columns participate in the compare instead of
+    crashing (added) or being silently excluded (dropped)."""
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        snapshot_changes,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame([(1, "a", 9)], "k long, s string, gone int")
+    v2 = spark.createDataFrame([(1, "a", 7.5)], "k long, s string, score double")
+    write_snapshot(v1, path)
+    write_snapshot(v2, path)
+    ops = snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+    assert [(r["k"], r["op"]) for r in ops] == [(1, "update")]
+    ch = snapshot_changes(spark, path, 1, 2, ["k"]).collect()[0]
+    assert ch["old_gone"] == 9 and ch["new_gone"] is None
+    assert ch["old_score"] is None and ch["new_score"] == 7.5
+
+
+def test_snapshot_diff_keys_only_table(spark, tmp_path):
+    """Insert/delete diffs are well-defined for a keys-only table; the
+    zero-argument xxhash64 previously failed analysis."""
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "store")
+    write_snapshot(spark.createDataFrame([(1,), (2,)], "k long"), path)
+    write_snapshot(spark.createDataFrame([(2,), (3,)], "k long"), path)
+    ops = sorted(
+        (r["k"], r["op"])
+        for r in snapshot_diff(spark, path, 1, 2, ["k"]).collect()
+    )
+    assert ops == [(1, "delete"), (3, "insert")]

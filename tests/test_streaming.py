@@ -1142,3 +1142,65 @@ def test_neardup_store_layout_is_partitioned(spark, tmp_path):
     q.awaitTermination()
     assert glob.glob(str(tmp_path / "sig" / "sig_part=*"))
     assert glob.glob(str(tmp_path / "verdicts" / "vpart=*"))
+
+
+def test_session_processor_idle_timer_closes_and_clears():
+    """Idle-timeout path: a stale timer (key active after registration)
+    passes through; a genuine-idle expiry emits the open session and
+    clears ALL state for the key."""
+    import pandas as pd
+
+    from n2khab_mhq_data_spark.streaming.sessions import SessionProcessor
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = v
+
+        def clear(self):
+            self.v = None
+
+    class FakeHandle:
+        def __init__(self):
+            self.timers = []
+
+        def registerTimer(self, ts):
+            self.timers.append(ts)
+
+    class TV:
+        def __init__(self, now):
+            self._now = now
+
+        def getCurrentProcessingTimeInMs(self):
+            return self._now
+
+    class ETI:
+        def __init__(self, t):
+            self._t = t
+
+        def getExpiryTimeInMs(self):
+            return self._t
+
+    p = SessionProcessor(gap=30, idle_timeout_ms=1000)
+    p._open = FakeState()
+    p._seen = FakeState()
+    p._handle = FakeHandle()
+    list(p.handleInputRows((1,), iter([pd.DataFrame({"ts": [100, 110]})]), TV(5000)))
+    assert p._handle.timers == [6000]
+    # key active again at 5500 -> the 6000 timer is stale when it fires
+    list(p.handleInputRows((1,), iter([pd.DataFrame({"ts": [120]})]), TV(5500)))
+    stale = list(p.handleExpiredTimer((1,), TV(6000), ETI(6000)))
+    assert stale == [] and p._open.exists()
+    # the 6500 timer is genuine idle: emit + clear
+    out = list(p.handleExpiredTimer((1,), TV(6500), ETI(6500)))
+    rows = [tuple(r) for df in out for r in df.itertuples(index=False)]
+    assert rows == [(1, 100, 120, 3)]
+    assert not p._open.exists() and not p._seen.exists()
