@@ -70,16 +70,25 @@ def norm(a: Column | str, dim: int | None = None) -> Column:
 
 
 def safe_norm(a: Column | str, dim: int | None = None) -> Column:
-    """Norm for COSINE DENOMINATORS: a zero vector's norm clamps to 1,
-    so its cosine against anything is 0 — ranked last, never NaN. Raw
-    ``norm`` in a denominator turns one all-zero embedding (padding /
-    failed-encoder row) into 0/0 = NaN, and NaN sorts as the LARGEST
-    double under desc ordering — the zero vector would become the
-    rank-1 neighbour of every query. Same clamp the bucketed-pair /
-    semdedup / kmeans kernels apply (nrm == 0 -> 1); oracles spell it
-    coalesce(nullif(sqrt(..), 0), 1)."""
-    n = norm(a, dim)
-    return F.when(n == 0, F.lit(1.0)).otherwise(n)
+    """Norm for COSINE DENOMINATORS: never exactly 0, so a zero vector's
+    cosine against anything is 0 (its numerator is exactly 0) — ranked
+    last, never NaN. Raw ``norm`` in a denominator turns one all-zero
+    embedding (padding / failed-encoder row) into 0/0 = NaN, and NaN
+    sorts as the LARGEST double under desc ordering — the zero vector
+    would become the rank-1 neighbour of every query.
+
+    Spelled ``sqrt(dot + 1e-300)``, NOT ``when(n == 0, 1).otherwise(n)``:
+    a when/otherwise would evaluate the 64-term unrolled dot TWICE
+    (Spark's subexpression elimination does not span CASE branches —
+    measured ~1.6x on the whole cosine family), while the additive
+    epsilon is absorbed bit-exactly for every norm above 1e-140 (any
+    real embedding) and costs one literal. Oracles are unaffected:
+    their coalesce(nullif(sqrt(..), 0), 1) spelling yields the same
+    cosine (0) for zero vectors and identical bits everywhere else."""
+    if dim is None:
+        a = F.col(a) if isinstance(a, str) else a
+        return F.sqrt(dot(a, a) + F.lit(1e-300))
+    return F.expr(f"sqrt({_dot_sql(a, a, dim)} + 1e-300)")
 
 
 def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
