@@ -212,10 +212,14 @@ def _nanos_cols(path: str) -> list[str]:
                 return []
             f = parts[0]
         schema = pq.read_schema(f)
+        # prefix match, not equality: a tz-aware TIMESTAMP(NANOS)
+        # column prints as 'timestamp[ns, tz=UTC]' and would escape an
+        # exact 'timestamp[ns]' comparison — then surface as a bare
+        # bigint after the legacy-conf read
         return [
             name
             for name, typ in zip(schema.names, schema.types)
-            if str(typ) == "timestamp[ns]"
+            if str(typ).startswith("timestamp[ns")
         ]
     except Exception:
         return []
@@ -258,7 +262,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # time, not just at schema resolution
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        nanos = [c for c, t in df.dtypes if t == "bigint" and c == "ts"]
+        # re-peek the footer now that we KNOW a nanos column exists —
+        # the proactive peek can miss (e.g. first part file unreadable
+        # by pyarrow) while other footers are fine; only if every
+        # footer stays unreadable fall back to the 'ts' heuristic
+        nanos = _nanos_cols(path)
+        if not nanos:
+            nanos = [c for c, t in df.dtypes if t == "bigint" and c == "ts"]
     dtypes = dict(df.dtypes)
     for c in nanos:
         if dtypes.get(c) == "bigint":

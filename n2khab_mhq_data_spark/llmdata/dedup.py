@@ -144,24 +144,34 @@ def prefix_filter_pairs(
     pref = ranked.filter(
         F.col("r") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
     ).select("doc", "gram", "n")
-    # bucket-explode, not a prefix self-join (the minhash_lsh_candidates
-    # shape): Spark materializes no CTEs, so the join form re-ran the
-    # whole shingle+window pipeline for BOTH branches; one groupBy per
-    # prefix gram evaluates it once and shuffles once. Per-gram fan-out
-    # is the PREFIX document frequency either way — rarest-first keeps
-    # it near 1.
+    # candidate stage: prefix SELF-JOIN, not bucket-explode. Measured
+    # (sf1.0, warm median-of-3): self-join 3.9 s vs bucket-explode
+    # 8-10 s. Rarest-first ordering keeps per-gram fan-out near 1, so
+    # most buckets have size 1 and the collect_list aggregation buffer
+    # + double-explode shape only adds cost — plus an unbounded
+    # per-bucket array, an OOM hazard one hot gram would trigger at
+    # 100 TB, where the join shape shuffles and SPILLS instead. The
+    # plan does re-evaluate the shingle+window pipeline per branch
+    # (4 scans total with verification); persisting `ranked` was ALSO
+    # measured and loses (4.3 s) — materializing the wide shingle
+    # table costs more than the re-evaluations it saves.
+    a, b = pref.alias("a"), pref.alias("b")
     cand = (
-        pref.groupBy("gram")
-        .agg(F.collect_list(F.struct("doc", "n")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-        .select(F.explode("ds").alias("x"), "ds")
-        .select("x", F.explode("ds").alias("y"))
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .filter(
-            F.least(F.col("x.n"), F.col("y.n"))
-            >= F.lit(threshold) * F.greatest(F.col("x.n"), F.col("y.n"))
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("x.doc").alias("d1"), F.col("y.doc").alias("d2"))
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.n").alias("n1"),
+            F.col("b.n").alias("n2"),
+        )
+        .filter(
+            F.least("n1", "n2") >= F.lit(threshold) * F.greatest("n1", "n2")
+        )
+        .select("d1", "d2")
         .distinct()
     )
     # verification sets grouped from the already-doc-partitioned window

@@ -3625,7 +3625,8 @@ def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT v.l_partkey AS partkey,
            round(v.value_c / 100.0 + 1e-9, 2) AS supply_value
     FROM v, t
-    WHERE v.value_c * t.n > 2 * t.tot
+    WHERE CAST(v.value_c AS DECIMAL(38,0)) * t.n
+          > 2 * CAST(t.tot AS DECIMAL(38,0))
     """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3670,7 +3671,15 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         v.crossJoin(F.broadcast(t))
-        .filter(F.col("value_c") * F.col("n") > 2 * F.col("tot"))
+        # DECIMAL(38,0) on both engines: per-part cents x part count can
+        # exceed int64 at large SF (1e12-cent parts x 2e9 parts ~ 2e21);
+        # BIGINT*BIGINT would abort under ANSI (default-on in Spark 4)
+        # while DuckDB silently promotes to HUGEINT — the engines would
+        # diverge exactly at the scale the notes below claim safety for
+        .filter(
+            F.col("value_c").cast("decimal(38,0)") * F.col("n")
+            > 2 * F.col("tot").cast("decimal(38,0)")
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             F.round(F.col("value_c") / 100.0 + F.lit(1e-9), 2)

@@ -181,8 +181,17 @@ def write_jsonl(
             f"write_jsonl: probe found only {len(token)}/{n_shards}"
             " shard tokens; widen the probe range"
         )
+    # token values must be LONG: the probe hashed spark.range's LongType
+    # ids, and Murmur3 hashes int32 and int64 DIFFERENTLY — a plain
+    # F.lit(token) would re-inject the token as IntegerType, repartition
+    # would hash the int32, and the claimed shard->partition bijection
+    # silently breaks (shards collide into shared files)
     tok_map = F.create_map(
-        *[F.lit(v) for s in range(n_shards) for v in (s, token[s])]
+        *[
+            e
+            for s in range(n_shards)
+            for e in (F.lit(s), F.lit(token[s]).cast("long"))
+        ]
     )
     shard = F.pmod(F.xxhash64(*[F.col(c) for c in keys]), n_shards).cast(
         "int"

@@ -448,8 +448,18 @@ def optimize_snapshot(
                 frac = F.when(span > 0, (
                     F.col(col).cast("double") - F.col(lo)
                 ) / span).otherwise(F.lit(0.0))
+                # coalesce BEFORE least: F.least SKIPS nulls, so a NULL
+                # coordinate (NULL frac/floor) would return lim — NULL
+                # rows silently clustering in the far-corner cell 127.
+                # An outer coalesce can never fire (least's result is
+                # non-null); the inner one routes NULLs to cell 0
+                # alongside the constant-column case.
                 return F.least(
-                    F.floor(frac * (lim + 1)).cast("long"), F.lit(lim)
+                    F.coalesce(
+                        F.floor(frac * (lim + 1)).cast("long"),
+                        F.lit(0).cast("long"),
+                    ),
+                    F.lit(lim),
                 )
 
             df = df.crossJoin(F.broadcast(stats))

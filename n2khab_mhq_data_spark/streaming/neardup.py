@@ -197,6 +197,14 @@ def neardup_gate_stream(
                 bs = (
                     sbk.join(F.broadcast(qbk), ["band", "bh"])
                     .select(F.col("doc").alias("d1"), "d2")
+                    # strict inequality, matching minhash_lsh_candidates:
+                    # the monotonic-id contract makes store ids < batch
+                    # ids for NEW docs, but on a foreachBatch REPLAY the
+                    # store already holds the batch's docs with EQUAL
+                    # ids — without this filter each replayed doc pairs
+                    # with itself at Jaccard 1, dup_of maps it to
+                    # itself, and the pointer-jump loop never terminates
+                    .filter(F.col("d1") < F.col("d2"))
                     .distinct()
                 )
                 cand = bs.unionByName(bb).distinct()

@@ -61,3 +61,43 @@ def test_catalog_load_handles_nanos_timestamp(spark, tmp_path):
     assert dict(df.dtypes)["ts"].startswith("timestamp")
     got = {r.event_id: r.ts for r in df.collect()}
     assert got[1] == t0  # microsecond precision survives exactly
+
+
+def test_catalog_load_handles_tz_aware_nanos(spark, tmp_path):
+    """A tz-aware TIMESTAMP(NANOS) column prints as
+    'timestamp[ns, tz=UTC]' in the pyarrow footer — the proactive nanos
+    peek must catch it too (prefix match), and a SECOND nanos column
+    beyond the hardcoded 'ts' must also be rebuilt, not left as a bare
+    bigint."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from n2khab_mhq_data_spark.catalog import load
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t0 = datetime(2024, 3, 1, 12, 30, 15, 123456, tzinfo=timezone.utc)
+    t1 = datetime(2024, 5, 2, 1, 2, 3, 654321, tzinfo=timezone.utc)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([t0], pa.timestamp("ns", tz="UTC")),
+            "seen_at": pa.array([t1], pa.timestamp("ns", tz="UTC")),
+            "user_id": pa.array([10], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(table, str(sf / "events.parquet"))
+
+    df = load(spark, str(sf), "events")
+    dt = dict(df.dtypes)
+    assert dt["ts"].startswith("timestamp"), dt
+    assert dt["seen_at"].startswith("timestamp"), dt
+    assert dt["user_id"] == "bigint"  # genuine bigint untouched
+    row = df.collect()[0]
+    assert row.ts == t0.replace(tzinfo=None)
+    assert row.seen_at == t1.replace(tzinfo=None)

@@ -831,6 +831,17 @@ def test_write_jsonl_shard_parallelism_and_total_order(spark, tmp_path):
         F.col("id"), (F.col("id") % 7).alias("grp")
     )
     path = str(tmp_path / "sharded")
+    # n_shards beyond 2: the probe hashes LONG range ids, so the token
+    # literals must be long too — an int-typed token re-hash routed
+    # 3 shards into 2 files and 8 into 5 (Murmur3 int32 != int64)
+    for n in (2, 3, 8):
+        p_n = str(tmp_path / f"sharded_{n}")
+        write_jsonl(df, p_n, order_by=["id"], n_shards=n)
+        sizes_n = [
+            os.path.getsize(p)
+            for p in sorted(glob.glob(os.path.join(p_n, "part-*")))
+        ]
+        assert len([s for s in sizes_n if s > 0]) == n, (n, sizes_n)
     write_jsonl(df, path, order_by=["id"], n_shards=2)
     parts = sorted(glob.glob(os.path.join(path, "part-*")))
     sizes = [os.path.getsize(p) for p in parts]
@@ -917,6 +928,45 @@ def test_optimize_snapshot_zorder_normalizes_raw_domains(spark, tmp_path):
     assert sum(1 for s in spans if s < 0.8 * domain) >= len(spans) // 2, (
         spans, domain,
     )
+
+
+def test_optimize_snapshot_zorder_null_coords_land_in_cell_zero(
+    spark, tmp_path
+):
+    """A NULL coordinate must land in grid cell 0, not silently in the
+    far-corner cell: F.least SKIPS nulls, so an un-coalesced NULL frac
+    returned lim (127). Layout-only (content hash still verifies), so
+    pin it by checking the NULL rows share a file with the low-x rows,
+    not with the max-x rows."""
+    import glob
+    import os
+
+    from n2khab_mhq_data_spark.sources.snapshots import (
+        optimize_snapshot,
+        write_snapshot,
+    )
+
+    rows = [(float(i), float(i), i) for i in range(512)] + [
+        (None, None, 1000 + i) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, "x double, y double, payload long"
+    ).repartition(4)
+    path = str(tmp_path / "store")
+    write_snapshot(df, path)
+    optimize_snapshot(spark, path, n_files=4, zorder_cols=["x", "y"])
+    null_file = low_file = high_file = None
+    for f in sorted(glob.glob(os.path.join(path, "v=2", "part-*"))):
+        pf = spark.read.parquet(f)
+        if pf.filter(F.col("x").isNull()).count() > 0:
+            null_file = f
+        if pf.filter(F.col("x") == 0.0).count() > 0:
+            low_file = f
+        if pf.filter(F.col("x") == 511.0).count() > 0:
+            high_file = f
+    assert null_file is not None
+    assert null_file == low_file, (null_file, low_file)
+    assert null_file != high_file, (null_file, high_file)
 
 
 def test_zorder_layout_stats_null_coordinates_raise(spark):

@@ -702,7 +702,11 @@ def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
             spark, stream, str(sig), str(verdicts),
             "text", "doc_id", str(ckpt),
         )
-        q.awaitTermination(120)
+        # must ASSERT termination: a replay-induced livelock (self-pairs
+        # in the store x batch leg spinning the pointer-jump loop) would
+        # otherwise time out here and leave a runaway query the reads
+        # below happily observe mid-flight state from
+        assert q.awaitTermination(120), "gate query did not terminate"
 
     run()
     v1 = sorted(
