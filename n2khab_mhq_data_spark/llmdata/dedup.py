@@ -225,7 +225,10 @@ def lsh_band_buckets(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, num_hashes: int = 64, bands: int = 32
+    sig: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 32,
+    hot_bucket_cap: int = 4096,
 ) -> DataFrame:
     """Banded LSH: hash each band of the signature, join docs landing in the
     same (band, band_hash) bucket. rows-per-band r = num_hashes/bands; with
@@ -236,15 +239,41 @@ def minhash_lsh_candidates(
     # self-join: the signature pipeline feeding ``sig`` is then evaluated
     # once, not twice (Spark materializes no CTEs — every extra plan
     # branch re-runs the aggregation above the reused shuffle). A stop
-    # band-bucket's m^2 pair blowup exists under either shape; the
-    # collect_list additionally assumes one bucket's doc LIST fits in a
-    # task (fair for real signatures; cap hot buckets upstream if not).
-    return (
-        buckets.groupBy("band", "bh")
+    # band-bucket's m^2 pair blowup exists under either shape, but the
+    # collect_list additionally requires one bucket's doc LIST to fit an
+    # aggregation buffer — a join spills, an agg buffer OOMs. So route
+    # by bucket size, counted with a window over the SAME (band, bh)
+    # shuffle the groupBy needs: buckets <= cap keep the single-
+    # evaluation explode path with a provably bounded buffer; hotter
+    # buckets (a stop band-hash — e.g. the all-identical signature of
+    # boilerplate docs) fall back to the spillable self-join. A bucket
+    # lives in exactly one route; the union's distinct dedups pairs
+    # that collide in several bands regardless of route.
+    w_bucket = W.partitionBy("band", "bh")
+    sized = buckets.withColumn("m", F.count("*").over(w_bucket)).filter(
+        F.col("m") >= 2
+    )
+    small = (
+        sized.filter(F.col("m") <= hot_bucket_cap)
+        .groupBy("band", "bh")
         .agg(F.collect_list("doc").alias("ds"))
-        .filter(F.size("ds") >= 2)
         .select(F.explode("ds").alias("d1"), "ds")
         .select("d1", F.explode("ds").alias("d2"))
+    )
+    hot = sized.filter(F.col("m") > hot_bucket_cap).select(
+        "band", "bh", "doc"
+    )
+    hot_pairs = (
+        hot.alias("ha")
+        .join(
+            hot.alias("hb"),
+            (F.col("ha.band") == F.col("hb.band"))
+            & (F.col("ha.bh") == F.col("hb.bh")),
+        )
+        .select(F.col("ha.doc").alias("d1"), F.col("hb.doc").alias("d2"))
+    )
+    return (
+        small.unionByName(hot_pairs)
         .filter(F.col("d1") < F.col("d2"))
         .distinct()
     )
@@ -378,19 +407,42 @@ def simhash_pairs(
     )
 
 
-def _char_hash(tok: str) -> int:
-    """Portable polynomial char hash (h = (h*31 + code) mod p, seed 7):
-    identical arithmetic is expressible in any SQL engine, unlike
-    xxhash64 — used by simhash so the DuckDB oracle can reproduce
-    signatures bit-for-bit. Plain Python: evaluated once per DISTINCT
-    token inside the kernel below, never per row."""
+#: production simhash modulus: largest prime below 2^56, so the oracle's
+#: BIGINT ``acc*31 + code`` never overflows (31p + max_codepoint < 2^63)
+#: while signatures carry 56 usable bits
+WIDE_PRIME = 72057594037927931
+#: post-mix multiplier ((2^64 golden-ratio constant) mod WIDE_PRIME): one
+#: modular multiplication diffuses the polynomial hash across all 56
+#: bits — base-31 polynomials of SHORT tokens (31^len << 2^56) would
+#: otherwise leave the high signature bits constant-zero, gutting the
+#: high band's selectivity. Exact in Python ints; exact in DuckDB via
+#: HUGEINT (the product overflows int64 by design).
+WIDE_MIX = 15614961330585387
+
+
+def _char_hash(tok: str, mod: int = HASH_PRIME, mix: int | None = None) -> int:
+    """Portable polynomial char hash (h = (h*31 + code) mod p, seed 7),
+    optionally post-mixed by a modular multiplication: identical
+    arithmetic is expressible in any SQL engine, unlike xxhash64 — used
+    by simhash so the DuckDB oracle can reproduce signatures
+    bit-for-bit. Plain Python: evaluated once per DISTINCT token inside
+    the kernel below, never per row."""
     h = 7
     for ch in tok:
-        h = (h * 31 + ord(ch)) % HASH_PRIME
+        h = (h * 31 + ord(ch)) % mod
+    if mix is not None:
+        h = (h * mix) % mod
     return h
 
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 16,
+    mod: int = HASH_PRIME,
+    mix: int | None = None,
+) -> DataFrame:
     """SimHash signature: per distinct token, a portable polynomial hash;
     per bit, sum(+/-1); signature bit = (sum > 0). Integer-only arithmetic
     -> no float drift, fully oracle-checkable.
@@ -436,7 +488,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
                     if i is None:
                         i = len(vocab)
                         vocab[tok] = i
-                        h = _char_hash(tok)
+                        h = _char_hash(tok, mod, mix)
                         bit_rows.append(
                             np.where(
                                 (h >> np.arange(bits)) & 1 == 1, 1, -1

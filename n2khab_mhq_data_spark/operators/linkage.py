@@ -112,6 +112,7 @@ def edit_distance_join_deletion(
     id_col: str,
     key_col: str,
     block_cols: list[str] | None = None,
+    hot_bucket_cap: int = 1024,
 ) -> DataFrame:
     """EXACT edit-distance <= 1 self-join via the deletion-neighborhood
     (FastSS / SymSpell family) — the LOSSLESS complement to
@@ -177,22 +178,50 @@ def edit_distance_join_deletion(
     # join form evaluated the 15-variants-per-key explode TWICE and
     # shuffled both branches; grouping each (blk, var) bucket once and
     # exploding its member list pays ONE evaluation and ONE shuffle —
-    # measured ~2x on the candidate stage. Bucket fan-out is the same
-    # m^2 the join had; member lists are bounded by per-variant doc
-    # frequency (near-match density, not corpus size).
-    cand = (
-        v.groupBy("blk", "var")
+    # measured ~2x on the candidate stage (sf1.0 link_golden_record
+    # 17.9 -> 13.0 s). Bucket fan-out is the same m^2 the join had.
+    #
+    # BOUNDED buffers: a collect_list group must fit one aggregation
+    # buffer in memory — unlike a join, which spills. Member lists are
+    # *usually* bounded by per-variant doc frequency, but nothing
+    # enforces that, and one hot (blk, var) bucket (a default key, an
+    # empty-string block) at 100 TB is an executor OOM. So route by
+    # bucket size, counted with a window over the SAME (blk, var)
+    # shuffle the groupBy needs: buckets <= cap take the collect_list
+    # path with a provably bounded buffer; hotter buckets take the
+    # spillable self-join path (AQE reuses the window's shuffle stage
+    # for all branches — identical subplans). Both routes produce the
+    # same pair set for their buckets; a bucket lives in exactly one
+    # route, and the union's distinct collapses pairs that appear under
+    # several variants regardless of route.
+    w_bucket = W.partitionBy("blk", "var")
+    sized = v.withColumn("m", F.count("*").over(w_bucket)).filter(
+        F.col("m") >= 2  # singleton buckets can't pair — skip both routes
+    )
+    small = (
+        sized.filter(F.col("m") <= hot_bucket_cap)
+        .groupBy("blk", "var")
         .agg(F.collect_list(F.struct("id", "key")).alias("ds"))
-        .filter(F.size("ds") >= 2)
         .select(F.explode("ds").alias("x"), "ds")
         .select("x", F.explode("ds").alias("y"))
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id1"),
-            F.col("y.id").alias("id2"),
-            F.col("x.key").alias("key1"),
-            F.col("y.key").alias("key2"),
-        )
+        .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"),
+                F.col("x.key").alias("key1"), F.col("y.key").alias("key2"))
+    )
+    hot = sized.filter(F.col("m") > hot_bucket_cap).select(
+        "blk", "var", "id", "key"
+    )
+    ha, hb = hot.alias("ha"), hot.alias("hb")
+    hot_pairs = ha.join(
+        hb,
+        (F.col("ha.blk") == F.col("hb.blk"))
+        & (F.col("ha.var") == F.col("hb.var")),
+    ).select(
+        F.col("ha.id").alias("id1"), F.col("hb.id").alias("id2"),
+        F.col("ha.key").alias("key1"), F.col("hb.key").alias("key2"),
+    )
+    cand = (
+        small.unionByName(hot_pairs)
+        .filter(F.col("id1") < F.col("id2"))
         # a pair can share several variants (e.g. equal keys share all);
         # collapse BEFORE the levenshtein so each pair is verified once
         .distinct()

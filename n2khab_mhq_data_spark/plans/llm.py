@@ -141,13 +141,24 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_oracle(
+    bits: int = 16, mod: int = 1000003, mix: int | None = None
+) -> str:
+    """DuckDB SQL reproducing llmdata.dedup.simhash bit-for-bit. The
+    optional ``mix`` post-multiplication overflows int64 by design
+    (h < mod ~ 2^56, mix ~ 2^54) — HUGEINT carries the product
+    exactly, then the mod brings it back under BIGINT."""
     sums = ",\n             ".join(
         f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(bits)
     )
     sig = " + ".join(
         f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    mix_expr = (
+        f"CAST((CAST(hp AS HUGEINT) * {mix}) % {mod} AS BIGINT)"
+        if mix is not None
+        else "hp"
     )
     return f"""
     WITH words AS (
@@ -156,14 +167,16 @@ def _simhash_oracle(bits: int = 16) -> str:
     ), tok AS (
       SELECT DISTINCT doc_id AS doc, t.tok
       FROM words, unnest(list_distinct(w)) AS t(tok)
-    ), h AS (
+    ), hp AS (
       SELECT doc, list_reduce(
         list_prepend(CAST(7 AS BIGINT),
           list_transform(range(1, length(tok) + 1),
                          i -> CAST(ascii(substr(tok, CAST(i AS INTEGER), 1))
                                    AS BIGINT))),
-        (acc, c) -> (acc * 31 + c) % 1000003) AS h
+        (acc, c) -> (acc * 31 + c) % {mod}) AS hp
       FROM tok
+    ), h AS (
+      SELECT doc, {mix_expr} AS h FROM hp
     ), sums AS (
       SELECT doc, {sums}
       FROM h GROUP BY doc
@@ -1438,12 +1451,12 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     oracle="""
     WITH sigs AS (SELECT * FROM ("""
-    + _simhash_oracle()
+    + _simhash_oracle(bits=56, mod=72057594037927931, mix=15614961330585387)
     + """
     ) _s), b AS (
       SELECT doc, simhash, t.band,
-             (simhash >> (t.band * 8)) & 255 AS bh
-      FROM sigs, unnest([0, 1]) AS t(band)
+             (simhash >> (t.band * 14)) & 16383 AS bh
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(band)
     )
     SELECT DISTINCT x.doc AS d1, y.doc AS d2,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
@@ -1453,13 +1466,30 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairing: band the 16-bit signatures (2 bands of 8),
-    join within band buckets only, verify exact hamming <= 3. Completes the
-    simhash tier from signature to candidate pairs."""
-    from n2khab_mhq_data_spark.llmdata.dedup import simhash_pairs
+    """SimHash near-dup pairing at PRODUCTION signature width: 56-bit
+    signatures (largest-prime-below-2^56 modulus, modular-multiply
+    post-mix so short tokens still spread across the high bits), banded
+    4 x 14 bits, exact hamming <= 3 verification. Completes the simhash
+    tier from signature to candidate pairs.
 
-    sig = simhash(load(spark, sf_dir, "documents"), "text", "doc_id", bits=16)
-    return simhash_pairs(sig, bits=16, bands=2, max_hamming=3)
+    The 16-bit parameters this query previously demoed collide ~40% of
+    a 500k-doc corpus into shared signatures (~1.3e9 same-signature
+    pairs at sf1.0 BY CONSTRUCTION — the one query the sf1.0
+    differential sweep had to exclude). At 56 bits the accidental-
+    collision pair count is ~0 and output is true near-dups only, so
+    the operator is sweepable at every tier; the 16-bit banding math
+    stays pinned by pytest (test_simhash_pairs_banding_pigeonhole)."""
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        WIDE_MIX,
+        WIDE_PRIME,
+        simhash_pairs,
+    )
+
+    sig = simhash(
+        load(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=56, mod=WIDE_PRIME, mix=WIDE_MIX,
+    )
+    return simhash_pairs(sig, bits=56, bands=4, max_hamming=3)
 
 
 @query(

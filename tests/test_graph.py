@@ -493,3 +493,36 @@ def test_assortativity_matches_networkx_style_formula(spark, sf_dir):
     row = graph_degree_assortativity(spark, sf_dir).collect()[0]
     assert row["n_edges"] == len(edges)
     assert abs(row["assortativity"] - r_exp) < 1e-6
+
+
+def test_edit_distance_join_hot_bucket_route_exact(spark):
+    """Bounded-buffer contract: a (blk, var) bucket above
+    ``hot_bucket_cap`` must take the spillable self-join route and
+    produce the SAME pairs as the collect_list route. Planted: one hot
+    variant bucket (12 equal keys, > cap=4) among normal near-misses."""
+    from n2khab_mhq_data_spark.operators.linkage import (
+        edit_distance_join_deletion,
+    )
+
+    rows = [(i, "hotkey") for i in range(12)]          # hot bucket
+    rows += [(100, "alpha"), (101, "alphb"), (102, "zeta")]
+    df = spark.createDataFrame(rows, "id int, name string")
+    a, b = df.alias("a"), df.alias("b")
+    brute = {
+        (r["id1"], r["id2"]): r["d"]
+        for r in a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.levenshtein("a.name", "b.name").alias("d"),
+        )
+        .filter(F.col("d") <= 1)
+        .collect()
+    }
+    got = {
+        (r["id1"], r["id2"]): r["lev_dist"]
+        for r in edit_distance_join_deletion(
+            df, "id", "name", hot_bucket_cap=4
+        ).collect()
+    }
+    assert got == brute and len(brute) == 66 + 1

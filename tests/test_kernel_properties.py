@@ -239,3 +239,45 @@ def test_sorted_neighborhood_invariants(spark, ks):
     for (k1, i1), (k2, i2) in zip(by_key, by_key[1:]):
         if _lev(k1, k2) <= 2:
             assert (min(i1, i2), max(i1, i2)) in seen, (k1, k2)
+
+
+def _simhash_reference_wide(text: str, bits: int, mod: int, mix: int) -> int:
+    toks = set(re.split(r"\s+", text.strip()))
+    sums = [0] * bits
+    for tok in toks:
+        h = 7
+        for ch in tok:
+            h = (h * 31 + ord(ch)) % mod
+        h = (h * mix) % mod
+        for j in range(bits):
+            sums[j] += 1 if (h >> j) & 1 else -1
+    return sum(1 << j for j in range(bits) if sums[j] > 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=12))
+def test_simhash_kernel_wide_params_match_reference(spark, docs):
+    """Production 56-bit parameters (WIDE_PRIME modulus + modular-
+    multiply post-mix): the vectorized kernel must match a naive
+    big-int Python reference bit-for-bit — the mix product exceeds
+    int64 in exact arithmetic, so this also pins that the kernel's
+    numpy path stays on the (pre-mixed) reduced values."""
+    from n2khab_mhq_data_spark.llmdata.dedup import (
+        WIDE_MIX,
+        WIDE_PRIME,
+        simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.doc: r.simhash
+        for r in simhash(
+            df, "text", "doc_id", bits=56, mod=WIDE_PRIME, mix=WIDE_MIX
+        ).collect()
+    }
+    for i, t in enumerate(docs):
+        assert got[i] == _simhash_reference_wide(
+            t, 56, WIDE_PRIME, WIDE_MIX
+        ), (i, t)

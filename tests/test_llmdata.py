@@ -1120,3 +1120,68 @@ def test_exact_dedup_excludes_null_text(spark):
     rows = exact_dedup(df, "text", "doc_id").collect()
     assert len(rows) == 1
     assert rows[0]["canonical_id"] == 3 and rows[0]["n_copies"] == 2
+
+
+def test_minhash_lsh_candidates_hot_bucket_route_exact(spark):
+    """Hot-bucket routing contract: buckets above ``hot_bucket_cap``
+    take the spillable self-join path instead of a collect_list buffer,
+    and the candidate SET is identical either way. Planted: 6 docs with
+    an identical signature (one hot bucket per band at cap=4) plus 3
+    docs sharing only band 0 and a loner."""
+    from n2khab_mhq_data_spark.llmdata.dedup import minhash_lsh_candidates
+
+    rows = []
+    for d in range(1, 7):          # hot cluster: all 4 hashes equal
+        rows.append((d, 11, 22, 33, 44))
+    for d in range(10, 13):        # band-0 cluster only (h0,h1 equal)
+        rows.append((d, 7, 8, 100 + d, 200 + d))
+    rows.append((99, 1, 2, 3, 4))  # loner
+    sig = spark.createDataFrame(
+        rows, "doc long, h0 long, h1 long, h2 long, h3 long"
+    )
+    expect = {(a, b) for a in range(1, 7) for b in range(a + 1, 7)}
+    expect |= {(10, 11), (10, 12), (11, 12)}
+
+    uncapped = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_candidates(
+            sig, num_hashes=4, bands=2, hot_bucket_cap=4096
+        ).collect()
+    }
+    routed = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_candidates(
+            sig, num_hashes=4, bands=2, hot_bucket_cap=4
+        ).collect()
+    }
+    assert uncapped == expect
+    assert routed == expect
+
+
+def test_simhash_pairs_banding_pigeonhole(spark):
+    """16-bit demo banding math, pinned after the registered query moved
+    to production 56-bit parameters: with 2 bands of 8 bits, a hamming-1
+    pair ALWAYS collides on some band (pigeonhole), a pair differing in
+    both bands is missed even under the hamming cap, and same-signature
+    docs expand to all their pairs at hamming 0."""
+    from n2khab_mhq_data_spark.llmdata.dedup import simhash_pairs
+
+    rows = [
+        (1, 0x1234),
+        (2, 0x1234),          # same signature as 1 -> hamming 0
+        (3, 0x1236),          # hamming 1 vs 1/2 (low band differs)
+        (4, 0x9234),          # hamming 1 vs 1/2 (high band differs)
+        (5, 0x9236),          # hamming 2 vs 1/2, BOTH bands differ -> missed
+        (6, 0x0F0F),          # far from everything
+    ]
+    sig = spark.createDataFrame(rows, "doc long, simhash long")
+    got = {
+        (r.d1, r.d2): r.hamming
+        for r in simhash_pairs(sig, bits=16, bands=2, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 0
+    assert got[(1, 3)] == 1 and got[(2, 3)] == 1
+    assert got[(1, 4)] == 1 and got[(2, 4)] == 1
+    assert (1, 5) not in got and (2, 5) not in got  # banding miss, by design
+    assert got[(3, 5)] == 1 and got[(4, 5)] == 1
+    assert not any(6 in p for p in got)
