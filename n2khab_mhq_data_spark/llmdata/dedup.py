@@ -286,12 +286,22 @@ def minhash_combined(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
     (3.6s -> 2.8s at sf0.1 vs re-shingling per consumer). This is the
     SINGLE definition of the signature scheme: the streaming near-dup
     store persists these rows, so batch and streaming paths stay
-    byte-compatible by construction."""
+    byte-compatible by construction.
+
+    The verification set stores xxhash64(gram, -1) LONGS, not the gram
+    strings: Jaccard needs only set intersection/size, which is
+    collision-exact at ~2e-15 per candidate pair (|A|x|B|/2^64), and a
+    3-word shingle averages ~25-35 bytes vs 8 fixed — the partial
+    collect_set shuffle and both verification joins shrink ~4x
+    (measured sf1.0: dedup_minhash_lsh 4.27 -> see SCALE.md). Seed -1
+    keeps the verification hash disjoint from the signature's seed
+    family 0..num_hashes-1."""
     sig_aggs = [
         F.expr(f"min(xxhash64(gram, {j})) AS h{j}") for j in range(num_hashes)
     ]
     return sh.groupBy("doc").agg(
-        F.collect_set("gram").alias("grams"), *sig_aggs
+        F.collect_set(F.expr("xxhash64(gram, -1)")).alias("grams"),
+        *sig_aggs,
     )
 
 
