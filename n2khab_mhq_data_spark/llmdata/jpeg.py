@@ -1,11 +1,12 @@
 """Baseline JPEG codec — pure stdlib + numpy (no PIL/libjpeg).
 
-Scope: 8-bit GRAYSCALE baseline sequential JFIF (SOF0, one component,
-no subsampling, no restart intervals) — the decodable-without-an-
-external-library tier of the multimodal decode surface, next to the
-PNG/WAV codecs in ``llmdata/multimodal.py``. Color, progressive, and
-chroma-subsampled streams raise (they are the remaining env-gated
-tier, with video).
+Scope: 8-bit baseline sequential JFIF, GRAYSCALE (SOF0, one component,
+non-interleaved scan) and COLOR (three-component YCbCr, 4:2:0 or 4:4:4
+sampling, interleaved MCU scan, per-component DC predictors) — the
+decodable-without-an-external-library tier of the multimodal decode
+surface, next to the PNG/WAV codecs in ``llmdata/multimodal.py``.
+Progressive/arithmetic streams and restart intervals raise (the
+remaining env-gated tier, with H.264-class video).
 
 Spec fidelity notes (ITU-T T.81, public):
 
@@ -133,57 +134,43 @@ def _codes_from_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, 
     return codes
 
 
-def encode_jpeg(img, quant=None) -> bytes:
-    """Encode an 8-bit grayscale image as baseline sequential JPEG.
-    ``quant``: 64 ints in natural (row-major) order; default all-ones
-    (block-constant images then round-trip exactly)."""
+def _encode_block(pix, Q, A, prev_dc, dc_syms, ac_syms):
+    """Quantize + symbol-ize one 8x8 pixel block (level shift, DCT,
+    zigzag, DC diff vs ``prev_dc``, AC run-lengths). Returns
+    ((diff, acs), new_dc); records the emitted symbols in the sets."""
     import numpy as np
 
-    a = np.asarray(img, dtype=np.int64)
-    h, w = a.shape
-    if quant is None:
-        quant = [1] * 64
-    Q = np.asarray(quant, dtype=np.int64).reshape(8, 8)
-    # pad to multiples of 8 by edge replication (decoder crops to h, w)
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    pad = np.pad(a, ((0, H - h), (0, W - w)), mode="edge")
-    A = _dct_matrix()
+    f = pix.astype(np.float64) - 128.0
+    S = A @ f @ A.T
+    q = np.round(S / Q).astype(np.int64)
+    zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
+    diff = zz[0] - prev_dc
+    dc_syms.add(_category(diff))
+    run = 0
+    acs = []
+    for v in zz[1:]:
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acs.append((0xF0, 0, 0))
+            ac_syms.add(0xF0)
+            run -= 16
+        t = _category(v)
+        acs.append(((run << 4) | t, v, t))
+        ac_syms.add((run << 4) | t)
+        run = 0
+    if run:
+        acs.append((0x00, 0, 0))
+        ac_syms.add(0x00)
+    return (diff, acs), zz[0]
 
-    # pass 1: quantized coefficients per block + the symbol sets
-    blocks = []
-    dc_syms: set[int] = set()
-    ac_syms: set[int] = set()
-    prev_dc = 0
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
-            f = pad[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            S = A @ f @ A.T
-            q = np.round(S / Q).astype(np.int64)
-            zz = [int(q.flat[_ZIGZAG[i]]) for i in range(64)]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            dc_syms.add(_category(diff))
-            run = 0
-            acs = []
-            for v in zz[1:]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    acs.append((0xF0, 0, 0))
-                    ac_syms.add(0xF0)
-                    run -= 16
-                t = _category(v)
-                acs.append(((run << 4) | t, v, t))
-                ac_syms.add((run << 4) | t)
-                run = 0
-            if run:
-                acs.append((0x00, 0, 0))
-                ac_syms.add(0x00)
-            blocks.append((diff, acs))
-    if not any(acs and acs[-1][0] == 0x00 for _, acs in blocks):
-        ac_syms.add(0x00)  # table must still define EOB
 
+def _entropy_encode(blocks, dc_syms, ac_syms):
+    """Canonical tables over the emitted symbols + the entropy-coded
+    bytes for ``blocks`` (the scan-ordered (diff, acs) list)."""
+    ac_syms = set(ac_syms)
+    ac_syms.add(0x00)  # table must always define EOB
     dc_bits, dc_vals = _uniform_table(dc_syms)
     ac_bits, ac_vals = _uniform_table(ac_syms)
     dc_codes = _codes_from_table(dc_bits, dc_vals)
@@ -205,21 +192,129 @@ def encode_jpeg(img, quant=None) -> bytes:
             bw.put(c, ln)
             if t2:
                 bw.put(amplitude(v, t2), t2)
-    data = bw.flush()
+    return (dc_bits, dc_vals), (ac_bits, ac_vals), bw.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _dqt_dht(Q, dc_table, ac_table) -> bytes:
     zz_quant = bytes(int(Q.flat[_ZIGZAG[i]]) for i in range(64))
-    out = b"\xff\xd8"  # SOI
-    out += seg(0xFFDB, b"\x00" + zz_quant)  # DQT: Pq=0 Tq=0
-    out += seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    out += seg(
+    dc_bits, dc_vals = dc_table
+    ac_bits, ac_vals = ac_table
+    return _seg(0xFFDB, b"\x00" + zz_quant) + _seg(
         0xFFC4,
         b"\x00" + bytes(dc_bits) + bytes(dc_vals)
         + b"\x11" + bytes(ac_bits) + bytes(ac_vals),
     )
-    out += seg(0xFFDA, b"\x01\x01\x01\x00\x3f\x00")  # Td=0 Ta=1
+
+
+def encode_jpeg(img, quant=None) -> bytes:
+    """Encode an 8-bit grayscale image as baseline sequential JPEG.
+    ``quant``: 64 ints in natural (row-major) order; default all-ones
+    (block-constant images then round-trip exactly)."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.int64)
+    h, w = a.shape
+    if quant is None:
+        quant = [1] * 64
+    Q = np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    # pad to multiples of 8 by edge replication (decoder crops to h, w)
+    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.pad(a, ((0, H - h), (0, W - w)), mode="edge")
+    A = _dct_matrix()
+
+    blocks = []
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    prev_dc = 0
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            blk, prev_dc = _encode_block(
+                pad[by : by + 8, bx : bx + 8], Q, A, prev_dc,
+                dc_syms, ac_syms,
+            )
+            blocks.append(blk)
+    dc_table, ac_table, data = _entropy_encode(blocks, dc_syms, ac_syms)
+
+    out = b"\xff\xd8"  # SOI
+    out += _dqt_dht(Q, dc_table, ac_table)
+    out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    out += _seg(0xFFDA, b"\x01\x01\x01\x00\x3f\x00")  # Td=0 Ta=1
+    out += data
+    out += b"\xff\xd9"  # EOI
+    return out
+
+
+def encode_jpeg_color(y, cb, cr, quant=None) -> bytes:
+    """Encode 8-bit YCbCr planes as baseline sequential COLOR JPEG with
+    4:2:0 subsampling and an interleaved MCU scan (T.81 A.2.3): Y at
+    (h, w), Cb/Cr at (ceil(h/2), ceil(w/2)) — the caller subsamples
+    chroma (the codec does not guess a filter). One shared quant table
+    (default all-ones) and one shared DC/AC table pair serve all three
+    components — legal baseline, and it keeps the canonical-table
+    machinery identical to the grayscale path. Per-component DC
+    predictors per F.1.1.5.1; MCU block order Y00 Y01 Y10 Y11 Cb Cr."""
+    import numpy as np
+
+    ya = np.asarray(y, dtype=np.int64)
+    cba = np.asarray(cb, dtype=np.int64)
+    cra = np.asarray(cr, dtype=np.int64)
+    h, w = ya.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if cba.shape != (ch, cw) or cra.shape != (ch, cw):
+        raise ValueError(
+            f"chroma planes must be ({ch}, {cw}) for a ({h}, {w}) luma"
+        )
+    if quant is None:
+        quant = [1] * 64
+    Q = np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    # pad luma to 16-multiples (MCU grid), chroma to 8-multiples
+    H, W = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+    ypad = np.pad(ya, ((0, H - h), (0, W - w)), mode="edge")
+    cbp = np.pad(
+        cba, ((0, H // 2 - ch), (0, W // 2 - cw)), mode="edge"
+    )
+    crp = np.pad(
+        cra, ((0, H // 2 - ch), (0, W // 2 - cw)), mode="edge"
+    )
+    A = _dct_matrix()
+
+    blocks = []
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    dc = {"y": 0, "cb": 0, "cr": 0}
+    for my in range(H // 16):
+        for mx in range(W // 16):
+            for v in range(2):  # 4 luma blocks, raster order in the MCU
+                for u in range(2):
+                    by, bx = (2 * my + v) * 8, (2 * mx + u) * 8
+                    blk, dc["y"] = _encode_block(
+                        ypad[by : by + 8, bx : bx + 8], Q, A, dc["y"],
+                        dc_syms, ac_syms,
+                    )
+                    blocks.append(blk)
+            for name, plane in (("cb", cbp), ("cr", crp)):
+                by, bx = my * 8, mx * 8
+                blk, dc[name] = _encode_block(
+                    plane[by : by + 8, bx : bx + 8], Q, A, dc[name],
+                    dc_syms, ac_syms,
+                )
+                blocks.append(blk)
+    dc_table, ac_table, data = _entropy_encode(blocks, dc_syms, ac_syms)
+
+    out = b"\xff\xd8"  # SOI
+    out += _dqt_dht(Q, dc_table, ac_table)
+    # SOF0: Y id1 samp 2x2, Cb id2 1x1, Cr id3 1x1, all quant table 0
+    out += _seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    # SOS: 3 components, each Td=0 Ta=1 (the shared table pair)
+    out += _seg(0xFFDA, b"\x03\x01\x01\x02\x01\x03\x01\x00\x3f\x00")
     out += data
     out += b"\xff\xd9"  # EOI
     return out
@@ -277,8 +372,44 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _decode_block(br, read_dc, read_ac, prev_dc, Q, A):
+    """One 8x8 block: Huffman decode, dezigzag, dequantize, IDCT.
+    Returns (pixel block float64 + 128 level shift, new_dc)."""
+    import numpy as np
+
+    zz = [0] * 64
+    t = read_dc(br)
+    diff = _extend(br.bits(t), t) if t else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        sym = read_ac(br)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        run, t = sym >> 4, sym & 0xF
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(br.bits(t), t)
+        k += 1
+    q = np.zeros(64, dtype=np.int64)
+    for i in range(64):
+        q[_ZIGZAG[i]] = zz[i]
+    S = q.reshape(8, 8) * Q
+    return A.T @ S @ A + 128.0, dc
+
+
 def decode_jpeg(raw: bytes):
-    """Decode a baseline grayscale JPEG to an (h, w) uint8 array."""
+    """Decode a baseline JPEG. Grayscale (one component) returns an
+    (h, w) uint8 array — unchanged contract; COLOR (three components,
+    4:2:0/4:2:2/4:4:4) returns a (y, cb, cr) tuple of (h, w) uint8
+    planes, chroma upsampled by pixel replication (convert with
+    :func:`ycbcr_to_rgb`). Interleaved MCU scan per T.81 A.2.3 with
+    per-component DC predictors."""
     import numpy as np
 
     if raw[:2] != b"\xff\xd8":
@@ -287,7 +418,8 @@ def decode_jpeg(raw: bytes):
     quants: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     h = w = None
-    comp = None
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
     data_start = None
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
@@ -311,15 +443,15 @@ def decode_jpeg(raw: bytes):
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or nc != 1:
+            if prec != 8 or nc not in (1, 3):
                 raise ValueError(
-                    "only 8-bit grayscale baseline JPEG supported"
-                    " (color/subsampled streams need an imaging library)"
+                    "only 8-bit 1- or 3-component baseline JPEG supported"
                 )
-            cid, samp, tq = body[6], body[7], body[8]
-            if samp != 0x11:
-                raise ValueError("subsampling unsupported")
-            comp = (cid, tq)
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            if nc == 1 and (comps[0][1], comps[0][2]) != (1, 1):
+                raise ValueError("subsampled single-component scan")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG (progressive/etc.)")
@@ -336,51 +468,92 @@ def decode_jpeg(raw: bytes):
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            td, ta = body[2] >> 4, body[2] & 0xF
+            if ns != len(comps):
+                raise ValueError("partial-component scan unsupported")
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cid, tt >> 4, tt & 0xF))
             data_start = pos + 2 + ln
             break
         pos += 2 + ln
-    if h is None or comp is None or data_start is None:
+    if h is None or not comps or data_start is None:
         raise ValueError("JPEG missing SOF/SOS")
     # entropy data runs to the EOI marker (0xFF 0xD9), 0xFF00 unstuffed
     end = len(raw) - 2 if raw[-2:] == b"\xff\xd9" else len(raw)
     br = _BitReader(raw[data_start:end])
-    read_dc = _huff_decoder(*huff[(0, td)])
-    read_ac = _huff_decoder(*huff[(1, ta)])
-    Q = quants[comp[1]]
     A = _dct_matrix()
-    H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    out = np.zeros((H, W), dtype=np.float64)
-    prev_dc = 0
-    for by in range(0, H, 8):
-        for bx in range(0, W, 8):
-            zz = [0] * 64
-            t = read_dc(br)
-            diff = _extend(br.bits(t), t) if t else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = read_ac(br)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, t = sym >> 4, sym & 0xF
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index overflow")
-                zz[k] = _extend(br.bits(t), t)
-                k += 1
-            q = np.zeros(64, dtype=np.int64)
-            for i in range(64):
-                q[_ZIGZAG[i]] = zz[i]
-            S = q.reshape(8, 8) * Q
-            out[by : by + 8, bx : bx + 8] = A.T @ S @ A + 128.0
-    return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+    by_cid = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
+    readers = {
+        cid: (
+            _huff_decoder(*huff[(0, td)]),
+            _huff_decoder(*huff[(1, ta)]),
+        )
+        for cid, td, ta in scan
+    }
+
+    if len(comps) == 1:
+        cid, _, _, tq = comps[0]
+        Q = quants[tq]
+        rd, ra = readers[cid]
+        H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        out = np.zeros((H, W), dtype=np.float64)
+        prev_dc = 0
+        for by in range(0, H, 8):
+            for bx in range(0, W, 8):
+                blk, prev_dc = _decode_block(br, rd, ra, prev_dc, Q, A)
+                out[by : by + 8, bx : bx + 8] = blk
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
+
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = {
+        cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+        for cid, hs, vs, _ in comps
+    }
+    prev = {cid: 0 for cid, *_ in comps}
+    order = [cid for cid, _, _ in scan]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid in order:
+                hs, vs, tq = by_cid[cid]
+                rd, ra = readers[cid]
+                Q = quants[tq]
+                for v in range(vs):
+                    for u in range(hs):
+                        blk, prev[cid] = _decode_block(
+                            br, rd, ra, prev[cid], Q, A
+                        )
+                        by = (my * vs + v) * 8
+                        bx = (mx * hs + u) * 8
+                        planes[cid][by : by + 8, bx : bx + 8] = blk
+    out = []
+    for cid, hs, vs, _ in comps:
+        p = np.clip(np.round(planes[cid]), 0, 255).astype(np.uint8)
+        if hs < hmax or vs < vmax:  # replication upsample (JFIF default)
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(p[:h, :w])
+    return tuple(out)
+
+
+def ycbcr_to_rgb(y, cb, cr):
+    """JFIF YCbCr -> RGB with the floor(x + 0.5) rounding both engines
+    reproduce bit-for-bit in IEEE doubles (numpy here, DuckDB in the
+    oracle — the e0-suffixed literals parse to identical bits):
+    R = Y + 1.402 (Cr-128); G = Y - 0.344136 (Cb-128) - 0.714136
+    (Cr-128); B = Y + 1.772 (Cb-128); clip to [0, 255]."""
+    import numpy as np
+
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = np.floor((yf + 1.402 * crf) + 0.5)
+    g = np.floor((yf - 0.344136 * cbf - 0.714136 * crf) + 0.5)
+    b = np.floor((yf + 1.772 * cbf) + 0.5)
+    return tuple(
+        np.clip(p, 0, 255).astype(np.uint8) for p in (r, g, b)
+    )
 
 
 # --- MJPEG-in-AVI: the minimal REAL video container path -------------

@@ -924,6 +924,94 @@ def jpeg_stats(binary_df: DataFrame) -> DataFrame:
     )
 
 
+def color_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL baseline COLOR JPEG payloads (llmdata/jpeg.py — 3-component
+    YCbCr, 4:2:0, interleaved MCU scan, all-ones quantization): one
+    (16*(1+id%2)) x (16*(1+id%3)) image per row, luma block (bi, bj)
+    value = (id*13 + 7bi + 3bj) mod 256 with chroma constant per MCU
+    (Cb = (id*5 + 11ci + 17cj) mod 256, Cr = (id*7 + 13ci + 5cj) mod
+    256 at the half-resolution chroma block grid) — block-constant
+    planes survive the subsampled round trip bit-exactly under Q=1,
+    so decoded per-channel statistics stay SQL-derivable while the
+    full interleaved-scan entropy path really runs."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import encode_jpeg_color
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                mw, mh = 1 + did % 2, 1 + did % 3
+                bi = np.arange(2 * mh)[:, None]
+                bj = np.arange(2 * mw)[None, :]
+                y = np.kron((did * 13 + 7 * bi + 3 * bj) % 256, ones)
+                ci = np.arange(mh)[:, None]
+                cj = np.arange(mw)[None, :]
+                cb = np.kron((did * 5 + 11 * ci + 17 * cj) % 256, ones)
+                cr = np.kron((did * 7 + 13 * ci + 5 * cj) % 256, ones)
+                payloads.append(encode_jpeg_color(y, cb, cr))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads}
+            )
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} {idt}, payload binary"
+    )
+
+
+def color_jpeg_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL color JPEG decode feature extraction: interleaved-MCU
+    Huffman decode with per-component predictors, replication chroma
+    upsample, JFIF YCbCr->RGB — per-channel means a SQL oracle can
+    re-derive from the generative block arithmetic."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg, ycbcr_to_rgb
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols: dict[str, list] = {
+            k: []
+            for k in ("width", "height", "mean_y", "mean_cb", "mean_cr",
+                      "mean_r", "mean_g", "mean_b")
+        }
+        for pdf in batches:
+            for k in cols:
+                cols[k].clear()
+            for raw in pdf["payload"]:
+                y, cb, cr = decode_jpeg(bytes(raw))
+                r, g, b = ycbcr_to_rgb(y, cb, cr)
+                h, w = y.shape
+                cols["width"].append(w)
+                cols["height"].append(h)
+                for k, p in (("mean_y", y), ("mean_cb", cb),
+                             ("mean_cr", cr), ("mean_r", r),
+                             ("mean_g", g), ("mean_b", b)):
+                    cols[k].append(round(float(np.mean(p)) + 1e-9, 3))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                    **{
+                        k: pd.Series(cols[k], dtype="float64")
+                        for k in ("mean_y", "mean_cb", "mean_cr",
+                                  "mean_r", "mean_g", "mean_b")
+                    },
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, width int, height int, mean_y double,"
+        " mean_cb double, mean_cr double, mean_r double,"
+        " mean_g double, mean_b double",
+    )
+
+
 def video_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL video payloads: one MJPEG-in-AVI clip per row (llmdata/
     jpeg.py::encode_avi_mjpeg), (3 + id%4) frames at 10 fps; frame f is

@@ -232,7 +232,8 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "j16_nearest_event_join", "multimodal_audio_dedup",
     "multimodal_audio_stats", "multimodal_format_dispatch",
     "multimodal_gif_stats", "multimodal_image_resize",
-    "multimodal_jpeg_stats", "multimodal_video_frames",
+    "multimodal_color_stats", "multimodal_jpeg_stats",
+    "multimodal_video_frames",
     "pipeline_contrastive_triplets", "pipeline_curation_v2",
     "pipeline_curriculum_bins", "pipeline_leakage_safe_split",
     "pipeline_multimodal_curation", "pipeline_quality_calibrate",

@@ -321,11 +321,57 @@ def test_jpeg_roundtrips():
         dec = decode_jpeg(encode_jpeg(img))
         assert dec.shape == img.shape
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
-    # progressive / color streams fail loud, not silently wrong
+    # progressive streams fail loud, not silently wrong
     import pytest
 
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+
+
+def test_jpeg_color_roundtrips():
+    """Baseline COLOR: 4:2:0 interleaved MCU scan with per-component
+    DC predictors. Exact for MCU-aligned block-constant planes (the
+    oracle-query payload shape), near-lossless at Q=1 for arbitrary
+    planes and odd dimensions, and the RGB conversion matches the
+    documented floor(x+0.5) formula."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color,
+        ycbcr_to_rgb,
+    )
+
+    rng = np.random.RandomState(11)
+    ones = np.ones((8, 8), dtype=int)
+    for _ in range(4):
+        mh, mw = rng.randint(1, 4), rng.randint(1, 4)
+        y = np.kron(rng.randint(0, 256, (2 * mh, 2 * mw)), ones)
+        cb = np.kron(rng.randint(0, 256, (mh, mw)), ones)
+        cr = np.kron(rng.randint(0, 256, (mh, mw)), ones)
+        dy, dcb, dcr = decode_jpeg(encode_jpeg_color(y, cb, cr))
+        assert (dy == y).all()
+        assert (dcb == np.repeat(np.repeat(cb, 2, 0), 2, 1)).all()
+        assert (dcr == np.repeat(np.repeat(cr, 2, 0), 2, 1)).all()
+    # odd dims: decoder crops the padded MCU grid back to (h, w)
+    for _ in range(3):
+        h, w = rng.randint(3, 40), rng.randint(3, 40)
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        y = rng.randint(0, 256, (h, w))
+        cb = rng.randint(0, 256, (ch, cw))
+        cr = rng.randint(0, 256, (ch, cw))
+        dy, dcb, dcr = decode_jpeg(encode_jpeg_color(y, cb, cr))
+        assert dy.shape == (h, w) and dcb.shape == (h, w)
+        assert np.abs(dy.astype(int) - y).max() <= 3
+    # RGB formula: hand-check one pixel against the documented math
+    y1 = np.array([[100]], dtype=np.uint8)
+    cb1 = np.array([[200]], dtype=np.uint8)
+    cr1 = np.array([[50]], dtype=np.uint8)
+    r, g, b = ycbcr_to_rgb(y1, cb1, cr1)
+    assert r[0, 0] == max(0, int(np.floor(100 + 1.402 * (50 - 128) + 0.5)))
+    assert b[0, 0] == min(
+        255, int(np.floor(100 + 1.772 * (200 - 128) + 0.5))
+    )
 
 
 def test_avi_mjpeg_roundtrip_and_alignment():

@@ -147,6 +147,15 @@ EXPECTED: dict[str, set[str]] = {
     # mapInPandas-derived (no stats) which is why the planner can't
     # pick broadcast statically — AQE downgrades at runtime when small
     "pipeline_multimodal_curation": {"SMJ"},
+    # LSH recall audit: the GROUND-TRUTH leg is a deliberately exact
+    # gram-grain self-join (two corpus-sized sides — the documented
+    # quadratic oracle baseline this audit exists to grade LSH against),
+    # and the truth x candidates attach is pair-grain on both sides;
+    # SortMergeJoin is the correct static strategy for both. Surfaced
+    # when the r9 hashed-gram change shifted the planner's stats; the
+    # SCALE path for recall estimation is the documented hash-sampled
+    # slice, not a different join shape.
+    "dedup_lsh_recall_audit": {"SMJ"},
     # brute-force ANN baseline: BroadcastNestedLoopJoin of a tiny broadcast
     # query set against one partition-local corpus scan — the quadratic
     # side is bounded by len(queries), which is the operator's contract
