@@ -1,12 +1,14 @@
 """Baseline JPEG codec — pure stdlib + numpy (no PIL/libjpeg).
 
-Scope: 8-bit baseline sequential JFIF, GRAYSCALE (SOF0, one component,
-non-interleaved scan) and COLOR (three-component YCbCr, 4:2:0 or 4:4:4
-sampling, interleaved MCU scan, per-component DC predictors) — the
+Scope: 8-bit JFIF — baseline sequential (SOF0, grayscale and
+three-component YCbCr 4:2:0/4:4:4 with interleaved MCU scans) and
+PROGRESSIVE (SOF2, full spectral selection + successive approximation:
+DC first/refinement scans, split AC bands with EOBRUN, one-bit AC
+refinement with buffered correction bits, T.81 G.1/G.2) — the
 decodable-without-an-external-library tier of the multimodal decode
 surface, next to the PNG/WAV codecs in ``llmdata/multimodal.py``.
-Progressive/arithmetic streams and restart intervals raise (the
-remaining env-gated tier, with H.264-class video).
+Arithmetic coding, restart intervals, and extended/lossless processes
+raise (the remaining env-gated tier, with H.264-class video).
 
 Spec fidelity notes (ITU-T T.81, public):
 
@@ -403,17 +405,431 @@ def _decode_block(br, read_dc, read_ac, prev_dc, Q, A):
     return A.T @ S @ A + 128.0, dc
 
 
+def _coef_grid(plane, Q, A, pad_to):
+    """Quantized zigzag coefficient grid for one component plane:
+    (ny, nx, 64) int64, plane edge-padded to ``pad_to`` blocks."""
+    import numpy as np
+
+    ph, pw = pad_to[0] * 8, pad_to[1] * 8
+    h, w = plane.shape
+    pad = np.pad(
+        np.asarray(plane, dtype=np.int64),
+        ((0, ph - h), (0, pw - w)),
+        mode="edge",
+    )
+    ny, nx = pad_to
+    f = (
+        pad.reshape(ny, 8, nx, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    # per-block 2D matmul, exactly _encode_block's product: a vectorized
+    # einsum DCT sums in a different float order and can quantize a
+    # coefficient sitting on a .5 boundary differently — the progressive
+    # and baseline encoders must agree on the coefficients so the two
+    # decodes are bit-identical (pinned by the agreement tests)
+    S = np.zeros((ny, nx, 8, 8))
+    for byi in range(ny):
+        for bxi in range(nx):
+            S[byi, bxi] = A @ f[byi, bxi] @ A.T
+    q = np.round(S / Q).astype(np.int64).reshape(ny, nx, 64)
+    return q[:, :, _ZIGZAG]
+
+
+def encode_jpeg_progressive(y, cb=None, cr=None, quant=None) -> bytes:
+    """Encode PROGRESSIVE (SOF2) JPEG — grayscale, or YCbCr 4:2:0 when
+    ``cb``/``cr`` (half-resolution planes) are given — using a
+    libjpeg-style script with BOTH progressive modes: spectral
+    selection (DC scan, split AC bands) and successive approximation
+    (first scans at Al > 0, then one-bit refinement scans with EOBRUN
+    and buffered correction bits). Scan-local canonical Huffman tables
+    are declared in a DHT right before each SOS."""
+    import numpy as np
+
+    if quant is None:
+        quant = [1] * 64
+    Q = np.asarray(quant, dtype=np.int64).reshape(8, 8)
+    A = _dct_matrix()
+    ya = np.asarray(y, dtype=np.int64)
+    h, w = ya.shape
+    color = cb is not None
+    if color:
+        hmax = vmax = 2
+        mcus_x = (w + 15) // 16
+        mcus_y = (h + 15) // 16
+        planes = {
+            1: (ya, 2, 2),
+            2: (np.asarray(cb, dtype=np.int64), 1, 1),
+            3: (np.asarray(cr, dtype=np.int64), 1, 1),
+        }
+    else:
+        hmax = vmax = 1
+        mcus_x = (w + 7) // 8
+        mcus_y = (h + 7) // 8
+        planes = {1: (ya, 1, 1)}
+    grids: dict[int, "np.ndarray"] = {}
+    du: dict[int, tuple[int, int]] = {}
+    geom: dict[int, tuple[int, int]] = {}
+    for cid, (plane, hs, vs) in planes.items():
+        pad_to = (mcus_y * vs, mcus_x * hs)
+        grids[cid] = _coef_grid(plane, Q, A, pad_to)
+        cw = (w * hs + hmax - 1) // hmax
+        chh = (h * vs + vmax - 1) // vmax
+        du[cid] = ((chh + 7) // 8, (cw + 7) // 8)
+        geom[cid] = (hs, vs)
+
+    # libjpeg-flavoured script: (comp_ids, Ss, Se, Ah, Al)
+    if color:
+        script = [
+            ([1, 2, 3], 0, 0, 0, 1),
+            ([1], 1, 5, 0, 2),
+            ([2], 1, 63, 0, 1),
+            ([3], 1, 63, 0, 1),
+            ([1], 6, 63, 0, 2),
+            ([1], 1, 63, 2, 1),
+            ([1, 2, 3], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0),
+            ([3], 1, 63, 1, 0),
+            ([1], 1, 63, 1, 0),
+        ]
+    else:
+        script = [
+            ([1], 0, 0, 0, 1),
+            ([1], 1, 5, 0, 2),
+            ([1], 6, 63, 0, 2),
+            ([1], 1, 63, 2, 1),
+            ([1], 1, 63, 1, 0),
+            ([1], 0, 0, 1, 0),
+        ]
+
+    def run_scan(cids, Ss, Se, Ah, Al, writer, dc_codes, ac_codes):
+        if Ss == 0:  # DC scan
+            preds = {cid: 0 for cid in cids}
+            if len(cids) > 1:
+                blocks = [
+                    (cid, my * geom[cid][1] + v, mx * geom[cid][0] + u)
+                    for my in range(mcus_y)
+                    for mx in range(mcus_x)
+                    for cid in cids
+                    for v in range(geom[cid][1])
+                    for u in range(geom[cid][0])
+                ]
+            else:
+                cid0 = cids[0]
+                blocks = [
+                    (cid0, byi, bxi)
+                    for byi in range(du[cid0][0])
+                    for bxi in range(du[cid0][1])
+                ]
+            for cid, byi, bxi in blocks:
+                dc = int(grids[cid][byi, bxi, 0])
+                if Ah == 0:
+                    val = dc >> Al  # arithmetic shift per G.1.2.1
+                    diff = val - preds[cid]
+                    preds[cid] = val
+                    t = _category(diff)
+                    writer.sym_dc(t, dc_codes)
+                    if t:
+                        writer.bits(_amplitude(diff, t), t)
+                else:  # refinement: bit Al, raw
+                    writer.bits((dc >> Al) & 1, 1)
+            return
+        cid0 = cids[0]
+        enc_cls = _AcFirstEncoder if Ah == 0 else _AcRefineEncoder
+        enc = enc_cls(writer, Ss, Se, Al, ac_codes)
+        for byi in range(du[cid0][0]):
+            for bxi in range(du[cid0][1]):
+                enc.block(grids[cid0][byi, bxi])
+        enc.finish()
+
+    out = b"\xff\xd8"
+    zz_quant = bytes(int(Q.flat[_ZIGZAG[i]]) for i in range(64))
+    out += _seg(0xFFDB, b"\x00" + zz_quant)
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for cid, (_, hs, vs) in planes.items():
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    out += _seg(0xFFC2, sof)  # SOF2: progressive DCT, Huffman
+    for cids, Ss, Se, Ah, Al in script:
+        # pass 1: symbols only
+        w1 = _ScanWriter()
+        run_scan(cids, Ss, Se, Ah, Al, w1, {}, {})
+        dc_bits, dc_vals = _uniform_table(w1.dc_syms or {0})
+        ac_bits, ac_vals = _uniform_table(w1.ac_syms or {0})
+        dc_codes = _codes_from_table(dc_bits, dc_vals)
+        ac_codes = _codes_from_table(ac_bits, ac_vals)
+        # pass 2: real bits
+        w2 = _ScanWriter()
+        w2.bw = _BitWriter()
+        run_scan(cids, Ss, Se, Ah, Al, w2, dc_codes, ac_codes)
+        data = w2.bw.flush()
+        dht = b""
+        if Ss == 0 and Ah == 0:
+            dht += b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        if Ss != 0:
+            dht += b"\x11" + bytes(ac_bits) + bytes(ac_vals)
+        if dht:
+            out += _seg(0xFFC4, dht)
+        sos = bytes([len(cids)])
+        for cid in cids:
+            sos += bytes([cid, 0x01 if Ss != 0 else 0x00])
+        sos += bytes([Ss, Se, (Ah << 4) | Al])
+        out += _seg(0xFFDA, sos)
+        out += data
+    out += b"\xff\xd9"
+    return out
+
+
+# --- progressive scan coding (T.81 G.1/G.2) ---------------------------
+#
+# Progressive JPEG splits the coefficients across SCANS two ways:
+# spectral selection (a zigzag band [Ss, Se] per scan; DC always alone)
+# and successive approximation (first scan codes value >> Al, later
+# scans refine one bit at a time, Ah = previous Al). AC first scans add
+# EOBRUN (an end-of-band RUN across blocks); AC refinement scans weave
+# CORRECTION BITS for already-nonzero coefficients between the newly-
+# nonzero symbols — the encoder buffers them (libjpeg's BE buffer) so
+# decode order matches. Coefficients live in zigzag index space until
+# the final dequantize+IDCT.
+
+
+def _dc_first_decode(br, read_dc, coefs, pred, Al):
+    t = read_dc(br)
+    diff = _extend(br.bits(t), t) if t else 0
+    pred += diff
+    coefs[0] = pred << Al
+    return pred
+
+
+def _ac_first_decode(br, read_ac, coefs, Ss, Se, Al, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = read_ac(br)
+        r, s = sym >> 4, sym & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > Se:
+            raise ValueError("AC band overflow in progressive scan")
+        coefs[k] = _extend(br.bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_decode(br, read_ac, coefs, Ss, Se, Al, eobrun):
+    """libjpeg decode_mcu_AC_refine: newly-nonzero coefficients arrive
+    as (run, 1) symbols whose run counts ZERO-HISTORY positions only;
+    every nonzero-history coefficient passed over consumes one
+    correction bit (Python's & on negative ints is two's complement,
+    matching the C code)."""
+    p1 = 1 << Al
+    m1 = -p1
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = read_ac(br)
+            r, s = sym >> 4, sym & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad size in AC refinement scan")
+                val = p1 if br.bit() else m1
+            while k <= Se:
+                if coefs[k] != 0:
+                    if br.bit() and (coefs[k] & p1) == 0:
+                        coefs[k] += p1 if coefs[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= Se:
+                coefs[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if coefs[k] != 0:
+                if br.bit() and (coefs[k] & p1) == 0:
+                    coefs[k] += p1 if coefs[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+class _ScanWriter:
+    """Two-pass scan emission: pass 1 records symbols (to build the
+    scan's canonical tables), pass 2 writes real bits."""
+
+    def __init__(self):
+        self.dc_syms: set[int] = set()
+        self.ac_syms: set[int] = set()
+        self.bw = None  # pass 1: None; pass 2: _BitWriter
+
+    def sym_dc(self, sym, codes):
+        self.dc_syms.add(sym)
+        if self.bw is not None:
+            c, ln = codes[sym]
+            self.bw.put(c, ln)
+
+    def sym_ac(self, sym, codes):
+        self.ac_syms.add(sym)
+        if self.bw is not None:
+            c, ln = codes[sym]
+            self.bw.put(c, ln)
+
+    def bits(self, v, n):
+        if self.bw is not None and n:
+            self.bw.put(v, n)
+
+
+def _amplitude(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+class _AcFirstEncoder:
+    def __init__(self, w: _ScanWriter, Ss, Se, Al, ac_codes):
+        self.w, self.Ss, self.Se, self.Al = w, Ss, Se, Al
+        self.codes = ac_codes
+        self.eobrun = 0
+
+    def _flush_eob(self):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.w.sym_ac(nbits << 4, self.codes)
+            self.w.bits(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+
+    def block(self, coefs):
+        Al = self.Al
+        r = 0
+        wrote = False
+        for k in range(self.Ss, self.Se + 1):
+            v = coefs[k]
+            t = (abs(v) >> Al)
+            if t == 0:
+                r += 1
+                continue
+            self._flush_eob()
+            while r > 15:
+                self.w.sym_ac(0xF0, self.codes)
+                r -= 16
+            if v < 0:
+                t = -t
+            s = _category(t)
+            self.w.sym_ac((r << 4) | s, self.codes)
+            self.w.bits(_amplitude(t, s), s)
+            r = 0
+            wrote = True
+        if r > 0 or not wrote:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._flush_eob()
+
+    def finish(self):
+        self._flush_eob()
+
+
+class _AcRefineEncoder:
+    """libjpeg encode_mcu_AC_refine: correction bits buffer behind the
+    symbol that jumps over them (BE buffer), EOBRUN carries pending
+    correction bits across blocks."""
+
+    def __init__(self, w: _ScanWriter, Ss, Se, Al, ac_codes):
+        self.w, self.Ss, self.Se, self.Al = w, Ss, Se, Al
+        self.codes = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits behind the EOBRUN
+
+    def _flush_eob(self):
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            self.w.sym_ac(nbits << 4, self.codes)
+            self.w.bits(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.bits(b, 1)
+        self.pending = []
+
+    def block(self, coefs):
+        Al = self.Al
+        absv = [abs(coefs[k]) >> Al for k in range(self.Ss, self.Se + 1)]
+        eob = 0  # index AFTER the last newly-nonzero coefficient
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        br_bits: list[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                self._flush_eob()
+                self.w.sym_ac(0xF0, self.codes)
+                r -= 16
+                for b in br_bits:
+                    self.w.bits(b, 1)
+                br_bits = []
+            if t > 1:  # history coefficient: buffer its correction bit
+                br_bits.append(t & 1)
+                continue
+            # newly nonzero (t == 1)
+            self._flush_eob()
+            self.w.sym_ac((r << 4) | 1, self.codes)
+            self.w.bits(1 if coefs[self.Ss + i] > 0 else 0, 1)
+            for b in br_bits:
+                self.w.bits(b, 1)
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:
+            self.eobrun += 1
+            self.pending.extend(br_bits)
+            if self.eobrun == 0x7FFF:
+                self._flush_eob()
+
+    def finish(self):
+        self._flush_eob()
+
+
 def decode_jpeg(raw: bytes):
-    """Decode a baseline JPEG. Grayscale (one component) returns an
-    (h, w) uint8 array — unchanged contract; COLOR (three components,
-    4:2:0/4:2:2/4:4:4) returns a (y, cb, cr) tuple of (h, w) uint8
-    planes, chroma upsampled by pixel replication (convert with
-    :func:`ycbcr_to_rgb`). Interleaved MCU scan per T.81 A.2.3 with
-    per-component DC predictors."""
+    """Decode a baseline (SOF0) or PROGRESSIVE (SOF2) JPEG. Grayscale
+    (one component) returns an (h, w) uint8 array — unchanged contract;
+    COLOR (three components, 4:2:0/4:2:2/4:4:4) returns a (y, cb, cr)
+    tuple of (h, w) uint8 planes, chroma upsampled by pixel replication
+    (convert with :func:`ycbcr_to_rgb`). Interleaved MCU scans per
+    T.81 A.2.3 with per-component DC predictors; progressive streams
+    support full spectral selection + successive approximation
+    (EOBRUN, AC refinement correction bits)."""
     import numpy as np
 
     if raw[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
+
+    def entropy_end(start: int) -> int:
+        i = start
+        n = len(raw)
+        while i + 1 < n:
+            if raw[i] != 0xFF:
+                i += 1
+            elif raw[i + 1] == 0x00 or 0xD0 <= raw[i + 1] <= 0xD7:
+                i += 2
+            else:
+                return i
+        return n
+
     pos = 2
     quants: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
@@ -421,11 +837,16 @@ def decode_jpeg(raw: bytes):
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
     data_start = None
+    progressive = False
+    coefs: dict[int, "np.ndarray"] | None = None  # cid -> (by, bx, 64) zigzag
+    du: dict[int, tuple[int, int]] = {}  # cid -> non-interleaved block grid
+    geom: dict[int, tuple[int, int]] = {}
+    preds_hist: dict[int, int] = {}
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
         marker = raw[pos + 1]
-        if marker == 0xD9:  # EOI before SOS?
+        if marker == 0xD9:  # EOI
             break
         (ln,) = struct.unpack_from(">H", raw, pos + 2)
         body = raw[pos + 4 : pos + 2 + ln]
@@ -441,20 +862,24 @@ def decode_jpeg(raw: bytes):
                     q[_ZIGZAG[i]] = zz[i]
                 quants[tq] = q.reshape(8, 8)
                 off += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8 or nc not in (1, 3):
                 raise ValueError(
-                    "only 8-bit 1- or 3-component baseline JPEG supported"
+                    "only 8-bit 1- or 3-component JPEG supported"
                 )
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq))
             if nc == 1 and (comps[0][1], comps[0][2]) != (1, 1):
                 raise ValueError("subsampled single-component scan")
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("non-baseline JPEG (progressive/etc.)")
+            raise ValueError(
+                "unsupported JPEG coding process (extended/lossless/"
+                "arithmetic)"
+            )
         elif marker == 0xC4:  # DHT (possibly several tables)
             off = 0
             while off < len(body):
@@ -468,14 +893,127 @@ def decode_jpeg(raw: bytes):
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != len(comps):
-                raise ValueError("partial-component scan unsupported")
-            for c in range(ns):
-                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
-                scan.append((cid, tt >> 4, tt & 0xF))
-            data_start = pos + 2 + ln
-            break
+            scomp = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0xF)
+                for c in range(ns)
+            ]
+            if not progressive:
+                if ns != len(comps):
+                    raise ValueError("partial-component scan unsupported")
+                scan = scomp
+                data_start = pos + 2 + ln
+                break
+            # ---- progressive: apply this scan immediately ----
+            Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
+            Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if coefs is None:
+                hmax = max(hs for _, hs, _, _ in comps)
+                vmax = max(vs for _, _, vs, _ in comps)
+                mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+                for cid, hs, vs, _ in comps:
+                    coefs = coefs or {}
+                    coefs[cid] = np.zeros(
+                        (mcus_y * vs, mcus_x * hs, 64), dtype=np.int64
+                    )
+                    cw = (w * hs + hmax - 1) // hmax
+                    chh = (h * vs + vmax - 1) // vmax
+                    du[cid] = ((chh + 7) // 8, (cw + 7) // 8)
+                    geom[cid] = (hs, vs)
+                preds_hist = {cid: 0 for cid, *_ in comps}
+            dend = entropy_end(pos + 2 + ln)
+            br = _BitReader(raw[pos + 2 + ln : dend])
+            if Ss == 0:  # DC scan (interleaved or single-component)
+                if Se != 0:
+                    raise ValueError("DC scan must have Se = 0")
+                if Ah == 0:
+                    rd = {
+                        cid: _huff_decoder(*huff[(0, td)])
+                        for cid, td, _ in scomp
+                    }
+                    preds = {cid: 0 for cid, _, _ in scomp}
+                if len(scomp) > 1:
+                    blocks_iter = (
+                        (cid, my * vs + v, mx * hs + u)
+                        for my in range(mcus_y)
+                        for mx in range(mcus_x)
+                        for cid, _, _ in scomp
+                        for v in range(geom[cid][1])
+                        for u in range(geom[cid][0])
+                        for hs, vs in (geom[cid],)
+                    )
+                else:
+                    cid0 = scomp[0][0]
+                    blocks_iter = (
+                        (cid0, byi, bxi)
+                        for byi in range(du[cid0][0])
+                        for bxi in range(du[cid0][1])
+                    )
+                for cid, byi, bxi in blocks_iter:
+                    cf = coefs[cid][byi, bxi]
+                    if Ah == 0:
+                        preds[cid] = _dc_first_decode(
+                            br, rd[cid], cf, preds[cid], Al
+                        )
+                    else:  # DC refinement: one raw bit per block
+                        if br.bit():
+                            cf[0] |= 1 << Al
+            else:  # AC scan — always single-component (T.81 B.2.3)
+                if len(scomp) != 1:
+                    raise ValueError("interleaved AC progressive scan")
+                cid0, _, ta = scomp[0]
+                ra = _huff_decoder(*huff[(1, ta)])
+                eobrun = 0
+                for byi in range(du[cid0][0]):
+                    for bxi in range(du[cid0][1]):
+                        cf = coefs[cid0][byi, bxi]
+                        if Ah == 0:
+                            eobrun = _ac_first_decode(
+                                br, ra, cf, Ss, Se, Al, eobrun
+                            )
+                        else:
+                            eobrun = _ac_refine_decode(
+                                br, ra, cf, Ss, Se, Al, eobrun
+                            )
+            pos = dend
+            continue
         pos += 2 + ln
+
+    if progressive:
+        if coefs is None:
+            raise ValueError("progressive JPEG with no scans")
+        inv = np.empty(64, dtype=np.int64)
+        inv[_ZIGZAG] = np.arange(64)
+        A = _dct_matrix()
+        hmax = max(hs for _, hs, _, _ in comps)
+        vmax = max(vs for _, _, vs, _ in comps)
+        outs = []
+        for cid, hs, vs, tq in comps:
+            Q = quants[tq].astype(np.float64)
+            arr = coefs[cid]
+            ny, nx, _ = arr.shape
+            nat = arr[:, :, inv].reshape(ny, nx, 8, 8).astype(np.float64)
+            S = nat * Q  # dequantize
+            # per-block 2D matmul, NOT einsum/batched matmul: their
+            # float summation order differs from the baseline path's
+            # 8x8 dgemm, and a coefficient landing on a .5 pixel
+            # boundary then rounds differently — the progressive and
+            # baseline decodes of the same coefficients must be
+            # bit-identical (pinned by the randomized agreement test)
+            plane = np.zeros((ny * 8, nx * 8), dtype=np.float64)
+            for byi in range(ny):
+                for bxi in range(nx):
+                    plane[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = (
+                        A.T @ S[byi, bxi] @ A + 128.0
+                    )
+            p = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+            if hs < hmax or vs < vmax:
+                p = np.repeat(
+                    np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+                )
+            outs.append(p[:h, :w])
+        return outs[0] if len(outs) == 1 else tuple(outs)
+
     if h is None or not comps or data_start is None:
         raise ValueError("JPEG missing SOF/SOS")
     # entropy data runs to the EOI marker (0xFF 0xD9), 0xFF00 unstuffed

@@ -963,6 +963,45 @@ def color_jpeg_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def progressive_jpeg_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL PROGRESSIVE (SOF2) color JPEG payloads: the same generative
+    YCbCr image spec as ``color_jpeg_payloads``, encoded through the
+    libjpeg-style 10-scan progressive script (spectral selection +
+    successive approximation, EOBRUN, buffered refinement correction
+    bits) — the decoder reassembles the coefficients across scans, so
+    equal stats against the SAME oracle prove the progressive path
+    end-to-end."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import encode_jpeg_progressive
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ones = np.ones((8, 8), dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                mw, mh = 1 + did % 2, 1 + did % 3
+                bi = np.arange(2 * mh)[:, None]
+                bj = np.arange(2 * mw)[None, :]
+                y = np.kron((did * 13 + 7 * bi + 3 * bj) % 256, ones)
+                ci = np.arange(mh)[:, None]
+                cj = np.arange(mw)[None, :]
+                cb = np.kron((did * 5 + 11 * ci + 17 * cj) % 256, ones)
+                cr = np.kron((did * 7 + 13 * ci + 5 * cj) % 256, ones)
+                payloads.append(encode_jpeg_progressive(y, cb, cr))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads}
+            )
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} {idt}, payload binary"
+    )
+
+
 def color_jpeg_stats(binary_df: DataFrame) -> DataFrame:
     """REAL color JPEG decode feature extraction: interleaved-MCU
     Huffman decode with per-component predictors, replication chroma

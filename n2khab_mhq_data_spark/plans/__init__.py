@@ -233,6 +233,7 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "multimodal_audio_stats", "multimodal_format_dispatch",
     "multimodal_gif_stats", "multimodal_image_resize",
     "multimodal_color_stats", "multimodal_jpeg_stats",
+    "multimodal_progressive_stats",
     "multimodal_video_frames",
     "pipeline_contrastive_triplets", "pipeline_curation_v2",
     "pipeline_curriculum_bins", "pipeline_leakage_safe_split",

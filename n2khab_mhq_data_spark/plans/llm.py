@@ -1315,6 +1315,66 @@ def multimodal_color_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_progressive_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 1 + doc_id % 2 AS mw, 1 + doc_id % 3 AS mh
+      FROM documents
+    ), bi AS (SELECT unnest(range(0, 6)) AS i),
+    bj AS (SELECT unnest(range(0, 4)) AS j),
+    lb AS (
+      SELECT d.doc_id, d.mw, d.mh,
+             (d.doc_id * 13 + 7 * bi.i + 3 * bj.j) % 256 AS yv,
+             (d.doc_id * 5 + 11 * (bi.i // 2) + 17 * (bj.j // 2)) % 256
+               AS cbv,
+             (d.doc_id * 7 + 13 * (bi.i // 2) + 5 * (bj.j // 2)) % 256
+               AS crv
+      FROM dims d, bi, bj
+      WHERE bi.i < 2 * d.mh AND bj.j < 2 * d.mw
+    ), px AS (
+      SELECT doc_id, mw, mh, yv, cbv, crv,
+        least(255, greatest(0,
+          floor((yv + 1.402e0 * (crv - 128)) + 0.5e0))) AS r,
+        least(255, greatest(0,
+          floor((yv - 0.344136e0 * (cbv - 128)
+                 - 0.714136e0 * (crv - 128)) + 0.5e0))) AS g,
+        least(255, greatest(0,
+          floor((yv + 1.772e0 * (cbv - 128)) + 0.5e0))) AS b
+      FROM lb
+    )
+    SELECT doc_id, CAST(16 * mw AS INTEGER) AS width,
+           CAST(16 * mh AS INTEGER) AS height,
+           round(avg(yv) + 1e-9, 3) AS mean_y,
+           round(avg(cbv) + 1e-9, 3) AS mean_cb,
+           round(avg(crv) + 1e-9, 3) AS mean_cr,
+           round(avg(r) + 1e-9, 3) AS mean_r,
+           round(avg(g) + 1e-9, 3) AS mean_g,
+           round(avg(b) + 1e-9, 3) AS mean_b
+    FROM px GROUP BY doc_id, mw, mh
+    """,
+)
+def multimodal_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE JPEG (SOF2) end-to-end: the same generative
+    YCbCr images as multimodal_color_stats, but entropy-coded through
+    a libjpeg-style 10-scan progressive script — DC first/refine,
+    split AC bands with EOBRUN, one-bit AC refinement with buffered
+    correction bits (T.81 G.1/G.2) — and decoded by reassembling the
+    coefficients across scans. The oracle is IDENTICAL to the baseline
+    color query's (same image spec), so a hash match proves the
+    progressive scan machinery reconstructs the same pixels the
+    baseline path does. Bit-agreement between the two entropy paths on
+    random images is additionally pinned in pytest. Two Arrow passes,
+    zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        color_jpeg_stats,
+        progressive_jpeg_payloads,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return color_jpeg_stats(progressive_jpeg_payloads(docs))
+
+
+@query(
     "multimodal_video_frames",
     oracle="""
     WITH clips AS (

@@ -3,7 +3,7 @@ batching, generator fan-out, BYTE-based partition sizing for binary
 payloads — are pinned here, plus the REAL pure-stdlib codecs (PNG
 unfilter vectors, WAV/AVI RIFF round-trips, hand-built JPEG and GIF
 bitstreams); only codecs that need external libraries (BMP/TIFF,
-color/progressive JPEG, H.264-class video) remain a declared stub."""
+arithmetic-coded JPEG, H.264-class video) remain a declared stub."""
 
 from __future__ import annotations
 
@@ -321,11 +321,13 @@ def test_jpeg_roundtrips():
         dec = decode_jpeg(encode_jpeg(img))
         assert dec.shape == img.shape
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
-    # progressive streams fail loud, not silently wrong
+    # arithmetic-coded streams fail loud, not silently wrong
+    # (progressive SOF2 is SUPPORTED since r9 — see
+    # test_jpeg_progressive_agrees_with_baseline)
     import pytest
 
     with pytest.raises(ValueError):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x04\x00\x00")
 
 
 def test_jpeg_color_roundtrips():
@@ -634,3 +636,56 @@ def test_audio_fingerprint_groups_planted_duplicates(spark):
     for i in range(40):
         assert got[i] == got[(i // 10) * 10]  # same clip -> same print
     assert all(0 <= v < (1 << 15) for v in got.values())
+
+
+def test_jpeg_progressive_agrees_with_baseline():
+    """Progressive (SOF2) and baseline (SOF0) entropy codings of the
+    SAME quantized coefficients must decode bit-identically — this
+    exercises the full T.81 G.1/G.2 machinery: DC first/refine scans,
+    split AC bands with EOBRUN, one-bit AC refinement with buffered
+    correction bits, interleaved DC + non-interleaved AC block order,
+    and (via quant) rich EOB-run diversity."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_color,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for _ in range(12):
+        h, w = rng.randint(3, 50), rng.randint(3, 50)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img))
+            == decode_jpeg(encode_jpeg(img))
+        ).all()
+    for _ in range(6):
+        h, w = rng.randint(3, 40), rng.randint(3, 40)
+        y = rng.randint(0, 256, (h, w))
+        cb = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+        cr = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+        b3 = decode_jpeg(encode_jpeg_color(y, cb, cr))
+        p3 = decode_jpeg(encode_jpeg_progressive(y, cb, cr))
+        for a, b in zip(p3, b3):
+            assert (a == b).all()
+    # a real quant table zeroes most ACs -> long EOB runs + refinement
+    qt = list(range(1, 65))
+    for _ in range(6):
+        h, w = rng.randint(3, 40), rng.randint(3, 40)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg_progressive(img, quant=qt))
+            == decode_jpeg(encode_jpeg(img, quant=qt))
+        ).all()
+    # block-constant color stays exact through the progressive path
+    ones = np.ones((8, 8), dtype=int)
+    y = np.kron(rng.randint(0, 256, (6, 4)), ones)
+    cb = np.kron(rng.randint(0, 256, (3, 2)), ones)
+    cr = np.kron(rng.randint(0, 256, (3, 2)), ones)
+    dy, dcb, dcr = decode_jpeg(encode_jpeg_progressive(y, cb, cr))
+    assert (dy == y).all()
+    assert (dcb == np.repeat(np.repeat(cb, 2, 0), 2, 1)).all()
+    assert (dcr == np.repeat(np.repeat(cr, 2, 0), 2, 1)).all()
