@@ -7,7 +7,9 @@ DC first/refinement scans, split AC bands with EOBRUN, one-bit AC
 refinement with buffered correction bits, T.81 G.1/G.2) — the
 decodable-without-an-external-library tier of the multimodal decode
 surface, next to the PNG/WAV codecs in ``llmdata/multimodal.py``.
-Arithmetic coding, restart intervals, and extended/lossless processes
+Restart intervals (DRI/RSTm resync with per-interval predictor
+resets) are supported in both baseline paths. Arithmetic coding,
+extended/lossless processes, and the progressive+DRI combination
 raise (the remaining env-gated tier, with H.264-class video).
 
 Spec fidelity notes (ITU-T T.81, public):
@@ -168,9 +170,12 @@ def _encode_block(pix, Q, A, prev_dc, dc_syms, ac_syms):
     return (diff, acs), zz[0]
 
 
-def _entropy_encode(blocks, dc_syms, ac_syms):
+def _entropy_encode(segments, dc_syms, ac_syms):
     """Canonical tables over the emitted symbols + the entropy-coded
-    bytes for ``blocks`` (the scan-ordered (diff, acs) list)."""
+    bytes. ``segments`` is a list of restart intervals, each a list of
+    scan-ordered (diff, acs) blocks: every interval is 1-padded to a
+    byte boundary and separated by a cyclic RSTm marker (T.81 F.1.2.3;
+    one segment = no restart markers)."""
     ac_syms = set(ac_syms)
     ac_syms.add(0x00)  # table must always define EOB
     dc_bits, dc_vals = _uniform_table(dc_syms)
@@ -178,23 +183,27 @@ def _entropy_encode(blocks, dc_syms, ac_syms):
     dc_codes = _codes_from_table(dc_bits, dc_vals)
     ac_codes = _codes_from_table(ac_bits, ac_vals)
 
-    bw = _BitWriter()
-
     def amplitude(v: int, t: int) -> int:
         return v if v >= 0 else v + (1 << t) - 1
 
-    for diff, acs in blocks:
-        t = _category(diff)
-        c, ln = dc_codes[t]
-        bw.put(c, ln)
-        if t:
-            bw.put(amplitude(diff, t), t)
-        for sym, v, t2 in acs:
-            c, ln = ac_codes[sym]
+    parts = []
+    for i, blocks in enumerate(segments):
+        if i:
+            parts.append(bytes([0xFF, 0xD0 + (i - 1) % 8]))
+        bw = _BitWriter()
+        for diff, acs in blocks:
+            t = _category(diff)
+            c, ln = dc_codes[t]
             bw.put(c, ln)
-            if t2:
-                bw.put(amplitude(v, t2), t2)
-    return (dc_bits, dc_vals), (ac_bits, ac_vals), bw.flush()
+            if t:
+                bw.put(amplitude(diff, t), t)
+            for sym, v, t2 in acs:
+                c, ln = ac_codes[sym]
+                bw.put(c, ln)
+                if t2:
+                    bw.put(amplitude(v, t2), t2)
+        parts.append(bw.flush())
+    return (dc_bits, dc_vals), (ac_bits, ac_vals), b"".join(parts)
 
 
 def _seg(marker: int, body: bytes) -> bytes:
@@ -212,10 +221,13 @@ def _dqt_dht(Q, dc_table, ac_table) -> bytes:
     )
 
 
-def encode_jpeg(img, quant=None) -> bytes:
+def encode_jpeg(img, quant=None, restart_interval: int = 0) -> bytes:
     """Encode an 8-bit grayscale image as baseline sequential JPEG.
     ``quant``: 64 ints in natural (row-major) order; default all-ones
-    (block-constant images then round-trip exactly)."""
+    (block-constant images then round-trip exactly).
+    ``restart_interval``: emit a DRI segment and a cyclic RSTm marker
+    every N MCUs (here 1 MCU = 1 block), resetting the DC predictor —
+    the resync machinery real camera baselines use."""
     import numpy as np
 
     a = np.asarray(img, dtype=np.int64)
@@ -228,21 +240,28 @@ def encode_jpeg(img, quant=None) -> bytes:
     pad = np.pad(a, ((0, H - h), (0, W - w)), mode="edge")
     A = _dct_matrix()
 
-    blocks = []
+    segments = [[]]
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     prev_dc = 0
+    n_mcu = 0
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                segments.append([])
+                prev_dc = 0
             blk, prev_dc = _encode_block(
                 pad[by : by + 8, bx : bx + 8], Q, A, prev_dc,
                 dc_syms, ac_syms,
             )
-            blocks.append(blk)
-    dc_table, ac_table, data = _entropy_encode(blocks, dc_syms, ac_syms)
+            segments[-1].append(blk)
+            n_mcu += 1
+    dc_table, ac_table, data = _entropy_encode(segments, dc_syms, ac_syms)
 
     out = b"\xff\xd8"  # SOI
     out += _dqt_dht(Q, dc_table, ac_table)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     out += _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     out += _seg(0xFFDA, b"\x01\x01\x01\x00\x3f\x00")  # Td=0 Ta=1
     out += data
@@ -250,7 +269,8 @@ def encode_jpeg(img, quant=None) -> bytes:
     return out
 
 
-def encode_jpeg_color(y, cb, cr, quant=None) -> bytes:
+def encode_jpeg_color(y, cb, cr, quant=None,
+                      restart_interval: int = 0) -> bytes:
     """Encode 8-bit YCbCr planes as baseline sequential COLOR JPEG with
     4:2:0 subsampling and an interleaved MCU scan (T.81 A.2.3): Y at
     (h, w), Cb/Cr at (ceil(h/2), ceil(w/2)) — the caller subsamples
@@ -284,12 +304,16 @@ def encode_jpeg_color(y, cb, cr, quant=None) -> bytes:
     )
     A = _dct_matrix()
 
-    blocks = []
+    segments = [[]]
     dc_syms: set[int] = set()
     ac_syms: set[int] = set()
     dc = {"y": 0, "cb": 0, "cr": 0}
+    n_mcu = 0
     for my in range(H // 16):
         for mx in range(W // 16):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                segments.append([])
+                dc = {"y": 0, "cb": 0, "cr": 0}  # all predictors reset
             for v in range(2):  # 4 luma blocks, raster order in the MCU
                 for u in range(2):
                     by, bx = (2 * my + v) * 8, (2 * mx + u) * 8
@@ -297,18 +321,21 @@ def encode_jpeg_color(y, cb, cr, quant=None) -> bytes:
                         ypad[by : by + 8, bx : bx + 8], Q, A, dc["y"],
                         dc_syms, ac_syms,
                     )
-                    blocks.append(blk)
+                    segments[-1].append(blk)
             for name, plane in (("cb", cbp), ("cr", crp)):
                 by, bx = my * 8, mx * 8
                 blk, dc[name] = _encode_block(
                     plane[by : by + 8, bx : bx + 8], Q, A, dc[name],
                     dc_syms, ac_syms,
                 )
-                blocks.append(blk)
-    dc_table, ac_table, data = _entropy_encode(blocks, dc_syms, ac_syms)
+                segments[-1].append(blk)
+            n_mcu += 1
+    dc_table, ac_table, data = _entropy_encode(segments, dc_syms, ac_syms)
 
     out = b"\xff\xd8"  # SOI
     out += _dqt_dht(Q, dc_table, ac_table)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     # SOF0: Y id1 samp 2x2, Cb id2 1x1, Cr id3 1x1, all quant table 0
     out += _seg(
         0xFFC0,
@@ -349,6 +376,20 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self, expect_m: int) -> None:
+        """Byte-align (discarding pad bits), consume the expected cyclic
+        RSTm marker (T.81 F.2.1.3.1)."""
+        self.n = 0  # drop the 1-padding of the finished interval
+        if (
+            self.pos + 1 >= len(self.buf)
+            or self.buf[self.pos] != 0xFF
+            or self.buf[self.pos + 1] != 0xD0 + expect_m
+        ):
+            raise ValueError(
+                f"expected RST{expect_m} marker at restart boundary"
+            )
+        self.pos += 2
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
@@ -838,6 +879,7 @@ def decode_jpeg(raw: bytes):
     scan: list[tuple[int, int, int]] = []  # (cid, td, ta)
     data_start = None
     progressive = False
+    ri = 0  # DRI restart interval, in MCUs (0 = none)
     coefs: dict[int, "np.ndarray"] | None = None  # cid -> (by, bx, 64) zigzag
     du: dict[int, tuple[int, int]] = {}  # cid -> non-interleaved block grid
     geom: dict[int, tuple[int, int]] = {}
@@ -889,8 +931,8 @@ def decode_jpeg(raw: bytes):
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(tc, th)] = (bits, vals)
                 off += 17 + n
-        elif marker == 0xDD:
-            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scomp = [
@@ -904,6 +946,10 @@ def decode_jpeg(raw: bytes):
                 data_start = pos + 2 + ln
                 break
             # ---- progressive: apply this scan immediately ----
+            if ri:
+                raise ValueError(
+                    "restart intervals in progressive streams unsupported"
+                )
             Ss, Se = body[1 + 2 * ns], body[2 + 2 * ns]
             Ah, Al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
             if coefs is None:
@@ -1036,10 +1082,15 @@ def decode_jpeg(raw: bytes):
         H, W = (h + 7) // 8 * 8, (w + 7) // 8 * 8
         out = np.zeros((H, W), dtype=np.float64)
         prev_dc = 0
+        n_mcu = 0
         for by in range(0, H, 8):
             for bx in range(0, W, 8):
+                if ri and n_mcu and n_mcu % ri == 0:
+                    br.restart((n_mcu // ri - 1) % 8)
+                    prev_dc = 0
                 blk, prev_dc = _decode_block(br, rd, ra, prev_dc, Q, A)
                 out[by : by + 8, bx : bx + 8] = blk
+                n_mcu += 1
         return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
 
     hmax = max(hs for _, hs, _, _ in comps)
@@ -1052,8 +1103,13 @@ def decode_jpeg(raw: bytes):
     }
     prev = {cid: 0 for cid, *_ in comps}
     order = [cid for cid, _, _ in scan]
+    n_mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and n_mcu and n_mcu % ri == 0:
+                br.restart((n_mcu // ri - 1) % 8)
+                prev = {cid: 0 for cid, *_ in comps}
+            n_mcu += 1
             for cid in order:
                 hs, vs, tq = by_cid[cid]
                 rd, ra = readers[cid]

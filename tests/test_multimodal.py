@@ -689,3 +689,38 @@ def test_jpeg_progressive_agrees_with_baseline():
     assert (dy == y).all()
     assert (dcb == np.repeat(np.repeat(cb, 2, 0), 2, 1)).all()
     assert (dcr == np.repeat(np.repeat(cr, 2, 0), 2, 1)).all()
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTm resync (T.81 F.1.2.3/F.2.1.3.1): encodes with restart
+    intervals — byte-aligned 1-padded segments, cyclic RST markers,
+    DC predictors reset per interval — must decode bit-identically to
+    the unsegmented stream, including intervals that do not divide the
+    MCU count."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.RandomState(5)
+    for ri in (1, 3, 7):
+        h, w = rng.randint(9, 60), rng.randint(9, 60)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (
+            decode_jpeg(encode_jpeg(img, restart_interval=ri))
+            == decode_jpeg(encode_jpeg(img))
+        ).all(), (ri, h, w)
+    for ri in (1, 2):
+        h, w = rng.randint(17, 50), rng.randint(17, 50)
+        y = rng.randint(0, 256, (h, w))
+        cb = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+        cr = rng.randint(0, 256, ((h + 1) // 2, (w + 1) // 2))
+        a3 = decode_jpeg(encode_jpeg_color(y, cb, cr))
+        b3 = decode_jpeg(
+            encode_jpeg_color(y, cb, cr, restart_interval=ri)
+        )
+        for a, b in zip(a3, b3):
+            assert (a == b).all(), (ri, h, w)
