@@ -1002,6 +1002,90 @@ def progressive_jpeg_payloads(
     )
 
 
+def gif_animation_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL animated GIF89a payloads (llmdata/gif.py): per document a
+    (2 + id%3)-frame animation on an 8x16 canvas — frame 0 is the full
+    base image base(i,j) = (id*17 + 5i + 9j) mod 256, frame g >= 1 is a
+    CONSTANT 4x6 patch v_g = (id*29 + 31g) mod 256 at (top, left) =
+    (2*(g%2), 4*(g%3)) with leave-in-place disposal, delay 3 + 2f cs —
+    so every composited snapshot is SQL-derivable (latest covering
+    patch wins per pixel) while real GCE parsing, sub-rect compositing,
+    and per-frame LZW decode run."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import encode_gif_frames
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                nf = 2 + did % 3
+                i = np.arange(8)[:, None]
+                j = np.arange(16)[None, :]
+                base = ((did * 17 + 5 * i + 9 * j) % 256).astype(np.uint8)
+                frames = [base]
+                offsets = [(0, 0)]
+                for g in range(1, nf):
+                    v = (did * 29 + 31 * g) % 256
+                    frames.append(np.full((4, 6), v, dtype=np.uint8))
+                    offsets.append((2 * (g % 2), 4 * (g % 3)))
+                payloads.append(
+                    encode_gif_frames(
+                        frames,
+                        [3 + 2 * f for f in range(nf)],
+                        canvas=(8, 16),
+                        offsets=offsets,
+                    )
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads}
+            )
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} {idt}, payload binary"
+    )
+
+
+def gif_animation_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL animated-GIF frame extraction: demux the 89a block stream,
+    honor GCE delays/disposal, composite each frame onto the canvas,
+    and emit per-frame statistics."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import decode_gif_frames
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nfs, dls, means, mxs = [], [], [], [], [], []
+            for did, raw in zip(pdf["doc_id"], pdf["payload"]):
+                delays, frames = decode_gif_frames(bytes(raw))
+                for f, (d, img) in enumerate(zip(delays, frames)):
+                    ids.append(did)
+                    fidx.append(f)
+                    nfs.append(len(frames))
+                    dls.append(d)
+                    means.append(round(float(np.mean(img)) + 1e-9, 3))
+                    mxs.append(int(img.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "delay_cs": pd.Series(dls, dtype="int32"),
+                    "mean_v": pd.Series(means, dtype="float64"),
+                    "max_v": pd.Series(mxs, dtype="int32"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, frame_idx int, n_frames int, delay_cs int,"
+        " mean_v double, max_v int",
+    )
+
+
 def color_jpeg_stats(binary_df: DataFrame) -> DataFrame:
     """REAL color JPEG decode feature extraction: interleaved-MCU
     Huffman decode with per-component predictors, replication chroma

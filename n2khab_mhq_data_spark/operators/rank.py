@@ -213,7 +213,15 @@ def grouped_running_sum(
     broadcast back. The collect is P x (groups-per-partition) rows —
     use this operator for FEW-LARGE-GROUPS data (its contract); for
     many small groups the plain partitioned window is already parallel
-    and this machinery is unnecessary."""
+    and this machinery is unnecessary.
+
+    Exactness contract: use an INTEGER or DECIMAL ``value_col`` when the
+    result must match a sequential window bit-for-bit (every registered
+    caller does — the money-grid rule). For DOUBLE values the partition-
+    local cumsum + Python-summed prefix associates additions differently
+    than one sequential pass, so results can drift by ulps from a plain
+    window / SQL oracle — invisible at small scale, a hash mismatch at
+    sf1.0 (the r8 sweep's drift class 3)."""
     spark = df.sparkSession
     p = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")

@@ -1375,6 +1375,58 @@ def multimodal_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_frames",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 2 + doc_id % 3 AS nf FROM documents
+    ), fr AS (SELECT unnest(range(0, 4)) AS f),
+    ii AS (SELECT unnest(range(0, 8)) AS i),
+    jj AS (SELECT unnest(range(0, 16)) AS j),
+    px AS (
+      SELECT d.doc_id, d.nf, fr.f, ii.i, jj.j,
+             (d.doc_id * 17 + 5 * ii.i + 9 * jj.j) % 256 AS base
+      FROM docs d, fr, ii, jj WHERE fr.f < d.nf
+    ), patched AS (
+      SELECT p.doc_id, p.nf, p.f, p.i, p.j, p.base,
+             g.g AS pg, (p.doc_id * 29 + 31 * g.g) % 256 AS pv
+      FROM px p LEFT JOIN (SELECT unnest(range(1, 4)) AS g) g
+        ON g.g <= p.f
+       AND p.i >= 2 * (g.g % 2) AND p.i < 2 * (g.g % 2) + 4
+       AND p.j >= 4 * (g.g % 3) AND p.j < 4 * (g.g % 3) + 6
+    ), vals AS (
+      SELECT doc_id, nf, f, i, j,
+             coalesce(arg_max(pv, pg), min(base)) AS v
+      FROM patched GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(3 + 2 * f AS INTEGER) AS delay_cs,
+           round(avg(v) + 1e-9, 3) AS mean_v,
+           CAST(max(v) AS INTEGER) AS max_v
+    FROM vals GROUP BY doc_id, nf, f
+    """,
+)
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated GIF89a end-to-end (llmdata/gif.py): per document a
+    multi-frame animation — full-canvas base frame, then constant 4x6
+    sub-rect patches with leave-in-place disposal and per-frame GCE
+    delays — demuxed, LZW-decoded, and COMPOSITED frame by frame. The
+    oracle recomputes every composited snapshot pixel as "the latest
+    patch covering it, else the base" (arg_max over covering patches),
+    so a hash match proves the block walk, GCE state machine, sub-rect
+    placement, and per-frame LZW decode all round-tripped. Transparency
+    and restore-to-background disposal are pinned separately in pytest.
+    Two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        gif_animation_payloads,
+        gif_animation_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return gif_animation_stats(gif_animation_payloads(docs))
+
+
+@query(
     "multimodal_video_frames",
     oracle="""
     WITH clips AS (

@@ -724,3 +724,71 @@ def test_jpeg_restart_intervals_roundtrip():
         )
         for a, b in zip(a3, b3):
             assert (a == b).all(), (ri, h, w)
+
+
+def test_gif89a_animation_compositing():
+    """Animated GIF89a: GCE delays survive, sub-rect frames composite
+    left-in-place, transparent pixels keep the prior composite, and
+    disposal 2 restores the touched rect to the background before the
+    next frame. Hand-derived expectations per the GIF89a spec."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import (
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_frames,
+    )
+
+    rng = np.random.RandomState(4)
+    f0 = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+    p1 = rng.randint(0, 256, (4, 6)).astype(np.uint8)
+    raw = encode_gif_frames(
+        [f0, p1], [10, 4], canvas=(8, 16), offsets=[(0, 0), (2, 4)]
+    )
+    delays, frames = decode_gif_frames(raw)
+    assert delays == [10, 4]
+    want1 = f0.copy()
+    want1[2:6, 4:10] = p1
+    assert (frames[0] == f0).all() and (frames[1] == want1).all()
+
+    # transparency: value-7 pixels show through to what is beneath
+    hole = p1.copy()
+    hole[1, 2] = 7
+    raw = encode_gif_frames(
+        [f0, hole], [1, 2], canvas=(8, 16), offsets=[(0, 0), (2, 4)],
+        transparent=7,
+    )
+    _, fr2 = decode_gif_frames(raw)
+    w0 = f0.copy()
+    w0[f0 == 7] = 0  # frame 0's own 7s show the (black) background
+    m = hole != 7
+    exp1 = w0.copy()
+    exp1[2:6, 4:10][m] = hole[m]
+    assert (fr2[0] == w0).all() and (fr2[1] == exp1).all()
+
+    # disposal 2: the patch rect is restored to background before the
+    # next frame, so frame 2 shows bg (0) in frame 1's rect
+    raw = bytearray(
+        encode_gif_frames(
+            [f0, p1, p1], [1, 1, 1], canvas=(8, 16),
+            offsets=[(0, 0), (2, 4), (0, 8)],
+        )
+    )
+    # rewrite frame 1's GCE disposal bits (flags byte: 0x04 -> 0x08)
+    gce_positions = [
+        i for i in range(len(raw) - 2)
+        if raw[i] == 0x21 and raw[i + 1] == 0xF9
+    ]
+    raw[gce_positions[1] + 3] = 0x08  # disposal 2, no transparency
+    delays3, fr3 = decode_gif_frames(bytes(raw))
+    want2 = f0.copy()
+    want2[2:6, 4:10] = p1        # frame 1 composite
+    assert (fr3[1] == want2).all()
+    want3 = f0.copy()
+    want3[2:6, 4:10] = 0         # disposal 2 wiped frame 1's rect
+    want3[0:4, 8:14] = p1        # frame 2's own patch
+    assert (fr3[2] == want3).all()
+
+    # single-frame 87a flows through the animation API
+    d, fr = decode_gif_frames(encode_gif(f0))
+    assert d == [0] and (fr[0] == f0).all()
