@@ -433,9 +433,62 @@ def encode_wav(samples, rate: int = 8000) -> bytes:
     )
 
 
+def encode_wav_g711(codes, rate: int = 8000, law: str = "mulaw") -> bytes:
+    """Real G.711 WAV encoder: 8-bit mono mu-law (format tag 7) or
+    A-law (format tag 6) RIFF container around already-companded code
+    bytes — the telephony capture format."""
+    import struct
+
+    import numpy as np
+
+    tag = 7 if law == "mulaw" else 6
+    data = np.asarray(codes, dtype=np.uint8).tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, tag, 1, rate, rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def g711_expand(codes, law: str):
+    """Vectorized G.711 expansion to linear PCM16 (ITU-T G.711 / the
+    public-domain Sun g711.c formulas — stateless per sample, which is
+    what makes a SQL oracle able to reproduce the decode exactly).
+
+    mu-law: u = ~c; mag = (((u & 15) << 3) + 0x84) << ((u >> 4) & 7);
+            pcm = (0x84 - mag) if sign bit else (mag - 0x84)
+    A-law:  a = c ^ 0x55; seg = (a >> 4) & 7; t = (a & 15) << 4;
+            mag = t + 8 (seg 0) | (t + 0x108) << (seg - 1);
+            pcm = +mag if sign bit else -mag"""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.int64)
+    if law == "mulaw":
+        u = (~c) & 0xFF
+        mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        pcm = np.where(u & 0x80, 0x84 - mag, mag - 0x84)
+    elif law == "alaw":
+        a = c ^ 0x55
+        seg = (a >> 4) & 0x07
+        t = (a & 0x0F) << 4
+        mag = np.where(
+            seg == 0, t + 8, (t + 0x108) << np.clip(seg - 1, 0, None)
+        )
+        pcm = np.where(a & 0x80, mag, -mag)
+    else:
+        raise ValueError(f"unknown G.711 law {law!r}")
+    return pcm.astype(np.int16)
+
+
 def decode_wav(raw: bytes):
-    """Real WAV decode (pure stdlib): RIFF chunk walk, PCM16 mono.
-    Returns (sample_rate, int16 numpy array)."""
+    """Real WAV decode (pure stdlib): RIFF chunk walk; PCM16 mono plus
+    the two G.711 telephony formats (mu-law tag 7 / A-law tag 6, 8-bit
+    mono, expanded to linear PCM16). Returns (sample_rate, int16
+    numpy array)."""
     import struct
 
     import numpy as np
@@ -444,6 +497,7 @@ def decode_wav(raw: bytes):
         raise ValueError("not a WAV payload")
     off = 12
     rate = None
+    fmt = None
     samples = None
     while off + 8 <= len(raw):
         typ = raw[off : off + 4]
@@ -453,16 +507,22 @@ def decode_wav(raw: bytes):
             fmt, nch, rate, _br, _ba, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
-            if fmt != 1 or nch != 1 or bits != 16:
+            if not (
+                (fmt == 1 and nch == 1 and bits == 16)
+                or (fmt in (6, 7) and nch == 1 and bits == 8)
+            ):
                 raise ValueError(
                     f"unsupported WAV shape (fmt={fmt} ch={nch} bits={bits})"
                 )
         elif typ == b"data":
-            samples = np.frombuffer(body, dtype="<i2")
+            samples = body
         off += 8 + ln + (ln & 1)
     if rate is None or samples is None:
         raise ValueError("WAV missing fmt/data chunk")
-    return rate, samples
+    if fmt == 1:
+        return rate, np.frombuffer(samples, dtype="<i2")
+    codes = np.frombuffer(samples, dtype=np.uint8)
+    return rate, g711_expand(codes, "mulaw" if fmt == 7 else "alaw")
 
 
 def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
@@ -999,6 +1059,75 @@ def progressive_jpeg_payloads(
     idt = df.schema[id_col].dataType.simpleString()
     return _spread_ids(df, id_col).mapInPandas(
         op, f"{id_col} {idt}, payload binary"
+    )
+
+
+def g711_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL G.711 telephony WAV payloads: per document TWO files — one
+    mu-law (tag 7), one A-law (tag 6) — each holding 64 + id%16 code
+    bytes code(k) = (id*7 + 13k) mod 256 at 8 kHz. The expansion
+    formulas are stateless per sample, so every decoded PCM value is
+    SQL-derivable from (id, k) while a real RIFF walk + companded
+    expansion runs."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, laws, payloads = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                n = 64 + did % 16
+                codes = (did * 7 + 13 * np.arange(n)) % 256
+                for law in ("mulaw", "alaw"):
+                    ids.append(did)
+                    laws.append(law)
+                    payloads.append(encode_wav_g711(codes, 8000, law))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "law": laws, "payload": payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} long, law string, payload binary"
+    )
+
+
+def g711_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL G.711 decode feature extraction through the shared WAV
+    chunk walk: (law, sample_rate, n_samples, peak, sum_pcm,
+    mean_pcm) per payload — sums are exact integers, so the oracle
+    compares on the integer grid."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rates, ns, peak, s, mean = [], [], [], [], []
+            for raw in pdf["payload"]:
+                rate, pcm = decode_wav(bytes(raw))
+                x = pcm.astype(np.int64)
+                rates.append(rate)
+                ns.append(len(pcm))
+                peak.append(int(np.abs(x).max()))
+                s.append(int(x.sum()))
+                mean.append(
+                    round(float(x.sum()) / len(pcm) + 1e-9, 3)
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "law": pdf["law"],
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "peak": pd.Series(peak, dtype="int64"),
+                    "sum_pcm": pd.Series(s, dtype="int64"),
+                    "mean_pcm": pd.Series(mean, dtype="float64"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, law string, sample_rate int, n_samples long,"
+        " peak long, sum_pcm long, mean_pcm double",
     )
 
 

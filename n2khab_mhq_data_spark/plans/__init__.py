@@ -230,7 +230,8 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_inter_arrival_stats", "events_rfm_segments",
     "events_time_to_convert", "j15_tiered_rate_join",
     "j16_nearest_event_join", "multimodal_audio_dedup",
-    "multimodal_audio_stats", "multimodal_format_dispatch",
+    "multimodal_audio_g711", "multimodal_audio_stats",
+    "multimodal_format_dispatch",
     "multimodal_gif_frames", "multimodal_gif_stats",
     "multimodal_image_resize",
     "multimodal_color_stats", "multimodal_jpeg_stats",

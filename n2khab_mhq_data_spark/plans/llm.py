@@ -1427,6 +1427,60 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_g711",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 64 + doc_id % 16 AS n FROM documents
+    ), ks AS (SELECT unnest(range(0, 80)) AS k),
+    codes AS (
+      SELECT d.doc_id, d.n, ks.k,
+             (d.doc_id * 7 + 13 * ks.k) % 256 AS c
+      FROM docs d, ks WHERE ks.k < d.n
+    ), pcm AS (
+      SELECT doc_id, n, k, 'mulaw' AS law,
+             CASE WHEN (255 - c) >= 128
+                  THEN 132 - ((((255 - c) & 15) * 8 + 132)
+                              * (1 << (((255 - c) // 16) & 7)))
+                  ELSE ((((255 - c) & 15) * 8 + 132)
+                        * (1 << (((255 - c) // 16) & 7))) - 132
+             END AS v
+      FROM codes
+      UNION ALL
+      SELECT doc_id, n, k, 'alaw' AS law,
+             CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+             CASE WHEN ((xor(c, 85) // 16) & 7) = 0
+                  THEN (xor(c, 85) & 15) * 16 + 8
+                  ELSE ((xor(c, 85) & 15) * 16 + 264)
+                       * (1 << (((xor(c, 85) // 16) & 7) - 1))
+             END AS v
+      FROM codes
+    )
+    SELECT doc_id, law, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(max(abs(v)) AS BIGINT) AS peak,
+           CAST(sum(v) AS BIGINT) AS sum_pcm,
+           round(CAST(sum(v) AS DOUBLE) / n + 1e-9, 3) AS mean_pcm
+    FROM pcm GROUP BY doc_id, law, n
+    """,
+)
+def multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 telephony audio end-to-end: per document a mu-law and
+    an A-law WAV (format tags 7/6, 8-bit mono), decoded through the
+    shared RIFF chunk walk and expanded to linear PCM16 with the exact
+    Sun g711.c formulas — STATELESS per sample, so the oracle re-derives
+    every decoded value from the generative code bytes with pure integer
+    bit arithmetic (no companding table pasted anywhere). Sums compare
+    on the exact integer grid. Two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        g711_payloads,
+        g711_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return g711_stats(g711_payloads(docs))
+
+
+@query(
     "multimodal_video_frames",
     oracle="""
     WITH clips AS (

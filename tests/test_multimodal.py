@@ -792,3 +792,38 @@ def test_gif89a_animation_compositing():
     # single-frame 87a flows through the animation API
     d, fr = decode_gif_frames(encode_gif(f0))
     assert d == [0] and (fr[0] == f0).all()
+
+
+def test_g711_known_codepoints_and_roundtrip():
+    """G.711 expansion pinned against the published extreme/zero code
+    points (mu-law 0x00 -> -32124, 0xFF -> 0; A-law 0x2A -> -32256,
+    0x55 -> -8, 0xD5 -> +8), plus a WAV container round trip for both
+    laws and the unsupported-shape guard."""
+    import numpy as np
+    import pytest as _pytest
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_wav,
+        encode_wav_g711,
+        g711_expand,
+    )
+
+    assert g711_expand([0x00], "mulaw")[0] == -32124
+    assert g711_expand([0xFF], "mulaw")[0] == 0
+    assert g711_expand([0x7F], "mulaw")[0] == 0
+    assert g711_expand([0x2A], "alaw")[0] == -32256
+    assert g711_expand([0x55], "alaw")[0] == -8
+    assert g711_expand([0xD5], "alaw")[0] == 8
+    codes = (np.arange(256)).astype(np.uint8)
+    for law in ("mulaw", "alaw"):
+        rate, pcm = decode_wav(encode_wav_g711(codes, 8000, law))
+        assert rate == 8000 and len(pcm) == 256
+        assert (pcm == g711_expand(codes, law)).all()
+        # expansion is monotone within each sign half's segments: the
+        # all-codes decode must cover the full dynamic range
+        assert pcm.min() < -30000 and pcm.max() > 30000
+    with _pytest.raises(ValueError, match="unsupported WAV shape"):
+        # format tag 2 (ADPCM) stays a declared unsupported shape
+        bad = bytearray(encode_wav_g711(codes, 8000, "mulaw"))
+        bad[20] = 2
+        decode_wav(bytes(bad))
