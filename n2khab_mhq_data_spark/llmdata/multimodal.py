@@ -2,16 +2,18 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Decode support comes in two tiers. PNG, WAV, GIF, baseline grayscale
-JPEG, and MJPEG-in-AVI video decode is REAL and pure stdlib/numpy
-(zlib inflate + scanline unfilter; RIFF/PCM16 parse; GIF-LZW;
-canonical-Huffman + IDCT; RIFF AVI demux — see ``decode_png`` /
-``decode_wav`` here and ``llmdata/jpeg.py`` / ``llmdata/gif.py``),
-with matching encoders/muxers so the registered queries build
-spec-valid payloads and hash-check the decoded statistics against
-arithmetic oracles. Codecs that genuinely need an external library
-(BMP/TIFF, color/progressive JPEG, H.264/MP4-class video) remain
-STUBBED: ``decode_image`` raises NotImplementedError for unrecognized
+Decode support comes in two tiers. PNG, WAV (PCM16 + G.711
+mu-law/A-law), GIF (87a + animated 89a), JPEG (baseline grayscale and
+color, progressive, restart intervals), and MJPEG-in-AVI video decode
+is REAL and pure stdlib/numpy (zlib inflate + scanline unfilter;
+RIFF/PCM16/G.711 parse; GIF-LZW + GCE compositing; canonical-Huffman +
+IDCT incl. progressive scan reassembly; RIFF AVI demux — see
+``decode_png`` / ``decode_wav`` here and ``llmdata/jpeg.py`` /
+``llmdata/gif.py``), with matching encoders/muxers so the registered
+queries build spec-valid payloads and hash-check the decoded
+statistics against arithmetic oracles. Codecs that genuinely need an
+external library (BMP/TIFF, arithmetic-coded JPEG, ADPCM,
+H.264/MP4-class video) remain STUBBED: ``decode_image`` raises NotImplementedError for unrecognized
 magic unless ``fake=True``, in which case a deterministic fake decoder
 derives metadata from the raw bytes. The Spark-side plumbing — schema,
 batch iteration, partition sizing — is identical across tiers;
@@ -36,7 +38,8 @@ FRAME_META_SCHEMA = (
 
 
 def decode_image(raw: bytes, fake: bool = False) -> dict:
-    """Decode a media payload. PNG, WAV, baseline grayscale JPEG, and
+    """Decode a media payload. PNG, WAV (PCM16/G.711), GIF (incl.
+    animated 89a), JPEG (baseline gray/color + progressive), and
     MJPEG-in-AVI are decoded FOR REAL (pure stdlib/numpy — see module
     docstring); other codecs need an imaging/audio library not present
     in this environment and stay stubbed. With ``fake=True`` the
@@ -78,7 +81,9 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
     if raw[:2] == b"\xff\xd8":
         from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg
 
-        img = decode_jpeg(raw)  # baseline grayscale; else raises
+        img = decode_jpeg(raw)  # gray array, or (y, cb, cr) for color
+        if isinstance(img, tuple):
+            img = img[0]
         return {
             "format": "jpeg",
             "n_frames": 1,
@@ -87,22 +92,23 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
             "height": int(img.shape[0]),
         }
     if raw[:6] in (b"GIF87a", b"GIF89a"):
-        from n2khab_mhq_data_spark.llmdata.gif import decode_gif
+        from n2khab_mhq_data_spark.llmdata.gif import decode_gif_frames
 
-        img = decode_gif(raw)
+        _, frames = decode_gif_frames(raw)
         return {
             "format": "gif",
-            "n_frames": 1,
+            "n_frames": len(frames),
             "first_byte": raw[0],
-            "width": int(img.shape[1]),
-            "height": int(img.shape[0]),
+            "width": int(frames[0].shape[1]),
+            "height": int(frames[0].shape[0]),
         }
     raise NotImplementedError(
-        "codec not decodable with stdlib (video beyond MJPEG-AVI and"
-        " non-baseline image formats need libraries absent from this"
-        " container); PNG, WAV, GIF, baseline grayscale JPEG and"
-        " MJPEG-AVI decode for real, or pass fake=True for the"
-        " deterministic test decoder"
+        "codec not decodable with stdlib (video beyond MJPEG-AVI,"
+        " BMP/TIFF, and arithmetic-coded JPEG need libraries absent"
+        " from this container); PNG, WAV (PCM16 + G.711), GIF"
+        " (incl. animated 89a), JPEG (baseline gray/color +"
+        " progressive) and MJPEG-AVI decode for real, or pass"
+        " fake=True for the deterministic test decoder"
     )
 
 
@@ -302,8 +308,12 @@ def cdc_chunk_one(
 # The container has no imaging/audio libraries, but PNG and WAV are
 # decodable with nothing beyond zlib + struct, so for those two formats
 # the decode step is REAL, not stubbed: full chunk walk, inflate,
-# scanline unfilter (all five PNG filter types), RIFF parse, PCM16
-# samples. JPEG/MP4/ffmpeg-class codecs remain the env-gated stub.
+# scanline unfilter (all five PNG filter types), RIFF parse, PCM16 and
+# G.711 mu-law/A-law samples. JPEG (baseline gray/color + progressive,
+# llmdata/jpeg.py), GIF (87a + animated 89a, llmdata/gif.py), and
+# MJPEG-AVI are real too; only codecs that genuinely need external
+# libraries (BMP/TIFF, arithmetic JPEG, ADPCM, H.264-class video)
+# remain the env-gated stub.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 

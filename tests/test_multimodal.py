@@ -20,9 +20,9 @@ from n2khab_mhq_data_spark.llmdata.multimodal import (
 
 def test_decode_stub_fails_loud_without_fake():
     # unrecognized magic (here: BMP and TIFF headers, and a corrupt PNG
-    # prefix that fails the full 8-byte magic) must fail loud — only
-    # PNG, WAV, GIF, baseline grayscale JPEG, and MJPEG-AVI decode for
-    # real without external libraries
+    # prefix that fails the full 8-byte magic) must fail loud — the
+    # real-decode tier is PNG, WAV (PCM16/G.711), GIF (incl. 89a
+    # animation), JPEG (baseline gray/color + progressive), MJPEG-AVI
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
         decode_image(b"BM......")
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
