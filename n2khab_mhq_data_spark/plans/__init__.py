@@ -101,26 +101,18 @@ _DRIVER_FAILED: frozenset[str] = frozenset()
 # queue after the whole backlog.  Entries are removed once the driver
 # samples the query (it moves to ``_DRIVER_SAMPLED``).
 _REGISTERED_ROUND: dict[str, int] = {
-    # (r6/r7 backlog fully drained by CORRECTNESS_r07 — all 8 sampled
-    # hash-green; entries moved to _DRIVER_SAMPLED)
-    # r8 oracle upgrade: ann_pca_compress's only driver rows (r6) were
-    # rows-only (no_oracle); re-queue for a hash-checked row now that the
-    # projection leg has a pinned-eigenbasis DuckDB oracle
-    "ann_pca_compress": 8,
-    # r8 additions (VERDICT r7 item 5): the outer-join-grain histogram
-    # and the nested-semi-join-chain + correlated-threshold stressors
-    "tpch_q13_customer_distribution": 8,
-    "tpch_q20_dominant_part_suppliers": 8,
-    # r8 sf1.0-bench stand-in for j13 (VERDICT r7 item 6)
-    "j13_interval_overlap_sliced": 8,
-    # r8: the last five TPC-H shapes — the suite is now complete (22/22
-    # of the queries expressible on the testdata schema, partsupp-free
-    # adaptations documented per query)
-    "tpch_q11_important_stock": 8,
-    "tpch_q12_shipmode_priority": 8,
-    "tpch_q15_top_supplier": 8,
-    "tpch_q16_supplier_part_counts": 8,
-    "tpch_q19_discounted_revenue": 8,
+    # (r8 backlog fully drained by CORRECTNESS_r09 — ann_pca_compress,
+    # j13_interval_overlap_sliced, and the 7 new TPC-H shapes all
+    # sampled hash-green; entries moved to _DRIVER_SAMPLED)
+    # r9 REAL-codec queries (VERDICT r9 item 4): these four were
+    # mistakenly listed in _DRIVER_SAMPLED at registration time, which
+    # rotated them to the BACK of the prefix-sampling order — the exact
+    # opposite of intended — so the driver never touched them
+    # (cumulative confirmation stuck at 299/303). Queue them FIRST.
+    "multimodal_color_stats": 9,
+    "multimodal_progressive_stats": 9,
+    "multimodal_gif_frames": 9,
+    "multimodal_audio_g711": 9,
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —
@@ -230,12 +222,11 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "events_inter_arrival_stats", "events_rfm_segments",
     "events_time_to_convert", "j15_tiered_rate_join",
     "j16_nearest_event_join", "multimodal_audio_dedup",
-    "multimodal_audio_g711", "multimodal_audio_stats",
+    "multimodal_audio_stats",
     "multimodal_format_dispatch",
-    "multimodal_gif_frames", "multimodal_gif_stats",
+    "multimodal_gif_stats",
     "multimodal_image_resize",
-    "multimodal_color_stats", "multimodal_jpeg_stats",
-    "multimodal_progressive_stats",
+    "multimodal_jpeg_stats",
     "multimodal_video_frames",
     "pipeline_contrastive_triplets", "pipeline_curation_v2",
     "pipeline_curriculum_bins", "pipeline_leakage_safe_split",
@@ -254,6 +245,13 @@ _DRIVER_SAMPLED: frozenset[str] = frozenset({
     "tpch_q17_small_quantity_revenue", "tpch_q21_suppliers_kept_waiting",
     "tpch_q22_dormant_rich_customers", "tpch_q2_min_cost_supplier",
     "tpch_q8_national_market_share", "tpch_q9_product_type_profit",
+    # CORRECTNESS_r09: all 50 sampled hash-green — the 9 below were the
+    # whole r8 never-sampled backlog (now drained)
+    "ann_pca_compress", "j13_interval_overlap_sliced",
+    "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts", "tpch_q19_discounted_revenue",
+    "tpch_q20_dominant_part_suppliers",
 })
 
 
