@@ -1,11 +1,13 @@
 """GIF codec — pure stdlib (no PIL).
 
-Scope: 8-bit grayscale (256-entry gray global color table), GIF87a
-single image plus GIF89a ANIMATION (multi-frame with Graphic Control
-Extensions: per-frame delays, transparency, disposal leave/restore-to-
-background, sub-rect compositing); no interlace, no local color
-tables, disposal 3 raises — the lossless LZW tier of the
-multimodal decode surface next to PNG/WAV/JPEG (`llmdata/multimodal.py`,
+Scope: 8-bit indexed (256-entry color tables, luminance taken from the
+red channel), GIF87a single image plus GIF89a ANIMATION (multi-frame
+with Graphic Control Extensions: per-frame delays, transparency,
+disposal 0/1 leave-in-place, 2 restore-to-background, 3
+restore-to-previous, sub-rect compositing), INTERLACED row order
+(four-pass 8/8/4/2 scatter), and LOCAL color tables overriding the
+global one per image — the lossless LZW tier of the multimodal decode
+surface next to PNG/WAV/JPEG (`llmdata/multimodal.py`,
 `llmdata/jpeg.py`). GIF's LZW variant per the GIF87a specification:
 
 - codes packed LSB-first into 255-byte-max data sub-blocks;
@@ -105,20 +107,55 @@ def _sub_blocks(data: bytes) -> bytearray:
     return out
 
 
-def encode_gif(img) -> bytes:
-    """Encode an 8-bit grayscale image as single-frame GIF87a
-    (lossless)."""
+def interlace_order(h: int) -> list[int]:
+    """Destination row index per TRANSMITTED row of an interlaced image:
+    the GIF87a four-pass schedule (every 8th row from 0, every 8th from
+    4, every 4th from 2, every 2nd from 1). Shared by the encoder (which
+    writes rows in this order) and the decoders (which scatter them
+    back)."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif(
+    img,
+    interlace: bool = False,
+    local_palette: list[int] | None = None,
+) -> bytes:
+    """Encode a single-frame GIF87a (lossless). Without
+    ``local_palette``, ``img`` holds 8-bit GRAY VALUES stored through
+    the identity gray global color table. With ``local_palette`` (256
+    luminance entries), ``img`` holds COLOR-TABLE INDICES, the screen
+    descriptor carries NO global table, and the image block emits the
+    palette as a LOCAL color table (entry i = (p[i], p[i], p[i])) — the
+    decoded luminance is ``local_palette[img]``. ``interlace=True``
+    transmits rows in the four-pass interlaced order and sets the
+    interlace flag."""
     import numpy as np
 
     a = np.asarray(img, dtype=np.uint8)
     h, w = a.shape
-    data = _lzw_encode(a.reshape(-1).tolist())
+    rows = a[interlace_order(h)] if interlace else a
+    data = _lzw_encode(rows.reshape(-1).tolist())
 
     out = bytearray(b"GIF87a")
-    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # screen descriptor
-    for i in range(256):  # gray global color table
-        out += bytes((i, i, i))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    if local_palette is None:
+        out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global table
+        for i in range(256):  # gray global color table
+            out += bytes((i, i, i))
+    else:
+        if len(local_palette) != 256:
+            raise ValueError("local_palette must have 256 entries")
+        out += struct.pack("<HHBBB", w, h, 0x07, 0, 0)  # no global table
+    ipacked = (0x40 if interlace else 0) | (
+        0x87 if local_palette is not None else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local_palette is not None:
+        for p in local_palette:
+            out += bytes((p, p, p))
     out.append(_MIN_CODE)
     out += _sub_blocks(data)
     out += b"\x3b"  # trailer
@@ -180,57 +217,107 @@ def _lzw_decode(data: bytes, min_code: int) -> bytearray:
     return out
 
 
+def _u8(raw: bytes, pos: int) -> int:
+    """Bounds-checked byte read: a truncated stream is the codec's
+    ValueError contract, not a bare IndexError (ADVICE r9)."""
+    if pos >= len(raw):
+        raise ValueError("GIF stream truncated")
+    return raw[pos]
+
+
+def _skip_sub_blocks(raw: bytes, pos: int) -> int:
+    """Skip a sub-block chain, returning the position after its
+    terminator. Bounds-checked."""
+    while _u8(raw, pos) != 0:
+        pos += 1 + raw[pos]
+    return pos + 1
+
+
+def _read_sub_blocks(raw: bytes, pos: int) -> tuple[bytearray, int]:
+    """Concatenate a sub-block chain's payload bytes; bounds-checked so
+    truncation raises ValueError rather than IndexError."""
+    data = bytearray()
+    while _u8(raw, pos) != 0:
+        ln = raw[pos]
+        if pos + 1 + ln > len(raw):
+            raise ValueError("GIF stream truncated")
+        data += raw[pos + 1 : pos + 1 + ln]
+        pos += 1 + ln
+    return data, pos + 1
+
+
+def _read_image_block(raw: bytes, pos: int, global_palette):
+    """Parse one image block starting at its 0x2C introducer: descriptor,
+    optional LOCAL color table (overrides the global one for this image),
+    LZW pixel data, interlace scatter. Returns
+    ``(left, top, idx, palette, pos_after)`` where ``idx`` is the (h, w)
+    uint8 index array and ``palette`` the luminance table (red channel)
+    in effect for this image."""
+    import numpy as np
+
+    if pos + 10 > len(raw):
+        raise ValueError("GIF stream truncated")
+    left, top, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
+    pos += 10
+    palette = global_palette
+    if ipacked & 0x80:  # local color table
+        size = 2 << (ipacked & 0x07)
+        if pos + 3 * size > len(raw):
+            raise ValueError("GIF stream truncated")
+        palette = [raw[pos + 3 * i] for i in range(size)]  # red channel
+        pos += 3 * size
+    if palette is None:
+        raise ValueError("GIF image has neither global nor local color table")
+    min_code = _u8(raw, pos)
+    pos += 1
+    data, pos = _read_sub_blocks(raw, pos)
+    out = _lzw_decode(bytes(data), min_code)
+    if len(out) != w * h:
+        raise ValueError("GIF pixel count mismatch")
+    idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+    if ipacked & 0x40:  # interlaced: scatter transmitted rows back
+        de = np.empty_like(idx)
+        de[interlace_order(h)] = idx
+        idx = de
+    return left, top, idx, palette, pos
+
+
 def decode_gif(raw: bytes):
-    """Decode a single-frame grayscale GIF87a/89a to an (h, w) uint8
-    array. The color table maps through to luminance via its red
-    channel (our encoder writes gray i,i,i); extensions are skipped;
-    interlace and local color tables raise."""
+    """Decode a single-frame GIF87a/89a to an (h, w) uint8 luminance
+    array. The color table in effect (LOCAL if the image carries one,
+    else global) maps through to luminance via its red channel (our
+    encoders write gray p,p,p); extensions are skipped; interlaced row
+    order is scattered back."""
     import numpy as np
 
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(raw) < 13:
+        raise ValueError("GIF stream truncated")
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
     pos = 13
     palette = None
     if packed & 0x80:
         size = 2 << (packed & 0x07)
+        if pos + 3 * size > len(raw):
+            raise ValueError("GIF stream truncated")
         palette = [raw[pos + 3 * i] for i in range(size)]  # red channel
         pos += 3 * size
-    while pos < len(raw):
-        b = raw[pos]
+    while True:
+        b = _u8(raw, pos)
         if b == 0x21:  # extension: label + sub-blocks
-            pos += 2
-            while raw[pos] != 0:
-                pos += 1 + raw[pos]
-            pos += 1
+            pos = _skip_sub_blocks(raw, pos + 2)
         elif b == 0x2C:
             break
         elif b == 0x3B:
             raise ValueError("GIF contains no image")
         else:
             raise ValueError(f"unexpected GIF block {b:#x}")
-    _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
-    pos += 10
-    if ipacked & 0x40:
-        raise ValueError("interlaced GIF unsupported")
-    if ipacked & 0x80:
-        raise ValueError("local color tables unsupported")
-    if palette is None:
-        raise ValueError("GIF missing global color table")
-    min_code = raw[pos]
-    pos += 1
-    data = bytearray()
-    while raw[pos] != 0:
-        ln = raw[pos]
-        data += raw[pos + 1 : pos + 1 + ln]
-        pos += 1 + ln
-
-    out = _lzw_decode(data, min_code)
-    if len(out) != w * h:
-        raise ValueError("GIF pixel count mismatch")
+    _l, _t, idx, palette, _pos = _read_image_block(raw, pos, palette)
     lum = np.array(palette, dtype=np.uint8)
-    idx = np.frombuffer(bytes(out), dtype=np.uint8)
-    return lum[idx].reshape(h, w)
+    if int(idx.max(initial=0)) >= len(lum):
+        raise ValueError("GIF pixel index outside color table")
+    return lum[idx]
 
 
 def encode_gif_frames(
@@ -253,6 +340,12 @@ def encode_gif_frames(
 
     fr = [np.asarray(f, dtype=np.uint8) for f in frames]
     offsets = offsets or [(0, 0)] * len(fr)
+    if len(delays_cs) != len(fr) or len(offsets) != len(fr):
+        # zip() would silently DROP frames on a mismatched call
+        raise ValueError(
+            f"encode_gif_frames: {len(fr)} frames but "
+            f"{len(delays_cs)} delays / {len(offsets)} offsets"
+        )
     if canvas is None:
         ch = max(t + f.shape[0] for f, (t, _) in zip(fr, offsets))
         cw = max(le + f.shape[1] for f, (_, le) in zip(fr, offsets))
@@ -279,83 +372,80 @@ def encode_gif_frames(
 
 
 def decode_gif_frames(raw: bytes):
-    """Decode an animated grayscale GIF89a (or a single-frame 87a) to
-    ``(delays_cs, frames)`` — one FULL-CANVAS composited snapshot per
-    image block. GCE semantics honored: per-frame delay, transparency
-    (transparent pixels keep the prior composite), disposal 1/0 = leave
-    in place, disposal 2 = restore to the background color before the
-    NEXT frame; disposal 3 (restore-to-previous) raises. Interlace and
-    local color tables raise, as in :func:`decode_gif`."""
+    """Decode an animated GIF89a (or a single-frame 87a) to
+    ``(delays_cs, frames)`` — one FULL-CANVAS composited LUMINANCE
+    snapshot per image block. GCE semantics honored: per-frame delay,
+    transparency (transparent pixels keep the prior composite),
+    disposal 1/0 = leave in place, disposal 2 = restore the sub-rect to
+    the background color before the NEXT frame, disposal 3 = restore
+    the whole canvas to its pre-frame state. Interlaced images are
+    scattered back and LOCAL color tables override the global one, as
+    in :func:`decode_gif`. The canvas composites in LUMINANCE space
+    (each image's indices map through ITS palette at draw time), so
+    frames with different local palettes composite correctly."""
     import numpy as np
 
     if raw[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(raw) < 13:
+        raise ValueError("GIF stream truncated")
     sw, sh, packed, bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
     pos = 13
     palette = None
+    bg_lum = 0
     if packed & 0x80:
         size = 2 << (packed & 0x07)
+        if pos + 3 * size > len(raw):
+            raise ValueError("GIF stream truncated")
         palette = [raw[pos + 3 * i] for i in range(size)]  # red channel
         pos += 3 * size
-    if palette is None:
-        raise ValueError("GIF missing global color table")
-    canvas = np.full((sh, sw), bg, dtype=np.uint16)  # color INDICES
+        if bg >= size:
+            raise ValueError("GIF background index outside color table")
+        bg_lum = palette[bg]
+    canvas = np.full((sh, sw), bg_lum, dtype=np.uint8)  # LUMINANCE
     frames: list["np.ndarray"] = []
     delays: list[int] = []
-    lum = np.array(palette, dtype=np.uint8)
     # pending GCE state for the next image block
     delay = 0
     transparent: int | None = None
     disposal = 0
-    while pos < len(raw):
-        b = raw[pos]
+    while True:
+        b = _u8(raw, pos)
         if b == 0x21:  # extension
-            label = raw[pos + 1]
+            label = _u8(raw, pos + 1)
             pos += 2
             if label == 0xF9:  # Graphic Control Extension
+                if pos + 5 > len(raw):
+                    raise ValueError("GIF stream truncated")
                 blen = raw[pos]
                 flags = raw[pos + 1]
                 delay = raw[pos + 2] | (raw[pos + 3] << 8)
                 transparent = raw[pos + 4] if flags & 0x01 else None
                 disposal = (flags >> 2) & 0x07
-                if disposal == 3:
-                    raise ValueError(
-                        "GIF disposal 3 (restore-to-previous) unsupported"
-                    )
                 pos += 1 + blen
-            while raw[pos] != 0:  # skip (remaining) sub-blocks
-                pos += 1 + raw[pos]
-            pos += 1
+            pos = _skip_sub_blocks(raw, pos)
         elif b == 0x2C:  # image descriptor
-            left, top, w, h, ipacked = struct.unpack_from(
-                "<HHHHB", raw, pos + 1
-            )
-            pos += 10
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF unsupported")
-            if ipacked & 0x80:
-                raise ValueError("local color tables unsupported")
-            min_code = raw[pos]
-            pos += 1
-            data = bytearray()
-            while raw[pos] != 0:
-                ln = raw[pos]
-                data += raw[pos + 1 : pos + 1 + ln]
-                pos += 1 + ln
-            pos += 1
-            out = _lzw_decode(data, min_code)
-            if len(out) != w * h:
-                raise ValueError("GIF pixel count mismatch")
-            idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
+            left, top, idx, pal, pos = _read_image_block(raw, pos, palette)
+            h, w = idx.shape
+            if top + h > sh or left + w > sw:
+                raise ValueError("GIF image rect outside logical screen")
+            lum = np.array(pal, dtype=np.uint8)
+            if int(idx.max(initial=0)) >= len(lum):
+                raise ValueError("GIF pixel index outside color table")
+            saved = canvas.copy() if disposal == 3 else None
             region = canvas[top : top + h, left : left + w]
+            vals = lum[idx]
             if transparent is not None:
-                region[idx != transparent] = idx[idx != transparent]
+                mask = idx != transparent
+                region[mask] = vals[mask]
             else:
-                region[:, :] = idx
-            frames.append(lum[canvas.astype(np.intp)].copy())
+                region[:, :] = vals
+            frames.append(canvas.copy())
             delays.append(delay)
-            if disposal == 2:  # restore to background before next frame
-                canvas[top : top + h, left : left + w] = bg
+            if disposal == 2:  # restore sub-rect to background
+                canvas[top : top + h, left : left + w] = bg_lum
+            elif disposal == 3:  # restore whole canvas to pre-frame state
+                canvas = saved
             delay, transparent, disposal = 0, None, 0
         elif b == 0x3B:
             break

@@ -3,16 +3,21 @@ columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
 Decode support comes in two tiers. PNG, WAV (PCM16 + G.711
-mu-law/A-law), GIF (87a + animated 89a), JPEG (baseline grayscale and
+mu-law/A-law), GIF (87a + animated 89a incl. interlace, local color
+tables, and disposal 0-3), uncompressed BMP (8-bit palettized +
+24-bit BGR, both row orders), JPEG (baseline grayscale and
 color, progressive, restart intervals), and MJPEG-in-AVI video decode
 is REAL and pure stdlib/numpy (zlib inflate + scanline unfilter;
-RIFF/PCM16/G.711 parse; GIF-LZW + GCE compositing; canonical-Huffman +
+RIFF/PCM16/G.711 parse; GIF-LZW + GCE compositing + deinterlace;
+BITMAPINFOHEADER walk; canonical-Huffman +
 IDCT incl. progressive scan reassembly; RIFF AVI demux — see
 ``decode_png`` / ``decode_wav`` here and ``llmdata/jpeg.py`` /
-``llmdata/gif.py``), with matching encoders/muxers so the registered
+``llmdata/gif.py`` / ``llmdata/bmp.py``), with matching encoders/muxers
+so the registered
 queries build spec-valid payloads and hash-check the decoded
 statistics against arithmetic oracles. Codecs that genuinely need an
-external library (BMP/TIFF, arithmetic-coded JPEG, ADPCM,
+external library (RLE-compressed BMP, compressed TIFF,
+arithmetic-coded JPEG, ADPCM,
 H.264/MP4-class video) remain STUBBED: ``decode_image`` raises NotImplementedError for unrecognized
 magic unless ``fake=True``, in which case a deterministic fake decoder
 derives metadata from the raw bytes. The Spark-side plumbing — schema,
@@ -102,13 +107,25 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
             "width": int(frames[0].shape[1]),
             "height": int(frames[0].shape[0]),
         }
+    if raw[:2] == b"BM":
+        from n2khab_mhq_data_spark.llmdata.bmp import decode_bmp
+
+        img = decode_bmp(raw)
+        return {
+            "format": "bmp",
+            "n_frames": 1,
+            "first_byte": raw[0],
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+        }
     raise NotImplementedError(
         "codec not decodable with stdlib (video beyond MJPEG-AVI,"
-        " BMP/TIFF, and arithmetic-coded JPEG need libraries absent"
-        " from this container); PNG, WAV (PCM16 + G.711), GIF"
-        " (incl. animated 89a), JPEG (baseline gray/color +"
-        " progressive) and MJPEG-AVI decode for real, or pass"
-        " fake=True for the deterministic test decoder"
+        " RLE-compressed BMP, compressed TIFF, ADPCM, and"
+        " arithmetic-coded JPEG need libraries absent from this"
+        " container); PNG, WAV (PCM16 + G.711), GIF (incl. animated"
+        " 89a, interlace, local color tables), uncompressed BMP, JPEG"
+        " (baseline gray/color + progressive) and MJPEG-AVI decode for"
+        " real, or pass fake=True for the deterministic test decoder"
     )
 
 
@@ -1450,4 +1467,178 @@ def format_dispatch(binary_df: DataFrame) -> DataFrame:
 
     return binary_df.mapInPandas(
         op, "doc_id long, format string, n_frames long, first_byte int"
+    )
+
+
+def gif_interlace_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL interlaced GIF payloads with LOCAL color tables
+    (llmdata/gif.py): per document one single-frame GIF of
+    (5 + id%8) x (7 + id%9) pixels whose stored INDICES are
+    idx(i, j) = (id*23 + 11i + 5j) mod 256, written through a permuted
+    local palette p[k] = (181k + id) mod 256 in INTERLACED row order —
+    so the decoded luminance (181*idx + id) mod 256 is SQL-derivable
+    while the four-pass deinterlace scatter and the local-table
+    override both run for real. 181 is odd, so p is a permutation and
+    a skipped palette lookup (or a wrong row scatter, via the
+    position-weighted checksum) breaks the hash."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import encode_gif
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                h, w = 5 + did % 8, 7 + did % 9
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                idx = ((did * 23 + 11 * i + 5 * j) % 256).astype(np.uint8)
+                pal = [(181 * k + did) % 256 for k in range(256)]
+                payloads.append(
+                    encode_gif(idx, interlace=True, local_palette=pal)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} {idt}, payload binary"
+    )
+
+
+def gif_interlace_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL interlaced-GIF decode feature extraction: width, height,
+    mean/max luminance, and the POSITION-WEIGHTED checksum
+    wsum = sum(v * (i*w + j + 1)) — mean and max are row-order
+    invariant, so wsum is what proves the deinterlace scatter put every
+    transmitted row back where it belongs."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import decode_gif
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, means, mxs, wsums = [], [], [], [], []
+            for raw in pdf["payload"]:
+                img = decode_gif(bytes(raw))
+                h, w = img.shape
+                v = img.astype(np.int64)
+                pos = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                ws.append(w)
+                hs.append(h)
+                means.append(round(float(v.mean()) + 1e-9, 3))
+                mxs.append(int(v.max()))
+                wsums.append(int((v * pos).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_v": pd.Series(means, dtype="float64"),
+                    "max_v": pd.Series(mxs, dtype="int32"),
+                    "wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, width int, height int, mean_v double, max_v int,"
+        " wsum long",
+    )
+
+
+def bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL uncompressed-BMP payloads (llmdata/bmp.py): per document TWO
+    files on a (3 + id%5) x (5 + id%6) grid — kind 'pal8' is an 8-bit
+    PALETTIZED bottom-up bitmap with indices
+    idx(i, j) = (id*19 + 7i + 3j) mod 256 through the permuted gray
+    table p[k] = (149k + id) mod 256, and kind 'bgr24' is a 24-bit BGR
+    TOP-DOWN (negative biHeight) bitmap with channels
+    r = (id*3 + 7i + j) mod 256, g = (id*5 + 2i + 3j) mod 256,
+    b = (id*11 + i + 9j) mod 256 — so both pixel depths, both row
+    orders, the 4-byte row padding, and the color-table lookup are all
+    exercised with SQL-derivable luminance."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.bmp import encode_bmp
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                h, w = 3 + did % 5, 5 + did % 6
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                idx = ((did * 19 + 7 * i + 3 * j) % 256).astype(np.uint8)
+                pal = [(149 * k + did) % 256 for k in range(256)]
+                ids.append(did)
+                kinds.append("pal8")
+                payloads.append(encode_bmp(idx, palette=pal))
+                rgb = np.stack(
+                    [
+                        (did * 3 + 7 * i + j) % 256
+                        + np.zeros((h, w), dtype=np.int64),
+                        (did * 5 + 2 * i + 3 * j) % 256
+                        + np.zeros((h, w), dtype=np.int64),
+                        (did * 11 + i + 9 * j) % 256
+                        + np.zeros((h, w), dtype=np.int64),
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                ids.append(did)
+                kinds.append("bgr24")
+                payloads.append(encode_bmp(rgb, top_down=True))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} long, kind string, payload binary"
+    )
+
+
+def bmp_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL BMP decode feature extraction through the shared header
+    parse + BT.601 luminance: width, height, mean/max luminance, and
+    the position-weighted checksum wsum = sum(v * (i*w + j + 1)) that
+    catches a missed bottom-up flip (mean and max are row-order
+    invariant; wsum is not)."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.bmp import decode_bmp
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ws, hs, means, mxs, wsums = [], [], [], [], []
+            for raw in pdf["payload"]:
+                img = decode_bmp(bytes(raw))
+                h, w = img.shape
+                v = img.astype(np.int64)
+                pos = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+                ws.append(w)
+                hs.append(h)
+                means.append(round(float(v.mean()) + 1e-9, 3))
+                mxs.append(int(v.max()))
+                wsums.append(int((v * pos).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": pdf["kind"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_lum": pd.Series(means, dtype="float64"),
+                    "max_lum": pd.Series(mxs, dtype="int32"),
+                    "wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, kind string, width int, height int,"
+        " mean_lum double, max_lum int, wsum long",
     )

@@ -19,16 +19,19 @@ from n2khab_mhq_data_spark.llmdata.multimodal import (
 
 
 def test_decode_stub_fails_loud_without_fake():
-    # unrecognized magic (here: BMP and TIFF headers, and a corrupt PNG
-    # prefix that fails the full 8-byte magic) must fail loud — the
-    # real-decode tier is PNG, WAV (PCM16/G.711), GIF (incl. 89a
-    # animation), JPEG (baseline gray/color + progressive), MJPEG-AVI
-    with pytest.raises(NotImplementedError, match="decodable with stdlib"):
-        decode_image(b"BM......")
+    # unrecognized magic (here: a TIFF header and a corrupt PNG prefix
+    # that fails the full 8-byte magic) must fail loud — the real-decode
+    # tier is PNG, WAV (PCM16/G.711), GIF (incl. 89a animation,
+    # interlace, local tables), uncompressed BMP, JPEG (baseline
+    # gray/color + progressive), MJPEG-AVI
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
         decode_image(b"II*\x00....")
     with pytest.raises(NotImplementedError, match="decodable with stdlib"):
         decode_image(b"\x89PNG....")
+    # BMP is REAL as of r10: its magic now routes to decode_bmp, whose
+    # malformed-input contract is ValueError, not the stub
+    with pytest.raises(ValueError, match="not a BMP payload"):
+        decode_image(b"BM......")
 
 
 def test_payload_bytes_drive_partition_sizing(spark, tmp_path):
@@ -827,3 +830,126 @@ def test_g711_known_codepoints_and_roundtrip():
         bad = bytearray(encode_wav_g711(codes, 8000, "mulaw"))
         bad[20] = 2
         decode_wav(bytes(bad))
+
+
+def test_gif_interlace_local_tables_disposal3():
+    """r10 GIF tier: four-pass interlace scatter, per-image LOCAL color
+    tables (permuted, no global table), disposal 3 restore-to-previous,
+    and the malformed-input ValueError contract (truncation, background
+    index outside the table, sub-rect outside the logical screen,
+    mismatched encode lengths)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_frames,
+        interlace_order,
+    )
+
+    rng = np.random.RandomState(10)
+    # interlace scatter: row permutation is a bijection at every height,
+    # including heights that leave later passes empty (h < 5, h < 3)
+    for h in (1, 2, 4, 5, 6, 8, 9, 13, 17):
+        assert sorted(interlace_order(h)) == list(range(h))
+        img = rng.randint(0, 256, (h, 7)).astype(np.uint8)
+        assert (decode_gif(encode_gif(img, interlace=True)) == img).all()
+    # local color table: stored indices map through the permuted table;
+    # the animation API composites through the same palette
+    pal = [(181 * k + 7) % 256 for k in range(256)]
+    idx = rng.randint(0, 256, (9, 11)).astype(np.uint8)
+    want = np.array(pal, dtype=np.uint8)[idx]
+    assert (decode_gif(encode_gif(idx, local_palette=pal)) == want).all()
+    raw = encode_gif(idx, interlace=True, local_palette=pal)
+    assert (decode_gif(raw) == want).all()
+    _, fr = decode_gif_frames(raw)
+    assert len(fr) == 1 and (fr[0] == want).all()
+
+    # disposal 3: frame 2's patch draws onto the RESTORED pre-frame-1
+    # canvas, not onto frame 1's patch
+    base = rng.randint(0, 256, (8, 16)).astype(np.uint8)
+    p1 = np.full((4, 6), 99, dtype=np.uint8)
+    p2 = np.full((4, 6), 50, dtype=np.uint8)
+    raw = bytearray(
+        encode_gif_frames(
+            [base, p1, p2], [1, 2, 3], canvas=(8, 16),
+            offsets=[(0, 0), (2, 4), (2, 4)],
+        )
+    )
+    gces = [
+        i for i in range(len(raw) - 2)
+        if raw[i] == 0x21 and raw[i + 1] == 0xF9
+    ]
+    raw[gces[1] + 3] = (raw[gces[1] + 3] & ~0x1C) | (3 << 2)
+    _, fr = decode_gif_frames(bytes(raw))
+    w1 = base.copy(); w1[2:6, 4:10] = 99
+    w2 = base.copy(); w2[2:6, 4:10] = 50  # NOT stacked on top of 99
+    assert (fr[1] == w1).all() and (fr[2] == w2).all()
+
+    # malformed inputs raise ValueError, never IndexError/broadcast
+    good = encode_gif(base)
+    for bad in (good[:20], good[:-5]):
+        with pytest.raises(ValueError):
+            decode_gif_frames(bad)
+    bb = bytearray(good)
+    bb[10] &= ~0x07  # shrink global table to 2 entries
+    bb[11] = 255     # background index now out of range
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(bb))
+    r = bytearray(encode_gif_frames([p1], [1], canvas=(4, 6)))
+    di = r.index(b"\x2c", 13 + 768)  # image descriptor, after palette
+    struct.pack_into("<HH", r, di + 1, 5, 3)  # rect now off-screen
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(r))
+    with pytest.raises(ValueError):
+        encode_gif_frames([base, p1], [1])  # mismatched delay count
+
+
+def test_bmp_roundtrip_and_guards():
+    """r10 BMP tier: 8-bit palettized and 24-bit BGR round-trips across
+    padding-relevant widths, bottom-up AND top-down row order (verified
+    against a position-weighted checksum, since mean/max cannot see a
+    missed flip), BT.601 integer luminance for color pixels, and the
+    malformed-input ValueError contract."""
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.bmp import decode_bmp, encode_bmp
+    from n2khab_mhq_data_spark.llmdata.multimodal import decode_image
+
+    rng = np.random.RandomState(11)
+    for w in (1, 2, 3, 4, 5, 6, 7, 8):  # every stride-padding residue
+        for td in (False, True):
+            g = rng.randint(0, 256, (5, w)).astype(np.uint8)
+            assert (decode_bmp(encode_bmp(g, top_down=td)) == g).all()
+            pal = [(149 * k + 3) % 256 for k in range(256)]
+            idx = rng.randint(0, 256, (5, w)).astype(np.uint8)
+            out = decode_bmp(encode_bmp(idx, palette=pal, top_down=td))
+            assert (out == np.array(pal, dtype=np.uint8)[idx]).all()
+    # color: BT.601 integer luminance, exact on the integer grid
+    rgb = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    r, g, b = (rgb[:, :, k].astype(np.int64) for k in range(3))
+    want = ((299 * r + 587 * g + 114 * b + 500) // 1000).astype(np.uint8)
+    assert (decode_bmp(encode_bmp(rgb)) == want).all()
+    assert (decode_bmp(encode_bmp(rgb, top_down=True)) == want).all()
+    # a bottom-up payload whose rows differ MUST decode differently when
+    # the height sign is flipped (guards against an ignored flip)
+    stripes = np.arange(4 * 20, dtype=np.uint8).reshape(4, 20) % 251
+    up = decode_bmp(encode_bmp(stripes))
+    assert (up == stripes).all() and not (up == up[::-1]).all()
+    # decode_image dispatch
+    m = decode_image(encode_bmp(stripes))
+    assert m["format"] == "bmp" and (m["width"], m["height"]) == (20, 4)
+    # malformed inputs
+    good = encode_bmp(stripes)
+    for bad in (b"XX" + good[2:], good[:30], good[:-7]):
+        with pytest.raises(ValueError):
+            decode_bmp(bad)
+    hacked = bytearray(good)
+    hacked[30] = 1  # biCompression = BI_RLE8
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(hacked))
