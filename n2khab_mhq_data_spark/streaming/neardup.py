@@ -139,6 +139,27 @@ def neardup_gate_stream(
         try:
             store = read_state(s, sig_path)
             if store is not None:
+                # signature-scheme version guard (ADVICE r9): the store
+                # persists minhash_combined rows, whose 'grams' column
+                # changed array<string> -> array<bigint> when
+                # verification moved to xxhash64(gram) longs. A store
+                # written under the old scheme would otherwise die at
+                # ANALYSIS time inside the unionByName/array_intersect
+                # below with an opaque type-mismatch — fail with a
+                # regenerate instruction instead. (Re-hashing in place
+                # is NOT possible: the old store holds gram strings,
+                # but signatures h0..hN were already min-folded, so the
+                # only consistent migration is re-signing the corpus.)
+                want = dict(bsig.dtypes).get("grams")
+                got = dict(store.dtypes).get("grams")
+                if got != want:
+                    raise ValueError(
+                        f"neardup gate signature store at {sig_path} was"
+                        f" written under an incompatible scheme (grams:"
+                        f" {got}, current: {want}) — delete the store and"
+                        " verdict state and re-run the stream from the"
+                        " source to regenerate signatures"
+                    )
                 # enforce the monotonic-id contract: the candidate prune
                 # below keys on "larger side is a batch doc", so a NEW batch
                 # id below the store's max would silently drop its pairs and

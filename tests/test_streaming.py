@@ -675,6 +675,56 @@ def test_neardup_gate_monotonic_id_breach_fails_loud(spark, tmp_path):
         run()
 
 
+def test_neardup_gate_rejects_old_scheme_signature_store(spark, tmp_path):
+    """A signature store written under the pre-r9 scheme (grams as
+    array<string> shingles, not xxhash64 longs) must fail at the gate
+    with a regenerate instruction, not die at analysis time inside
+    unionByName/array_intersect with an opaque type mismatch
+    (ADVICE r9)."""
+    import pytest
+
+    from n2khab_mhq_data_spark.streaming.neardup import neardup_gate_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id long, text string"
+    base = " ".join(f"w{i}" for i in range(40))
+    spark.createDataFrame([(10, base)], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = neardup_gate_stream(
+            spark, stream, str(tmp_path / "sigs"),
+            str(tmp_path / "verdicts"), "text", "doc_id",
+            str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    # seed the store path with a legitimate run, then rewrite its grams
+    # column to the OLD array<string> scheme in place
+    run()
+    from pyspark.sql import functions as F
+
+    old = spark.read.parquet(str(tmp_path / "sigs")).withColumn(
+        "grams", F.expr("transform(grams, g -> cast(g as string))")
+    )
+    old_pdf = old.toPandas()
+    import shutil
+
+    shutil.rmtree(tmp_path / "sigs")
+    spark.createDataFrame(old_pdf, old.schema).write.parquet(
+        str(tmp_path / "sigs")
+    )
+    shutil.rmtree(tmp_path / "ckpt")  # force reprocessing of the source
+    spark.createDataFrame(
+        [(20, " ".join(f"v{i}" for i in range(40)))], schema
+    ).write.mode("append").parquet(str(src))
+    with pytest.raises(Exception, match="incompatible scheme"):
+        run()
+
+
 def test_neardup_gate_stream_replay_idempotent(spark, tmp_path):
     """Replaying micro-batches (checkpoint wiped, full backlog
     re-processed) must converge to the SAME verdict table and signature
