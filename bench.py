@@ -4,9 +4,25 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Per query: one warm-up-free timed execution measured as full plan execution
-(collect to count via ``df.count()`` on a cached-nothing plan). A global
-warm-up query runs first so JVM/codegen startup isn't billed to q1.
+Per query: ONE untimed warm-up run (plan + codegen + IO cache), then the
+MEDIAN of $SPARK_GRAFT_BENCH_RUNS timed runs (default 3) of full plan
+execution (``df.count()`` on a cached-nothing plan), with GC + cleaner
+settle quarantined outside the timed region. A global warm-up runs first
+so JVM startup isn't billed to q1, and shared build-step memos are
+prebuilt and timed as their own line items.
+
+Drift observability (r10): ambient host drift on this box moves ALL
+back-to-back samples of a query together (observed ±40% on identical
+code across a round), so medians alone can't exonerate a riser. The
+run therefore re-times a fixed calibration probe every
+``_CAL_INTERVAL`` queries and emits the TIMELINE: ``calibration_sec``
+(median of all probes), ``calibration_timeline``, and ``drift_ratio``
+(max/min probe). Every query's raw samples land in the
+``BENCH_SAMPLES*.json`` sidecar keyed with its calibration segment, so
+a cross-round delta can be normalized — or dismissed as drift — from
+the artifacts alone, without a forensic re-run. (For adjudicating a
+specific rewrite, ``tools/ab_same_jvm.py``'s same-JVM alternation is
+still the stronger instrument.)
 """
 
 from __future__ import annotations
@@ -99,23 +115,28 @@ def main() -> None:
     # (N=3 by default; SPARK_GRAFT_BENCH_RUNS=1 for a quick pass)
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
-    # Fixed calibration probe: median of 3 runs of a canonical scan+agg.
-    # Absolute per-query numbers on this box drift round-to-round with
-    # host/VM noise (observed ~±40% on identical code); dividing by the
-    # calibration median lets cross-round comparisons separate engine
-    # regressions from ambient drift.
+    # Fixed calibration probe: median of 3 runs of a canonical scan+agg,
+    # re-timed every _CAL_INTERVAL queries (see module docstring). A
+    # single start-of-run probe cannot key minutes-scale drift — r9's
+    # driver bench had a FASTER calibration than the cleanest builder
+    # run yet a 44% slower total, because the host degraded after the
+    # probe fired.
     cal_df = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .groupBy("l_returnflag")
         .count()
     )
     cal_df.count()
-    cal_samples = []
-    for _ in range(3):
-        t0 = time.time()
-        cal_df.count()
-        cal_samples.append(time.time() - t0)
-    calibration = round(sorted(cal_samples)[1], 4)
+
+    def cal_probe() -> float:
+        cs = []
+        for _ in range(3):
+            t0 = time.time()
+            cal_df.count()
+            cs.append(time.time() - t0)
+        return round(sorted(cs)[1], 4)
+
+    cal_timeline = [cal_probe()]
 
     # Pre-build the shared build-step memos (near-dup pair table, BPE
     # merge table, IVF centroids) ONCE, timed as declared build steps.
@@ -125,9 +146,13 @@ def main() -> None:
     # into whichever consumer's untimed warm-up ran first (ADVICE r4).
     build_steps = _prebuild_memos(spark, sf_dir)
 
+    _CAL_INTERVAL = 25
     timings: dict[str, float] = {}
+    samples_out: dict[str, dict] = {}
     total = 0.0
-    for name, fn in qs.items():
+    for qi, (name, fn) in enumerate(qs.items()):
+        if qi and qi % _CAL_INTERVAL == 0:
+            cal_timeline.append(cal_probe())
         # collect garbage OUTSIDE the timed region: ~100 queries accumulate
         # broadcasts/shuffle state in the driver JVM, and letting a full GC
         # land inside a timed run shows up as a multi-second spike on
@@ -153,6 +178,10 @@ def main() -> None:
             samples.append(time.time() - t0)
         dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 3)
+        samples_out[name] = {
+            "runs": [round(t, 3) for t in samples],
+            "cal_segment": len(cal_timeline) - 1,
+        }
         total += dt
         print(f"# {name}: {n} rows, median {dt:.2f}s of {samples}", file=sys.stderr)
 
@@ -209,6 +238,26 @@ def main() -> None:
     )
     with open(queries_file, "w") as fh:
         json.dump(timings, fh, indent=1, sort_keys=True)
+    # closing probe + full raw-samples sidecar: a cross-round riser is
+    # adjudicated by comparing its runs against its segment's probe,
+    # no forensic re-run needed
+    cal_timeline.append(cal_probe())
+    cal_med = sorted(cal_timeline)[len(cal_timeline) // 2]
+    drift_ratio = round(max(cal_timeline) / min(cal_timeline), 3)
+    samples_file = str(
+        Path(__file__).resolve().parent / f"BENCH_SAMPLES{suffix}.json"
+    )
+    with open(samples_file, "w") as fh:
+        json.dump(
+            {
+                "calibration_timeline": cal_timeline,
+                "cal_interval": _CAL_INTERVAL,
+                "samples": samples_out,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
@@ -217,12 +266,15 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "n_queries": len(timings),
-        "calibration_sec": calibration,
+        "calibration_sec": cal_med,
+        "calibration_timeline": cal_timeline,
+        "drift_ratio": drift_ratio,
         # shared-intermediate build steps, timed separately so no
         # query's number hides (or pays) them — see _prebuild_memos
         "build_seconds": build_steps,
         "queries": slowest,
         "queries_file": queries_file,
+        "samples_file": samples_file,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if sf1 is not None:

@@ -3943,3 +3943,310 @@ def tpch_q19_discounted_revenue(
         .alias("revenue"),
         F.count("*").cast("long").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS-style derived suite (r9 VERDICT stretch item 10). TPC-H is 22/22;
+# these add the optimizer stressors that suite lacks on this schema —
+# multi-channel union + ROLLUP margins, INTERSECT-heavy plans, windows
+# OVER grouping-set output, and a full-outer channel overlap matrix.
+# The testdata schema has no shipmode/channel column, so the channel tag
+# is derived deterministically from l_linenumber mod 3 ('store'/'web'/
+# 'catalog') — the plan shapes are the point, not retail semantics.
+# Money stays on the integer cents x basis-points grid (module note).
+# ---------------------------------------------------------------------------
+
+_CHANNEL = (
+    "CASE l_linenumber % 3 WHEN 0 THEN 'store' WHEN 1 THEN 'web'"
+    " ELSE 'catalog' END"
+)
+
+
+@query(
+    "tpcds_channel_sales_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT n_name, {_CHANNEL} AS channel,
+             {_CENTS} * (100 - {_DISC}) AS rev_i,
+             CASE WHEN l_returnflag = 'R'
+                  THEN {_CENTS} * (100 - {_DISC}) ELSE 0 END AS ret_i
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT coalesce(n_name, 'ALL') AS nation,
+           coalesce(channel, 'ALL') AS channel,
+           round(CAST(sum(rev_i) AS BIGINT) / 10000.0 + 1e-9, 2)
+             AS net_sales,
+           round(CAST(sum(ret_i) AS BIGINT) / 10000.0 + 1e-9, 2)
+             AS returns_value,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM base GROUP BY ROLLUP(n_name, channel)
+    """,
+)
+def tpcds_channel_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q5-shape: per-channel sales and returns rolled up over
+    (nation, channel) in ONE aggregation pass — the Expand operator
+    replicates each row per grouping level map-side, so the rollup
+    costs one shuffle, not three scans. Dimensions (customer, nation)
+    broadcast; the fact scan prunes to the revenue columns. Rollup
+    NULLs are disambiguated with 'ALL' labels (real nations/channels
+    never collide with the label)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = cents * (100 - disc)
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            F.expr(_CHANNEL).alias("channel"),
+            rev.alias("rev_i"),
+            F.when(F.col("l_returnflag") == "R", rev)
+            .otherwise(F.lit(0).cast("long"))
+            .alias("ret_i"),
+        )
+    )
+    return base.rollup("n_name", "channel").agg(
+        F.round(F.sum("rev_i").cast("long") / 10000.0 + F.lit(1e-9), 2)
+        .alias("net_sales"),
+        F.round(F.sum("ret_i").cast("long") / 10000.0 + F.lit(1e-9), 2)
+        .alias("returns_value"),
+        F.count("*").cast("long").alias("n_lines"),
+    ).select(
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        F.coalesce("channel", F.lit("ALL")).alias("channel"),
+        "net_sales",
+        "returns_value",
+        "n_lines",
+    )
+
+
+@query(
+    "tpcds_cross_channel_intersect",
+    oracle="""
+    WITH loyal AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    )
+    SELECT n_name AS nation, CAST(count(*) AS BIGINT) AS n_loyal,
+           round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                      AS BIGINT) / (count(*) * 100.0) + 1e-9, 2)
+             AS avg_acctbal
+    FROM loyal
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def tpcds_cross_channel_intersect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q38/Q87-shape: customers present in ALL THREE activity
+    sets (ordered in 1996, ordered in 1997, ever placed an urgent/high
+    order) via chained INTERSECT — the intersect-heavy plan the TPC-H
+    suite never produces (Spark compiles each INTERSECT to a left-semi
+    aggregate join; the distincts are map-side partial). The surviving
+    key set is small, so the customer/nation decode broadcasts."""
+    o = load(spark, sf_dir, "orders")
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    y97 = (
+        o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    )
+    pri = (
+        o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_custkey")
+        .distinct()
+    )
+    loyal = y96.intersect(y97).intersect(pri)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    bal_i = F.round(F.col("c_acctbal") * 100).cast("long")
+    return (
+        loyal.join(c, loyal.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n_loyal"),
+            F.round(
+                F.sum(bal_i).cast("long") / (F.count("*") * 100.0)
+                + F.lit(1e-9),
+                2,
+            ).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "tpcds_margin_rank_in_rollup",
+    oracle=f"""
+    WITH base AS (
+      SELECT r_name, n_name,
+             {_CENTS} * 100 AS base_i,
+             {_CENTS} * (100 - {_DISC}) AS disc_i
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    ), ro AS (
+      SELECT r_name, n_name,
+             CAST(sum(disc_i) AS BIGINT) AS d_i,
+             CAST(sum(base_i) AS BIGINT) AS b_i
+      FROM base GROUP BY ROLLUP(r_name, n_name)
+    )
+    SELECT coalesce(r_name, 'ALL') AS region,
+           coalesce(n_name, 'ALL') AS nation,
+           CASE WHEN r_name IS NULL THEN 2
+                WHEN n_name IS NULL THEN 1 ELSE 0 END AS lvl,
+           round(CAST(d_i AS DOUBLE) / b_i + 1e-9, 6) AS margin,
+           CAST(rank() OVER (
+             PARTITION BY (CASE WHEN r_name IS NULL THEN 2
+                                WHEN n_name IS NULL THEN 1 ELSE 0 END)
+             ORDER BY CAST(d_i AS DOUBLE) / b_i DESC,
+                      coalesce(r_name, 'ALL'), coalesce(n_name, 'ALL')
+           ) AS INTEGER) AS rnk
+    FROM ro
+    """,
+)
+def tpcds_margin_rank_in_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q36-shape: discount-retention margin per (region, nation)
+    ROLLUP level, then RANK() windows OVER the grouping-set output
+    partitioned by grouping level — a window whose input is an Expand
+    aggregate, the shape the suite lacked. The margin is a double
+    division of two exact BIGINTs, so both engines order identical IEEE
+    values; label keys tiebreak for determinism."""
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "r_name",
+            "n_name",
+            (cents * 100).alias("base_i"),
+            (cents * (100 - disc)).alias("disc_i"),
+        )
+    )
+    ro = base.rollup("r_name", "n_name").agg(
+        F.sum("disc_i").cast("long").alias("d_i"),
+        F.sum("base_i").cast("long").alias("b_i"),
+    )
+    lvl = (
+        F.when(F.col("r_name").isNull(), 2)
+        .when(F.col("n_name").isNull(), 1)
+        .otherwise(0)
+    )
+    ratio = F.col("d_i").cast("double") / F.col("b_i")
+    w = W.partitionBy("lvl").orderBy(
+        ratio.desc(), F.col("region"), F.col("nation")
+    )
+    return (
+        ro.select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            lvl.alias("lvl"),
+            "d_i",
+            "b_i",
+        )
+        .withColumn("margin", F.round(ratio + F.lit(1e-9), 6))
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .select("region", "nation", "lvl", "margin", "rnk")
+    )
+
+
+@query(
+    "tpcds_channel_overlap_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT DISTINCT o_custkey AS ck, strftime(o_orderdate, '%Y-%m') AS ym
+      FROM orders
+    ), b AS (
+      SELECT DISTINCT o_custkey AS ck, strftime(l_shipdate, '%Y-%m') AS ym
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+    )
+    SELECT coalesce(a.ym, b.ym) AS ym,
+           CAST(sum(CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS both_ch,
+           CAST(sum(CASE WHEN b.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS order_only,
+           CAST(sum(CASE WHEN a.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS return_only
+    FROM a FULL OUTER JOIN b ON a.ck = b.ck AND a.ym = b.ym
+    GROUP BY coalesce(a.ym, b.ym)
+    """,
+)
+def tpcds_channel_overlap_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q97-shape: the (customer, month) activity matrices of two
+    channels — placed an order vs had a returned shipment — FULL OUTER
+    joined and reduced to a per-month overlap triple (both / order-only
+    / return-only). Distinct-then-join keeps the outer join on
+    deduplicated keys (sort-merge, both sides shuffled once); the
+    conditional counts ride one aggregation."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).distinct()
+    b = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+        )
+        .distinct()
+    )
+    j = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.ck") == F.col("b.ck")) & (F.col("a.ym") == F.col("b.ym")),
+        "full_outer",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("a.ym"), F.col("b.ym")).alias("ym")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("a.ck").isNotNull() & F.col("b.ck").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_ch"),
+        F.sum(F.when(F.col("b.ck").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("order_only"),
+        F.sum(F.when(F.col("a.ck").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("return_only"),
+    )

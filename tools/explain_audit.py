@@ -92,6 +92,10 @@ EXPECTED: dict[str, set[str]] = {
     # full outer join of two large sides: broadcast cannot produce full
     # outer semantics, SortMergeJoin is the correct strategy at any scale
     "j4_full_outer": {"SMJ"},
+    # full outer of the two (customer, month) activity matrices — the
+    # j4_full_outer argument — plus the fact-to-fact lineitem x orders
+    # join feeding channel B: neither side is bounded at 100 TB
+    "tpcds_channel_overlap_matrix": {"SMJ"},
     # snapshot change feed: full outer join of two immutable version
     # scans' key+hash projections — neither side is bounded at 100 TB
     # and full outer cannot broadcast (the j4_full_outer argument)
