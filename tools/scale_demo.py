@@ -33,12 +33,16 @@ SF1 = "/root/repo/.scale/sf1.0/documents.parquet"
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 DST = f"/root/repo/.scale/docs_x{REPLICAS}/documents.parquet"
 SHIFT = 10_000_000_000  # above every sf1.0 doc_id (max ~9e8 + 60k)
-UI = "http://localhost:4040"
+UI = "http://localhost:4040"  # overwritten from sc.uiWebUrl in main()
 
 
 def _shuffle_totals() -> tuple[int, int]:
     """(shuffle_read_bytes, shuffle_write_bytes) summed over all stages
-    so far — diff two snapshots to attribute bytes to a phase."""
+    so far — diff two snapshots to attribute bytes to a phase. The UI
+    URL comes from THIS session's sc.uiWebUrl, not a hardcoded :4040 —
+    if another Spark process holds 4040, this session binds 4041+ and
+    a hardcoded URL would silently read the other process's stages
+    (r10 adversarial review)."""
     apps = json.load(
         urllib.request.urlopen(f"{UI}/api/v1/applications", timeout=10)
     )
@@ -98,9 +102,15 @@ def measure(name: str, fn) -> dict:
 
 
 def main() -> None:
+    global UI
     spark = get_spark(
         "scale_demo", extra_conf={"spark.ui.enabled": "true"}
     )
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        raise SystemExit("Spark UI did not come up; shuffle accounting"
+                         " needs it (spark.ui.enabled)")
+    UI = ui
     if not Path(DST).exists():
         t0 = time.time()
         make_tier(spark)
@@ -116,6 +126,7 @@ def main() -> None:
     from n2khab_mhq_data_spark.llmdata.dedup import (
         exact_dedup,
         minhash_dedup_pairs,
+        prefix_filter_pairs,
     )
 
     measure(
@@ -125,6 +136,12 @@ def main() -> None:
     measure(
         "minhash_lsh_verified_pairs",
         lambda: minhash_dedup_pairs(docs, "text", "doc_id").count(),
+    )
+    # r9 VERDICT item 7: the prefix-filter's rarest-first fan-out claim
+    # measured at the 1000x tier (exact set-similarity, no banding)
+    measure(
+        "prefix_filter_pairs",
+        lambda: prefix_filter_pairs(docs, "text", "doc_id").count(),
     )
 
 

@@ -89,6 +89,20 @@ def main() -> None:
 
     fps = fingerprints()
     if args.update:
+        # refuse to bake a broken build into the baseline: a
+        # BUILD_ERROR fingerprint would diff CLEAN next round (same
+        # error -> same string) and the broken query would silently
+        # drop out of the sweep forever (r10 adversarial review)
+        broken = sorted(
+            n for n, fp in fps.items() if str(fp).startswith("BUILD_ERROR")
+        )
+        if broken:
+            raise SystemExit(
+                f"--update refused: {len(broken)} queries fail to build"
+                f" ({', '.join(broken[:5])}{'...' if len(broken) > 5 else ''})"
+                " — fix them first, a BUILD_ERROR baseline would exempt"
+                " them from every future sweep"
+            )
         BASELINE.write_text(json.dumps(fps, indent=1, sort_keys=True) + "\n")
         print(f"baseline updated: {len(fps)} fingerprints -> {BASELINE}")
         return
