@@ -132,6 +132,17 @@ def prefix_filter_pairs(
     uncapped quadratic join, which is exactly what the registered oracle
     computes."""
     sh = shingle_table(df, text_col, id_col, k)
+    # grams ride as xxhash64 LONGS from here on (the r9 minhash trick,
+    # applied r10 after the x100-tier run spilled the gram-string
+    # shuffle past the disk): Jaccard needs only set membership, which
+    # is collision-exact at ~1e-15 per candidate pair (|A|x|B|/2^64),
+    # and 8 fixed bytes vs a ~25-35 byte 3-word shingle shrinks the
+    # df_ window shuffle, both prefix join legs, and the verification
+    # arrays ~4x. Seed -2 keeps this hash family disjoint from the
+    # minhash signature seeds (0..n-1) and its verification seed (-1).
+    # The rarest-first order's tie-break moves from gram string to gram
+    # hash — still a total order, so the prefix theorem holds.
+    sh = sh.select("doc", F.expr("xxhash64(gram, -2)").alias("gram"))
     # document frequency as a gram-partitioned window instead of a
     # groupBy+join: one shuffle on gram, no second scan of the shingle
     # table. The doc-grain window right after re-shuffles on doc and both
@@ -155,7 +166,18 @@ def prefix_filter_pairs(
     # (4 scans total with verification); persisting `ranked` was ALSO
     # measured and loses (4.3 s) — materializing the wide shingle
     # table costs more than the re-evaluations it saves.
-    a, b = pref.alias("a"), pref.alias("b")
+    #
+    # SHUFFLE_MERGE hints on every unbounded side (r10, caught by the
+    # 1000x-tier demo): the window/agg-derived pref and sets tables
+    # carry no stats, the static planner under-estimates them below
+    # autoBroadcastJoinThreshold, and at 10x sf1.0 (500k docs) the
+    # resulting driver-side HashedRelation build OOMs outright
+    # ("Not enough memory to build and broadcast the table"). These
+    # tables are DOC-GRAIN — unbounded at 100 TB by definition — so
+    # broadcasting them is wrong at any threshold; sort-merge shuffles
+    # and spills (the j4_full_outer argument). Same-JVM A/B cost at
+    # the bench tiers is recorded in SCALE.md round-10.
+    a, b = pref.hint("shuffle_merge").alias("a"), pref.alias("b")
     cand = (
         a.join(
             b,
@@ -183,14 +205,14 @@ def prefix_filter_pairs(
         F.count("*").cast("long").alias("n"),
     )
     ver = cand.join(
-        sets.select(
+        sets.hint("shuffle_merge").select(
             F.col("doc").alias("d1"),
             F.col("grams").alias("g1"),
             F.col("n").alias("n1"),
         ),
         "d1",
     ).join(
-        sets.select(
+        sets.hint("shuffle_merge").select(
             F.col("doc").alias("d2"),
             F.col("grams").alias("g2"),
             F.col("n").alias("n2"),
@@ -278,8 +300,15 @@ def minhash_lsh_candidates(
     hot = sized.filter(F.col("m") > hot_bucket_cap).select(
         "band", "bh", "doc"
     )
+    # SHUFFLE_MERGE: the hot rows are the >cap buckets — unbounded by
+    # construction (a stop bucket is hot precisely when it is huge), and
+    # the no-stats window subtree invites the planner to BROADCAST them,
+    # which OOMs the driver at the exact moment the hot route is needed
+    # (the prefix_filter 10x-tier incident class, r10 plan audit
+    # BCAST_DERIVED)
     hot_pairs = (
-        hot.alias("ha")
+        hot.hint("shuffle_merge")
+        .alias("ha")
         .join(
             hot.alias("hb"),
             (F.col("ha.band") == F.col("hb.band"))
@@ -338,8 +367,17 @@ def minhash_dedup_pairs(
     )
     cand = minhash_lsh_candidates(combined, num_hashes, bands)
 
-    g1 = combined.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
-    g2 = combined.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
+    # SHUFFLE_MERGE: the verification sets are DOC-GRAIN (unbounded at
+    # 100 TB; ~100 hashed grams per doc) behind a no-stats aggregation —
+    # the planner's size underestimate broadcasts them otherwise
+    # (r10 plan audit BCAST_DERIVED; prefix_filter's identical shape
+    # OOM'd live at the 10x tier)
+    g1 = combined.hint("shuffle_merge").select(
+        F.col("doc").alias("d1"), F.col("grams").alias("g1")
+    )
+    g2 = combined.hint("shuffle_merge").select(
+        F.col("doc").alias("d2"), F.col("grams").alias("g2")
+    )
     inter = F.size(F.array_intersect("g1", "g2"))
     union = F.size("g1") + F.size("g2") - inter
     jac = inter.cast("double") / union

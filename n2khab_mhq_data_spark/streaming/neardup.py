@@ -229,8 +229,19 @@ def neardup_gate_stream(
                     .distinct()
                 )
                 cand = bs.unionByName(bb).distinct()
-            g1 = pool.select(F.col("doc").alias("d1"), F.col("grams").alias("g1"))
-            g2 = pool.select(F.col("doc").alias("d2"), F.col("grams").alias("g2"))
+            # SHUFFLE_MERGE: the pool is store+batch signatures —
+            # doc-grain, growing without bound across triggers — and the
+            # no-stats union invites the planner to broadcast it into
+            # the verification joins (the prefix_filter 10x-tier OOM
+            # class, r10 plan audit BCAST_DERIVED). The qbk broadcast
+            # above is different: BATCH band buckets, bounded by the
+            # micro-batch, broadcast deliberately.
+            g1 = pool.hint("shuffle_merge").select(
+                F.col("doc").alias("d1"), F.col("grams").alias("g1")
+            )
+            g2 = pool.hint("shuffle_merge").select(
+                F.col("doc").alias("d2"), F.col("grams").alias("g2")
+            )
             inter = F.size(F.array_intersect("g1", "g2"))
             union = F.size("g1") + F.size("g2") - inter
             # a batch doc is a dup of any matched SMALLER doc id (store ids

@@ -11,6 +11,13 @@ Flags:
   NO_CODEGEN     zero WholeStageCodegen spans (whole plan interpreted)
   SMJ            SortMergeJoin present — not wrong, listed so each one is a
                  conscious choice (broadcast beats it when a side is small)
+  BCAST_DERIVED  BroadcastExchange whose subtree contains an aggregate /
+                 window / generate / join — a COMPUTED relation with no
+                 stats, which the planner size-underestimates. If it is
+                 data-grain (doc/pair/key tables) the broadcast OOMs the
+                 driver at scale (found live: prefix_filter's pref+sets
+                 broadcasts died at 10x sf1.0); bounded derived lookups
+                 (k centroids, quantile boundaries) get pinned instead.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
 """
@@ -77,7 +84,45 @@ def audit(plan: str) -> list[str]:
     n_smj = plan.count("SortMergeJoin")
     if n_smj:
         flags.append(f"SMJ(x{n_smj})")
+    n_bd = _broadcast_derived(plan)
+    if n_bd:
+        flags.append(f"BCAST_DERIVED(x{n_bd})")
     return flags
+
+
+_DERIVED = re.compile(
+    r"HashAggregate|SortAggregate|ObjectHashAggregate|Window|Generate"
+    r"|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|Expand"
+)
+
+
+def _broadcast_derived(plan: str) -> int:
+    """Count BroadcastExchange nodes whose SUBTREE (by tree indentation)
+    contains a computed relation — the no-stats size-underestimate
+    hazard class. Tree lines only (detail headers skipped); a subtree
+    ends at the first following line whose prefix is not deeper."""
+
+    def depth(line: str) -> int:
+        m = re.match(r"^([ :+\-*]*)", line)
+        return len(m.group(1))
+
+    lines = [
+        ln
+        for ln in plan.splitlines()
+        if ln.strip() and not re.match(r"\(\d+\) ", ln.strip())
+    ]
+    n = 0
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d = depth(ln)
+        for sub in lines[i + 1 :]:
+            if depth(sub) <= d:
+                break
+            if _DERIVED.search(sub):
+                n += 1
+                break
+    return n
 
 
 # Deliberate plan shapes — reviewed, with the reasoning recorded here.
