@@ -39,6 +39,19 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # AQE's runtime broadcast conversion keys on COMPRESSED shuffle
+        # bytes, but the driver builds the HashedRelation from
+        # DESERIALIZED rows (~20-30x blowup observed) — at the 64 MB
+        # static threshold a converted join can demand ~2 GB of driver
+        # heap per build and OOM ("Not enough memory to build and
+        # broadcast", seen live at the r10 x10 doc tier). 16 MB bounds
+        # a build at ~500 MB deserialized: safe on the default 8 GB
+        # driver while keeping every legitimately-small conversion
+        # (dims, centroid tables, quantile grids are all << 16 MB).
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(16 * 1024 * 1024),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -11,13 +11,21 @@ Flags:
   NO_CODEGEN     zero WholeStageCodegen spans (whole plan interpreted)
   SMJ            SortMergeJoin present — not wrong, listed so each one is a
                  conscious choice (broadcast beats it when a side is small)
-  BCAST_DERIVED  BroadcastExchange whose subtree contains an aggregate /
-                 window / generate / join — a COMPUTED relation with no
-                 stats, which the planner size-underestimates. If it is
-                 data-grain (doc/pair/key tables) the broadcast OOMs the
-                 driver at scale (found live: prefix_filter's pref+sets
-                 broadcasts died at 10x sf1.0); bounded derived lookups
-                 (k centroids, quantile boundaries) get pinned instead.
+  BCAST_DERIVED  BroadcastExchange whose subtree contains a Generate
+                 (explode) or a Python map stage — the two shapes whose
+                 static size estimate COLLAPSES independent of scale
+                 (Spark's non-CBO stats ignore Generate fan-out and
+                 shrink on narrow projections of wide text), so the
+                 planner still broadcasts them at 100 TB and the driver
+                 OOMs building the HashedRelation (found live:
+                 prefix_filter died at 10x sf1.0; lowering the AQE
+                 threshold did NOT save it — the broadcast is static).
+                 Plain aggregates/windows of scanned fact columns are
+                 NOT flagged: their estimates stay row-proportional, so
+                 at real scale the planner demotes them to SMJ on its
+                 own. Bounded derived lookups that legitimately ride a
+                 Generate (a k-row centroid table, a sampled eval set)
+                 get pinned with their boundedness argument.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
 """
@@ -91,16 +99,16 @@ def audit(plan: str) -> list[str]:
 
 
 _DERIVED = re.compile(
-    r"HashAggregate|SortAggregate|ObjectHashAggregate|Window|Generate"
-    r"|SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin|Expand"
+    r"Generate|MapInPandas|ArrowEvalPython|PythonMapInArrow|FlatMapGroups"
 )
 
 
 def _broadcast_derived(plan: str) -> int:
     """Count BroadcastExchange nodes whose SUBTREE (by tree indentation)
-    contains a computed relation — the no-stats size-underestimate
-    hazard class. Tree lines only (detail headers skipped); a subtree
-    ends at the first following line whose prefix is not deeper."""
+    contains an estimate-collapsing shape (Generate / Python map) — see
+    the BCAST_DERIVED doc above. Tree lines only (detail headers
+    skipped); a subtree ends at the first following line whose prefix
+    is not deeper."""
 
     def depth(line: str) -> int:
         m = re.match(r"^([ :+\-*]*)", line)
@@ -337,7 +345,75 @@ EXPECTED: dict[str, set[str]] = {
     # the 1-row water level broadcasts onto the per-source planning
     # table — the standard global-statistic attach (see text_tfidf_topk)
     "pipeline_budget_waterfill": {"CARTESIAN(x1)"},
+    # the SHUFFLE_MERGE hints on the unbounded doc-grain relations
+    # (verification sets, hot-bucket rows, prefix legs — the r10
+    # driver-OOM fix) surface as sort-merge joins, which is the point
+    "dedup_minhash_lsh": {"SMJ"},
+    "dedup_prefix_filter": {"SMJ"},
 }
+
+# BCAST_DERIVED pins — the r10 class adjudication, one argument shared
+# by every entry (counts pinned EXACTLY so a NEW derived broadcast in a
+# query re-flags it for review):
+#
+# These broadcasts exist AT THE AUDIT TIER because Spark's non-CBO size
+# estimates are proportional to input bytes (FileScan reports real file
+# size; Project/Aggregate/Generate scale it by type-default widths) —
+# at the bench SFs the estimates fall under the 64 MB static threshold
+# and broadcasting genuinely IS the right plan. At 100 TB the same
+# proportionality makes the estimates huge, so the static planner
+# demotes every one of these to a shuffle join on its own; they are NOT
+# the prefix_filter incident class (relations we could PROVE unbounded
+# got explicit SHUFFLE_MERGE hints instead — see llmdata/dedup.py,
+# streaming/neardup.py). The remaining scale hazard — AQE converting a
+# shuffle join back to broadcast on COMPRESSED runtime bytes whose
+# DESERIALIZED HashedRelation overwhelms the driver — is bounded
+# globally by spark.sql.adaptive.autoBroadcastJoinThreshold = 16 MB
+# (session.py): ~500 MB deserialized worst case on the 8 GB driver.
+# Several entries are additionally bounded by construction: k-row
+# centroid/codebook tables (ann_*), sketch grids (sketch_count_min,
+# a17), calendar-day grains (events_dau_wau), fixed salt fan-outs
+# (skew_salted_join), and the deliberately-broadcast eval-set gram
+# tables (dedup_decontaminate*).
+EXPECTED_BCAST: dict[str, str] = {
+    "a17_approx_topk_audit": "BCAST_DERIVED(x2)",
+    "ann_ivf_kmeans_recall_at_10": "BCAST_DERIVED(x4)",
+    "ann_ivf_kmeans_topk": "BCAST_DERIVED(x2)",
+    "ann_ivf_multiprobe": "BCAST_DERIVED(x2)",
+    "ann_ivf_recall_at_10": "BCAST_DERIVED(x4)",
+    "ann_ivf_topk": "BCAST_DERIVED(x2)",
+    "ann_pq_adc_topk": "BCAST_DERIVED(x2)",
+    "ann_pq_recall_at_10": "BCAST_DERIVED(x4)",
+    "dedup_decontaminate": "BCAST_DERIVED(x4)",
+    "dedup_decontaminate_bloom": "BCAST_DERIVED(x4)",
+    "dedup_lsh_recall_audit": "BCAST_DERIVED(x3)",
+    "dedup_ngram_capped": "BCAST_DERIVED(x4)",
+    "dedup_ngram_jaccard": "BCAST_DERIVED(x1)",
+    "dedup_overlap_fraction": "BCAST_DERIVED(x2)",
+    "dedup_simhash_pairs": "BCAST_DERIVED(x5)",
+    "dedup_substring_remove": "BCAST_DERIVED(x2)",
+    "events_dau_wau_stickiness": "BCAST_DERIVED(x1)",
+    "events_session_assign": "BCAST_DERIVED(x1)",
+    "j13_interval_overlap_binned": "BCAST_DERIVED(x2)",
+    "j13_interval_overlap_sliced": "BCAST_DERIVED(x2)",
+    "link_edit_distance_join": "BCAST_DERIVED(x1)",
+    "link_edit_distance_join_blocked": "BCAST_DERIVED(x1)",
+    "multimodal_image_neardup": "BCAST_DERIVED(x2)",
+    "pipeline_curation_v2": "BCAST_DERIVED(x7)",
+    "pipeline_dsir_weights": "BCAST_DERIVED(x5)",
+    "pipeline_multimodal_curation": "BCAST_DERIVED(x3)",
+    "sketch_count_min": "BCAST_DERIVED(x2)",
+    "skew_salted_join": "BCAST_DERIVED(x2)",
+    "spatial_knn_join": "BCAST_DERIVED(x3)",
+    "text_boilerplate_ratio": "BCAST_DERIVED(x2)",
+    "text_chunk_stitch": "BCAST_DERIVED(x3)",
+    "text_domain_shift_kl": "BCAST_DERIVED(x1)",
+    "text_langid": "BCAST_DERIVED(x2)",
+    "text_langid_confusion": "BCAST_DERIVED(x2)",
+    "text_unigram_lm": "BCAST_DERIVED(x2)",
+}
+for _n, _f in EXPECTED_BCAST.items():
+    EXPECTED.setdefault(_n, set()).add(_f)
 
 
 def _expected(name: str, flags: list[str]) -> bool:
