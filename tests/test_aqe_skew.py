@@ -13,6 +13,10 @@ import pytest
 def aqe_skew_conf(spark):
     keys = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the session factory caps the ADAPTIVE threshold at 16m (r10
+        # driver-OOM guard); without -1 here AQE converts the tiny right
+        # side to broadcast at runtime and no skew split ever happens
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
