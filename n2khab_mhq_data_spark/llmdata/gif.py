@@ -327,25 +327,35 @@ def encode_gif_frames(
     offsets: list[tuple[int, int]] | None = None,
     transparent: int | None = None,
     loop: bool = True,
+    disposals: list[int] | None = None,
 ) -> bytes:
     """Encode an ANIMATED grayscale GIF89a: one Graphic Control
-    Extension (delay in centiseconds, disposal 1 = leave-in-place,
-    optional transparent index) per frame, frames may be SUB-RECTS of
-    the canvas positioned by ``offsets`` (top, left) — the real
-    compositing structure animated GIFs use. ``loop`` adds the NETSCAPE
-    2.0 looping application extension. Pixel values equal to
+    Extension (delay in centiseconds, per-frame ``disposals`` — default
+    1 = leave-in-place; 2 = restore-to-background, 3 = restore-to-
+    previous — and an optional transparent index) per frame, frames may
+    be SUB-RECTS of the canvas positioned by ``offsets`` (top, left) —
+    the real compositing structure animated GIFs use. ``loop`` adds the
+    NETSCAPE 2.0 looping application extension. Pixel values equal to
     ``transparent`` are left showing whatever the previous frames
     composited there."""
     import numpy as np
 
     fr = [np.asarray(f, dtype=np.uint8) for f in frames]
     offsets = offsets or [(0, 0)] * len(fr)
-    if len(delays_cs) != len(fr) or len(offsets) != len(fr):
+    disposals = disposals if disposals is not None else [1] * len(fr)
+    if (
+        len(delays_cs) != len(fr)
+        or len(offsets) != len(fr)
+        or len(disposals) != len(fr)
+    ):
         # zip() would silently DROP frames on a mismatched call
         raise ValueError(
             f"encode_gif_frames: {len(fr)} frames but "
-            f"{len(delays_cs)} delays / {len(offsets)} offsets"
+            f"{len(delays_cs)} delays / {len(offsets)} offsets /"
+            f" {len(disposals)} disposals"
         )
+    if any(d not in (0, 1, 2, 3) for d in disposals):
+        raise ValueError("GIF disposal methods are 0..3")
     if canvas is None:
         ch = max(t + f.shape[0] for f, (t, _) in zip(fr, offsets))
         cw = max(le + f.shape[1] for f, (_, le) in zip(fr, offsets))
@@ -357,9 +367,11 @@ def encode_gif_frames(
         out += bytes((i, i, i))
     if loop:
         out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
-    for f, delay, (top, left) in zip(fr, delays_cs, offsets):
+    for f, delay, (top, left), disp in zip(
+        fr, delays_cs, offsets, disposals
+    ):
         h, w = f.shape
-        flags = 0x04 | (0x01 if transparent is not None else 0x00)
+        flags = (disp << 2) | (0x01 if transparent is not None else 0x00)
         out += b"\x21\xf9\x04" + bytes(
             [flags, delay & 0xFF, (delay >> 8) & 0xFF,
              transparent if transparent is not None else 0]

@@ -1642,3 +1642,102 @@ def bmp_stats(binary_df: DataFrame) -> DataFrame:
         "doc_id long, kind string, width int, height int,"
         " mean_lum double, max_lum int, wsum long",
     )
+
+
+def gif_disposal_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL animated GIF89a payloads exercising ALL THREE disposal
+    methods: per document a (4 + id%2)-frame animation on an 8x12
+    canvas — frame 0 the full base base(i,j) = (id*17 + 5i + 9j) mod
+    256, then 3 + id%2 constant 3x4 patches v_g = (id*29 + 31g) mod 256
+    at (top, left) = (2*(g mod 2), 4*(g mod 3)) whose disposal cycles
+    1 -> leave-in-place, 2 -> restore-to-background, 3 -> restore-to-
+    previous (dg = 1 + (g-1) mod 3), delays 2 + f cs. Every composited
+    snapshot pixel is SQL-derivable: the latest covering patch effect
+    wins, where a past disposal-2 patch contributes the background (0),
+    a past disposal-3 patch contributes NOTHING, and the current frame
+    always draws — so the full GCE disposal state machine is
+    oracle-checked, not just pytest-pinned."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import encode_gif_frames
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                np_ = 3 + did % 2
+                i = np.arange(8)[:, None]
+                j = np.arange(12)[None, :]
+                base = ((did * 17 + 5 * i + 9 * j) % 256).astype(np.uint8)
+                frames = [base]
+                offsets = [(0, 0)]
+                disposals = [1]
+                for g in range(1, np_ + 1):
+                    v = (did * 29 + 31 * g) % 256
+                    frames.append(np.full((3, 4), v, dtype=np.uint8))
+                    offsets.append((2 * (g % 2), 4 * (g % 3)))
+                    disposals.append(1 + (g - 1) % 3)
+                payloads.append(
+                    encode_gif_frames(
+                        frames,
+                        [2 + f for f in range(np_ + 1)],
+                        canvas=(8, 12),
+                        offsets=offsets,
+                        disposals=disposals,
+                    )
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    idt = df.schema[id_col].dataType.simpleString()
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} {idt}, payload binary"
+    )
+
+
+def gif_disposal_stats(binary_df: DataFrame) -> DataFrame:
+    """REAL animated-GIF frame extraction with a POSITION-WEIGHTED
+    checksum per composited snapshot — wsum = sum(v * (i*w + j + 1)) is
+    what proves the disposal restores happened at the right RECTS
+    (mean/max cannot see a restore applied to the wrong placement)."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.gif import decode_gif_frames
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fidx, nfs, dls, means, mxs, wsums = (
+                [], [], [], [], [], [], [],
+            )
+            for did, raw in zip(pdf["doc_id"], pdf["payload"]):
+                delays, frames = decode_gif_frames(bytes(raw))
+                for f, (d, img) in enumerate(zip(delays, frames)):
+                    h, w = img.shape
+                    v = img.astype(np.int64)
+                    pos = np.arange(1, h * w + 1, dtype=np.int64).reshape(
+                        h, w
+                    )
+                    ids.append(did)
+                    fidx.append(f)
+                    nfs.append(len(frames))
+                    dls.append(d)
+                    means.append(round(float(v.mean()) + 1e-9, 3))
+                    mxs.append(int(v.max()))
+                    wsums.append(int((v * pos).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(fidx, dtype="int32"),
+                    "n_frames": pd.Series(nfs, dtype="int32"),
+                    "delay_cs": pd.Series(dls, dtype="int32"),
+                    "mean_v": pd.Series(means, dtype="float64"),
+                    "max_v": pd.Series(mxs, dtype="int32"),
+                    "wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(
+        op,
+        "doc_id long, frame_idx int, n_frames int, delay_cs int,"
+        " mean_v double, max_v int, wsum long",
+    )

@@ -1481,6 +1481,62 @@ def multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_gif_disposal",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 3 + doc_id % 2 AS np FROM documents
+    ), ff AS (SELECT unnest(range(0, 5)) AS f),
+    ii AS (SELECT unnest(range(0, 8)) AS i),
+    jj AS (SELECT unnest(range(0, 12)) AS j),
+    px AS (
+      SELECT d.doc_id, d.np, ff.f, ii.i, jj.j,
+             (d.doc_id * 17 + 5 * ii.i + 9 * jj.j) % 256 AS base
+      FROM docs d, ff, ii, jj WHERE ff.f <= d.np
+    ), patched AS (
+      SELECT p.doc_id, p.np, p.f, p.i, p.j, p.base, g.g AS pg,
+             CASE WHEN (1 + (g.g - 1) % 3) = 2 AND g.g < p.f THEN 0
+                  ELSE (p.doc_id * 29 + 31 * g.g) % 256 END AS pv
+      FROM px p LEFT JOIN (SELECT unnest(range(1, 5)) AS g) g
+        ON g.g <= p.f AND g.g <= p.np
+       AND p.i >= 2 * (g.g % 2) AND p.i < 2 * (g.g % 2) + 3
+       AND p.j >= 4 * (g.g % 3) AND p.j < 4 * (g.g % 3) + 4
+       AND (g.g = p.f OR (1 + (g.g - 1) % 3) <> 3)
+    ), vals AS (
+      SELECT doc_id, np, f, i, j,
+             coalesce(arg_max(pv, pg), min(base)) AS v
+      FROM patched GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+           CAST(np + 1 AS INTEGER) AS n_frames,
+           CAST(2 + f AS INTEGER) AS delay_cs,
+           round(avg(v) + 1e-9, 3) AS mean_v,
+           CAST(max(v) AS INTEGER) AS max_v,
+           CAST(sum(v * (i * 12 + j + 1)) AS BIGINT) AS wsum
+    FROM vals GROUP BY doc_id, np, f
+    """,
+)
+def multimodal_gif_disposal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a DISPOSAL state machine end-to-end (llmdata/gif.py):
+    per document an animation whose patches cycle through all three
+    disposal methods — leave-in-place, restore-to-background,
+    restore-to-previous. The oracle recomputes every composited
+    snapshot pixel as 'the latest covering patch EFFECT wins': a past
+    disposal-2 patch contributes the background, a past disposal-3
+    patch contributes nothing, the current frame always draws — plus a
+    position-weighted checksum so a restore applied to the wrong rect
+    breaks the hash. Upgrades the disposal semantics from pytest-pinned
+    (r9/r10) to driver-oracle-checked. Two Arrow passes, zero
+    shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        gif_disposal_payloads,
+        gif_disposal_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return gif_disposal_stats(gif_disposal_payloads(docs))
+
+
+@query(
     "multimodal_gif_interlace",
     oracle="""
     WITH dims AS (
