@@ -411,9 +411,13 @@ def decode_gif_frames(raw: bytes):
             raise ValueError("GIF stream truncated")
         palette = [raw[pos + 3 * i] for i in range(size)]  # red channel
         pos += 3 * size
-        if bg >= size:
-            raise ValueError("GIF background index outside color table")
-        bg_lum = palette[bg]
+        # tolerate an out-of-range background index (GIMP and other
+        # encoders write junk bg bytes when no frame exposes the
+        # background): real decoders render such files fine, so treat
+        # the background as black instead of rejecting the whole file —
+        # the r9 ADVICE's actual hazard (a numpy IndexError on
+        # lum[bg]) stays fixed either way
+        bg_lum = palette[bg] if bg < size else 0
     canvas = np.full((sh, sw), bg_lum, dtype=np.uint8)  # LUMINANCE
     frames: list["np.ndarray"] = []
     delays: list[int] = []

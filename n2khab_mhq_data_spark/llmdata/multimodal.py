@@ -1506,32 +1506,47 @@ def gif_interlace_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def gif_interlace_stats(binary_df: DataFrame) -> DataFrame:
-    """REAL interlaced-GIF decode feature extraction: width, height,
-    mean/max luminance, and the POSITION-WEIGHTED checksum
-    wsum = sum(v * (i*w + j + 1)) — mean and max are row-order
-    invariant, so wsum is what proves the deinterlace scatter put every
-    transmitted row back where it belongs."""
+def _lum_frame_stats(img) -> tuple:
+    """(width, height, mean, max, position-weighted checksum) of one
+    decoded luminance frame — the ONE definition shared by every r10
+    stats extractor: the rounding epsilon and the wsum formula
+    sum(v * (i*w + j + 1)) must match the SQL oracles verbatim, and a
+    single helper keeps the three queries from drifting apart. wsum is
+    the statistic that SEES row placement (mean/max are row-order
+    invariant, so a missed deinterlace scatter, bottom-up flip, or
+    wrong-rect disposal restore only breaks wsum)."""
     import numpy as np
 
+    h, w = img.shape
+    v = img.astype(np.int64)
+    pos = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
+    return (
+        w,
+        h,
+        round(float(v.mean()) + 1e-9, 3),
+        int(v.max()),
+        int((v * pos).sum()),
+    )
+
+
+def gif_interlace_stats(
+    binary_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL interlaced-GIF decode feature extraction: width, height,
+    mean/max luminance, and the position-weighted checksum that proves
+    the deinterlace scatter put every transmitted row back where it
+    belongs (see :func:`_lum_frame_stats`)."""
     from n2khab_mhq_data_spark.llmdata.gif import decode_gif
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, means, mxs, wsums = [], [], [], [], []
-            for raw in pdf["payload"]:
-                img = decode_gif(bytes(raw))
-                h, w = img.shape
-                v = img.astype(np.int64)
-                pos = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
-                ws.append(w)
-                hs.append(h)
-                means.append(round(float(v.mean()) + 1e-9, 3))
-                mxs.append(int(v.max()))
-                wsums.append(int((v * pos).sum()))
+            stats = [decode_gif(bytes(r)) for r in pdf["payload"]]
+            ws, hs, means, mxs, wsums = zip(
+                *(_lum_frame_stats(img) for img in stats)
+            ) if stats else ((),) * 5
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    id_col: pdf[id_col],
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
                     "mean_v": pd.Series(means, dtype="float64"),
@@ -1540,10 +1555,11 @@ def gif_interlace_stats(binary_df: DataFrame) -> DataFrame:
                 }
             )
 
+    idt = binary_df.schema[id_col].dataType.simpleString()
     return binary_df.mapInPandas(
         op,
-        "doc_id long, width int, height int, mean_v double, max_v int,"
-        " wsum long",
+        f"{id_col} {idt}, width int, height int, mean_v double,"
+        " max_v int, wsum long",
     )
 
 
@@ -1575,14 +1591,12 @@ def bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ids.append(did)
                 kinds.append("pal8")
                 payloads.append(encode_bmp(idx, palette=pal))
+                # i (h,1) x j (1,w) broadcasting already yields (h, w)
                 rgb = np.stack(
                     [
-                        (did * 3 + 7 * i + j) % 256
-                        + np.zeros((h, w), dtype=np.int64),
-                        (did * 5 + 2 * i + 3 * j) % 256
-                        + np.zeros((h, w), dtype=np.int64),
-                        (did * 11 + i + 9 * j) % 256
-                        + np.zeros((h, w), dtype=np.int64),
+                        (did * 3 + 7 * i + j) % 256,
+                        (did * 5 + 2 * i + 3 * j) % 256,
+                        (did * 11 + i + 9 * j) % 256,
                     ],
                     axis=2,
                 ).astype(np.uint8)
@@ -1602,32 +1616,22 @@ def bmp_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def bmp_stats(binary_df: DataFrame) -> DataFrame:
+def bmp_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL BMP decode feature extraction through the shared header
     parse + BT.601 luminance: width, height, mean/max luminance, and
-    the position-weighted checksum wsum = sum(v * (i*w + j + 1)) that
-    catches a missed bottom-up flip (mean and max are row-order
-    invariant; wsum is not)."""
-    import numpy as np
-
+    the position-weighted checksum that catches a missed bottom-up flip
+    (see :func:`_lum_frame_stats`)."""
     from n2khab_mhq_data_spark.llmdata.bmp import decode_bmp
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ws, hs, means, mxs, wsums = [], [], [], [], []
-            for raw in pdf["payload"]:
-                img = decode_bmp(bytes(raw))
-                h, w = img.shape
-                v = img.astype(np.int64)
-                pos = np.arange(1, h * w + 1, dtype=np.int64).reshape(h, w)
-                ws.append(w)
-                hs.append(h)
-                means.append(round(float(v.mean()) + 1e-9, 3))
-                mxs.append(int(v.max()))
-                wsums.append(int((v * pos).sum()))
+            stats = [decode_bmp(bytes(r)) for r in pdf["payload"]]
+            ws, hs, means, mxs, wsums = zip(
+                *(_lum_frame_stats(img) for img in stats)
+            ) if stats else ((),) * 5
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
+                    id_col: pdf[id_col],
                     "kind": pdf["kind"],
                     "width": pd.Series(ws, dtype="int32"),
                     "height": pd.Series(hs, dtype="int32"),
@@ -1637,9 +1641,10 @@ def bmp_stats(binary_df: DataFrame) -> DataFrame:
                 }
             )
 
+    idt = binary_df.schema[id_col].dataType.simpleString()
     return binary_df.mapInPandas(
         op,
-        "doc_id long, kind string, width int, height int,"
+        f"{id_col} {idt}, kind string, width int, height int,"
         " mean_lum double, max_lum int, wsum long",
     )
 
@@ -1695,13 +1700,13 @@ def gif_disposal_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def gif_disposal_stats(binary_df: DataFrame) -> DataFrame:
-    """REAL animated-GIF frame extraction with a POSITION-WEIGHTED
-    checksum per composited snapshot — wsum = sum(v * (i*w + j + 1)) is
-    what proves the disposal restores happened at the right RECTS
-    (mean/max cannot see a restore applied to the wrong placement)."""
-    import numpy as np
-
+def gif_disposal_stats(
+    binary_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL animated-GIF frame extraction with a position-weighted
+    checksum per composited snapshot — wsum is what proves the disposal
+    restores happened at the right RECTS (see
+    :func:`_lum_frame_stats`)."""
     from n2khab_mhq_data_spark.llmdata.gif import decode_gif_frames
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1709,24 +1714,20 @@ def gif_disposal_stats(binary_df: DataFrame) -> DataFrame:
             ids, fidx, nfs, dls, means, mxs, wsums = (
                 [], [], [], [], [], [], [],
             )
-            for did, raw in zip(pdf["doc_id"], pdf["payload"]):
+            for did, raw in zip(pdf[id_col], pdf["payload"]):
                 delays, frames = decode_gif_frames(bytes(raw))
                 for f, (d, img) in enumerate(zip(delays, frames)):
-                    h, w = img.shape
-                    v = img.astype(np.int64)
-                    pos = np.arange(1, h * w + 1, dtype=np.int64).reshape(
-                        h, w
-                    )
+                    _w, _h, mean, mx, wsum = _lum_frame_stats(img)
                     ids.append(did)
                     fidx.append(f)
                     nfs.append(len(frames))
                     dls.append(d)
-                    means.append(round(float(v.mean()) + 1e-9, 3))
-                    mxs.append(int(v.max()))
-                    wsums.append(int((v * pos).sum()))
+                    means.append(mean)
+                    mxs.append(mx)
+                    wsums.append(wsum)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(fidx, dtype="int32"),
                     "n_frames": pd.Series(nfs, dtype="int32"),
                     "delay_cs": pd.Series(dls, dtype="int32"),
@@ -1738,6 +1739,6 @@ def gif_disposal_stats(binary_df: DataFrame) -> DataFrame:
 
     return binary_df.mapInPandas(
         op,
-        "doc_id long, frame_idx int, n_frames int, delay_cs int,"
+        f"{id_col} long, frame_idx int, n_frames int, delay_cs int,"
         " mean_v double, max_v int, wsum long",
     )

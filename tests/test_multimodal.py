@@ -895,11 +895,23 @@ def test_gif_interlace_local_tables_disposal3():
     for bad in (good[:20], good[:-5]):
         with pytest.raises(ValueError):
             decode_gif_frames(bad)
-    bb = bytearray(good)
-    bb[10] &= ~0x07  # shrink global table to 2 entries
-    bb[11] = 255     # background index now out of range
-    with pytest.raises(ValueError):
-        decode_gif_frames(bytes(bb))
+    # an OUT-OF-RANGE background index must be tolerated, not rejected:
+    # GIMP-class encoders write junk bg bytes when no frame exposes the
+    # background, and real decoders render such files (the r9 ADVICE
+    # hazard was the numpy IndexError, not the file). Hand-built GIF:
+    # 4-entry global table, bg byte 200, full-canvas 2x2 frame.
+    from n2khab_mhq_data_spark.llmdata.gif import _lzw_encode, _sub_blocks
+
+    oor = bytearray(b"GIF87a")
+    oor += struct.pack("<HHBBB", 2, 2, 0x81, 200, 0)  # 4-entry table
+    for p in (10, 20, 30, 40):
+        oor += bytes((p, p, p))
+    oor += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+    oor.append(8)  # min_code (decoder honors the stream's value)
+    oor += _sub_blocks(bytes(_lzw_encode([0, 1, 2, 3])))
+    oor += b"\x3b"
+    _, frames_oor = decode_gif_frames(bytes(oor))
+    assert (frames_oor[0] == np.array([[10, 20], [30, 40]])).all()
     r = bytearray(encode_gif_frames([p1], [1], canvas=(4, 6)))
     di = r.index(b"\x2c", 13 + 768)  # image descriptor, after palette
     struct.pack_into("<HH", r, di + 1, 5, 3)  # rect now off-screen

@@ -69,9 +69,14 @@ def main() -> None:
     args = ap.parse_args()
 
     mods = {}
-    for path in args.variants:
-        name = Path(path).stem
-        spec = importlib.util.spec_from_file_location(f"ab_{name}", path)
+    for k, path in enumerate(args.variants):
+        # key by index + stem: two variants named dedup.py in different
+        # dirs must NOT collide into one entry (the tool would then
+        # compare a variant against itself and print a false
+        # 'no difference' — the exact wrong adjudication it exists to
+        # prevent)
+        name = f"{k}:{Path(path).stem}"
+        spec = importlib.util.spec_from_file_location(f"ab_v{k}", path)
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
         mods[name] = mod

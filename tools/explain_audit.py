@@ -417,8 +417,15 @@ for _n, _f in EXPECTED_BCAST.items():
 
 
 def _expected(name: str, flags: list[str]) -> bool:
+    """Count-pinned entries ("CARTESIAN(x1)") match EXACTLY — a bare
+    startswith would let x1 accept x10+ and x3 accept x32, silently
+    passing order-of-magnitude fan-out regressions (r10 review). Bare
+    entries ("SMJ") stay count-insensitive prefixes."""
     allowed = EXPECTED.get(name, set())
-    return all(any(f.startswith(a) for a in allowed) for f in flags)
+    return all(
+        any(f == a if "(" in a else f.startswith(a) for a in allowed)
+        for f in flags
+    )
 
 
 def main() -> int:
