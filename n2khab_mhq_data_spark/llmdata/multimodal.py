@@ -4,8 +4,9 @@ columns with typed metadata, processed by Arrow-batched pandas UDFs over
 
 Decode support comes in two tiers. PNG, WAV (PCM16 + G.711
 mu-law/A-law), GIF (87a + animated 89a incl. interlace, local color
-tables, and disposal 0-3), uncompressed BMP (8-bit palettized +
-24-bit BGR, both row orders), JPEG (baseline grayscale and
+tables, and disposal 0-3), BMP (8-bit palettized + 24-bit BGR, both
+row orders, plus BI_RLE8/BI_RLE4 run-length incl. absolute mode and
+delta skips), JPEG (baseline grayscale and
 color, progressive, restart intervals), and MJPEG-in-AVI video decode
 is REAL and pure stdlib/numpy (zlib inflate + scanline unfilter;
 RIFF/PCM16/G.711 parse; GIF-LZW + GCE compositing + deinterlace;
@@ -15,10 +16,12 @@ IDCT incl. progressive scan reassembly; RIFF AVI demux — see
 ``llmdata/gif.py`` / ``llmdata/bmp.py``), with matching encoders/muxers
 so the registered
 queries build spec-valid payloads and hash-check the decoded
-statistics against arithmetic oracles. Codecs that genuinely need an
-external library (RLE-compressed BMP, compressed TIFF,
-arithmetic-coded JPEG, ADPCM,
-H.264/MP4-class video) remain STUBBED: ``decode_image`` raises NotImplementedError for unrecognized
+statistics against arithmetic oracles. The remaining codecs
+(compressed TIFF's multi-codec container, arithmetic-coded JPEG,
+ADPCM, H.264/MP4-class video) are ALSO pure logic in principle — the
+honest waiver is SCOPE, not library-necessity: each is a large
+standalone engineering effort, and they remain STUBBED:
+``decode_image`` raises NotImplementedError for unrecognized
 magic unless ``fake=True``, in which case a deterministic fake decoder
 derives metadata from the raw bytes. The Spark-side plumbing — schema,
 batch iteration, partition sizing — is identical across tiers;
@@ -119,13 +122,14 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
             "height": int(img.shape[0]),
         }
     raise NotImplementedError(
-        "codec not decodable with stdlib (video beyond MJPEG-AVI,"
-        " RLE-compressed BMP, compressed TIFF, ADPCM, and"
-        " arithmetic-coded JPEG need libraries absent from this"
-        " container); PNG, WAV (PCM16 + G.711), GIF (incl. animated"
-        " 89a, interlace, local color tables), uncompressed BMP, JPEG"
-        " (baseline gray/color + progressive) and MJPEG-AVI decode for"
-        " real, or pass fake=True for the deterministic test decoder"
+        "codec not implemented (video beyond MJPEG-AVI, compressed"
+        " TIFF, ADPCM, arithmetic-coded JPEG — waived on SCOPE, each"
+        " is a large standalone decoder, not because a library is"
+        " required); PNG, WAV (PCM16 + G.711), GIF (incl. animated"
+        " 89a, interlace, local color tables, disposal 0-3), BMP"
+        " (uncompressed + RLE8/RLE4), JPEG (baseline gray/color +"
+        " progressive) and MJPEG-AVI decode for real, or pass"
+        " fake=True for the deterministic test decoder"
     )
 
 
@@ -1741,4 +1745,51 @@ def gif_disposal_stats(
         op,
         f"{id_col} long, frame_idx int, n_frames int, delay_cs int,"
         " mean_v double, max_v int, wsum long",
+    )
+
+
+def bmp_rle_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL run-length BMP payloads (llmdata/bmp.py): per document a
+    BI_RLE8 and a BI_RLE4 bitmap on a (4 + id%4) x (6 + id%5) grid with
+    RUN-FRIENDLY content — RLE8 indices idx8(i, j) = (id*13 + 5i +
+    3*(j div 3)) mod 256 through the permuted table p[k] = (149k + id)
+    mod 256, RLE4 indices idx4(i, j) = (id + 2i + (j div 2)) mod 16
+    through the same table's first 16 entries — so runs, per-row
+    end-of-line escapes, the end-of-bitmap escape, and the nibble
+    packing all round-trip with SQL-derivable luminance (absolute mode
+    and delta skips are decoder-side features pinned by hand-built
+    streams in tests)."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.bmp import encode_bmp_rle
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                h, w = 4 + did % 4, 6 + did % 5
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                pal = [(149 * k + did) % 256 for k in range(256)]
+                idx8 = ((did * 13 + 5 * i + 3 * (j // 3)) % 256).astype(
+                    np.uint8
+                )
+                ids.append(did)
+                kinds.append("rle8")
+                payloads.append(encode_bmp_rle(idx8, pal, bits=8))
+                idx4 = ((did + 2 * i + j // 2) % 16).astype(np.uint8)
+                ids.append(did)
+                kinds.append("rle4")
+                payloads.append(encode_bmp_rle(idx4, pal, bits=4))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} long, kind string, payload binary"
     )

@@ -1481,6 +1481,51 @@ def multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_bmp_rle",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 4 AS h, 6 + doc_id % 5 AS w
+      FROM documents
+    ), ii AS (SELECT unnest(range(0, 8)) AS i),
+    jj AS (SELECT unnest(range(0, 11)) AS j),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, ii.i, jj.j, 'rle8' AS kind,
+             (149 * ((d.doc_id * 13 + 5 * ii.i + 3 * (jj.j // 3)) % 256)
+              + d.doc_id) % 256 AS v
+      FROM dims d, ii, jj WHERE ii.i < d.h AND jj.j < d.w
+      UNION ALL
+      SELECT d.doc_id, d.h, d.w, ii.i, jj.j, 'rle4' AS kind,
+             (149 * ((d.doc_id + 2 * ii.i + jj.j // 2) % 16)
+              + d.doc_id) % 256 AS v
+      FROM dims d, ii, jj WHERE ii.i < d.h AND jj.j < d.w
+    )
+    SELECT doc_id, kind, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(avg(v) + 1e-9, 3) AS mean_lum,
+           CAST(max(v) AS INTEGER) AS max_lum,
+           CAST(sum(v * (i * w + j + 1)) AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id, kind, h, w
+    """,
+)
+def multimodal_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL run-length BMP decode end-to-end (llmdata/bmp.py): per
+    document a BI_RLE8 and a BI_RLE4 bitmap with run-friendly content —
+    runs, per-row end-of-line escapes, the end-of-bitmap escape, the
+    RLE4 nibble packing, and the bottom-up row order all round-trip
+    against an arithmetic oracle with the position-weighted checksum
+    (absolute mode and delta skips are pinned by hand-built streams in
+    pytest). Retires the last BMP waiver: the whole format is pure
+    ``struct`` + a run decoder. Two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        bmp_rle_payloads,
+        bmp_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return bmp_stats(bmp_rle_payloads(docs))
+
+
+@query(
     "multimodal_gif_disposal",
     oracle="""
     WITH docs AS (

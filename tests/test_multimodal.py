@@ -2,8 +2,9 @@
 batching, generator fan-out, BYTE-based partition sizing for binary
 payloads — are pinned here, plus the REAL pure-stdlib codecs (PNG
 unfilter vectors, WAV/AVI RIFF round-trips, hand-built JPEG and GIF
-bitstreams); only codecs that need external libraries (BMP/TIFF,
-arithmetic-coded JPEG, H.264-class video) remain a declared stub."""
+bitstreams); the remaining codecs (compressed TIFF, arithmetic-coded
+JPEG, ADPCM, H.264-class video) are waived on SCOPE — each a large
+standalone decoder — and remain a declared stub."""
 
 from __future__ import annotations
 
@@ -24,9 +25,9 @@ def test_decode_stub_fails_loud_without_fake():
     # tier is PNG, WAV (PCM16/G.711), GIF (incl. 89a animation,
     # interlace, local tables), uncompressed BMP, JPEG (baseline
     # gray/color + progressive), MJPEG-AVI
-    with pytest.raises(NotImplementedError, match="decodable with stdlib"):
+    with pytest.raises(NotImplementedError, match="codec not implemented"):
         decode_image(b"II*\x00....")
-    with pytest.raises(NotImplementedError, match="decodable with stdlib"):
+    with pytest.raises(NotImplementedError, match="codec not implemented"):
         decode_image(b"\x89PNG....")
     # BMP is REAL as of r10: its magic now routes to decode_bmp, whose
     # malformed-input contract is ValueError, not the stub
@@ -965,3 +966,71 @@ def test_bmp_roundtrip_and_guards():
     hacked[30] = 1  # biCompression = BI_RLE8
     with pytest.raises(ValueError):
         decode_bmp(bytes(hacked))
+
+
+def test_bmp_rle_roundtrip_and_escapes():
+    """r10 BMP RLE tier: BI_RLE8/BI_RLE4 round-trips (runs, EOL, EOB,
+    nibble packing, bottom-up order) plus hand-built streams for the
+    decoder-side features the encoder never emits — absolute mode with
+    word-alignment padding (both depths) and delta skips (skipped
+    pixels read as index 0) — and the truncation ValueError contract."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.bmp import decode_bmp, encode_bmp_rle
+
+    rng = np.random.RandomState(12)
+    pal = [(149 * k + 3) % 256 for k in range(256)]
+    lut = np.array(pal, dtype=np.uint8)
+    for w in (1, 2, 3, 5, 8, 13):
+        for h in (1, 2, 4, 7):
+            idx = (rng.randint(0, 8, (h, w)) * 31 % 256).astype(np.uint8)
+            out = decode_bmp(encode_bmp_rle(idx, pal, bits=8))
+            assert (out == lut[idx]).all(), ("rle8", w, h)
+            idx4 = rng.randint(0, 16, (h, w)).astype(np.uint8)
+            out = decode_bmp(encode_bmp_rle(idx4, pal, bits=4))
+            assert (out == lut[idx4]).all(), ("rle4", w, h)
+
+    # hand-built stream: run + absolute + EOL + delta + run + EOB
+    table = b"".join(bytes((p, p, p, 0)) for p in range(256))
+    off = 14 + 40 + len(table)
+
+    def bmp(body: bytes, w: int, h: int, bits: int) -> bytes:
+        comp = 1 if bits == 8 else 2
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        hdr += struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bits, comp, len(body),
+            0, 0, 256, 0,
+        )
+        return hdr + table + body
+
+    body = bytes(
+        (3, 7)                      # run 7,7,7
+        + (0, 4, 1, 2, 3, 4)        # absolute 4 px (word-aligned)
+        + (0, 0)                    # end of line
+        + (0, 2, 2, 1)              # delta: +2 right, +1 up
+        + (2, 9)                    # run 9,9
+        + (0, 1)                    # end of bitmap
+    )
+    out = decode_bmp(bmp(body, 8, 4, 8))
+    want = np.zeros((4, 8), dtype=np.uint8)
+    want[3, 0:3] = 7
+    want[3, 3:7] = [1, 2, 3, 4]
+    want[1, 2:4] = 9  # delta left the skipped pixels at index 0
+    assert (out == want).all()
+
+    # odd-count absolute mode consumes its padding byte (RLE8)
+    out = decode_bmp(bmp(bytes((0, 3, 5, 6, 7, 0, 0, 1)), 4, 1, 8))
+    assert (out == np.array([[5, 6, 7, 0]], dtype=np.uint8)).all()
+    # RLE4 absolute: 5 nibbles = 3 data bytes + 1 alignment pad
+    out = decode_bmp(
+        bmp(bytes((0, 5, 0x12, 0x34, 0x50, 0x00, 0, 1)), 6, 1, 4)
+    )
+    assert (out == np.array([[1, 2, 3, 4, 5, 0]], dtype=np.uint8)).all()
+    # truncation and bounds violations raise ValueError
+    with pytest.raises(ValueError):
+        decode_bmp(bmp(body, 8, 4, 8)[:-3])
+    with pytest.raises(ValueError):
+        decode_bmp(bmp(bytes((9, 1, 0, 1)), 4, 1, 8))  # run wider than w
