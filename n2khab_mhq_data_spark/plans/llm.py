@@ -1481,6 +1481,62 @@ def multimodal_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_adpcm",
+    oracle="""
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, 32 + 2 * (doc_id % 8) AS n,
+             ((doc_id * 97) % 4096) - 2048 AS p0, doc_id % 89 AS i0
+      FROM documents
+    ), steps AS (
+      SELECT generate_subscripts(l, 1) - 1 AS sidx, unnest(l) AS step
+      FROM (SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767] AS l)
+    ), dec AS (
+      SELECT doc_id, n, 0 AS k, CAST(p0 AS BIGINT) AS pred,
+             CAST(i0 AS BIGINT) AS sidx
+      FROM docs
+      UNION ALL
+      SELECT d.doc_id, d.n, d.k + 1,
+        least(32767, greatest(-32768,
+          d.pred + (CASE WHEN (((d.doc_id * 7 + 3 * d.k) % 16) & 8) = 8 THEN -1 ELSE 1 END) *
+          ((s.step >> 3)
+           + CASE WHEN (((d.doc_id * 7 + 3 * d.k) % 16) & 1) = 1 THEN s.step >> 2 ELSE 0 END
+           + CASE WHEN (((d.doc_id * 7 + 3 * d.k) % 16) & 2) = 2 THEN s.step >> 1 ELSE 0 END
+           + CASE WHEN (((d.doc_id * 7 + 3 * d.k) % 16) & 4) = 4 THEN s.step ELSE 0 END))),
+        least(88, greatest(0, d.sidx +
+          CASE (((d.doc_id * 7 + 3 * d.k) % 16) & 7) WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6
+               WHEN 7 THEN 8 ELSE -1 END))
+      FROM dec d JOIN steps s ON s.sidx = d.sidx
+      WHERE d.k < d.n
+    )
+    SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(max(n) + 1 AS BIGINT) AS n_samples,
+           CAST(max(abs(pred)) AS BIGINT) AS peak,
+           CAST(sum(pred) AS BIGINT) AS sum_pcm,
+           CAST(arg_max(pred, k) AS BIGINT) AS last_pcm
+    FROM dec GROUP BY doc_id
+    """,
+)
+def multimodal_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA/DVI ADPCM end-to-end: per document a mono tag-0x11 WAV
+    decoded through the shared RIFF chunk walk and the PUBLISHED
+    stateful IMA expansion (4-bit codes, predictor + step-index state
+    per sample). The oracle is the suite's first RECURSIVE-CTE decode:
+    DuckDB walks the exact same recursion over the generative nibbles
+    with the 89-entry step table inlined, so sequential stateful codecs
+    are differentially provable too, not just stateless ones. last_pcm
+    pins the entire state trajectory (one wrong step anywhere lands on
+    a different final predictor). Retires the ADPCM waiver. Two Arrow
+    passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        adpcm_payloads,
+        adpcm_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return adpcm_stats(adpcm_payloads(docs))
+
+
+@query(
     "multimodal_bmp_rle",
     oracle="""
     WITH dims AS (

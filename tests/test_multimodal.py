@@ -3,7 +3,7 @@ batching, generator fan-out, BYTE-based partition sizing for binary
 payloads — are pinned here, plus the REAL pure-stdlib codecs (PNG
 unfilter vectors, WAV/AVI RIFF round-trips, hand-built JPEG and GIF
 bitstreams); the remaining codecs (compressed TIFF, arithmetic-coded
-JPEG, ADPCM, H.264-class video) are waived on SCOPE — each a large
+JPEG, H.264-class video) are waived on SCOPE — each a large
 standalone decoder — and remain a declared stub."""
 
 from __future__ import annotations
@@ -1034,3 +1034,36 @@ def test_bmp_rle_roundtrip_and_escapes():
         decode_bmp(bmp(body, 8, 4, 8)[:-3])
     with pytest.raises(ValueError):
         decode_bmp(bmp(bytes((9, 1, 0, 1)), 4, 1, 8))  # run wider than w
+
+
+def test_ima_adpcm_expand_and_wav_roundtrip():
+    """r10 ADPCM tier: the published IMA expansion pinned by a
+    hand-computed vector (pred=0, index=0, nibbles [2, 9] ->
+    [3, 2] with index clamped at 0), predictor saturation clamps at
+    both rails, WAV tag-0x11 container round-trip (initial predictor is
+    sample 0, low-nibble-first packing), and the malformed-input
+    contract."""
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_wav,
+        encode_wav_adpcm,
+        ima_expand,
+    )
+
+    assert ima_expand([2, 9], 0, 0).tolist() == [3, 2]
+    rate, s = decode_wav(encode_wav_adpcm([2, 9, 15, 0], 100, 5, 8000))
+    assert rate == 8000 and s[0] == 100 and len(s) == 5
+    assert np.array_equal(s[1:], ima_expand([2, 9, 15, 0], 100, 5))
+    assert ima_expand([7] * 200, 32000, 88).max() == 32767
+    assert ima_expand([15] * 200, -32000, 88).min() == -32768
+    with pytest.raises(ValueError):
+        encode_wav_adpcm([1, 2, 3], 0, 0)  # odd nibble count
+    with pytest.raises(ValueError):
+        encode_wav_adpcm([1, 2], 0, 89)  # index out of range
+    good = encode_wav_adpcm([2, 9], 0, 0)
+    bad = bytearray(good)
+    bad[bad.index(b"data") + 8 + 2] = 89  # corrupt the block's index
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
