@@ -18,9 +18,12 @@ run therefore re-times a fixed calibration probe every
 ``_CAL_INTERVAL`` queries and emits the TIMELINE: ``calibration_sec``
 (median of all probes), ``calibration_timeline``, and ``drift_ratio``
 (max/min probe). Every query's raw samples land in the
-``BENCH_SAMPLES*.json`` sidecar keyed with its calibration segment, so
-a cross-round delta can be normalized — or dismissed as drift — from
-the artifacts alone, without a forensic re-run. (For adjudicating a
+``BENCH_SAMPLES*.json`` sidecar keyed with its calibration segment AND
+(r11) its per-run ``t_start`` wall-clock offsets — the probes carry
+``calibration_t_start`` offsets too — so a cross-round delta can be
+normalized — or dismissed as drift — from the artifacts alone, without
+a forensic re-run, and any single sample maps onto the drift curve by
+one timestamp lookup. (For adjudicating a
 specific rewrite, ``tools/ab_same_jvm.py``'s same-JVM alternation is
 still the stronger instrument.)
 """
@@ -128,7 +131,16 @@ def main() -> None:
     )
     cal_df.count()
 
+    # every probe and every timed sample records its wall-clock start
+    # relative to bench_t0, so a riser maps onto the drift curve by one
+    # lookup instead of cross-evidence (VERDICT r10 item 3: the k6 case
+    # needed the sf1.0 row because 25-query probe granularity left its
+    # segment ambiguous)
+    bench_t0 = time.time()
+    cal_times: list[float] = []
+
     def cal_probe() -> float:
+        cal_times.append(round(time.time() - bench_t0, 2))
         cs = []
         for _ in range(3):
             t0 = time.time()
@@ -172,14 +184,17 @@ def main() -> None:
         time.sleep(0.3)
         n = fn(spark, sf_dir).count()  # warm-up (plan + codegen + IO cache)
         samples = []
+        starts = []
         for _ in range(runs):
             t0 = time.time()
             fn(spark, sf_dir).count()
             samples.append(time.time() - t0)
+            starts.append(round(t0 - bench_t0, 2))
         dt = sorted(samples)[len(samples) // 2]
         timings[name] = round(dt, 3)
         samples_out[name] = {
             "runs": [round(t, 3) for t in samples],
+            "t_start": starts,
             "cal_segment": len(cal_timeline) - 1,
         }
         total += dt
@@ -251,6 +266,7 @@ def main() -> None:
         json.dump(
             {
                 "calibration_timeline": cal_timeline,
+                "calibration_t_start": cal_times,
                 "cal_interval": _CAL_INTERVAL,
                 "samples": samples_out,
             },

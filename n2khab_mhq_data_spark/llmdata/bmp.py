@@ -22,6 +22,10 @@ from __future__ import annotations
 
 import struct
 
+# one shared decompression-bomb ceiling for all media decoders — the
+# rationale lives at its definition in gif.py
+from n2khab_mhq_data_spark.llmdata.gif import _MAX_PIXELS
+
 _FILE_HDR = 14
 _INFO_HDR = 40
 
@@ -45,6 +49,9 @@ def encode_bmp(
     import numpy as np
 
     a = np.asarray(img, dtype=np.uint8)
+    if a.size == 0:
+        # a zero-dim header is input decode_bmp rejects (ADVICE r10)
+        raise ValueError("BMP dimensions must be positive")
     if palette is not None:
         if a.ndim != 2:
             raise ValueError("palettized BMP needs a 2-D index array")
@@ -151,6 +158,12 @@ def decode_bmp(raw: bytes):
             raise ValueError("BI_RLE compression/bpp mismatch")
         if top_down:
             raise ValueError("top-down RLE BMP is invalid per spec")
+        # the uncompressed path is bounded by file size (stride * h
+        # check below), but RLE deltas/EOLs make sparse canvases legal,
+        # so the (h, w) allocation must be guarded against hostile
+        # header dims (the gif.py _MAX_PIXELS argument)
+        if w * h > _MAX_PIXELS:
+            raise ValueError("RLE BMP dimensions exceed decompression-bomb guard")
         idx = _decode_rle(raw, data_off, w, h, bits)
         if int(idx.max(initial=0)) >= len(lum_table):
             raise ValueError("BMP pixel index outside color table")
@@ -220,6 +233,11 @@ def encode_bmp_rle(
     a = np.asarray(img, dtype=np.uint8)
     if a.ndim != 2:
         raise ValueError("RLE BMP needs a 2-D index array")
+    if a.shape[0] == 0 or a.shape[1] == 0:
+        # ADVICE r10: an empty array used to emit a payload decode_bmp
+        # itself rejects (the EOB splice landed on an empty body) —
+        # refuse input the encoder cannot round-trip
+        raise ValueError("RLE BMP dimensions must be positive")
     if len(palette) != 256:
         raise ValueError("palette must have 256 entries")
     if bits == 8:

@@ -28,6 +28,14 @@ from __future__ import annotations
 import struct
 
 _MIN_CODE = 8
+
+# Decompression-bomb guard shared by the media decoders: dims are
+# attacker-controlled 16/32-bit header fields, and both GIF canvases
+# and RLE BMPs allocate the full (h, w) array BEFORE any pixel data is
+# validated (sparse streams are legal, so stream length cannot bound
+# the canvas). 2^26 px = 64 MiB uint8 — far above any real corpus
+# image, far below the 4 GiB a hostile 65535 x 65535 header claims.
+_MAX_PIXELS = 1 << 26
 _CLEAR = 1 << _MIN_CODE  # 256
 _EOI = _CLEAR + 1  # 257
 
@@ -162,9 +170,16 @@ def encode_gif(
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, min_code: int) -> bytearray:
+def _lzw_decode(
+    data: bytes, min_code: int, max_out: int | None = None
+) -> bytearray:
     """GIF-variant LZW decompress of packed sub-block payload bytes
-    (shared by the single-frame and animation decoders)."""
+    (shared by the single-frame and animation decoders). ``max_out``
+    fails loud the moment output exceeds the caller's expected pixel
+    count: LZW expansion is ~quadratic in input bytes (each code can
+    emit a dictionary string that grew one byte per prior code), so a
+    64 KB hostile stream could otherwise inflate to GiB before the
+    caller's pixel-count check ever ran (r11 adversarial review)."""
     clear = 1 << min_code
     eoi = clear + 1
     acc = 0
@@ -204,6 +219,8 @@ def _lzw_decode(data: bytes, min_code: int) -> bytearray:
         else:
             raise ValueError("invalid GIF LZW code")
         out += entry
+        if max_out is not None and len(out) > max_out:
+            raise ValueError("GIF LZW output exceeds declared pixel count")
         # freeze the table at 4096 entries (spec: 12-bit max code):
         # encoders may legally DEFER the clear and keep emitting codes
         # from the full table — appending past 4095 would grow one
@@ -271,7 +288,9 @@ def _read_image_block(raw: bytes, pos: int, global_palette):
     min_code = _u8(raw, pos)
     pos += 1
     data, pos = _read_sub_blocks(raw, pos)
-    out = _lzw_decode(bytes(data), min_code)
+    if w * h > _MAX_PIXELS:
+        raise ValueError("GIF dimensions exceed decompression-bomb guard")
+    out = _lzw_decode(bytes(data), min_code, max_out=w * h)
     if len(out) != w * h:
         raise ValueError("GIF pixel count mismatch")
     idx = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w)
@@ -418,6 +437,8 @@ def decode_gif_frames(raw: bytes):
         # the r9 ADVICE's actual hazard (a numpy IndexError on
         # lum[bg]) stays fixed either way
         bg_lum = palette[bg] if bg < size else 0
+    if sw * sh > _MAX_PIXELS:
+        raise ValueError("GIF canvas exceeds decompression-bomb guard")
     canvas = np.full((sh, sw), bg_lum, dtype=np.uint8)  # LUMINANCE
     frames: list["np.ndarray"] = []
     delays: list[int] = []

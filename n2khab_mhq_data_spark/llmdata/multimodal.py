@@ -601,9 +601,13 @@ def decode_wav(raw: bytes):
     """Real WAV decode (pure stdlib): RIFF chunk walk; PCM16 mono, the
     two G.711 telephony formats (mu-law tag 7 / A-law tag 6, 8-bit
     mono, expanded to linear PCM16), and mono IMA ADPCM (tag 0x11,
-    4-bit, single block — the initial predictor is sample 0, the nibble
-    stream decodes through the stateful IMA expansion). Returns
-    (sample_rate, int16 numpy array)."""
+    4-bit, MULTI-block — the data chunk is walked in nBlockAlign
+    strides, each block restarting the predictor/step-index state from
+    its own 4-byte header per the IMA spec; a fact chunk, when present,
+    trims the tail block's padding samples to the true count; ADVICE
+    r10 — the single-block decode silently produced garbage past block
+    1 on foreign multi-block files). Returns (sample_rate, int16 numpy
+    array)."""
     import struct
 
     import numpy as np
@@ -613,13 +617,15 @@ def decode_wav(raw: bytes):
     off = 12
     rate = None
     fmt = None
+    block_align = None
+    fact_n = None
     samples = None
     while off + 8 <= len(raw):
         typ = raw[off : off + 4]
         (ln,) = struct.unpack_from("<I", raw, off + 4)
         body = raw[off + 8 : off + 8 + ln]
         if typ == b"fmt ":
-            fmt, nch, rate, _br, _ba, bits = struct.unpack_from(
+            fmt, nch, rate, _br, block_align, bits = struct.unpack_from(
                 "<HHIIHH", body
             )
             if not (
@@ -630,6 +636,9 @@ def decode_wav(raw: bytes):
                 raise ValueError(
                     f"unsupported WAV shape (fmt={fmt} ch={nch} bits={bits})"
                 )
+        elif typ == b"fact":
+            if len(body) >= 4:
+                (fact_n,) = struct.unpack_from("<I", body)
         elif typ == b"data":
             samples = body
         off += 8 + ln + (ln & 1)
@@ -638,19 +647,30 @@ def decode_wav(raw: bytes):
     if fmt == 1:
         return rate, np.frombuffer(samples, dtype="<i2")
     if fmt == 0x11:
-        if len(samples) < 4:
-            raise ValueError("IMA ADPCM block truncated")
-        pred, index, _rsv = struct.unpack_from("<hBB", samples)
-        if index > 88:
-            raise ValueError("IMA ADPCM step index out of range")
-        packed = np.frombuffer(samples[4:], dtype=np.uint8)
-        nibbles = np.empty(2 * len(packed), dtype=np.uint8)
-        nibbles[0::2] = packed & 0x0F  # first sample rides the LOW nibble
-        nibbles[1::2] = packed >> 4
-        decoded = ima_expand(nibbles.tolist(), int(pred), int(index))
-        return rate, np.concatenate(
-            [np.array([pred], dtype=np.int16), decoded]
-        )
+        if block_align is None or block_align < 4:
+            raise ValueError("IMA ADPCM block align too small")
+        parts = []
+        for b0 in range(0, len(samples), block_align):
+            block = samples[b0 : b0 + block_align]
+            if len(block) < 4:
+                raise ValueError("IMA ADPCM block truncated")
+            pred, index, _rsv = struct.unpack_from("<hBB", block)
+            if index > 88:
+                raise ValueError("IMA ADPCM step index out of range")
+            packed = np.frombuffer(block[4:], dtype=np.uint8)
+            nibbles = np.empty(2 * len(packed), dtype=np.uint8)
+            # first sample rides the LOW nibble per the IMA layout
+            nibbles[0::2] = packed & 0x0F
+            nibbles[1::2] = packed >> 4
+            decoded = ima_expand(nibbles.tolist(), int(pred), int(index))
+            parts.append(np.array([pred], dtype=np.int16))
+            parts.append(decoded)
+        out = np.concatenate(parts)
+        if fact_n is not None:
+            if fact_n > len(out):
+                raise ValueError("IMA ADPCM fact count exceeds decoded data")
+            out = out[:fact_n]
+        return rate, out
     codes = np.frombuffer(samples, dtype=np.uint8)
     return rate, g711_expand(codes, "mulaw" if fmt == 7 else "alaw")
 

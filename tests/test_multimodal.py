@@ -1034,6 +1034,70 @@ def test_bmp_rle_roundtrip_and_escapes():
         decode_bmp(bmp(body, 8, 4, 8)[:-3])
     with pytest.raises(ValueError):
         decode_bmp(bmp(bytes((9, 1, 0, 1)), 4, 1, 8))  # run wider than w
+    # ADVICE r10: zero-dim input must fail loud at ENCODE time (it used
+    # to emit a payload decode_bmp itself rejects)
+    from n2khab_mhq_data_spark.llmdata.bmp import encode_bmp
+
+    for shape in ((0, 5), (5, 0), (0, 0)):
+        z = np.zeros(shape, dtype=np.uint8)
+        with pytest.raises(ValueError):
+            encode_bmp_rle(z, pal, bits=8)
+        with pytest.raises(ValueError):
+            encode_bmp(z, palette=pal)
+        with pytest.raises(ValueError):
+            encode_bmp(z)
+
+
+def test_decompression_bomb_guards():
+    """r11 adversarial review: hostile header dims must fail as
+    ValueError BEFORE the canvas allocation (a 65535 x 65535 claim is
+    4 GiB — sparse RLE/GIF streams are legal, so stream length cannot
+    bound the canvas), and a hostile LZW stream must be cut off the
+    moment its output exceeds the declared pixel count (LZW expansion
+    is ~quadratic in input bytes)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.bmp import decode_bmp, encode_bmp_rle
+    from n2khab_mhq_data_spark.llmdata.gif import (
+        _lzw_decode,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    # BMP: take a valid 2x2 RLE8 payload and inflate the header dims
+    pal = list(range(256))
+    good = bytearray(
+        encode_bmp_rle(np.array([[1, 2], [3, 4]], np.uint8), pal)
+    )
+    struct.pack_into("<ii", good, 18, 60000, 60000)  # biWidth, biHeight
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_bmp(bytes(good))
+
+    # GIF: inflate the image-descriptor dims of a valid single frame
+    g = bytearray(encode_gif(np.array([[1, 2], [3, 4]], np.uint8)))
+    ipos = 13 + 3 * 256  # header + screen descriptor + global table
+    assert g[ipos] == 0x2C  # image descriptor introducer
+    struct.pack_into("<HH", g, ipos + 5, 60000, 60000)  # image w, h
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_gif(bytes(g))
+    # ... and the logical-screen dims for the animation canvas
+    g2 = bytearray(encode_gif(np.array([[1, 2], [3, 4]], np.uint8)))
+    struct.pack_into("<HH", g2, 6, 60000, 60000)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_gif_frames(bytes(g2))
+
+    # LZW: repeated max-length dictionary hits expand far past the
+    # declared max_out -> loud cutoff, not GiB of driver memory
+    from n2khab_mhq_data_spark.llmdata.gif import _lzw_encode
+
+    data = _lzw_encode([7] * 100_000)
+    assert len(_lzw_decode(bytes(data), 8)) == 100_000
+    with pytest.raises(ValueError, match="exceeds declared pixel count"):
+        _lzw_decode(bytes(data), 8, max_out=64)
 
 
 def test_ima_adpcm_expand_and_wav_roundtrip():
@@ -1067,3 +1131,70 @@ def test_ima_adpcm_expand_and_wav_roundtrip():
     bad[bad.index(b"data") + 8 + 2] = 89  # corrupt the block's index
     with pytest.raises(ValueError):
         decode_wav(bytes(bad))
+
+
+def test_ima_adpcm_multiblock():
+    """ADVICE r10: a foreign multi-block ADPCM WAV must decode each
+    nBlockAlign stride with ITS OWN header state (the old single-block
+    walk decoded garbage past block 1), and the fact chunk must trim
+    tail padding / fail loud when it overclaims."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_wav,
+        ima_expand,
+    )
+
+    def block(pred, idx, nibs):
+        packed = bytes(
+            (nibs[k] & 15) | ((nibs[k + 1] & 15) << 4)
+            for k in range(0, len(nibs), 2)
+        )
+        return struct.pack("<hBB", pred, idx, 0) + packed
+
+    blocks = [(100, 5, [2, 9, 15, 0]), (-200, 30, [7, 7, 1, 14])]
+    data = b"".join(block(*b) for b in blocks)
+    ba = 6  # 4-byte header + 2 packed bytes per block
+    n_samples = 10  # (1 + 4) per block
+
+    def wav(fact_n):
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x11, 1, 8000, 8000 * ba // 5, ba, 4, 2, 5
+        )
+        fact = struct.pack("<I", fact_n)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    rate, s = decode_wav(wav(n_samples))
+    want = np.concatenate(
+        [
+            np.concatenate(
+                [np.array([p], dtype=np.int16), ima_expand(nb, p, i)]
+            )
+            for p, i, nb in blocks
+        ]
+    )
+    assert rate == 8000 and np.array_equal(s, want)
+    # fact trims tail padding samples of the last block
+    assert np.array_equal(decode_wav(wav(n_samples - 1))[1], want[:-1])
+    # fact overclaiming what the blocks hold fails loud
+    with pytest.raises(ValueError):
+        decode_wav(wav(n_samples + 1))
+    # truncated final block fails loud
+    trunc = wav(n_samples)
+    trunc = trunc.replace(data, data[:-3])
+    trunc = (
+        trunc[: trunc.index(b"data") + 4]
+        + struct.pack("<I", len(data) - 3)
+        + trunc[trunc.index(b"data") + 8 :]
+    )
+    with pytest.raises(ValueError):
+        decode_wav(trunc)

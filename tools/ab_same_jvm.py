@@ -89,10 +89,15 @@ def main() -> None:
     if len(set(counts.values())) != 1:
         raise SystemExit(f"variants disagree on row count: {counts}")
     samples: dict[str, list[float]] = {k: [] for k in dfs}
-    for _ in range(args.runs):
-        for k, df in dfs.items():  # strict alternation
+    order = list(dfs)
+    for r in range(args.runs):
+        # serpentine: a,b then b,a — a fixed within-round order would
+        # hand the same variant the post-GC/cleaner-backlog slot every
+        # round, a small systematic bias alternation alone can't cancel
+        # (r11 adversarial review of this tool)
+        for k in order if r % 2 == 0 else reversed(order):
             t0 = time.time()
-            df.count()
+            dfs[k].count()
             samples[k].append(time.time() - t0)
     for k, ts in samples.items():
         print(
