@@ -11,7 +11,9 @@ so cross-replica docs share no shingles — pair counts stay linear in
 corpus size by construction, matching a real corpus's behavior where
 near-dup density is a property of the data, not its size).
 
-Usage: python tools/scale_demo.py [replicas]   # generates tier if absent
+Usage: python tools/scale_demo.py [replicas] [family ...]
+       # generates tier if absent; families default to all
+       # (exact, minhash, prefix, bm25  — r11 adds the retrieval family)
 Output: one JSON line per family with rows, seconds, shuffle GiB.
 """
 
@@ -31,7 +33,9 @@ from n2khab_mhq_data_spark.session import get_spark  # noqa: E402
 
 SF1 = "/root/repo/.scale/sf1.0/documents.parquet"
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+FAMILIES = set(sys.argv[2:]) or {"exact", "minhash", "prefix", "bm25"}
 DST = f"/root/repo/.scale/docs_x{REPLICAS}/documents.parquet"
+BM25_DIR = f"/root/repo/.scale/bm25_x{REPLICAS}"
 SHIFT = 10_000_000_000  # above every sf1.0 doc_id (max ~9e8 + 60k)
 UI = "http://localhost:4040"  # overwritten from sc.uiWebUrl in main()
 
@@ -129,19 +133,98 @@ def main() -> None:
         prefix_filter_pairs,
     )
 
-    measure(
-        "exact_dedup",
-        lambda: exact_dedup(docs, "text", "doc_id").count(),
-    )
-    measure(
-        "minhash_lsh_verified_pairs",
-        lambda: minhash_dedup_pairs(docs, "text", "doc_id").count(),
-    )
+    if "exact" in FAMILIES:
+        measure(
+            "exact_dedup",
+            lambda: exact_dedup(docs, "text", "doc_id").count(),
+        )
+    if "minhash" in FAMILIES:
+        measure(
+            "minhash_lsh_verified_pairs",
+            lambda: minhash_dedup_pairs(docs, "text", "doc_id").count(),
+        )
     # r9 VERDICT item 7: the prefix-filter's rarest-first fan-out claim
     # measured at the 1000x tier (exact set-similarity, no banding)
-    measure(
-        "prefix_filter_pairs",
-        lambda: prefix_filter_pairs(docs, "text", "doc_id").count(),
+    if "prefix" in FAMILIES:
+        measure(
+            "prefix_filter_pairs",
+            lambda: prefix_filter_pairs(docs, "text", "doc_id").count(),
+        )
+    if "bm25" in FAMILIES:
+        bm25_family(spark, docs)
+
+
+def bm25_family(spark, docs) -> None:
+    """r10 VERDICT item 4: the first NON-dedup family measured at the
+    upsampled tiers — BM25 index build (postings + doc lengths
+    MATERIALIZED to parquet, which is what building a search index
+    means) and ranked top-k retrieval over the persisted index. The
+    interest is the verdict's suspicion: the topk plan joins the
+    postings to the DOC-GRAIN doclen table unhinted — the same
+    estimate-collapsing derived-relation shape as the r10 prefix_filter
+    broadcast incident — so the measurement also records the join
+    strategy the planner actually picked for that join (adjudication:
+    the 16 MB adaptive broadcast guard in session.py must keep the
+    5M-row doclen side on a shuffle join)."""
+    from n2khab_mhq_data_spark.llmdata.pipeline import bm25_topk
+    from n2khab_mhq_data_spark.llmdata.text import tokens, word_frequency
+
+    tf_path = f"{BM25_DIR}/tf.parquet"
+    dl_path = f"{BM25_DIR}/doclen.parquet"
+
+    def build() -> int:
+        tf = (
+            docs.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(tokens(F.col("text"))).alias("term"),
+            )
+            .groupBy("doc", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        tf.write.mode("overwrite").parquet(tf_path)
+        tf_r = spark.read.parquet(tf_path)
+        tf_r.groupBy("doc").agg(F.sum("tf").alias("dl")).write.mode(
+            "overwrite"
+        ).parquet(dl_path)
+        return tf_r.count()
+
+    measure("bm25_index_build", build)
+
+    # 16 deterministic 3-term queries from the sf1.0 base vocabulary —
+    # terms ranked 50-97 by corpus frequency (the synthetic vocab is
+    # Zipf-steep, so an absolute-count band holds <48 words; rank-based
+    # selection always yields 48 selective-but-matching terms), matching
+    # the unsuffixed replica-0 slice; reproducible without RNG
+    base = spark.read.parquet(SF1)
+    wf = word_frequency(base, "text")
+    terms = [
+        r["w"]
+        for r in wf.orderBy(F.col("wc").desc(), "w").limit(98).collect()
+    ][50:]
+    queries = spark.createDataFrame(
+        [(i // 3, terms[i]) for i in range(len(terms))],
+        "query_id int, term string",
+    )
+    tf_r = spark.read.parquet(tf_path)
+    dl_r = spark.read.parquet(dl_path)
+
+    topk_df = bm25_topk(
+        docs, queries, "text", "doc_id", k=10, index=(tf_r, dl_r)
+    )
+    measure("bm25_topk", topk_df.count)
+    plan = topk_df._jdf.queryExecution().executedPlan().toString()
+    print(
+        json.dumps(
+            {
+                "family": "bm25_topk_plan",
+                "doclen_join": (
+                    "SMJ" if "SortMergeJoin" in plan else "broadcast/other"
+                ),
+                "n_smj": plan.count("SortMergeJoin"),
+                "n_bhj": plan.count("BroadcastHashJoin"),
+            }
+        ),
+        flush=True,
     )
 
 
