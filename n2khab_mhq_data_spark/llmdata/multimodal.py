@@ -2,23 +2,29 @@
 columns with typed metadata, processed by Arrow-batched pandas UDFs over
 ``mapInPandas``.
 
-Decode support comes in two tiers. PNG, WAV (PCM16 + G.711
-mu-law/A-law + IMA ADPCM), GIF (87a + animated 89a incl. interlace, local color
+Decode support comes in two tiers. PNG (sequential + Adam7
+interlaced), WAV (PCM16 + G.711
+mu-law/A-law + IMA ADPCM incl. multi-block), GIF (87a + animated 89a
+incl. interlace, local color
 tables, and disposal 0-3), BMP (8-bit palettized + 24-bit BGR, both
 row orders, plus BI_RLE8/BI_RLE4 run-length incl. absolute mode and
-delta skips), JPEG (baseline grayscale and
+delta skips), TIFF (baseline 8-bit gray, II and MM byte orders,
+multi-strip, uncompressed + PackBits), JPEG (baseline grayscale and
 color, progressive, restart intervals), and MJPEG-in-AVI video decode
-is REAL and pure stdlib/numpy (zlib inflate + scanline unfilter;
+is REAL and pure stdlib/numpy (zlib inflate + scanline unfilter incl.
+the seven-pass Adam7 scatter;
 RIFF/PCM16/G.711 parse; GIF-LZW + GCE compositing + deinterlace;
-BITMAPINFOHEADER walk; canonical-Huffman +
+BITMAPINFOHEADER walk; IFD tag walk + PackBits RLE; canonical-Huffman +
 IDCT incl. progressive scan reassembly; RIFF AVI demux — see
 ``decode_png`` / ``decode_wav`` here and ``llmdata/jpeg.py`` /
-``llmdata/gif.py`` / ``llmdata/bmp.py``), with matching encoders/muxers
+``llmdata/gif.py`` / ``llmdata/bmp.py`` / ``llmdata/tiff.py``), with
+matching encoders/muxers
 so the registered
 queries build spec-valid payloads and hash-check the decoded
 statistics against arithmetic oracles (IMA ADPCM's stateful
 recursion is walked by a recursive-CTE oracle). The remaining codecs
-(compressed TIFF's multi-codec container, arithmetic-coded JPEG,
+(TIFF beyond baseline gray + PackBits — the multi-codec container:
+LZW, JPEG-in-TIFF, tiles, planar color — arithmetic-coded JPEG,
 H.264/MP4-class video) are ALSO pure logic in principle — the
 honest waiver is SCOPE, not library-necessity: each is a large
 standalone engineering effort, and they remain STUBBED:
@@ -122,15 +128,29 @@ def decode_image(raw: bytes, fake: bool = False) -> dict:
             "width": int(img.shape[1]),
             "height": int(img.shape[0]),
         }
+    if raw[:2] in (b"II", b"MM"):
+        from n2khab_mhq_data_spark.llmdata.tiff import decode_tiff
+
+        img = decode_tiff(raw)
+        return {
+            "format": "tiff",
+            "n_frames": 1,
+            "first_byte": raw[0],
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+        }
     raise NotImplementedError(
-        "codec not implemented (video beyond MJPEG-AVI, compressed"
-        " TIFF, arithmetic-coded JPEG — waived on SCOPE, each"
-        " is a large standalone decoder, not because a library is"
-        " required); PNG, WAV (PCM16 + G.711 + IMA ADPCM), GIF (incl. animated"
-        " 89a, interlace, local color tables, disposal 0-3), BMP"
-        " (uncompressed + RLE8/RLE4), JPEG (baseline gray/color +"
-        " progressive) and MJPEG-AVI decode for real, or pass"
-        " fake=True for the deterministic test decoder"
+        "codec not implemented (video beyond MJPEG-AVI, TIFF beyond"
+        " baseline gray + PackBits (the multi-codec container: LZW,"
+        " JPEG-in-TIFF, tiles, planar color), arithmetic-coded JPEG —"
+        " waived on SCOPE, each is a large standalone decoder, not"
+        " because a library is required); PNG (sequential + Adam7"
+        " interlaced), WAV (PCM16 + G.711 + IMA ADPCM multi-block),"
+        " GIF (incl. animated 89a, interlace, local color tables,"
+        " disposal 0-3), BMP (uncompressed + RLE8/RLE4), TIFF"
+        " (baseline gray, both endians, multi-strip, PackBits), JPEG"
+        " (baseline gray/color + progressive) and MJPEG-AVI decode for"
+        " real, or pass fake=True for the deterministic test decoder"
     )
 
 
@@ -339,11 +359,15 @@ def cdc_chunk_one(
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
+# shared decompression-bomb ceiling — rationale at its definition
+from n2khab_mhq_data_spark.llmdata.gif import _MAX_PIXELS  # noqa: E402
 
-def encode_png(img) -> bytes:
-    """Minimal real PNG encoder: 8-bit grayscale, filter 0, one IDAT.
-    Output is a spec-valid PNG (CRC'd chunks) any external tool can
-    open — used to build REAL binary payloads for the decode queries."""
+
+def encode_png(img, interlace: bool = False) -> bytes:
+    """Minimal real PNG encoder: 8-bit grayscale, filter 0, one IDAT;
+    ``interlace=True`` writes the seven Adam7 passes (r11). Output is a
+    spec-valid PNG (CRC'd chunks) any external tool can open — used to
+    build REAL binary payloads for the decode queries."""
     import struct
     import zlib
 
@@ -360,8 +384,17 @@ def encode_png(img) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-    scan = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts += [b"\x00" + sub[r].tobytes() for r in range(sub.shape[0])]
+        scan = b"".join(parts)
+    else:
+        scan = b"".join(b"\x00" + a[r].tobytes() for r in range(h))
     return (
         _PNG_MAGIC
         + chunk(b"IHDR", ihdr)
@@ -370,46 +403,25 @@ def encode_png(img) -> bytes:
     )
 
 
-def decode_png(raw: bytes):
-    """Real PNG decode (pure stdlib): chunk walk, IDAT inflate, scanline
-    unfilter (types 0-4 incl. Paeth), 8-bit grayscale/RGB, no
-    interlace. Returns an (h, w) or (h, w, 3) uint8 numpy array."""
-    import struct
-    import zlib
+# Adam7 pass grid: (x_start, y_start, x_step, y_step), PNG spec 4.5.2 —
+# shared by decode_png and encode_png(interlace=True)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
+
+def _png_unfilter(flat: bytes, pos: int, h: int, w: int, ch: int):
+    """Unfilter ONE scanline sequence (a whole non-interlaced image, or
+    one Adam7 pass — each pass filters against its own previous scanline
+    per the spec) starting at ``pos``; returns ((h, w*ch) array,
+    next_pos)."""
     import numpy as np
 
-    if raw[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    off, idat = 8, []
-    w = h = ctype = None
-    while off + 8 <= len(raw):
-        (ln,) = struct.unpack_from(">I", raw, off)
-        typ = raw[off + 4 : off + 8]
-        data = raw[off + 8 : off + 8 + ln]
-        if typ == b"IHDR":
-            w, h, depth, ctype, comp, filt, inter = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if depth != 8 or ctype not in (0, 2) or inter or comp or filt:
-                raise ValueError(
-                    f"unsupported PNG shape (depth={depth} ctype={ctype}"
-                    f" interlace={inter})"
-                )
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        off += 12 + ln
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    ch = 1 if ctype == 0 else 3
     stride = w * ch
-    flat = zlib.decompress(b"".join(idat))
-    if len(flat) != h * (stride + 1):
+    if pos + h * (stride + 1) > len(flat):
         raise ValueError("PNG scanline payload length mismatch")
     img = np.zeros((h, stride), dtype=np.uint8)
-    pos = 0
     for r in range(h):
         f = flat[pos]
         line = np.frombuffer(flat, np.uint8, stride, pos + 1).copy()
@@ -443,7 +455,67 @@ def decode_png(raw: bytes):
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         img[r] = line
-    return img.reshape(h, w) if ch == 1 else img.reshape(h, w, 3)
+    return img, pos
+
+
+def decode_png(raw: bytes):
+    """Real PNG decode (pure stdlib): chunk walk, IDAT inflate, scanline
+    unfilter (types 0-4 incl. Paeth), 8-bit grayscale/RGB, sequential
+    AND Adam7-interlaced (r11 — each of the seven passes is its own
+    independently-filtered sub-image, scattered back onto the sparse
+    pixel grid). Returns an (h, w) or (h, w, 3) uint8 numpy array."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if raw[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    off, idat = 8, []
+    w = h = ctype = inter = None
+    while off + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, off)
+        typ = raw[off + 4 : off + 8]
+        data = raw[off + 8 : off + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2) or comp or filt or (
+                inter not in (0, 1)
+            ):
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth} ctype={ctype}"
+                    f" interlace={inter})"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        off += 12 + ln
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if w * h > _MAX_PIXELS:
+        raise ValueError("PNG dimensions exceed decompression-bomb guard")
+    ch = 1 if ctype == 0 else 3
+    flat = zlib.decompress(b"".join(idat))
+    if not inter:
+        img, pos = _png_unfilter(flat, 0, h, w, ch)
+        if pos != len(flat):
+            raise ValueError("PNG scanline payload length mismatch")
+        return img.reshape(h, w) if ch == 1 else img.reshape(h, w, 3)
+    full = np.zeros((h, w, ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # spec: empty passes transmit nothing
+        sub, pos = _png_unfilter(flat, pos, ph, pw, ch)
+        full[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if pos != len(flat):
+        raise ValueError("PNG scanline payload length mismatch")
+    return full.reshape(h, w) if ch == 1 else full
 
 
 def encode_wav(samples, rate: int = 8000) -> bytes:
@@ -1977,4 +2049,152 @@ def adpcm_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         op,
         f"{id_col} {idt}, sample_rate int, n_samples long, peak long,"
         " sum_pcm long, last_pcm long",
+    )
+
+
+def png_interlace_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL Adam7-interlaced PNG payloads (r11): per document one
+    grayscale PNG on a (9 + id%8) x (11 + id%9) grid — large enough
+    that all SEVEN passes transmit rows — with
+    v(i, j) = (id*13 + 7i + 3j) mod 256. Interlace scatters pixels
+    across passes, so only the position-weighted checksum proves the
+    de-interlace reassembly (mean/max are placement-invariant)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                h, w = 9 + did % 8, 11 + did % 9
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                img = ((did * 13 + 7 * i + 3 * j) % 256).astype(np.uint8)
+                payloads.append(encode_png(img, interlace=True))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads}
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} long, payload binary"
+    )
+
+
+def png_interlace_stats(
+    binary_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Decode Adam7 PNGs through the real decoder and emit the shared
+    luminance stats (see :func:`_lum_frame_stats`)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = [decode_png(bytes(r)) for r in pdf["payload"]]
+            ws, hs, means, mxs, wsums = zip(
+                *(_lum_frame_stats(img) for img in imgs)
+            ) if imgs else ((),) * 5
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_lum": pd.Series(means, dtype="float64"),
+                    "max_lum": pd.Series(mxs, dtype="int32"),
+                    "wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    idt = binary_df.schema[id_col].dataType.simpleString()
+    return binary_df.mapInPandas(
+        op,
+        f"{id_col} {idt}, width int, height int,"
+        " mean_lum double, max_lum int, wsum long",
+    )
+
+
+def tiff_payloads(
+    df: DataFrame, id_col: str = "doc_id", packbits: bool = False
+) -> DataFrame:
+    """REAL baseline-TIFF payloads (llmdata/tiff.py, r11): per document
+    TWO files on a (3 + id%5) x (5 + id%6) grid. Uncompressed mode:
+    kind 'ii_strips' is little-endian with rows_per_strip=2
+    (multi-strip walk) and kind 'mm_single' is big-endian in one strip,
+    pixel v(i, j) = (id*7 + 5i + 11j) mod 256. PackBits mode: the same
+    two kinds but run-friendly content v(i, j) = (id*19 + 3i + j div 3)
+    mod 256 (runs of 3 along each row) compressed per strip with the
+    TIFF 6.0 PackBits RLE."""
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.tiff import encode_tiff
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                h, w = 3 + did % 5, 5 + did % 6
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                if packbits:
+                    img = ((did * 19 + 3 * i + j // 3) % 256).astype(
+                        np.uint8
+                    )
+                else:
+                    img = ((did * 7 + 5 * i + 11 * j) % 256).astype(
+                        np.uint8
+                    )
+                ids.append(did)
+                kinds.append("ii_strips")
+                payloads.append(
+                    encode_tiff(
+                        img, byte_order="<", rows_per_strip=2,
+                        packbits=packbits,
+                    )
+                )
+                ids.append(did)
+                kinds.append("mm_single")
+                payloads.append(
+                    encode_tiff(img, byte_order=">", packbits=packbits)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "kind": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    return _spread_ids(df, id_col).mapInPandas(
+        op, f"{id_col} long, kind string, payload binary"
+    )
+
+
+def tiff_stats(binary_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode baseline TIFFs through the real IFD walk and emit the
+    shared stats (see :func:`_lum_frame_stats` — TIFF gray is the raw
+    sample value, no luminance transform)."""
+    from n2khab_mhq_data_spark.llmdata.tiff import decode_tiff
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = [decode_tiff(bytes(r)) for r in pdf["payload"]]
+            ws, hs, means, mxs, wsums = zip(
+                *(_lum_frame_stats(img) for img in imgs)
+            ) if imgs else ((),) * 5
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "kind": pdf["kind"],
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_lum": pd.Series(means, dtype="float64"),
+                    "max_lum": pd.Series(mxs, dtype="int32"),
+                    "wsum": pd.Series(wsums, dtype="int64"),
+                }
+            )
+
+    idt = binary_df.schema[id_col].dataType.simpleString()
+    return binary_df.mapInPandas(
+        op,
+        f"{id_col} {idt}, kind string, width int, height int,"
+        " mean_lum double, max_lum int, wsum long",
     )

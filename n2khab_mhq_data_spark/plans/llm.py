@@ -5834,3 +5834,129 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "correct", F.col("lang_true") == F.col("lang_pred")
     )
+
+
+@query(
+    "multimodal_png_interlaced",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 9 + doc_id % 8 AS h, 11 + doc_id % 9 AS w
+      FROM documents
+    ), ii AS (SELECT unnest(range(0, 16)) AS i),
+    jj AS (SELECT unnest(range(0, 19)) AS j),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, ii.i, jj.j,
+             (d.doc_id * 13 + 7 * ii.i + 3 * jj.j) % 256 AS v
+      FROM dims d, ii, jj WHERE ii.i < d.h AND jj.j < d.w
+    )
+    SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(avg(v) + 1e-9, 3) AS mean_lum,
+           CAST(max(v) AS INTEGER) AS max_lum,
+           CAST(sum(v * (i * w + j + 1)) AS BIGINT) AS wsum
+    FROM px GROUP BY doc_id, h, w
+    """,
+)
+def multimodal_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Adam7-interlaced PNG decode end-to-end (r11,
+    ``decode_png``): per document one grayscale PNG whose pixels are
+    transmitted across the spec's SEVEN passes, each pass its own
+    independently-filtered sub-image, on a grid large enough that every
+    pass carries rows. The oracle re-derives each pixel and the
+    position-weighted checksum wsum — mean/max are placement-invariant,
+    so wsum is what proves the seven-pass scatter reassembled every
+    pixel at its true coordinate (the multimodal_gif_interlace
+    argument, applied to PNG's 2-D pass grid). Closes the PNG
+    interlace gap the same way r10 closed GIF's. Two Arrow passes,
+    zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        png_interlace_payloads,
+        png_interlace_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return png_interlace_stats(png_interlace_payloads(docs))
+
+
+@query(
+    "multimodal_tiff_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 5 AS h, 5 + doc_id % 6 AS w
+      FROM documents
+    ), ii AS (SELECT unnest(range(0, 7)) AS i),
+    jj AS (SELECT unnest(range(0, 10)) AS j),
+    kk AS (SELECT unnest(['ii_strips', 'mm_single']) AS kind),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, ii.i, jj.j,
+             (d.doc_id * 7 + 5 * ii.i + 11 * jj.j) % 256 AS v
+      FROM dims d, ii, jj WHERE ii.i < d.h AND jj.j < d.w
+    )
+    SELECT doc_id, kind, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(avg(v) + 1e-9, 3) AS mean_lum,
+           CAST(max(v) AS INTEGER) AS max_lum,
+           CAST(sum(v * (i * w + j + 1)) AS BIGINT) AS wsum
+    FROM px, kk GROUP BY doc_id, kind, h, w
+    """,
+)
+def multimodal_tiff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode end-to-end (llmdata/tiff.py, r11): per
+    document the same gray image written TWO ways — little-endian
+    (``II``) split into 2-row strips, and big-endian (``MM``) in one
+    strip — so the IFD tag walk, BOTH byte orders, and the multi-strip
+    concatenation all round-trip against the arithmetic oracle (wsum
+    catches a strip stitched at the wrong row). Shrinks the r10 codec
+    waiver the way BMP did: baseline TIFF is a header + tag walk +
+    strip copy, pure ``struct``; what stays waived is the multi-codec
+    container (LZW, JPEG-in-TIFF, tiles). PackBits compression is the
+    sibling query ``multimodal_tiff_packbits``. Two Arrow passes, zero
+    shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        tiff_payloads,
+        tiff_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return tiff_stats(tiff_payloads(docs))
+
+
+@query(
+    "multimodal_tiff_packbits",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 3 + doc_id % 5 AS h, 5 + doc_id % 6 AS w
+      FROM documents
+    ), ii AS (SELECT unnest(range(0, 7)) AS i),
+    jj AS (SELECT unnest(range(0, 10)) AS j),
+    kk AS (SELECT unnest(['ii_strips', 'mm_single']) AS kind),
+    px AS (
+      SELECT d.doc_id, d.h, d.w, ii.i, jj.j,
+             (d.doc_id * 19 + 3 * ii.i + jj.j // 3) % 256 AS v
+      FROM dims d, ii, jj WHERE ii.i < d.h AND jj.j < d.w
+    )
+    SELECT doc_id, kind, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           round(avg(v) + 1e-9, 3) AS mean_lum,
+           CAST(max(v) AS INTEGER) AS max_lum,
+           CAST(sum(v * (i * w + j + 1)) AS BIGINT) AS wsum
+    FROM px, kk GROUP BY doc_id, kind, h, w
+    """,
+)
+def multimodal_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PackBits-compressed TIFF decode end-to-end (llmdata/tiff.py,
+    r11): the multimodal_tiff_stats layouts with run-friendly content
+    (runs of 3 along each row) compressed per strip with the TIFF 6.0
+    PackBits RLE — runs never cross strip boundaries per spec, which
+    the 2-row-strip kind exercises (decoder-only features — the -128
+    noop, truncated-stream fail-loud — are pinned in pytest). This is
+    the BMP-RLE move replayed on TIFF: the 'compressed TIFF' waiver
+    now honestly names only the container codecs (LZW, JPEG-in-TIFF,
+    tiles). Two Arrow passes, zero shuffle."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        tiff_payloads,
+        tiff_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return tiff_stats(tiff_payloads(docs, packbits=True))

@@ -58,6 +58,23 @@ def test_png_bmp_gif_decode_foreign_encoders_exactly():
     assert np.array_equal(decode_gif((FIX / "pattern.gif").read_bytes()), want)
 
 
+def test_interlaced_png_and_tiff_foreign_encoders_exactly():
+    """r11: the Adam7 fixture exercises what our own encoder cannot —
+    ImageIO's PNG writer picks REAL adaptive filters per pass (our
+    encoder always writes filter 0), so every per-pass unfilter path is
+    crossed against a foreign bitstream; the TIFF fixture is ImageIO's
+    own big-endian tag layout (incl. tags our baseline walk must skip,
+    e.g. RATIONAL resolutions), not our encoder's."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import decode_png
+    from n2khab_mhq_data_spark.llmdata.tiff import decode_tiff
+
+    want = _pattern()
+    raw = (FIX / "pattern_interlaced.png").read_bytes()
+    assert raw[8 + 8 + 12] == 1  # IHDR interlace flag: Adam7 for real
+    assert np.array_equal(decode_png(raw), want)
+    assert np.array_equal(decode_tiff((FIX / "pattern.tif").read_bytes()), want)
+
+
 def _our_jpeg(name: str) -> np.ndarray:
     from n2khab_mhq_data_spark.llmdata.jpeg import decode_jpeg
 

@@ -1,10 +1,11 @@
 """Multimodal contract tests. The Spark-side contracts — Arrow
 batching, generator fan-out, BYTE-based partition sizing for binary
 payloads — are pinned here, plus the REAL pure-stdlib codecs (PNG
-unfilter vectors, WAV/AVI RIFF round-trips, hand-built JPEG and GIF
-bitstreams); the remaining codecs (compressed TIFF, arithmetic-coded
-JPEG, H.264-class video) are waived on SCOPE — each a large
-standalone decoder — and remain a declared stub."""
+unfilter vectors incl. Adam7, WAV/AVI RIFF round-trips, hand-built
+JPEG and GIF bitstreams, baseline TIFF incl. PackBits); the remaining
+codecs (TIFF's multi-codec container beyond baseline gray + PackBits,
+arithmetic-coded JPEG, H.264-class video) are waived on SCOPE — each
+a large standalone decoder — and remain a declared stub."""
 
 from __future__ import annotations
 
@@ -20,19 +21,21 @@ from n2khab_mhq_data_spark.llmdata.multimodal import (
 
 
 def test_decode_stub_fails_loud_without_fake():
-    # unrecognized magic (here: a TIFF header and a corrupt PNG prefix
-    # that fails the full 8-byte magic) must fail loud — the real-decode
-    # tier is PNG, WAV (PCM16/G.711), GIF (incl. 89a animation,
-    # interlace, local tables), uncompressed BMP, JPEG (baseline
-    # gray/color + progressive), MJPEG-AVI
-    with pytest.raises(NotImplementedError, match="codec not implemented"):
-        decode_image(b"II*\x00....")
+    # unrecognized magic (here: a corrupt PNG prefix that fails the full
+    # 8-byte magic, and a made-up container) must fail loud through the
+    # stub; recognized-but-malformed magics route to their REAL decoders
+    # whose contract is ValueError
     with pytest.raises(NotImplementedError, match="codec not implemented"):
         decode_image(b"\x89PNG....")
+    with pytest.raises(NotImplementedError, match="codec not implemented"):
+        decode_image(b"XXXX....")
     # BMP is REAL as of r10: its magic now routes to decode_bmp, whose
     # malformed-input contract is ValueError, not the stub
     with pytest.raises(ValueError, match="not a BMP payload"):
         decode_image(b"BM......")
+    # TIFF is REAL as of r11: II/MM magics route to decode_tiff
+    with pytest.raises(ValueError, match="TIFF"):
+        decode_image(b"II*\x00....")
 
 
 def test_payload_bytes_drive_partition_sizing(spark, tmp_path):
@@ -1198,3 +1201,136 @@ def test_ima_adpcm_multiblock():
     )
     with pytest.raises(ValueError):
         decode_wav(trunc)
+
+
+def test_png_adam7_roundtrip_and_guards():
+    """r11 Adam7 tier: interlaced round-trips across sizes that exercise
+    empty passes (1x1 transmits only pass 1; 8x8 fills all seven), a
+    hand-pinned scatter check, and the malformed-input contract."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    for h, w in ((1, 1), (1, 8), (8, 1), (2, 3), (5, 5), (8, 8), (9, 17)):
+        a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        assert (decode_png(encode_png(a, interlace=True)) == a).all(), (h, w)
+        assert (decode_png(encode_png(a)) == a).all()
+    # hand-pinned: in a 2x2 image the Adam7 stream is pass1=[p00],
+    # pass6=[p01], pass7=[p10 p11] -> scatter must place each back
+    a = np.array([[10, 20], [30, 40]], np.uint8)
+    assert (decode_png(encode_png(a, interlace=True)) == a).all()
+    # truncated IDAT fails loud (scanline length mismatch)
+    good = bytearray(encode_png(np.zeros((4, 4), np.uint8), interlace=True))
+    import zlib
+
+    short = zlib.compress(b"\x00" * 5)  # wrong payload size
+    # rebuild with a bogus IDAT
+    from n2khab_mhq_data_spark.llmdata.multimodal import _PNG_MAGIC
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    bad = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # hostile header dims fail before allocation (shared bomb guard)
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 0, 0, 0, 0)
+    bomb = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_png(bomb)
+
+
+def test_tiff_roundtrip_and_guards():
+    """r11 TIFF tier: baseline-gray round-trips over both byte orders x
+    strip layouts x compression, the TIFF 6.0 PackBits spec vector, the
+    -128 noop, and the malformed-input contract (truncated strips,
+    out-of-scope shapes, bomb dims, PackBits overrun)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from n2khab_mhq_data_spark.llmdata.tiff import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    rng = np.random.RandomState(11)
+    for h, w in ((1, 1), (2, 5), (7, 3), (16, 13)):
+        a = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        for bo in ("<", ">"):
+            for rps in (None, 1, 3):
+                for pb in (False, True):
+                    out = decode_tiff(
+                        encode_tiff(
+                            a, byte_order=bo, rows_per_strip=rps,
+                            packbits=pb,
+                        )
+                    )
+                    assert (out == a).all(), (h, w, bo, rps, pb)
+
+    # TIFF 6.0 spec's published PackBits example round-trips
+    spec = bytes.fromhex(
+        "aaaaaa80008aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    )
+    assert packbits_decode(packbits_encode(spec), len(spec)) == spec
+    # -128 is a noop the decoder must skip
+    assert packbits_decode(b"\x80\x00\x41", 1) == b"A"
+    # overrun and truncation fail loud
+    with pytest.raises(ValueError):
+        packbits_decode(b"\x03AB", 4)  # literal of 4 but only 2 bytes
+    with pytest.raises(ValueError):
+        packbits_decode(b"\xfeZ", 1)  # run of 3 overruns expect=1
+
+    good = encode_tiff(
+        np.arange(24, dtype=np.uint8).reshape(4, 6), rows_per_strip=2
+    )
+    with pytest.raises(ValueError):
+        decode_tiff(good[:-10])  # IFD truncated (it sits at the end)
+    with pytest.raises(ValueError):
+        decode_tiff(b"XX" + good[2:])  # bad byte-order mark
+    # hostile dims: patch ImageWidth/ImageLength SHORT values
+    bad = bytearray(good)
+    # find the width tag (256) in the IFD and inflate both dims
+    (ifd_off,) = struct.unpack_from("<I", bad, 4)
+    (n,) = struct.unpack_from("<H", bad, ifd_off)
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", bad, e)
+        if tag in (256, 257):
+            struct.pack_into("<H", bad, e + 8, 60000)
+    with pytest.raises(ValueError, match="decompression-bomb"):
+        decode_tiff(bytes(bad))
+    # out-of-scope: LZW compression id fails with the scope message
+    bad2 = bytearray(good)
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", bad2, e)
+        if tag == 259:
+            struct.pack_into("<H", bad2, e + 8, 5)  # LZW
+    with pytest.raises(ValueError, match="unsupported TIFF compression"):
+        decode_tiff(bytes(bad2))
+    # encoder refuses what it can't round-trip
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((0, 4), np.uint8))
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((2, 2), np.uint8), byte_order="x")

@@ -43,6 +43,20 @@ public class ImageIOFixture {
         return img;
     }
 
+    // progressive mode on the PNG writer = Adam7 interlace; on the TIFF
+    // writer the default is baseline strips -- both r11 fixture targets
+    static void writeProgressive(BufferedImage img, File f, String fmt)
+            throws IOException {
+        ImageWriter w = ImageIO.getImageWritersByFormatName(fmt).next();
+        ImageWriteParam p = w.getDefaultWriteParam();
+        p.setProgressiveMode(ImageWriteParam.MODE_DEFAULT);
+        try (ImageOutputStream os = ImageIO.createImageOutputStream(f)) {
+            w.setOutput(os);
+            w.write(null, new IIOImage(img, null, null), p);
+        }
+        w.dispose();
+    }
+
     static void writeJpeg(BufferedImage img, File f, boolean progressive)
             throws IOException {
         ImageWriter w = ImageIO.getImageWritersByFormatName("jpeg").next();
@@ -81,6 +95,9 @@ public class ImageIOFixture {
         dir.mkdirs();
         BufferedImage grad = gradient(), blk = blocks();
         ImageIO.write(grad, "png", new File(dir, "pattern.png"));
+        writeProgressive(grad, new File(dir, "pattern_interlaced.png"),
+                         "png");
+        ImageIO.write(grad, "tiff", new File(dir, "pattern.tif"));
         ImageIO.write(grad, "bmp", new File(dir, "pattern.bmp"));
         ImageIO.write(grad, "gif", new File(dir, "pattern.gif"));
         writeJpeg(blk, new File(dir, "baseline.jpg"), false);
