@@ -867,3 +867,90 @@ def graph_degree_assortativity(
             num / F.sqrt(vx.cast("double") * vy) + F.lit(1e-9), 6
         ).alias("assortativity"),
     )
+
+
+_BFS_MAX_D = 12  # bounded-diameter contract, same as components max_iter
+
+
+@query(
+    "graph_shortest_paths",
+    oracle=_EDGES_SQL
+    + f"""
+    , ee AS (
+      SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e
+    ), srcs AS (
+      SELECT node AS src FROM (
+        SELECT a AS node FROM e UNION SELECT b FROM e
+      ) ORDER BY node LIMIT 3
+    ), walk AS (
+      WITH RECURSIVE w(src, node, d) AS (
+        SELECT src, src, 0 FROM srcs
+        UNION
+        SELECT w.src, ee.v, w.d + 1
+        FROM w JOIN ee ON ee.u = w.node
+        WHERE w.d < {_BFS_MAX_D}
+      )
+      SELECT * FROM w
+    ), best AS (
+      SELECT src, node, CAST(min(d) AS INTEGER) AS dist
+      FROM walk GROUP BY 1, 2
+    )
+    SELECT src, dist, CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS node_checksum
+    FROM best GROUP BY 1, 2
+    """,
+)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the co-purchase graph — the
+    Pregel-style iterative frontier expansion (unweighted shortest
+    paths) from the three lowest-id nodes, reported as a per-(source,
+    distance) ring census with a node-id checksum so a node counted at
+    the wrong depth breaks the hash. Spark: each round joins ONLY the
+    current frontier (not the whole dist table) against the
+    bidirectional edge list, anti-joins already-visited (node, src)
+    pairs, and localCheckpoints the growing dist table (lineage cut —
+    the components/pagerank discipline); the loop is driver-bounded by
+    the ring-empty test (a per-round count, the documented bounded
+    collect) and the {_BFS_MAX_D}-hop diameter contract the oracle's
+    recursive CTE shares. Scale: the frontier join shuffles on the
+    node key; each round moves O(|ring| x avg-degree) rows, never the
+    whole graph; dist rows are capped at 3 x |V|. The oracle is the
+    suite's second recursive-CTE differential (after the ADPCM state
+    walk): DuckDB's UNION-deduped recursion explores the same bounded
+    (src, node, d) state space."""
+    edges = _copurchase_edges(spark, sf_dir).select("a", "b")
+    ee = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    ee = ee.localCheckpoint()  # reused every round; cut the build lineage
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select("b"))
+        .distinct()
+    )
+    srcs = nodes.orderBy("node").limit(3).select(
+        F.col("node").alias("src")
+    )
+    dist = srcs.select(
+        "src", F.col("src").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint()
+    frontier = dist
+    for depth in range(1, _BFS_MAX_D + 1):
+        cand = (
+            frontier.join(ee, frontier.node == ee.u)
+            .select("src", F.col("v").alias("node"))
+            .distinct()
+        )
+        ring = cand.join(dist, ["src", "node"], "left_anti").select(
+            "src", "node", F.lit(depth).alias("d")
+        ).localCheckpoint()
+        if ring.isEmpty():  # bounded driver check, one per round
+            break
+        dist = dist.unionAll(ring).localCheckpoint()
+        frontier = ring
+    return dist.groupBy(
+        "src", F.col("d").cast("int").alias("dist")
+    ).agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("node").cast("long").alias("node_checksum"),
+    )

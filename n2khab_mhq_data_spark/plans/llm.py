@@ -5960,3 +5960,150 @@ def multimodal_tiff_packbits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return tiff_stats(tiff_payloads(docs, packbits=True))
+
+
+_BKQ_K = 64
+_BKQ_SHARDS = 32
+_BKQ_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+@query(
+    "sketch_bottomk_quantiles",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_orderkey AS key,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             {_BKQ_HASH_SQL} AS hv
+      FROM orders
+    ), l1 AS (
+      SELECT g, key, v, hv,
+             row_number() OVER (
+               PARTITION BY g, hv % {_BKQ_SHARDS} ORDER BY hv, key
+             ) AS r1
+      FROM base
+    ), sk AS (
+      SELECT g, key, v, hv,
+             row_number() OVER (PARTITION BY g ORDER BY hv, key) AS r2
+      FROM l1 WHERE r1 <= {_BKQ_K}
+    ), samp AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, key) AS vr,
+             count(*) OVER (PARTITION BY g) AS nk
+      FROM sk WHERE r2 <= {_BKQ_K}
+    ), est AS (
+      SELECT g, CAST(max(nk) AS BIGINT) AS n_kept,
+             max(CASE WHEN vr = (nk + 1) // 2 THEN v END) AS e50,
+             max(CASE WHEN vr = (9 * nk + 9) // 10 THEN v END) AS e90
+      FROM samp GROUP BY g
+    ), ranked AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v, key) AS vr,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM base
+    ), ex AS (
+      SELECT g, CAST(max(n) AS BIGINT) AS n_rows,
+             max(CASE WHEN vr = (n + 1) // 2 THEN v END) AS x50,
+             max(CASE WHEN vr = (9 * n + 9) // 10 THEN v END) AS x90
+      FROM ranked GROUP BY g
+    )
+    SELECT ex.g AS priority, ex.n_rows, est.n_kept,
+           round(est.e50 / 100.0 + 1e-9, 2) AS est_p50,
+           round(est.e90 / 100.0 + 1e-9, 2) AS est_p90,
+           round(ex.x50 / 100.0 + 1e-9, 2) AS exact_p50,
+           round(ex.x90 / 100.0 + 1e-9, 2) AS exact_p90
+    FROM ex JOIN est USING (g)
+    """,
+)
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE quantile sketch per order priority: a bottom-k-by-hash
+    uniform sample (keep the k rows with the smallest portable md5 hash
+    of the row key — a without-replacement uniform sample whose merge
+    is just 'union, keep bottom k', the same order-statistics family as
+    sketch_kmv_distinct) estimating p50/p90 of the order total next to
+    the exact quantiles. The plan IS the 100 TB rollup shape: level-1
+    bottom-k per (group, hash-shard) — {_BKQ_SHARDS} shards, so the
+    heavy windows run groups x shards ways parallel and the shard count
+    is the parallelism knob — then the level-2 merge windows only the
+    BOUNDED shards x k survivors per group. Merge exactness is
+    structural (bottom-k of a union = bottom-k of merged bottom-ks), so
+    the two-level result is bit-identical to a flat bottom-k, which is
+    what the oracle computes. Quantile selection is pure integer rank
+    arithmetic on the cents grid (element at ceil(q*n), ties broken by
+    key) — no float fold anywhere, both engines agree exactly. The
+    exact-quantile truth leg full-sorts each group and is the AUDIT leg
+    (the ann recall-audit adjudication): production at 100 TB reads the
+    estimate columns, whose error vs truth this query measures."""
+    k, shards = _BKQ_K, _BKQ_SHARDS
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8),
+            16, 10,
+        ).cast("long").alias("hv"),
+    )
+    w1 = W.partitionBy("g", F.pmod(F.col("hv"), shards)).orderBy(
+        "hv", "key"
+    )
+    l1 = base.withColumn("r1", F.row_number().over(w1)).filter(
+        F.col("r1") <= k
+    )
+    w2 = W.partitionBy("g").orderBy("hv", "key")
+    sk = l1.withColumn("r2", F.row_number().over(w2)).filter(
+        F.col("r2") <= k
+    )
+    wv = W.partitionBy("g").orderBy("v", "key")
+    wg = W.partitionBy("g")
+    samp = sk.select(
+        "g", "v",
+        F.row_number().over(wv).alias("vr"),
+        F.count("*").over(wg).alias("nk"),
+    )
+    est = samp.groupBy("g").agg(
+        F.max("nk").cast("long").alias("n_kept"),
+        F.max(
+            F.when(
+                F.col("vr") == F.floor((F.col("nk") + 1) / 2), F.col("v")
+            )
+        ).alias("e50"),
+        F.max(
+            F.when(
+                F.col("vr") == F.floor((9 * F.col("nk") + 9) / 10),
+                F.col("v"),
+            )
+        ).alias("e90"),
+    )
+    ranked = base.select(
+        "g", "v",
+        F.row_number().over(wv).alias("vr"),
+        F.count("*").over(wg).alias("n"),
+    )
+    ex = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        F.max(
+            F.when(
+                F.col("vr") == F.floor((F.col("n") + 1) / 2), F.col("v")
+            )
+        ).alias("x50"),
+        F.max(
+            F.when(
+                F.col("vr") == F.floor((9 * F.col("n") + 9) / 10),
+                F.col("v"),
+            )
+        ).alias("x90"),
+    )
+    cents = lambda c: F.round(c / 100.0 + F.lit(1e-9), 2)  # noqa: E731
+    return ex.join(est, "g").select(
+        F.col("g").alias("priority"),
+        "n_rows",
+        "n_kept",
+        cents(F.col("e50")).alias("est_p50"),
+        cents(F.col("e90")).alias("est_p90"),
+        cents(F.col("x50")).alias("exact_p50"),
+        cents(F.col("x90")).alias("exact_p90"),
+    )
