@@ -139,13 +139,18 @@ def encode_tiff(
 
     # values that don't fit in the 4-byte tag slot go AFTER the IFD
     entries: list[tuple[int, int, int, bytes | int]] = [
-        (_WIDTH, 3, 1, w),  # SHORT
-        (_LENGTH, 3, 1, h),
+        # LONG (spec allows SHORT or LONG): tall-thin images under the
+        # pixel cap can exceed 65535 in one dimension (r11 review)
+        (_WIDTH, 4, 1, w),
+        (_LENGTH, 4, 1, h),
         (_BITS, 3, 1, 8),
         (_COMPRESSION, 3, 1, _PACKBITS if packbits else 1),
         (_PHOTOMETRIC, 3, 1, 1),  # BlackIsZero
         (_SPP, 3, 1, 1),
-        (_ROWS_PER_STRIP, 3, 1, min(rps, 65535)),
+        # LONG, not SHORT: rps defaults to h, and a tall-thin image
+        # (h > 65535, still under the pixel cap) would silently
+        # truncate a SHORT tag the decoder then trusts (r11 review)
+        (_ROWS_PER_STRIP, 4, 1, rps),
     ]
     ifd_size = 2 + 12 * (len(entries) + 2) + 4
     extra_off = ifd_off + ifd_size
@@ -225,8 +230,11 @@ def decode_tiff(raw: bytes):
     for k in range(n_entries):
         e = ifd_off + 2 + 12 * k
         tag, typ, cnt = struct.unpack_from(f"{bo}HHI", raw, e)
-        if typ not in (3, 4):
-            continue  # RATIONAL resolutions etc. — irrelevant here
+        if typ not in (3, 4) or cnt == 0:
+            # RATIONAL resolutions etc. are irrelevant; a hostile
+            # cnt=0 entry must not install an empty value list that
+            # IndexErrors later (fail-loud contract, r11 review)
+            continue
         tags[tag] = _read_value(raw, bo, typ, cnt, raw[e + 8 : e + 12])
 
     def one(tag: int, default: int | None = None) -> int:

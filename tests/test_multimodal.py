@@ -1334,3 +1334,80 @@ def test_tiff_roundtrip_and_guards():
         encode_tiff(np.zeros((0, 4), np.uint8))
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((2, 2), np.uint8), byte_order="x")
+    # hostile cnt=0 on a required tag: ValueError (missing tag), never
+    # an IndexError from an empty value list (r11 review)
+    bad3 = bytearray(good)
+    for k in range(n):
+        e = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from("<HHI", bad3, e)
+        if tag == 256:
+            struct.pack_into("<I", bad3, e + 4, 0)
+    with pytest.raises(ValueError, match="missing required tag"):
+        decode_tiff(bytes(bad3))
+    # tall-thin beyond SHORT range: RowsPerStrip rides a LONG tag, so
+    # a 70000x1 default-strip image round-trips (r11 review)
+    tall = np.arange(70000, dtype=np.uint8).reshape(70000, 1) % 256
+    assert (decode_tiff(encode_tiff(tall)) == tall).all()
+
+
+def test_codec_property_roundtrips():
+    """Hypothesis property pass over the r11 codecs: ANY uint8 array
+    must round-trip through Adam7 PNG, every TIFF layout, and raw
+    PackBits — the hand-vector tests pin known shapes, this pins the
+    shapes nobody thought of (the §5 property-test discipline)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    import numpy as np
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        decode_png,
+        encode_png,
+    )
+    from n2khab_mhq_data_spark.llmdata.tiff import (
+        decode_tiff,
+        encode_tiff,
+        packbits_decode,
+        packbits_encode,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 24), st.integers(1, 24)
+            ),
+        ),
+        st.sampled_from(["<", ">"]),
+        st.integers(1, 9),
+        st.booleans(),
+    )
+    def tiff_prop(a, bo, rps, pb):
+        out = decode_tiff(
+            encode_tiff(a, byte_order=bo, rows_per_strip=rps, packbits=pb)
+        )
+        assert (out == a).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        arrays(
+            np.uint8,
+            st.tuples(
+                st.integers(1, 24), st.integers(1, 24)
+            ),
+        ),
+        st.booleans(),
+    )
+    def png_prop(a, interlace):
+        assert (decode_png(encode_png(a, interlace=interlace)) == a).all()
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=0, max_size=600))
+    def pb_prop(data):
+        assert packbits_decode(packbits_encode(data), len(data)) == data
+
+    tiff_prop()
+    png_prop()
+    pb_prop()
