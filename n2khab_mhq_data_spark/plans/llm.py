@@ -6107,3 +6107,95 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents(F.col("x50")).alias("exact_p50"),
         cents(F.col("x90")).alias("exact_p90"),
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ), c AS (
+      SELECT vec_id AS nid, embedding AS cv FROM embeddings
+    ), scored AS (
+      SELECT qid AS query_id, nid AS neighbour_id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+        / (coalesce(nullif(sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))), 0), 1)
+           * coalesce(nullif(sqrt(list_sum(list_transform(range(1, 65),
+             i -> CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))), 0), 1))
+          AS cos
+      FROM q, c WHERE nid != qid
+    ), with_best AS (
+      SELECT *, max(cos) OVER (PARTITION BY query_id) AS best
+      FROM scored
+    )
+    SELECT query_id, neighbour_id, hn_rank,
+           round(cos + sign(cos) * 1e-9, 6) AS cosine,
+           round(best - cos + 1e-9, 6) AS margin
+    FROM (SELECT *, CAST(row_number() OVER (
+                      PARTITION BY query_id ORDER BY cos DESC, neighbour_id
+                    ) AS INTEGER) AS hn_rank
+          FROM with_best WHERE cos < 0.35)
+    WHERE hn_rank <= 5
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive/embedding training: per
+    query vector, the top-5 most-similar candidates that are NOT
+    positives (cosine below the dup/positive threshold 0.35 — the
+    dedup_decontaminate_semantic calibration for this corpus, so both
+    the exclusion and the keep branch are exercised), plus each
+    negative's MARGIN to the query's best match (the quantity batch
+    construction sorts by). This is the standard retrieval-training
+    data loop: positives come from the dedup/label pass, and the
+    negatives that matter are the closest non-positives, not random
+    draws. Plan shape = sim_cosine_topk's broadcast-query cross
+    (bounded by the query set — the pinned sim_cosine_topk contract)
+    with one extra per-query max window on the already-bounded scored
+    frame; at 100 TB the candidate generation routes through the ANN
+    index first (ann_lsh_topk / ann_ivf_topk) and this exact scorer
+    runs on the candidate slice."""
+    from n2khab_mhq_data_spark.llmdata.similarity import dot, safe_norm
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        safe_norm("embedding", 64).alias("qnrm"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbour_id"),
+        F.col("embedding").alias("cvec"),
+        safe_norm("embedding", 64).alias("cnrm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbour_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbour_id",
+            (dot("qvec", "cvec", 64) / (F.col("qnrm") * F.col("cnrm")))
+            .alias("cos"),
+        )
+    )
+    wq = W.partitionBy("query_id")
+    with_best = scored.withColumn("best", F.max("cos").over(wq))
+    negs = with_best.filter(F.col("cos") < 0.35)
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbour_id").asc()
+    )
+    return (
+        negs.withColumn("hn_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("hn_rank") <= 5)
+        .select(
+            "query_id",
+            "neighbour_id",
+            "hn_rank",
+            F.round(F.col("cos") + F.signum("cos") * 1e-9, 6).alias(
+                "cosine"
+            ),
+            F.round(F.col("best") - F.col("cos") + F.lit(1e-9), 6).alias(
+                "margin"
+            ),
+        )
+    )

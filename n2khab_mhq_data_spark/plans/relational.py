@@ -4450,3 +4450,62 @@ def tpcds_skew_house_account(
             F.sum("rev_i").cast("long") / 10000.0 + F.lit(1e-9), 2
         ).alias("revenue"),
     )
+
+
+@query(
+    "audit_reliability_diagram",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS p_bp,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS late
+      FROM lineitem
+    )
+    SELECT CAST(p_bp // 1000 AS INTEGER) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(p_bp) / 10000.0 + 1e-9, 6) AS mean_predicted,
+           round(avg(late) + 1e-9, 6) AS observed_rate,
+           round(abs(avg(p_bp) / 10000.0 - avg(late)) + 1e-9, 6)
+             AS calibration_gap
+    FROM scored GROUP BY 1
+    """,
+)
+def audit_reliability_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-calibration audit (reliability diagram): decile-bin a
+    predicted probability, compare mean prediction vs observed event
+    rate per bin — the standard pre-deployment check for any scoring
+    model a curation pipeline gates on (quality classifiers, dedup
+    verdict models), and the per-bin |gap| column is the ECE integrand.
+    The 'model' here is a deterministic integer-basis-points stand-in
+    scored from line features against the real returned-line label
+    (l_returnflag = 'R', the return-risk target) — the MACHINERY
+    (exact integer binning, no
+    exp()/sigmoid float fold so both engines bin identically,
+    map-side-combinable one-pass aggregate) is the operator; swap the
+    score column for a real model's output at deployment. avg(late) is
+    an exact integer-ratio mean; avg(p_bp) likewise — the only floats
+    are final display divisions. One scan, one 10-key groupBy: the
+    same shape at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    p_bp = (
+        F.col("l_quantity").cast("long") * 150
+        + disc * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    late = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    scored = li.select(p_bp.alias("p_bp"), late.alias("late"))
+    return scored.groupBy(
+        F.floor(F.col("p_bp") / 1000).cast("int").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("p_bp") / 10000.0 + F.lit(1e-9), 6).alias(
+            "mean_predicted"
+        ),
+        F.round(F.avg("late") + F.lit(1e-9), 6).alias("observed_rate"),
+        F.round(
+            F.abs(F.avg("p_bp") / 10000.0 - F.avg("late")) + F.lit(1e-9),
+            6,
+        ).alias("calibration_gap"),
+    )

@@ -302,6 +302,11 @@ EXPECTED: dict[str, set[str]] = {
     # MMR candidate generation IS the sim_cosine_topk broadcast cross;
     # the greedy itself is a bounded per-query grouped map (no join)
     "sim_mmr_rerank": {"CARTESIAN(x1)"},
+    # hard-negative mining scores candidates with the same deliberate
+    # broadcast-query cross (bounded by the 3-query set — the
+    # sim_cosine_topk contract); the margin window rides the bounded
+    # scored frame
+    "sim_hard_negatives": {"CARTESIAN(x1)"},
     # RRF's dense leg is the sim_cosine_topk broadcast-query cross and
     # its lexical leg attaches BM25's 1-row corpus stats (the
     # text_bm25_topk pattern); the fusion itself is a bounded union+agg
