@@ -4509,3 +4509,158 @@ def audit_reliability_diagram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("calibration_gap"),
     )
+
+
+# cumulative Poisson(1) CDF scaled to 2^32 (floor), k = 0..7 — computed
+# once from exp(-1)/k! and embedded as INTEGER literals so both engines
+# draw the identical deterministic weight from the identical hash
+_POIS_T = [1580030168, 3160060337, 3950075421, 4213413783,
+           4279248373, 4292415291, 4294609777, 4294923276]
+_BOOT_B = 32
+
+
+def _pois_case_sql(hv: str) -> str:
+    branches = " ".join(
+        f"WHEN {hv} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {branches} ELSE {len(_POIS_T)} END"
+
+
+@query(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_orderkey AS key,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), hashed AS (
+      SELECT g, key, v,
+             CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h0
+      FROM base
+    ), reps AS (
+      SELECT g, key, v, r.rep,
+             ((xor(h0, r.rep * 2654435761) % 4294967296)
+              * 1103515245) % 4294967296 AS hv
+      FROM hashed, (SELECT unnest(range(0, {_BOOT_B})) AS rep) r
+    ), weighted AS (
+      SELECT g, rep, {_pois_case_sql('hv')} AS w, v FROM reps
+    ), means AS (
+      SELECT g, rep,
+             CAST(sum(w * v) AS BIGINT) * 1.0 / CAST(sum(w) AS BIGINT)
+               AS m
+      FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m, rep)
+               AS rk,
+             count(*) OVER (PARTITION BY g) AS nb
+      FROM means
+    ), truth AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_orders,
+             round(CAST(sum(v) AS BIGINT) * 1.0
+                   / (count(*) * 100.0) + 1e-9, 2) AS mean_price
+      FROM base GROUP BY 1
+    )
+    SELECT t.g AS priority, t.n_orders, t.mean_price,
+           round(max(CASE WHEN rk = 2 THEN m END) / 100.0 + 1e-9, 2)
+             AS ci_lo,
+           round(max(CASE WHEN rk = nb - 1 THEN m END) / 100.0 + 1e-9, 2)
+             AS ci_hi
+    FROM ranked JOIN truth t USING (g)
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence interval for mean order value per
+    priority — the resampling scheme that actually works at 100 TB
+    (classical bootstrap needs n draws per replicate from one machine;
+    Poissonization gives each row an INDEPENDENT Poisson(1) multiplicity
+    per replicate, so all B replicates ride ONE scan as a weighted
+    aggregate — the streaming-bootstrap construction). Weights are
+    deterministic: the row-key x replicate hash maps through the exact
+    integer-scaled Poisson(1) CDF thresholds (module literals), so both
+    engines draw bit-identical resamples — no RNG anywhere. Replicate
+    means are single divisions of exact integer sums; the CI picks the
+    2nd / (B-1)th order statistics of the B=32 replicate means per
+    group (a window over <= B rows per group — bounded by B at any
+    scale). One scan, one (group x B)-key aggregate, one bounded
+    window."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.col("o_orderkey").alias("key"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    # ONE portable md5 per row; per-replicate draws come from an exact
+    # integer mix (xor with a Weyl increment, Fibonacci-style multiply,
+    # mod 2^32) — the standard hash(row, rep) construction, 32x cheaper
+    # than per-(row, rep) md5 and bit-identical in both engines (the
+    # mix is pure BIGINT arithmetic; measured 4.5 s -> see SCALE.md)
+    hashed = base.withColumn(
+        "h0",
+        F.conv(
+            F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    reps = hashed.select(
+        "g", "key", "v", "h0",
+        F.explode(
+            F.array(*[F.lit(r) for r in range(_BOOT_B)])
+        ).alias("rep"),
+    ).withColumn(
+        "hv",
+        (
+            (
+                F.col("h0").bitwiseXOR(
+                    F.col("rep").cast("long") * F.lit(2654435761)
+                )
+                % F.lit(4294967296)
+            )
+            * F.lit(1103515245)
+        ) % F.lit(4294967296),
+    )
+    w = F.lit(len(_POIS_T))
+    for k in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(F.col("hv") < _POIS_T[k], k).otherwise(w)
+    weighted = reps.withColumn("w", w)
+    means = (
+        weighted.groupBy("g", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).cast("long").alias("sw"),
+            F.sum("w").cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .select("g", "rep", (F.col("sw") * 1.0 / F.col("n")).alias("m"))
+    )
+    wr = W.partitionBy("g").orderBy("m", "rep")
+    wg = W.partitionBy("g")
+    ranked = means.select(
+        "g", "m",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wg).alias("nb"),
+    )
+    truth = base.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum("v").cast("long") * 1.0 / (F.count("*") * 100.0)
+            + F.lit(1e-9),
+            2,
+        ).alias("mean_price"),
+    )
+    ci = ranked.groupBy("g").agg(
+        F.round(
+            F.max(F.when(F.col("rk") == 2, F.col("m"))) / 100.0
+            + F.lit(1e-9),
+            2,
+        ).alias("ci_lo"),
+        F.round(
+            F.max(
+                F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))
+            ) / 100.0 + F.lit(1e-9),
+            2,
+        ).alias("ci_hi"),
+    )
+    return truth.join(ci, "g").select(
+        F.col("g").alias("priority"),
+        "n_orders", "mean_price", "ci_lo", "ci_hi",
+    )

@@ -490,6 +490,11 @@ EXPECTED_BCAST: dict[str, str] = {
     "dedup_simhash_pairs": "BCAST_DERIVED(x5)",
     "dedup_substring_remove": "BCAST_DERIVED(x2)",
     "events_dau_wau_stickiness": "BCAST_DERIVED(x1)",
+    # the CI side of the final join is GROUP-grain (5 priorities — the
+    # order-priority domain bound) but derives from the bootstrap
+    # explode, so its estimate carries the Generate discount; bounded
+    # by the grouping domain at any scale
+    "events_bootstrap_ci": "BCAST_DERIVED(x1)",
     "events_session_assign": "BCAST_DERIVED(x1)",
     "j13_interval_overlap_binned": "BCAST_DERIVED(x2)",
     "j13_interval_overlap_sliced": "BCAST_DERIVED(x2)",
