@@ -6199,3 +6199,148 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_feature_hashing",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS tok
+      FROM documents
+    ), bucketed AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256
+               AS bucket,
+             CASE WHEN CAST(('0x' || substr(md5(tok), 9, 1)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM tok WHERE length(tok) > 0
+    ), feat AS (
+      SELECT doc_id, bucket,
+             CAST(sum(sgn) AS BIGINT) AS val
+      FROM bucketed GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(count(CASE WHEN val != 0 THEN 1 END) AS BIGINT) AS nnz,
+           CAST(sum(val * val) AS BIGINT) AS sq_norm,
+           CAST(sum(bucket * val) AS BIGINT) AS checksum
+    FROM feat GROUP BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick, Weinberger et al. '09): hash
+    each token into one of 256 buckets with a +/-1 sign hash — the
+    unbounded-vocabulary vectorizer every at-scale linear model / CTR
+    pipeline uses, because it needs NO vocabulary table, no fit pass,
+    and no driver state (contrast text_tfidf_topk's explicit vocab).
+    Hashes are the repo's portable md5 spelling (bucket from the
+    leading 32 bits, sign from the 9th hex digit) so both engines build
+    bit-identical vectors; signed sums make collisions cancel in
+    expectation (the kernel-trick property). Output per doc: nnz,
+    squared l2 norm, and a bucket-weighted checksum that breaks if any
+    token lands in the wrong bucket. One explode + one
+    map-side-combinable two-key groupBy — no joins, no vocabulary
+    shuffle, the same plan at 100 TB."""
+    from n2khab_mhq_data_spark.llmdata.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    bucketed = tok.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+            % 256
+        ).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("tok"), 9, 1), 16, 10).cast("long")
+            % 2
+            == 0,
+            1,
+        ).otherwise(-1).alias("sgn"),
+    )
+    feat = bucketed.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("long").alias("val")
+    )
+    return feat.groupBy("doc_id").agg(
+        F.count(F.when(F.col("val") != 0, 1)).cast("long").alias("nnz"),
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("sq_norm"),
+        F.sum(F.col("bucket") * F.col("val")).cast("long").alias(
+            "checksum"
+        ),
+    )
+
+
+@query(
+    "ml_target_encode_loo",
+    oracle="""
+    WITH lines AS (
+      SELECT p.p_brand AS brand,
+             CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), grp AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM lines GROUP BY 1
+    ), loo AS (
+      SELECT l.brand, l.y, g.n, g.s,
+             CASE WHEN g.n > 1
+                  THEN (g.s - l.y) * 1.0 / (g.n - 1) END AS enc
+      FROM lines l JOIN grp g USING (brand)
+    )
+    SELECT brand, CAST(max(n) AS BIGINT) AS n_lines,
+           round(max(s) * 1.0 / max(n) + 1e-9, 6) AS rate,
+           round(min(enc) + 1e-9, 6) AS loo_min,
+           round(max(enc) + 1e-9, 6) AS loo_max,
+           CAST(count(CASE WHEN abs(enc - s * 1.0 / n) * n > 1.0
+                           THEN 1 END) AS BIGINT) AS n_shifted
+    FROM loo GROUP BY brand
+    """,
+)
+def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-safe way to turn a
+    high-cardinality category into a feature: each row's encoding is
+    its group's label mean EXCLUDING the row itself,
+    (sum - y) / (n - 1), so the feature never contains the row's own
+    label (naive mean-target encoding leaks and inflates offline
+    metrics). Per brand this reports the LOO encoding's range against
+    the naive rate plus how many rows shift by more than 1/n — the
+    audit a feature pipeline runs before trusting the encoder. Plan:
+    one fact x dim decode join (part broadcasts), one group aggregate,
+    one group-stats attach back onto lines (key-grain join — at 100 TB
+    the group table is brand-grain-bounded and broadcasts), one final
+    group rollup. All encodings are single divisions of exact integer
+    sums."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    grp = lines.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    loo = lines.join(F.broadcast(grp), "brand").select(
+        "brand", "y", "n", "s",
+        F.when(
+            F.col("n") > 1,
+            (F.col("s") - F.col("y")) * 1.0 / (F.col("n") - 1),
+        ).alias("enc"),
+    )
+    naive = F.col("s") * 1.0 / F.col("n")
+    return loo.groupBy("brand").agg(
+        F.max("n").cast("long").alias("n_lines"),
+        F.round(
+            F.max("s") * 1.0 / F.max("n") + F.lit(1e-9), 6
+        ).alias("rate"),
+        F.round(F.min("enc") + F.lit(1e-9), 6).alias("loo_min"),
+        F.round(F.max("enc") + F.lit(1e-9), 6).alias("loo_max"),
+        F.count(
+            F.when(F.abs(F.col("enc") - naive) * F.col("n") > 1.0, 1)
+        ).cast("long").alias("n_shifted"),
+    )
