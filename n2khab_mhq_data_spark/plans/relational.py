@@ -4664,3 +4664,71 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g").alias("priority"),
         "n_orders", "mean_price", "ci_lo", "ci_hi",
     )
+
+
+@query(
+    "audit_k_anonymity",
+    oracle="""
+    WITH qi AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_band,
+             c_custkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), grp AS (
+      SELECT nation, segment, bal_band,
+             CAST(count(*) AS BIGINT) AS k
+      FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(k) AS BIGINT) AS min_k,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(count(CASE WHEN k < 5 THEN 1 END) AS BIGINT)
+             AS classes_below_5,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS customers_at_risk,
+           round(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0
+                 / sum(k) + 1e-9, 6) AS at_risk_share,
+           CAST(count(CASE WHEN k = 1 THEN 1 END) AS BIGINT)
+             AS singletons
+    FROM grp
+    """,
+)
+def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY audit over a quasi-identifier combination (nation x
+    market segment x account-balance band): the data-governance gate a
+    pipeline runs before releasing or training on user-adjacent tables
+    — every equivalence class smaller than k is a re-identification
+    risk, and singletons are outright identifiable. Reports min k,
+    classes below k=5, at-risk row count/share, and singleton count.
+    Plan: dim broadcast + ONE quasi-identifier groupBy + one 1-row
+    rollup — map-side combinable, the same shape at 100 TB (the QI
+    class count is bounded by the attribute-domain product, not the
+    row count). Banding rides exact integer floor division."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qi = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias(
+            "bal_band"
+        ),
+    )
+    grp = qi.groupBy("nation", "segment", "bal_band").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    below = F.when(F.col("k") < 5, F.col("k")).otherwise(0)
+    return grp.agg(
+        F.min("k").cast("long").alias("min_k"),
+        F.count("*").cast("long").alias("n_classes"),
+        F.count(F.when(F.col("k") < 5, 1)).cast("long").alias(
+            "classes_below_5"
+        ),
+        F.sum(below).cast("long").alias("customers_at_risk"),
+        F.round(
+            F.sum(below) * 1.0 / F.sum("k") + F.lit(1e-9), 6
+        ).alias("at_risk_share"),
+        F.count(F.when(F.col("k") == 1, 1)).cast("long").alias(
+            "singletons"
+        ),
+    )
