@@ -101,18 +101,10 @@ _DRIVER_FAILED: frozenset[str] = frozenset()
 # queue after the whole backlog.  Entries are removed once the driver
 # samples the query (it moves to ``_DRIVER_SAMPLED``).
 _REGISTERED_ROUND: dict[str, int] = {
-    # (r8 backlog fully drained by CORRECTNESS_r09 — ann_pca_compress,
-    # j13_interval_overlap_sliced, and the 7 new TPC-H shapes all
-    # sampled hash-green; entries moved to _DRIVER_SAMPLED)
-    # r9 REAL-codec queries (VERDICT r9 item 4): these four were
-    # mistakenly listed in _DRIVER_SAMPLED at registration time, which
-    # rotated them to the BACK of the prefix-sampling order — the exact
-    # opposite of intended — so the driver never touched them
-    # (cumulative confirmation stuck at 299/303). Queue them FIRST.
-    "multimodal_color_stats": 9,
-    "multimodal_progressive_stats": 9,
-    "multimodal_gif_frames": 9,
-    "multimodal_audio_g711": 9,
+    # (r9/r10 backlogs fully drained: CORRECTNESS_r10 sampled all four
+    # r9 codec queries plus the whole r10 batch hash-green — entries
+    # moved to _DRIVER_SAMPLED; the r11 registrations are deliberately
+    # ABSENT here, which queues them as the never-sampled head tier)
 }
 
 # queries the driver has already sampled in CORRECTNESS_r01..r05 —
@@ -120,6 +112,15 @@ _REGISTERED_ROUND: dict[str, int] = {
 # drains the never-checked tail first (refresh per round from the union of
 # the CORRECTNESS_r*.json files)
 _DRIVER_SAMPLED: frozenset[str] = frozenset({
+    # CORRECTNESS_r10: all 50 sampled hash-green — the 13 below were
+    # the r9 codec backlog + the whole r10 registration batch
+    "multimodal_audio_adpcm", "multimodal_audio_g711",
+    "multimodal_bmp_rle", "multimodal_bmp_stats",
+    "multimodal_color_stats", "multimodal_gif_disposal",
+    "multimodal_gif_frames", "multimodal_gif_interlace",
+    "multimodal_progressive_stats", "tpcds_channel_overlap_matrix",
+    "tpcds_channel_sales_rollup", "tpcds_cross_channel_intersect",
+    "tpcds_margin_rank_in_rollup",
     "a10_max_value_dedupe", "a11_percentile_corr", "a12_rollup",
     "a18_cube", "ann_embedding_outliers", "ann_filtered_topk",
     "audit_constraint_suite", "audit_equidepth_histogram",
