@@ -4732,3 +4732,389 @@ def audit_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "singletons"
         ),
     )
+
+
+@query(
+    "ml_roc_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), grid AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM scored GROUP BY 1
+    ), ranked AS (
+      SELECT p, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) + (n + 1) / 2.0 AS midrank
+      FROM grid
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(p) AS BIGINT) AS n_neg,
+           round((sum(p * midrank)
+                  - CAST(sum(p) AS DOUBLE) * (sum(p) + 1) / 2.0)
+                 / (CAST(sum(p) AS DOUBLE) * (sum(n) - sum(p)))
+                 + 1e-9, 6) AS auc,
+           round(2.0 * ((sum(p * midrank)
+                  - CAST(sum(p) AS DOUBLE) * (sum(p) + 1) / 2.0)
+                 / (CAST(sum(p) AS DOUBLE) * (sum(n) - sum(p))))
+                 - 1.0 + 1e-9, 6) AS gini
+    FROM ranked
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC of a score against a binary label via the
+    Mann-Whitney rank-sum identity with midrank tie handling —
+    AUC = (sum of positive midranks - P(P+1)/2) / (P*N). The model-eval
+    primitive every training pipeline runs; approximate trapezoid AUCs
+    over sampled thresholds are the usual compromise, but on an
+    integer-grid score the exact statistic is ONE bounded aggregation:
+    groupBy(score) collapses the corpus to <= 10,000 rows (the bp score
+    grid, fixed by construction at any data scale), the cumulative
+    count that yields midranks runs on THAT bounded grid (pinned
+    SINGLE_PARTITION_WINDOW, domain-bounded like audit_benford's
+    9-digit table), and the final reduce is 1 row. All midranks are
+    exact multiples of 0.5 far below 2^52, so the sum is
+    order-independent and the statistic is bit-deterministic."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_returnflag"
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    grid = (
+        li.select(score.alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grid.select(
+        "p",
+        "n",
+        (
+            F.coalesce(F.sum("n").over(cum), F.lit(0)).cast("double")
+            + (F.col("n") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    p_tot = F.sum("p").cast("double")
+    n_neg = (F.sum("n") - F.sum("p")).cast("double")
+    auc = (F.sum(F.col("p") * F.col("midrank")) - p_tot * (F.sum("p") + 1) / 2.0) / (
+        p_tot * n_neg
+    )
+    return ranked.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
+        F.round(auc + F.lit(1e-9), 6).alias("auc"),
+        F.round(2.0 * auc - 1.0 + F.lit(1e-9), 6).alias("gini"),
+    )
+
+
+@query(
+    "events_survival_km",
+    oracle="""
+    WITH peruser AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users, max(l) AS maxd FROM peruser
+    ), lifet AS (
+      SELECT date_diff('day', f, l) AS dur,
+             CASE WHEN date_diff('day', l, maxd) >= 7 THEN 1 ELSE 0 END AS ev
+      FROM peruser, tot
+    ), grid AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS m, CAST(sum(ev) AS BIGINT) AS d
+      FROM lifet GROUP BY 1
+    ), km AS (
+      SELECT dur, m, d, n_users,
+             CAST(n_users - coalesce(sum(m) OVER (ORDER BY dur
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) AS at_risk
+      FROM grid, tot
+    )
+    SELECT CAST(dur AS INTEGER) AS duration_days,
+           CAST(at_risk AS BIGINT) AS n_at_risk,
+           d AS n_events,
+           CAST(m - d AS BIGINT) AS n_censored,
+           round(CASE WHEN min((at_risk - d) / at_risk) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+                 THEN 0.0
+                 ELSE exp(sum(CASE WHEN (at_risk - d) / at_risk > 0
+                          THEN ln((at_risk - d) / at_risk) ELSE 0.0 END)
+                        OVER (ORDER BY dur
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 END + 1e-9, 6) AS survival
+    FROM km
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimator over user lifetimes — the
+    product-limit curve S(t) = prod_{t_i<=t} (1 - d_i/n_i) with
+    right-censoring: a user whose last event falls within 7 days of the
+    observation edge is censored (still active), not churned. The
+    retention-analysis primitive behind every cohort-survival dashboard.
+    Plan: one per-user groupBy collapses events to user grain, a 1-row
+    broadcast attaches (n_users, max day), then the lifetime grid
+    groupBy bounds the relation at the OBSERVATION WINDOW in days —
+    domain-bounded at any corpus scale, so the running product rides a
+    pinned SINGLE_PARTITION_WINDOW over <= #days rows (the benford
+    pattern). The product itself is exp(sum(ln)) in ascending-duration
+    order — sequential identical evaluation in both engines — with a
+    min-factor guard so an exhausted risk set yields exactly 0 rather
+    than ln(0)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    peruser = ev.groupBy("user_id").agg(
+        F.min("d").alias("f"), F.max("d").alias("l")
+    )
+    tot = peruser.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.max("l").alias("maxd"),
+    )
+    lifet = peruser.crossJoin(F.broadcast(tot)).select(
+        F.datediff("l", "f").alias("dur"),
+        F.when(F.datediff("maxd", "l") >= 7, 1).otherwise(0).alias("ev"),
+        "n_users",
+    )
+    grid = lifet.groupBy("dur").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("ev").cast("long").alias("d"),
+        F.max("n_users").alias("n_users"),
+    )
+    prev = W.orderBy("dur").rowsBetween(W.unboundedPreceding, -1)
+    upto = W.orderBy("dur").rowsBetween(W.unboundedPreceding, 0)
+    km = grid.select(
+        "dur",
+        "m",
+        "d",
+        (
+            F.col("n_users")
+            - F.coalesce(F.sum("m").over(prev), F.lit(0))
+        ).cast("double").alias("at_risk"),
+    )
+    factor = (F.col("at_risk") - F.col("d")) / F.col("at_risk")
+    log_term = F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0))
+    return km.select(
+        F.col("dur").cast("int").alias("duration_days"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.col("d").alias("n_events"),
+        (F.col("m") - F.col("d")).cast("long").alias("n_censored"),
+        F.round(
+            F.when(F.min(factor).over(upto) == 0, F.lit(0.0)).otherwise(
+                F.exp(F.sum(log_term).over(upto))
+            )
+            + F.lit(1e-9),
+            6,
+        ).alias("survival"),
+    )
+
+
+@query(
+    "ml_chi2_feature_select",
+    oracle="""
+    WITH stacked AS (
+      SELECT feature, value,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      FROM lineitem,
+           LATERAL (VALUES
+             ('linestatus', l_linestatus),
+             ('ship_month', CAST(month(l_shipdate) AS VARCHAR)),
+             ('qty_band', CAST(CAST(l_quantity AS BIGINT) // 10
+                               AS VARCHAR)))
+             AS t(feature, value)
+    ), cells AS (
+      SELECT feature, value, label, CAST(count(*) AS BIGINT) AS n
+      FROM stacked GROUP BY 1, 2, 3
+    ), marg AS (
+      SELECT feature, value, label, n,
+             CAST(sum(n) OVER (PARTITION BY feature, value) AS DOUBLE)
+               AS rt,
+             CAST(sum(n) OVER (PARTITION BY feature, label) AS DOUBLE)
+               AS ct,
+             CAST(sum(n) OVER (PARTITION BY feature) AS DOUBLE) AS tot
+      FROM cells
+    )
+    SELECT feature,
+           CAST(count(DISTINCT value) AS BIGINT) AS n_values,
+           round(sum(CAST(n AS DOUBLE) * n * tot / (rt * ct)) - max(tot)
+                 + 1e-9, 4) AS chi2,
+           CAST(count(DISTINCT value) - 1 AS BIGINT) AS dof,
+           round(sqrt((sum(CAST(n AS DOUBLE) * n * tot / (rt * ct))
+                       - max(tot)) / max(tot)) + 1e-9, 6) AS cramers_v
+    FROM marg GROUP BY 1
+    """,
+)
+def ml_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARED feature selection: independence statistic of three
+    categorical candidate features against a binary label, plus
+    Cramer's V effect size — the filter-method screen a feature
+    pipeline runs before training. Uses the zero-cell-exact identity
+    chi2 = sum_observed(n^2 * N / (rowtot * coltot)) - N, so absent
+    contingency cells (which contribute exactly their expectation)
+    need no generation. Plan: one posexplode-free map-side stack
+    (explode of a 3-entry literal map — fan-out 3, a constant), ONE
+    groupBy on (feature, value, label) collapsing the corpus to the
+    attribute-domain product (< 30 cells), then marginals via windows
+    PARTITIONED by feature on that bounded cell table — no
+    single-partition window, no second scan."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_shipdate", "l_quantity", "l_returnflag"
+    )
+    stacked = li.select(
+        F.explode(
+            F.create_map(
+                F.lit("linestatus"), F.col("l_linestatus"),
+                F.lit("ship_month"),
+                F.month("l_shipdate").cast("string"),
+                F.lit("qty_band"),
+                F.expr("CAST(l_quantity AS BIGINT) DIV 10").cast(
+                    "string"
+                ),
+            )
+        ).alias("feature", "value"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias(
+            "label"
+        ),
+    )
+    cells = stacked.groupBy("feature", "value", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    marg = cells.select(
+        "feature",
+        "value",
+        "n",
+        F.sum("n").over(W.partitionBy("feature", "value")).cast(
+            "double"
+        ).alias("rt"),
+        F.sum("n").over(W.partitionBy("feature", "label")).cast(
+            "double"
+        ).alias("ct"),
+        F.sum("n").over(W.partitionBy("feature")).cast("double").alias(
+            "tot"
+        ),
+    )
+    term = F.col("n").cast("double") * F.col("n") * F.col("tot") / (
+        F.col("rt") * F.col("ct")
+    )
+    chi2 = F.sum(term) - F.max("tot")
+    return marg.groupBy("feature").agg(
+        F.countDistinct("value").cast("long").alias("n_values"),
+        F.round(chi2 + F.lit(1e-9), 4).alias("chi2"),
+        (F.countDistinct("value") - 1).cast("long").alias("dof"),
+        F.round(
+            F.sqrt(chi2 / F.max("tot")) + F.lit(1e-9), 6
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "ml_multivar_ols",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(round(l_discount * 100) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x1) AS DOUBLE) AS sx1,
+             CAST(sum(x2) AS DOUBLE) AS sx2,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x1 * x1) AS DOUBLE) AS sx11,
+             CAST(sum(x2 * x2) AS DOUBLE) AS sx22,
+             CAST(sum(x1 * x2) AS DOUBLE) AS sx12,
+             CAST(sum(x1 * y) AS DOUBLE) AS sx1y,
+             CAST(sum(x2 * y) AS DOUBLE) AS sx2y,
+             CAST(sum(CAST(y * y AS HUGEINT)) AS DOUBLE) AS syy
+      FROM g
+    ), m AS (
+      SELECT n,
+             n * sx11 - sx1 * sx1 AS s11,
+             n * sx22 - sx2 * sx2 AS s22,
+             n * sx12 - sx1 * sx2 AS s12,
+             n * sx1y - sx1 * sy AS s1y,
+             n * sx2y - sx2 * sy AS s2y,
+             n * syy - sy * sy AS syy_c,
+             sx1, sx2, sy
+      FROM s
+    ), b AS (
+      SELECT n, sx1, sx2, sy, s1y, s2y, syy_c,
+             (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+             (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(b1 + 1e-9, 6) AS beta_qty_cents,
+           round(b2 + 1e-9, 6) AS beta_disc_bp_cents,
+           round((sy - b1 * sx1 - b2 * sx2) / n + 1e-9, 4)
+             AS intercept_cents,
+           round((b1 * s1y + b2 * s2y) / syy_c + 1e-9, 6) AS r2
+    FROM b
+    """,
+)
+def ml_multivar_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIVARIATE ordinary least squares (two regressors + intercept)
+    solved in CLOSED FORM from the normal equations — the one-pass
+    distributed regression a feature pipeline uses for quick fits and
+    leverage screens, with R^2. All ten sufficient statistics are EXACT
+    integer sums on the cents/basis-point grid (sum(y^2) rides
+    decimal/HUGEINT past the bigint ceiling); each exact sum converts
+    to double once (correctly-rounded, so both engines hold the SAME
+    double), and the 2x2 covariance solve (Cramer's rule) is then an
+    identical deterministic double expression in both engines. Plan:
+    ONE map-side-combinable aggregate over the fact scan to a single
+    row, zero shuffles beyond the final 1-row reduce, zero windows —
+    the shape survives any scale."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    s = li.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x1").cast("double").alias("sx1"),
+        F.sum("x2").cast("double").alias("sx2"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("double").alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("double").alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("double").alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).cast("double").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("double").alias("sx2y"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(20,0)"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    s11 = n * F.col("sx11") - F.col("sx1") * F.col("sx1")
+    s22 = n * F.col("sx22") - F.col("sx2") * F.col("sx2")
+    s12 = n * F.col("sx12") - F.col("sx1") * F.col("sx2")
+    s1y = n * F.col("sx1y") - F.col("sx1") * F.col("sy")
+    s2y = n * F.col("sx2y") - F.col("sx2") * F.col("sy")
+    syy_c = n * F.col("syy") - F.col("sy") * F.col("sy")
+    det = s11 * s22 - s12 * s12
+    b1 = (s1y * s22 - s2y * s12) / det
+    b2 = (s2y * s11 - s1y * s12) / det
+    return s.select(
+        n.cast("long").alias("n_rows"),
+        F.round(b1 + F.lit(1e-9), 6).alias("beta_qty_cents"),
+        F.round(b2 + F.lit(1e-9), 6).alias("beta_disc_bp_cents"),
+        F.round(
+            (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / n
+            + F.lit(1e-9),
+            4,
+        ).alias("intercept_cents"),
+        F.round((b1 * s1y + b2 * s2y) / syy_c + F.lit(1e-9), 6).alias(
+            "r2"
+        ),
+    )

@@ -249,6 +249,15 @@ EXPECTED: dict[str, set[str]] = {
     # broadcast-crossed onto the user-grain frame — the text_tfidf_topk
     # 1-row-global-stat pattern; the user table never replicates
     "events_cuped_adjustment": {"CARTESIAN(x1)"},
+    # Kaplan-Meier: the (n_users, max-day) pair is a 1-ROW aggregate
+    # broadcast-crossed onto the user-grain lifetimes (the CUPED
+    # pattern); both windows run on the post-groupBy duration grid,
+    # bounded by the observation window in DAYS at any corpus scale
+    # (the benford argument)
+    "events_survival_km": {
+        "CARTESIAN(x1)",
+        "SINGLE_PARTITION_WINDOW(x2)",
+    },
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
@@ -538,6 +547,10 @@ EXPECTED_SPW: dict[str, str] = {
     # the windowed relation is the post-groupBy digit table — exactly
     # 9 rows (leading digits 1-9) at any scale, by construction
     "audit_benford_digits": "SINGLE_PARTITION_WINDOW(x1)",
+    # the midrank cumulative runs on the post-groupBy SCORE GRID —
+    # <= 10,000 rows (the bp score domain, fixed by construction) at
+    # any corpus scale; the corpus-sized work is the upstream groupBy
+    "ml_roc_auc": "SINGLE_PARTITION_WINDOW(x1)",
     # both windows run on the per-SOURCE planning table (rows = number
     # of corpus sources/domains — llmdata/pipeline.py budget_waterfill
     # prefix-sum + the budget total); the corpus-sized work happened in
