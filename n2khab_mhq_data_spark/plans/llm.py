@@ -6344,3 +6344,92 @@ def ml_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(F.col("enc") - naive) * F.col("n") > 1.0, 1)
         ).cast("long").alias("n_shifted"),
     )
+
+
+@query(
+    "text_keyness_g2",
+    oracle=r"""
+    WITH words AS (
+      SELECT CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS tgt, w
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0
+    ), vocab AS (
+      SELECT w, CAST(sum(tgt) AS BIGINT) AS a,
+             CAST(count(*) - sum(tgt) AS BIGINT) AS b
+      FROM words GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(a) AS DOUBLE) AS ta, CAST(sum(b) AS DOUBLE) AS tb
+      FROM vocab
+    ), scored AS (
+      SELECT w, a, b,
+             2.0 * ((CASE WHEN a > 0 THEN a * ln(a / (ta * (a + b)
+                       / (ta + tb))) ELSE 0.0 END)
+                  + (CASE WHEN b > 0 THEN b * ln(b / (tb * (a + b)
+                       / (ta + tb))) ELSE 0.0 END)) AS g2,
+             CASE WHEN a * (ta + tb) > ta * (a + b) THEN 1 ELSE -1 END
+               AS direction
+      FROM vocab, tot
+    )
+    SELECT w AS word, a AS n_target, b AS n_rest,
+           round(g2 + 1e-9, 4) AS g2, direction
+    FROM scored
+    ORDER BY g2 DESC, w LIMIT 25
+    """,
+)
+def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUNNING LOG-LIKELIHOOD (G2) keyness: which words are
+    significantly over/under-represented in one corpus source vs the
+    rest — the domain-shift / style-drift screen a mixture pipeline
+    runs per source (more robust than chi-squared at the rare-word
+    tail, which is exactly where corpus contamination shows). Plan:
+    ONE word-count shuffle to the vocab grain with a target/rest split
+    (map-side combinable), a 1-ROW totals aggregate broadcast-crossed
+    back (the CUPED pattern), per-word G2 as a pure column expression,
+    then a distributed TakeOrdered top-25 — never a global sort or a
+    single-partition window on the unbounded vocab table. Zero-count
+    cells contribute exactly 0 by the x*ln(x/E) -> 0 limit, handled
+    with explicit guards in both engines; all G2 inputs are exact
+    integers, so the doubles agree bit-for-bit."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("tgt"),
+        "text",
+    )
+    words = docs.select(
+        "tgt",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    vocab = words.groupBy("w").agg(
+        F.sum("tgt").cast("long").alias("a"),
+        (F.count("*") - F.sum("tgt")).cast("long").alias("b"),
+    )
+    tot = vocab.agg(
+        F.sum("a").cast("double").alias("ta"),
+        F.sum("b").cast("double").alias("tb"),
+    )
+    v = vocab.crossJoin(F.broadcast(tot))
+    ab = F.col("a") + F.col("b")
+    t_all = F.col("ta") + F.col("tb")
+    term_a = F.when(
+        F.col("a") > 0,
+        F.col("a") * F.log(F.col("a") / (F.col("ta") * ab / t_all)),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0,
+        F.col("b") * F.log(F.col("b") / (F.col("tb") * ab / t_all)),
+    ).otherwise(F.lit(0.0))
+    g2 = 2.0 * (term_a + term_b)
+    scored = v.select(
+        F.col("w").alias("word"),
+        F.col("a").alias("n_target"),
+        F.col("b").alias("n_rest"),
+        F.round(g2 + F.lit(1e-9), 4).alias("g2"),
+        F.when(
+            F.col("a") * t_all > F.col("ta") * ab, 1
+        ).otherwise(-1).alias("direction"),
+        g2.alias("__g2_raw"),
+    )
+    return scored.orderBy(
+        F.col("__g2_raw").desc(), "word"
+    ).limit(25).drop("__g2_raw")

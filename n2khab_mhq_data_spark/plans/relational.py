@@ -5118,3 +5118,272 @@ def ml_multivar_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+@query(
+    "ml_naive_bayes",
+    oracle="""
+    WITH rows_f AS (
+      SELECT l_returnflag AS label, l_linestatus AS ls,
+             CAST(month(l_shipdate) AS VARCHAR) AS mo,
+             CAST(CAST(l_quantity AS BIGINT) // 10 AS VARCHAR) AS qb
+      FROM lineitem
+    ), stacked AS (
+      SELECT feature, value, label FROM rows_f,
+        LATERAL (VALUES ('ls', ls), ('mo', mo), ('qb', qb))
+          AS t(feature, value)
+    ), lik AS (
+      SELECT feature, value,
+             CAST(count(CASE WHEN label = 'A' THEN 1 END) AS BIGINT)
+               AS na,
+             CAST(count(CASE WHEN label = 'N' THEN 1 END) AS BIGINT)
+               AS nn,
+             CAST(count(CASE WHEN label = 'R' THEN 1 END) AS BIGINT)
+               AS nr,
+             CAST(count(*) OVER (PARTITION BY feature) AS BIGINT)
+               AS kf_rows
+      FROM stacked GROUP BY 1, 2
+    ), likk AS (
+      SELECT feature, value, na, nn, nr,
+             CAST(count(*) OVER (PARTITION BY feature) AS DOUBLE) AS kf
+      FROM lik
+    ), cls AS (
+      SELECT CAST(count(CASE WHEN label = 'A' THEN 1 END) AS DOUBLE)
+               AS ca,
+             CAST(count(CASE WHEN label = 'N' THEN 1 END) AS DOUBLE)
+               AS cn,
+             CAST(count(CASE WHEN label = 'R' THEN 1 END) AS DOUBLE)
+               AS cr,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM rows_f
+    ), scored AS (
+      SELECT r.label,
+             ln(c.ca / c.n) + ln((f1.na + 1) / (c.ca + f1.kf))
+               + ln((f2.na + 1) / (c.ca + f2.kf))
+               + ln((f3.na + 1) / (c.ca + f3.kf)) AS sa,
+             ln(c.cn / c.n) + ln((f1.nn + 1) / (c.cn + f1.kf))
+               + ln((f2.nn + 1) / (c.cn + f2.kf))
+               + ln((f3.nn + 1) / (c.cn + f3.kf)) AS sn,
+             ln(c.cr / c.n) + ln((f1.nr + 1) / (c.cr + f1.kf))
+               + ln((f2.nr + 1) / (c.cr + f2.kf))
+               + ln((f3.nr + 1) / (c.cr + f3.kf)) AS sr
+      FROM rows_f r, cls c
+      JOIN likk f1 ON f1.feature = 'ls' AND f1.value = r.ls
+      JOIN likk f2 ON f2.feature = 'mo' AND f2.value = r.mo
+      JOIN likk f3 ON f3.feature = 'qb' AND f3.value = r.qb
+    )
+    SELECT label,
+           CASE WHEN sa >= sn AND sa >= sr THEN 'A'
+                WHEN sn >= sr THEN 'N' ELSE 'R' END AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM scored GROUP BY 1, 2
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CATEGORICAL NAIVE BAYES trained and scored in one relational
+    plan — class priors + Laplace-smoothed per-feature likelihoods as
+    aggregates, scoring as broadcast joins, confusion matrix out. The
+    from-scratch baseline classifier a data pipeline uses for cheap
+    label propagation / quality gating without leaving the engine.
+    Plan: one stacked groupBy collapses the corpus to the
+    (feature, value, class) likelihood tables — bounded by the
+    attribute domains at any scale — with the value-count k_f via a
+    feature-PARTITIONED window; the class-prior row is a 1-row
+    broadcast cross (CUPED pattern), scoring is three BROADCAST
+    equi-joins against the bounded tables (zero fact shuffles), and
+    the only reduce is the <= 9-row confusion groupBy. All log inputs
+    are exact integer ratios, so both engines score identically; the
+    argmax tie-break is the fixed class order A > N > R."""
+    rows_f = load(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("label"),
+        F.col("l_linestatus").alias("ls"),
+        F.month("l_shipdate").cast("string").alias("mo"),
+        F.expr("CAST(l_quantity AS BIGINT) DIV 10").cast("string").alias(
+            "qb"
+        ),
+    )
+    stacked = rows_f.select(
+        F.explode(
+            F.create_map(
+                F.lit("ls"), F.col("ls"),
+                F.lit("mo"), F.col("mo"),
+                F.lit("qb"), F.col("qb"),
+            )
+        ).alias("feature", "value"),
+        "label",
+    )
+    lik = stacked.groupBy("feature", "value").agg(
+        F.count(F.when(F.col("label") == "A", 1)).cast("long").alias(
+            "na"
+        ),
+        F.count(F.when(F.col("label") == "N", 1)).cast("long").alias(
+            "nn"
+        ),
+        F.count(F.when(F.col("label") == "R", 1)).cast("long").alias(
+            "nr"
+        ),
+    )
+    likk = lik.select(
+        "feature", "value", "na", "nn", "nr",
+        F.count("*").over(W.partitionBy("feature")).cast("double").alias(
+            "kf"
+        ),
+    )
+    cls = rows_f.agg(
+        F.count(F.when(F.col("label") == "A", 1)).cast("double").alias(
+            "ca"
+        ),
+        F.count(F.when(F.col("label") == "N", 1)).cast("double").alias(
+            "cn"
+        ),
+        F.count(F.when(F.col("label") == "R", 1)).cast("double").alias(
+            "cr"
+        ),
+        F.count("*").cast("double").alias("n"),
+    )
+
+    def leg(feat: str, prefix: str) -> DataFrame:
+        return likk.filter(F.col("feature") == feat).select(
+            F.col("value").alias(f"{prefix}_v"),
+            F.col("na").alias(f"{prefix}_na"),
+            F.col("nn").alias(f"{prefix}_nn"),
+            F.col("nr").alias(f"{prefix}_nr"),
+            F.col("kf").alias(f"{prefix}_kf"),
+        )
+
+    j = (
+        rows_f.crossJoin(F.broadcast(cls))
+        .join(F.broadcast(leg("ls", "f1")), F.col("ls") == F.col("f1_v"))
+        .join(F.broadcast(leg("mo", "f2")), F.col("mo") == F.col("f2_v"))
+        .join(F.broadcast(leg("qb", "f3")), F.col("qb") == F.col("f3_v"))
+    )
+
+    def score(cn_col: str, suffix: str):
+        c = F.col(cn_col)
+        return (
+            F.log(c / F.col("n"))
+            + F.log((F.col(f"f1_n{suffix}") + 1) / (c + F.col("f1_kf")))
+            + F.log((F.col(f"f2_n{suffix}") + 1) / (c + F.col("f2_kf")))
+            + F.log((F.col(f"f3_n{suffix}") + 1) / (c + F.col("f3_kf")))
+        )
+
+    sa, sn, sr = score("ca", "a"), score("cn", "n"), score("cr", "r")
+    pred = (
+        F.when((sa >= sn) & (sa >= sr), "A")
+        .when(sn >= sr, "N")
+        .otherwise("R")
+    )
+    return (
+        j.select("label", pred.alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), ma AS (
+      SELECT day, s, n,
+             sum(s) OVER w7 AS st, sum(n) OVER w7 AS nt,
+             count(*) OVER w7 AS days_in
+      FROM daily
+      WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                    AND 3 FOLLOWING)
+    ), det AS (
+      SELECT day, n, s / 100.0 / n AS d_avg,
+             CASE WHEN days_in = 7 THEN st / 100.0 / nt END AS trend,
+             CASE WHEN days_in = 7 THEN
+               CAST(round((s / 100.0 / n - st / 100.0 / nt) * 1e6)
+                    AS BIGINT) END AS dt_q,
+             isodow(day) AS wd
+      FROM ma
+    ), seas AS (
+      SELECT day, n, d_avg, trend, dt_q,
+             CAST(sum(dt_q) OVER (PARTITION BY wd) AS DOUBLE)
+               / (1e6 * count(dt_q) OVER (PARTITION BY wd)) AS seasonal
+      FROM det
+    )
+    SELECT day, n AS n_events,
+           round(d_avg + 1e-9, 4) AS daily_avg,
+           round(trend + 1e-9, 4) AS trend,
+           round(seasonal + 1e-9, 6) AS seasonal,
+           round(dt_q / 1e6 - seasonal + 1e-9, 6) AS residual
+    FROM seas
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL SEASONAL DECOMPOSITION (trend + weekly seasonal +
+    residual) of the daily event-value series — the moving-average
+    decomposition behind every anomaly-detection baseline. Trend is a
+    CENTERED 7-day moving average computed from the windowed INTEGER
+    cent/count sums (one division at the end — no double accumulation,
+    so both engines agree bit-for-bit; edge days with a truncated
+    window report NULL trend, the classical convention). The seasonal
+    component is the per-ISO-weekday mean of the detrended series on a
+    micro-unit (1e-6) quantized grid — again integer sums, order-free.
+    Plan: one day-grain groupBy collapses the corpus to <= #days rows;
+    the moving-average window is a pinned SINGLE_PARTITION_WINDOW on
+    that day grid (domain-bounded at any corpus scale — the benford
+    argument); the weekday window is partitioned. Seasonal means are
+    not re-centered (documented; the trend already absorbs the
+    level)."""
+    daily = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("v_c").cast("long").alias("s"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day", "s", "n",
+        F.sum("s").over(w7).alias("st"),
+        F.sum("n").over(w7).alias("nt"),
+        F.count("*").over(w7).alias("days_in"),
+    )
+    d_avg = F.col("s") / 100.0 / F.col("n")
+    trend = F.when(
+        F.col("days_in") == 7, F.col("st") / 100.0 / F.col("nt")
+    )
+    det = ma.select(
+        "day", "n",
+        d_avg.alias("d_avg"),
+        trend.alias("trend"),
+        F.when(
+            F.col("days_in") == 7,
+            F.round(
+                (d_avg - F.col("st") / 100.0 / F.col("nt")) * 1e6
+            ).cast("long"),
+        ).alias("dt_q"),
+        (F.weekday("day") + 1).alias("wd"),
+    )
+    wwd = W.partitionBy("wd")
+    seas = det.select(
+        "day", "n", "d_avg", "trend", "dt_q",
+        (
+            F.sum("dt_q").over(wwd).cast("double")
+            / (1e6 * F.count("dt_q").over(wwd))
+        ).alias("seasonal"),
+    )
+    return seas.select(
+        "day",
+        F.col("n").alias("n_events"),
+        F.round(F.col("d_avg") + F.lit(1e-9), 4).alias("daily_avg"),
+        F.round(F.col("trend") + F.lit(1e-9), 4).alias("trend"),
+        F.round(F.col("seasonal") + F.lit(1e-9), 6).alias("seasonal"),
+        F.round(
+            F.col("dt_q") / 1e6 - F.col("seasonal") + F.lit(1e-9), 6
+        ).alias("residual"),
+    )

@@ -258,6 +258,11 @@ EXPECTED: dict[str, set[str]] = {
         "CARTESIAN(x1)",
         "SINGLE_PARTITION_WINDOW(x2)",
     },
+    # G2 keyness / naive bayes: the class-prior / corpus-totals row is
+    # a 1-ROW aggregate broadcast-crossed onto the vocab / fact frame
+    # — the events_cuped_adjustment 1-row-global-stat pattern
+    "text_keyness_g2": {"CARTESIAN(x1)", "BCAST_DERIVED(x1)"},
+    "ml_naive_bayes": {"CARTESIAN(x1)", "BCAST_DERIVED(x6)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
@@ -505,6 +510,12 @@ EXPECTED_BCAST: dict[str, str] = {
     # by the grouping domain at any scale
     "events_bootstrap_ci": "BCAST_DERIVED(x1)",
     "events_session_assign": "BCAST_DERIVED(x1)",
+    # the three per-feature likelihood legs are post-groupBy
+    # (feature, value) tables — bounded by the attribute-domain
+    # product (< 30 rows) at any scale; each leg's exchange appears
+    # twice in the plan (scoring join + the k_f window reuse), hence
+    # x6, all six over the same bounded aggregates
+    "ml_naive_bayes": "BCAST_DERIVED(x6)",
     "j13_interval_overlap_binned": "BCAST_DERIVED(x2)",
     "j13_interval_overlap_sliced": "BCAST_DERIVED(x2)",
     "link_edit_distance_join": "BCAST_DERIVED(x1)",
@@ -520,6 +531,11 @@ EXPECTED_BCAST: dict[str, str] = {
     "text_chunk_stitch": "BCAST_DERIVED(x3)",
     "text_domain_shift_kl": "BCAST_DERIVED(x1)",
     "text_langid": "BCAST_DERIVED(x2)",
+    # the 1-ROW corpus-totals aggregate (ta, tb) broadcast-crossed
+    # onto the vocab table carries the word-explode Generate in its
+    # subtree, but it has REDUCED to one row before broadcasting —
+    # the text_unigram_lm 1-row-global-stat argument
+    "text_keyness_g2": "BCAST_DERIVED(x1)",
     "text_langid_confusion": "BCAST_DERIVED(x2)",
     # x3 since r11: the vocab-total attach moved from an
     # empty-partition window to the 1-row broadcast cross (see the
@@ -551,6 +567,11 @@ EXPECTED_SPW: dict[str, str] = {
     # <= 10,000 rows (the bp score domain, fixed by construction) at
     # any corpus scale; the corpus-sized work is the upstream groupBy
     "ml_roc_auc": "SINGLE_PARTITION_WINDOW(x1)",
+    # both window nodes run on the post-groupBy DAY grid (<= #days in
+    # the observation window at any corpus scale — the benford
+    # argument); the weekday seasonal window is partitioned and not
+    # in this count
+    "ts_seasonal_decompose": "SINGLE_PARTITION_WINDOW(x2)",
     # both windows run on the per-SOURCE planning table (rows = number
     # of corpus sources/domains — llmdata/pipeline.py budget_waterfill
     # prefix-sum + the budget total); the corpus-sized work happened in
