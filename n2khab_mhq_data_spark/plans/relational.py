@@ -5387,3 +5387,183 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dt_q") / 1e6 - F.col("seasonal") + F.lit(1e-9), 6
         ).alias("residual"),
     )
+
+
+@query(
+    "ml_ks_statistic",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), grid AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM scored GROUP BY 1
+    ), cums AS (
+      SELECT score,
+             CAST(sum(p) OVER w AS DOUBLE) AS cp,
+             CAST(sum(n - p) OVER w AS DOUBLE) AS cn,
+             CAST(sum(p) OVER () AS DOUBLE) AS tp,
+             CAST(sum(n - p) OVER () AS DOUBLE) AS tn
+      FROM grid
+      WINDOW w AS (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT round(abs(cp / tp - cn / tn) + 1e-9, 6) AS ks_stat,
+           CAST(score AS BIGINT) AS ks_score,
+           CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg
+    FROM cums
+    ORDER BY abs(cp / tp - cn / tn) DESC, score LIMIT 1
+    """,
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KOLMOGOROV-SMIRNOV two-sample statistic between the score
+    distributions of positives and negatives — the standard
+    separation / drift measure next to ROC-AUC (KS = max |TPR - FPR|),
+    reported with the threshold score where the gap peaks. Same scale
+    shape as ml_roc_auc: the corpus collapses to the bounded bp score
+    grid in ONE groupBy, both CDFs ride windowed EXACT integer
+    cumulative sums on that grid (pinned single-partition window,
+    domain-bounded), and the argmax is a 1-row TakeOrdered with the
+    deterministic (gap desc, score asc) tie-break."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_returnflag"
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    grid = (
+        li.select(score.alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cums = grid.select(
+        "score",
+        F.sum("p").over(w).cast("double").alias("cp"),
+        F.sum(F.col("n") - F.col("p")).over(w).cast("double").alias(
+            "cn"
+        ),
+        F.sum("p").over(full).cast("double").alias("tp"),
+        F.sum(F.col("n") - F.col("p")).over(full).cast("double").alias(
+            "tn"
+        ),
+    )
+    gap = F.abs(F.col("cp") / F.col("tp") - F.col("cn") / F.col("tn"))
+    return (
+        cums.select(
+            F.round(gap + F.lit(1e-9), 6).alias("ks_stat"),
+            F.col("score").cast("long").alias("ks_score"),
+            F.col("tp").cast("long").alias("n_pos"),
+            F.col("tn").cast("long").alias("n_neg"),
+            gap.alias("__gap"),
+        )
+        .orderBy(F.col("__gap").desc(), "ks_score")
+        .limit(1)
+        .drop("__gap")
+    )
+
+
+@query(
+    "ml_gains_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), ranked AS (
+      SELECT pos,
+             row_number() OVER (ORDER BY score DESC, l_orderkey,
+                                l_linenumber) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS n_all
+      FROM scored
+    ), binned AS (
+      SELECT CAST((rnk - 1) * 10 // n_all AS INTEGER) AS decile,
+             pos
+      FROM ranked
+    ), g AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM binned GROUP BY 1
+    )
+    SELECT decile, n, p AS n_pos,
+           round(CAST(p AS DOUBLE) / n + 1e-9, 6) AS pos_rate,
+           round((CAST(p AS DOUBLE) / n)
+                 / (CAST(sum(p) OVER () AS DOUBLE) / sum(n) OVER ())
+                 + 1e-9, 4) AS lift,
+           round(CAST(sum(p) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS DOUBLE) / sum(p) OVER () + 1e-9, 6)
+             AS cum_capture
+    FROM g
+    """,
+)
+def ml_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAINS / LIFT table: rank the corpus by model score descending,
+    cut into ten EXACT equal-count deciles, and report per-decile
+    positive rate, lift over the base rate, and cumulative capture —
+    the targeting readout behind every campaign/triage model. The
+    decile cut is the TeraSort two-pass global rank
+    (operators/rank.py::quantile_bins) under the total order
+    (score desc, orderkey, linenumber) — a CORPUS-grain ranking that
+    never single-tasks (the text_zipf_slope adjudication); the bin
+    formula ((rank-1)*10) div n is integer arithmetic, so both engines
+    cut identically. Downstream windows run on the 10-row decile
+    grid."""
+    from n2khab_mhq_data_spark.operators.rank import quantile_bins
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_linenumber",
+        "l_returnflag",
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    scored = li.select(
+        score.alias("score"),
+        pos.alias("pos"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    binned = quantile_bins(
+        scored,
+        [F.col("score").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        n_bins=10,
+        bin_col="decile",
+    )
+    g = binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    rate = F.col("p").cast("double") / F.col("n")
+    base = F.sum("p").over(full).cast("double") / F.sum("n").over(full)
+    return g.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        F.col("p").alias("n_pos"),
+        F.round(rate + F.lit(1e-9), 6).alias("pos_rate"),
+        F.round(rate / base + F.lit(1e-9), 4).alias("lift"),
+        F.round(
+            F.sum("p").over(cum).cast("double") / F.sum("p").over(full)
+            + F.lit(1e-9),
+            6,
+        ).alias("cum_capture"),
+    )

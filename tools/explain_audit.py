@@ -567,6 +567,13 @@ EXPECTED_SPW: dict[str, str] = {
     # <= 10,000 rows (the bp score domain, fixed by construction) at
     # any corpus scale; the corpus-sized work is the upstream groupBy
     "ml_roc_auc": "SINGLE_PARTITION_WINDOW(x1)",
+    # same bounded score grid as ml_roc_auc: one window for the two
+    # CDF cumulatives + one for the grand totals
+    "ml_ks_statistic": "SINGLE_PARTITION_WINDOW(x2)",
+    # the decile CUT is the TeraSort two-pass rank (corpus-grain, no
+    # single-task window); these two windows run on the post-groupBy
+    # 10-row decile grid (cum-capture + grand totals)
+    "ml_gains_deciles": "SINGLE_PARTITION_WINDOW(x2)",
     # both window nodes run on the post-groupBy DAY grid (<= #days in
     # the observation window at any corpus scale — the benford
     # argument); the weekday seasonal window is partitioned and not
