@@ -35,6 +35,8 @@ SF1 = "/root/repo/.scale/sf1.0/documents.parquet"
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 FAMILIES = set(sys.argv[2:]) or {"exact", "minhash", "prefix", "bm25", "cc"}
 DST = f"/root/repo/.scale/docs_x{REPLICAS}/documents.parquet"
+EMB_DST = f"/root/repo/.scale/emb_x{REPLICAS}/embeddings.parquet"
+EMB_SF1 = "/root/repo/.scale/sf1.0/embeddings.parquet"
 BM25_DIR = f"/root/repo/.scale/bm25_x{REPLICAS}"
 SHIFT = 10_000_000_000  # above every sf1.0 doc_id (max ~9e8 + 60k)
 UI = "http://localhost:4040"  # overwritten from sc.uiWebUrl in main()
@@ -115,6 +117,9 @@ def main() -> None:
         raise SystemExit("Spark UI did not come up; shuffle accounting"
                          " needs it (spark.ui.enabled)")
     UI = ui
+    if FAMILIES == {"ann"}:  # vector family needs no document tier
+        ann_family(spark)
+        return
     if not Path(DST).exists():
         t0 = time.time()
         make_tier(spark)
@@ -154,6 +159,115 @@ def main() -> None:
         bm25_family(spark, docs)
     if "cc" in FAMILIES:
         cc_family(spark, docs)
+    if "ann" in FAMILIES:
+        ann_family(spark)
+
+
+def make_emb_tier(spark) -> None:
+    """Upsampled embedding tier: REPLICAS copies of the sf1.0 vectors,
+    vec_id-shifted, with a deterministic per-(replica, dim) perturbation
+    so replicas are distinct vectors in the SAME cluster structure —
+    centroid geometry (and so list occupancy) is scale-invariant, which
+    is what a real corpus growing under a fixed embedding model looks
+    like. No RNG: perturbation is ((i*31 + j*17) % 11 - 5) * 1e-3."""
+    base = spark.read.parquet(EMB_SF1)
+    reps = []
+    for j in range(REPLICAS):
+        r = base.withColumn(
+            "vec_id", (F.col("vec_id") + F.lit(j * SHIFT)).cast("long")
+        )
+        if j > 0:
+            r = r.withColumn(
+                "embedding",
+                F.transform(
+                    F.col("embedding"),
+                    lambda x, i: (
+                        x + ((i * 31 + F.lit(j * 17)) % 11 - 5) * 1e-3
+                    ).cast("float"),
+                ),
+            )
+        reps.append(r)
+    df = reps[0]
+    for r in reps[1:]:
+        df = df.unionByName(r)
+    df.repartition(64).write.mode("overwrite").parquet(EMB_DST)
+
+
+def ann_family(spark) -> None:
+    """r11: the ANN / vector-retrieval family measured at the upsampled
+    tiers (dedup, BM25 and connected components have x10/x100 rows in
+    SCALE.md; the vector path had none). Three phases over the
+    replicated embedding tier:
+
+    1. ``ann_kmeans_build`` — seeded Lloyd's coarse quantizer
+       (K=64, 2 iters): each iteration is ONE fused assign+update
+       corpus scan with the centroid matrix in the Arrow kernel's
+       closure — zero shuffle by construction, so wall clock must be
+       linear in corpus size.
+    2. ``ann_list_materialize`` — the inverted-list build (one more
+       zero-shuffle closure-kernel assignment pass) persisted to
+       parquet, which is what building an IVF index means.
+    3. ``ann_topk_search`` — 16 deterministic queries (replica-0
+       vectors 0-15), nprobe=2 multi-probe routing + exact-cosine
+       rerank confined to the probed lists (~nprobe/K of the corpus
+       per query).
+    """
+    from n2khab_mhq_data_spark.llmdata.similarity import (
+        ivf_kmeans_centroids,
+        ivf_topk,
+        kmeans_assign,
+    )
+
+    if not Path(EMB_DST).exists():
+        t0 = time.time()
+        make_emb_tier(spark)
+        print(
+            json.dumps({"family": f"generate_emb_x{REPLICAS}",
+                        "seconds": round(time.time() - t0, 2)}),
+            flush=True,
+        )
+    emb = spark.read.parquet(EMB_DST)
+    print(
+        json.dumps({"family": "emb_corpus", "rows": emb.count()}),
+        flush=True,
+    )
+
+    K = 64
+    cents_box: list = []
+
+    def build() -> int:
+        cents_box.extend(
+            ivf_kmeans_centroids(
+                emb, "vec_id", "embedding", n_centroids=K, dim=64,
+                iters=2,
+            )
+        )
+        return len(cents_box)
+
+    measure("ann_kmeans_build", build)
+
+    lists_path = f"/root/repo/.scale/emb_x{REPLICAS}/ivf_lists.parquet"
+
+    def materialize() -> int:
+        assigned = kmeans_assign(
+            emb.select("vec_id", "embedding"),
+            "embedding",
+            cents_box,
+            "vec_id bigint, embedding array<float>",
+        ).select("vec_id", "cent_id")
+        assigned.write.mode("overwrite").parquet(lists_path)
+        return spark.read.parquet(lists_path).count()
+
+    measure("ann_list_materialize", materialize)
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    measure(
+        "ann_topk_search",
+        lambda: ivf_topk(
+            emb, queries, "vec_id", "embedding", k=10, n_centroids=K,
+            nprobe=2, dim=64, cents=cents_box,
+        ).count(),
+    )
 
 
 def cc_family(spark, docs) -> None:
