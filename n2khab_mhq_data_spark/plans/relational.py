@@ -5567,3 +5567,260 @@ def ml_gains_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_capture"),
     )
+
+
+@query(
+    "ml_average_precision",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), grid AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM scored GROUP BY 1
+    ), cums AS (
+      SELECT p,
+             CAST(sum(p) OVER w AS DOUBLE) AS cp,
+             CAST(sum(n) OVER w AS DOUBLE) AS cn,
+             CAST(sum(p) OVER () AS DOUBLE) AS tp
+      FROM grid
+      WINDOW w AS (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT round(sum((p / tp) * (cp / cn)) + 1e-9, 6)
+             AS average_precision,
+           round(max(tp) / max(cn) + 1e-9, 6) AS base_rate,
+           CAST(max(tp) AS BIGINT) AS n_pos
+    FROM cums
+    """,
+)
+def ml_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION (area under the precision-recall curve, the
+    tie-safe step definition: AP = sum over thresholds of
+    delta-recall x precision-at-threshold) — the imbalanced-label
+    companion to ROC-AUC, where base-rate-invariant AUC hides a
+    useless ranker. Same scale shape as ml_roc_auc: ONE groupBy to the
+    bounded bp score grid, cumulative exact-integer sums over the grid
+    descending (pinned single-partition window on the <= 10,000-row
+    domain), and a 1-row reduce. Ties are handled by evaluating
+    precision only at distinct-score thresholds — the definition that
+    makes both engines agree exactly (delta-recall is p_i/P, an exact
+    rational)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_returnflag"
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    grid = (
+        li.select(score.alias("score"), pos.alias("pos"))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    w = W.orderBy(F.col("score").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cums = grid.select(
+        "p",
+        F.sum("p").over(w).cast("double").alias("cp"),
+        F.sum("n").over(w).cast("double").alias("cn"),
+        F.sum("p").over(full).cast("double").alias("tp"),
+    )
+    return cums.agg(
+        F.round(
+            F.sum((F.col("p") / F.col("tp")) * (F.col("cp") / F.col("cn")))
+            + F.lit(1e-9),
+            6,
+        ).alias("average_precision"),
+        F.round(
+            F.max("tp") / F.max("cn") + F.lit(1e-9), 6
+        ).alias("base_rate"),
+        F.max("tp").cast("long").alias("n_pos"),
+    )
+
+
+@query(
+    "ml_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS p_bp,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), bins AS (
+      SELECT p_bp, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM scored GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS nn, CAST(sum(s) AS DOUBLE) AS ss
+      FROM bins
+    )
+    SELECT round(sum(n * pow(p_bp / 10000.0 - s * 1.0 / n, 2)
+                     + s * 1.0 * (n - s) / n) / max(nn) + 1e-9, 6)
+             AS brier,
+           round(sum(n * pow(p_bp / 10000.0 - s * 1.0 / n, 2))
+                 / max(nn) + 1e-9, 6) AS reliability,
+           round(sum(n * pow(s * 1.0 / n - ss / nn, 2))
+                 / max(nn) + 1e-9, 6) AS resolution,
+           round(max(ss) / max(nn) * (1 - max(ss) / max(nn)) + 1e-9, 6)
+             AS uncertainty
+    FROM bins, tot
+    GROUP BY ()
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE with the MURPHY DECOMPOSITION (brier = reliability
+    - resolution + uncertainty): the probabilistic-forecast audit that
+    splits squared error into calibration (reliability: how far each
+    predicted probability sits from its bin's observed rate),
+    discrimination (resolution: how far bin rates sit from the base
+    rate), and irreducible base-rate variance. Completes the
+    calibration family next to audit_reliability_diagram. Exactness:
+    conditioning on the EXACT bp score grid makes the within-bin
+    variance term s(n-s)/n algebraic — the per-row brier sum equals
+    the bin-level identity sum(n*(p - ybar)^2 + s(n-s)/n)/N with no
+    per-row pass at all. Plan: ONE groupBy to the bounded grid, a
+    1-row totals cross, a 1-row reduce."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_returnflag"
+    )
+    p_bp = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    y = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    bins = (
+        li.select(p_bp.alias("p_bp"), y.alias("y"))
+        .groupBy("p_bp")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("s"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("s").cast("double").alias("ss"),
+    )
+    b = bins.crossJoin(F.broadcast(tot))
+    ybar = F.col("s") * 1.0 / F.col("n")
+    pr = F.col("p_bp") / 10000.0
+    base = F.max("ss") / F.max("nn")
+    rel_sum = F.sum(F.col("n") * F.pow(pr - ybar, 2))
+    return b.agg(
+        F.round(
+            (
+                F.sum(
+                    F.col("n") * F.pow(pr - ybar, 2)
+                    + F.col("s") * 1.0 * (F.col("n") - F.col("s"))
+                    / F.col("n")
+                )
+            )
+            / F.max("nn")
+            + F.lit(1e-9),
+            6,
+        ).alias("brier"),
+        F.round(rel_sum / F.max("nn") + F.lit(1e-9), 6).alias(
+            "reliability"
+        ),
+        F.round(
+            F.sum(
+                F.col("n")
+                * F.pow(ybar - F.col("ss") / F.col("nn"), 2)
+            )
+            / F.max("nn")
+            + F.lit(1e-9),
+            6,
+        ).alias("resolution"),
+        F.round(base * (1 - base) + F.lit(1e-9), 6).alias(
+            "uncertainty"
+        ),
+    )
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS a,
+             CASE WHEN (CAST(l_quantity AS BIGINT) * 150
+                        + CAST(round(l_discount * 100) AS BIGINT) * 55
+                        + (l_orderkey % 7) * 300) % 10000 >= 5000
+                  THEN 1 ELSE 0 END AS b
+      FROM lineitem
+    ), cells AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(count(CASE WHEN a = 1 AND b = 1 THEN 1 END)
+                  AS DOUBLE) AS n11,
+             CAST(count(CASE WHEN a = 1 THEN 1 END) AS DOUBLE) AS a1,
+             CAST(count(CASE WHEN b = 1 THEN 1 END) AS DOUBLE) AS b1,
+             CAST(count(CASE WHEN a = 0 AND b = 0 THEN 1 END)
+                  AS DOUBLE) AS n00
+      FROM rated
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           round((n11 + n00) / n + 1e-9, 6) AS observed_agreement,
+           round((a1 * b1 + (n - a1) * (n - b1)) / (n * n) + 1e-9, 6)
+             AS expected_agreement,
+           round(((n11 + n00) / n
+                  - (a1 * b1 + (n - a1) * (n - b1)) / (n * n))
+                 / (1 - (a1 * b1 + (n - a1) * (n - b1)) / (n * n))
+                 + 1e-9, 6) AS kappa
+    FROM cells
+    """,
+)
+def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA chance-corrected agreement between two binary
+    raters (here: the ground-truth return flag vs the bp-score
+    threshold rule — the labeler-vs-heuristic audit every annotation
+    pipeline runs before trusting weak labels). kappa =
+    (p_o - p_e)/(1 - p_e) with the marginal-product chance agreement.
+    Plan: ONE map-side-combinable aggregate to a single row — the
+    whole contingency table is four counters; all ratios are exact
+    integer quotients evaluated identically in both engines. The same
+    shape at any scale."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_returnflag"
+    )
+    a = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    b = F.when(score >= 5000, 1).otherwise(0)
+    cells = li.select(a.alias("a"), b.alias("b")).agg(
+        F.count("*").cast("double").alias("n"),
+        F.count(F.when((F.col("a") == 1) & (F.col("b") == 1), 1))
+        .cast("double")
+        .alias("n11"),
+        F.count(F.when(F.col("a") == 1, 1)).cast("double").alias("a1"),
+        F.count(F.when(F.col("b") == 1, 1)).cast("double").alias("b1"),
+        F.count(F.when((F.col("a") == 0) & (F.col("b") == 0), 1))
+        .cast("double")
+        .alias("n00"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")) / n
+    pe = (
+        F.col("a1") * F.col("b1")
+        + (n - F.col("a1")) * (n - F.col("b1"))
+    ) / (n * n)
+    return cells.select(
+        n.cast("long").alias("n_items"),
+        F.round(po + F.lit(1e-9), 6).alias("observed_agreement"),
+        F.round(pe + F.lit(1e-9), 6).alias("expected_agreement"),
+        F.round((po - pe) / (1 - pe) + F.lit(1e-9), 6).alias("kappa"),
+    )

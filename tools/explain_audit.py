@@ -263,6 +263,9 @@ EXPECTED: dict[str, set[str]] = {
     # — the events_cuped_adjustment 1-row-global-stat pattern
     "text_keyness_g2": {"CARTESIAN(x1)", "BCAST_DERIVED(x1)"},
     "ml_naive_bayes": {"CARTESIAN(x1)", "BCAST_DERIVED(x6)"},
+    # Murphy decomposition: the (N, sum y) pair is a 1-ROW aggregate
+    # broadcast-crossed onto the bounded score-grid table (CUPED)
+    "ml_brier_decomposition": {"CARTESIAN(x1)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
@@ -570,6 +573,8 @@ EXPECTED_SPW: dict[str, str] = {
     # same bounded score grid as ml_roc_auc: one window for the two
     # CDF cumulatives + one for the grand totals
     "ml_ks_statistic": "SINGLE_PARTITION_WINDOW(x2)",
+    # same bounded score grid: descending cumulative + grand totals
+    "ml_average_precision": "SINGLE_PARTITION_WINDOW(x2)",
     # the decile CUT is the TeraSort two-pass rank (corpus-grain, no
     # single-task window); these two windows run on the post-groupBy
     # 10-row decile grid (cum-capture + grand totals)
