@@ -5824,3 +5824,190 @@ def ml_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe + F.lit(1e-9), 6).alias("expected_agreement"),
         F.round((po - pe) / (1 - pe) + F.lit(1e-9), 6).alias("kappa"),
     )
+
+
+@query(
+    "ml_roc_auc_by_group",
+    oracle="""
+    WITH scored AS (
+      SELECT l_linestatus AS grp,
+             (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ), grid AS (
+      SELECT grp, score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM scored GROUP BY 1, 2
+    ), ranked AS (
+      SELECT grp, p, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY grp ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) + (n + 1) / 2.0 AS midrank
+      FROM grid
+    )
+    SELECT grp AS segment,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(p) AS BIGINT) AS n_neg,
+           round((sum(p * midrank)
+                  - CAST(sum(p) AS DOUBLE) * (sum(p) + 1) / 2.0)
+                 / (CAST(sum(p) AS DOUBLE) * (sum(n) - sum(p)))
+                 + 1e-9, 6) AS auc
+    FROM ranked GROUP BY 1
+    """,
+)
+def ml_roc_auc_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SEGMENT exact ROC-AUC — the model-monitoring readout that
+    catches a ranker working globally but failing on one segment
+    (Simpson's-paradox screening). Same midrank identity as
+    ml_roc_auc, but the cumulative window is PARTITIONED by segment —
+    no single-partition window anywhere in this plan, no pins: the
+    per-(segment, score) grid shuffles once and every downstream step
+    inherits that partitioning. The fully-partitioned sibling that
+    shows the bounded-grid machinery generalizes to grouped scoring at
+    scale."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_quantity", "l_discount", "l_orderkey",
+        "l_returnflag",
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    grid = (
+        li.select(
+            F.col("l_linestatus").alias("grp"),
+            score.alias("score"),
+            pos.alias("pos"),
+        )
+        .groupBy("grp", "score")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pos").cast("long").alias("p"),
+        )
+    )
+    cum = (
+        W.partitionBy("grp")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = grid.select(
+        "grp",
+        "p",
+        "n",
+        (
+            F.coalesce(F.sum("n").over(cum), F.lit(0)).cast("double")
+            + (F.col("n") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    p_tot = F.sum("p").cast("double")
+    n_neg = (F.sum("n") - F.sum("p")).cast("double")
+    return ranked.groupBy("grp").agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        (F.sum("n") - F.sum("p")).cast("long").alias("n_neg"),
+        F.round(
+            (
+                F.sum(F.col("p") * F.col("midrank"))
+                - p_tot * (F.sum("p") + 1) / 2.0
+            )
+            / (p_tot * n_neg)
+            + F.lit(1e-9),
+            6,
+        ).alias("auc"),
+    ).withColumnRenamed("grp", "segment")
+
+
+@query(
+    "audit_fairness_parity",
+    oracle="""
+    WITH rated AS (
+      SELECT c_mktsegment AS grp,
+             CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END
+               AS pred,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), per_grp AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pred) AS BIGINT) AS n_pred,
+             CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tp,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS fp
+      FROM rated GROUP BY 1
+    )
+    SELECT grp AS segment, n,
+           round(n_pred * 1.0 / n + 1e-9, 6) AS selection_rate,
+           round(tp * 1.0 / n_pos + 1e-9, 6) AS tpr,
+           round(fp * 1.0 / (n - n_pos) + 1e-9, 6) AS fpr,
+           round(n_pred * 1.0 / n
+                 - min(n_pred * 1.0 / n) OVER () + 1e-9, 6)
+             AS parity_gap_vs_min,
+           round((n_pred * 1.0 / n)
+                 / max(n_pred * 1.0 / n) OVER () + 1e-9, 6)
+             AS disparate_impact_ratio
+    FROM per_grp
+    """,
+)
+def audit_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAIRNESS AUDIT across a protected-attribute stand-in (market
+    segment): per-group selection rate (demographic parity), TPR and
+    FPR (equalized odds), the parity gap against the best-treated
+    group, and the four-fifths-rule disparate-impact ratio — the
+    pre-deployment audit a scored pipeline runs before actioning a
+    model. Plan: one broadcast-joined scan, ONE group aggregate to the
+    segment domain (bounded — 5 segments at any scale), and the
+    cross-group min/max ride a window over that bounded table. All
+    rates are exact integer quotients — identical in both engines."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    rated = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("grp"),
+        F.when(F.col("o_totalprice") >= 150000, 1).otherwise(0).alias(
+            "pred"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    per_grp = rated.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pred").cast("long").alias("n_pred"),
+        F.sum(
+            F.when((F.col("pred") == 1) & (F.col("y") == 1), 1).otherwise(0)
+        ).cast("long").alias("tp"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(
+            F.when((F.col("pred") == 1) & (F.col("y") == 0), 1).otherwise(0)
+        ).cast("long").alias("fp"),
+    )
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    sel = F.col("n_pred") * 1.0 / F.col("n")
+    return per_grp.select(
+        F.col("grp").alias("segment"),
+        "n",
+        F.round(sel + F.lit(1e-9), 6).alias("selection_rate"),
+        F.round(
+            F.col("tp") * 1.0 / F.col("n_pos") + F.lit(1e-9), 6
+        ).alias("tpr"),
+        F.round(
+            F.col("fp") * 1.0 / (F.col("n") - F.col("n_pos"))
+            + F.lit(1e-9),
+            6,
+        ).alias("fpr"),
+        F.round(sel - F.min(sel).over(full) + F.lit(1e-9), 6).alias(
+            "parity_gap_vs_min"
+        ),
+        F.round(sel / F.max(sel).over(full) + F.lit(1e-9), 6).alias(
+            "disparate_impact_ratio"
+        ),
+    )

@@ -575,6 +575,9 @@ EXPECTED_SPW: dict[str, str] = {
     "ml_ks_statistic": "SINGLE_PARTITION_WINDOW(x2)",
     # same bounded score grid: descending cumulative + grand totals
     "ml_average_precision": "SINGLE_PARTITION_WINDOW(x2)",
+    # cross-group min/max over the post-groupBy SEGMENT table —
+    # 5 rows (the c_mktsegment domain) at any scale
+    "audit_fairness_parity": "SINGLE_PARTITION_WINDOW(x1)",
     # the decile CUT is the TeraSort two-pass rank (corpus-grain, no
     # single-task window); these two windows run on the post-groupBy
     # 10-row decile grid (cum-capture + grand totals)
