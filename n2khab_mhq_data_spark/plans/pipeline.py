@@ -1550,3 +1550,82 @@ def s13_hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long") / 100.0 + F.lit(1e-9), 2,
         ).alias("month_revenue"),
     )
+
+
+@query(
+    "s15_parquet_footer_stats",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey
+    FROM lineitem
+    """,
+)
+def s15_parquet_footer_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARQUET FOOTER scan as a queryable surface — row counts and
+    l_orderkey zone maps read from the file METADATA ONLY (pyarrow
+    thrift decode; zero data pages touched), reduced to the table
+    totals. The differential oracle recomputes the same totals FROM
+    THE DATA, so the check is a real zone-map INTEGRITY audit: a
+    writer that mis-stamps min/max or drops rows between footer and
+    pages fails the hash compare. This is the lake-ops primitive
+    behind compaction planning and pruning audits: at 100 TB footers
+    are gigabytes while data is not re-readable, and this plan's only
+    input is the path list (parallelized over executors via
+    mapInPandas; at real scale the list comes from the catalog
+    manifest the planner already holds — same contract). Per-row-group
+    detail stays available from the same kernel; the registered
+    reduction keeps every output column data-verifiable."""
+    import glob as _glob
+    import os
+
+    root = os.path.join(sf_dir, "lineitem.parquet")
+    paths = sorted(_glob.glob(os.path.join(root, "*.parquet"))) or [root]
+    pathdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 32))
+
+    def op(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }["l_orderkey"]
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    st = rg.column(idx).statistics
+                    out.append(
+                        (
+                            os.path.basename(p),
+                            g,
+                            rg.num_rows,
+                            int(st.min),
+                            int(st.max),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "file", "row_group", "n_rows", "min_orderkey",
+                    "max_orderkey",
+                ],
+            )
+
+    footer = pathdf.mapInPandas(
+        op,
+        "file string, row_group int, n_rows bigint, "
+        "min_orderkey bigint, max_orderkey bigint",
+    )
+    return footer.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.min("min_orderkey").cast("long").alias("min_orderkey"),
+        F.max("max_orderkey").cast("long").alias("max_orderkey"),
+    )

@@ -6011,3 +6011,192 @@ def audit_fairness_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disparate_impact_ratio"
         ),
     )
+
+
+@query(
+    "ml_propensity_ipw",
+    oracle="""
+    WITH pop AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS treat,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+             o_orderstatus AS s1,
+             CAST(year(o_orderdate) AS VARCHAR) AS s2
+      FROM orders
+    ), strata AS (
+      SELECT s1, s2,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(treat) AS BIGINT) AS nt,
+             CAST(sum(treat * y) AS BIGINT) AS syt,
+             CAST(sum((1 - treat) * y) AS BIGINT) AS syc
+      FROM pop GROUP BY 1, 2
+    ), kept AS (
+      SELECT * FROM strata WHERE nt > 0 AND nt < n
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_in_overlap,
+           CAST(count(*) AS BIGINT) AS n_strata,
+           round(sum(n * (syt * 1.0 / nt)) / sum(n) / 100.0
+                 + 1e-9, 4) AS mean_treated_adj,
+           round(sum(n * (syc * 1.0 / (n - nt))) / sum(n) / 100.0
+                 + 1e-9, 4) AS mean_control_adj,
+           round((sum(n * (syt * 1.0 / nt))
+                  - sum(n * (syc * 1.0 / (n - nt)))) / sum(n) / 100.0
+                 + 1e-9, 4) AS att_ipw
+    FROM kept
+    """,
+)
+def ml_propensity_ipw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED INVERSE-PROPENSITY-WEIGHTED treatment effect — the
+    causal-inference estimator behind every observational A/B readout:
+    within each covariate stratum the propensity is nt/n, so the IPW
+    estimate collapses ALGEBRAICALLY to the stratum-weighted difference
+    of within-stratum treated/control means (sum over strata of
+    n_s * ybar_treated_s, divided by the overlap population) —
+    no per-row weighting pass at all. Off-support strata (no treated
+    or no control units) are dropped per the positivity assumption,
+    with the overlap population reported. Plan: ONE groupBy to the
+    covariate-domain stratum table (status x order-year — bounded),
+    then a 1-row reduce; every number is an exact integer ratio."""
+    o = load(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("treat"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+        F.col("o_orderstatus").alias("s1"),
+        F.year("o_orderdate").cast("string").alias("s2"),
+    )
+    strata = o.groupBy("s1", "s2").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("treat").cast("long").alias("nt"),
+        F.sum(F.col("treat") * F.col("y")).cast("long").alias("syt"),
+        F.sum((1 - F.col("treat")) * F.col("y")).cast("long").alias(
+            "syc"
+        ),
+    )
+    kept = strata.filter(
+        (F.col("nt") > 0) & (F.col("nt") < F.col("n"))
+    )
+    mt = F.sum(F.col("n") * (F.col("syt") * 1.0 / F.col("nt")))
+    mc = F.sum(
+        F.col("n") * (F.col("syc") * 1.0 / (F.col("n") - F.col("nt")))
+    )
+    return kept.agg(
+        F.sum("n").cast("long").alias("n_in_overlap"),
+        F.count("*").cast("long").alias("n_strata"),
+        F.round(mt / F.sum("n") / 100.0 + F.lit(1e-9), 4).alias(
+            "mean_treated_adj"
+        ),
+        F.round(mc / F.sum("n") / 100.0 + F.lit(1e-9), 4).alias(
+            "mean_control_adj"
+        ),
+        F.round(
+            (mt - mc) / F.sum("n") / 100.0 + F.lit(1e-9), 4
+        ).alias("att_ipw"),
+    )
+
+
+@query(
+    "events_did_estimator",
+    oracle="""
+    WITH cut AS (
+      SELECT CAST(min(CAST(ts AS DATE)) AS DATE) AS d0,
+             date_diff('day', min(CAST(ts AS DATE)),
+                       max(CAST(ts AS DATE))) AS span
+      FROM events
+    ), panel AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN date_diff('day', c.d0, CAST(e.ts AS DATE))
+                       * 2 >= c.span THEN 1 ELSE 0 END AS post,
+             CAST(round(e.value * 100) AS BIGINT) AS v
+      FROM events e, cut c
+    ), cells AS (
+      SELECT treated, post, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS BIGINT) AS s
+      FROM panel GROUP BY 1, 2
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_events,
+           round(max(CASE WHEN treated = 1 AND post = 1
+                          THEN s * 1.0 / n END) / 100.0 + 1e-9, 4)
+             AS treated_post,
+           round(max(CASE WHEN treated = 1 AND post = 0
+                          THEN s * 1.0 / n END) / 100.0 + 1e-9, 4)
+             AS treated_pre,
+           round(max(CASE WHEN treated = 0 AND post = 1
+                          THEN s * 1.0 / n END) / 100.0 + 1e-9, 4)
+             AS control_post,
+           round(max(CASE WHEN treated = 0 AND post = 0
+                          THEN s * 1.0 / n END) / 100.0 + 1e-9, 4)
+             AS control_pre,
+           round(((max(CASE WHEN treated = 1 AND post = 1
+                            THEN s * 1.0 / n END)
+                   - max(CASE WHEN treated = 1 AND post = 0
+                              THEN s * 1.0 / n END))
+                  - (max(CASE WHEN treated = 0 AND post = 1
+                             THEN s * 1.0 / n END)
+                     - max(CASE WHEN treated = 0 AND post = 0
+                                THEN s * 1.0 / n END))) / 100.0
+                 + 1e-9, 4) AS did
+    FROM cells
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimator over the event stream: a
+    deterministic treated cohort (even user ids — the hash-split
+    stand-in), the observation window halved into pre/post at the
+    dataset midpoint, and the 2x2 cell means combined into the DiD
+    effect (treated post-pre shift minus the control trend) — the
+    quasi-experimental readout for launches without a holdout. Plan:
+    a 1-ROW (start, span) aggregate broadcast-crossed onto the scan
+    (CUPED pattern), ONE 4-cell groupBy, one 1-row reduce. Cell means
+    are exact integer-cent ratios — identical in both engines."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    cut = ev.agg(
+        F.min("d").alias("d0"),
+        F.datediff(F.max("d"), F.min("d")).alias("span"),
+    )
+    panel = ev.crossJoin(F.broadcast(cut)).select(
+        F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias(
+            "treated"
+        ),
+        F.when(
+            F.datediff(F.col("d"), F.col("d0")) * 2 >= F.col("span"), 1
+        ).otherwise(0).alias("post"),
+        "v",
+    )
+    cells = panel.groupBy("treated", "post").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("s"),
+    )
+
+    def cell(t: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("s") * 1.0 / F.col("n"),
+            )
+        )
+
+    return cells.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(cell(1, 1) / 100.0 + F.lit(1e-9), 4).alias(
+            "treated_post"
+        ),
+        F.round(cell(1, 0) / 100.0 + F.lit(1e-9), 4).alias(
+            "treated_pre"
+        ),
+        F.round(cell(0, 1) / 100.0 + F.lit(1e-9), 4).alias(
+            "control_post"
+        ),
+        F.round(cell(0, 0) / 100.0 + F.lit(1e-9), 4).alias(
+            "control_pre"
+        ),
+        F.round(
+            ((cell(1, 1) - cell(1, 0)) - (cell(0, 1) - cell(0, 0)))
+            / 100.0
+            + F.lit(1e-9),
+            4,
+        ).alias("did"),
+    )

@@ -266,6 +266,9 @@ EXPECTED: dict[str, set[str]] = {
     # Murphy decomposition: the (N, sum y) pair is a 1-ROW aggregate
     # broadcast-crossed onto the bounded score-grid table (CUPED)
     "ml_brier_decomposition": {"CARTESIAN(x1)"},
+    # DiD: the 1-ROW (start-date, span) aggregate broadcast-crossed
+    # onto the event scan (CUPED pattern)
+    "events_did_estimator": {"CARTESIAN(x1)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
