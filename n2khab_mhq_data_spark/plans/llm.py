@@ -6433,3 +6433,73 @@ def text_keyness_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("__g2_raw").desc(), "word"
     ).limit(25).drop("__g2_raw")
+
+
+@query(
+    "text_burstiness",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS w
+      FROM documents
+    ), wd AS (
+      SELECT w, doc_id, CAST(count(*) AS BIGINT) AS k
+      FROM tok WHERE length(w) > 0 GROUP BY 1, 2
+    ), vocab AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(k) AS BIGINT) AS cf,
+             CAST(count(CASE WHEN k >= 2 THEN 1 END) AS BIGINT)
+               AS df2
+      FROM wd GROUP BY 1
+    )
+    SELECT w AS word, df, cf,
+           round(cf * 1.0 / df + 1e-9, 4) AS burstiness,
+           round(df2 * 1.0 / df + 1e-9, 4) AS p_repeat
+    FROM vocab
+    WHERE cf >= 50
+    ORDER BY cf * 1.0 / df DESC, w LIMIT 25
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORD BURSTINESS (Church & Gale): mean within-document repetition
+    cf/df and the repeat probability P(k>=2 | k>=1) for frequent words
+    — bursty words (names, topics) violate the Poisson/bag-of-words
+    assumption and are exactly what template/boilerplate contamination
+    inflates, making this the corpus screen between langid and
+    repetition metrics. Plan: explode -> ONE (word, doc) groupBy ->
+    ONE word-grain groupBy (both map-side combinable; the vocab table
+    stays distributed), then a TakeOrdered top-25 with the
+    deterministic (ratio desc, word) tie-break — no global sort, no
+    vocab-grain window (the text_zipf_slope adjudication). All ratios
+    are exact integer quotients."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    ).filter(F.length("w") > 0)
+    wd = tok.groupBy("w", "doc_id").agg(
+        F.count("*").cast("long").alias("k")
+    )
+    vocab = wd.groupBy("w").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("k").cast("long").alias("cf"),
+        F.count(F.when(F.col("k") >= 2, 1)).cast("long").alias("df2"),
+    )
+    ratio = F.col("cf") * 1.0 / F.col("df")
+    return (
+        vocab.filter(F.col("cf") >= 50)
+        .select(
+            F.col("w").alias("word"),
+            "df",
+            "cf",
+            F.round(ratio + F.lit(1e-9), 4).alias("burstiness"),
+            F.round(
+                F.col("df2") * 1.0 / F.col("df") + F.lit(1e-9), 4
+            ).alias("p_repeat"),
+            ratio.alias("__r"),
+        )
+        .orderBy(F.col("__r").desc(), "word")
+        .limit(25)
+        .drop("__r")
+    )

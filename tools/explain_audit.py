@@ -245,6 +245,12 @@ EXPECTED: dict[str, set[str]] = {
     # corpus/dup-group-sized at 100 TB (the k7_lsvi_species argument);
     # AQE downgrades to broadcast when the dup-group table is small
     "link_golden_record": {"SMJ"},
+    # modularity: every join leg is EDGE-grain or node-grain (both
+    # derived from the support-pruned edge list — unbounded at scale,
+    # statsless, so SMJ is the correct planner choice; the brand dim
+    # rides inside the node attach); the one cartesian is the 1-row
+    # edge-count cross (CUPED pattern)
+    "graph_modularity": {"SMJ", "CARTESIAN(x1)"},
     # CUPED: the pooled (theta, mean-x) fit is a 1-ROW aggregate
     # broadcast-crossed onto the user-grain frame — the text_tfidf_topk
     # 1-row-global-stat pattern; the user table never replicates
