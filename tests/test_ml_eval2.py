@@ -1,0 +1,128 @@
+"""Hand-computed small cases for the r11 second-wave operators
+(keyness G2, Naive Bayes, IPW, DiD, modularity) — same contract as
+test_ml_eval.py: pin the math independently of the DuckDB differential.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_g2_keyness_by_hand():
+    # target: word appears a=10 of ta=100; rest: b=5 of tb=400.
+    # E_a = 100*15/500 = 3, E_b = 400*15/500 = 12
+    a, b, ta, tb = 10, 5, 100.0, 400.0
+    ea = ta * (a + b) / (ta + tb)
+    eb = tb * (a + b) / (ta + tb)
+    g2 = 2.0 * (a * math.log(a / ea) + b * math.log(b / eb))
+    assert abs(ea - 3.0) < 1e-12 and abs(eb - 12.0) < 1e-12
+    # the implemented statistic is the two-cell Rayson/Garside LL
+    # (word-count cells only, expectations from the corpus marginals) —
+    # NOT the full 2x2 binomial LLR. Its invariants:
+    # (1) exactly 0 when the word is distributed proportionally
+    prop = 2.0 * (
+        20 * math.log(20 / (ta * 100 / (ta + tb)))
+        + 80 * math.log(80 / (tb * 100 / (ta + tb)))
+    )
+    assert abs(prop) < 1e-12  # 20/100 == 80/400 == pooled rate
+    # (2) positive and growing with over-representation in the target
+    assert g2 > 0
+    a2 = 12
+    ea2 = ta * (a2 + b) / (ta + tb)
+    eb2 = tb * (a2 + b) / (ta + tb)
+    g2_more = 2.0 * (
+        a2 * math.log(a2 / ea2) + b * math.log(b / eb2)
+    )
+    assert g2_more > g2
+
+
+def test_naive_bayes_recovers_majority_feature(spark):
+    # feature f perfectly predicts the label; prior is uniform — the
+    # scored argmax must follow f despite Laplace smoothing
+    rows = [("x", "A")] * 10 + [("y", "B")] * 10
+    df = spark.createDataFrame(rows, "f string, label string")
+    lik = df.groupBy("f").agg(
+        F.count(F.when(F.col("label") == "A", 1)).alias("na"),
+        F.count(F.when(F.col("label") == "B", 1)).alias("nb"),
+    ).collect()
+    by_f = {r["f"]: (r["na"], r["nb"]) for r in lik}
+    ca = cb = 10.0
+    kf = 2.0
+    for f, (na, nb) in by_f.items():
+        sa = math.log(ca / 20) + math.log((na + 1) / (ca + kf))
+        sb = math.log(cb / 20) + math.log((nb + 1) / (cb + kf))
+        pred = "A" if sa >= sb else "B"
+        assert pred == ("A" if f == "x" else "B")
+
+
+def test_ipw_stratified_recovers_planted_effect(spark):
+    # stratum s1: treated mean 10, control 8 (effect 2), n=40
+    # stratum s2: treated mean 20, control 17 (effect 3), n=60
+    # stratified ATT with n_s weights = (40*2 + 60*3)/100 = 2.6
+    rows = (
+        [("s1", 1, 10)] * 20 + [("s1", 0, 8)] * 20
+        + [("s2", 1, 20)] * 30 + [("s2", 0, 17)] * 30
+    )
+    df = spark.createDataFrame(rows, "s string, treat int, y long")
+    strata = df.groupBy("s").agg(
+        F.count("*").alias("n"),
+        F.sum("treat").alias("nt"),
+        F.sum(F.col("treat") * F.col("y")).alias("syt"),
+        F.sum((1 - F.col("treat")) * F.col("y")).alias("syc"),
+    )
+    r = strata.agg(
+        (
+            (
+                F.sum(F.col("n") * (F.col("syt") * 1.0 / F.col("nt")))
+                - F.sum(
+                    F.col("n")
+                    * (F.col("syc") * 1.0 / (F.col("n") - F.col("nt")))
+                )
+            )
+            / F.sum("n")
+        ).alias("att")
+    ).collect()[0]["att"]
+    assert abs(r - 2.6) < 1e-12
+
+
+def test_did_cancels_common_trend():
+    # control drifts +5 pre->post; treated drifts +5 (trend) +3 (effect)
+    tp, tpre, cp, cpre = 108.0, 100.0, 55.0, 50.0
+    did = (tp - tpre) - (cp - cpre)
+    assert abs(did - 3.0) < 1e-12
+
+
+def test_modularity_two_cliques_by_hand():
+    # two disconnected triangles, communities = the cliques:
+    # m=6, each community: e_c=3, d_c=6 -> q_term = 3/6 - (6/12)^2 = 0.25
+    # total Q = 0.5, the textbook two-clique value
+    m = 6.0
+    q_term = 3 / m - (6 / (2 * m)) ** 2
+    assert abs(q_term - 0.25) < 1e-12
+    # and a degree-preserving null: one community holding everything
+    # scores Q = 0 exactly
+    assert abs((6 / m - (12 / (2 * m)) ** 2)) < 1e-12
+
+
+def test_burstiness_bounds(spark):
+    # burstiness cf/df >= 1 always; equals 1 iff no within-doc repeats
+    rows = [
+        (1, "a a b"), (2, "a c"), (3, "b c c c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tok = df.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    wd = tok.groupBy("w", "doc_id").agg(F.count("*").alias("k"))
+    vocab = wd.groupBy("w").agg(
+        F.count("*").alias("df"), F.sum("k").alias("cf")
+    ).collect()
+    got = {r["w"]: (r["df"], r["cf"]) for r in vocab}
+    assert got["a"] == (2, 3)   # burst: 2 in doc1 + 1 in doc2
+    assert got["b"] == (2, 2)   # no repeats -> cf == df
+    assert got["c"] == (2, 4)   # burst in doc3
+    for df_, cf in got.values():
+        assert cf >= df_
