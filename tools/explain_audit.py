@@ -44,6 +44,13 @@ Flags:
                  this class and are not flagged.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
+
+Run against the DEFAULT sf0.01 tier for any pass/fail decision: the
+audit executes each DataFrame to capture the FINAL AQE plan, and AQE
+finalizes differently on other tiers (at sf0.001, q7's broadcast
+cascade loses its WholeStageCodegen wrap entirely and
+spatial_knn_join converts one more derived side to broadcast — both
+spurious "regressions" against pins calibrated at sf0.01; found r11).
 """
 
 from __future__ import annotations
