@@ -1629,3 +1629,104 @@ def s15_parquet_footer_stats(
         F.min("min_orderkey").cast("long").alias("min_orderkey"),
         F.max("max_orderkey").cast("long").alias("max_orderkey"),
     )
+
+
+def _drift_csv_store(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprinted scratch store simulating SCHEMA DRIFT across CSV
+    ingestion batches: batch_a (legacy) carries (o_orderkey,
+    o_totalprice) for pre-1995 orders; batch_b adds the
+    o_orderpriority column for 1995+ orders — the additive-column
+    drift every long-lived feed accumulates. Deterministic content
+    (sorted by key, fixed 2-decimal prices), one file per batch."""
+    import csv as _csv
+    import os
+
+    fp = _table_fingerprint(sf_dir, "orders")
+
+    def build(tmp: str) -> None:
+        rows = (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.year("o_orderdate").alias("y"),
+                F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+                "o_orderpriority",
+            )
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "batch_a.csv"), "w", newline="") as fa:
+            wa = _csv.writer(fa)
+            wa.writerow(["o_orderkey", "o_totalprice"])
+            with open(
+                os.path.join(tmp, "batch_b.csv"), "w", newline=""
+            ) as fb:
+                wb = _csv.writer(fb)
+                wb.writerow(
+                    ["o_orderkey", "o_totalprice", "o_orderpriority"]
+                )
+                for r in rows:
+                    if r["y"] < 1995:
+                        wa.writerow([r["o_orderkey"], r["p"]])
+                    else:
+                        wb.writerow(
+                            [r["o_orderkey"], r["p"], r["o_orderpriority"]]
+                        )
+
+    return _scratch_build(
+        f"/root/repo/.scale/csv_drift/orders_{fp}", build
+    )
+
+
+@query(
+    "s16_csv_schema_drift",
+    oracle="""
+    SELECT CASE WHEN year(o_orderdate) >= 1995 THEN o_orderpriority END
+             AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) / 100.0 + 1e-9, 2) AS revenue
+    FROM orders GROUP BY 1
+    """,
+)
+def s16_csv_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-DRIFT CSV ingestion: two feed batches with different
+    column sets (the later batch added a column) are read with
+    explicit per-batch schemas, conformed by name with missing-column
+    tolerance, and aggregated — the unionByName(allowMissingColumns)
+    + try_cast recipe the reference's versioned-TSV reader family
+    (SURVEY S5/S6) needs the day the upstream adds a field. Legacy
+    rows surface with a NULL in the new column, never a silent
+    positional shift. The oracle recomputes the same result from the
+    base orders table, so a mis-aligned read fails the hash compare.
+    Plan: two parallel CSV scans + union + ONE bounded-domain groupBy
+    (priority has 5 values + NULL)."""
+    store = _drift_csv_store(spark, sf_dir)
+    a = spark.read.csv(
+        f"{store}/batch_a.csv",
+        header=True,
+        schema="o_orderkey bigint, o_totalprice decimal(18,2)",
+    )
+    b = spark.read.csv(
+        f"{store}/batch_b.csv",
+        header=True,
+        schema=(
+            "o_orderkey bigint, o_totalprice decimal(18,2), "
+            "o_orderpriority string"
+        ),
+    )
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).cast("long")
+            / 100.0
+            + F.lit(1e-9),
+            2,
+        ).alias("revenue"),
+    )

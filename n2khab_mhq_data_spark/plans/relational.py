@@ -6200,3 +6200,84 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did"),
     )
+
+
+@query(
+    "audit_l_diversity",
+    oracle="""
+    WITH qi AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000.0) AS INTEGER) AS bal_band,
+             CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                  WHEN c_acctbal < 5000 THEN 'standard'
+                  ELSE 'premium' END AS sensitive
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), cls AS (
+      SELECT nation, segment, bal_band,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct,
+             CAST(max(cnt) AS BIGINT) AS max_sens
+      FROM (
+        SELECT nation, segment, bal_band, sensitive,
+               count(*) OVER (PARTITION BY nation, segment, bal_band,
+                              sensitive) AS cnt
+        FROM qi
+      ) GROUP BY 1, 2, 3
+    )
+    SELECT CAST(min(l_distinct) AS BIGINT) AS min_l,
+           CAST(count(CASE WHEN l_distinct < 2 THEN 1 END) AS BIGINT)
+             AS classes_below_2,
+           CAST(sum(CASE WHEN l_distinct < 2 THEN k ELSE 0 END)
+                AS BIGINT) AS rows_at_risk,
+           round(max(max_sens * 1.0 / k) + 1e-9, 6)
+             AS worst_sensitive_share,
+           CAST(count(*) AS BIGINT) AS n_classes
+    FROM cls
+    """,
+)
+def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-DIVERSITY audit — the k-anonymity companion
+    (audit_k_anonymity): a quasi-identifier class can be large (k-safe)
+    yet still leak when every member shares the same SENSITIVE value,
+    so this reports the minimum number of distinct sensitive values
+    per QI class, classes below l=2 (homogeneity attacks), the rows
+    exposed, and the worst single-value concentration (the
+    recursive-(c,l) screen). Sensitive attribute = account-standing
+    tier. Plan: dim broadcast + ONE (QI x sensitive) groupBy whose
+    grain is bounded by the attribute-domain product, a QI-grain
+    rollup, and a 1-row reduce — identical shape at any scale."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qi = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("int").alias(
+            "bal_band"
+        ),
+        F.when(F.col("c_acctbal") < 0, "delinquent")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("sensitive"),
+    )
+    cells = qi.groupBy("nation", "segment", "bal_band", "sensitive").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    cls = cells.groupBy("nation", "segment", "bal_band").agg(
+        F.sum("cnt").cast("long").alias("k"),
+        F.count("*").cast("long").alias("l_distinct"),
+        F.max("cnt").cast("long").alias("max_sens"),
+    )
+    below = F.when(F.col("l_distinct") < 2, F.col("k")).otherwise(0)
+    return cls.agg(
+        F.min("l_distinct").cast("long").alias("min_l"),
+        F.count(F.when(F.col("l_distinct") < 2, 1)).cast("long").alias(
+            "classes_below_2"
+        ),
+        F.sum(below).cast("long").alias("rows_at_risk"),
+        F.round(
+            F.max(F.col("max_sens") * 1.0 / F.col("k")) + F.lit(1e-9), 6
+        ).alias("worst_sensitive_share"),
+        F.count("*").cast("long").alias("n_classes"),
+    )

@@ -2024,3 +2024,61 @@ def j16_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(take_prev, pd_)
         .otherwise(nd).cast("long").alias("dist_us"),
     )
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS DATE) AS window_day,
+           CAST(extract(hour FROM ts) AS INTEGER) AS window_hour,
+           c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0
+                 + 1e-9, 2) AS value_sum
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def streaming_static_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STATIC ENRICHMENT: the canonical streaming topology —
+    an unbounded event stream broadcast-joined to a slowly-changing
+    static dimension (customer segment) BEFORE the windowed
+    aggregation, so per-segment rollups come out of one pass. Under
+    readStream the identical plan runs continuously: a stream-static
+    equi-join is stateless (no watermark needed on the static side)
+    and Spark re-plans the broadcast per micro-batch, which is exactly
+    why the dimension must stay broadcast-small — the scale contract
+    this query pins. Batch mode here (watermark no-op on bounded
+    input, same plan semantics — the streaming_windowed_counts
+    pattern). Value sums ride the integer cents grid."""
+    e = load(spark, sf_dir, "events").select(
+        "ts", "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = e.join(
+        F.broadcast(c), e.user_id == c.c_custkey
+    )
+    return (
+        enriched.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(
+                F.sum("v_c").cast("long") / 100.0 + F.lit(1e-9), 2
+            ).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_day"),
+            F.hour("w.start").alias("window_hour"),
+            "segment",
+            "n",
+            "value_sum",
+        )
+    )
