@@ -1258,3 +1258,66 @@ def test_session_processor_idle_timer_closes_and_clears():
     rows = [tuple(r) for df in out for r in df.itertuples(index=False)]
     assert rows == [(1, 100, 120, 3)]
     assert not p._open.exists() and not p._seen.exists()
+
+
+def test_static_enrich_stream_equals_batch(spark, tmp_path):
+    """The stream-static enrichment topology (broadcast dim join BEFORE
+    the tumbling-window agg — plans/windows.py::streaming_static_enrich)
+    must produce identical results through a real readStream: the
+    stream-static equi-join is stateless and the dim is re-broadcast
+    per micro-batch, so stream-vs-batch parity is exact."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "enr"
+    ckpt = tmp_path / "enr_ckpt"
+    src.mkdir()
+    schema = "ts timestamp, user_id bigint, value double"
+    rows = [
+        ("2024-01-01 10:05:00", 1, 10.0),
+        ("2024-01-01 10:20:00", 2, 20.0),
+        ("2024-01-01 10:40:00", 1, 30.0),
+        ("2024-01-01 11:10:00", 3, 40.0),
+    ]
+    spark.createDataFrame(
+        rows, "ts string, user_id long, value double"
+    ).selectExpr(
+        "CAST(ts AS TIMESTAMP) ts", "user_id", "value"
+    ).write.mode("append").parquet(str(src))
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver"), (3, "gold")],
+        "user_id long, tier string",
+    )
+
+    def topo(events):
+        return (
+            events.join(F.broadcast(dim), "user_id")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "tier")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("value").alias("v"),
+            )
+            .select(
+                F.col("w.start").alias("ws"), "tier", "n", "v"
+            )
+        )
+
+    batch = {
+        (str(r.ws), r.tier): (r.n, r.v)
+        for r in topo(spark.read.parquet(str(src))).collect()
+    }
+    q = (
+        topo(spark.readStream.schema(schema).parquet(str(src)))
+        .writeStream.format("memory")
+        .queryName("enr_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (str(r.ws), r.tier): (r.n, r.v)
+        for r in spark.sql("SELECT * FROM enr_agg").collect()
+    }
+    assert streamed == batch
+    assert batch[("2024-01-01 10:00:00", "gold")] == (2, 40.0)
