@@ -33,7 +33,7 @@ from n2khab_mhq_data_spark.session import get_spark  # noqa: E402
 
 SF1 = "/root/repo/.scale/sf1.0/documents.parquet"
 REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-FAMILIES = set(sys.argv[2:]) or {"exact", "minhash", "prefix", "bm25", "cc"}
+FAMILIES = set(sys.argv[2:]) or {"exact", "minhash", "prefix", "bm25", "cc"}  # + opt-in: ann, rank
 DST = f"/root/repo/.scale/docs_x{REPLICAS}/documents.parquet"
 EMB_DST = f"/root/repo/.scale/emb_x{REPLICAS}/embeddings.parquet"
 EMB_SF1 = "/root/repo/.scale/sf1.0/embeddings.parquet"
@@ -161,6 +161,40 @@ def main() -> None:
         cc_family(spark, docs)
     if "ann" in FAMILIES:
         ann_family(spark)
+    if "rank" in FAMILIES:
+        rank_family(spark, docs)
+
+
+def rank_family(spark, docs) -> None:
+    """r11: the TeraSort two-pass global rank measured at the upsampled
+    tiers — the machinery that retired the single-partition-window
+    class (text_zipf_slope, ml_gains_deciles, o3/w13) deserves its own
+    linearity row. Phase 1 ranks every document under the total order
+    (n_chars desc, doc_id); phase 2 cuts exact decile bins. The scale
+    question: the range shuffle is the only corpus-sized exchange, the
+    size-count collect is <= P integers, so wall and shuffle must be
+    linear in the corpus with NO single-task stage."""
+    from n2khab_mhq_data_spark.operators.rank import (
+        global_rank,
+        quantile_bins,
+    )
+
+    d = docs.select("doc_id", "n_chars")
+    measure(
+        "rank_global",
+        lambda: global_rank(
+            d, [F.col("n_chars").desc(), F.col("doc_id")], "rnk"
+        ).count(),
+    )
+    measure(
+        "rank_decile_bins",
+        lambda: quantile_bins(
+            d, [F.col("n_chars").desc(), F.col("doc_id")], 10, "b"
+        )
+        .groupBy("b")
+        .count()
+        .count(),
+    )
 
 
 def make_emb_tier(spark) -> None:
