@@ -6281,3 +6281,232 @@ def audit_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("worst_sensitive_share"),
         F.count("*").cast("long").alias("n_classes"),
     )
+
+
+@query(
+    "ml_feature_drift_ks",
+    oracle="""
+    WITH stacked AS (
+      SELECT feature, value,
+             CASE WHEN month(l_shipdate) <= 6 THEN 1 ELSE 0 END
+               AS is_ref
+      FROM lineitem,
+           LATERAL (VALUES
+             ('quantity', CAST(l_quantity AS BIGINT)),
+             ('discount_bp', CAST(round(l_discount * 100) AS BIGINT)))
+             AS t(feature, value)
+    ), grid AS (
+      SELECT feature, value,
+             CAST(sum(is_ref) AS BIGINT) AS nr,
+             CAST(count(*) - sum(is_ref) AS BIGINT) AS nc
+      FROM stacked GROUP BY 1, 2
+    ), cums AS (
+      SELECT feature, value,
+             CAST(sum(nr) OVER w AS DOUBLE) AS cr,
+             CAST(sum(nc) OVER w AS DOUBLE) AS cc,
+             CAST(sum(nr) OVER (PARTITION BY feature) AS DOUBLE) AS tr,
+             CAST(sum(nc) OVER (PARTITION BY feature) AS DOUBLE) AS tc
+      FROM grid
+      WINDOW w AS (PARTITION BY feature ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), gaps AS (
+      SELECT feature, value, tr, tc,
+             abs(cr / tr - cc / tc) AS gap,
+             row_number() OVER (PARTITION BY feature
+                                ORDER BY abs(cr / tr - cc / tc) DESC,
+                                         value) AS rk
+      FROM cums
+    )
+    SELECT feature,
+           round(gap + 1e-9, 6) AS ks_stat,
+           CAST(value AS BIGINT) AS at_value,
+           CAST(tr AS BIGINT) AS n_ref, CAST(tc AS BIGINT) AS n_cur
+    FROM gaps WHERE rk = 1
+    """,
+)
+def ml_feature_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-FEATURE DRIFT via the two-sample KS statistic between a
+    reference window (first-half-year shipments) and the current
+    window (H2) — the
+    unbinned companion to audit_psi_drift (PSI needs a bin design; KS
+    is parameter-free on an ordinal grid and catches shape drift PSI's
+    bins smear). Plan: one stacked explode (fan-out 2, constant), ONE
+    (feature, value) groupBy to the bounded feature grids, and every
+    window PARTITIONED by feature — cumulative CDFs, totals, and the
+    per-feature argmax all inherit the same partitioning; no
+    single-partition window, no pins, no second scan. All CDF inputs
+    are exact integers."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_shipdate"
+    )
+    is_ref = F.when(F.month("l_shipdate") <= 6, 1).otherwise(0)
+    stacked = li.select(
+        F.explode(
+            F.create_map(
+                F.lit("quantity"), F.col("l_quantity").cast("long"),
+                F.lit("discount_bp"),
+                F.round(F.col("l_discount") * 100).cast("long"),
+            )
+        ).alias("feature", "value"),
+        is_ref.alias("is_ref"),
+    )
+    grid = stacked.groupBy("feature", "value").agg(
+        F.sum("is_ref").cast("long").alias("nr"),
+        (F.count("*") - F.sum("is_ref")).cast("long").alias("nc"),
+    )
+    w = (
+        W.partitionBy("feature")
+        .orderBy("value")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wf = W.partitionBy("feature")
+    cums = grid.select(
+        "feature", "value",
+        F.sum("nr").over(w).cast("double").alias("cr"),
+        F.sum("nc").over(w).cast("double").alias("cc"),
+        F.sum("nr").over(wf).cast("double").alias("tr"),
+        F.sum("nc").over(wf).cast("double").alias("tc"),
+    )
+    gap = F.abs(F.col("cr") / F.col("tr") - F.col("cc") / F.col("tc"))
+    gaps = cums.select(
+        "feature", "value", "tr", "tc", gap.alias("gap"),
+        F.row_number()
+        .over(W.partitionBy("feature").orderBy(gap.desc(), "value"))
+        .alias("rk"),
+    )
+    return gaps.filter(F.col("rk") == 1).select(
+        "feature",
+        F.round(F.col("gap") + F.lit(1e-9), 6).alias("ks_stat"),
+        F.col("value").cast("long").alias("at_value"),
+        F.col("tr").cast("long").alias("n_ref"),
+        F.col("tc").cast("long").alias("n_cur"),
+    )
+
+
+@query(
+    "ml_learning_curve",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                   || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS h
+      FROM lineitem
+    ), sampled AS (
+      SELECT f.frac_bp, score, pos
+      FROM scored,
+           (VALUES (1000), (3000), (10000)) AS f(frac_bp)
+      WHERE h < f.frac_bp
+    ), grid AS (
+      SELECT frac_bp, score, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pos) AS BIGINT) AS p
+      FROM sampled GROUP BY 1, 2
+    ), ranked AS (
+      SELECT frac_bp, p, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY frac_bp
+               ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) + (n + 1) / 2.0 AS midrank
+      FROM grid
+    )
+    SELECT round(frac_bp / 10000.0, 2) AS sample_frac,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           round((sum(p * midrank)
+                  - CAST(sum(p) AS DOUBLE) * (sum(p) + 1) / 2.0)
+                 / (CAST(sum(p) AS DOUBLE) * (sum(n) - sum(p)))
+                 + 1e-9, 6) AS auc
+    FROM ranked GROUP BY frac_bp
+    """,
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METRIC STABILITY CURVE: exact ROC-AUC evaluated on NESTED
+    deterministic hash-samples (10% / 30% / 100% of the corpus) — the
+    eval-set-sizing readout that tells a pipeline whether its offline
+    metric has converged or is still sample-noise (nested membership
+    h < f makes the three estimates comparable draws, not independent
+    resamples). Plan: one hash per row, a 3-literal explode, ONE
+    (fraction, score) groupBy to three bounded score grids, and the
+    midrank machinery PARTITIONED by fraction — no single-partition
+    window, no pins. The md5-prefix hash is the repo's portable
+    spelling, bit-identical in both engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_linenumber",
+        "l_returnflag",
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    scored = li.select(
+        score.alias("score"), pos.alias("pos"), h.alias("h")
+    )
+    sampled = scored.select(
+        F.explode(F.array(F.lit(1000), F.lit(3000), F.lit(10000))).alias(
+            "frac_bp"
+        ),
+        "score",
+        "pos",
+        "h",
+    ).filter(F.col("h") < F.col("frac_bp"))
+    grid = sampled.groupBy("frac_bp", "score").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("p"),
+    )
+    cum = (
+        W.partitionBy("frac_bp")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = grid.select(
+        "frac_bp",
+        "p",
+        "n",
+        (
+            F.coalesce(F.sum("n").over(cum), F.lit(0)).cast("double")
+            + (F.col("n") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    p_tot = F.sum("p").cast("double")
+    n_neg = (F.sum("n") - F.sum("p")).cast("double")
+    return ranked.groupBy("frac_bp").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.sum("p").cast("long").alias("n_pos"),
+        F.round(
+            (
+                F.sum(F.col("p") * F.col("midrank"))
+                - p_tot * (F.sum("p") + 1) / 2.0
+            )
+            / (p_tot * n_neg)
+            + F.lit(1e-9),
+            6,
+        ).alias("auc"),
+    ).select(
+        F.round(F.col("frac_bp") / 10000.0, 2).alias("sample_frac"),
+        "n_rows",
+        "n_pos",
+        "auc",
+    )
