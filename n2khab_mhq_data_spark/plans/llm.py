@@ -6503,3 +6503,88 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .drop("__r")
     )
+
+
+@query(
+    "sim_embedding_diagnostics",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(t.i AS INTEGER) AS pos,
+             CAST(round(list_extract(embedding,
+                        CAST(t.i + 1 AS INTEGER)) * 1e6) AS BIGINT)
+               AS xq
+      FROM embeddings, range(64) t(i)
+    ), per_dim AS (
+      SELECT pos, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(xq) AS BIGINT) AS sx,
+             CAST(sum(xq * xq) AS BIGINT) AS sxx
+      FROM dims GROUP BY 1
+    ), vars AS (
+      SELECT pos,
+             (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+               / (CAST(n AS DOUBLE) * n) / 1e12 AS v
+      FROM per_dim
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_dims,
+           round(sum(v) + 1e-9, 6) AS total_variance,
+           round(max(v) + 1e-9, 6) AS max_dim_variance,
+           CAST(min(CASE WHEN v = (SELECT max(v) FROM vars)
+                    THEN pos END) AS INTEGER) AS top_var_dim,
+           round(pow(sum(v), 2) / sum(v * v) + 1e-9, 4)
+             AS participation_ratio
+    FROM vars
+    """,
+)
+def sim_embedding_diagnostics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EMBEDDING-SPACE DIAGNOSTICS: the per-dimension variance
+    spectrum reduced to total variance, the dominant axis, and the
+    participation ratio (sum v)^2 / sum v^2 — the axis-aligned
+    effective dimensionality that tells a retrieval pipeline whether
+    its vectors actually span the space or have collapsed onto a few
+    axes (anisotropy is the classic silent killer of cosine recall).
+    Plan: ONE posexplode (fan-out = dim, a constant 64) into a
+    map-side-combinable (dim) groupBy — the corpus never shuffles at
+    row grain, only 64 aggregate rows move — then a 1-row reduce.
+    Values ride a micro-unit (1e-6) quantized grid so the per-dim
+    moments are exact integers and both engines derive identical
+    variances."""
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    dims = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "pos",
+        F.round(F.col("x") * 1e6).cast("long").alias("xq"),
+    )
+    per_dim = dims.groupBy("pos").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    v = (
+        (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / (F.col("n").cast("double") * F.col("n"))
+        / 1e12
+    )
+    vars_df = per_dim.select("pos", v.alias("v"))
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    with_max = vars_df.select(
+        "pos", "v", F.max("v").over(full).alias("vmax")
+    )
+    return with_max.agg(
+        F.count("*").cast("long").alias("n_dims"),
+        F.round(F.sum("v") + F.lit(1e-9), 6).alias("total_variance"),
+        F.round(F.max("v") + F.lit(1e-9), 6).alias("max_dim_variance"),
+        F.min(
+            F.when(F.col("v") == F.col("vmax"), F.col("pos"))
+        ).cast("int").alias("top_var_dim"),
+        F.round(
+            F.pow(F.sum("v"), 2) / F.sum(F.col("v") * F.col("v"))
+            + F.lit(1e-9),
+            4,
+        ).alias("participation_ratio"),
+    )

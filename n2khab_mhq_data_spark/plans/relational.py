@@ -6510,3 +6510,100 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "auc",
     )
+
+
+@query(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.orderkey->orders' AS fk,
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS orphans,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child
+    UNION ALL
+    SELECT 'orders.custkey->customer',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           CAST((SELECT count(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM customer) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p
+                                   WHERE p.p_partkey = l.l_partkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                   WHERE s.s_suppkey = l.l_suppkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'nation.regionkey->region',
+           CAST((SELECT count(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM region r
+                                   WHERE r.r_regionkey = n.n_regionkey))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM nation) AS BIGINT)
+    """,
+)
+def audit_referential_integrity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REFERENTIAL-INTEGRITY audit across every declared FK of the star
+    schema: orphan counts per relationship via LEFT ANTI joins — the
+    data-quality gate a pipeline runs after every load, and the §5
+    audit-family completion next to completeness / constraint / grain
+    checks (the reference's in-pipeline assert style,
+    SURVEY.md §5). Plan: one LEFT join per FK producing (n_child,
+    orphans) as a 1-ROW aggregate in the SAME pass (orphan = parent
+    key NULL after the join — no separate count jobs, no driver
+    loop), the six 1-row legs unioned into ONE action. Each leg
+    shuffles only its child's KEY column (column pruning holds);
+    parent sides broadcast when small, SMJ when not — the planner's
+    call per relationship. An FK violation surfaces as a row count,
+    not a silent join loss downstream."""
+    def leg(child, ckey: str, parent, pkey: str, fk: str):
+        joined = child.select(F.col(ckey)).join(
+            parent.select(F.col(pkey)),
+            F.col(ckey) == F.col(pkey),
+            "left",
+        )
+        return joined.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.when(F.col(pkey).isNull(), 1)).cast("long").alias(
+                "orphans"
+            ),
+            F.count("*").cast("long").alias("n_child"),
+        )
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    p = load(spark, sf_dir, "part")
+    s = load(spark, sf_dir, "supplier")
+    r = load(spark, sf_dir, "region")
+    out = leg(li, "l_orderkey", o, "o_orderkey",
+              "lineitem.orderkey->orders")
+    for args in (
+        (o, "o_custkey", c, "c_custkey", "orders.custkey->customer"),
+        (c, "c_nationkey", n, "n_nationkey",
+         "customer.nationkey->nation"),
+        (li, "l_partkey", p, "p_partkey", "lineitem.partkey->part"),
+        (li, "l_suppkey", s, "s_suppkey", "lineitem.suppkey->supplier"),
+        (n, "n_regionkey", r, "r_regionkey", "nation.regionkey->region"),
+    ):
+        out = out.unionByName(leg(*args))
+    return out

@@ -594,6 +594,9 @@ EXPECTED_SPW: dict[str, str] = {
     # cross-group min/max over the post-groupBy SEGMENT table —
     # 5 rows (the c_mktsegment domain) at any scale
     "audit_fairness_parity": "SINGLE_PARTITION_WINDOW(x1)",
+    # the max-variance attach runs on the post-groupBy PER-DIM table —
+    # exactly 64 rows (the embedding dimensionality) at any scale
+    "sim_embedding_diagnostics": "SINGLE_PARTITION_WINDOW(x1)",
     # the decile CUT is the TeraSort two-pass rank (corpus-grain, no
     # single-task window); these two windows run on the post-groupBy
     # 10-row decile grid (cum-capture + grand totals)
