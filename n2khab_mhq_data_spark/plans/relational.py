@@ -6607,3 +6607,90 @@ def audit_referential_integrity(
     ):
         out = out.unionByName(leg(*args))
     return out
+
+
+@query(
+    "a23_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+               AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM orders
+    ), cuts AS (
+      SELECT min(CASE WHEN rnk * 20 > n AND (n - rnk + 1) * 20 > n
+                      THEN v END) AS lo,
+             max(CASE WHEN rnk * 20 > n AND (n - rnk + 1) * 20 > n
+                      THEN v END) AS hi
+      FROM ranked
+    ), win AS (
+      SELECT CASE WHEN rnk * 20 <= n THEN (SELECT lo FROM cuts)
+                  WHEN (n - rnk + 1) * 20 <= n THEN (SELECT hi FROM cuts)
+                  ELSE v END AS v2
+      FROM ranked
+    )
+    SELECT (SELECT CAST(max(n) AS BIGINT) FROM ranked) AS n_rows,
+           round((SELECT CAST(sum(v) AS BIGINT) FROM ranked
+                  WHERE rnk * 20 > n AND (n - rnk + 1) * 20 > n)
+                 / (100.0 * (SELECT count(*) FROM ranked
+                             WHERE rnk * 20 > n
+                               AND (n - rnk + 1) * 20 > n))
+                 + 1e-9, 2) AS trimmed_mean_5pct,
+           round((SELECT CAST(sum(v2) AS BIGINT) FROM win)
+                 / (100.0 * (SELECT max(n) FROM ranked)) + 1e-9, 2)
+             AS winsorized_mean_5pct
+    """,
+)
+def a23_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST LOCATION estimators: the 5%-trimmed mean (drop the top
+    and bottom vigintiles) and the 5%-winsorized mean (clamp them to
+    the cut values) of order totals — the outlier-resistant statistics
+    a quality pipeline reports when means are fat-tail-dominated.
+    EXACT, not approximate-percentile-based: the cut is the TeraSort
+    two-pass global rank under the total order (price, orderkey) — a
+    corpus-grain ranking with no single-task window — and membership
+    is integer arithmetic (rnk*20 > n keeps strictly-inside rows), so
+    both engines cut identically. Cents-grid sums keep the means
+    bit-deterministic. Plan: range shuffle + two bounded collects
+    (partition sizes; the two clamp values via a 1-row aggregate) —
+    the ranked relation is scanned, never re-sorted."""
+    from n2khab_mhq_data_spark.operators.rank import _global_rank_n
+
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        "o_totalprice",
+        "o_orderkey",
+    )
+    ranked, n = _global_rank_n(
+        o, [F.col("o_totalprice"), F.col("o_orderkey")], rank_col="rnk"
+    )
+    inside = ranked.filter(
+        (F.col("rnk") * 20 > n) & ((n - F.col("rnk") + 1) * 20 > n)
+    )
+    lo_hi = inside.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    win = ranked.crossJoin(F.broadcast(lo_hi)).select(
+        F.when(F.col("rnk") * 20 <= n, F.col("lo"))
+        .when((n - F.col("rnk") + 1) * 20 <= n, F.col("hi"))
+        .otherwise(F.col("v"))
+        .alias("v2")
+    )
+    t = inside.agg(
+        F.count("*").alias("k"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    wsum = win.agg(F.sum("v2").cast("long").alias("sw"))
+    return (
+        t.crossJoin(wsum)
+        .select(
+            F.lit(n).cast("long").alias("n_rows"),
+            F.round(
+                F.col("sv") / (100.0 * F.col("k")) + F.lit(1e-9), 2
+            ).alias("trimmed_mean_5pct"),
+            F.round(
+                F.col("sw") / (100.0 * F.lit(n)) + F.lit(1e-9), 2
+            ).alias("winsorized_mean_5pct"),
+        )
+    )

@@ -282,6 +282,10 @@ EXPECTED: dict[str, set[str]] = {
     # DiD: the 1-ROW (start-date, span) aggregate broadcast-crossed
     # onto the event scan (CUPED pattern)
     "events_did_estimator": {"CARTESIAN(x1)"},
+    # trimmed/winsorized mean: TWO 1-row crosses — the (lo, hi) clamp
+    # pair onto the ranked scan, and the final (trimmed, winsorized)
+    # 1-row x 1-row combine; both CUPED-pattern bounded
+    "a23_trimmed_mean": {"CARTESIAN(x2)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
