@@ -2082,3 +2082,57 @@ def streaming_static_enrich(
             "value_sum",
         )
     )
+
+
+@query(
+    "w14_trailing_range_window",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(count(*) OVER w AS BIGINT) AS n_trailing_30d,
+           round(CAST(sum(v) OVER w AS BIGINT) / 100.0 + 1e-9, 2)
+             AS spend_trailing_30d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+def w14_trailing_range_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRAILING 30-DAY window per customer via a RANGE frame — the
+    time-based frame ROWS windows cannot express: the frame holds
+    every order whose DATE falls in [current - 29 days, current],
+    regardless of how many rows share a date or how sparse the dates
+    are (same-day peer orders are all in — the velocity/limit-check
+    semantics a risk pipeline needs). Ordering key is exact integer
+    days-since-epoch, so both engines resolve identical frames; spend
+    rides the cents grid. Plan: ONE partitioned window over the
+    customer shuffle — no self-join, no interval explode (the naive
+    spellings that quadratic-blow at 100 TB)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-29, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count("*").over(w).cast("long").alias("n_trailing_30d"),
+        F.round(
+            F.sum("v").over(w).cast("long") / 100.0 + F.lit(1e-9), 2
+        ).alias("spend_trailing_30d"),
+    )
