@@ -73,3 +73,69 @@ def ewma(
     from n2khab_mhq_data_spark.operators.grouped import grouped_map
 
     return grouped_map(df, keys, fn, schema)
+
+
+def holt_linear(
+    df: DataFrame,
+    keys: list[str],
+    order: list[str],
+    value_col: str,
+    alpha: float = 0.3,
+    beta: float = 0.2,
+    level_col: str = "level",
+    trend_col: str = "trend",
+) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key group —
+    COUPLED recursive state no window frame or single ewm pass can
+    express: ``s_t = alpha*v_t + (1-alpha)*(s_{t-1} + b_{t-1})``,
+    ``b_t = beta*(s_t - s_{t-1}) + (1-beta)*b_{t-1}``; init
+    ``s_1 = v_1, b_1 = 0`` (documented flat-start convention, so the
+    recurrence is total without a second-point special case).
+
+    The kernel is a per-group scalar loop over the series (no
+    vectorized spelling exists for the coupled pair) — still
+    Arrow-batched per GROUP like :func:`ewma`, cost linear in series
+    length, parallel across keys. The arithmetic mirrors the oracle's
+    recursive-CTE expressions TERM FOR TERM (same literals, same
+    association), so both engines walk identical doubles. NULLs are
+    rejected for the same reason as :func:`ewma`."""
+    import pandas as pd
+
+    for c in (level_col, trend_col):
+        if c in df.columns:
+            raise ValueError(
+                f"holt_linear: out col {c!r} already exists; rename"
+            )
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(level_col, DoubleType()),
+           StructField(trend_col, DoubleType())]
+    )
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if pdf[value_col].isna().any():
+            raise ValueError(
+                f"holt_linear: NULL/NaN in {value_col!r} — filter or"
+                " impute before calling"
+            )
+        pdf = pdf.sort_values(order, kind="mergesort")
+        vals = pdf[value_col].to_numpy(dtype="float64")
+        n = len(vals)
+        levels = [0.0] * n
+        trends = [0.0] * n
+        s = float(vals[0])
+        b = 0.0
+        levels[0], trends[0] = s, b
+        for i in range(1, n):
+            v = float(vals[i])
+            s_new = alpha * v + (1 - alpha) * (s + b)
+            b = beta * (s_new - s) + (1 - beta) * b
+            s = s_new
+            levels[i], trends[i] = s, b
+        pdf[level_col] = levels
+        pdf[trend_col] = trends
+        return pdf
+
+    from n2khab_mhq_data_spark.operators.grouped import grouped_map
+
+    return grouped_map(df, keys, fn, schema)

@@ -2136,3 +2136,59 @@ def w14_trailing_range_window(
             F.sum("v").over(w).cast("long") / 100.0 + F.lit(1e-9), 2
         ).alias("spend_trailing_30d"),
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH RECURSIVE o AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events WHERE value IS NOT NULL
+    ), r AS (
+      SELECT user_id, event_id, rn, value AS s, CAST(0.0 AS DOUBLE) AS b
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.user_id, o.event_id, o.rn,
+             0.3 * o.value + 0.7 * (r.s + r.b),
+             0.2 * ((0.3 * o.value + 0.7 * (r.s + r.b)) - r.s)
+               + 0.8 * r.b
+      FROM r JOIN o ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT user_id, event_id,
+           round(s + sign(s) * 1e-9, 6) AS level,
+           round(b + sign(b) * 1e-9, 6) AS trend,
+           round((s + b) + sign(s + b) * 1e-9, 6) AS forecast_1
+    FROM r
+    """,
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user HOLT LINEAR (double exponential) smoothing
+    (alpha=0.3, beta=0.2, flat start b_1=0) with the one-step-ahead
+    forecast level+trend — the trend-aware sibling of ts_ewma whose
+    COUPLED recursion (level feeds trend feeds level) makes it the
+    suite's third genuinely-recursive oracle (a mutually-recursive
+    CTE carrying BOTH state variables per row). Spark side: Arrow
+    grouped map (operators/timeseries.py::holt_linear) — one shuffle
+    on user_id, per-series scalar loop mirroring the CTE's arithmetic
+    term for term, so both engines walk identical doubles."""
+    from n2khab_mhq_data_spark.functions.scalars import eps_round
+    from n2khab_mhq_data_spark.operators.timeseries import holt_linear
+
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+    )
+    out = holt_linear(
+        e, ["user_id"], ["ts", "event_id"], "value", alpha=0.3, beta=0.2
+    )
+    fc = F.col("level") + F.col("trend")
+    return out.select(
+        "user_id",
+        "event_id",
+        eps_round(F.col("level"), 6).alias("level"),
+        eps_round(F.col("trend"), 6).alias("trend"),
+        eps_round(fc, 6).alias("forecast_1"),
+    )

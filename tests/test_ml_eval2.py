@@ -126,3 +126,25 @@ def test_burstiness_bounds(spark):
     assert got["c"] == (2, 4)   # burst in doc3
     for df_, cf in got.values():
         assert cf >= df_
+
+
+def test_holt_linear_by_hand(spark):
+    from n2khab_mhq_data_spark.operators.timeseries import holt_linear
+    from pyspark.sql import functions as F
+
+    rows = [(1, 1, 10.0), (1, 2, 13.0), (1, 3, 16.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    out = {
+        r["t"]: (r["level"], r["trend"])
+        for r in holt_linear(
+            df, ["k"], ["t"], "v", alpha=0.3, beta=0.2
+        ).collect()
+    }
+    # s1=10, b1=0; s2=0.3*13+0.7*10=10.9, b2=0.2*0.9=0.18
+    # s3=0.3*16+0.7*(10.9+0.18)=4.8+7.756=12.556
+    # b3=0.2*(12.556-10.9)+0.8*0.18=0.3312+0.144=0.4752
+    assert out[1] == (10.0, 0.0)
+    assert abs(out[2][0] - 10.9) < 1e-12
+    assert abs(out[2][1] - 0.18) < 1e-12
+    assert abs(out[3][0] - 12.556) < 1e-12
+    assert abs(out[3][1] - 0.4752) < 1e-12
