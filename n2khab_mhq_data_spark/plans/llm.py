@@ -6588,3 +6588,104 @@ def sim_embedding_diagnostics(
             4,
         ).alias("participation_ratio"),
     )
+
+
+@query(
+    "text_code_detect",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n,
+             length(text)
+               - length(regexp_replace(text, '[{}()\[\];=<>]', '', 'g'))
+               AS n_sym,
+             length(text)
+               - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS n_digit,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(string_split_regex(trim(text), '\s+'))
+                  END AS n_words,
+             length(text) - length(replace(text, chr(10), ''))
+               AS n_newlines
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n, n_words,
+             CAST(round(n_sym * 1e6 / n) AS BIGINT) AS sym_q,
+             CAST(round(n_digit * 1e6 / n) AS BIGINT) AS digit_q,
+             CASE WHEN n_sym * 20 > n OR (n_digit * 5 > n
+                       AND n_newlines * 40 > n)
+                  THEN 1 ELSE 0 END AS looks_code
+      FROM feats WHERE n > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(looks_code) AS BIGINT) AS n_code_like,
+           round(CAST(sum(sym_q) AS BIGINT) / (1e6 * count(*))
+                 + 1e-9, 6) AS mean_sym_ratio,
+           round(CAST(sum(digit_q) AS BIGINT) / (1e6 * count(*))
+                 + 1e-9, 6) AS mean_digit_ratio,
+           round(max(sym_q) / 1e6 + 1e-9, 6) AS max_sym_ratio
+    FROM scored
+    """,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection: symbol-density ({}()[];=<>), digit
+    density, and line-structure heuristics rolled into a corpus-level
+    triage report — the standard pre-tokenizer screen that routes
+    source code away from prose quality filters (prose thresholds
+    mis-kill code, and code inflates prose perplexity). Pure
+    regexp-count features in whole-stage codegen — no UDF, no
+    tokenizer — ONE scan and a 1-row reduce; per-doc ratios ride a
+    micro-unit (1e-6) integer grid so the corpus means are exact
+    integer quotients at any row count. (On this synthetic prose corpus the code-like count is
+    expected ~0 — the detector's value is the calibrated feature
+    surface, exercised end-to-end.)"""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.length("text")
+    n_sym = n - F.length(F.regexp_replace("text", r"[{}()\[\];=<>]", ""))
+    n_digit = n - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    n_words = F.when(F.length(F.trim(F.col("text"))) == 0, 0).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    n_nl = n - F.length(F.regexp_replace("text", "\n", ""))
+    feats = docs.select(
+        "doc_id",
+        n.alias("n"),
+        n_sym.alias("n_sym"),
+        n_digit.alias("n_digit"),
+        n_words.alias("n_words"),
+        n_nl.alias("n_newlines"),
+    ).filter(F.col("n") > 0)
+    sym_q = F.round(F.col("n_sym") * 1e6 / F.col("n")).cast("long")
+    digit_q = F.round(
+        F.col("n_digit") * 1e6 / F.col("n")
+    ).cast("long")
+    looks_code = F.when(
+        (F.col("n_sym") * 20 > F.col("n"))
+        | (
+            (F.col("n_digit") * 5 > F.col("n"))
+            & (F.col("n_newlines") * 40 > F.col("n"))
+        ),
+        1,
+    ).otherwise(0)
+    scored = feats.select(
+        sym_q.alias("sym_q"),
+        digit_q.alias("digit_q"),
+        looks_code.alias("looks_code"),
+    )
+    return scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("looks_code").cast("long").alias("n_code_like"),
+        F.round(
+            F.sum("sym_q").cast("long") / (1e6 * F.count("*"))
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_sym_ratio"),
+        F.round(
+            F.sum("digit_q").cast("long") / (1e6 * F.count("*"))
+            + F.lit(1e-9),
+            6,
+        ).alias("mean_digit_ratio"),
+        F.round(F.max("sym_q") / 1e6 + F.lit(1e-9), 6).alias(
+            "max_sym_ratio"
+        ),
+    )

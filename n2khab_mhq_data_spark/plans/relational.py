@@ -6694,3 +6694,76 @@ def a23_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("winsorized_mean_5pct"),
         )
     )
+
+
+@query(
+    "audit_report_restatement",
+    oracle="""
+    WITH facts AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             o_orderdate + INTERVAL (o_orderkey % 30) DAY AS arrived,
+             date_trunc('month', o_orderdate)
+               + INTERVAL 1 MONTH + INTERVAL 7 DAY AS cutoff,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    )
+    SELECT CAST(m AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_final,
+           CAST(count(CASE WHEN arrived < cutoff THEN 1 END) AS BIGINT)
+             AS n_known_at_close,
+           round(CAST(sum(v) AS BIGINT) / 100.0 + 1e-9, 2)
+             AS revenue_final,
+           round(CAST(sum(CASE WHEN arrived < cutoff THEN v ELSE 0 END)
+                      AS BIGINT) / 100.0 + 1e-9, 2)
+             AS revenue_at_close,
+           round(1.0 - CAST(sum(CASE WHEN arrived < cutoff THEN v
+                                ELSE 0 END) AS BIGINT)
+                 * 1.0 / sum(v) + 1e-9, 6) AS restatement_frac
+    FROM facts GROUP BY 1
+    """,
+)
+def audit_report_restatement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LATE-ARRIVING-FACTS RESTATEMENT audit: for each order month,
+    the revenue KNOWN at the month-close cutoff (close + 7 days)
+    versus the final revenue once stragglers arrive (arrival = order
+    date + a deterministic 0-29 day booking lag) — the bitemporal
+    what-did-we-know-when readout behind every finance restatement and
+    watermark-lateness decision (this is the BATCH twin of
+    streaming_late_data_audit's watermark accounting). Plan: pure
+    column arithmetic + ONE month-grain groupBy (bounded by the
+    calendar at any scale); revenue rides the cents grid."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        F.date_add(
+            F.col("o_orderdate"),
+            (F.col("o_orderkey") % 30).cast("int"),
+        ).alias("arrived"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    cutoff = F.date_add(
+        F.add_months(F.col("m").cast("date"), 1), 7
+    )
+    facts = o.select(
+        "m", "v",
+        (F.col("arrived") < cutoff).alias("known"),
+    )
+    known_v = F.when(F.col("known"), F.col("v")).otherwise(0)
+    return facts.groupBy(F.col("m").cast("date").alias("month")).agg(
+        F.count("*").cast("long").alias("n_final"),
+        F.count(F.when(F.col("known"), 1)).cast("long").alias(
+            "n_known_at_close"
+        ),
+        F.round(
+            F.sum("v").cast("long") / 100.0 + F.lit(1e-9), 2
+        ).alias("revenue_final"),
+        F.round(
+            F.sum(known_v).cast("long") / 100.0 + F.lit(1e-9), 2
+        ).alias("revenue_at_close"),
+        F.round(
+            1.0 - F.sum(known_v).cast("long") * 1.0 / F.sum("v")
+            + F.lit(1e-9),
+            6,
+        ).alias("restatement_frac"),
+    )
