@@ -163,6 +163,54 @@ def main() -> None:
         ann_family(spark)
     if "rank" in FAMILIES:
         rank_family(spark, docs)
+    if "mleval" in FAMILIES:
+        mleval_family(spark, docs)
+
+
+def mleval_family(spark, docs) -> None:
+    """r11: the score-grid model-eval family at the upsampled tiers —
+    the shape behind ml_roc_auc/ks/average_precision/brier: ONE
+    groupBy collapses the corpus to a domain-bounded score grid, all
+    cumulatives ride the grid. Score = a deterministic bp grid from
+    n_chars; label = text length parity (balanced by construction).
+    The scale question: the grid groupBy is the only corpus-sized
+    exchange and it reduces map-side, so shuffle must be tiny and
+    sub-linear (grid-bounded), wall linear in the scan."""
+    from pyspark.sql.window import Window as W
+
+    score = (F.col("n_chars") * 37 + (F.col("doc_id") % 97) * 101) % 10000
+    pos = (F.col("n_chars") % 2).cast("long")
+
+    def auc() -> int:
+        grid = (
+            docs.select(score.alias("score"), pos.alias("pos"))
+            .groupBy("score")
+            .agg(
+                F.count("*").cast("long").alias("n"),
+                F.sum("pos").cast("long").alias("p"),
+            )
+        )
+        cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+        ranked = grid.select(
+            "p", "n",
+            (
+                F.coalesce(F.sum("n").over(cum), F.lit(0)).cast("double")
+                + (F.col("n") + 1) / 2.0
+            ).alias("midrank"),
+        )
+        p_tot = F.sum("p").cast("double")
+        n_neg = (F.sum("n") - F.sum("p")).cast("double")
+        return ranked.agg(
+            (
+                (
+                    F.sum(F.col("p") * F.col("midrank"))
+                    - p_tot * (F.sum("p") + 1) / 2.0
+                )
+                / (p_tot * n_neg)
+            ).alias("auc")
+        ).count()
+
+    measure("mleval_auc_grid", auc)
 
 
 def rank_family(spark, docs) -> None:
