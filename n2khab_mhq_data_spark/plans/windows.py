@@ -2192,3 +2192,90 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         eps_round(F.col("trend"), 6).alias("trend"),
         eps_round(fc, 6).alias("forecast_1"),
     )
+
+
+@query(
+    "j17_interval_union_length",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(epoch_ms(ts) AS BIGINT) AS s,
+             CAST(epoch_ms(ts) AS BIGINT) + 1800000 AS e
+      FROM events
+    ), o AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             CAST(sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS island
+      FROM o
+    ), merged AS (
+      SELECT user_id, island,
+             min(s) AS ms, max(e) AS me
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(me - ms) AS BIGINT) / 60000.0 AS covered_minutes,
+           CAST(max(me - ms) AS BIGINT) / 60000.0 AS longest_minutes
+    FROM merged GROUP BY 1
+    """,
+)
+def j17_interval_union_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INTERVAL UNION per key (gap-and-islands): each event opens a
+    30-minute activity interval; overlapping/touching intervals merge
+    into islands, and the report is islands, total covered time, and
+    the longest stretch per user — the utilization/coverage primitive
+    behind billable-time, uptime, and session-coverage reports that
+    NAIVE interval self-joins quadratic-blow on. Plan: the classic
+    two-window linear spelling — running max of interval ends
+    (exclusive) marks island starts, a running sum numbers them, one
+    groupBy merges — all windows PARTITIONED by user, one shuffle
+    total. Millisecond integer arithmetic end to end."""
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_millis("ts").alias("s"),
+        (F.unix_millis("ts") + 1800000).alias("e"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    o = iv.select(
+        "user_id", "s", "e", F.max("e").over(wp).alias("prev_max_e")
+    )
+    new_island = F.when(
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+        1,
+    ).otherwise(0)
+    islands = o.select(
+        "user_id", "s", "e",
+        F.sum(new_island).over(wc).cast("long").alias("island"),
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        (F.sum(F.col("me") - F.col("ms")).cast("long") / 60000.0).alias(
+            "covered_minutes"
+        ),
+        (F.max(F.col("me") - F.col("ms")).cast("long") / 60000.0).alias(
+            "longest_minutes"
+        ),
+    )
