@@ -6767,3 +6767,76 @@ def audit_report_restatement(
             6,
         ).alias("restatement_frac"),
     )
+
+
+@query(
+    "audit_double_charge",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS c, o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ), pairs AS (
+      SELECT a.c, a.k AS k1, b.k AS k2, a.v,
+             abs(date_diff('day', a.d, b.d)) AS gap_days
+      FROM o a JOIN o b
+        ON a.c = b.c AND a.v = b.v AND a.k < b.k
+      WHERE abs(date_diff('day', a.d, b.d)) <= 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_suspect_pairs,
+           CAST(count(DISTINCT c) AS BIGINT) AS n_customers,
+           round(CAST(sum(v) AS BIGINT) / 100.0 + 1e-9, 2)
+             AS exposure,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days
+    FROM pairs
+    """,
+)
+def audit_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLE-CHARGE screen: pairs of orders by the same customer for
+    the EXACT same amount within 7 days — the payments-ops dup screen
+    (retries, double-submits) that naive approaches write as a
+    quadratic per-customer self-join. Here the join key is
+    (customer, exact amount in cents), so the self-join is an
+    EQUI-join whose fan-out is the true duplicate-candidate count —
+    output-proportional, never quadratic in customer order counts
+    (the dedup_prefix_filter candidate-volume argument); the 7-day
+    gap filters after the key match. k1 < k2 keeps each pair once.
+    Exposure and gaps are exact integer arithmetic."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.col("o_orderdate").alias("d"),
+    )
+    a = o.select(
+        F.col("c"), F.col("k").alias("k1"), F.col("v"),
+        F.col("d").alias("d1"),
+    )
+    b = o.select(
+        F.col("c").alias("c2"), F.col("k").alias("k2"),
+        F.col("v").alias("v2"), F.col("d").alias("d2"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("c") == F.col("c2"))
+            & (F.col("v") == F.col("v2"))
+            & (F.col("k1") < F.col("k2")),
+        )
+        .select(
+            "c", "k1", "k2", "v",
+            F.abs(F.datediff("d1", "d2")).alias("gap_days"),
+        )
+        .filter(F.col("gap_days") <= 7)
+    )
+    return pairs.agg(
+        F.count("*").cast("long").alias("n_suspect_pairs"),
+        F.countDistinct("c").cast("long").alias("n_customers"),
+        F.round(
+            F.sum("v").cast("long") / 100.0 + F.lit(1e-9), 2
+        ).alias("exposure"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )
