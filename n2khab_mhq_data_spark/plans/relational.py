@@ -6840,3 +6840,82 @@ def audit_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+@query(
+    "ml_fleiss_kappa",
+    oracle="""
+    WITH votes AS (
+      SELECT (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+              + CASE WHEN (CAST(l_quantity AS BIGINT) * 150
+                           + CAST(round(l_discount * 100) AS BIGINT)
+                             * 55
+                           + (l_orderkey % 7) * 300) % 10000 >= 5000
+                     THEN 1 ELSE 0 END
+              + CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS k
+      FROM lineitem
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(k) AS DOUBLE) AS sk,
+             CAST(sum(k * (k - 1) + (3 - k) * (2 - k)) AS DOUBLE)
+               AS agree_pairs
+      FROM votes
+    )
+    SELECT CAST(n AS BIGINT) AS n_items,
+           round(sk / (3 * n) + 1e-9, 6) AS p_positive,
+           round(agree_pairs / (n * 6) + 1e-9, 6) AS p_observed,
+           round(pow(sk / (3 * n), 2)
+                 + pow(1 - sk / (3 * n), 2) + 1e-9, 6) AS p_expected,
+           round((agree_pairs / (n * 6)
+                  - (pow(sk / (3 * n), 2) + pow(1 - sk / (3 * n), 2)))
+                 / (1 - (pow(sk / (3 * n), 2)
+                         + pow(1 - sk / (3 * n), 2))) + 1e-9, 6)
+             AS fleiss_kappa
+    FROM s
+    """,
+)
+def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA for THREE raters (binary categories) — the
+    multi-annotator agreement statistic a weak-supervision pipeline
+    runs over its labeling functions before trusting majority votes
+    (Cohen's kappa, ml_cohens_kappa, only handles two). Raters here:
+    the return flag, the bp-score threshold, and a quantity rule.
+    With n=3 raters and 2 categories the per-item agreement reduces to
+    [k(k-1) + (3-k)(2-k)] / 6 for k positive votes — an exact integer
+    per row — so P_bar, P_e, and kappa are all ratios of exact integer
+    sums. Plan: ONE map-side aggregate to a single row; identical
+    doubles in both engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_returnflag"
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    k = (
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        + F.when(score >= 5000, 1).otherwise(0)
+        + F.when(F.col("l_quantity") > 25, 1).otherwise(0)
+    )
+    votes = li.select(k.alias("k"))
+    s = votes.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("k").cast("double").alias("sk"),
+        F.sum(
+            F.col("k") * (F.col("k") - 1)
+            + (3 - F.col("k")) * (2 - F.col("k"))
+        ).cast("double").alias("agree_pairs"),
+    )
+    p_pos = F.col("sk") / (3 * F.col("n"))
+    p_obs = F.col("agree_pairs") / (F.col("n") * 6)
+    p_exp = F.pow(p_pos, 2) + F.pow(1 - p_pos, 2)
+    return s.select(
+        F.col("n").cast("long").alias("n_items"),
+        F.round(p_pos + F.lit(1e-9), 6).alias("p_positive"),
+        F.round(p_obs + F.lit(1e-9), 6).alias("p_observed"),
+        F.round(p_exp + F.lit(1e-9), 6).alias("p_expected"),
+        F.round(
+            (p_obs - p_exp) / (1 - p_exp) + F.lit(1e-9), 6
+        ).alias("fleiss_kappa"),
+    )
