@@ -6919,3 +6919,169 @@ def ml_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p_obs - p_exp) / (1 - p_exp) + F.lit(1e-9), 6
         ).alias("fleiss_kappa"),
     )
+
+
+@query(
+    "events_cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(date_trunc('week', CAST(ts AS DATE))) AS cohort
+      FROM events GROUP BY 1
+    ), joined AS (
+      SELECT f.cohort,
+             date_diff('week', f.cohort,
+                       date_trunc('week', CAST(e.ts AS DATE))) AS age_w,
+             CAST(round(e.value * 100) AS BIGINT) AS v
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ), sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firsts GROUP BY 1
+    ), cells AS (
+      SELECT cohort, age_w, CAST(sum(v) AS BIGINT) AS wv
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT CAST(c.cohort AS DATE) AS cohort_week,
+           CAST(c.age_w AS INTEGER) AS age_weeks,
+           s.cohort_users,
+           round(c.wv / 100.0 + 1e-9, 2) AS week_value,
+           round(CAST(sum(c.wv) OVER (PARTITION BY c.cohort
+                   ORDER BY c.age_w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)
+                 / (100.0 * s.cohort_users) + 1e-9, 4)
+             AS cum_ltv_per_user
+    FROM cells c JOIN sizes s ON c.cohort = s.cohort
+    """,
+)
+def events_cohort_ltv_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COHORT LTV CURVES: cumulative value per user by cohort age —
+    the companion to events_cohort_retention that tracks VALUE instead
+    of presence (the payback-period readout every growth model is fit
+    against). Users cohort by first-event week; the curve is the
+    running sum of the cohort's weekly value divided by cohort size.
+    Plan: user-grain first-touch groupBy, one broadcast-sized join
+    back (user->cohort), ONE (cohort, age) groupBy bounded by the
+    calendar-week square at any scale, and the running sum rides a
+    window PARTITIONED by cohort. Cents-grid arithmetic throughout."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("w"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("w").alias("cohort"))
+    joined = ev.join(firsts, "user_id").select(
+        "cohort",
+        (F.datediff(F.col("w"), F.col("cohort")) / 7).cast("int").alias(
+            "age_w"
+        ),
+        "v",
+    )
+    sizes = firsts.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_users")
+    )
+    cells = joined.groupBy("cohort", "age_w").agg(
+        F.sum("v").cast("long").alias("wv")
+    )
+    cum = (
+        W.partitionBy("cohort")
+        .orderBy("age_w")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            F.col("age_w").cast("int").alias("age_weeks"),
+            "cohort_users",
+            F.round(F.col("wv") / 100.0 + F.lit(1e-9), 2).alias(
+                "week_value"
+            ),
+            F.round(
+                F.sum("wv").over(cum).cast("long")
+                / (100.0 * F.col("cohort_users"))
+                + F.lit(1e-9),
+                4,
+            ).alias("cum_ltv_per_user"),
+        )
+    )
+
+
+@query(
+    "a24_higher_moments",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ), s AS (
+      SELECT grp,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(v) AS DOUBLE) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) AS s2,
+             CAST(sum(CAST(v AS HUGEINT) * v * v) AS DOUBLE) AS s3,
+             CAST(sum(CAST(v AS HUGEINT) * v * v * v) AS DOUBLE) AS s4
+      FROM g GROUP BY 1
+    ), m AS (
+      SELECT grp, n,
+             (n * s2 - s1 * s1) / (n * n) AS m2,
+             (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+               / (n * n * n) AS m3,
+             (n * n * n * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+               / (n * n * n * n) AS m4
+      FROM s
+    )
+    SELECT grp AS priority, CAST(n AS BIGINT) AS n_orders,
+           round(m3 / pow(m2, 1.5) + 1e-9, 6) AS skewness,
+           round(m4 / (m2 * m2) - 3 + 1e-9, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def a24_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SKEWNESS and EXCESS KURTOSIS per group from raw integer
+    power sums — the distribution-shape audit (fat tails, asymmetry)
+    computed WITHOUT the built-in skewness/kurtosis aggregates, whose
+    streaming-update float accumulation is partitioning-dependent and
+    can never hash-match a second engine. On the cents grid the four
+    power sums are exact (sum v^4 rides HUGEINT/decimal(38) past the
+    bigint ceiling — max |v|^4 ~ 1e28 per term); each converts to
+    double once (correctly rounded, so both engines hold the SAME
+    value), and the central-moment expansions are then identical
+    deterministic double expressions. Plan: ONE map-side-combinable
+    aggregate to the 5-row priority domain."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vd = F.col("v").cast("decimal(38,0)")
+    s = o.groupBy("grp").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("v").cast("double").alias("s1"),
+        F.sum(vd * F.col("v")).cast("double").alias("s2"),
+        F.sum(vd * F.col("v") * F.col("v")).cast("double").alias("s3"),
+        F.sum(vd * F.col("v") * F.col("v") * F.col("v"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (
+        F.col("n"), F.col("s1"), F.col("s2"), F.col("s3"), F.col("s4")
+    )
+    m2 = (n * s2 - s1 * s1) / (n * n)
+    m3 = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) / (n * n * n)
+    m4 = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ) / (n * n * n * n)
+    return s.select(
+        F.col("grp").alias("priority"),
+        n.cast("long").alias("n_orders"),
+        F.round(m3 / F.pow(m2, 1.5) + F.lit(1e-9), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3 + F.lit(1e-9), 6).alias(
+            "excess_kurtosis"
+        ),
+    )
