@@ -7085,3 +7085,103 @@ def a24_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     )
+
+
+@query(
+    "ml_mann_whitney_u",
+    oracle="""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END AS a
+      FROM lineitem
+    ), grid AS (
+      SELECT score, CAST(count(*) AS BIGINT) AS t,
+             CAST(sum(a) AS BIGINT) AS ta
+      FROM scored GROUP BY 1
+    ), ranked AS (
+      SELECT t, ta,
+             CAST(coalesce(sum(t) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) + (t + 1) / 2.0 AS midrank
+      FROM grid
+    ), s AS (
+      SELECT CAST(sum(ta) AS DOUBLE) AS na,
+             CAST(sum(t) - sum(ta) AS DOUBLE) AS nb,
+             CAST(sum(t) AS DOUBLE) AS n,
+             sum(ta * midrank) AS ra,
+             CAST(sum(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE)
+               AS tie_term
+      FROM ranked
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ra - na * (na + 1) / 2.0 + 1e-9, 1) AS u_statistic,
+           round((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / sqrt(na * nb / 12.0
+                        * ((n + 1) - tie_term / (n * (n - 1))))
+                 + 1e-9, 4) AS z_score
+    FROM s
+    """,
+)
+def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U test (two-sample rank-sum) with the TIE-CORRECTED
+    normal approximation — the nonparametric are-these-distributions-
+    different test that pairs with ml_ks_statistic (KS asks max-gap,
+    U asks stochastic dominance; U/(n_a*n_b) IS ml_roc_auc's AUC).
+    Everything reduces on the bounded bp score grid: midranks from the
+    cumulative (pinned single-partition window on the <= 10,000-row
+    domain), and the tie correction sum(t^3 - t) rides HUGEINT /
+    decimal past the bigint ceiling. Exact integer inputs -> identical
+    doubles in both engines."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_linestatus"
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    a = F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+    grid = (
+        li.select(score.alias("score"), a.alias("a"))
+        .groupBy("score")
+        .agg(
+            F.count("*").cast("long").alias("t"),
+            F.sum("a").cast("long").alias("ta"),
+        )
+    )
+    cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grid.select(
+        "t",
+        "ta",
+        (
+            F.coalesce(F.sum("t").over(cum), F.lit(0)).cast("double")
+            + (F.col("t") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    td = F.col("t").cast("decimal(38,0)")
+    s = ranked.agg(
+        F.sum("ta").cast("double").alias("na"),
+        (F.sum("t") - F.sum("ta")).cast("double").alias("nb"),
+        F.sum("t").cast("double").alias("n"),
+        F.sum(F.col("ta") * F.col("midrank")).alias("ra"),
+        F.sum(td * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("tie_term"),
+    )
+    na, nb, n, ra = (
+        F.col("na"), F.col("nb"), F.col("n"), F.col("ra")
+    )
+    u = ra - na * (na + 1) / 2.0
+    var = na * nb / 12.0 * (
+        (n + 1) - F.col("tie_term") / (n * (n - 1))
+    )
+    return s.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(u + F.lit(1e-9), 1).alias("u_statistic"),
+        F.round(
+            (u - na * nb / 2.0) / F.sqrt(var) + F.lit(1e-9), 4
+        ).alias("z_score"),
+    )

@@ -595,6 +595,8 @@ EXPECTED_SPW: dict[str, str] = {
     "ml_ks_statistic": "SINGLE_PARTITION_WINDOW(x2)",
     # same bounded score grid: descending cumulative + grand totals
     "ml_average_precision": "SINGLE_PARTITION_WINDOW(x2)",
+    # same bounded score grid: the midrank cumulative
+    "ml_mann_whitney_u": "SINGLE_PARTITION_WINDOW(x1)",
     # cross-group min/max over the post-groupBy SEGMENT table —
     # 5 rows (the c_mktsegment domain) at any scale
     "audit_fairness_parity": "SINGLE_PARTITION_WINDOW(x1)",
