@@ -7185,3 +7185,175 @@ def ml_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             (u - na * nb / 2.0) / F.sqrt(var) + F.lit(1e-9), 4
         ).alias("z_score"),
     )
+
+
+@query(
+    "ml_bootstrap_auc_ci",
+    oracle=f"""
+    WITH scored AS (
+      SELECT (CAST(l_quantity AS BIGINT) * 150
+              + CAST(round(l_discount * 100) AS BIGINT) * 55
+              + (l_orderkey % 7) * 300) % 10000 AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)
+                   || '_' || CAST(l_linenumber AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS h0
+      FROM lineitem
+    ), reps AS (
+      SELECT r.rep, score, pos,
+             ((xor(h0, r.rep * 2654435761) % 4294967296)
+              * 1103515245) % 4294967296 AS hv
+      FROM scored, (SELECT unnest(range(0, 16)) AS rep) r
+    ), weighted AS (
+      SELECT rep, score, pos, {_pois_case_sql('hv')} AS w FROM reps
+    ), grid AS (
+      SELECT rep, score,
+             CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(w * pos) AS BIGINT) AS p
+      FROM weighted GROUP BY 1, 2 HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT rep, p, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY rep ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DOUBLE) + (n + 1) / 2.0 AS midrank
+      FROM grid
+    ), aucs AS (
+      SELECT rep,
+             (sum(p * midrank)
+              - CAST(sum(p) AS DOUBLE) * (sum(p) + 1) / 2.0)
+             / (CAST(sum(p) AS DOUBLE) * (sum(n) - sum(p))) AS auc
+      FROM ranked GROUP BY 1
+    ), ordered AS (
+      SELECT auc, row_number() OVER (ORDER BY auc, rep) AS rk,
+             count(*) OVER () AS nb
+      FROM aucs
+    )
+    SELECT CAST(max(nb) AS BIGINT) AS n_replicates,
+           round(avg(auc) + 1e-9, 6) AS auc_mean,
+           round(max(CASE WHEN rk = 1 THEN auc END) + 1e-9, 6)
+             AS auc_min,
+           round(max(CASE WHEN rk = 2 THEN auc END) + 1e-9, 6)
+             AS ci_lo,
+           round(max(CASE WHEN rk = nb - 1 THEN auc END) + 1e-9, 6)
+             AS ci_hi,
+           round(max(CASE WHEN rk = nb THEN auc END) + 1e-9, 6)
+             AS auc_max
+    FROM ordered
+    """,
+)
+def ml_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP confidence interval for ROC-AUC — the
+    composition that answers "is 0.71 vs 0.69 real?": 16 deterministic
+    Poisson(1) resamples (the events_bootstrap_ci hash-weight scheme,
+    no RNG) each scored with the exact midrank AUC (the ml_roc_auc
+    grid machinery, windows PARTITIONED by replicate), then the CI
+    from the 2nd / 15th order statistics of the replicate AUCs. Scale
+    shape: the per-(replicate, score) grid is 16 x 10,000 rows MAX —
+    the explode fans the corpus x16 but everything reduces map-side
+    into that bounded grid, and all downstream windows ride it. The
+    averaging of 16 identical-double AUCs is order-safe at the 1e-6
+    rounding grain."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_orderkey", "l_linenumber",
+        "l_returnflag",
+    )
+    score = (
+        F.col("l_quantity").cast("long") * 150
+        + F.round(F.col("l_discount") * 100).cast("long") * 55
+        + (F.col("l_orderkey") % 7) * 300
+    ) % 10000
+    pos = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    h0 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = li.select(
+        score.alias("score"), pos.alias("pos"), h0.alias("h0")
+    )
+    reps = scored.select(
+        F.explode(F.array(*[F.lit(r) for r in range(16)])).alias("rep"),
+        "score",
+        "pos",
+        "h0",
+    ).withColumn(
+        "hv",
+        (
+            (
+                F.col("h0").bitwiseXOR(
+                    F.col("rep").cast("long") * F.lit(2654435761)
+                )
+                % F.lit(4294967296)
+            )
+            * F.lit(1103515245)
+        )
+        % F.lit(4294967296),
+    )
+    w = F.lit(len(_POIS_T))
+    for kk in range(len(_POIS_T) - 1, -1, -1):
+        w = F.when(F.col("hv") < _POIS_T[kk], kk).otherwise(w)
+    grid = (
+        reps.withColumn("w", w)
+        .groupBy("rep", "score")
+        .agg(
+            F.sum("w").cast("long").alias("n"),
+            F.sum(F.col("w") * F.col("pos")).cast("long").alias("p"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    cum = (
+        W.partitionBy("rep")
+        .orderBy("score")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = grid.select(
+        "rep",
+        "p",
+        "n",
+        (
+            F.coalesce(F.sum("n").over(cum), F.lit(0)).cast("double")
+            + (F.col("n") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    p_tot = F.sum("p").cast("double")
+    n_neg = (F.sum("n") - F.sum("p")).cast("double")
+    aucs = ranked.groupBy("rep").agg(
+        (
+            (
+                F.sum(F.col("p") * F.col("midrank"))
+                - p_tot * (F.sum("p") + 1) / 2.0
+            )
+            / (p_tot * n_neg)
+        ).alias("auc")
+    )
+    wr = W.orderBy("auc", "rep")
+    full = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ordered = aucs.select(
+        "auc",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(full).alias("nb"),
+    )
+    def at(cond):
+        return F.max(F.when(cond, F.col("auc")))
+    return ordered.agg(
+        F.max("nb").cast("long").alias("n_replicates"),
+        F.round(F.avg("auc") + F.lit(1e-9), 6).alias("auc_mean"),
+        F.round(at(F.col("rk") == 1) + F.lit(1e-9), 6).alias("auc_min"),
+        F.round(at(F.col("rk") == 2) + F.lit(1e-9), 6).alias("ci_lo"),
+        F.round(
+            at(F.col("rk") == F.col("nb") - 1) + F.lit(1e-9), 6
+        ).alias("ci_hi"),
+        F.round(
+            at(F.col("rk") == F.col("nb")) + F.lit(1e-9), 6
+        ).alias("auc_max"),
+    )

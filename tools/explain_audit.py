@@ -597,6 +597,10 @@ EXPECTED_SPW: dict[str, str] = {
     "ml_average_precision": "SINGLE_PARTITION_WINDOW(x2)",
     # same bounded score grid: the midrank cumulative
     "ml_mann_whitney_u": "SINGLE_PARTITION_WINDOW(x1)",
+    # both windows run on the 16-ROW replicate-AUC table (the order
+    # statistics + count); the corpus-sized work reduced into the
+    # replicate-partitioned grid upstream
+    "ml_bootstrap_auc_ci": "SINGLE_PARTITION_WINDOW(x2)",
     # cross-group min/max over the post-groupBy SEGMENT table —
     # 5 rows (the c_mktsegment domain) at any scale
     "audit_fairness_parity": "SINGLE_PARTITION_WINDOW(x1)",
