@@ -7357,3 +7357,95 @@ def ml_bootstrap_auc_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             at(F.col("rk") == F.col("nb")) + F.lit(1e-9), 6
         ).alias("auc_max"),
     )
+
+
+@query(
+    "audit_erasure_impact",
+    oracle="""
+    WITH subjects AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0
+    )
+    SELECT 'events' AS tbl,
+           CAST((SELECT count(*) FROM events
+                 WHERE user_id IN (SELECT user_id FROM subjects))
+                AS BIGINT) AS rows_to_purge,
+           CAST((SELECT count(*) FROM events) AS BIGINT) AS table_rows,
+           CAST((SELECT count(*) FROM subjects) AS BIGINT) AS subjects
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM orders
+                 WHERE o_custkey IN (SELECT user_id FROM subjects))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           CAST((SELECT count(*) FROM subjects) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT count(*) FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_custkey IN (SELECT user_id FROM subjects))
+                AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT count(*) FROM subjects) AS BIGINT)
+    """,
+)
+def audit_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-BE-FORGOTTEN impact report: for a deterministic
+    deletion-request cohort, the rows an erasure would purge from each
+    table — DIRECT hits (events by user id, orders by customer key)
+    and TRANSITIVE hits through the FK graph (line items of purged
+    orders) — the pre-delete blast-radius report a governance pipeline
+    signs off before running the actual purge (and re-runs after,
+    expecting zeros; completes the privacy family next to k-anonymity
+    and l-diversity). Plan: the subject list is a broadcast SEMI join
+    against each table (never a shuffle of the fact side's payload —
+    keys only), one 1-row aggregate per table, three legs unioned into
+    ONE action."""
+    ev = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    subjects = (
+        ev.filter(F.col("user_id") % 37 == 0)
+        .select("user_id")
+        .distinct()
+    )
+    n_subj = subjects.agg(
+        F.count("*").cast("long").alias("subjects")
+    )
+
+    def leg(name: str, hits, total_df):
+        hit_n = hits.agg(F.count("*").cast("long").alias("rows_to_purge"))
+        tot_n = total_df.agg(
+            F.count("*").cast("long").alias("table_rows")
+        )
+        return (
+            hit_n.crossJoin(tot_n)
+            .crossJoin(n_subj)
+            .select(
+                F.lit(name).alias("tbl"),
+                "rows_to_purge",
+                "table_rows",
+                "subjects",
+            )
+        )
+
+    ev_hits = ev.join(
+        F.broadcast(subjects), "user_id", "left_semi"
+    )
+    o_hits = o.join(
+        F.broadcast(subjects.select(F.col("user_id").alias("o_custkey"))),
+        "o_custkey",
+        "left_semi",
+    )
+    purged_orders = o_hits.select("o_orderkey")
+    li_hits = li.join(
+        F.broadcast(
+            purged_orders.select(F.col("o_orderkey").alias("l_orderkey"))
+        ),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        leg("events", ev_hits, ev)
+        .unionByName(leg("orders", o_hits, o))
+        .unionByName(leg("lineitem", li_hits, li))
+    )

@@ -286,6 +286,10 @@ EXPECTED: dict[str, set[str]] = {
     # pair onto the ranked scan, and the final (trimmed, winsorized)
     # 1-row x 1-row combine; both CUPED-pattern bounded
     "a23_trimmed_mean": {"CARTESIAN(x2)"},
+    # erasure impact: three report legs x two 1-ROW x 1-ROW combines
+    # each (hit-count x table-count, then x subject-count) — all six
+    # crosses are single-row frames by construction
+    "audit_erasure_impact": {"CARTESIAN(x6)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
