@@ -1730,3 +1730,63 @@ def s16_csv_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("revenue"),
     )
+
+
+@query(
+    "s17_partition_skew_report",
+    oracle="""
+    WITH parts AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_rows) AS DOUBLE) AS t,
+             CAST(count(*) AS BIGINT) AS np
+      FROM parts
+    )
+    SELECT CAST(max(np) AS BIGINT) AS n_partitions,
+           CAST(min(n_rows) AS BIGINT) AS min_rows,
+           CAST(max(n_rows) AS BIGINT) AS max_rows,
+           round(max(n_rows) / (max(t) / max(np)) + 1e-9, 4)
+             AS max_skew_ratio,
+           round(max(n_rows) * 1.0 / min(n_rows) + 1e-9, 4)
+             AS max_min_ratio
+    FROM parts, tot
+    """,
+)
+def s17_partition_skew_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION-SKEW report over the hive-partitioned store (the s13
+    layout): per-partition row counts reduced to the skew ratios a
+    compaction/repartition planner acts on — max partition vs the
+    uniform share, and max/min spread. This is the lake-ops
+    observability pass that decides WHEN to rewrite a layout (the
+    spatial_zorder_layout decision input), reading the PARTITIONED
+    STORE itself so partition pruning and directory layout are what's
+    being measured; the oracle recomputes the same census from the
+    base table, so a store that dropped or duplicated a partition
+    fails the hash compare. Plan: one store scan -> month groupBy
+    (calendar-bounded) -> 1-row reduce."""
+    store = _hive_partitioned_store(spark, sf_dir)
+    parts = (
+        spark.read.parquet(store)
+        .groupBy("o_month")
+        .agg(F.count("*").cast("long").alias("n_rows"))
+    )
+    tot = parts.agg(
+        F.sum("n_rows").cast("double").alias("t"),
+        F.count("*").cast("long").alias("np"),
+    )
+    return parts.crossJoin(F.broadcast(tot)).agg(
+        F.max("np").cast("long").alias("n_partitions"),
+        F.min("n_rows").cast("long").alias("min_rows"),
+        F.max("n_rows").cast("long").alias("max_rows"),
+        F.round(
+            F.max("n_rows") / (F.max("t") / F.max("np")) + F.lit(1e-9),
+            4,
+        ).alias("max_skew_ratio"),
+        F.round(
+            F.max("n_rows") * 1.0 / F.min("n_rows") + F.lit(1e-9), 4
+        ).alias("max_min_ratio"),
+    )

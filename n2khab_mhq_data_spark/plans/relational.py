@@ -7449,3 +7449,68 @@ def audit_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg("orders", o_hits, o))
         .unionByName(leg("lineitem", li_hits, li))
     )
+
+
+@query(
+    "a26_entropy_by_group",
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS grp, o_orderstatus AS cat,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), tots AS (
+      SELECT grp, cat, n,
+             CAST(sum(n) OVER (PARTITION BY grp) AS DOUBLE) AS t,
+             CAST(count(*) OVER (PARTITION BY grp) AS BIGINT) AS k
+      FROM cells
+    )
+    SELECT grp AS priority,
+           CAST(max(k) AS BIGINT) AS n_categories,
+           round(-sum((n / t) * ln(n / t)) / ln(2) + 1e-9, 6)
+             AS entropy_bits,
+           round(CASE WHEN max(k) > 1
+                 THEN -sum((n / t) * ln(n / t)) / ln(CAST(max(k)
+                      AS DOUBLE)) ELSE 0.0 END + 1e-9, 6)
+             AS normalized_entropy
+    FROM tots GROUP BY 1
+    """,
+)
+def a26_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHANNON ENTROPY of a categorical distribution per group (order
+    status within priority), in bits, plus the [0,1]-normalized form —
+    the concentration/diversity readout (a uniform mix scores 1, a
+    degenerate single-status group scores 0) that pairs with
+    a22_gini_spend for continuous concentration. Plan: ONE
+    (group, category) groupBy bounded by the attribute-domain product,
+    marginals via group-PARTITIONED windows on that bounded table, a
+    domain-bounded reduce. Entropy inputs are exact integer ratios —
+    identical doubles in both engines."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderstatus").alias("cat"),
+    )
+    cells = o.groupBy("grp", "cat").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wg = W.partitionBy("grp")
+    tots = cells.select(
+        "grp", "n",
+        F.sum("n").over(wg).cast("double").alias("t"),
+        F.count("*").over(wg).cast("long").alias("k"),
+    )
+    p = F.col("n") / F.col("t")
+    h = -F.sum(p * F.log(p))
+    return tots.groupBy("grp").agg(
+        F.max("k").cast("long").alias("n_categories"),
+        F.round(h / F.log(F.lit(2.0)) + F.lit(1e-9), 6).alias(
+            "entropy_bits"
+        ),
+        F.round(
+            F.when(
+                F.max("k") > 1,
+                h / F.log(F.max("k").cast("double")),
+            ).otherwise(F.lit(0.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("normalized_entropy"),
+    ).withColumnRenamed("grp", "priority")

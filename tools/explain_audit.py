@@ -290,6 +290,9 @@ EXPECTED: dict[str, set[str]] = {
     # each (hit-count x table-count, then x subject-count) — all six
     # crosses are single-row frames by construction
     "audit_erasure_impact": {"CARTESIAN(x6)"},
+    # partition skew: the 1-ROW (total, n-partitions) aggregate
+    # broadcast-crossed onto the calendar-bounded partition census
+    "s17_partition_skew_report": {"CARTESIAN(x1)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
