@@ -148,3 +148,99 @@ def test_holt_linear_by_hand(spark):
     assert abs(out[2][1] - 0.18) < 1e-12
     assert abs(out[3][0] - 12.556) < 1e-12
     assert abs(out[3][1] - 0.4752) < 1e-12
+
+
+def test_mann_whitney_u_matches_sequential(spark):
+    from pyspark.sql.window import Window as W
+
+    rows = [(3, 1), (1, 0), (4, 1), (4, 0), (2, 0), (5, 1)]
+    df = spark.createDataFrame(rows, "score int, a int")
+    grid = df.groupBy("score").agg(
+        F.count("*").alias("t"), F.sum("a").alias("ta")
+    )
+    cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    ranked = grid.select(
+        "t", "ta",
+        (
+            F.coalesce(F.sum("t").over(cum), F.lit(0)).cast("double")
+            + (F.col("t") + 1) / 2.0
+        ).alias("midrank"),
+    )
+    got = ranked.agg(
+        (
+            F.sum(F.col("ta") * F.col("midrank"))
+            - F.sum("ta").cast("double")
+            * (F.sum("ta") + 1) / 2.0
+        ).alias("u")
+    ).collect()[0]["u"]
+    # sequential midranks: scores 1,2,3,4,4,5 -> ranks 1,2,3,4.5,4.5,6
+    # group-a scores {3,4,5}: ranks 3 + 4.5 + 6 = 13.5; U = 13.5 - 6 = 7.5
+    assert abs(got - 7.5) < 1e-12
+
+
+def test_interval_union_islands_by_hand(spark):
+    from pyspark.sql.window import Window as W
+
+    # intervals (ms): [0,30), [10,40) overlap; [40,70) TOUCHES 40 ->
+    # merges (closed-open adjacency); [100,130) is a second island
+    rows = [(1, 0), (1, 10), (1, 40), (1, 100)]
+    iv = spark.createDataFrame(rows, "u long, s long").select(
+        "u", "s", (F.col("s") + 30).alias("e")
+    )
+    wp = (
+        W.partitionBy("u").orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wc = (
+        W.partitionBy("u").orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    o = iv.select(
+        "u", "s", "e", F.max("e").over(wp).alias("pme")
+    )
+    ni = F.when(
+        F.col("pme").isNull() | (F.col("s") > F.col("pme")), 1
+    ).otherwise(0)
+    isl = o.select("u", "s", "e", F.sum(ni).over(wc).alias("i"))
+    merged = isl.groupBy("u", "i").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    ).collect()
+    spans = sorted((r["ms"], r["me"]) for r in merged)
+    assert spans == [(0, 70), (100, 130)]
+
+
+def test_trimmed_mean_exact_cut(spark):
+    from n2khab_mhq_data_spark.operators.rank import _global_rank_n
+
+    # 0..39: 5% trim of 40 rows drops ranks 1-2 and 39-40 exactly
+    df = spark.range(0, 40).select(
+        F.col("id").alias("v"), F.col("id").alias("k")
+    )
+    ranked, n = _global_rank_n(df, [F.col("v"), F.col("k")], "rnk")
+    inside = ranked.filter(
+        (F.col("rnk") * 20 > n) & ((n - F.col("rnk") + 1) * 20 > n)
+    )
+    vals = sorted(r["v"] for r in inside.collect())
+    assert vals == list(range(2, 38))
+
+
+def test_entropy_uniform_and_degenerate():
+    import math
+
+    # uniform over 4 categories -> 2 bits, normalized 1
+    h = -sum(0.25 * math.log(0.25) for _ in range(4))
+    assert abs(h / math.log(2) - 2.0) < 1e-12
+    assert abs(h / math.log(4) - 1.0) < 1e-12
+
+
+def test_fleiss_agreement_reduction():
+    # k positive votes of 3 raters: agreeing pairs = C(k,2) + C(3-k,2)
+    # the query's closed form k(k-1) + (3-k)(2-k) must equal 2x that
+    from math import comb
+
+    for k in range(4):
+        pairs = comb(k, 2) + comb(3 - k, 2)
+        assert k * (k - 1) + (3 - k) * (2 - k) == 2 * pairs
+    # perfect agreement (k=0 or 3) -> 6/6; maximal split -> 2/6
+    assert 3 * 2 + 0 == 6 and 0 + 3 * 2 == 6
+    assert 2 * 1 + 1 * 0 == 2
