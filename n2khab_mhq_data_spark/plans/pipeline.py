@@ -1790,3 +1790,95 @@ def s17_partition_skew_report(
             F.max("n_rows") * 1.0 / F.min("n_rows") + F.lit(1e-9), 4
         ).alias("max_min_ratio"),
     )
+
+
+def _quarantine_csv_store(spark: SparkSession, sf_dir: str) -> str:
+    """Fingerprinted scratch CSV feed with DETERMINISTIC corruption:
+    every order whose key is divisible by 97 is written with garbage
+    in the price field (unparseable under the declared schema) — the
+    malformed-row population a quarantine pipeline must isolate
+    without failing the load."""
+    import csv as _csv
+    import os
+
+    fp = _table_fingerprint(sf_dir, "orders")
+
+    def build(tmp: str) -> None:
+        rows = (
+            load(spark, sf_dir, "orders")
+            .select(
+                "o_orderkey",
+                F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+            )
+            .orderBy("o_orderkey")
+            .collect()
+        )
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "feed.csv"), "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(["o_orderkey", "o_totalprice"])
+            for r in rows:
+                if r["o_orderkey"] % 97 == 0:
+                    w.writerow([r["o_orderkey"], "#ERR#"])
+                else:
+                    w.writerow([r["o_orderkey"], r["p"]])
+
+    return _scratch_build(
+        f"/root/repo/.scale/csv_quarantine/orders_{fp}", build
+    )
+
+
+@query(
+    "s18_csv_malformed_quarantine",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o_orderkey % 97 = 0 THEN 1 END)
+                AS BIGINT) AS n_quarantined,
+           round(CAST(sum(CASE WHEN o_orderkey % 97 != 0
+                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) / 100.0 + 1e-9, 2)
+             AS clean_revenue,
+           CAST(min(CASE WHEN o_orderkey % 97 = 0 THEN o_orderkey END)
+                AS BIGINT) AS first_quarantined_key
+    FROM orders
+    """,
+)
+def s18_csv_malformed_quarantine(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MALFORMED-ROW QUARANTINE on CSV ingestion: the feed carries
+    deterministically corrupted rows (garbage in a typed column);
+    the read runs PERMISSIVE with a corrupt-record column, so the
+    load NEVER fails — bad rows are counted and keyed for the
+    quarantine table while clean rows aggregate normally (the
+    poison-pill isolation every production feed needs; FAILFAST is
+    the outage, silent DROPMALFORMED is the worse outage). The
+    oracle recomputes the expected quarantine census from the base
+    table, so a read that silently dropped or mis-parsed a row fails
+    the hash compare. Plan: one CSV scan, one 1-row reduce."""
+    store = _quarantine_csv_store(spark, sf_dir)
+    df = spark.read.csv(
+        f"{store}/feed.csv",
+        header=True,
+        schema=(
+            "o_orderkey bigint, o_totalprice decimal(18,2), "
+            "_corrupt string"
+        ),
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt",
+        enforceSchema=True,
+    )
+    bad = F.col("_corrupt").isNotNull()
+    clean_cents = F.when(
+        ~bad, F.round(F.col("o_totalprice") * 100).cast("long")
+    ).otherwise(0)
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count(F.when(bad, 1)).cast("long").alias("n_quarantined"),
+        F.round(
+            F.sum(clean_cents).cast("long") / 100.0 + F.lit(1e-9), 2
+        ).alias("clean_revenue"),
+        F.min(F.when(bad, F.col("o_orderkey"))).cast("long").alias(
+            "first_quarantined_key"
+        ),
+    )
