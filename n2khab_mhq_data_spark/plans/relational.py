@@ -7514,3 +7514,116 @@ def a26_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("normalized_entropy"),
     ).withColumnRenamed("grp", "priority")
+
+
+@query(
+    "a27_mad_robust_scale",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             o_orderkey AS k
+      FROM orders
+    ), r1 AS (
+      SELECT c, row_number() OVER (ORDER BY c, k) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM v
+    ), med AS (
+      SELECT CAST(sum(CASE WHEN rnk * 2 = n OR rnk * 2 = n + 1
+                           OR rnk * 2 = n + 2
+                      THEN c ELSE 0 END)
+                  * CASE WHEN max(n) % 2 = 0 THEN 1 ELSE 2 END
+                  AS BIGINT) AS med2
+      FROM r1
+    ), dev AS (
+      SELECT abs(2 * v.c - m.med2) AS d2, v.k FROM v, med m
+    ), r2 AS (
+      SELECT d2, row_number() OVER (ORDER BY d2, k) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM dev
+    ), mad AS (
+      SELECT CAST(sum(CASE WHEN rnk * 2 = n OR rnk * 2 = n + 1
+                           OR rnk * 2 = n + 2
+                      THEN d2 ELSE 0 END)
+                  * CASE WHEN max(n) % 2 = 0 THEN 1 ELSE 2 END
+                  AS BIGINT) AS mad4
+      FROM r2
+    )
+    SELECT round(m.med2 / 200.0 + 1e-9, 3) AS median_price,
+           round(d.mad4 / 400.0 + 1e-9, 3) AS mad_price,
+           round(d.mad4 / 400.0 * 1.4826 + 1e-9, 4)
+             AS robust_sigma,
+           CAST((SELECT count(*) FROM dev, mad
+                 WHERE dev.d2 * 2.0 > 3 * 1.4826 * mad.mad4)
+                AS BIGINT) AS n_outliers_3sigma
+    FROM med m, mad d
+    """,
+)
+def a27_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION — the robust scale estimator (and its
+    1.4826-consistent sigma) with a 3-sigma robust outlier count: the
+    fat-tail-safe sibling of stddev that a19's weighted median starts
+    and a23's trimmed means continue. EXACT order statistics via TWO
+    TeraSort two-pass global ranks (values, then absolute deviations);
+    the even-n midpoint average stays on an INTEGER grid by carrying
+    2x the median (med2 = sum of the two middle cents) and 4x the MAD
+    (deviations are |2c - med2|, already doubled) — no floating
+    median anywhere, so both engines cut identically. Plan: two range
+    shuffles + two bounded collects; the 1-row median/MAD frames
+    broadcast-cross back (CUPED pattern)."""
+    from n2khab_mhq_data_spark.operators.rank import _global_rank_n
+
+    v = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
+        F.col("o_orderkey").alias("k"),
+    )
+
+    def median2x(df, col: str, key: str):
+        """Sum of the two middle values under (col, key) order (odd n:
+        the single middle DOUBLED) — the exact 2x-median as a 1-row
+        frame."""
+        ranked, n = _global_rank_n(
+            df, [F.col(col), F.col(key)], rank_col="__r"
+        )
+        mid = ranked.filter(
+            (F.col("__r") * 2 == n)
+            | (F.col("__r") * 2 == n + 1)
+            | (F.col("__r") * 2 == n + 2)
+        )
+        mult = 1 if n % 2 == 0 else 2
+        return mid.agg(
+            (F.sum(col) * F.lit(mult)).cast("long").alias("m2")
+        )
+
+    med = median2x(v, "c", "k").withColumnRenamed("m2", "med2")
+    dev = v.crossJoin(F.broadcast(med)).select(
+        F.abs(2 * F.col("c") - F.col("med2")).alias("d2"),
+        "k",
+        "med2",
+    )
+    mad = median2x(
+        dev.select("d2", "k"), "d2", "k"
+    ).withColumnRenamed("m2", "mad4")
+    out = (
+        dev.crossJoin(F.broadcast(mad))
+        .agg(
+            F.max("med2").alias("med2"),
+            F.max("mad4").alias("mad4"),
+            F.count(
+                F.when(
+                    F.col("d2") * 2.0 > 3 * 1.4826 * F.col("mad4"), 1
+                )
+            ).cast("long").alias("n_outliers_3sigma"),
+        )
+    )
+    return out.select(
+        F.round(F.col("med2") / 200.0 + F.lit(1e-9), 3).alias(
+            "median_price"
+        ),
+        F.round(F.col("mad4") / 400.0 + F.lit(1e-9), 3).alias(
+            "mad_price"
+        ),
+        F.round(
+            F.col("mad4") / 400.0 * 1.4826 + F.lit(1e-9), 4
+        ).alias("robust_sigma"),
+        "n_outliers_3sigma",
+    )

@@ -293,6 +293,9 @@ EXPECTED: dict[str, set[str]] = {
     # partition skew: the 1-ROW (total, n-partitions) aggregate
     # broadcast-crossed onto the calendar-bounded partition census
     "s17_partition_skew_report": {"CARTESIAN(x1)"},
+    # MAD: the 1-ROW 2x-median and 4x-MAD frames broadcast-cross back
+    # onto the value/deviation scans (CUPED pattern, two stages)
+    "a27_mad_robust_scale": {"CARTESIAN(x2)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
