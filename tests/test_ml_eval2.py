@@ -150,6 +150,41 @@ def test_holt_linear_by_hand(spark):
     assert abs(out[3][1] - 0.4752) < 1e-12
 
 
+def test_holt_linear_state_carries_across_arrow_batches(spark):
+    """r11 regression pin for the mapInPandas rewrite: a series longer
+    than one Arrow batch must continue its (s, b) recursion across the
+    batch boundary, and a key change ON the boundary must reset it.
+    maxRecordsPerBatch=7 forces many splits of both kinds."""
+    from n2khab_mhq_data_spark.operators.timeseries import holt_linear
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        rows = [(k, t, float(10 + 3 * t + 7 * k)) for k in (1, 2) for t in range(40)]
+        df = spark.createDataFrame(rows, "k long, t long, v double").coalesce(1)
+        got = {
+            (r["k"], r["t"]): (r["level"], r["trend"])
+            for r in holt_linear(
+                df, ["k"], ["t"], "v", alpha=0.3, beta=0.2,
+            ).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+    # sequential reference, one pass per key
+    for k in (1, 2):
+        s = float(10 + 7 * k)
+        b = 0.0
+        assert got[(k, 0)] == (s, b)
+        for t in range(1, 40):
+            v = float(10 + 3 * t + 7 * k)
+            s_new = 0.3 * v + 0.7 * (s + b)
+            b = 0.2 * (s_new - s) + 0.8 * b
+            s = s_new
+            assert got[(k, t)] == (s, b), (k, t)
+
+
 def test_mann_whitney_u_matches_sequential(spark):
     from pyspark.sql.window import Window as W
 

@@ -300,6 +300,46 @@ def test_global_rank_matches_single_partition_window(spark):
         assert byid[i] == ((want[i] - 1) * 10) // 97
 
 
+def test_global_rank_payload_column_reuse(spark):
+    """r11 regression pin: a PAYLOAD column absent from the sort key
+    must not break the in-plan rank. Column pruning used to narrow the
+    counts branch's subplan to the key columns, so the range exchange
+    stopped being reused, the two branches sampled different partition
+    boundaries, and ranks stopped being a permutation (ml_gains_deciles
+    grew an 11th decile at sf0.01). The full-column range key makes the
+    reuse structural; this asserts exactness on that shape."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.operators.rank import (
+        global_rank,
+        quantile_bins,
+    )
+
+    df = spark.range(503).select(
+        F.col("id"),
+        (F.col("id") % 11).alias("k"),
+        # payload: referenced by no key, pruned unless pinned
+        (F.col("id") % 2).alias("pos"),
+    ).repartition(17)
+    r = global_rank(
+        df, [F.col("k").asc(), F.col("id").desc()], num_partitions=7
+    )
+    got = {x.id: x.rank for x in r.collect()}
+    rows = sorted(((i % 11, -i, i) for i in range(503)))
+    want = {i: pos + 1 for pos, (_, _, i) in enumerate(rows)}
+    assert got == want
+
+    b = quantile_bins(
+        df, [F.col("k").asc(), F.col("id").desc()], 10, bin_col="d"
+    )
+    sizes = sorted(
+        (x.d, x.c)
+        for x in b.groupBy("d").agg(F.count("*").alias("c")).collect()
+    )
+    assert [d for d, _ in sizes] == list(range(10))
+    assert all(c in (50, 51) for _, c in sizes)
+
+
 def test_interval_overlap_join_binned_matches_brute_force(spark):
     """Binned overlap join == brute-force theta join, each pair once —
     fixture spans multi-bin intervals, point intervals, bin-boundary

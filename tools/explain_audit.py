@@ -190,6 +190,27 @@ def _single_partition_window(plan: str) -> int:
             elif not ln.strip() or re.match(r"\(\d+\) ", ln.strip()):
                 cur_id = None
 
+    # Structural exemption: the rank-operator offsets window
+    # (operators/rank.py) runs over the per-partition COUNTS relation —
+    # <= P rows where P is the shuffle-partition count, a config
+    # constant, never data-proportional. It is recognizable by its
+    # ordering column ``__pid`` (the operator's internal
+    # spark_partition_id tag; no registered query exposes that name).
+    benign_ids: set[str] = set()
+    cur_id = None
+    for ln in plan.splitlines():
+        m = re.match(r"\((\d+)\) Window\b", ln.strip())
+        if m:
+            cur_id = m.group(1)
+            continue
+        if cur_id is not None:
+            if ln.strip().startswith("Arguments:"):
+                if "__pid#" in ln:
+                    benign_ids.add(cur_id)
+                cur_id = None
+            elif not ln.strip() or re.match(r"\(\d+\) ", ln.strip()):
+                cur_id = None
+
     def depth(line: str) -> int:
         m = re.match(r"^([ :+\-*]*)", line)
         return len(m.group(1))
@@ -210,6 +231,9 @@ def _single_partition_window(plan: str) -> int:
     for i, ln in enumerate(lines):
         if not re.search(r"\bWindow(GroupLimit)?\b", ln):
             continue
+        mw = re.search(r"\bWindow(?:GroupLimit)? \((\d+)\)", ln)
+        if mw and mw.group(1) in benign_ids:
+            continue  # bounded rank-operator offsets window (see above)
         d = depth(ln)
         for sub in lines[i + 1 :]:
             if depth(sub) <= d:
