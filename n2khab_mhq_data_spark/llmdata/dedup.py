@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from n2khab_mhq_data_spark.llmdata.text import tokens, word_shingles
+from n2khab_mhq_data_spark.operators.ckpt import release
 
 HASH_PRIME = 1_000_003
 
@@ -677,6 +678,11 @@ def connected_components(
         converged = new_fp == fp and _confirm_unchanged(
             labels, new, ["node", "comp"]
         )
+        # the superseded round's checkpoint blocks are dead the moment
+        # `new` is materialized (the fingerprint collect above) and the
+        # convergence confirmation has read them — free them NOW instead
+        # of letting them pile up for GC (operators/ckpt.py)
+        release(labels)
         labels, fp = new, new_fp
         if converged:
             break
@@ -691,6 +697,9 @@ def connected_components(
             f"connected_components did not converge in {max_iter}"
             " rounds (component diameter exceeds max_iter)"
         )
+    # the edge list fed only the loop; the returned labels plan is a
+    # self-contained checkpoint — free the edge blocks too
+    release(e)
     return labels.select(
         F.col("node").alias("doc"), F.col("comp").alias("component_id")
     )
@@ -792,7 +801,12 @@ def connected_components_twophase(
         prev = e
         e = _iter_ckpt(small_star(large_star(e)), reliable)
         nfp = _convergence_fingerprint(e, "a", "b")
-        if nfp == fp and _confirm_unchanged(prev, e, ["a", "b"]):
+        converged = nfp == fp and _confirm_unchanged(prev, e, ["a", "b"])
+        # free the superseded round's star-edge blocks immediately (the
+        # returned plan references only the FINAL e plus `nodes` -> raw;
+        # see operators/ckpt.py for the lifecycle argument)
+        release(prev)
+        if converged:
             break
         fp = nfp
     else:

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from n2khab_mhq_data_spark.catalog import load
+from n2khab_mhq_data_spark.operators.ckpt import release
 from n2khab_mhq_data_spark.operators.graph import (
     cooccurrence_edges,
     degree_histogram,
@@ -653,6 +654,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract as the two-phase connected components (O(log n) rounds,
     never a driver-side edge materialization)."""
     kk, rounds = 3, 12
+    last_ckpt = None  # superseded survivor checkpoint, freed on rotate
     edges = _copurchase_edges(spark, sf_dir).select("a", "b")
     de = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
@@ -679,6 +681,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i % 4 == 3:
             s = s.localCheckpoint()
+            # the previous survivor checkpoint fed only the rounds up to
+            # this (just-materialized) one — free its blocks now
+            release(last_ckpt)
+            last_ckpt = s
     fd = (
         de.join(
             s.withColumnRenamed("node", "src").hint("shuffle_hash"),
@@ -931,23 +937,37 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcs = nodes.orderBy("node").limit(3).select(
         F.col("node").alias("src")
     )
-    dist = srcs.select(
+    ring0 = srcs.select(
         "src", F.col("src").alias("node"), F.lit(0).alias("d")
     ).localCheckpoint()
-    frontier = dist
+    # visited/dist is a UNION of the per-depth ring checkpoints, never
+    # re-materialized: the old shape localCheckpoint'ed the GROWING dist
+    # table every round — an O(rounds x |dist|) copy tax (plus that many
+    # stale block sets waiting on GC). The union plan reads each ring's
+    # already-materialized blocks; the per-round anti-join shuffles the
+    # same visited bytes either way. (r11, guide §2.4.)
+    rings = [ring0]
+    visited = ring0
+    frontier = ring0
     for depth in range(1, _BFS_MAX_D + 1):
         cand = (
             frontier.join(ee, frontier.node == ee.u)
             .select("src", F.col("v").alias("node"))
             .distinct()
         )
-        ring = cand.join(dist, ["src", "node"], "left_anti").select(
+        ring = cand.join(visited, ["src", "node"], "left_anti").select(
             "src", "node", F.lit(depth).alias("d")
         ).localCheckpoint()
         if ring.isEmpty():  # bounded driver check, one per round
+            release(ring)  # empty round: blocks are dead, free them
             break
-        dist = dist.unionAll(ring).localCheckpoint()
+        rings.append(ring)
+        visited = visited.unionAll(ring)
         frontier = ring
+    release(ee)  # edge blocks fed only the loop; rings are self-contained
+    dist = rings[0]
+    for r in rings[1:]:
+        dist = dist.unionAll(r)
     return dist.groupBy(
         "src", F.col("d").cast("int").alias("dist")
     ).agg(

@@ -124,43 +124,51 @@ def k1_cover_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def k2_type_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2 plot-level observed-type resolution (query_fieldmap.Rmd:1550-1596):
     the lowest segment's type wins, mixed-plot flag from distinct types,
-    cover % of the winning type from segment area shares."""
+    cover % of the winning type from segment area shares.
+
+    r11 plan shape (guide §2.3/§2.4): two CHAINED aggregations instead
+    of window + countDistinct + self-join. The winner is the argmin of
+    the total order (segment_id, type_observed, area); grouping to
+    (plot, type) grain first makes the argmin a ``min_by`` over each
+    type's minimal triple (the struct embeds the type, so cross-type
+    ties are impossible and the pick is deterministic), mixed_plot a
+    plain row count, and the winning type's area share a ``min_by`` of
+    the per-type sums — no row_number window (one sort saved), no
+    count-distinct expand, no join back, and the final exchange moves
+    (plot, type)-grain partial aggregates, not raw segments. Area sums
+    are integer-valued doubles (quantities), so the regrouped
+    association is bit-exact."""
     seg = load(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("plot_id"),
         F.col("l_linenumber").alias("segment_id"),
         F.col("l_returnflag").alias("type_observed"),
         F.col("l_quantity").alias("area"),
     )
-    # (plot_id, segment_id) is NOT unique in the synthetic data — extend the
-    # ordering to a total order so the "lowest segment" pick is deterministic
-    w = W.partitionBy("plot_id").orderBy("segment_id", "type_observed", "area")
-    seg = seg.withColumn("rn", F.row_number().over(w))
-    plot = seg.groupBy("plot_id").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("type_observed"))).alias("plot_type"),
-        (F.countDistinct("type_observed") > 1).alias("mixed_plot"),
-        F.sum("area").alias("total_area"),
+    # (plot_id, segment_id) is NOT unique in the synthetic data — the
+    # "lowest segment" pick uses the full (segment, type, area) total
+    # order so it stays deterministic
+    mkey = F.struct("segment_id", "type_observed", "area")
+    per_type = seg.groupBy("plot_id", "type_observed").agg(
+        F.sum("area").alias("area_s"),
+        F.min(mkey).alias("mkey"),
     )
     return (
-        seg.join(plot, "plot_id")
-        .groupBy("plot_id", "plot_type", "mixed_plot", "total_area")
+        per_type.groupBy("plot_id")
         .agg(
-            F.round(
-                100
-                * F.sum(
-                    F.when(
-                        F.col("type_observed") == F.col("plot_type"), F.col("area")
-                    ).otherwise(0.0)
-                )
-                / F.col("total_area")
-                + F.lit(1e-9),
-                6,
-            ).alias("cover_pct")
+            F.min_by("type_observed", "mkey").alias("type_observed"),
+            (F.count("*") > 1).alias("mixed_plot"),
+            F.sum("area_s").alias("total_area"),
+            F.min_by("area_s", "mkey").alias("matched_area"),
         )
         .select(
             "plot_id",
-            F.col("plot_type").alias("type_observed"),
+            "type_observed",
             "mixed_plot",
-            "cover_pct",
+            F.round(
+                100 * F.col("matched_area") / F.col("total_area")
+                + F.lit(1e-9),
+                6,
+            ).alias("cover_pct"),
         )
     )
 
