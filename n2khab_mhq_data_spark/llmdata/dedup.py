@@ -932,18 +932,31 @@ def decontaminate_bloom(
     bitmap = [0] * n_words
     for r in words:
         bitmap[r.w] = r.bits
-    bm = F.array(*[F.lit(x) for x in bitmap])
+    # ONE array Literal node (r11): F.array(*[F.lit(x) ...]) built a
+    # CreateArray with n_words (=2048) child literals, and the probe
+    # references the bitmap once per hash — the analyzed tree carried
+    # n_hashes x n_words literal nodes, dominating the query's
+    # analysis/optimization time (measured: ~3.5-4.5 s of driver-side
+    # plan build per call at the bench tier, vs ~1.7 s of execution).
+    # A list literal is a single Literal(ArrayData) node; same values,
+    # same probe expression, same result.
+    bm = F.lit(bitmap)
 
-    probed = corpus_grams
+    # r11: the probe is ONE filter over pure expressions. The previous
+    # shape added six intermediate columns via a withColumn chain, and
+    # each withColumn call re-analyzes the whole (literal-carrying)
+    # plan — measured ~1.4 s of plan-build per call at the bench tier.
+    # The repeated `p` subexpression per probe (word index + bit) is
+    # shared at runtime by whole-stage codegen's subexpression
+    # elimination; same probe arithmetic, same rows survive.
     cond = F.lit(True)
-    for j, p in enumerate(positions("gram")):
-        probed = probed.withColumn(f"_p{j}", p).withColumn(
-            f"_b{j}",
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{j} % 64 AS INT))"),
+    for p in positions("gram"):
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
         )
-        word = F.element_at(bm, (F.col(f"_p{j}") / 64).cast("int") + 1)
-        cond = cond & (word.bitwiseAND(F.col(f"_b{j}")) != 0)
-    cand = probed.filter(cond).select(*corpus_grams.columns)
+        word = F.element_at(bm, (p / 64).cast("int") + 1)
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    cand = corpus_grams.filter(cond)
     hits = cand.join(F.broadcast(bench_grams), "gram", "inner")
     per_doc = hits.groupBy("doc").agg(
         F.count("*").alias("n_contaminated_grams")

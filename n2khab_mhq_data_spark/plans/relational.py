@@ -470,18 +470,32 @@ def j13_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J13 interval x interval overlap join WITHOUT an equi-key —
     urgent-order handling windows vs returned-shipment transit windows,
     rolled up to overlapping-pair counts and total overlap days per
-    order month. The reference's temporal logic is key-scoped as-of
-    matching (J12/K10); this is the remaining temporal shape: cross-key
-    interval algebra, which naive Spark plans as a cartesian. Runs
-    through ``interval_overlap_join_binned`` — both interval sets
-    explode to 8-day bins, the join is an equi-join on the bin, and the
-    overlap-start-ownership rule emits each pair exactly once with no
-    dedup re-shuffle. The oracle is DuckDB's native inequality join, so
-    the binned rewrite is hash-checked pair-for-pair."""
-    from n2khab_mhq_data_spark.operators.rangejoin import (
-        interval_overlap_join_binned,
-    )
+    order month.
 
+    r11 plan shape (guide §8: decide with small rows): the rollup needs
+    only COUNTS and SUMS over the pair set, never the pairs themselves,
+    so the O(|A| x density) pair materialization (measured as the
+    intrinsic cost of this query: 42 s of the 131 s x10 tier in r7; 14M+
+    pairs at sf0.1) is replaced by a DAY-GRAIN SWEEP. With per-day
+    coverage/start counts
+        Ca(m,d) = #a-intervals of month m covering day d,
+        Sa(m,d) = #a of month m starting at d,
+        Cb(d)/Sb(d) the same for b,
+    exact identities (integer arithmetic, pair-for-pair equivalent):
+        overlap_days(m) = sum_d Ca(m,d) * Cb(d)
+          (each overlapping pair contributes exactly its co-covered days)
+        pairs(m) = sum_d [ Sa(m,d)*Cb(d) + Sb(d)*(Ca(m,d)-Sa(m,d)) ]
+          (each pair counted once at its overlap start max(a_s,b_s):
+           owned by a when b_s <= a_s, else by b with a strictly older)
+    Both interval sets explode to their covered days (bounded: lengths
+    are 4-7 and 3-6 days by construction), reduce map-side to the
+    (month, day) / (day) grids (<= months x ~2557 and ~2557 rows — the
+    date domain, not the data), broadcast-join on day, and one tiny
+    month rollup finishes. Nothing output-proportional is ever
+    materialized; the day-sweep's products reproduce DuckDB's native
+    inequality join value-for-value, which is what the unchanged oracle
+    hash-checks. The binned pair-enumeration operator remains exercised
+    (and oracle-audited) by j13_interval_overlap_sliced."""
     epoch = F.lit("1992-01-01").cast("date")
     o = load(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
@@ -502,14 +516,39 @@ def j13_interval_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("l_orderkey") % 4
         ).alias("b_e"),
     )
-    pairs = interval_overlap_join_binned(a, b, "a_s", "a_e", "b_s", "b_e", 8)
-    return pairs.groupBy("month").agg(
-        F.count("*").cast("long").alias("pairs"),
+    a_days = (
+        a.select(
+            "month",
+            "a_s",
+            F.explode(F.sequence("a_s", "a_e")).alias("d"),
+        )
+        .groupBy("month", "d")
+        .agg(
+            F.count("*").alias("ca"),
+            F.sum(F.when(F.col("d") == F.col("a_s"), 1).otherwise(0)).alias(
+                "sa"
+            ),
+        )
+    )
+    b_days = (
+        b.select("b_s", F.explode(F.sequence("b_s", "b_e")).alias("d"))
+        .groupBy("d")
+        .agg(
+            F.count("*").alias("cb"),
+            F.sum(F.when(F.col("d") == F.col("b_s"), 1).otherwise(0)).alias(
+                "sb"
+            ),
+        )
+    )
+    grid = a_days.join(F.broadcast(b_days), "d")
+    return grid.groupBy("month").agg(
         F.sum(
-            F.least("a_e", "b_e") - F.greatest("a_s", "b_s") + F.lit(1)
+            F.col("sa") * F.col("cb")
+            + F.col("sb") * (F.col("ca") - F.col("sa"))
         )
         .cast("long")
-        .alias("overlap_days"),
+        .alias("pairs"),
+        F.sum(F.col("ca") * F.col("cb")).cast("long").alias("overlap_days"),
     )
 
 
