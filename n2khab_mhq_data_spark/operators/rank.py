@@ -184,6 +184,38 @@ def _global_rank_n(
     return global_rank(df, order_by, rank_col, num_partitions), df.count()
 
 
+def global_rank_with_total(
+    df: DataFrame,
+    order_by: list[Column],
+    rank_col: str = "rank",
+    total_col: str = "n_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``global_rank`` carrying the exact total row count as a COLUMN
+    (r11): for callers whose downstream logic needs ``n`` only inside
+    expressions (median midpoints, trim cuts), the in-plan ``__total``
+    of the offsets relation replaces the ``df.count()`` driver
+    round-trip of :func:`_global_rank_n` — zero extra jobs, zero
+    driver-side state, one fewer pass over the input per call."""
+    if _reuse_disabled(df) or not _all_cols_orderable(df):
+        ranked, n = _global_rank_checkpointed_n(
+            df, order_by, rank_col, num_partitions
+        )
+        return ranked.withColumn(total_col, F.lit(n).cast("long"))
+    p = _num_partitions(df, num_partitions)
+    part, counts = _range_parts(df, order_by, p)
+    w = W.partitionBy("__pid").orderBy(*order_by)
+    return (
+        part.join(F.broadcast(_offsets(counts, with_total=True)), "__pid")
+        .withColumn(
+            rank_col,
+            (F.col("__offset") + F.row_number().over(w)).cast("long"),
+        )
+        .withColumnRenamed("__total", total_col)
+        .drop("__pid", "__offset")
+    )
+
+
 def quantile_bins(
     df: DataFrame,
     order_by: list[Column],

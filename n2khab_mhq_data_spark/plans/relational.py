@@ -1909,21 +1909,21 @@ def audit_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (price, key) rather than ntile(), so both engines bin identically
     with no remainder-distribution ambiguity. Scale: the rank comes from
     operators/rank.py::global_rank (TeraSort two-pass range shuffle,
-    bounded P-row offset collect) — never a single-partition global
-    window; n is one bounded driver scalar; bin boundaries then
-    aggregate map-side."""
-    from n2khab_mhq_data_spark.operators.rank import global_rank
+    in-plan offsets); r11: n rides in-plan as the offsets relation's
+    total (global_rank_with_total) instead of a count() action; bin
+    boundaries then aggregate map-side."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank_with_total
 
     o = load(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("v"), "o_orderkey"
     )
-    n = o.count()  # bounded driver scalar (one integer)
-    ranked = global_rank(
-        o, [F.col("v"), F.col("o_orderkey")], rank_col="rnk"
+    ranked = global_rank_with_total(
+        o, [F.col("v"), F.col("o_orderkey")], rank_col="rnk",
+        total_col="__n",
     )
     binned = ranked.withColumn(
         "bin",
-        F.expr(f"CAST((rnk - 1) * 10 DIV {n} AS INT) + 1"),
+        F.expr("CAST((rnk - 1) * 10 DIV __n AS INT) + 1"),
     )
     return binned.groupBy("bin").agg(
         F.count("*").cast("long").alias("n_rows"),
@@ -1991,7 +1991,9 @@ def audit_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("bin"),
     )
     q = binned.groupBy("bin").agg(F.count("*").cast("long").alias("cq"))
-    nt = binned.count()  # bounded driver scalar (one integer)
+    # r11: total row count derived in-plan from the bin counts (sum of
+    # cq == count of binned) instead of a separate count() action
+    qt = q.agg(F.sum("cq").cast("long").alias("nt"))
     p = binned.groupBy("priority", "bin").agg(
         F.count("*").cast("long").alias("cp")
     )
@@ -2008,13 +2010,14 @@ def audit_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (
         scaffold.join(F.broadcast(p), ["priority", "bin"], "left")
         .join(F.broadcast(q), "bin", "left")
+        .crossJoin(F.broadcast(qt))
         .select(
             "priority",
             "n",
             ((F.coalesce(F.col("cp"), F.lit(0)) + 1)
              / (F.col("n") + 10).cast("double")).alias("pp"),
             ((F.coalesce(F.col("cq"), F.lit(0)) + 1)
-             / F.lit(float(nt + 10))).alias("qq"),
+             / (F.col("nt") + 10).cast("double")).alias("qq"),
         )
     )
     return terms.groupBy("priority", F.col("n").alias("n_orders")).agg(
@@ -3016,8 +3019,9 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines bin identically; ranks come from THREE passes of
     operators/rank.py::global_rank (TeraSort two-pass range shuffle) —
     customer-grain, never a single-partition window. The 125-cell grid
-    aggregate is map-side combinable."""
-    from n2khab_mhq_data_spark.operators.rank import global_rank
+    aggregate is map-side combinable. r11: n rides in-plan per rank
+    pass (global_rank_with_total) instead of a count() action."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank_with_total
 
     o = load(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
@@ -3026,17 +3030,17 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
         .cast("long").alias("monet"),
     ).localCheckpoint()  # 3 rank passes reuse one computed base
-    n = cust.count()  # bounded driver scalar
 
     def quintile(metric: str, rank_name: str) -> DataFrame:
-        ranked = global_rank(
+        ranked = global_rank_with_total(
             cust.select("o_custkey", metric),
             [F.col(metric), F.col("o_custkey")],
             rank_col="r",
+            total_col="__n",
         )
         return ranked.select(
             "o_custkey",
-            F.expr(f"CAST((r - 1) * 5 DIV {n} AS INT) + 1")
+            F.expr("CAST((r - 1) * 5 DIV __n AS INT) + 1")
             .alias(rank_name),
         )
 
@@ -6691,19 +6695,25 @@ def a23_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-grain ranking with no single-task window — and membership
     is integer arithmetic (rnk*20 > n keeps strictly-inside rows), so
     both engines cut identically. Cents-grid sums keep the means
-    bit-deterministic. Plan: range shuffle + two bounded collects
-    (partition sizes; the two clamp values via a 1-row aggregate) —
-    the ranked relation is scanned, never re-sorted."""
-    from n2khab_mhq_data_spark.operators.rank import _global_rank_n
+    bit-deterministic. Plan: range shuffle + one bounded collect (the
+    two clamp values via a 1-row aggregate) — the ranked relation is
+    scanned, never re-sorted. r11: the total count rides in-plan as
+    the offsets ``__total`` column (global_rank_with_total) instead of
+    a per-call ``df.count()`` action."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank_with_total
 
     o = load(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
         "o_totalprice",
         "o_orderkey",
     )
-    ranked, n = _global_rank_n(
-        o, [F.col("o_totalprice"), F.col("o_orderkey")], rank_col="rnk"
+    ranked = global_rank_with_total(
+        o,
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_col="rnk",
+        total_col="__n",
     )
+    n = F.col("__n")
     inside = ranked.filter(
         (F.col("rnk") * 20 > n) & ((n - F.col("rnk") + 1) * 20 > n)
     )
@@ -6714,22 +6724,27 @@ def a23_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("rnk") * 20 <= n, F.col("lo"))
         .when((n - F.col("rnk") + 1) * 20 <= n, F.col("hi"))
         .otherwise(F.col("v"))
-        .alias("v2")
+        .alias("v2"),
+        F.col("__n"),
     )
     t = inside.agg(
         F.count("*").alias("k"),
         F.sum("v").cast("long").alias("sv"),
+        F.max("__n").alias("n_rows"),
     )
-    wsum = win.agg(F.sum("v2").cast("long").alias("sw"))
+    wsum = win.agg(
+        F.sum("v2").cast("long").alias("sw"),
+        F.max("__n").alias("__nw"),
+    )
     return (
         t.crossJoin(wsum)
         .select(
-            F.lit(n).cast("long").alias("n_rows"),
+            F.col("n_rows").cast("long").alias("n_rows"),
             F.round(
                 F.col("sv") / (100.0 * F.col("k")) + F.lit(1e-9), 2
             ).alias("trimmed_mean_5pct"),
             F.round(
-                F.col("sw") / (100.0 * F.lit(n)) + F.lit(1e-9), 2
+                F.col("sw") / (100.0 * F.col("__nw")) + F.lit(1e-9), 2
             ).alias("winsorized_mean_5pct"),
         )
     )
@@ -7607,9 +7622,13 @@ def a27_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     2x the median (med2 = sum of the two middle cents) and 4x the MAD
     (deviations are |2c - med2|, already doubled) — no floating
     median anywhere, so both engines cut identically. Plan: two range
-    shuffles + two bounded collects; the 1-row median/MAD frames
-    broadcast-cross back (CUPED pattern)."""
-    from n2khab_mhq_data_spark.operators.rank import _global_rank_n
+    shuffles; the 1-row median/MAD frames broadcast-cross back (CUPED
+    pattern). r11: the total row count rides IN-PLAN as the offsets
+    relation's ``__total`` column (operators/rank.py::
+    global_rank_with_total) instead of a ``df.count()`` action per
+    median — two driver round-trips and two extra input passes gone
+    per call."""
+    from n2khab_mhq_data_spark.operators.rank import global_rank_with_total
 
     v = load(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("c"),
@@ -7620,17 +7639,19 @@ def a27_mad_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Sum of the two middle values under (col, key) order (odd n:
         the single middle DOUBLED) — the exact 2x-median as a 1-row
         frame."""
-        ranked, n = _global_rank_n(
-            df, [F.col(col), F.col(key)], rank_col="__r"
+        ranked = global_rank_with_total(
+            df, [F.col(col), F.col(key)], rank_col="__r", total_col="__n"
         )
         mid = ranked.filter(
-            (F.col("__r") * 2 == n)
-            | (F.col("__r") * 2 == n + 1)
-            | (F.col("__r") * 2 == n + 2)
+            (F.col("__r") * 2 == F.col("__n"))
+            | (F.col("__r") * 2 == F.col("__n") + 1)
+            | (F.col("__r") * 2 == F.col("__n") + 2)
         )
-        mult = 1 if n % 2 == 0 else 2
+        mult = F.max(
+            F.when(F.col("__n") % 2 == 0, 1).otherwise(2)
+        )
         return mid.agg(
-            (F.sum(col) * F.lit(mult)).cast("long").alias("m2")
+            (F.sum(col) * mult).cast("long").alias("m2")
         )
 
     med = median2x(v, "c", "k").withColumnRenamed("m2", "med2")

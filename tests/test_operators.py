@@ -300,6 +300,32 @@ def test_global_rank_matches_single_partition_window(spark):
         assert byid[i] == ((want[i] - 1) * 10) // 97
 
 
+def test_global_rank_with_total_matches_rank_and_count(spark):
+    """r11: the in-plan total column must equal the exact row count on
+    every row, with ranks identical to global_rank (it replaces the
+    per-call df.count() in the median/trim/quintile queries)."""
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.operators.rank import (
+        global_rank,
+        global_rank_with_total,
+    )
+
+    df = spark.range(97).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(13)
+    order = [F.col("k").asc(), F.col("id").desc()]
+    got = global_rank_with_total(
+        df, order, rank_col="r", total_col="__n", num_partitions=5
+    ).collect()
+    assert {row["__n"] for row in got} == {97}
+    want = {
+        row.id: row.rank
+        for row in global_rank(df, order, num_partitions=5).collect()
+    }
+    assert {row.id: row["r"] for row in got} == want
+
+
 def test_global_rank_payload_column_reuse(spark):
     """r11 regression pin: a PAYLOAD column absent from the sort key
     must not break the in-plan rank. Column pruning used to narrow the
