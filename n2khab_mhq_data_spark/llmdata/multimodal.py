@@ -44,7 +44,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 FRAME_META_SCHEMA = (
@@ -747,16 +747,30 @@ def decode_wav(raw: bytes):
     return rate, g711_expand(codes, "mulaw" if fmt == 7 else "alaw")
 
 
-def _spread_ids(df: DataFrame, id_col: str) -> DataFrame:
+def _spread_ids(
+    df: DataFrame, id_col: str, key: Column | None = None
+) -> DataFrame:
     """Repartition the bare id column across the session's cores before
     a CPU-bound payload-generation pass: the testbed's documents table
     is one parquet file (one input partition), which would serialize
     the whole encode stage onto a single Python worker — measured 7.3 s
     for the video query at sf0.1 vs ~0.8 s spread. Shuffling ids is
     bytes-trivial (one long per row); at 100 TB the source scan has
-    ample partitions and this is a near-no-op rebalance."""
+    ample partitions and this is a near-no-op rebalance.
+
+    ``key``: optional partitioning expression. The grouped payload
+    generators (key_div / key_mod planted-duplicate families) pass the
+    GROUP key here so that ids sharing a payload land in the same task
+    and the generator's per-task memo cache turns the group's repeated
+    encode work into one encode + (group_size - 1) dict hits. Key
+    cardinality stays ~|ids|/group_size — far above the partition
+    count, so the hash spread stays even (guide §2.5)."""
     sc = df.sparkSession.sparkContext
-    return df.select(id_col).repartition(sc.defaultParallelism, id_col)
+    if key is None:
+        return df.select(id_col).repartition(
+            sc.defaultParallelism, id_col
+        )
+    return df.select(id_col).repartition(sc.defaultParallelism, key)
 
 
 def png_payloads(
@@ -786,7 +800,14 @@ def png_payloads(
     gives distinct keys distinct signatures."""
     import numpy as np
 
+    grouped = key_mod is not None or key_div is not None
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task memo: rows sharing (k, perturb-parity) carry
+        # byte-identical PNGs, and the grouped spread below co-locates
+        # them, so each group pays ONE zlib deflate instead of
+        # group_size (guide §4.5 — amortize per-task work)
+        memo: dict[tuple[int, bool], bytes] = {}
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
@@ -797,6 +818,11 @@ def png_payloads(
                     k = did % key_mod
                 else:
                     k = did
+                edited = bool(perturb and grouped and did % 2)
+                hit = memo.get((k, edited))
+                if hit is not None:
+                    payloads.append(hit)
+                    continue
                 w, h = 8 + k % 5, 8 + k % 3
                 r = np.arange(h)[:, None]
                 c = np.arange(w)[None, :]
@@ -804,20 +830,29 @@ def png_payloads(
                     img = (k + 37 * r * r + 73 * c * c + 11 * r * c) % 256
                 else:
                     img = (k + 7 * r + 13 * c) % 256
-                grouped = key_mod is not None or key_div is not None
-                if perturb and grouped and did % 2:
+                if edited:
                     # near-duplicate: one strong pixel edit at (0, 0) —
                     # flips at most ONE dHash bit (only resized cell
                     # (0,0) samples source (0,0))
                     img = img.copy()
                     img[0, 0] = (img[0, 0] + 200) % 256
-                payloads.append(encode_png(img))
+                data = encode_png(img)
+                if len(memo) > 65536:
+                    memo.clear()
+                memo[(k, edited)] = data
+                payloads.append(data)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "payload": payloads}
             )
 
     idt = df.schema[id_col].dataType.simpleString()
-    return _spread_ids(df, id_col).mapInPandas(
+    if key_div is not None:
+        key = F.expr(f"`{id_col}` div {key_div}")
+    elif key_mod is not None:
+        key = F.col(id_col) % key_mod
+    else:
+        key = None
+    return _spread_ids(df, id_col, key).mapInPandas(
         op, f"{id_col} {idt}, payload binary"
     )
 
@@ -837,10 +872,19 @@ def image_dhash(binary_df: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rw = np.arange(8)
         weights = 1 << (np.arange(8)[:, None] * 7 + np.arange(7)[None, :])
+        # per-task memo: planted-duplicate corpora repeat payload bytes
+        # (and the grouped generators co-locate the repeats), so each
+        # distinct payload pays one inflate+unfilter, not group_size
+        memo: dict[bytes, int] = {}
         for pdf in batches:
             hashes = []
             for raw in pdf["payload"]:
-                g = decode_png(bytes(raw))
+                raw = bytes(raw)
+                hit = memo.get(raw)
+                if hit is not None:
+                    hashes.append(hit)
+                    continue
+                g = decode_png(raw)
                 if g.ndim == 3:  # RGB -> integer-mean luma
                     g = g.astype(np.int64).sum(axis=2) // 3
                 h, w = g.shape
@@ -848,7 +892,11 @@ def image_dhash(binary_df: DataFrame) -> DataFrame:
                     np.ix_((rw * h) // 8, (rw * w) // 8)
                 ].astype(np.int64)
                 bits = (small[:, :-1] > small[:, 1:]).astype(np.int64)
-                hashes.append(int((bits * weights).sum()))
+                val = int((bits * weights).sum())
+                if len(memo) > 65536:
+                    memo.clear()
+                memo[raw] = val
+                hashes.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "dhash": hashes}
             )
@@ -870,6 +918,12 @@ def dhash_near_pairs(
     duplicate density, not corpus size squared."""
     width = 56 // bands
     mask = (1 << width) - 1
+    # pin the (doc_id, dhash) table once: the band self-join otherwise
+    # re-executes the whole upstream decode/hash Python pipeline for
+    # BOTH join sides — at any scale that is two full payload passes
+    # for one (guide §5 caching; the rank operators' checkpoint-pin
+    # pattern)
+    hashes = hashes.localCheckpoint(eager=False)
     b = F.explode(
         F.array(*[F.lit(i) for i in range(bands)])
     ).alias("b")
@@ -891,11 +945,21 @@ def dhash_near_pairs(
         "b",
         "bv",
     )
+    # first-agreeing-band ownership replaces the candidate distinct():
+    # a pair agreeing on several bands is emitted ONLY at its smallest
+    # agreeing band — a codegen filter instead of a full dedup exchange
+    # of the candidate set (guide §2.4 remove shuffles outright)
+    no_earlier = F.lit(True)
+    for j in range(bands - 1):
+        agree_j = F.expr(
+            f"(shiftright(ha, {width * j}) & {mask}) = "
+            f"(shiftright(hb, {width * j}) & {mask})"
+        )
+        no_earlier = no_earlier & ((F.col("b") <= j) | ~agree_j)
     cand = (
         left.join(right, ["b", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & no_earlier)
         .select("doc_a", "doc_b", "ha", "hb")
-        .distinct()
     )
     ham = F.expr("bit_count(ha ^ hb)")
     return (
@@ -1056,22 +1120,33 @@ def wav_payloads_grouped(
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task memo over the group key: the group-key spread
+        # co-locates the key_div replicas, so each group encodes once
+        memo: dict[int, bytes] = {}
         for pdf in batches:
             payloads = []
             for did in pdf[id_col]:
                 k = int(did) // key_div
+                hit = memo.get(k)
+                if hit is not None:
+                    payloads.append(hit)
+                    continue
                 n = 64 + k % 32
                 i = np.arange(n, dtype=np.int64)
                 s = ((k * 31 + i * 17) % 4096) - 2048
-                payloads.append(encode_wav(s.astype(np.int16), 8000))
+                data = encode_wav(s.astype(np.int16), 8000)
+                if len(memo) > 65536:
+                    memo.clear()
+                memo[k] = data
+                payloads.append(data)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "payload": payloads}
             )
 
     idt = df.schema[id_col].dataType.simpleString()
-    return _spread_ids(df, id_col).mapInPandas(
-        op, f"{id_col} {idt}, payload binary"
-    )
+    return _spread_ids(
+        df, id_col, F.expr(f"`{id_col}` div {key_div}")
+    ).mapInPandas(op, f"{id_col} {idt}, payload binary")
 
 
 def audio_fingerprint(binary_df: DataFrame, frames: int = 16) -> DataFrame:
@@ -1085,17 +1160,29 @@ def audio_fingerprint(binary_df: DataFrame, frames: int = 16) -> DataFrame:
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-task memo: planted-duplicate clips repeat payload bytes,
+        # and the grouped generator co-locates the repeats
+        memo: dict[bytes, int] = {}
         for pdf in batches:
             fps = []
             for raw in pdf["payload"]:
-                _rate, s = decode_wav(bytes(raw))
+                raw = bytes(raw)
+                hit = memo.get(raw)
+                if hit is not None:
+                    fps.append(hit)
+                    continue
+                _rate, s = decode_wav(raw)
                 s = s.astype(np.int64)
                 n = len(s)
                 fidx = (np.arange(n) * frames) // n
                 e = np.zeros(frames, dtype=np.int64)
                 np.add.at(e, fidx, s * s)
                 bits = (e[:-1] > e[1:]).astype(np.int64)
-                fps.append(int((bits << np.arange(frames - 1)).sum()))
+                val = int((bits << np.arange(frames - 1)).sum())
+                if len(memo) > 65536:
+                    memo.clear()
+                memo[raw] = val
+                fps.append(val)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "fingerprint": fps}
             )

@@ -5717,15 +5717,24 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.trim("s").alias("sentence"))
         .filter(F.col("sentence") != "")
     )
-    sfreq = sent.groupBy("sentence").agg(
-        F.count_distinct("doc_id").alias("nd")
+    # One sentence explode, not two: reduce to (doc, sentence) grain
+    # map-side first, then a sentence-partitioned count window IS the
+    # per-sentence distinct-doc count (the grain makes every row one
+    # distinct doc). The old shape exploded sentences twice (sfreq leg +
+    # join leg) and broadcast the sentence-frequency table — a
+    # corpus-derived, unbounded-at-scale relation — back onto the raw
+    # sentence rows. Here raw sentence rows never cross an exchange:
+    # the first shuffle already carries deduplicated partial counts.
+    g = sent.groupBy("doc_id", "sentence").agg(
+        F.count("*").alias("c")
     )
+    nd = F.count("*").over(W.partitionBy("sentence"))
     boiler = (
-        sent.join(sfreq, "sentence")
+        g.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_sent"),
-            F.sum(F.when(F.col("nd") >= 5, 1).otherwise(0))
+            F.sum("c").cast("long").alias("n_sent"),
+            F.sum(F.when(F.col("nd") >= 5, F.col("c")).otherwise(0))
             .cast("long").alias("n_boiler"),
         )
     )

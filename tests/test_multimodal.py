@@ -629,6 +629,64 @@ def test_dhash_near_pairs_pigeonhole_complete(spark):
     assert all(5 not in pair for pair in got)
 
 
+def test_dhash_near_pairs_first_band_equals_distinct(spark):
+    """r11 opt: the first-agreeing-band ownership filter must emit
+    exactly the pair set of the old candidate distinct() — one row per
+    qualifying pair even when the pair agrees on SEVERAL bands (equal
+    hashes agree on all four)."""
+    from n2khab_mhq_data_spark.llmdata.multimodal import dhash_near_pairs
+
+    base = 0x00FA_CADE_0B0E_55
+    rows = [
+        (1, base),
+        (2, base),                 # identical: agrees on ALL 4 bands
+        (3, base ^ 1),             # hamming 1: agrees on bands 1-3
+        (4, base ^ (0b11 << 14)),  # hamming 2 in band 1: agrees 0,2,3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, dhash long")
+    out = dhash_near_pairs(df, bands=4, max_hamming=2).collect()
+    pairs = [(r.doc_a, r.doc_b) for r in out]
+    # every qualifying pair exactly once (no duplicates from the
+    # multi-band agreements), hamming exact
+    assert sorted(pairs) == [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4)
+    ]  # (3,4) is a candidate via bands 2-3 but hamming 3 > 2
+    assert len(pairs) == len(set(pairs))
+    ham = {(r.doc_a, r.doc_b): r.hamming for r in out}
+    assert ham[(1, 2)] == 0 and ham[(1, 3)] == 1 and ham[(1, 4)] == 2
+
+
+def test_grouped_payload_memo_is_byte_identical(spark):
+    """r11 opt: the per-task memo + group-key spread in the grouped
+    payload generators must be invisible — payload bytes identical to
+    an independent per-row encode."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from n2khab_mhq_data_spark.llmdata.multimodal import (
+        encode_png,
+        png_payloads,
+    )
+
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    got = {
+        r.doc_id: bytes(r.payload)
+        for r in png_payloads(
+            docs, key_div=10, perturb=True, textured=True
+        ).collect()
+    }
+    for did in range(60):
+        k = did // 10
+        w, h = 8 + k % 5, 8 + k % 3
+        r = np.arange(h)[:, None]
+        c = np.arange(w)[None, :]
+        img = (k + 37 * r * r + 73 * c * c + 11 * r * c) % 256
+        if did % 2:
+            img = img.copy()
+            img[0, 0] = (img[0, 0] + 200) % 256
+        assert got[did] == encode_png(img), did
+
+
 def test_audio_fingerprint_groups_planted_duplicates(spark):
     from pyspark.sql import functions as F
 
