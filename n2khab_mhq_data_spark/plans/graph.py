@@ -583,19 +583,20 @@ def link_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_name",
         "c_acctbal",
     )
-    w = W.partitionBy("comp").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
-    )
-    best = (
-        m.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("comp", F.col("c_name").alias("rep_name"))
-    )
+    # survivorship in ONE aggregation: max_by over (acctbal, -custkey)
+    # is exactly the old rn=1 window pick (max acctbal, min custkey on
+    # ties — custkey is unique, so the argmax is deterministic). The
+    # window + second pass over m + comp-join shape paid three
+    # comp-keyed exchanges for what one partial-aggregating exchange
+    # computes (guide §2.4; the k2 min_by precedent).
     agg = m.groupBy("comp").agg(
         F.count("*").cast("long").alias("n_members"),
         F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+        F.expr(
+            "max_by(c_name, struct(c_acctbal, -c_custkey))"
+        ).alias("rep_name"),
     )
-    return agg.join(best, "comp").select(
+    return agg.select(
         F.col("comp").cast("long").alias("canonical_id"),
         "n_members",
         "max_acctbal",

@@ -5266,23 +5266,26 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nr"
         ),
     )
+    # materialize the domain-bounded likelihood table ONCE: the three
+    # per-feature broadcast legs below project it differently, so
+    # without the pin each BroadcastExchange re-executes the whole
+    # train pass — the before-plan showed TEN lineitem scans for one
+    # query (guide §5 caching / §2.4)
     likk = lik.select(
         "feature", "value", "na", "nn", "nr",
         F.count("*").over(W.partitionBy("feature")).cast("double").alias(
             "kf"
         ),
-    )
-    cls = rows_f.agg(
-        F.count(F.when(F.col("label") == "A", 1)).cast("double").alias(
-            "ca"
-        ),
-        F.count(F.when(F.col("label") == "N", 1)).cast("double").alias(
-            "cn"
-        ),
-        F.count(F.when(F.col("label") == "R", 1)).cast("double").alias(
-            "cr"
-        ),
-        F.count("*").cast("double").alias("n"),
+    ).localCheckpoint(eager=False)
+    # class priors fall out of the likelihood table (any one feature's
+    # value counts partition the corpus by class) — replaces a second
+    # full fact scan with a 4-field aggregate of the bounded table
+    cls = likk.filter(F.col("feature") == "ls").agg(
+        F.sum("na").cast("double").alias("ca"),
+        F.sum("nn").cast("double").alias("cn"),
+        F.sum("nr").cast("double").alias("cr"),
+        F.sum(F.col("na") + F.col("nn") + F.col("nr"))
+        .cast("double").alias("n"),
     )
 
     def leg(feat: str, prefix: str) -> DataFrame:
