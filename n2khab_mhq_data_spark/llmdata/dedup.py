@@ -69,6 +69,14 @@ def ngram_jaccard_pairs(
     the oracle must see the uncapped semantics.
     """
     sh = shingle_table(df, text_col, id_col, k)
+    # grams ride as xxhash64 longs from the explode on (the
+    # dedup_prefix_filter r10 pattern: the gram-string shuffle had
+    # filled the disk at the 5M-doc tier): every downstream exchange —
+    # the doc-keyed size window, the frequency aggregate, the pair
+    # self-join — moves 8-byte keys instead of k-word strings, and the
+    # join hashes longs. Shingles are distinct per doc, so counts are
+    # unchanged short of a 64-bit collision.
+    sh = sh.select("doc", F.xxhash64("gram").alias("gram"))
     # Carry each doc's shingle count THROUGH the pair join as a window
     # column instead of a separate sizes table: removes one full shingle
     # computation and two post-aggregation joins (measured 4.9s -> 2.1s at
@@ -663,7 +671,8 @@ def connected_components(
     labels = _iter_ckpt(
         nodes.select("node", F.col("node").alias("comp")), reliable
     )
-    fp = _convergence_fingerprint(labels, "node", "comp")
+    prev_ckpt = labels
+    comp_t = labels.schema["comp"].dataType.simpleString()
 
     def step(lab: DataFrame) -> DataFrame:
         prop = e.join(lab, e["a"] == lab["node"]).select(
@@ -678,23 +687,46 @@ def connected_components(
     for _ in range(max_iter):
         # TWO propagation steps per materialized round: min-label is
         # monotone (labels only decrease), so unrolling cannot
-        # oscillate and equality across a 2-step round still proves the
-        # fixpoint. Same join/shuffle count to converge, HALF the
-        # checkpoint materializations + fingerprint/confirm jobs — at
-        # 100 TB each skipped checkpoint is a full label-table copy
-        # that never gets written (guide §5), and on the bench tier it
-        # halves the loop's per-round job latency.
-        new = _iter_ckpt(step(step(labels)), reliable)
-        new_fp = _convergence_fingerprint(new, "node", "comp")
-        converged = new_fp == fp and _confirm_unchanged(
-            labels, new, ["node", "comp"]
+        # oscillate. Same join/shuffle count to converge, HALF the
+        # checkpoint materializations — at 100 TB each skipped
+        # checkpoint is a full label-table copy that never gets
+        # written (guide §5). The SECOND step carries each node's
+        # pre-step label as ``__old`` through its aggregate (the
+        # labels branch contributes exactly one non-null per node, the
+        # propagation branch nulls — min() keeps the label), so
+        # convergence is an EXACT in-state emptiness probe: a final
+        # step that changed nothing IS the fixpoint by monotonicity.
+        # This replaces the per-round fingerprint collect + the
+        # fingerprint-collision confirm join, and detects the fixpoint
+        # a full round earlier than compare-to-previous-round.
+        s1 = step(labels)
+        prop2 = e.join(s1, e["a"] == s1["node"]).select(
+            F.col("b").alias("node"),
+            "comp",
+            F.expr(f"CAST(NULL AS {comp_t})").alias("__old"),
         )
+        new = _iter_ckpt(
+            s1.withColumn("__old", F.col("comp"))
+            .unionByName(prop2)
+            .groupBy("node")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min("__old").alias("__old"),
+            ),
+            reliable,
+        )
+        converged = new.filter(
+            F.col("comp") != F.col("__old")
+        ).isEmpty()
         # the superseded round's checkpoint blocks are dead the moment
-        # `new` is materialized (the fingerprint collect above) and the
-        # convergence confirmation has read them — free them NOW instead
-        # of letting them pile up for GC (operators/ckpt.py)
-        release(labels)
-        labels, fp = new, new_fp
+        # `new` is materialized (the emptiness probe above) — free
+        # them NOW instead of letting them pile up for GC
+        # (operators/ckpt.py). Release the CHECKPOINT handle (the
+        # projection below wraps it and release() only acts on a bare
+        # LogicalRDD root).
+        release(prev_ckpt)
+        prev_ckpt = new
+        labels = new.select("node", "comp")
         if converged:
             break
     else:

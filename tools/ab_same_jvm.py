@@ -56,6 +56,12 @@ SHAPES = {
     "prefix_filter_pairs": lambda m, docs: m.prefix_filter_pairs(
         docs, "text", "doc_id", threshold=0.8
     ),
+    "ngram_jaccard_pairs": lambda m, docs: m.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8
+    ),
+    "ngram_capped_pairs": lambda m, docs: m.ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.8, max_doc_freq=20
+    ),
 }
 
 
