@@ -1990,35 +1990,46 @@ def audit_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("mx") - F.col("mn"))),
         ).cast("int").alias("bin"),
     )
-    q = binned.groupBy("bin").agg(F.count("*").cast("long").alias("cq"))
-    # r11: total row count derived in-plan from the bin counts (sum of
-    # cq == count of binned) instead of a separate count() action
-    qt = q.agg(F.sum("cq").cast("long").alias("nt"))
-    p = binned.groupBy("priority", "bin").agg(
-        F.count("*").cast("long").alias("cp")
+    # r11: ONE orders pass. A dense 10-counter aggregate per priority
+    # (conditional sums — empty bins are explicit zeros, so no scaffold
+    # completion join is needed), exploded to the <= |priority| x 10
+    # grid; the whole-corpus bin counts, per-priority totals and grand
+    # total are then windows over that domain-bounded grid. The old
+    # shape re-scanned orders once per marginal (3 fact scans + two
+    # broadcast joins); this is one scan, zero joins. The windows run
+    # on <= 50 rows bounded by the priority x bin DOMAIN — the benign
+    # planning-table window class, never corpus-grain.
+    per = binned.groupBy("priority").agg(
+        *[
+            F.sum(F.when(F.col("bin") == i, 1).otherwise(0))
+            .cast("long").alias(f"c{i}")
+            for i in range(10)
+        ]
     )
-    np_ = binned.groupBy("priority").agg(
-        F.count("*").cast("long").alias("n")
-    )
-    scaffold = np_.select(
+    dense = per.select(
         "priority",
-        "n",
         F.explode(
-            F.array([F.lit(i).cast("int") for i in range(10)])
-        ).alias("bin"),
-    )
-    terms = (
-        scaffold.join(F.broadcast(p), ["priority", "bin"], "left")
-        .join(F.broadcast(q), "bin", "left")
-        .crossJoin(F.broadcast(qt))
-        .select(
-            "priority",
-            "n",
-            ((F.coalesce(F.col("cp"), F.lit(0)) + 1)
-             / (F.col("n") + 10).cast("double")).alias("pp"),
-            ((F.coalesce(F.col("cq"), F.lit(0)) + 1)
-             / (F.col("nt") + 10).cast("double")).alias("qq"),
-        )
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("bin"),
+                        F.col(f"c{i}").alias("cp"),
+                    )
+                    for i in range(10)
+                ]
+            )
+        ).alias("s"),
+    ).select("priority", F.col("s.bin").alias("bin"), F.col("s.cp").alias("cp"))
+    wb = W.partitionBy("bin")
+    wp = W.partitionBy("priority")
+    wall = W.partitionBy()
+    terms = dense.select(
+        "priority",
+        F.sum("cp").over(wp).alias("n"),
+        ((F.col("cp") + 1)
+         / (F.sum("cp").over(wp) + 10).cast("double")).alias("pp"),
+        ((F.sum("cp").over(wb) + 1)
+         / (F.sum("cp").over(wall) + 10).cast("double")).alias("qq"),
     )
     return terms.groupBy("priority", F.col("n").alias("n_orders")).agg(
         F.round(
@@ -2340,9 +2351,23 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").filter(
         F.col("p_type") == "ECONOMY"
     ).select("p_partkey", "p_type")
+    # broadcast-prefilter the fact rows BEFORE the pair distinct: the
+    # dedup exchange then carries only ECONOMY-part, EUROPE-supplier
+    # pairs (join-then-distinct commutes with distinct-then-join on the
+    # join keys). Guide §2.3 — shuffle fewer bytes.
     pairs = (
         load(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
         .distinct()
     )
     joined = (

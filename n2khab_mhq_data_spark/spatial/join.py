@@ -357,14 +357,26 @@ def _knn_probe(
     kept = cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
-    # per-query metadata: corpus size and ACTUAL self-match count
+    # per-query metadata: corpus size and ACTUAL self-match count — ONE
+    # corpus pass, not two (the old shape scanned points once for the
+    # global count and again for the self-match counts): group by the
+    # query id where matched, null otherwise; the grand total is the sum
+    # over the <= |queries|+1 group rows. Pinned — two marginals read it.
     qids = queries.select(F.col("point_id").alias("qid"))
-    n_corpus = points.select(F.count("*").alias("__np"))
-    selfc = (
-        points.select(F.col("point_id").alias("qid"))
-        .join(F.broadcast(qids.distinct()), "qid")
+    g = (
+        points.select(F.col("point_id").alias("pid"))
+        .join(
+            F.broadcast(qids.distinct()),
+            F.col("pid") == F.col("qid"),
+            "left",
+        )
         .groupBy("qid")
-        .agg(F.count("*").alias("__self"))
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    n_corpus = g.agg(F.sum("__c").alias("__np"))
+    selfc = g.filter(F.col("qid").isNotNull()).select(
+        "qid", F.col("__c").alias("__self")
     )
     qmeta = (
         qids.join(F.broadcast(n_corpus))
@@ -373,7 +385,9 @@ def _knn_probe(
     )
     # right-outer: a query with zero kept candidates gets a null-nid
     # placeholder row instead of disappearing (kept is already hash-
-    # partitioned on qid by the window, so only tiny qmeta reshuffles)
+    # partitioned on qid by the window, so only tiny qmeta reshuffles;
+    # deliberately NOT broadcast-hinted — kept is k x |queries| and a
+    # static hint would force the broadcast even for a huge query set)
     joined = kept.join(qmeta, "qid", "right")
     wq = W.partitionBy("qid")
     kcnt = F.count("nid").over(wq)  # non-null kept rows only

@@ -90,12 +90,18 @@ def main() -> None:
     spark = get_spark("ab")
     docs = load(spark, args.sf_dir, "documents")
     shape = SHAPES[args.fn]
-    dfs = {k: shape(m, docs) for k, m in mods.items()}
-    counts = {k: df.count() for k, df in dfs.items()}  # warm + verify
+    # factories, not pre-built plans: a variant whose plan pins an
+    # intermediate (localCheckpoint) would otherwise materialize once at
+    # warm-up and every timed sample would ride the cached blocks — the
+    # bench protocol rebuilds the DataFrame per sample, so the A/B must
+    # too (r11: caught overstating a checkpoint rewrite 0.06x vs its
+    # honest 0.48x)
+    factories = {k: (lambda m=m: shape(m, docs)) for k, m in mods.items()}
+    counts = {k: f().count() for k, f in factories.items()}  # warm+verify
     if len(set(counts.values())) != 1:
         raise SystemExit(f"variants disagree on row count: {counts}")
-    samples: dict[str, list[float]] = {k: [] for k in dfs}
-    order = list(dfs)
+    samples: dict[str, list[float]] = {k: [] for k in factories}
+    order = list(factories)
     for r in range(args.runs):
         # serpentine: a,b then b,a — a fixed within-round order would
         # hand the same variant the post-GC/cleaner-backlog slot every
@@ -103,7 +109,7 @@ def main() -> None:
         # (r11 adversarial review of this tool)
         for k in order if r % 2 == 0 else reversed(order):
             t0 = time.time()
-            dfs[k].count()
+            factories[k]().count()
             samples[k].append(time.time() - t0)
     for k, ts in samples.items():
         print(
