@@ -950,21 +950,38 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings = [ring0]
     visited = ring0
     frontier = ring0
-    for depth in range(1, _BFS_MAX_D + 1):
+
+    def expand(fr: DataFrame, vis: DataFrame, d: int) -> DataFrame:
         cand = (
-            frontier.join(ee, frontier.node == ee.u)
+            fr.join(ee, fr.node == ee.u)
             .select("src", F.col("v").alias("node"))
             .distinct()
         )
-        ring = cand.join(visited, ["src", "node"], "left_anti").select(
-            "src", "node", F.lit(depth).alias("d")
-        ).localCheckpoint()
-        if ring.isEmpty():  # bounded driver check, one per round
-            release(ring)  # empty round: blocks are dead, free them
+        return cand.join(vis, ["src", "node"], "left_anti").select(
+            "src", "node", F.lit(d).alias("d")
+        )
+
+    # TWO BFS levels per materialized round (the connected-components
+    # discipline): the second expansion chains onto the first inside
+    # ONE checkpoint job — same joins/shuffles to reach the diameter,
+    # HALF the materialization barriers and driver round-trips. The
+    # d-column keeps each node's exact hop distance, and the second
+    # level anti-joins visited AND the first level so depths stay
+    # exact. An empty second level just parks the next round's
+    # frontier empty, which the emptiness probe then catches.
+    for depth in range(1, _BFS_MAX_D + 1, 2):
+        r1 = expand(frontier, visited, depth)
+        if depth + 1 <= _BFS_MAX_D:
+            r2 = expand(r1, visited.unionAll(r1), depth + 1)
+            both = r1.unionAll(r2).localCheckpoint()
+        else:  # odd-diameter contract tail: single level
+            both = r1.localCheckpoint()
+        if both.isEmpty():  # bounded driver check, one per round
+            release(both)  # empty round: blocks are dead, free them
             break
-        rings.append(ring)
-        visited = visited.unionAll(ring)
-        frontier = ring
+        rings.append(both)
+        visited = visited.unionAll(both)
+        frontier = both.filter(F.col("d") == depth + 1)
     release(ee)  # edge blocks fed only the loop; rings are self-contained
     dist = rings[0]
     for r in rings[1:]:
