@@ -588,14 +588,24 @@ def dsir_logweights(
         F.count("*").alias("n_raw"),
         F.count(F.when(F.col("is_target"), 1)).alias("n_tgt"),
     )
-    totals = counts.agg(
-        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
-    )
-    model = counts.crossJoin(F.broadcast(totals)).select(
+    # model totals as a window over the <= buckets-row counts table
+    # (domain-bounded — the benign planning-table window class), NOT a
+    # separate aggregate leg: the totals/model pair otherwise evaluates
+    # the gram explode twice more on top of the scoring pass (the plan
+    # showed 3 full tokenize+hash passes where DSIR's own structure
+    # needs 2). Same integers, same float ops.
+    wall = W.partitionBy()
+    model = counts.select(
         "bucket",
         (
-            F.log((F.col("n_tgt") + 1) / (F.col("t_tgt") + buckets))
-            - F.log((F.col("n_raw") + 1) / (F.col("t_raw") + buckets))
+            F.log(
+                (F.col("n_tgt") + 1)
+                / (F.sum("n_tgt").over(wall) + buckets)
+            )
+            - F.log(
+                (F.col("n_raw") + 1)
+                / (F.sum("n_raw").over(wall) + buckets)
+            )
         ).alias("logratio"),
     )
     per_doc = (
