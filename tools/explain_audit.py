@@ -140,6 +140,27 @@ def _broadcast_derived(plan: str) -> int:
         m = re.match(r"^([ :+\-*]*)", line)
         return len(m.group(1))
 
+    # Structural exemption (mirrors the rank-offsets window exemption):
+    # a BroadcastExchange whose OUTPUT is the rank operator's internal
+    # (__pid, __offset) relation is the <= P-row per-partition offsets
+    # table — bounded by the shuffle-partition count, never
+    # data-proportional, even though its subtree carries the consumer's
+    # Generate (r11: text_zipf_slope's two-pass rank tripped this).
+    benign_bx: set[str] = set()
+    cur_id = None
+    for ln in plan.splitlines():
+        m = re.match(r"\((\d+)\) BroadcastExchange\b", ln.strip())
+        if m:
+            cur_id = m.group(1)
+            continue
+        if cur_id is not None:
+            if ln.strip().startswith("Input"):
+                if "__pid#" in ln and "__offset#" in ln:
+                    benign_bx.add(cur_id)
+                cur_id = None
+            elif not ln.strip() or re.match(r"\(\d+\) ", ln.strip()):
+                cur_id = None
+
     lines = [
         ln
         for ln in plan.splitlines()
@@ -149,6 +170,9 @@ def _broadcast_derived(plan: str) -> int:
     for i, ln in enumerate(lines):
         if "BroadcastExchange" not in ln:
             continue
+        mb = re.search(r"BroadcastExchange \((\d+)\)", ln)
+        if mb and mb.group(1) in benign_bx:
+            continue  # bounded rank-operator offsets broadcast
         d = depth(ln)
         for sub in lines[i + 1 :]:
             if depth(sub) <= d:
@@ -318,8 +342,11 @@ EXPECTED: dict[str, set[str]] = {
     # broadcast-crossed onto the calendar-bounded partition census
     "s17_partition_skew_report": {"CARTESIAN(x1)"},
     # MAD: the 1-ROW 2x-median and 4x-MAD frames broadcast-cross back
-    # onto the value/deviation scans (CUPED pattern, two stages)
-    "a27_mad_robust_scale": {"CARTESIAN(x2)"},
+    # onto the value/deviation scans (CUPED pattern, two stages);
+    # x3 since the r11 count()-to-in-plan sweep — the exact row total
+    # now rides a third 1-row broadcast cross instead of a per-call
+    # count() action (commit 2dc9279; this pin lagged that commit)
+    "a27_mad_robust_scale": {"CARTESIAN(x3)"},
     # Q8: orders x customer is the custkey-side fact shuffle a 100 TB
     # Q8 cannot avoid (both sides unbounded; the customer leg carries a
     # join-derived projection so the static planner lacks stats to
@@ -344,8 +371,10 @@ EXPECTED: dict[str, set[str]] = {
     # PSI drift: the global (min, max) bin-edge pair is a 1-ROW
     # aggregate broadcast-crossed onto the order scan — the
     # events_cuped_adjustment 1-row-global-stat pattern; the scan is
-    # touched once and never replicates
-    "audit_psi_drift": {"CARTESIAN(x3)"},
+    # touched once and never replicates. x1 since r11: the other two
+    # crosses (bin-count and grand-total attaches) collapsed into the
+    # dense window grid (see the SPW pin below)
+    "audit_psi_drift": {"CARTESIAN(x1)"},
     # Pareto/ABC: the 1-ROW total-revenue aggregate broadcast-crossed
     # onto the part-grain ranked frame — the CUPED 1-row-global-stat
     # pattern; the part table never replicates
@@ -435,7 +464,10 @@ EXPECTED: dict[str, set[str]] = {
     # two corpus-grain sides (docs x per-doc sums) where SortMergeJoin is
     # the correct strategy; the bucket-model join itself is a
     # BroadcastHashJoin (the model is `buckets` rows by construction)
-    "pipeline_dsir_weights": {"CARTESIAN(x5)", "SMJ"},
+    # x3 since r11: the model-totals leg moved from a 1-row broadcast
+    # cross (evaluated once per model reference) to a window over the
+    # <= buckets-row counts table (see the SPW pin below)
+    "pipeline_dsir_weights": {"CARTESIAN(x3)", "SMJ"},
     # 1-row scalar broadcast (the poisoned-manifest min(lang) pin); the
     # manifest comparison is a FULL OUTER join (fail-closed on vanished
     # pinned groups), which cannot broadcast — SortMergeJoin of two
@@ -578,8 +610,11 @@ EXPECTED_BCAST: dict[str, str] = {
     "link_edit_distance_join": "BCAST_DERIVED(x1)",
     "link_edit_distance_join_blocked": "BCAST_DERIVED(x1)",
     "multimodal_image_neardup": "BCAST_DERIVED(x2)",
-    "pipeline_curation_v2": "BCAST_DERIVED(x7)",
-    "pipeline_dsir_weights": "BCAST_DERIVED(x5)",
+    # x5 since r11: the boilerplate leg no longer broadcasts the
+    # corpus-derived sentence-frequency table (single-explode rewrite)
+    "pipeline_curation_v2": "BCAST_DERIVED(x5)",
+    # x4 since r11: one fewer model-leg broadcast (window totals)
+    "pipeline_dsir_weights": "BCAST_DERIVED(x4)",
     "pipeline_multimodal_curation": "BCAST_DERIVED(x3)",
     "sketch_count_min": "BCAST_DERIVED(x2)",
     "skew_salted_join": "BCAST_DERIVED(x2)",
@@ -655,6 +690,15 @@ EXPECTED_SPW: dict[str, str] = {
     # prefix-sum + the budget total); the corpus-sized work happened in
     # the upstream aggregation that produced the per-source table
     "pipeline_budget_waterfill": "SINGLE_PARTITION_WINDOW(x2)",
+    # all three marginal windows (per-priority, per-bin, grand total)
+    # run on the post-aggregate priority x bin GRID — <= |priority|x10
+    # rows at any scale; Catalyst plans ONE SinglePartition exchange
+    # and re-sorts locally for the other two, so all three Window
+    # nodes sit above it (r11 one-scan rewrite)
+    "audit_psi_drift": "SINGLE_PARTITION_WINDOW(x3)",
+    # the model-totals window runs on the post-groupBy BUCKET table —
+    # <= `buckets` (1024) rows by construction at any corpus scale
+    "pipeline_dsir_weights": "SINGLE_PARTITION_WINDOW(x1)",
 }
 for _n, _f in EXPECTED_SPW.items():
     EXPECTED.setdefault(_n, set()).add(_f)
