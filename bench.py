@@ -53,6 +53,26 @@ SF1_TOP_N = 20
 SF1_SUBSTITUTE = {
     "j13_interval_overlap_binned": "j13_interval_overlap_sliced",
 }
+# r12: queries whose round-11/12 rewrites rest on a SCALE argument that
+# sf0.1 cannot confirm (fewer fact scans / fewer shuffled bytes trading
+# against idle-core parallelism) are ALWAYS included in the sf1.0 tier,
+# on top of the top-N slowest — VERDICT r11 item 2: the locally-negative
+# trades must be proven (or reverted) at 10x data.
+SF1_EXTRA = [
+    "audit_psi_drift",
+    "pipeline_curation_v2",
+    "pipeline_dsir_weights",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_capped",
+    "tpch_q2_min_cost_supplier",
+    "ts_mann_kendall",
+    "u4_cycle_drift_audit",
+    "sketch_kmv_jaccard",
+    "link_golden_record",
+    "graph_kcore",
+    "dedup_components",
+    "graph_shortest_paths",
+]
 
 
 def _prebuild_memos(spark, sf_dir: str) -> dict[str, float]:
@@ -219,6 +239,11 @@ def main() -> None:
                 for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])
             )
         )[:SF1_TOP_N]
+        # scale-argument queries ride along even when not in the top-N
+        # (r12; see SF1_EXTRA) — additions only, never displacements
+        top += [
+            n for n in SF1_EXTRA if n in timings and n not in top
+        ]
         sf1_build = _prebuild_memos(spark, SF1_DIR)
         sf1_timings: dict[str, float] = {}
         for name in top:
@@ -295,6 +320,21 @@ def main() -> None:
     }
     if sf1 is not None:
         out["sf1"] = sf1
+    # r12 (VERDICT r11 item 5 — de-noise the driver comparison): with
+    # only the 10 slowest on stdout, consecutive rounds overlapped on
+    # ~4 query names and the per-query PERF diff was mostly churn.
+    # Keep ADDING next-slowest entries to `queries` while the
+    # serialized line stays under a conservative byte budget (the
+    # round-1 driver capture truncated a ~4 KB line, so stay well
+    # clear) — additions only: the 10 slowest are always present, no
+    # entry is ever removed or renamed, and every other field is
+    # unchanged.
+    _LINE_BUDGET = 3400
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1])[10:]:
+        out["queries"][name] = sec
+        if len(json.dumps(out)) > _LINE_BUDGET:
+            del out["queries"][name]
+            break
     print(json.dumps(out))
 
 

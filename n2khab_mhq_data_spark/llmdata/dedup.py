@@ -643,11 +643,11 @@ def connected_components(
     iterations; the EDGE LIST is checkpointed once up front — without
     materialization the (often expensive) pair pipeline feeding it would
     re-run every round (measured 7s -> 2s at sf0.1 on the near-dup
-    graph). Convergence is detected the same way as the twophase
-    sibling: an order-insensitive label-set fingerprint (count +
-    bit_xor of a portable row hash) — one tiny aggregate over the
-    just-checkpointed labels per round instead of a join-and-count diff
-    against the previous round.
+    graph). Rounds batch 2 then 4 propagation steps per checkpoint
+    (monotone min-label cannot oscillate), and convergence is an EXACT
+    in-state probe: the round's last step carries each node's pre-step
+    label as ``__old``, and an empty ``comp != __old`` filter proves
+    the fixpoint (see the loop comment).
 
     ``reliable=True`` switches to reliable ``checkpoint()`` against the
     session's configured checkpoint dir (``sparkContext.setCheckpointDir``
@@ -684,29 +684,40 @@ def connected_components(
             .agg(F.min("comp").alias("comp"))
         )
 
-    for _ in range(max_iter):
-        # TWO propagation steps per materialized round: min-label is
-        # monotone (labels only decrease), so unrolling cannot
-        # oscillate. Same join/shuffle count to converge, HALF the
-        # checkpoint materializations — at 100 TB each skipped
-        # checkpoint is a full label-table copy that never gets
-        # written (guide §5). The SECOND step carries each node's
-        # pre-step label as ``__old`` through its aggregate (the
-        # labels branch contributes exactly one non-null per node, the
-        # propagation branch nulls — min() keeps the label), so
-        # convergence is an EXACT in-state emptiness probe: a final
-        # step that changed nothing IS the fixpoint by monotonicity.
-        # This replaces the per-round fingerprint collect + the
-        # fingerprint-collision confirm join, and detects the fixpoint
-        # a full round earlier than compare-to-previous-round.
-        s1 = step(labels)
-        prop2 = e.join(s1, e["a"] == s1["node"]).select(
+    # BATCHED propagation steps per materialized round: min-label is
+    # monotone (labels only decrease), so unrolling cannot oscillate.
+    # Same join/shuffle count to converge, FEWER checkpoint
+    # materializations and probe jobs — at 100 TB each skipped
+    # checkpoint is a full label-table copy that never gets written
+    # (guide §5), and locally each skipped round is one driver sync +
+    # one probe job (the sf0.1 suite is stage-barrier bound, r11
+    # scaling block). Schedule: the FIRST round runs 2 steps —
+    # near-clique components (the common near-dup shape; fixpoint in
+    # 1-2 steps, measured for dedup_components at sf0.1) converge there
+    # with zero wasted shuffles — and every later round runs 4 (r12:
+    # deeper graphs halve their round count; the golden-record linkage
+    # graph needs exactly 6 steps = 2 rounds instead of 3). The LAST
+    # step of each round carries each node's pre-step label as
+    # ``__old`` through its aggregate (the labels branch contributes
+    # exactly one non-null per node, the propagation branch nulls —
+    # min() keeps the label), so convergence is an EXACT in-state
+    # emptiness probe: a final step that changed nothing IS the
+    # fixpoint by monotonicity. The step budget (2 * max_iter) is
+    # unchanged from the 2-step-round contract.
+    converged = False
+    total_steps, max_steps = 0, 2 * max_iter
+    while total_steps < max_steps:
+        n_steps = min(2 if total_steps == 0 else 4, max_steps - total_steps)
+        cur = labels
+        for _ in range(n_steps - 1):
+            cur = step(cur)
+        prop2 = e.join(cur, e["a"] == cur["node"]).select(
             F.col("b").alias("node"),
             "comp",
             F.expr(f"CAST(NULL AS {comp_t})").alias("__old"),
         )
         new = _iter_ckpt(
-            s1.withColumn("__old", F.col("comp"))
+            cur.withColumn("__old", F.col("comp"))
             .unionByName(prop2)
             .groupBy("node")
             .agg(
@@ -715,6 +726,7 @@ def connected_components(
             ),
             reliable,
         )
+        total_steps += n_steps
         converged = new.filter(
             F.col("comp") != F.col("__old")
         ).isEmpty()
@@ -729,7 +741,7 @@ def connected_components(
         labels = new.select("node", "comp")
         if converged:
             break
-    else:
+    if not converged:
         # exhausting max_iter means labels are STILL PROPAGATING —
         # returning them would silently under-merge components
         # (splitting a near-dup chain across train/test is the exact

@@ -803,10 +803,13 @@ def png_payloads(
     grouped = key_mod is not None or key_div is not None
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-task memo: rows sharing (k, perturb-parity) carry
-        # byte-identical PNGs, and the grouped spread below co-locates
-        # them, so each group pays ONE zlib deflate instead of
-        # group_size (guide §4.5 — amortize per-task work)
+        # per-task memo, GROUPED paths only: rows sharing (k, perturb-
+        # parity) carry byte-identical PNGs, and the grouped spread
+        # below co-locates them, so each group pays ONE zlib deflate
+        # instead of group_size (guide §4.5 — amortize per-task work).
+        # In the ungrouped path k = id is unique per row — a memo would
+        # fill with 64k dead entries per task at a 0% hit rate
+        # (ADVICE r11), so it is skipped entirely there.
         memo: dict[tuple[int, bool], bytes] = {}
         for pdf in batches:
             payloads = []
@@ -819,7 +822,7 @@ def png_payloads(
                 else:
                     k = did
                 edited = bool(perturb and grouped and did % 2)
-                hit = memo.get((k, edited))
+                hit = memo.get((k, edited)) if grouped else None
                 if hit is not None:
                     payloads.append(hit)
                     continue
@@ -837,9 +840,10 @@ def png_payloads(
                     img = img.copy()
                     img[0, 0] = (img[0, 0] + 200) % 256
                 data = encode_png(img)
-                if len(memo) > 65536:
-                    memo.clear()
-                memo[(k, edited)] = data
+                if grouped:
+                    if len(memo) > 65536:
+                        memo.clear()
+                    memo[(k, edited)] = data
                 payloads.append(data)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "payload": payloads}
@@ -915,7 +919,15 @@ def dhash_near_pairs(
     every pair within ``max_hamming`` < bands without ever comparing
     all pairs. Candidates then verify by exact popcount of the XOR.
     One shuffle per band on the band value; candidate volume tracks
-    duplicate density, not corpus size squared."""
+    duplicate density, not corpus size squared.
+
+    PRECONDITION: ``hashes`` must carry ONE row per doc_id. The
+    first-agreeing-band ownership filter below replaces the old
+    candidate ``.distinct()`` and is equivalent to it only under that
+    grain — duplicate doc_id rows (previously collapsed by the distinct
+    on identical ha/hb) would emit duplicate pairs (ADVICE r11). Every
+    caller feeds one hash per document; dedupe upstream if yours does
+    not."""
     width = 56 // bands
     mask = (1 << width) - 1
     # pin the (doc_id, dhash) table once: the band self-join otherwise

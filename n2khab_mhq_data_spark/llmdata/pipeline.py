@@ -332,16 +332,25 @@ def retrieval_metrics(
     iw = W.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("doc")
     )
-    ideal = (
+    # r12 (duplicate-scan sweep, guide §2.4): idcg and n_rel ride ONE
+    # aggregate over the windowed judgments — the old separate
+    # ideal/totals legs re-evaluated the qrels subtree twice (a full
+    # judgment-source pass each when qrels derives from the corpus, as
+    # in eval_retrieval_metrics) and paid an extra join to glue them
+    # back. The top-k filter folds into the sum's when(): every query
+    # keeps its row (pos=1 always qualifies), so the output is
+    # unchanged row-for-row.
+    base = (
         qr.withColumn("pos", F.row_number().over(iw))
-        .filter(F.col("pos") <= k)
         .groupBy("query_id")
         .agg(
-            F.sum(gain / F.log2(F.col("pos") + 1.0)).alias("idcg"),
+            F.sum(
+                F.when(
+                    F.col("pos") <= k, gain / F.log2(F.col("pos") + 1.0)
+                )
+            ).alias("idcg"),
+            F.count("*").alias("n_rel"),
         )
-    )
-    totals = qr.groupBy("query_id").agg(
-        F.count("*").alias("n_rel")
     )
     hits = run.join(F.broadcast(qr), ["query_id", "doc"])
     per_q = hits.groupBy("query_id").agg(
@@ -350,8 +359,7 @@ def retrieval_metrics(
         F.count("*").alias("n_hits"),
     )
     out = (
-        totals.join(F.broadcast(ideal), "query_id")
-        .join(F.broadcast(per_q), "query_id", "left")
+        base.join(F.broadcast(per_q), "query_id", "left")
         .select(
             "query_id",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),

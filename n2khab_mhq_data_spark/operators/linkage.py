@@ -136,10 +136,12 @@ def edit_distance_join_deletion(
 
     Scale: candidate volume is sum over variant keys of (docs sharing
     that key choose 2) — driven by true near-match density, not corpus
-    size; the one shuffle is hash-partitioned on the variant string.
-    Variant generation is a codegen ``transform``/``explode`` (no
-    Python). Verification cost is |candidates| levenshteins, each on a
-    short key. Nothing is quadratic in the corpus.
+    size; the one shuffle is hash-partitioned on an 8-byte
+    xxhash64(block, variant) key (exactness preserved — see the bucket
+    comment below). Variant generation is a codegen
+    ``transform``/``explode`` (no Python). Verification cost is
+    |candidates| levenshteins, each on a short key. Nothing is
+    quadratic in the corpus.
     """
     # join-equality semantics for the hard keys: a record with a NULL
     # block attribute can never agree with anything (NULL = x is never
@@ -172,7 +174,21 @@ def edit_distance_join_deletion(
             ),
         ),
     )
-    v = base.select("id", "key", "blk", F.explode(variants).alias("var"))
+    # r12 (guide §2.3 — shuffle keys, not payloads): the bucket key is
+    # xxhash64(blk, var) — 8 bytes — instead of the (blk, var) string
+    # pair (~25-40 bytes/row at the registered callers, over a
+    # rows x (len+1) exploded table). Unlike the ngram-longs trade this
+    # is EXACT, not a disclosed collision window: candidates are
+    # re-verified on the carried originals (blk equality + levenshtein
+    # <= 1 below), so a 64-bit collision can only route extra rows into
+    # a bucket whose false pairs the verification drops — and any true
+    # pair it surfaces is already in the output via its own shared
+    # variant (the deletion-neighborhood completeness argument). The
+    # hot-bucket cap is likewise routing-only: a collision-merged
+    # bucket may switch route, both routes emit the same pairs.
+    v = base.select(
+        "id", "key", "blk", F.explode(variants).alias("var")
+    ).select("id", "key", "blk", F.xxhash64("blk", "var").alias("h"))
     # bucket-explode instead of a variant-table SELF-join (the
     # minhash_lsh_candidates shape): Spark materializes no CTEs, so the
     # join form evaluated the 15-variants-per-key explode TWICE and
@@ -194,39 +210,45 @@ def edit_distance_join_deletion(
     # same pair set for their buckets; a bucket lives in exactly one
     # route, and the union's distinct collapses pairs that appear under
     # several variants regardless of route.
-    w_bucket = W.partitionBy("blk", "var")
+    w_bucket = W.partitionBy("h")
     sized = v.withColumn("m", F.count("*").over(w_bucket)).filter(
         F.col("m") >= 2  # singleton buckets can't pair — skip both routes
     )
     small = (
         sized.filter(F.col("m") <= hot_bucket_cap)
-        .groupBy("blk", "var")
-        .agg(F.collect_list(F.struct("id", "key")).alias("ds"))
+        .groupBy("h")
+        .agg(F.collect_list(F.struct("id", "key", "blk")).alias("ds"))
         .select(F.explode("ds").alias("x"), "ds")
         .select("x", F.explode("ds").alias("y"))
         .select(F.col("x.id").alias("id1"), F.col("y.id").alias("id2"),
-                F.col("x.key").alias("key1"), F.col("y.key").alias("key2"))
+                F.col("x.key").alias("key1"), F.col("y.key").alias("key2"),
+                F.col("x.blk").alias("blk1"), F.col("y.blk").alias("blk2"))
     )
     hot = sized.filter(F.col("m") > hot_bucket_cap).select(
-        "blk", "var", "id", "key"
+        "h", "id", "key", "blk"
     )
     ha, hb = hot.alias("ha"), hot.alias("hb")
     hot_pairs = ha.join(
-        hb,
-        (F.col("ha.blk") == F.col("hb.blk"))
-        & (F.col("ha.var") == F.col("hb.var")),
+        hb, F.col("ha.h") == F.col("hb.h")
     ).select(
         F.col("ha.id").alias("id1"), F.col("hb.id").alias("id2"),
         F.col("ha.key").alias("key1"), F.col("hb.key").alias("key2"),
+        F.col("ha.blk").alias("blk1"), F.col("hb.blk").alias("blk2"),
     )
     cand = (
         small.unionByName(hot_pairs)
-        .filter(F.col("id1") < F.col("id2"))
+        # blk equality is part of the pair predicate (it rode the exact
+        # bucket key before hashing; now it is verified explicitly)
+        .filter((F.col("id1") < F.col("id2"))
+                & (F.col("blk1") == F.col("blk2")))
+        .select("id1", "id2", "key1", "key2")
         # a pair can share several variants (e.g. equal keys share all);
         # collapse BEFORE the levenshtein so each pair is verified once
         .distinct()
     )
-    return cand.filter(F.levenshtein("key1", "key2") <= 1).select(
-        "id1", "id2", "key1", "key2",
-        F.levenshtein("key1", "key2").cast("int").alias("lev_dist"),
-    )
+    # compute the levenshtein ONCE as a column, filter on it, keep it —
+    # the old filter-then-reproject spelling evaluated it twice (CSE
+    # does not span the Filter/Project operator boundary)
+    return cand.withColumn(
+        "lev_dist", F.levenshtein("key1", "key2").cast("int")
+    ).filter(F.col("lev_dist") <= 1)

@@ -642,18 +642,22 @@ def _kcore_oracle(k: int = 3, rounds: int = 12) -> str:
 
 @query("graph_kcore", oracle=_kcore_oracle())
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-core of the co-purchase graph via 12 fixed peel rounds — the
-    density filter a curation pipeline runs before trusting co-occurrence
-    structure (nodes outside the k-core are noise-grade). Each round
-    drops nodes with < k surviving neighbours; 12 rounds converge on the
-    bench tiers (10 needed at sf0.01) and the ``settled`` column proves
-    it IN-BAND: a row with core_degree < k means the peel had not
-    reached fixpoint, so correctness is never silently data-dependent.
-    Scale: one degree-count shuffle per round over the (already
-    support-pruned) edge list; the survivor set is localCheckpoint'ed
-    every 4 rounds so the plan stays shallow — the same bounded-rounds
-    contract as the two-phase connected components (O(log n) rounds,
-    never a driver-side edge materialization)."""
+    """3-core of the co-purchase graph via <= 12 peel rounds with an
+    exact early exit — the density filter a curation pipeline runs
+    before trusting co-occurrence structure (nodes outside the k-core
+    are noise-grade). Each round drops nodes with < k surviving
+    neighbours; the ``settled`` column proves convergence IN-BAND: a
+    row with core_degree < k means the peel had not reached fixpoint,
+    so correctness is never silently data-dependent. The survivor set
+    shrinks monotonically, so an unchanged (or zero) survivor count at
+    the every-2-rounds checkpoint probe proves the fixpoint and skips
+    the dead tail of the 12-round budget (r12; measured: the 3-core
+    empties at round 2 at sf0.1, round ~10 at sf0.01). Scale: one
+    degree-count shuffle per round over the (already support-pruned)
+    edge list; the survivor set is localCheckpoint'ed at each probe so
+    the plan stays shallow — the same bounded-rounds contract as the
+    two-phase connected components (O(log n) rounds, never a
+    driver-side edge materialization)."""
     kk, rounds = 3, 12
     last_ckpt = None  # superseded survivor checkpoint, freed on rotate
     edges = _copurchase_edges(spark, sf_dir).select("a", "b")
@@ -663,29 +667,46 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     ).localCheckpoint()
     s = de.select(F.col("src").alias("node")).distinct()
-    for i in range(rounds):
-        # shuffle-hash semi-joins (the pagerank hint): the survivor set
-        # only ever shrinks, and hashing it avoids re-sorting the edge
-        # list twice per peel round under SortMergeJoin
-        alive = de.join(
-            s.withColumnRenamed("node", "src").hint("shuffle_hash"),
-            "src", "leftsemi",
-        ).join(
-            s.withColumnRenamed("node", "dst").hint("shuffle_hash"),
-            "dst", "leftsemi",
-        )
-        s = (
-            alive.groupBy("src")
-            .agg(F.count("*").alias("c"))
-            .filter(F.col("c") >= kk)
-            .select(F.col("src").alias("node"))
-        )
-        if i % 4 == 3:
-            s = s.localCheckpoint()
-            # the previous survivor checkpoint fed only the rounds up to
-            # this (just-materialized) one — free its blocks now
-            release(last_ckpt)
-            last_ckpt = s
+    # r12 early exit: survivor sets only ever SHRINK (s_{i+1} requires
+    # membership in s_i), so an unchanged survivor COUNT between probes
+    # proves set equality — the fixpoint — and every remaining round is
+    # a no-op; an EMPTY set is trivially settled. Probe every 2 rounds:
+    # the lazy checkpoint's materializing count doubles as the probe
+    # (one job), and each dead round it skips was 2 full-edge-list
+    # semi-join shuffles + a degree aggregation. Measured at sf0.1 the
+    # 3-core EMPTIES at round 2 — the fixed 12-round peel paid 10 dead
+    # rounds (guide §1.2: don't compute things you throw away). The
+    # 12-round bound and the in-band ``settled`` proof are unchanged.
+    prev_n: int | None = None
+    i = 0
+    while i < rounds:
+        for _ in range(min(2, rounds - i)):
+            # shuffle-hash semi-joins (the pagerank hint): the survivor
+            # set only ever shrinks, and hashing it avoids re-sorting
+            # the edge list twice per peel round under SortMergeJoin
+            alive = de.join(
+                s.withColumnRenamed("node", "src").hint("shuffle_hash"),
+                "src", "leftsemi",
+            ).join(
+                s.withColumnRenamed("node", "dst").hint("shuffle_hash"),
+                "dst", "leftsemi",
+            )
+            s = (
+                alive.groupBy("src")
+                .agg(F.count("*").alias("c"))
+                .filter(F.col("c") >= kk)
+                .select(F.col("src").alias("node"))
+            )
+            i += 1
+        s = s.localCheckpoint(False)
+        n = s.count()  # materializes the checkpoint AND probes the size
+        # the previous survivor checkpoint fed only the rounds up to
+        # this (just-materialized) one — free its blocks now
+        release(last_ckpt)
+        last_ckpt = s
+        if n == 0 or n == prev_n:
+            break
+        prev_n = n
     fd = (
         de.join(
             s.withColumnRenamed("node", "src").hint("shuffle_hash"),

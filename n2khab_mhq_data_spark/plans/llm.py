@@ -5284,17 +5284,26 @@ def sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = h.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
-    a = sk.filter(F.col("g") == pa).select("hv")
-    b = sk.filter(F.col("g") == pb).select("hv")
-    u = a.unionByName(b).distinct().orderBy("hv").limit(k)
-    flagged = (
-        u.join(F.broadcast(a.withColumn("ina", F.lit(1))), "hv", "left")
-        .join(F.broadcast(b.withColumn("inb", F.lit(1))), "hv", "left")
+    # r12 (guide §2.4 / duplicate-scan sweep): the merged union sketch
+    # and both membership flags fall out of ONE tiny aggregate over the
+    # <= 2k-row per-set sketches — u = distinct hv of a ∪ b with
+    # ina/inb = "some sketch row of that set carries this hv". The old
+    # shape re-derived the sketch subtree four times (u's two union
+    # branches + two broadcast-join builds), each re-running the full
+    # orders scan + window: 4 fact scans -> 1 on this side, and both
+    # self-broadcast joins disappear.
+    u = (
+        sk.groupBy("hv")
+        .agg(
+            F.max(F.col("g") == pa).alias("ina"),
+            F.max(F.col("g") == pb).alias("inb"),
+        )
+        .orderBy("hv")
+        .limit(k)
     )
-    m = flagged.agg(
+    m = u.agg(
         F.sum(
-            F.when(F.col("ina").isNotNull() & F.col("inb").isNotNull(), 1)
-            .otherwise(0)
+            F.when(F.col("ina") & F.col("inb"), 1).otherwise(0)
         ).cast("long").alias("kmv_matches")
     )
     o = load(spark, sf_dir, "orders").filter(

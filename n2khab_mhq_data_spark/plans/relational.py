@@ -1530,27 +1530,63 @@ def u4_cycle_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-status added/removed summary. The new cycle is derived from the
     old with a deterministic patch so the audit is reproducible at any
     sf."""
+    # r12 (guide §2.4/§8): EXCEPT ALL in both directions scanned orders
+    # 4x and shuffled old/new twice each. Bag difference is computable
+    # from per-tuple multiplicities in ONE pass: each old row emits its
+    # old-cycle tuple and (when it survives the cycle filter) its
+    # new-cycle tuple; per (okey, status, price) the old/new counts
+    # diff to exactly EXCEPT ALL's multiplicities —
+    # removed(v) = max(c_old - c_new, 0), added(v) = max(c_new - c_old,
+    # 0) — for ANY multiset (duplicate okeys included), so the bag
+    # semantics the docstring promises are preserved identically.
+    # 1 scan, one row-grain exchange, zero joins.
     old = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("okey"),
         F.col("o_orderstatus").alias("status"),
         F.round("o_totalprice", 2).alias("price"),
     )
-    new = old.filter(F.col("okey") % 101 != 0).select(
+    contrib = old.select(
         "okey",
-        F.when(F.col("okey") % 97 == 0, "X")
-        .otherwise(F.col("status"))
-        .alias("status"),
         "price",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("status").alias("st"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("n"),
+                ),
+                F.struct(
+                    F.when(F.col("okey") % 97 == 0, "X")
+                    .otherwise(F.col("status"))
+                    .alias("st"),
+                    F.lit(0).alias("o"),
+                    # the row's new-cycle copy exists only when it
+                    # survives the %101 filter; a 0-weight contribution
+                    # keeps the explode width static
+                    F.when(F.col("okey") % 101 != 0, 1)
+                    .otherwise(0)
+                    .alias("n"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "okey", "price", F.col("c.st").alias("status"),
+        F.col("c.o").alias("o"), F.col("c.n").alias("n"),
     )
-    removed = old.exceptAll(new).select(
-        F.lit("removed").alias("side"), "status"
+    per_tuple = contrib.groupBy("okey", "status", "price").agg(
+        F.sum("o").alias("co"), F.sum("n").alias("cn")
     )
-    added = new.exceptAll(old).select(F.lit("added").alias("side"), "status")
-    return (
-        removed.unionByName(added)
-        .groupBy("side", "status")
-        .agg(F.count("*").alias("n"))
+    per_status = per_tuple.groupBy("status").agg(
+        F.sum(F.greatest(F.col("co") - F.col("cn"), F.lit(0)))
+        .cast("long").alias("removed"),
+        F.sum(F.greatest(F.col("cn") - F.col("co"), F.lit(0)))
+        .cast("long").alias("added"),
     )
+    return per_status.select(
+        "status",
+        F.expr("stack(2, 'removed', removed, 'added', added)")
+        .alias("side", "n"),
+    ).filter(F.col("n") > 0).select("side", "status", "n")
 
 
 @query(
@@ -1982,6 +2018,12 @@ def audit_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("v"),
     )
     st = o.agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    # CONTRACT NOTE (ADVICE r11): a degenerate corpus with mx == mn (or
+    # all-null v) is out of contract for this audit — the bin division
+    # is undefined there in BOTH engines (and the engine/oracle could
+    # then disagree on whether such rows count toward the marginals).
+    # PSI of a single-valued distribution is 0 by definition; a caller
+    # with such data should short-circuit, not bin.
     binned = o.crossJoin(F.broadcast(st)).select(
         "priority",
         F.least(

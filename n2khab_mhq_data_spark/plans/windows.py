@@ -1460,9 +1460,18 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar, not the corpus), with the series side broadcast — corpus
     rows are touched exactly once by the first groupBy."""
     e = load(spark, sf_dir, "events")
+    # r12 (duplicate-scan sweep, guide §5): the day-grain series is
+    # referenced 4x (both sides of the pairwise sign join, nn, ties) —
+    # without a pin the events fact table is scanned once per
+    # non-reused reference (2 scans survived exchange reuse in the r11
+    # plan audit). The series is bounded by calendar x |event_type|
+    # (never corpus-grain), so pinning it is safe at any scale and
+    # makes every marginal read the materialized <= few-thousand-row
+    # table: 1 fact scan total. Same class as the audit_psi_drift
+    # one-scan rewrite (kept on the scale argument).
     d = e.groupBy(
         "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count("*").cast("long").alias("x"))
+    ).agg(F.count("*").cast("long").alias("x")).localCheckpoint(eager=False)
     a = d.alias("a")
     b = d.alias("b")
     p = (
